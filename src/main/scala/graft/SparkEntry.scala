@@ -1,13 +1,633 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.algebra.{Semigroup, TopK}
+import graft.api.{GraftStream, KeyedGraftStream}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{AsofJoin, Dedup, Similarity}
+import graft.time.Batcher
+
+/** Typed rows for the API-parity queries (encoders derive at use sites). */
+case class Ev(event_id: Long, ts_ms: Long, user_id: Long, event_type: String,
+    value: Double, props: String)
+case class Doc(doc_id: Long, text: String)
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline operator family), with a DuckDB oracle
+  * where the semantics are SQL-expressible. See Scaladoc on each module for
+  * the reference file:line provenance.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events with event-time millis attached (TimeExtractor → column).
+    * The source carries TIMESTAMP(NANOS) which Spark reads as a nanos Long
+    * under `nanosAsLong`; `ts` below is nanos (exact ordering), `ts_ms` is
+    * integral-division millis (exact — double division would lose precision
+    * above 2^53 ns).
+    */
+  private def eventsDF(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts_ms", expr("ts DIV 1000000"))
+  }
+
+  private def eventsDs(s: SparkSession, dir: String): Dataset[Ev] = {
+    import s.implicits._
+    eventsDF(s, dir)
+      .select("event_id", "ts_ms", "user_id", "event_type", "value", "props").as[Ev]
+  }
+
+  private def eventStream(s: SparkSession, dir: String): GraftStream[Ev] = {
+    import s.implicits._
+    GraftStream.from(eventsDs(s, dir))(_.ts_ms)
+  }
+
+  private def docsDs(s: SparkSession, dir: String): Dataset[Doc] = {
+    import s.implicits._
+    t(s, dir, "documents").select("doc_id", "text").as[Doc]
+  }
+
+  /** Flagship: the reference's canonical wordCount job (summingbird-example
+    * ExampleJob.scala:43-50) through the full stack — source → flatMap
+    * tokenize → sumByKey(Long semigroup) — on sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    GraftStream.from(docsDs(spark, dir))(_.doc_id * 1000L) // synthetic ts
+      .flatMap(d => d.text.split("\\s+").iterator.filter(_.nonEmpty))
+      .asKeyedWith(identity[String], (_: String) => 1L)
+      .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
+      .toDF("word", "cnt")
+  }
+
+  // ---------------------------------------------------------------------
+  // operator inventory
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- source / stateless producers (SURVEY §2.1-2.2) ------------------
+    "q_source" -> ((s, dir) =>
+      eventsDF(s, dir).select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts_ms"))),
+
+    "q_map" -> ((s, dir) => {
+      import s.implicits._
+      eventStream(s, dir).map(e => (e.event_id, e.value * 2))
+        .ds.map(_._2).toDF("event_id", "doubled")
+    }),
+
+    "q_filter" -> ((s, dir) => {
+      import s.implicits._
+      eventStream(s, dir).filter(_.event_type == "click")
+        .ds.map(r => (r._2.event_id, r._2.user_id)).toDF("event_id", "user_id")
+    }),
+
+    "q_flatmap" -> ((s, dir) => {
+      import s.implicits._
+      GraftStream.from(docsDs(s, dir))(_.doc_id)
+        .flatMap(d => d.text.split("\\s+").iterator.filter(_.nonEmpty)
+          .map(w => (d.doc_id, w)))
+        .ds.map(_._2).toDF("doc_id", "word")
+    }),
+
+    "q_collect" -> ((s, dir) => {
+      import s.implicits._
+      eventStream(s, dir)
+        .collect { case e if e.event_type == "purchase" => (e.user_id, e.value) }
+        .ds.map(_._2).toDF("user_id", "value")
+    }),
+
+    "q_optionmap" -> ((s, dir) => {
+      import s.implicits._
+      eventStream(s, dir)
+        .optionMap(e => {
+          val digits = e.props.filter(_.isDigit)
+          if (digits.nonEmpty) Some((e.event_id, digits.toLong)) else None
+        })
+        .ds.map(_._2).toDF("event_id", "k")
+    }),
+
+    "q_merge" -> ((s, dir) => {
+      import s.implicits._
+      val clicks = eventStream(s, dir).filter(_.event_type == "click")
+      val buys = eventStream(s, dir).filter(_.event_type == "purchase")
+      (clicks ++ buys).ds.map(r => (r._2.event_id, r._2.event_type))
+        .toDF("event_id", "event_type")
+    }),
+
+    "q_either" -> ((s, dir) => {
+      import s.implicits._
+      val l = eventStream(s, dir).filter(_.event_type == "signup").map(_.event_id)
+      val r = GraftStream.from(docsDs(s, dir))(_.doc_id).map(_.doc_id)
+      l.either(r).ds.map {
+        case (_, Left(id))  => ("L", id)
+        case (_, Right(id)) => ("R", id)
+      }.toDF("side", "id")
+    }),
+
+    // -- keyed operator family (SURVEY §2.2) -----------------------------
+    "q_sumbykey" -> ((s, dir) => {
+      import s.implicits._
+      GraftStream.from(docsDs(s, dir))(_.doc_id)
+        .flatMap(d => d.text.split("\\s+").iterator.filter(_.nonEmpty))
+        .asKeyedWith(identity[String], (_: String) => 1L)
+        .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
+        .toDF("word", "cnt")
+    }),
+
+    "q_mapkeys" -> ((s, dir) => {
+      import s.implicits._
+      eventStream(s, dir).asKeyedWith(_.user_id, (_: Ev) => 1L)
+        .mapKeys(_ % 10)
+        .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
+        .toDF("bucket", "cnt")
+    }),
+
+    "q_flatmapkeys" -> ((s, dir) => {
+      import s.implicits._
+      eventStream(s, dir).asKeyedWith(_.user_id, (_: Ev) => 1L)
+        .flatMapKeys(k => Iterator(k, k + 1000L))
+        .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
+        .toDF("user_key", "cnt")
+    }),
+
+    "q_mapvalues" -> ((s, dir) => {
+      import s.implicits._
+      eventStream(s, dir).asKeyedWith(_.user_id, (e: Ev) => e.value)
+        .mapValues(_ => 1L)
+        .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
+        .toDF("user_id", "cnt")
+    }),
+
+    "q_flatmapvalues" -> ((s, dir) => {
+      import s.implicits._
+      eventStream(s, dir).asKeyedWith(_.user_id, (e: Ev) => e.event_type)
+        .flatMapValues(v => Iterator(v, v))
+        .mapValues(_ => 1L)
+        .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
+        .toDF("user_id", "cnt")
+    }),
+
+    "q_filterkeys" -> ((s, dir) => {
+      import s.implicits._
+      eventStream(s, dir).asKeyedWith(_.user_id, (_: Ev) => 1L)
+        .filterKeys(_ < 50L)
+        .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
+        .toDF("user_id", "cnt")
+    }),
+
+    "q_filtervalues" -> ((s, dir) => {
+      import s.implicits._
+      eventStream(s, dir).asKeyedWith(_.user_id, (e: Ev) => e.value)
+        .filterValues(_ > 50.0)
+        .mapValues(_ => 1L)
+        .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
+        .toDF("user_id", "cnt")
+    }),
+
+    "q_keys" -> ((s, dir) => {
+      import s.implicits._
+      eventStream(s, dir).asKeyedWith(_.event_type, (e: Ev) => e.event_id)
+        .keys.asKeyedWith(identity[String], (_: String) => 1L)
+        .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
+        .toDF("event_type", "cnt")
+    }),
+
+    "q_values" -> ((s, dir) => {
+      import s.implicits._
+      eventStream(s, dir).asKeyedWith(_.event_type, (e: Ev) => e.user_id)
+        .values.asKeyedWith(identity[Long], (_: Long) => 1L)
+        .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
+        .toDF("user_id", "cnt")
+    }),
+
+    "q_swap" -> ((s, dir) => {
+      import s.implicits._
+      eventStream(s, dir).asKeyedWith(_.event_type, (e: Ev) => e.user_id)
+        .swap
+        .mapValues(_ => 1L)
+        .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
+        .toDF("user_id", "cnt")
+    }),
+
+    // -- joins (SURVEY §2.3) ---------------------------------------------
+    "q_leftjoin" -> ((s, dir) => {
+      import s.implicits._
+      val service: Dataset[(Long, String)] =
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name")).as[(Long, String)]
+      eventStream(s, dir).asKeyedWith(_.user_id, (e: Ev) => e.event_id)
+        .leftJoinDs(service)
+        .ds.map(r => (r._3._1, r._2, r._3._2)).toDF("event_id", "user_id", "c_name")
+    }),
+
+    "q_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val service: Dataset[(Long, String)] =
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")).as[(Long, String)]
+      eventStream(s, dir).map(_.user_id)
+        .lookup(service)
+        .ds.map(r => (r._2._1, r._2._2)).toDF("user_id", "segment")
+    }),
+
+    "q_asof_join" -> ((s, dir) => {
+      // purchases enriched with the user's most recent signup event at-or-
+      // before the purchase time (DuckDB-ASOF `>=` semantics)
+      val ev = eventsDF(s, dir)
+      val left = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("signup_ts"))
+        .agg(max("event_id").as("signup_id"))
+      AsofJoin.asofJoin(left, right, Seq("user_id"), "ts", "signup_ts",
+          Seq("signup_id"), strict = false)
+        .select("event_id", "user_id", "signup_id")
+    }),
+
+    "q_asof_summing" -> ((s, dir) => {
+      // running count of prior clicks per user as of each purchase
+      val ev = eventsDF(s, dir)
+      val left = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), lit(1L).as("one"))
+      AsofJoin.asofJoinSumming(left, right, Seq("user_id"), "ts", "click_ts",
+          Seq("one"), strict = false)
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("one"), lit(0L)).as("clicks_before"))
+    }),
+
+    // -- time / batching (SURVEY §1.2) -----------------------------------
+    "q_batcher" -> ((s, dir) => {
+      val daily = Batcher.ofDays(1)
+      eventsDF(s, dir)
+        .groupBy(col("user_id"), daily.batchIdColumn(col("ts_ms")).as("batch_id"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    "q_sumbykey_delta" -> ((s, dir) => {
+      // the Summer's (Option[V], V) contract per (key, batch):
+      // prior = all-time sum before this batch, delta = this batch's sum
+      import s.implicits._
+      val daily = Batcher.ofDays(1)
+      eventStream(s, dir).asKeyedWith(_.user_id, (_: Ev) => 1L)
+        .sumByKey(daily)(Semigroup.longSemigroup)
+        .map { case (k, b, (prior, delta)) => (k, b, prior, delta) }
+        .toDF("user_id", "batch_id", "prior", "delta")
+    }),
+
+    "q_client_merge" -> ((s, dir) => {
+      // lambda-architecture read: offline snapshot (first half of the month)
+      // semigroup-merged with online deltas (second half)
+      import s.implicits._
+      val cut = 1705276800000L // 2024-01-15T00:00:00Z
+      val offline = eventStream(s, dir).filter(_.ts_ms < cut)
+        .asKeyedWith(_.user_id, (_: Ev) => 1L)
+        .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
+      val online = eventStream(s, dir).filter(_.ts_ms >= cut)
+        .asKeyedWith(_.user_id, (_: Ev) => 1L)
+        .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
+      graft.client.ClientStore.mergeKV(offline.union(online))(
+        Semigroup.longSemigroup, implicitly, implicitly)
+        .toDF("user_id", "cnt")
+    }),
+
+    // -- semigroup value types (SURVEY §1.3) -----------------------------
+    "q_max_by" -> ((s, dir) => {
+      // latest event per user via a max-(ts,event_id) semigroup value
+      import s.implicits._
+      eventStream(s, dir)
+        .asKeyedWith(_.user_id, (e: Ev) => (e.ts_ms, e.event_id))
+        .sumByKeyAllTime(Semigroup.maxSemigroup[(Long, Long)], implicitly)
+        .map { case (u, (_, eid)) => (u, eid) }
+        .toDF("user_id", "last_event")
+    }),
+
+    "q_topk" -> ((s, dir) => {
+      // top-5 events by value per event_type, as a TopK semigroup value
+      import s.implicits._
+      implicit val sg: Semigroup[TopK[Long]] = TopK.topKSemigroup[Long]
+      eventStream(s, dir)
+        .asKeyedWith(_.event_type, (e: Ev) => TopK.one(5, e.value, e.event_id))
+        .sumByKeyAllTime(sg, implicitly)
+        .flatMap { case (et, topk) => topk.items.map { case (v, id) => (et, id, v) } }
+        .toDF("event_type", "event_id", "value")
+    }),
+
+    "q_count_distinct" -> ((s, dir) =>
+      eventsDF(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))),
+
+    "q_hll" -> ((s, dir) => {
+      // HLL sketch as a semigroup VALUE (merge-able store content) — the
+      // estimate is deterministic but engine-specific: rows-only oracle
+      import s.implicits._
+      import graft.algebra.HLL
+      eventStream(s, dir)
+        .asKeyedWith(_.event_type, (e: Ev) => HLL.ofLong(e.user_id))
+        .sumByKeyAllTime(HLL.hllSemigroup, implicitly)
+        .map { case (et, hll) => (et, hll.estimate) }
+        .toDF("event_type", "approx_users")
+    }),
+
+    // -- dedup family ----------------------------------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docsDs(s, dir).toDF, "text", "doc_id").select("doc_id")),
+
+    "q_dedup_exact_norm" -> ((s, dir) =>
+      Dedup.exactNormalized(docsDs(s, dir).toDF, "text", "doc_id").select("doc_id")),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(docsDs(s, dir).toDF, "text", "doc_id",
+        w = 3, bands = 16, rowsPerBand = 4, threshold = 0.5).select("doc_id")),
+
+    "q_minhash_cands" -> ((s, dir) =>
+      Dedup.minhashCandidates(docsDs(s, dir).toDF, "text", "doc_id",
+        w = 3, bands = 16, rowsPerBand = 4)),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(docsDs(s, dir).toDF, "text", "doc_id", maxHamming = 3)
+        .select("doc_id")),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = docsDs(s, dir).toDF
+      val cands = Dedup.minhashCandidates(docs, "text", "doc_id", 3, 16, 4)
+      Dedup.verifyJaccard(docs, cands, "text", "doc_id", 3, 0.0)
+    }),
+
+    "q_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
+        dim = 64, threshold = 0.95, nBits = 8).select("vec_id")),
+
+    // -- similarity search ----------------------------------------------
+    "q_ann_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0)) // deterministic query
+      Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10)
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.lshTopK(e, "embedding", "vec_id", queries, "q_vec", "q_id",
+        dim = 64, k = 5, nBits = 8)
+    }),
+
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopK(s, e, "embedding", "vec_id", queries, "q_vec", "q_id",
+        k = 5, nCentroids = 8, nProbe = 8) // full probe = exact
+    }),
+
+    // -- text analysis ---------------------------------------------------
+    "q_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        TF.subwordCount(col("text")).as("n_subwords"))),
+
+    "q_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TF.charCount(col("text")).as("n_chars"),
+        round(TF.meanWordLength(col("text")), 6).as("mean_word_len"),
+        round(TF.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(TF.alphaRatio(col("text")), 6).as("alpha_ratio"))),
+
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TF.fingerprintMd5(col("text")).as("fp"))),
+
+    "q_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TF.langIdUdf(col("text")).as("lang_guess"))),
+
+    // -- headline relational shapes (bench) ------------------------------
+    "q1_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("cnt"))),
+
+    "q3_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q_top_users" -> ((s, dir) =>
+      eventsDF(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+        .orderBy(col("n_events").desc, col("user_id"))
+        .limit(50))
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles (same parquet tables, bare table names)
+  // ---------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q_source" ->
+      "SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms FROM events",
+
+    "q_map" -> "SELECT event_id, value * 2 AS doubled FROM events",
+
+    "q_filter" ->
+      "SELECT event_id, user_id FROM events WHERE event_type = 'click'",
+
+    "q_flatmap" ->
+      """SELECT doc_id, w AS word FROM (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS w
+        |  FROM documents)""".stripMargin,
+
+    "q_collect" ->
+      "SELECT user_id, value FROM events WHERE event_type = 'purchase'",
+
+    "q_optionmap" ->
+      "SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k FROM events",
+
+    "q_merge" ->
+      """SELECT event_id, event_type FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, event_type FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "q_either" ->
+      """SELECT 'L' AS side, event_id AS id FROM events WHERE event_type = 'signup'
+        |UNION ALL
+        |SELECT 'R' AS side, doc_id AS id FROM documents""".stripMargin,
+
+    "q_sumbykey" ->
+      """SELECT w AS word, count(*) AS cnt FROM (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS w
+        |  FROM documents) GROUP BY w""".stripMargin,
+
+    "q_mapkeys" ->
+      "SELECT user_id % 10 AS bucket, count(*) AS cnt FROM events GROUP BY 1",
+
+    "q_flatmapkeys" ->
+      """SELECT k AS user_key, count(*) AS cnt FROM (
+        |  SELECT user_id AS k FROM events
+        |  UNION ALL SELECT user_id + 1000 AS k FROM events) GROUP BY k""".stripMargin,
+
+    "q_mapvalues" ->
+      "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id",
+
+    "q_flatmapvalues" ->
+      "SELECT user_id, count(*) * 2 AS cnt FROM events GROUP BY user_id",
+
+    "q_filterkeys" ->
+      "SELECT user_id, count(*) AS cnt FROM events WHERE user_id < 50 GROUP BY user_id",
+
+    "q_filtervalues" ->
+      "SELECT user_id, count(*) AS cnt FROM events WHERE value > 50.0 GROUP BY user_id",
+
+    "q_keys" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+
+    "q_values" ->
+      "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id",
+
+    "q_swap" ->
+      "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id",
+
+    "q_leftjoin" ->
+      """SELECT e.event_id, e.user_id, c.c_name
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+
+    "q_lookup" ->
+      """SELECT e.user_id, c.c_mktsegment AS segment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, r.signup_id
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') e
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts AS signup_ts, max(event_id) AS signup_id
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts) r
+        |ON e.user_id = r.user_id AND e.ts >= r.signup_ts""".stripMargin,
+
+    "q_asof_summing" ->
+      """SELECT e.event_id, e.user_id,
+        |  (SELECT count(*) FROM events c
+        |   WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts)
+        |  AS clicks_before
+        |FROM events e WHERE e.event_type = 'purchase'""".stripMargin,
+
+    "q_batcher" ->
+      """SELECT user_id, CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS batch_id,
+        |  count(*) AS cnt FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_sumbykey_delta" ->
+      """WITH per_batch AS (
+        |  SELECT user_id, CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS batch_id,
+        |    count(*) AS delta
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, batch_id,
+        |  sum(delta) OVER (PARTITION BY user_id ORDER BY batch_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior,
+        |  delta
+        |FROM per_batch""".stripMargin,
+
+    "q_client_merge" ->
+      "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id",
+
+    "q_max_by" ->
+      """SELECT user_id, event_id AS last_event FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q_topk" ->
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events) WHERE rn <= 5""".stripMargin,
+
+    "q_count_distinct" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+
+    "q_dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+
+    "q_dedup_exact_norm" ->
+      """SELECT min(doc_id) AS doc_id FROM documents
+        |GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subwords
+        |FROM documents""".stripMargin,
+
+    "q_quality" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  round(CASE WHEN len(toks) > 0 THEN
+        |    CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+        |    ELSE 0.0 END, 6) AS mean_word_len,
+        |  round(CASE WHEN len(toks_l) > 0 THEN
+        |    CAST(len(list_filter(toks_l, x -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','are','was','for','on',
+        |       'with','as','at','by','it','be','this','that'], x))) AS DOUBLE) / len(toks_l)
+        |    ELSE 0.0 END, 6) AS stopword_ratio,
+        |  round(CASE WHEN length(text) > 0 THEN
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)
+        |    ELSE 0.0 END, 6) AS alpha_ratio
+        |FROM (SELECT doc_id, text,
+        |  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks_l
+        |  FROM documents)""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_revenue" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_top_users" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id
+        |ORDER BY n_events DESC, user_id LIMIT 50""".stripMargin
+  )
 }

@@ -1,0 +1,144 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.algebra.Semigroup
+import graft.time.{Batcher, BatchID}
+
+/** The user-facing logical surface of the engine — the same operator family as
+  * the reference's `Producer[P, T]` DSL (summingbird-core/.../Producer.scala:
+  * 222-439), re-expressed as a thin fluent layer over `Dataset[(Long, T)]`
+  * (event-time millis, value). Every operator delegates to a Catalyst-friendly
+  * Dataset op, so fusion/pushdown/codegen come from Catalyst instead of the
+  * reference's dagon rule engine (DagOptimizer.scala) — see SURVEY §4.1.
+  *
+  * Closure-based `map`/`filter`/`flatMap` are kept for API parity (the
+  * reference's scalar layer is arbitrary Scala closures, SURVEY §2.6); for
+  * columnar pipelines prefer the `where`/`selectExpr` passthroughs which stay
+  * in whole-stage codegen.
+  */
+final class GraftStream[T](val ds: Dataset[(Long, T)])(implicit enc: Encoder[T])
+    extends Serializable {
+  private implicit def pairEnc: Encoder[(Long, T)] =
+    Encoders.tuple(Encoders.scalaLong, enc)
+
+  /** map (Producer.scala:256-258 → OptionMappedProducer). */
+  def map[U: Encoder](f: T => U): GraftStream[U] =
+    new GraftStream(ds.map { case (t, v) => (t, f(v)) }(
+      Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[U]])))
+
+  /** filter (Producer.scala:242-244). */
+  def filter(f: T => Boolean): GraftStream[T] =
+    new GraftStream(ds.filter(tv => f(tv._2)))
+
+  /** collect = filter+map via partial function (Producer.scala:238-239). */
+  def collect[U: Encoder](pf: PartialFunction[T, U]): GraftStream[U] =
+    optionMap(pf.lift)
+
+  /** optionMap: 0-or-1 output (Producer.scala:263-264 → OptionMappedProducer). */
+  def optionMap[U: Encoder](f: T => Option[U]): GraftStream[U] = {
+    implicit val out: Encoder[(Long, U)] =
+      Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[U]])
+    new GraftStream(ds.flatMap { case (t, v) => f(v).map((t, _)) })
+  }
+
+  /** flatMap: 0..n expansion (Producer.scala:270-271 → FlatMappedProducer). */
+  def flatMap[U: Encoder](f: T => IterableOnce[U]): GraftStream[U] = {
+    implicit val out: Encoder[(Long, U)] =
+      Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[U]])
+    new GraftStream(ds.flatMap { case (t, v) => f(v).iterator.map((t, _)) })
+  }
+
+  /** merge / ++ (Producer.scala:222,231 → MergedProducer) = union. */
+  def merge(other: GraftStream[T]): GraftStream[T] =
+    new GraftStream(ds.union(other.ds))
+  def ++(other: GraftStream[T]): GraftStream[T] = merge(other)
+
+  /** either: tagged union (Producer.scala:280-282). */
+  def either[U: Encoder](other: GraftStream[U]): GraftStream[Either[T, U]] = {
+    implicit val eitherEnc: Encoder[Either[T, U]] = Encoders.kryo[Either[T, U]]
+    map[Either[T, U]](Left(_)).merge(other.map[Either[T, U]](Right(_)))
+  }
+
+  /** write: side-effecting sink, pass-through (Producer.scala:277 →
+    * WrittenProducer). In Spark this is simply a second action on the same
+    * plan; persist first if the upstream is expensive (the reference's
+    * fan-out `.fork`, ScaldingPlatform.scala:343-359 ≈ `.persist`).
+    */
+  def write(sink: GraftSink[T]): GraftStream[T] = { sink.write(ds); this }
+
+  /** name: option-scope label (Producer.scala:228). No planner effect here —
+    * Catalyst owns physical planning; kept for API parity & debugging.
+    */
+  def name(n: String): GraftStream[T] = new GraftStream(ds.as(n))
+
+  /** lookup: enrich the whole element by a keyed service
+    * (Producer.scala:252-253): `T => (T, Option[V])`. Broadcast-friendly left
+    * equi-join (Catalyst picks broadcast when the service is small).
+    */
+  def lookup[V](service: Dataset[(T, V)])(
+      implicit tvEnc: Encoder[(T, Option[V])]): GraftStream[(T, Option[V])] = {
+    implicit val out: Encoder[(Long, (T, Option[V]))] =
+      Encoders.tuple(Encoders.scalaLong, tvEnc)
+    // positional refs: a Dataset[(A,B)] built via .as[...] keeps source names
+    val joined = ds.joinWith(service,
+      ds(ds.columns(1)) === service(service.columns(0)), "left_outer")
+    new GraftStream(joined.map { case ((t, k), sv) => (t, (k, Option(sv).map(_._2))) })
+  }
+
+  /** Upgrade to the keyed operator family — the reference's implicit
+    * `Producer[(K,V)] => KeyedProducer` (Producer.scala:60-68).
+    */
+  def asKeyed[K, V](implicit ev: T <:< (K, V), kEnc: Encoder[K], vEnc: Encoder[V]): KeyedGraftStream[K, V] = {
+    implicit val triple: Encoder[(Long, K, V)] =
+      Encoders.tuple(Encoders.scalaLong, kEnc, vEnc)
+    new KeyedGraftStream(ds.map { case (t, x) => val (k, v) = ev(x); (t, k, v) })
+  }
+
+  def asKeyedWith[K, V](kf: T => K, vf: T => V)(
+      implicit kEnc: Encoder[K], vEnc: Encoder[V]): KeyedGraftStream[K, V] = {
+    implicit val triple: Encoder[(Long, K, V)] =
+      Encoders.tuple(Encoders.scalaLong, kEnc, vEnc)
+    new KeyedGraftStream(ds.map { case (t, x) => (t, kf(x), vf(x)) })
+  }
+
+  def toDF: org.apache.spark.sql.DataFrame = ds.toDF("ts_ms", "value")
+}
+
+object GraftStream {
+  /** Source (Producer.scala:54,286-287): wrap a Dataset, extracting event time
+    * with a `TimeExtractor`-style function (TimeExtractor.scala:24-38).
+    */
+  def from[T: Encoder](ds: Dataset[T])(timeOf: T => Long): GraftStream[T] = {
+    implicit val pair: Encoder[(Long, T)] =
+      Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[T]])
+    new GraftStream(ds.map(t => (timeOf(t), t)))
+  }
+
+  /** Source from a DataFrame with an event-time column (TimestampType),
+    * staying columnar: `tsCol` is converted to epoch millis in Catalyst.
+    */
+  def fromDF(df: org.apache.spark.sql.DataFrame, tsCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("ts_ms", unix_millis(col(tsCol)))
+}
+
+/** Sink abstraction (reference `Sink`, Platform.scala / BatchedSink.scala). */
+trait GraftSink[T] extends Serializable {
+  def write(ds: Dataset[(Long, T)]): Unit
+}
+object GraftSink {
+  /** Time-partitioned parquet append (reference BatchedSink semantics). */
+  def parquet[T](path: String, batcher: Batcher): GraftSink[T] = new GraftSink[T] {
+    def write(ds: Dataset[(Long, T)]): Unit =
+      ds.toDF("ts_ms", "value")
+        .withColumn("batch_id", batcher.batchIdColumn(col("ts_ms")))
+        .write.mode("append").partitionBy("batch_id").parquet(path)
+  }
+  /** In-memory collecting sink for tests. */
+  def memory[T](): MemorySink[T] = new MemorySink[T]
+  final class MemorySink[T] extends GraftSink[T] {
+    @transient val buf = new scala.collection.mutable.ArrayBuffer[(Long, T)]
+    def write(ds: Dataset[(Long, T)]): Unit = buf ++= ds.collect()
+  }
+}

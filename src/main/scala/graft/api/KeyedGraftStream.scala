@@ -1,0 +1,187 @@
+package graft.api
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+
+import graft.algebra.Semigroup
+import graft.time.{Batcher, BatchID, Timestamp}
+import graft.plans.SortedGroups
+
+/** The keyed operator family — the reference's `KeyedProducer`
+  * (Producer.scala:342-429) over `Dataset[(Long, K, V)]` (ts-millis, key,
+  * value). Aggregation is `sumByKey` into a Semigroup, the reference's single
+  * aggregation primitive (SURVEY §2.4).
+  */
+final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)])(
+    implicit kEnc: Encoder[K], vEnc: Encoder[V]) extends Serializable {
+
+  private implicit def tripleEnc: Encoder[(Long, K, V)] =
+    Encoders.tuple(Encoders.scalaLong, kEnc, vEnc)
+  private def triple[A: Encoder, B: Encoder]: Encoder[(Long, A, B)] =
+    Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[A]], implicitly[Encoder[B]])
+
+  /** keys / values / swap projections (Producer.scala:382,425,428). */
+  def keys: GraftStream[K] = {
+    implicit val e: Encoder[(Long, K)] = Encoders.tuple(Encoders.scalaLong, kEnc)
+    new GraftStream(ds.map(r => (r._1, r._2)))
+  }
+  def values: GraftStream[V] = {
+    implicit val e: Encoder[(Long, V)] = Encoders.tuple(Encoders.scalaLong, vEnc)
+    new GraftStream(ds.map(r => (r._1, r._3)))
+  }
+  def swap: KeyedGraftStream[V, K] = {
+    implicit val e: Encoder[(Long, V, K)] = triple[V, K](vEnc, kEnc)
+    new KeyedGraftStream(ds.map(r => (r._1, r._3, r._2)))
+  }
+
+  /** mapKeys / flatMapKeys re-key the stream (Producer.scala:374-375,405-406
+    * → KeyFlatMappedProducer); the next aggregation shuffles on the new key.
+    */
+  def mapKeys[K2: Encoder](f: K => K2): KeyedGraftStream[K2, V] = {
+    implicit val e: Encoder[(Long, K2, V)] = triple[K2, V]
+    new KeyedGraftStream(ds.map(r => (r._1, f(r._2), r._3)))
+  }
+  def flatMapKeys[K2: Encoder](f: K => IterableOnce[K2]): KeyedGraftStream[K2, V] = {
+    implicit val e: Encoder[(Long, K2, V)] = triple[K2, V]
+    new KeyedGraftStream(ds.flatMap(r => f(r._2).iterator.map(k2 => (r._1, k2, r._3))))
+  }
+
+  /** mapValues / flatMapValues keep the key (Producer.scala:378-379,409-410 →
+    * ValueFlatMappedProducer) — no re-shuffle needed downstream.
+    */
+  def mapValues[V2: Encoder](f: V => V2): KeyedGraftStream[K, V2] = {
+    implicit val e: Encoder[(Long, K, V2)] = triple[K, V2]
+    new KeyedGraftStream(ds.map(r => (r._1, r._2, f(r._3))))
+  }
+  def flatMapValues[V2: Encoder](f: V => IterableOnce[V2]): KeyedGraftStream[K, V2] = {
+    implicit val e: Encoder[(Long, K, V2)] = triple[K, V2]
+    new KeyedGraftStream(ds.flatMap(r => f(r._3).iterator.map(v2 => (r._1, r._2, v2))))
+  }
+
+  /** filterKeys / filterValues (Producer.scala:358-368). */
+  def filterKeys(f: K => Boolean): KeyedGraftStream[K, V] =
+    new KeyedGraftStream(ds.filter(r => f(r._2)))
+  def filterValues(f: V => Boolean): KeyedGraftStream[K, V] =
+    new KeyedGraftStream(ds.filter(r => f(r._3)))
+
+  /** collectKeys / collectValues (Producer.scala:345-350). */
+  def collectKeys[K2: Encoder](pf: PartialFunction[K, K2]): KeyedGraftStream[K2, V] =
+    flatMapKeys(k => pf.lift(k))
+  def collectValues[V2: Encoder](pf: PartialFunction[V, V2]): KeyedGraftStream[K, V2] =
+    flatMapValues(v => pf.lift(v))
+
+  def merge(other: KeyedGraftStream[K, V]): KeyedGraftStream[K, V] =
+    new KeyedGraftStream(ds.union(other.ds))
+
+  def toStream(implicit kvEnc: Encoder[(K, V)]): GraftStream[(K, V)] = {
+    implicit val e: Encoder[(Long, (K, V))] = Encoders.tuple(Encoders.scalaLong, kvEnc)
+    new GraftStream(ds.map(r => (r._1, (r._2, r._3))))
+  }
+
+  /** leftJoin against a static service (Producer.scala:388-389 →
+    * LeftJoinedProducer): `(K, V) => (K, (V, Option[J]))`. Equi left join;
+    * Catalyst broadcasts small services automatically (the reference's online
+    * multiGet lookup, FlatMapOperation.scala:113-137, becomes a join).
+    */
+  def leftJoinDs[J](service: Dataset[(K, J)])(
+      implicit vjEnc: Encoder[(V, Option[J])]): KeyedGraftStream[K, (V, Option[J])] = {
+    implicit val out: Encoder[(Long, K, (V, Option[J]))] =
+      Encoders.tuple(Encoders.scalaLong, kEnc, vjEnc)
+    // positional refs: a Dataset[(A,B)] built via .as[...] keeps source names
+    val joined = ds.joinWith(service,
+      ds(ds.columns(1)) === service(service.columns(0)), "left_outer")
+    new KeyedGraftStream(joined.map { case ((t, k, v), sv) =>
+      (t, k, (v, Option(sv).map(_._2)))
+    })
+  }
+
+  /** Temporal (as-of) leftJoin against a change-stream service: each left
+    * event at time t sees the service value as of t (strictly before t —
+    * lookups-before-writes, reference LookupJoin via BatchedService.scala:
+    * 53-120, tie-break Service.scala:210-213).
+    */
+  def leftJoinAsof[J](service: KeyedGraftStream[K, J])(
+      implicit jEnc: Encoder[J], vjEnc: Encoder[(V, Option[J])]): KeyedGraftStream[K, (V, Option[J])] = {
+    implicit val out: Encoder[(Long, K, (V, Option[J]))] =
+      Encoders.tuple(Encoders.scalaLong, kEnc, vjEnc)
+    implicit val mergedVal: Encoder[(Option[V], Option[J])] =
+      Encoders.kryo[(Option[V], Option[J])]
+    implicit val mergedEnc: Encoder[(Long, K, (Option[V], Option[J]))] =
+      Encoders.tuple(Encoders.scalaLong, kEnc, mergedVal)
+    val merged: Dataset[(Long, K, (Option[V], Option[J]))] =
+      ds.map(r => (r._1, r._2, (Option(r._3), Option.empty[J])))
+        .union(service.ds.map(r => (r._1, r._2, (Option.empty[V], Option(r._3)))))
+    val out0 = SortedGroups.perKeyTimeSorted(merged) { (k: K, it: Iterator[(Long, (Option[V], Option[J]))]) =>
+      var state: Option[J] = None
+      it.flatMap { case (t, (lv, rv)) =>
+        // left (lookup) rows sort before right (write) rows at equal t:
+        // SortedGroups orders by (ts, isRight) via the tag below
+        lv match {
+          case Some(v) => Iterator.single((t, k, (v, state)))
+          case None    => state = rv; Iterator.empty
+        }
+      }
+    }(tagIsRight = r => r._3._1.isEmpty)
+    new KeyedGraftStream(out0)
+  }
+
+  /** sumByKey — the single aggregation primitive (Producer.scala:412-422 →
+    * Summer). Groups by (K, batch), Semigroup-sums V, and — true to the
+    * reference's contract — emits `(K, batch, (Option[V], V))`: the value
+    * BEFORE this batch's delta (all-time prior sum) and the delta itself.
+    *
+    * Physical plan: commutative semigroups take Spark's hash aggregation
+    * (partial+final, no sort); non-commutative ones fold in event-time order
+    * inside sorted groups (mirrors BatchedStore.scala:200-203). The prior
+    * (Option[V]) is produced by a per-key scan over batches — one extra
+    * narrow shuffle on K.
+    */
+  def sumByKey(batcher: Batcher)(implicit sg: Semigroup[V]): Dataset[(K, Long, (Option[V], V))] = {
+    val perBatch: Dataset[(K, Long, V)] = sumDeltasPerBatch(batcher)
+    implicit val outEnc: Encoder[(K, Long, (Option[V], V))] =
+      Encoders.tuple(kEnc, Encoders.scalaLong, Encoders.kryo[(Option[V], V)])
+    // scan batches per key in order to compute the running prior
+    val keyed = perBatch.map(r => (r._2, r._1, r._3)) // (batchAsTs, K, V)
+    SortedGroups.perKeyTimeSorted(keyed) { (k: K, it: Iterator[(Long, V)]) =>
+      var prior: Option[V] = None
+      it.map { case (batch, delta) =>
+        val out = (k, batch, (prior, delta))
+        prior = Some(prior.fold(delta)(p => sg.plus(p, delta)))
+        out
+      }
+    }()
+  }
+
+  /** Per-(K, batch) Semigroup-summed deltas — the map-side/partial half of
+    * sumByKey, without the prior scan. This is what the incremental
+    * [[graft.batch.BatchStore]] merge consumes.
+    */
+  def sumDeltasPerBatch(batcher: Batcher)(implicit sg: Semigroup[V]): Dataset[(K, Long, V)] = {
+    implicit val outEnc: Encoder[(K, Long, V)] =
+      Encoders.tuple(kEnc, Encoders.scalaLong, vEnc)
+    if (sg.isCommutative) {
+      implicit val kbEnc: Encoder[(K, Long)] = Encoders.tuple(kEnc, Encoders.scalaLong)
+      ds.groupByKey(r => (r._2, batcher.batchOf(Timestamp(r._1)).id))
+        .mapValues(_._3)(vEnc)
+        .reduceGroups((a: V, b: V) => sg.plus(a, b))
+        .map { case ((k, b), v) => (k, b, v) }
+    } else {
+      // non-commutative: fold strictly in event-time order within (K, batch)
+      implicit val kbEnc2: Encoder[(K, Long)] = Encoders.tuple(kEnc, Encoders.scalaLong)
+      implicit val inEnc: Encoder[(Long, (K, Long), V)] =
+        Encoders.tuple(Encoders.scalaLong, kbEnc2, vEnc)
+      val byKb: Dataset[(Long, (K, Long), V)] =
+        ds.map(r => (r._1, (r._2, batcher.batchOf(Timestamp(r._1)).id), r._3))
+      SortedGroups.perKeyTimeSorted(byKb) { (kb: (K, Long), it: Iterator[(Long, V)]) =>
+        val summed = it.map(_._2).reduce(sg.plus)
+        Iterator.single((kb._1, kb._2, summed))
+      }()
+    }
+  }
+
+  /** All-time sumByKey with Batcher.unit — convenience matching the common
+    * streaming-job shape.
+    */
+  def sumByKeyAllTime(implicit sg: Semigroup[V], kvEnc: Encoder[(K, V)]): Dataset[(K, V)] =
+    sumDeltasPerBatch(Batcher.unit).map(r => (r._1, r._3))(kvEnc)
+}

@@ -1,0 +1,143 @@
+package graft.batch
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+
+import graft.algebra.Semigroup
+import graft.plans.SortedGroups
+import graft.time.BatchID
+
+/** Versioned key-value snapshot store on Parquet — the rebuild of the
+  * reference's `VersionedBatchStore` (summingbird-scalding/.../store/
+  * VersionedBatchStore.scala:62-143) + `BatchedStore` merge algebra
+  * (batch/BatchedStore.scala:92-245).
+  *
+  * Layout: `path/batch_id=N/` holds the all-time (K -> V) snapshot through
+  * batch N inclusive; `path/_graft_state.json` is the commit log
+  * ([[BatchState]], mirroring the reference's HDFSState JobState.scala:23-40).
+  * Snapshot writes go to a temp dir then commit by state-file update, so a
+  * failed job never corrupts the last good snapshot (reference semantics:
+  * version dirs + succeeded marker).
+  *
+  * At 100 TB scale: a snapshot is a plain partitioned parquet dataset; the
+  * merge is one shuffle on K (hash for commutative values) and the delta
+  * aggregation is map-side-combined by Spark's hash aggregate, so the
+  * shuffled bytes are ≈ |distinct keys touched|, not |events|.
+  */
+final class BatchStore[K, V](val path: String)(
+    implicit kEnc: Encoder[K], vEnc: Encoder[V]) extends Serializable {
+
+  private implicit def kvEnc: Encoder[(K, V)] = Encoders.tuple(kEnc, vEnc)
+
+  def state: BatchState = BatchState.read(path)
+
+  /** Last committed snapshot at or before `beforeOrAt` (reference
+    * `readLast(exclusiveUB)`, BatchedStore.scala:92-95).
+    */
+  def readLast(spark: SparkSession, beforeOrAt: BatchID = BatchID(Long.MaxValue)): Option[(BatchID, Dataset[(K, V)])] =
+    state.lastCommitted(beforeOrAt).map { b =>
+      (b, spark.read.parquet(snapshotDir(b)).as[(K, V)])
+    }
+
+  def snapshotDir(b: BatchID): String = s"$path/batch_id=${b.id}"
+
+  /** Overwrite-commit the snapshot for batch `b` (reference `writeLast`,
+    * VersionedBatchStore.scala:62-143).
+    */
+  def writeSnapshot(b: BatchID, snapshot: Dataset[(K, V)]): Unit = {
+    snapshot.toDF("key", "value").write.mode("overwrite").parquet(snapshotDir(b))
+    BatchState.commit(path, b)
+  }
+
+  /** The incremental merge — reference `BatchedStore.mergeBatched`
+    * (BatchedStore.scala:157-245): prior snapshot ++ per-batch deltas →
+    * per-key, per-batch `(prior: Option[V], delta: V)` output stream, plus the
+    * rolled-forward snapshot for the last batch, committed here.
+    *
+    * `deltas` must already be Semigroup-summed per (K, batch) — produce them
+    * with `KeyedGraftStream.sumDeltasPerBatch` (commutative values hash-agg;
+    * non-commutative fold in event-time order). This method then needs only a
+    * single sorted scan per key over (#batches) rows.
+    */
+  def merge(spark: SparkSession, deltas: Dataset[(K, Long, V)], upTo: BatchID)(
+      implicit sg: Semigroup[V]): Dataset[(K, Long, (Option[V], V))] = {
+
+    val prior: Option[(BatchID, Dataset[(K, V)])] = readLast(spark, upTo.prev)
+    val priorBatch = prior.map(_._1.id).getOrElse(Long.MinValue)
+
+    // tag: snapshot rows enter the scan as batch = priorBatch with isSnapshot
+    implicit val vbEnc: Encoder[(V, Boolean)] = Encoders.tuple(vEnc, Encoders.scalaBoolean)
+    implicit val rowEnc: Encoder[(Long, K, (V, Boolean))] =
+      Encoders.tuple(Encoders.scalaLong, kEnc, vbEnc)
+    val deltaRows: Dataset[(Long, K, (V, Boolean))] =
+      deltas.filter(_._2 <= upTo.id).map(r => (r._2, r._1, (r._3, false)))
+    val allRows = prior match {
+      case Some((b, snap)) => snap.map { case (k, v) => (b.id, k, (v, true)) }.union(deltaRows)
+      case None            => deltaRows
+    }
+
+    implicit val outEnc: Encoder[(K, Long, (Option[V], V))] =
+      Encoders.tuple(kEnc, Encoders.scalaLong, Encoders.kryo[(Option[V], V)])
+    implicit val snapRowEnc: Encoder[(K, Long, (Option[V], V), Boolean)] =
+      Encoders.tuple(kEnc, Encoders.scalaLong, Encoders.kryo[(Option[V], V)], Encoders.scalaBoolean)
+
+    // one scan per key in batch order; snapshot row (if any) comes first
+    // because it carries the earliest batch id and sorts with tag=false.
+    val scanned: Dataset[(K, Long, (Option[V], V), Boolean)] =
+      SortedGroups.perKeyTimeSorted(allRows) { (k: K, it: Iterator[(Long, (V, Boolean))]) =>
+        var running: Option[V] = None
+        val outs = it.flatMap { case (batch, (v, isSnap)) =>
+          if (isSnap) { running = Some(v); Iterator.empty }
+          else {
+            val out = (k, batch, (running, v), false)
+            running = Some(running.fold(v)(p => sg.plus(p, v)))
+            Iterator.single(out)
+          }
+        }
+        // emit deltas, then one trailing snapshot row with the final state
+        outs ++ Iterator.single((k, upTo.id, (running, running.getOrElse(null.asInstanceOf[V])), true))
+      }()
+
+    val persisted = scanned.persist()
+    val snapshot: Dataset[(K, V)] = persisted
+      .filter(_._4)
+      .map { case (k, _, (post, _), _) => (k, post.get) }
+    writeSnapshot(upTo, snapshot)
+    val out = persisted.filter(r => !r._4).map(r => (r._1, r._2, r._3))
+    out
+  }
+}
+
+/** JSON commit log for a BatchStore directory. Tiny driver-side file —
+  * intentionally not a Spark job (matches the reference's HDFSState).
+  */
+final case class BatchState(committed: List[Long]) {
+  def lastCommitted(beforeOrAt: BatchID): Option[BatchID] =
+    committed.filter(_ <= beforeOrAt.id).sorted.lastOption.map(BatchID(_))
+}
+object BatchState {
+  private def stateFile(path: String) = new java.io.File(s"$path/_graft_state.json")
+
+  def read(path: String): BatchState = {
+    val f = stateFile(path)
+    if (!f.exists()) BatchState(Nil)
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      // minimal parse of {"committed":[1,2,3]}
+      val nums = "-?\\d+".r.findAllIn(s.dropWhile(_ != '[')).map(_.toLong).toList
+      BatchState(nums)
+    }
+  }
+
+  def commit(path: String, b: BatchID): Unit = {
+    val prev = read(path)
+    val next = BatchState((b.id :: prev.committed).distinct.sorted)
+    val f = stateFile(path)
+    f.getParentFile.mkdirs()
+    val tmp = new java.io.File(f.getParent, s"._graft_state.${System.nanoTime}.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      next.committed.mkString("{\"committed\":[", ",", "]}").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math over `array<float>` columns, built on Spark's
+  * higher-order functions (`zip_with`, `aggregate`, `transform`) — fully
+  * Catalyst-expressed, so vector similarity stays inside whole-stage codegen
+  * with no UDF serialization per row.
+  *
+  * All math is carried out in DOUBLE precision regardless of the storage
+  * element type, so results are deterministic and engine-portable.
+  */
+object VectorFunctions {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n > 0, d / n).otherwise(lit(0.0))
+  }
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val diff = x.cast("double") - y.cast("double"); diff * diff
+      }),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Random-hyperplane LSH bucket id: sign bits of dot products against
+    * `nBits` deterministic pseudo-random hyperplanes (seeded; reproducible
+    * across runs/engines). Vectors in the same bucket are likely
+    * cosine-similar — the scale path for similarity search: candidate
+    * generation becomes an equi-join on the bucket id instead of a cross
+    * join. Columnar: the hyperplanes are literal arrays.
+    */
+  def lshBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(dim, nBits, seed)
+    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (plane, i)) =>
+      val planeCol = array(plane.map(lit(_)): _*)
+      acc + when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+  }
+
+  /** Deterministic unit hyperplanes from splitmix64 — engine-portable. */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
+    var state = seed
+    def nextLong(): Long = {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    // Box-Muller over splitmix64 uniforms → gaussian components
+    def nextGaussianPair(): (Double, Double) = {
+      val u1 = (nextLong() >>> 11) * (1.0 / (1L << 53))
+      val u2 = (nextLong() >>> 11) * (1.0 / (1L << 53))
+      val r = math.sqrt(-2.0 * math.log(math.max(u1, 1e-300)))
+      (r * math.cos(2 * math.Pi * u2), r * math.sin(2 * math.Pi * u2))
+    }
+    Array.fill(nBits) {
+      val arr = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        val (g1, g2) = nextGaussianPair()
+        arr(i) = g1
+        if (i + 1 < dim) arr(i + 1) = g2
+        i += 2
+      }
+      arr
+    }
+  }
+}

@@ -1,0 +1,135 @@
+package graft.time
+
+/** Event time in milliseconds since epoch — value class mirroring the
+  * reference's `Timestamp` (summingbird-batch/.../Timestamp.scala:24-84).
+  * In DataFrame-land event time is just a `TimestampType` column; this class
+  * exists for driver-side interval/batch arithmetic.
+  */
+final case class Timestamp(millis: Long) extends AnyVal with Ordered[Timestamp] {
+  def compare(that: Timestamp): Int = java.lang.Long.compare(millis, that.millis)
+  def +(ms: Long): Timestamp = Timestamp(millis + ms)
+  def -(ms: Long): Timestamp = Timestamp(millis - ms)
+  def next: Timestamp = Timestamp(millis + 1)
+  def prev: Timestamp = Timestamp(millis - 1)
+}
+object Timestamp {
+  val Min: Timestamp = Timestamp(Long.MinValue)
+  val Max: Timestamp = Timestamp(Long.MaxValue)
+  def max(a: Timestamp, b: Timestamp): Timestamp = if (a >= b) a else b
+  def min(a: Timestamp, b: Timestamp): Timestamp = if (a <= b) a else b
+}
+
+/** Totally-ordered batch identifier (reference: summingbird-batch/.../
+  * BatchID.scala:50-162). Batch IDs are load-bearing: store snapshots are
+  * versioned per BatchID and the client-side lambda merge ranges over them.
+  */
+final case class BatchID(id: Long) extends AnyVal with Ordered[BatchID] {
+  def compare(that: BatchID): Int = java.lang.Long.compare(id, that.id)
+  def next: BatchID = BatchID(id + 1)
+  def prev: BatchID = BatchID(id - 1)
+  def +(n: Long): BatchID = BatchID(id + n)
+  def -(n: Long): BatchID = BatchID(id - n)
+}
+object BatchID {
+  /** All batches in [start, end] inclusive. */
+  def range(start: BatchID, end: BatchID): Iterator[BatchID] =
+    (start.id to end.id).iterator.map(BatchID(_))
+}
+
+/** Half-open time interval [start, end) in millis. Mirrors the reference's
+  * `Interval[Timestamp]` usage in the batch planner (ScaldingPlatform.scala's
+  * state-monad over intervals); the rebuild only needs the half-open form.
+  */
+final case class Interval(startMs: Long, endMs: Long) {
+  require(startMs <= endMs, s"bad interval [$startMs, $endMs)")
+  def isEmpty: Boolean = startMs == endMs
+  def contains(t: Long): Boolean = t >= startMs && t < endMs
+  def intersect(o: Interval): Interval = {
+    val s = math.max(startMs, o.startMs); val e = math.min(endMs, o.endMs)
+    if (s >= e) Interval(s, s) else Interval(s, e)
+  }
+  def union(o: Interval): Option[Interval] =
+    if (endMs < o.startMs || o.endMs < startMs) None
+    else Some(Interval(math.min(startMs, o.startMs), math.max(endMs, o.endMs)))
+}
+
+/** Buckets event time into contiguous batches (reference: summingbird-batch/
+  * .../Batcher.scala:118-226). The engine's incremental-view unit: stores
+  * snapshot per batch; streaming keys state by (K, batch).
+  */
+trait Batcher extends Serializable {
+  def batchOf(t: Timestamp): BatchID
+  def earliestTimeOf(b: BatchID): Timestamp
+  /** Earliest time of the next batch = exclusive upper bound of b. */
+  def latestTimeOf(b: BatchID): Timestamp = earliestTimeOf(b.next)
+  def toInterval(b: BatchID): Interval =
+    Interval(earliestTimeOf(b).millis, latestTimeOf(b).millis)
+  /** Smallest batch range [lo, hi] covering the interval (any overlap). */
+  def cover(i: Interval): (BatchID, BatchID) =
+    (batchOf(Timestamp(i.startMs)), batchOf(Timestamp(math.max(i.startMs, i.endMs - 1))))
+  /** Batches entirely contained in the interval, or None if none fit. */
+  def batchesCoveredBy(i: Interval): Option[(BatchID, BatchID)] = {
+    val lo0 = batchOf(Timestamp(i.startMs))
+    val lo = if (earliestTimeOf(lo0).millis >= i.startMs) lo0 else lo0.next
+    val hi0 = batchOf(Timestamp(i.endMs - 1))
+    val hi = if (latestTimeOf(hi0).millis <= i.endMs) hi0 else hi0.prev
+    if (lo > hi) None else Some((lo, hi))
+  }
+  /** SQL expression computing the batch id from a millis-epoch column; must
+    * agree exactly with `batchOf`. Overridden per implementation so the same
+    * batching runs inside Catalyst (codegen'd) rather than in a UDF.
+    */
+  def batchIdColumn(tsMillis: org.apache.spark.sql.Column): org.apache.spark.sql.Column
+}
+
+object Batcher {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** Fixed-duration batches (reference MillisecondBatcher, Batcher.scala:51-70).
+    * Uses floorDiv so pre-epoch times bucket correctly.
+    */
+  final case class Millis(durationMs: Long) extends Batcher {
+    require(durationMs > 0)
+    def batchOf(t: Timestamp): BatchID = BatchID(Math.floorDiv(t.millis, durationMs))
+    def earliestTimeOf(b: BatchID): Timestamp = Timestamp(b.id * durationMs)
+    def batchIdColumn(tsMillis: Column): Column =
+      floor(tsMillis / lit(durationMs)).cast("long")
+  }
+
+  def ofMillis(ms: Long): Batcher = Millis(ms)
+  def ofMinutes(n: Long): Batcher = Millis(n * 60L * 1000L)
+  def ofHours(n: Long): Batcher = Millis(n * 3600L * 1000L)
+  def ofDays(n: Long): Batcher = Millis(n * 24L * 3600L * 1000L)
+
+  /** Single all-time batch for pure-streaming jobs (reference Batcher.unit,
+    * Batcher.scala:76-115): everything is batch 0.
+    */
+  case object Unit extends Batcher {
+    def batchOf(t: Timestamp): BatchID = BatchID(0L)
+    def earliestTimeOf(b: BatchID): Timestamp =
+      if (b.id <= 0) Timestamp.Min else Timestamp.Max
+    override def latestTimeOf(b: BatchID): Timestamp =
+      if (b.id < 0) Timestamp.Min else Timestamp.Max
+    def batchIdColumn(tsMillis: Column): Column = lit(0L)
+  }
+  def unit: Batcher = Unit
+
+  /** Switch batchers at a boundary (reference CombinedBatcher): `before` for
+    * t < at, `after` for t >= at. The `after` ids are offset so ids stay
+    * monotone across the switch.
+    */
+  final case class Combined(before: Batcher, after: Batcher, at: Timestamp) extends Batcher {
+    private val boundaryBatch = before.batchOf(at)
+    private val afterBase = after.batchOf(at)
+    def batchOf(t: Timestamp): BatchID =
+      if (t < at) before.batchOf(t)
+      else BatchID(boundaryBatch.id + 1 + (after.batchOf(t).id - afterBase.id))
+    def earliestTimeOf(b: BatchID): Timestamp =
+      if (b <= boundaryBatch) before.earliestTimeOf(b)
+      else Timestamp.max(at, after.earliestTimeOf(BatchID(afterBase.id + (b.id - boundaryBatch.id - 1))))
+    def batchIdColumn(tsMillis: Column): Column =
+      when(tsMillis < lit(at.millis), before.batchIdColumn(tsMillis))
+        .otherwise(lit(boundaryBatch.id + 1 - afterBase.id) + after.batchIdColumn(tsMillis))
+  }
+}
