@@ -68,8 +68,13 @@ final class BatchStore[K, V](val path: String)(
     implicit val vbEnc: Encoder[(V, Boolean)] = Encoders.tuple(vEnc, Encoders.scalaBoolean)
     implicit val rowEnc: Encoder[(Long, K, (V, Boolean))] =
       Encoders.tuple(Encoders.scalaLong, kEnc, vbEnc)
+    // Deltas must cover exactly (priorBatch, upTo] (reference mergeBatched
+    // contract): a delta at or below the snapshot batch is already folded
+    // into the snapshot — including it would double-count (or, tying with
+    // the snapshot row in the sort, nondeterministically drop the snapshot).
     val deltaRows: Dataset[(Long, K, (V, Boolean))] =
-      deltas.filter(_._2 <= upTo.id).map(r => (r._2, r._1, (r._3, false)))
+      deltas.filter(r => r._2 > priorBatch && r._2 <= upTo.id)
+        .map(r => (r._2, r._1, (r._3, false)))
     val allRows = prior match {
       case Some((b, snap)) => snap.map { case (k, v) => (b.id, k, (v, true)) }.union(deltaRows)
       case None            => deltaRows

@@ -120,7 +120,11 @@ object Batcher {
     * monotone across the switch.
     */
   final case class Combined(before: Batcher, after: Batcher, at: Timestamp) extends Batcher {
-    private val boundaryBatch = before.batchOf(at)
+    // Last batch holding any time strictly before the cut (reference
+    // CombinedBatcher.scala:33 uses batchOf(upper.prev)+1 for the first
+    // post-cut batch). Using batchOf(at) directly skips an id whenever the
+    // cut lands exactly on a `before`-batch boundary.
+    private val boundaryBatch = before.batchOf(at.prev)
     private val afterBase = after.batchOf(at)
     def batchOf(t: Timestamp): BatchID =
       if (t < at) before.batchOf(t)
