@@ -5,10 +5,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.algebra.{Semigroup, TopK}
-import graft.api.{GraftStream, KeyedGraftStream}
+import graft.api.{GraftSink, GraftStream, KeyedGraftStream}
+import graft.batch.BatchStore
+import graft.client.ClientStore
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{AsofJoin, Dedup, Similarity}
-import graft.time.Batcher
+import graft.operators.{AsofJoin, Dedup, LoopJoin, Similarity}
+import graft.time.{BatchID, Batcher, Timestamp}
 
 /** Typed rows for the API-parity queries (encoders derive at use sites). */
 case class Ev(event_id: Long, ts_ms: Long, user_id: Long, event_type: String,
@@ -263,6 +265,36 @@ object SparkEntry {
           coalesce(col("one"), lit(0L)).as("clicks_before"))
     }),
 
+    "q_loop_join" -> ((s, dir) => {
+      // loop join: the store DEPENDS on the join output (reference
+      // Service.scala:196-269). Running prior-event counter per user: each
+      // event looks up the current count, then writes +1 back. Event-time
+      // := event_id so the scan order is total and oracle-reproducible.
+      import s.implicits._
+      val events = eventsDs(s, dir).map(e => (e.event_id, e.user_id, e.event_id))
+      LoopJoin.loopJoin[Long, Long, Long](events, None, (_, _) => Some(1L))(
+          Semigroup.longSemigroup, implicitly, implicitly, implicitly)
+        .map { case (_, user, (eid, prior)) => (eid, user, prior.getOrElse(0L)) }
+        .toDF("event_id", "user_id", "prior_events")
+    }),
+
+    "q_also" -> ((s, dir) => {
+      // also (AlsoProducer, Producer.scala:297-300): side tail writes
+      // purchases to a batched sink; the result branch REPLAYS that sink
+      // (BatchedSink read-back) and aggregates per batch — the written data
+      // is load-bearing, so the oracle verifies both tails.
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+      val daily = Batcher.ofDays(1)
+      val tail = eventStream(s, dir)
+        .collect { case e if e.event_type == "purchase" => e.event_id }
+        .write(GraftSink.parquet[Long](tmp, daily))
+      tail.also(GraftStream.fromBatchedSink[Long](s, tmp))
+        .toDF
+        .groupBy(daily.batchIdColumn(col("ts_ms")).as("batch_id"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
     // -- time / batching (SURVEY §1.2) -----------------------------------
     "q_batcher" -> ((s, dir) => {
       val daily = Batcher.ofDays(1)
@@ -298,6 +330,48 @@ object SparkEntry {
         .toDF("user_id", "cnt")
     }),
 
+    "q_batch_merge" -> ((s, dir) => {
+      // The incremental batch merge end-to-end (BatchedStore.mergeBatched
+      // semantics): run BatchStore.merge TWICE — first half of the month,
+      // then roll forward from the committed snapshot — and emit the union
+      // of both runs' (key, batch, prior, delta) outputs. Matching the
+      // single-pass q_sumbykey_delta oracle proves the snapshot
+      // roll-forward reads exactly the prior state and the delta filter
+      // (priorBatch, upTo] neither drops nor double-counts.
+      import s.implicits._
+      val daily = Batcher.ofDays(1)
+      val cutBatch = 19736L // day before 2024-01-15
+      val deltas = eventStream(s, dir).asKeyedWith(_.user_id, (_: Ev) => 1L)
+        .sumDeltasPerBatch(daily)(Semigroup.longSemigroup)
+        .persist()
+      val maxBatch = deltas.map(_._2).agg(max("value")).head().getLong(0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_store_").toString
+      val store = new BatchStore[Long, Long](tmp)
+      val out1 = store.merge(s, deltas, BatchID(cutBatch))(Semigroup.longSemigroup)
+      val out2 = store.merge(s, deltas, BatchID(math.max(maxBatch, cutBatch + 1)))(Semigroup.longSemigroup)
+      out1.union(out2)
+        .map { case (k, b, (prior, delta)) => (k, b, prior, delta) }
+        .toDF("user_id", "batch_id", "prior", "delta")
+    }),
+
+    "q_lambda_merged" -> ((s, dir) => {
+      // Full lambda read path: offline = BatchStore snapshot committed
+      // through the cut batch; online = the delta stream; ClientStore.merged
+      // applies the monotonicity guard (only deltas AFTER the snapshot
+      // batch) and semigroup-merges. Equals an all-data recompute.
+      import s.implicits._
+      val daily = Batcher.ofDays(1)
+      val cutBatch = 19736L
+      val deltas = eventStream(s, dir).asKeyedWith(_.user_id, (_: Ev) => 1L)
+        .sumDeltasPerBatch(daily)(Semigroup.longSemigroup)
+        .persist()
+      val tmp = java.nio.file.Files.createTempDirectory("graft_store_").toString
+      val store = new BatchStore[Long, Long](tmp)
+      store.merge(s, deltas, BatchID(cutBatch))(Semigroup.longSemigroup).count()
+      ClientStore.merged(s, store, deltas)(Semigroup.longSemigroup, implicitly, implicitly)
+        .toDF("user_id", "cnt")
+    }),
+
     // -- semigroup value types (SURVEY §1.3) -----------------------------
     "q_max_by" -> ((s, dir) => {
       // latest event per user via a max-(ts,event_id) semigroup value
@@ -318,6 +392,18 @@ object SparkEntry {
         .sumByKeyAllTime(sg, implicitly)
         .flatMap { case (et, topk) => topk.items.map { case (v, id) => (et, id, v) } }
         .toDF("event_type", "event_id", "value")
+    }),
+
+    "q_sumbykey_ordered" -> ((s, dir) => {
+      // NON-COMMUTATIVE semigroup (List concat) through sumByKey: routes
+      // through the event-time-ordered fold (sorted groups), never hash
+      // aggregation. Event-time := event_id for a total, oracle-stable order.
+      import s.implicits._
+      GraftStream.from(eventsDs(s, dir))(_.event_id)
+        .asKeyedWith(_.user_id, (e: Ev) => List(e.event_id))
+        .sumByKeyAllTime(Semigroup.listSemigroup[Long], implicitly)
+        .map { case (u, ids) => (u, ids.mkString(",")) }
+        .toDF("user_id", "event_ids")
     }),
 
     "q_count_distinct" -> ((s, dir) =>
@@ -355,13 +441,19 @@ object SparkEntry {
       Dedup.simhash(docsDs(s, dir).toDF, "text", "doc_id", maxHamming = 3)
         .select("doc_id")),
 
-    "q_ngram_jaccard" -> ((s, dir) => {
-      val docs = docsDs(s, dir).toDF
-      val cands = Dedup.minhashCandidates(docs, "text", "doc_id", 3, 16, 4)
-      Dedup.verifyJaccard(docs, cands, "text", "doc_id", 3, 0.0)
-    }),
+    "q_ngram_jaccard" -> ((s, dir) =>
+      // EXACT all-pairs n-gram Jaccard >= 0.5 — the ground truth the LSH
+      // candidate stage approximates; oracle-checked via DuckDB string
+      // shingle sets (hashing is jaccard-invariant modulo 64-bit collisions)
+      Dedup.jaccardAllPairs(docsDs(s, dir).toDF, "text", "doc_id", 3, 0.5)),
 
     "q_dedup_embedding" -> ((s, dir) =>
+      // exact all-pairs form (oracle-checked); the LSH-bucketed scale path
+      // is q_dedup_embedding_lsh
+      Dedup.embeddingNearDupExact(t(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.95).select("vec_id")),
+
+    "q_dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
         dim = 64, threshold = 0.95, nBits = 8).select("vec_id")),
 
@@ -553,6 +645,34 @@ object SparkEntry {
     "q_client_merge" ->
       "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id",
 
+    "q_batch_merge" ->
+      """WITH per_batch AS (
+        |  SELECT user_id, CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS batch_id,
+        |    count(*) AS delta
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, batch_id,
+        |  sum(delta) OVER (PARTITION BY user_id ORDER BY batch_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior,
+        |  delta
+        |FROM per_batch""".stripMargin,
+
+    "q_lambda_merged" ->
+      "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id",
+
+    "q_loop_join" ->
+      """SELECT event_id, user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS prior_events
+        |FROM events""".stripMargin,
+
+    "q_also" ->
+      """SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS batch_id,
+        |  count(*) AS cnt
+        |FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+
+    "q_sumbykey_ordered" ->
+      """SELECT user_id, string_agg(event_id, ',' ORDER BY event_id) AS event_ids
+        |FROM events GROUP BY user_id""".stripMargin,
+
     "q_max_by" ->
       """SELECT user_id, event_id AS last_event FROM (
         |  SELECT user_id, event_id,
@@ -574,6 +694,45 @@ object SparkEntry {
     "q_dedup_exact_norm" ->
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        |    ELSE [] END) AS s
+        |  FROM (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |    FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0 THEN
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |    ELSE 1.0 END, 6) AS jaccard
+        |FROM sh a, sh b WHERE a.doc_id < b.doc_id AND jaccard >= 0.5""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """SELECT e.vec_id FROM embeddings e WHERE NOT EXISTS (
+        |  SELECT 1 FROM embeddings o WHERE o.vec_id < e.vec_id
+        |  AND list_cosine_similarity(o.embedding::DOUBLE[], e.embedding::DOUBLE[]) >= 0.95)""".stripMargin,
+
+    "q_ann_brute" -> {
+      val qvec = Array.tabulate(64)(i => math.sin(i + 1.0)).mkString("[", ", ", "]")
+      s"""SELECT vec_id,
+         |  round(list_cosine_similarity(embedding::DOUBLE[], $qvec::DOUBLE[]), 6) AS cosine_sim
+         |FROM embeddings ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    "q_ann_ivf" ->
+      """SELECT q_id, vec_id, cosine_sim FROM (
+        |  SELECT q.vec_id AS q_id, e.vec_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine_sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+        |        e.vec_id) AS rn
+        |  FROM embeddings e, embeddings q WHERE q.vec_id < 3) WHERE rn <= 5""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

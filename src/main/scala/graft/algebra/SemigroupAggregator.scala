@@ -12,7 +12,8 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * NOTE: only sound for COMMUTATIVE semigroups under hash aggregation (input
   * order is not preserved across partitions). Non-commutative values must go
-  * through [[graft.api.KeyedGraftStream.sumByKeyOrdered]], which folds in
+  * through the ordered branch of
+  * [[graft.api.KeyedGraftStream.sumDeltasPerBatch]], which folds in
   * event-time order inside sorted groups (mirrors the reference's
   * non-commutative reducer sort, BatchedStore.scala:200-203).
   */

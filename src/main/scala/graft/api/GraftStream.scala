@@ -73,6 +73,14 @@ final class GraftStream[T](val ds: Dataset[(Long, T)])(implicit enc: Encoder[T])
     */
   def name(n: String): GraftStream[T] = new GraftStream(ds.as(n))
 
+  /** also: plan `this` as a side tail, emit `result` (Producer.scala:297-300
+    * AlsoProducer — multi-output jobs). Sinks in this engine write eagerly
+    * when `write` is called, so by the time `also` runs, this branch's
+    * effects are complete; `also` is the explicit sequencing point combining
+    * two tails into one logical job (in Spark, two actions in one app).
+    */
+  def also[U](result: GraftStream[U]): GraftStream[U] = result
+
   /** lookup: enrich the whole element by a keyed service
     * (Producer.scala:252-253): `T => (T, Option[V])`. Broadcast-friendly left
     * equi-join (Catalyst picks broadcast when the service is small).
@@ -121,6 +129,20 @@ object GraftStream {
     */
   def fromDF(df: org.apache.spark.sql.DataFrame, tsCol: String): org.apache.spark.sql.DataFrame =
     df.withColumn("ts_ms", unix_millis(col(tsCol)))
+
+  /** Replay a [[GraftSink.parquet]] batched sink as a source — the
+    * reference's `BatchedSink.readStream` (summingbird-scalding/.../batch/
+    * BatchedSink.scala): the written (ts_ms, value) rows come back as a
+    * stream; partition pruning on `batch_id=` dirs applies to any time
+    * filter pushed on top.
+    */
+  def fromBatchedSink[T: Encoder](spark: SparkSession, path: String): GraftStream[T] = {
+    implicit val pair: Encoder[(Long, T)] =
+      Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[T]])
+    new GraftStream(
+      spark.read.parquet(path).select(col("ts_ms"), col("value"))
+        .toDF("_1", "_2").as[(Long, T)])
+  }
 }
 
 /** Sink abstraction (reference `Sink`, Platform.scala / BatchedSink.scala). */

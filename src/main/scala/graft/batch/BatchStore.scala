@@ -35,7 +35,9 @@ final class BatchStore[K, V](val path: String)(
     */
   def readLast(spark: SparkSession, beforeOrAt: BatchID = BatchID(Long.MaxValue)): Option[(BatchID, Dataset[(K, V)])] =
     state.lastCommitted(beforeOrAt).map { b =>
-      (b, spark.read.parquet(snapshotDir(b)).as[(K, V)])
+      // snapshots are written as (key, value); rename positionally back to
+      // the tuple encoder's (_1, _2) field names
+      (b, spark.read.parquet(snapshotDir(b)).toDF("_1", "_2").as[(K, V)])
     }
 
   def snapshotDir(b: BatchID): String = s"$path/batch_id=${b.id}"

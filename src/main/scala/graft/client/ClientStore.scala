@@ -59,7 +59,9 @@ object ClientStore {
   }
 
   /** Point lookup for a single key — the reference's `get` (serving path).
-    * Driver-side convenience; the distributed form is `merged(...)`.
+    * The key filter is pushed onto BOTH inputs before the merge, so only the
+    * single key's snapshot row + deltas are shuffled/collected — never the
+    * full store.
     */
   def get[K, V](
       spark: SparkSession,
@@ -67,7 +69,15 @@ object ClientStore {
       onlineDeltas: Dataset[(K, Long, V)],
       key: K,
       upTo: BatchID = BatchID(Long.MaxValue))(
-      implicit sg: Semigroup[V], kEnc: Encoder[K], vEnc: Encoder[V]): Option[V] =
-    merged(spark, offline, onlineDeltas, upTo)
-      .filter(_._1 == key).collect().headOption.map(_._2)
+      implicit sg: Semigroup[V], kEnc: Encoder[K], vEnc: Encoder[V]): Option[V] = {
+    implicit val kvEnc: Encoder[(K, V)] = Encoders.tuple(kEnc, vEnc)
+    val (offBatch, snapshotK) = offline.readLast(spark, upTo) match {
+      case Some((b, snap)) => (b.id, snap.filter(_._1 == key))
+      case None            => (Long.MinValue, spark.emptyDataset[(K, V)])
+    }
+    val onlineK = onlineDeltas
+      .filter(r => r._1 == key && r._2 > offBatch && r._2 <= upTo.id)
+      .map(r => (r._1, r._3))
+    mergeKV(snapshotK.union(onlineK)).collect().headOption.map(_._2)
+  }
 }

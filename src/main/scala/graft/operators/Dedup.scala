@@ -1,8 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.{TextFunctions, VectorFunctions}
 
@@ -11,14 +11,19 @@ import graft.functions.{TextFunctions, VectorFunctions}
   *
   *  - exact:   one hash-aggregate on a 16-byte digest (never shuffles the
   *             document text itself).
-  *  - minhash: shingle → minhash signature (narrow) → band explosion →
-  *             equi-join on (band, bandHash) → verified pairs. The classic
-  *             MinHash+LSH pipeline; shuffle volume is #docs × #bands tiny
-  *             rows, not text.
+  *  - minhash: shingle → minhash signature (narrow, Catalyst HOFs only) →
+  *             band explosion → equi-join on (band, bandHash) → verified
+  *             pairs. The classic MinHash+LSH pipeline; shuffle volume is
+  *             #docs × #bands tiny rows, not text. Signatures are computed
+  *             ONCE and persisted before feeding both sides of the self-join.
   *  - simhash: 64-bit signature, banded for hamming radius, verified by
   *             bit_count — candidate generation is again an equi-join.
-  *  - ngram jaccard: exact verification metric used by the candidate stages.
-  *  - embedding: cosine near-dup via random-hyperplane LSH buckets.
+  *  - ngram jaccard: exact verification metric used by the candidate stages;
+  *             [[jaccardAllPairs]] is the exact (oracle-checkable) form for
+  *             modest cardinalities, the LSH family is the 100 TB path.
+  *  - embedding: cosine near-dup — exact all-pairs ([[embeddingNearDupExact]],
+  *             oracle-checkable) and random-hyperplane LSH buckets
+  *             ([[embeddingNearDup]], the scale path).
   *
   * "Drop" policy everywhere: the member with the SMALLEST id survives; a doc
   * is dropped if any candidate duplicate with a smaller id verifies. (Single
@@ -48,29 +53,51 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signature of the token w-shingle set: `numHashes` permutations
-    * via the splitmix64 xor-multiply family over the shingle's 64-bit hash.
-    * Returns array<long> of length numHashes.
+  /** Distinct 64-bit hashes of the lowercased token w-shingles, entirely in
+    * Catalyst HOFs (`transform`/`sequence`/`slice`/`xxhash64` — codegen'd, no
+    * UDF). Docs shorter than w tokens contribute their full token run as one
+    * shingle; empty docs an empty set.
     */
-  def minhashSignature(textCol: Column, w: Int, numHashes: Int): Column = {
-    val shingles = udf((s: String) => TextFunctions.shingleHashes(s, w)).apply(textCol)
-    // minhash_i = min over shingles of xxhash64(seed_i, shingle) — built-in,
-    // codegen'd, and ANSI-safe (no overflowing arithmetic in the plan)
+  def shingleCol(text: Column, w: Int): Column = {
+    val toks = TextFunctions.tokens(lower(text))
+    val windows = transform(sequence(lit(1), size(toks) - lit(w - 1)),
+      i => xxhash64(concat_ws(" ", slice(toks, i, lit(w)))))
+    array_distinct(
+      when(size(toks) >= w, windows)
+        .when(size(toks) > 0, array(xxhash64(concat_ws(" ", toks))))
+        .otherwise(array().cast("array<bigint>")))
+  }
+
+  /** (id, shingle-set) projection — the shared first stage of the minhash
+    * family: candidates and verification both read THIS, so shingling runs
+    * once per document.
+    */
+  def shingled(df: DataFrame, textCol: String, idCol: String, w: Int): DataFrame =
+    df.select(col(idCol), shingleCol(col(textCol), w).as("__sh"))
+
+  /** MinHash signature from a shingle-hash array column: `numHashes`
+    * permutations via seeded xxhash64 re-hashes, min-folded with the
+    * `aggregate` HOF. array<long> of length numHashes.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       aggregate(shingles, lit(Long.MaxValue),
         (acc, h) => least(acc, xxhash64(lit(i.toLong), h)))
     }: _*)
-  }
 
-  /** Candidate duplicate pairs via MinHash + LSH banding: signature split
-    * into `bands` bands of `rowsPerBand`; docs sharing any band hash are
-    * candidates. Returns (idA, idB) with idA < idB, deduplicated.
+  /** Candidate duplicate pairs via MinHash + LSH banding from a pre-shingled
+    * (id, __sh) frame: signature split into `bands` bands of `rowsPerBand`;
+    * docs sharing any band hash are candidates. The signature frame is
+    * persisted: both sides of the self-join read it, and without the persist
+    * the bands×rowsPerBand aggregate HOFs would run twice per document.
+    * Returns (id_a, id_b) with id_a < id_b, deduplicated.
     */
-  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-      w: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+  def candidatesFromShingles(sh: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = df.select(col(idCol),
-      minhashSignature(col(textCol), w, numHashes).as("__sig"))
+    val sig = sh.select(col(idCol),
+        minhashSignature(col("__sh"), numHashes).as("__sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col(idCol), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))).as(Seq("__band", "__bandhash")))
@@ -83,29 +110,57 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate pairs straight from documents (shingles computed here). */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+      w: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    candidatesFromShingles(shingled(df, textCol, idCol, w), idCol, bands, rowsPerBand)
+
   /** Full MinHash-LSH dedup: docs dropped when a candidate with smaller id
-    * verifies at `threshold` exact n-gram Jaccard.
+    * verifies at `threshold` exact n-gram Jaccard. Shingles are computed
+    * once, persisted, and shared by the candidate and verification stages.
     */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
       w: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.8): DataFrame = {
-    val cands = minhashCandidates(df, textCol, idCol, w, bands, rowsPerBand)
-    val verified = verifyJaccard(df, cands, textCol, idCol, w, threshold)
+    val sh = shingled(df, textCol, idCol, w).persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = candidatesFromShingles(sh, idCol, bands, rowsPerBand)
+    val verified = verifyJaccardShingles(sh, cands, idCol, threshold)
     val drop = verified.select(col("id_b").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
   }
 
-  /** Exact token-w-shingle Jaccard for candidate pairs (the verification
-    * stage): joins the shingle sets back per side — only candidate rows pay
-    * the set cost.
+  /** Exact shingle-set Jaccard for candidate pairs, against a pre-shingled
+    * (id, __sh) frame — only candidate rows pay the set-intersection cost.
     */
-  def verifyJaccard(df: DataFrame, pairs: DataFrame, textCol: String,
-      idCol: String, w: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol),
-      array_distinct(udf((s: String) => TextFunctions.shingleHashes(s, w)).apply(col(textCol))).as("__sh"))
+  def verifyJaccardShingles(sh: DataFrame, pairs: DataFrame, idCol: String,
+      threshold: Double): DataFrame =
     pairs
-      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
-      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      .withColumn("__inter", size(array_intersect(col("__sh_a"), col("__sh_b"))))
+      .withColumn("__union", size(col("__sh_a")) + size(col("__sh_b")) - col("__inter"))
+      .withColumn("jaccard", when(col("__union") > 0,
+        col("__inter").cast("double") / col("__union")).otherwise(lit(1.0)))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Back-compat form taking raw documents (shingles computed here). */
+  def verifyJaccard(df: DataFrame, pairs: DataFrame, textCol: String,
+      idCol: String, w: Int, threshold: Double): DataFrame =
+    verifyJaccardShingles(shingled(df, textCol, idCol, w), pairs, idCol, threshold)
+
+  /** EXACT all-pairs n-gram Jaccard at or above `threshold` — the
+    * oracle-checkable ground truth the LSH candidates approximate. One
+    * broadcast nested-loop join over the (small) shingle projection; at
+    * data-lake scale use [[minhashCandidates]] + [[verifyJaccardShingles]]
+    * instead (this is O(n²) by construction).
+    */
+  def jaccardAllPairs(df: DataFrame, textCol: String, idCol: String,
+      w: Int, threshold: Double): DataFrame = {
+    val sh = shingled(df, textCol, idCol, w)
+    val a = sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("__inter", size(array_intersect(col("__sh_a"), col("__sh_b"))))
       .withColumn("__union", size(col("__sh_a")) + size(col("__sh_b")) - col("__inter"))
       .withColumn("jaccard", when(col("__union") > 0,
@@ -121,6 +176,7 @@ object Dedup {
   def simhash(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sig = df.select(col(idCol), TextFunctions.simhashUdf(col(textCol)).as("__sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col(idCol), col("__sim"), posexplode(array(
       (0 until 4).map(b => shiftrightunsigned(col("__sim"), b * 16).bitwiseAND(lit(0xffffL))): _*
     )).as(Seq("__band", "__bandval")))
@@ -151,6 +207,20 @@ object Dedup {
         col("a.__bucket") === col("b.__bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .where(VectorFunctions.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")) >= threshold)
       .select(col(s"b.$idCol").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** EXACT embedding cosine near-dup — all-pairs broadcast nested-loop join;
+    * the oracle-checkable ground truth [[embeddingNearDup]] approximates.
+    * O(n²·d): for modest n or as a per-bucket verifier, not the 100 TB path.
+    */
+  def embeddingNearDupExact(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double = 0.95): DataFrame = {
+    val a = df.select(col(idCol), col(vecCol))
+    val b = df.select(col(idCol).as("__ob"), col(vecCol).as("__vb"))
+    val drop = a.join(broadcast(b), col("__ob") < col(idCol))
+      .where(VectorFunctions.cosine(col(vecCol), col("__vb")) >= threshold)
+      .select(col(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -76,37 +76,51 @@ object Similarity {
       .select(col(qIdCol), col(idCol), col("cosine_sim"))
   }
 
-  /** IVF: deterministic coarse quantizer (every (N/nCentroids)-th vector by
-    * id order seeds a centroid), invert the file by nearest centroid, probe
-    * the nProbe nearest lists per query. One extra narrow join vs brute
-    * force; candidate set shrinks by ~nCentroids/nProbe.
+  /** IVF: coarse quantizer seeded by the `nCentroids` vectors with the
+    * smallest hashed id (one TakeOrdered — no count(), no global sort),
+    * centroids collected to the driver and inlined as literal arrays so
+    * assignment is a single argmax PROJECTION (zero shuffle, zero windows
+    * over the data). Queries probe the `nProbe` nearest centroids; with
+    * nProbe = nCentroids every vector is a candidate, so the result is
+    * EXACT per-query top-k (the oracle-checked configuration).
+    *
+    * At 100 TB: the only per-vector work is nCentroids cosine evaluations
+    * inside one codegen'd projection; the only shuffle is the broadcast-join
+    * of candidates against the (tiny) probe table plus the per-query top-k.
     */
   def ivfTopK(spark: SparkSession, df: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, qVecCol: String, qIdCol: String,
       k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    // deterministic centroid seeds: rank by id, take evenly spaced rows
-    val n = df.count()
-    val step = math.max(n / nCentroids, 1L)
-    val w0 = Window.orderBy(col(idCol))
-    val centroids = df
-      .withColumn("__rn", row_number().over(w0))
-      .where((col("__rn") - 1) % step === 0 && col("__rn") <= step * nCentroids)
-      .select(((col("__rn") - 1) / step).cast("int").as("__cid"), col(vecCol).as("__cvec"))
-    val cB = broadcast(centroids)
+    // deterministic seeds: smallest xxhash64(id) — a pseudo-random but
+    // reproducible sample, fetched with a TakeOrderedAndProject
+    val centroids: Array[Array[Double]] = df
+      .select(col(vecCol).cast("array<double>").as("__v"), col(idCol).as("__sid"))
+      .orderBy(xxhash64(col("__sid")), col("__sid"))
+      .limit(nCentroids)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
 
-    // assign every vector to its nearest centroid (narrow: centroids broadcast)
-    val wAssign = Window.partitionBy(col(idCol)).orderBy(col("__cdist"))
-    val assigned = df.crossJoin(cB)
-      .withColumn("__cdist", -VectorFunctions.cosine(col(vecCol), col("__cvec")))
-      .withColumn("__r", row_number().over(wAssign)).where(col("__r") === 1)
+    def simsTo(v: Column): Column =
+      array(centroids.map(c =>
+        VectorFunctions.cosine(v, array(c.map(lit(_)): _*))): _*)
+
+    // nearest-centroid assignment: argmax over the literal centroid array,
+    // in one narrow projection (first index wins ties — deterministic)
+    val assigned = df
+      .withColumn("__sims", simsTo(col(vecCol)))
+      .withColumn("__cid",
+        (array_position(col("__sims"), array_max(col("__sims"))) - 1).cast("int"))
       .select(col(idCol), col(vecCol), col("__cid"))
 
-    // queries probe nProbe nearest centroids
-    val wProbe = Window.partitionBy(col(qIdCol)).orderBy(col("__cdist"))
-    val probes = queries.crossJoin(cB)
-      .withColumn("__cdist", -VectorFunctions.cosine(col(qVecCol), col("__cvec")))
-      .withColumn("__r", row_number().over(wProbe)).where(col("__r") <= nProbe)
-      .select(col(qIdCol), col(qVecCol), col("__cid"))
+    // queries probe their nProbe highest-similarity centroids: sort the
+    // (sim, cid) struct array descending, slice, explode — still columnar
+    val qSims = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(VectorFunctions.cosine(col(qVecCol), array(c.map(lit(_)): _*)).as("s"),
+        lit(i).as("cid"))
+    }: _*)
+    val probes = queries
+      .withColumn("__probe", explode(slice(reverse(array_sort(qSims)), 1, nProbe)))
+      .select(col(qIdCol), col(qVecCol), col("__probe.cid").as("__cid"))
 
     val cands = assigned.join(broadcast(probes), Seq("__cid"))
       .withColumn("cosine_sim", round(VectorFunctions.cosine(col(vecCol), col(qVecCol)), 6))

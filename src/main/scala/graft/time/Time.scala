@@ -120,6 +120,11 @@ object Batcher {
     * monotone across the switch.
     */
   final case class Combined(before: Batcher, after: Batcher, at: Timestamp) extends Batcher {
+    // at = Timestamp.Min would be the degenerate everything-after config and
+    // at.prev below would wrap to Timestamp.Max; use the `after` batcher
+    // directly for that case instead.
+    require(at > Timestamp.Min,
+      "Combined(at = Timestamp.Min) is degenerate: use `after` directly")
     // Last batch holding any time strictly before the cut (reference
     // CombinedBatcher.scala:33 uses batchOf(upper.prev)+1 for the first
     // post-cut batch). Using batchOf(at) directly skips an id whenever the
