@@ -149,24 +149,53 @@ object Dedup {
       idCol: String, w: Int, threshold: Double): DataFrame =
     verifyJaccardShingles(shingled(df, textCol, idCol, w), pairs, idCol, threshold)
 
-  /** EXACT all-pairs n-gram Jaccard at or above `threshold` — the
-    * oracle-checkable ground truth the LSH candidates approximate. One
-    * broadcast nested-loop join over the (small) shingle projection; at
-    * data-lake scale use [[minhashCandidates]] + [[verifyJaccardShingles]]
-    * instead (this is O(n²) by construction).
+  /** EXACT n-gram Jaccard >= `threshold` over ALL pairs — the ground truth
+    * the LSH candidates approximate, computed with the prefix-filtering
+    * set-similarity join (the PPJoin family, Xiao et al., WWW'08 — public
+    * algorithm): sort every shingle set in one consistent total order, index
+    * only each set's PREFIX (the first |A| - ceil(t·|A|) + 1 elements — any
+    * pair with Jaccard >= t must share a prefix element on both sides),
+    * equi-join on prefix shingles, then verify candidates exactly.
+    *
+    * At 100 TB this is the standard exact path: the shuffle carries
+    * (shingle, id, size) prefix rows, candidate volume ≈ Σ df(prefix
+    * shingle)² which collapses to near-duplicate pairs instead of n²/2.
+    * Requires threshold > 0; pairs of empty shingle sets (blank docs) are
+    * emitted with jaccard 1.0 to match the all-pairs definition.
     */
   def jaccardAllPairs(df: DataFrame, textCol: String, idCol: String,
       w: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0, "prefix filtering needs threshold > 0")
+    // array_sort gives the consistent total order the prefix filter needs;
+    // hash values are pseudo-random, so this order behaves like the
+    // "by global frequency" order on distinct-heavy corpora
     val sh = shingled(df, textCol, idCol, w)
-    val a = sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
-    val b = sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col(idCol), array_sort(col("__sh")).as("__sh"),
+        size(col("__sh")).as("__sz"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val prefixLen = (col("__sz") - ceil(col("__sz") * threshold) + 1).cast("int")
+    val pref = sh.select(col(idCol), col("__sz"),
+      explode(slice(col("__sh"), lit(1), prefixLen)).as("__s"))
+    val candPairs = pref.select(col(idCol).as("id_a"), col("__s"))
+      .join(pref.select(col(idCol).as("id_b"), col("__s")), Seq("__s"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val verified = candPairs
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), "id_b")
       .withColumn("__inter", size(array_intersect(col("__sh_a"), col("__sh_b"))))
       .withColumn("__union", size(col("__sh_a")) + size(col("__sh_b")) - col("__inter"))
-      .withColumn("jaccard", when(col("__union") > 0,
-        col("__inter").cast("double") / col("__union")).otherwise(lit(1.0)))
+      .withColumn("jaccard", col("__inter").cast("double") / col("__union"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    // blank documents have empty shingle sets: all-pairs jaccard defines
+    // them as identical (union = 0 → 1.0); the prefix join can't see them
+    val empties = sh.where(col("__sz") === 0).select(col(idCol))
+    val emptyPairs = empties.select(col(idCol).as("id_a"))
+      .crossJoin(empties.select(col(idCol).as("id_b")))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    verified.union(emptyPairs)
   }
 
   /** SimHash near-dup: 64-bit signatures; candidates share at least one of
@@ -212,14 +241,26 @@ object Dedup {
 
   /** EXACT embedding cosine near-dup — all-pairs broadcast nested-loop join;
     * the oracle-checkable ground truth [[embeddingNearDup]] approximates.
-    * O(n²·d): for modest n or as a per-bucket verifier, not the 100 TB path.
+    * O(n²·d) by definition, but the constant matters: vectors are
+    * L2-NORMALIZED once per side so the per-pair work is a single dot
+    * product, and the probe side is repartitioned so the quadratic loop
+    * spreads across every core (a one-file parquet input would otherwise
+    * run the whole cross product in one task). For modest n or as a
+    * per-bucket verifier — not the 100 TB path.
     */
   def embeddingNearDupExact(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.95): DataFrame = {
-    val a = df.select(col(idCol), col(vecCol))
-    val b = df.select(col(idCol).as("__ob"), col(vecCol).as("__vb"))
+    def normalized(v: Column): Column = {
+      val n = VectorFunctions.norm(v)
+      when(n > 0, transform(v, x => x.cast("double") / n))
+        .otherwise(transform(v, x => x.cast("double")))
+    }
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val a = df.select(col(idCol), normalized(col(vecCol)).as("__va"))
+      .repartition(parallelism)
+    val b = df.select(col(idCol).as("__ob"), normalized(col(vecCol)).as("__vb"))
     val drop = a.join(broadcast(b), col("__ob") < col(idCol))
-      .where(VectorFunctions.cosine(col(vecCol), col("__vb")) >= threshold)
+      .where(VectorFunctions.dot(col("__va"), col("__vb")) >= threshold)
       .select(col(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
   }
