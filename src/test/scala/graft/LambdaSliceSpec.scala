@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.algebra.Semigroup
+import graft.api.GraftStream
+import graft.batch.BatchStore
+import graft.client.ClientStore
+import graft.streaming.StreamingSum
+import graft.time.{BatchID, Batcher, Timestamp}
+
+/** SURVEY §7.2's first milestone, proven end-to-end: one wordCount job
+  * (reference summingbird-example ExampleJob.scala:43-50) run through
+  *   (a) the incremental batch path — `sumDeltasPerBatch` →
+  *       `BatchStore.merge` snapshot commits → roll-forward re-run that
+  *       reads ONLY the new deltas,
+  *   (b) the lambda serving read — `ClientStore.merged` / `get` over the
+  *       committed snapshot + online deltas,
+  *   (c) the streaming path — `StreamingSum` on a `MemoryStream`,
+  * all three asserted equal to the in-Scala model (the reference's paired
+  * job/model law style, TestGraphs.scala:106-597 + ClientStoreLaws).
+  */
+class LambdaSliceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val batcher = Batcher.ofMillis(100)
+  private val words = Vector("the", "quick", "brown", "fox", "jumps")
+  // 400 timed words over batches 0..9, deterministic
+  private val events: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(400)((rnd.nextLong(1000L), words(rnd.nextInt(words.size))))
+  }
+
+  private def deltasModel(evs: Seq[(Long, String)]): Map[(String, Long), Long] =
+    evs.groupBy { case (ts, w) => (w, batcher.batchOf(Timestamp(ts)).id) }
+      .view.mapValues(_.size.toLong).toMap
+  private def totalsModel(evs: Seq[(Long, String)]): Map[String, Long] =
+    evs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+
+  private def deltaDs = {
+    val s = spark; import s.implicits._
+    GraftStream.from(events.toDS())(_._1)
+      .asKeyedWith(_._2, (_: (Long, String)) => 1L)
+      .sumDeltasPerBatch(batcher)(Semigroup.longSemigroup)
+  }
+
+  test("incremental BatchStore.merge: two-step == one-shot == model, snapshot rolls forward") {
+    val s = spark; import s.implicits._
+    val deltas = deltaDs
+    val tmp = Files.createTempDirectory("graft_lambda_").toString
+    val store = new BatchStore[String, Long](tmp)
+    val out1 = store.merge(spark, deltas, BatchID(4))(Semigroup.longSemigroup).collect()
+    val out2 = store.merge(spark, deltas, BatchID(9))(Semigroup.longSemigroup).collect()
+
+    // the second run consumed only the NEW deltas (batches 5..9)
+    assert(out1.nonEmpty && out1.forall(_._2 <= 4))
+    assert(out2.nonEmpty && out2.forall(r => r._2 > 4 && r._2 <= 9))
+
+    val all = out1 ++ out2
+    val dm = deltasModel(events)
+    assert(all.map(r => (r._1, r._2)).toSet == dm.keySet)
+    all.foreach { case (k, b, (prior, delta)) =>
+      assert(delta == dm((k, b)), s"delta $k/$b")
+      val expPrior = dm.collect { case ((`k`, b2), v) if b2 < b => v }.sum
+      assert(prior == (if (expPrior == 0) None else Some(expPrior)), s"prior $k/$b")
+    }
+
+    // committed snapshot is the all-time sum
+    val (snapBatch, snapDs) = store.readLast(spark).get
+    assert(snapBatch == BatchID(9))
+    assert(snapDs.collect().toMap == totalsModel(events))
+
+    // one-shot merge on a fresh store emits the identical rows
+    val tmp2 = Files.createTempDirectory("graft_lambda1s_").toString
+    val oneShot = new BatchStore[String, Long](tmp2)
+      .merge(spark, deltas, BatchID(9))(Semigroup.longSemigroup).collect()
+    assert(oneShot.toSet == all.toSet)
+  }
+
+  test("ClientStore.merged/get over snapshot + online deltas == all-data recompute") {
+    val s = spark; import s.implicits._
+    val deltas = deltaDs
+    val tmp = Files.createTempDirectory("graft_lambda_cs_").toString
+    val store = new BatchStore[String, Long](tmp)
+    // offline covers batches <= 4; the delta stream plays the online store
+    store.merge(spark, deltas, BatchID(4))(Semigroup.longSemigroup).collect()
+
+    val merged = ClientStore.merged(spark, store, deltas)(
+      Semigroup.longSemigroup, implicitly, implicitly).collect().toMap
+    assert(merged == totalsModel(events))
+
+    for (w <- words :+ "absent")
+      assert(ClientStore.get(spark, store, deltas, w)(
+        Semigroup.longSemigroup, implicitly, implicitly) == totalsModel(events).get(w),
+        s"get($w)")
+  }
+
+  test("StreamingSum on MemoryStream: summed deltas == batch deltas, prior chain replays state, lambda merge == model") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val out = StreamingSum.sumByKey[String, Long](ms.toDS(), batcher)(
+        Semigroup.longSemigroup, implicitly, implicitly)
+      .map { case (k, b, (p, d)) => (k, b, p, d) }
+    val q = out.writeStream.format("memory").queryName("lambda_stream_out")
+      .outputMode("append").start()
+    try {
+      val rows = events.map { case (ts, w) => (ts, w, 1L) }
+      val (h1, h2) = rows.splitAt(rows.size / 2)
+      ms.addData(h1: _*); q.processAllAvailable()
+      ms.addData(h2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("lambda_stream_out")
+      .as[(String, Long, Option[Long], Long)].collect()
+
+    // deltas summed across micro-batches match the batch-path deltas
+    val summed = emitted.groupBy(r => (r._1, r._2))
+      .view.mapValues(_.map(_._4).sum).toMap
+    assert(summed == deltasModel(events))
+
+    // the (Option[V], V) contract per (K, batch) state cell: priors replay
+    // the running per-cell sum in emission order (reference online Summer,
+    // Summer.scala:56-128 — state keyed (K, BatchID))
+    emitted.groupBy(r => (r._1, r._2)).values.foreach { cell =>
+      val inOrder = cell.sortBy(_._3.getOrElse(0L))
+      inOrder.foldLeft(Option.empty[Long]) { (acc, r) =>
+        assert(r._3 == acc, s"prior chain broken at $r")
+        Some(acc.getOrElse(0L) + r._4)
+      }
+    }
+
+    // lambda read over a batch snapshot + the streaming deltas: offline
+    // through batch 4, streaming rows as the online store
+    val tmp = Files.createTempDirectory("graft_lambda_ss_").toString
+    val store = new BatchStore[String, Long](tmp)
+    store.merge(spark, deltaDs, BatchID(4))(Semigroup.longSemigroup).collect()
+    val online = emitted.toSeq.map(r => (r._1, r._2, r._4)).toDS()
+    val served = ClientStore.merged(spark, store, online)(
+      Semigroup.longSemigroup, implicitly, implicitly).collect().toMap
+    assert(served == totalsModel(events))
+  }
+}
