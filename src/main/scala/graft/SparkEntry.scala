@@ -9,7 +9,7 @@ import graft.api.{GraftSink, GraftStream, KeyedGraftStream}
 import graft.batch.BatchStore
 import graft.client.ClientStore
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{AsofJoin, Dedup, LoopJoin, Similarity}
+import graft.operators.{AsofJoin, BatchServices, Dedup, LoopJoin, Similarity}
 import graft.time.{BatchID, Batcher, Timestamp}
 
 /** Typed rows for the API-parity queries (encoders derive at use sites). */
@@ -263,6 +263,21 @@ object SparkEntry {
           Seq("one"), strict = false)
         .select(col("event_id"), col("user_id"),
           coalesce(col("one"), lit(0L)).as("clicks_before"))
+    }),
+
+    "q_window_service" -> ((s, dir) => {
+      // windowed batch service (BatchedWindowService): the as-of signup is
+      // visible only within a trailing 7-day window of the purchase
+      val ev = eventsDF(s, dir)
+      val left = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("signup_ts"))
+        .agg(max("event_id").as("signup_id"))
+      // ts is TIMESTAMP(NANOS) read as nanos Long: window in nanos
+      BatchServices.windowed(left, right, Seq("user_id"), "ts", "signup_ts",
+          Seq("signup_id"), window = 7L * 86400L * 1000000000L)
+        .select("event_id", "user_id", "signup_id")
     }),
 
     "q_loop_join" -> ((s, dir) => {
@@ -658,6 +673,15 @@ object SparkEntry {
 
     "q_lambda_merged" ->
       "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id",
+
+    "q_window_service" ->
+      """SELECT e.event_id, e.user_id,
+        |  CASE WHEN r.signup_ts >= e.ts - INTERVAL 7 DAY THEN r.signup_id END AS signup_id
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') e
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts AS signup_ts, max(event_id) AS signup_id
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts) r
+        |ON e.user_id = r.user_id AND e.ts >= r.signup_ts""".stripMargin,
 
     "q_loop_join" ->
       """SELECT event_id, user_id,

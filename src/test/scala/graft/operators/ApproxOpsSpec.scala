@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.algebra.{HLL, Semigroup}
+import graft.functions.TextFunctions
+
+/** Correctness evidence for the operators whose CORRECTNESS rows are
+  * rows-only (approximate / engine-specific hashing, no SQL oracle): each is
+  * checked here against an exact in-suite ground truth.
+  */
+class ApproxOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  // deterministic synthetic embeddings: 120 base vectors + 3 planted
+  // near-duplicates, dim 16
+  private val dim = 16
+  private def vecs: Seq[(Long, Array[Double])] = {
+    val rnd = new scala.util.Random(7)
+    val base = Seq.tabulate(120) { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian()))
+    }
+    val dups = Seq(0L, 5L, 17L).zipWithIndex.map { case (src, j) =>
+      val v = base(src.toInt)._2.map(_ + 0.01 * (j + 1))
+      (200L + j, v)
+    }
+    base ++ dups
+  }
+
+  test("HLL estimate within 2% of exact over the events cardinalities") {
+    // deterministic sketch: exact tolerance holds for the tested inputs
+    for (n <- Seq(100, 1000, 5000, 20000)) {
+      val est = (0 until n).map(i => HLL.ofLong(i.toLong * 2654435761L + 17))
+        .reduce(HLL.hllSemigroup.plus).estimate
+      val err = math.abs(est - n).toDouble / n
+      assert(err <= 0.02, s"n=$n est=$est err=$err")
+    }
+  }
+
+  test("full-probe IVF equals brute force per query (exact configuration)") {
+    val s = spark; import s.implicits._
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id").isin(0L, 50L, 201L))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val ivf = Similarity.ivfTopK(spark, df, "embedding", "vec_id",
+        queries, "q_vec", "q_id", k = 5, nCentroids = 4, nProbe = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val brute = Similarity.bruteForceTopKJoin(df, "embedding", "vec_id",
+        queries, "q_vec", "q_id", k = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ivf == brute)
+  }
+
+  test("LSH ANN finds the planted near-duplicates; recall vs brute >= 0.6") {
+    val s = spark; import s.implicits._
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") >= 200L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val lsh = Similarity.lshTopK(df, "embedding", "vec_id", queries,
+        "q_vec", "q_id", dim = dim, k = 3, nBits = 8)
+      .as[(Long, Long, Double)].collect()
+    // each planted dup's nearest neighbour is its source vector
+    val bySrc = Map(200L -> 0L, 201L -> 5L, 202L -> 17L)
+    bySrc.foreach { case (q, src) =>
+      val got = lsh.filter(_._1 == q).map(_._2).toSet
+      assert(got.contains(src), s"query $q missed its source $src (got $got)")
+    }
+    val brute = Similarity.bruteForceTopKJoin(df, "embedding", "vec_id",
+        queries, "q_vec", "q_id", k = 3)
+      .as[(Long, Long, Double)].collect()
+    val recall = lsh.map(r => (r._1, r._2)).toSet
+      .intersect(brute.map(r => (r._1, r._2)).toSet).size.toDouble / brute.length
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("embedding LSH dedup never drops non-duplicates and catches planted dups (this data)") {
+    val s = spark; import s.implicits._
+    val df = vecs.toDF("vec_id", "embedding")
+    val lshKept = Dedup.embeddingNearDup(df, "embedding", "vec_id",
+      dim = dim, threshold = 0.95, nBits = 6).select("vec_id")
+      .as[Long].collect().toSet
+    val exactKept = Dedup.embeddingNearDupExact(df, "embedding", "vec_id",
+      threshold = 0.95).select("vec_id").as[Long].collect().toSet
+    // LSH may only miss drops (recall < 1), never drop a non-duplicate
+    assert(lshKept.subsetOf(vecs.map(_._1).toSet))
+    assert(exactKept.subsetOf(lshKept))
+    // exact ground truth drops exactly the planted near-duplicates
+    assert(vecs.map(_._1).toSet -- exactKept == Set(200L, 201L, 202L))
+    // and on this data the LSH pass catches them all
+    assert(lshKept == exactKept)
+  }
+
+  test("simhash banding is complete for hamming distance <= 3") {
+    // pigeonhole, checked empirically: any pair of 64-bit signatures at
+    // hamming <= 3 shares at least one untouched 16-bit band
+    val rnd = new scala.util.Random(11)
+    def bands(x: Long): Seq[Long] = (0 until 4).map(b => (x >>> (b * 16)) & 0xffffL)
+    for (_ <- 1 to 2000) {
+      val a = rnd.nextLong()
+      val flips = rnd.nextInt(4) // 0..3 bit flips
+      val b = (1 to flips).foldLeft(a)((acc, _) => acc ^ (1L << rnd.nextInt(64)))
+      assert(bands(a).zip(bands(b)).exists { case (x, y) => x == y },
+        s"hamming<=3 pair with no shared band: $a $b")
+    }
+  }
+
+  test("simhash dedup drops token-permuted duplicates, keeps distinct docs") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      // same bag of tokens, reordered -> identical simhash (order-free votes)
+      (2L, "quick the brown fox jumps the over lazy dog near river the bank today"),
+      (3L, "completely different content about distributed stream processing engines"),
+      (4L, "yet another unrelated document mentioning databases and query optimizers"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.simhash(docs, "text", "doc_id", maxHamming = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("language id separates scripts and latin languages") {
+    assert(TextFunctions.languageOf("the quick brown fox jumps over the lazy dog and the cat") == "en")
+    assert(TextFunctions.languageOf("der schnelle braune fuchs springt über den faulen hund und die katze") == "de")
+    assert(TextFunctions.languageOf("le renard brun rapide saute par dessus le chien paresseux et le chat") == "fr")
+    assert(TextFunctions.languageOf("el rápido zorro marrón salta sobre el perro perezoso y el gato") == "es")
+    assert(TextFunctions.languageOf("这是一个中文句子用来测试语言识别") == "zh")
+    assert(TextFunctions.languageOf("これは日本語のテスト文です") == "ja")
+    assert(TextFunctions.languageOf("이것은 한국어 테스트 문장입니다") == "ko")
+    assert(TextFunctions.languageOf("это русское предложение для проверки") == "ru")
+    assert(TextFunctions.languageOf("") == "und")
+  }
+
+  test("minhash candidates achieve full recall on high-jaccard pairs (this data)") {
+    val s = spark; import s.implicits._
+    // 40 docs, 5 planted near-dup pairs (one token changed out of 12)
+    val rnd = new scala.util.Random(3)
+    val vocab = Vector.tabulate(200)(i => s"w$i")
+    val base = Seq.tabulate(40) { i =>
+      (i.toLong, Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val dups = (0 until 5).map { j =>
+      val (srcId, text) = base(j * 7)
+      val toks = text.split(" "); toks(11) = "changed"
+      (100L + j, toks.mkString(" "))
+    }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(docs, "text", "doc_id", w = 3, bands = 16, rowsPerBand = 4)
+      .as[(Long, Long)].collect().toSet
+    val truth = Dedup.jaccardAllPairs(docs, "text", "doc_id", w = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty && truth.subsetOf(cands),
+      s"missed ${truth -- cands} of $truth")
+  }
+}
