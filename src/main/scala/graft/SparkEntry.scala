@@ -516,6 +516,20 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TF.langIdUdf(col("text")).as("lang_guess"))),
 
+    "q_multimodal" -> ((s, dir) => {
+      // opaque-binary media pipeline: documents' utf-8 bytes play the media
+      // content; features flow through the real mapPartitions batch
+      // plumbing (oracle checks the byte-level features; the stub-decoded
+      // statistics are covered by MultimodalSpec)
+      import s.implicits._
+      import graft.functions.Multimodal
+      val media = docsDs(s, dir).map(d => Multimodal.MediaRow(d.doc_id,
+        Multimodal.MediaMeta("image", 0, 0, 0, 0), d.text.getBytes("UTF-8")))
+      Multimodal.featurize(media)
+        .select(col("id").as("doc_id"), col("nBytes").as("n_bytes"),
+          col("nFrames").as("n_frames"), col("contentMd5").as("content_md5"))
+    }),
+
     // -- headline relational shapes (bench) ------------------------------
     "q1_pricing" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -719,6 +733,52 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))""".stripMargin,
 
+    // the minhash LSH stages are deterministic given the data, and on the
+    // verification corpus the banding achieves exact recall/precision at
+    // the 0.5 threshold (asserted empirically; see ApproxOpsSpec for the
+    // recall law on planted duplicates) — so the EXACT jaccard forms serve
+    // as their oracles
+    "q_minhash_cands" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        |    ELSE [] END) AS s
+        |  FROM (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |    FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |AND (CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0 THEN
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |  ELSE 1.0 END) >= 0.5""".stripMargin,
+
+    "q_dedup_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        |    ELSE [] END) AS s
+        |  FROM (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |    FROM documents))
+        |SELECT doc_id FROM documents WHERE doc_id NOT IN (
+        |  SELECT b.doc_id FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |  AND (CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0 THEN
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |    ELSE 1.0 END) >= 0.5)""".stripMargin,
+
+    "q_dedup_embedding_lsh" ->
+      """SELECT e.vec_id FROM embeddings e WHERE NOT EXISTS (
+        |  SELECT 1 FROM embeddings o WHERE o.vec_id < e.vec_id
+        |  AND list_cosine_similarity(o.embedding::DOUBLE[], e.embedding::DOUBLE[]) >= 0.95)""".stripMargin,
+
     "q_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(
@@ -784,6 +844,12 @@ object SparkEntry {
 
     "q_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  CAST(ceil(octet_length(encode(text)) / 1024.0) AS BIGINT) AS n_frames,
+        |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
 
     "q1_pricing" ->
