@@ -17,6 +17,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up JIT/codegen/parquet codepaths so the first timed query isn't
+    // billed for one-time JVM costs
+    spark.range(100000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
     // SPARK_GRAFT_ONLY=q_a,q_b runs a subset (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
@@ -27,6 +31,8 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: $e"); false
         }
+      // queries that persist intermediates must not leak cache across the run
+      spark.catalog.clearCache()
       name -> ((System.nanoTime() - t0) / 1e9, ok)
     }
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }

@@ -135,6 +135,27 @@ object TestGraphsProps extends Properties("TestGraphs") {
       ok
     }
 
+  property("leftJoinAsof(stream service) == last-write-strictly-before model") =
+    Prop.forAll(genEvents, genEvents) { (lefts0, rights0) =>
+      val s = spark; import s.implicits._
+      // distinct ts per key per side, and no left/right ts collision per key
+      // (the tie-break is deterministic — lookups before writes — but the
+      // model below is simpler without equal stamps across sides)
+      val lefts = lefts0.groupBy(e => (e._1, e._2)).values.map(_.head).toList
+      val rights = rights0.groupBy(e => (e._1, e._2)).values.map(_.head)
+        .map(e => (e._1 * 2 + 1, e._2, e._3)).toList // odd ts
+      val evens = lefts.map(e => (e._1 * 2, e._2, e._3)) // even ts
+      val lStream = stream(evens).asKeyedWith(_._2, (_: (Long, Long, Long))._3)
+      val rStream = stream(rights).asKeyedWith(_._2, (_: (Long, Long, Long))._3)
+      val out = lStream.leftJoinAsof(rStream)
+        .ds.map(r => (r._1, r._2, r._3._1, r._3._2)).collect().toSet
+      val model = evens.map { case (t, k, v) =>
+        val seen = rights.filter(r => r._2 == k && r._1 < t)
+        (t, k, v, if (seen.isEmpty) None else Some(seen.maxBy(_._1)._3))
+      }.toSet
+      Prop(out == model) :| s"lefts=${evens.size} rights=${rights.size}"
+    }
+
   property("lookup/optionMap/either surface == model") =
     Prop.forAll(genEvents, Gen.mapOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(1L, 5L)))) {
       (evs, service) =>

@@ -1,0 +1,82 @@
+package graft.algebra
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkTestSession
+import graft.streaming.StreamingSum
+import graft.time.Batcher
+
+/** The Aggregator bridge (commutative hash-agg path) and the streaming
+  * summer's TTL configuration.
+  */
+class SemigroupAggregatorSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("SemigroupAggregator through groupByKey.agg equals reduceGroups") {
+    val s = spark; import s.implicits._
+    val data = Seq((1L, 3L), (1L, 4L), (2L, 10L), (3L, -1L), (2L, 1L))
+    val ds = data.toDS()
+    val viaAgg = ds.groupByKey(_._1)
+      .agg(new PairValueAggregator[Long, Long](Semigroup.longSemigroup).toColumn)
+      .collect().toMap
+    val viaReduce = ds.groupByKey(_._1).mapValues(_._2)
+      .reduceGroups(Semigroup.longSemigroup.plus _).collect().toMap
+    val model = data.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(viaAgg == model && viaReduce == model)
+  }
+
+  test("SemigroupAggregator carries non-trivial values (TopK) through hash agg") {
+    val s = spark; import s.implicits._
+    implicit val sg: Semigroup[TopK[Long]] = TopK.topKSemigroup[Long]
+    implicit val topkEnc: org.apache.spark.sql.Encoder[TopK[Long]] =
+      org.apache.spark.sql.Encoders.kryo[TopK[Long]]
+    val data = Seq((1L, 5.0, 50L), (1L, 9.0, 90L), (1L, 7.0, 70L), (2L, 1.0, 10L))
+    val out = data.toDS()
+      .map { case (k, score, item) => (k, TopK.one(2, score, item)) }
+      .groupByKey(_._1)
+      .agg(new PairValueAggregator[Long, TopK[Long]](sg).toColumn)
+      .collect().toMap
+    assert(out(1L).items.map(_._2) == List(90L, 70L))
+    assert(out(2L).items.map(_._2) == List(10L))
+  }
+
+  test("StreamingSum with a state TTL still sums correctly within the window") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long)]
+    val out = StreamingSum.sumByKey[Long, Long](ms.toDS(), Batcher.unit,
+        stateTtl = Some(java.time.Duration.ofHours(1)))(
+        Semigroup.longSemigroup, implicitly, implicitly)
+      .map { case (k, b, (p, d)) => (k, b, p, d) }
+    // ProcessingTimeTimeout schedules wall-clock follow-up batches, so
+    // processAllAvailable can keep seeing work: drive two explicit
+    // checkpointed Trigger.AvailableNow runs instead (which also proves
+    // state survives a query restart) and collect via foreachBatch
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ttl_ckpt_").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Option[Long], Long)]
+    def runOnce(): Unit = {
+      val q = out.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[(Long, Long, Option[Long], Long)], _: Long) =>
+          buf.synchronized { buf ++= df.collect() }; ()
+        }
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        // Trigger.Once, not AvailableNow: exactly one micro-batch per run —
+        // the engine otherwise keeps the query alive for the (1 hour away)
+        // processing-time timers
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      try assert(q.awaitTermination(120000L)) finally q.stop()
+    }
+    ms.addData((0L, 1L, 5L), (1L, 1L, 6L), (2L, 2L, 7L))
+    runOnce()
+    ms.addData((3L, 1L, 1L))
+    runOnce()
+    val rows = buf.synchronized(buf.toList)
+    val perKey = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(perKey == Map(1L -> 12L, 2L -> 7L))
+    // the second run saw the live (un-expired) state from the first
+    assert(rows.exists(r => r._1 == 1L && r._3 == Some(11L) && r._4 == 1L))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.operators.Dedup
+
+/** Physical-plan audits: the properties that make the headline queries
+  * scale-safe must hold in the EXPLAIN output, not just in intent — column
+  * pruning reaches the parquet scan, filters push down, small dimensions
+  * broadcast, the exact-dedup shuffle carries digests rather than text,
+  * and no operator re-introduces an unpartitioned global window.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("projection and filter reach the parquet scan (pruning + pushdown)") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .where(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_extendedprice"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("dimension-filtered join broadcasts the small side (q3 shape)") {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+      .where(col("c_mktsegment") === "BUILDING")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val p = plan(c.join(o, col("c_custkey") === col("o_custkey")))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("exact dedup shuffles only (digest, id), never the text column") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(Dedup.exact(docs, "text", "doc_id"))
+    // the exchange feeding the digest aggregation must not carry `text`
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(!_.contains("text#")), exchanges.mkString("\n"))
+  }
+
+  test("no unpartitioned global Window anywhere in the ANN/IVF plans") {
+    val e = spark.read.parquet(s"$dir/../sf0.001/embeddings.parquet")
+    val queries = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val p = plan(graft.operators.Similarity.ivfTopK(spark, e, "embedding",
+      "vec_id", queries, "q_vec", "q_id", k = 5, nCentroids = 4, nProbe = 4))
+    // every Window must be partitioned: "Window [..], [part], [order]" — an
+    // unpartitioned window renders with an empty partition spec
+    p.linesIterator.filter(_.trim.startsWith("Window")).foreach { w =>
+      assert(!w.matches(".*Window \\[[^\\]]*\\], \\[\\].*"), w)
+    }
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("whole-stage codegen covers the scalar text operators") {
+    // charCount/alphaRatio are plain expressions -> codegen'd ("*(n)" stage
+    // markers); higher-order array functions run as expressions outside
+    // codegen by design, so assert on the scalar family
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.charCount(col("text")).as("n"),
+      graft.functions.TextFunctions.alphaRatio(col("text")).as("a"))
+      .where(col("n") > 10)
+    val p = plan(df)
+    assert(p.contains("*("), p)
+  }
+}
