@@ -318,6 +318,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
     }),
 
+    "q_batcher_calendar" -> ((s, dir) => {
+      // calendar (civil-timezone) batching: batch boundaries at New York
+      // midnight, not UTC midnight — the CalendarBatcher rebuild
+      val ny = Batcher.calendarDays("America/New_York")
+      eventsDF(s, dir)
+        .groupBy(col("user_id"), ny.batchIdColumn(col("ts_ms")).as("batch_id"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
     "q_sumbykey_delta" -> ((s, dir) => {
       // the Summer's (Option[V], V) contract per (key, batch):
       // prior = all-time sum before this batch, delta = this batch's sum
@@ -659,6 +668,13 @@ object SparkEntry {
     "q_batcher" ->
       """SELECT user_id, CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS batch_id,
         |  count(*) AS cnt FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_batcher_calendar" ->
+      """SELECT user_id,
+        |  date_diff('day', DATE '1970-01-01',
+        |    CAST(timezone('America/New_York', CAST(ts AS TIMESTAMPTZ)) AS DATE)) AS batch_id,
+        |  count(*) AS cnt
+        |FROM events GROUP BY user_id, batch_id""".stripMargin,
 
     "q_sumbykey_delta" ->
       """WITH per_batch AS (

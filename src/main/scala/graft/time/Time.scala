@@ -115,6 +115,57 @@ object Batcher {
   }
   def unit: Batcher = Unit
 
+  /** Calendar-aligned batches in a civil timezone (reference
+    * CalendarBatcher, summingbird-batch/.../CalendarBatcher.scala:120-132):
+    * batch = days (or hours) since epoch IN THE ZONE, so batch boundaries
+    * track local midnight across DST transitions — a 23- or 25-hour civil
+    * day is one batch, which fixed-duration Millis cannot express.
+    * `batchIdColumn` runs the same calendar arithmetic inside Catalyst
+    * (convert_timezone + datediff/hour), property-checked against
+    * `batchOf` across DST boundaries.
+    */
+  sealed abstract class Calendar(zoneId: String) extends Batcher {
+    protected val zone: java.time.ZoneId = java.time.ZoneId.of(zoneId)
+  }
+
+  final case class CalendarDays(zoneId: String) extends Calendar(zoneId) {
+    def batchOf(t: Timestamp): BatchID = BatchID(
+      java.time.LocalDate.ofInstant(java.time.Instant.ofEpochMilli(t.millis), zone).toEpochDay)
+    def earliestTimeOf(b: BatchID): Timestamp = Timestamp(
+      java.time.LocalDate.ofEpochDay(b.id).atStartOfDay(zone).toInstant.toEpochMilli)
+    def batchIdColumn(tsMillis: Column): Column =
+      datediff(
+        to_date(convert_timezone(lit("UTC"), lit(zoneId), timestamp_millis(tsMillis))),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+  }
+
+  final case class CalendarHours(zoneId: String) extends Calendar(zoneId) {
+    // civil hours since epoch: epochDay*24 + local hour-of-day. During a
+    // DST fall-back both UTC occurrences of the repeated civil hour share
+    // one batch (a 25-hour civil day spans 24 batch ids, one of them
+    // two-UTC-hours long); a spring-forward skips the id of the nonexistent
+    // hour — calendar semantics, exactly like the reference's day/hour
+    // CalendarBatcher.
+    def batchOf(t: Timestamp): BatchID = {
+      val ldt = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(t.millis), zone)
+      BatchID(ldt.toLocalDate.toEpochDay * 24L + ldt.getHour)
+    }
+    def earliestTimeOf(b: BatchID): Timestamp = {
+      val day = Math.floorDiv(b.id, 24L); val hour = Math.floorMod(b.id, 24L).toInt
+      Timestamp(java.time.LocalDate.ofEpochDay(day).atTime(hour, 0)
+        .atZone(zone).toInstant.toEpochMilli) // overlap -> earlier offset
+    }
+    def batchIdColumn(tsMillis: Column): Column = {
+      val tsZ = convert_timezone(lit("UTC"), lit(zoneId), timestamp_millis(tsMillis))
+      (datediff(to_date(tsZ), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long") * lit(24L) +
+        hour(tsZ).cast("long"))
+    }
+  }
+
+  def calendarDays(zone: String): Batcher = CalendarDays(zone)
+  def calendarHours(zone: String): Batcher = CalendarHours(zone)
+
   /** Switch batchers at a boundary (reference CombinedBatcher): `before` for
     * t < at, `after` for t >= at. The `after` ids are offset so ids stay
     * monotone across the switch.
