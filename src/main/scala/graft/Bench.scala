@@ -17,10 +17,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm up JIT/codegen/parquet codepaths so the first timed query isn't
-    // billed for one-time JVM costs
-    spark.range(100000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    // warm up JIT/codegen/parquet/shuffle/HOF codepaths so the first timed
+    // query isn't billed for one-time JVM costs
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(100000).selectExpr("sum(id)").collect()
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      n.join(n.select(col("n_nationkey"), col("n_name").as("n2")), Seq("n_nationkey"))
+        .withColumn("h", aggregate(sequence(lit(1L), lit(8L)), lit(0L),
+          (a, x) => least(a, xxhash64(x))))
+        .groupBy(col("n_name")).agg(count(lit(1)), min(col("h")))
+        .count()
+      n.select(col("n_nationkey")).distinct().count()
+    }
     // SPARK_GRAFT_ONLY=q_a,q_b runs a subset (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }

@@ -71,19 +71,31 @@ object Dedup {
   /** (id, shingle-set) projection — the shared first stage of the minhash
     * family: candidates and verification both read THIS, so shingling runs
     * once per document.
+    *
+    * Higher-order functions evaluate outside codegen, so the downstream
+    * signature stage is CPU-bound per partition: when the input has fewer
+    * partitions than cores (the single-parquet-file case), spread it first.
+    * A lake-scale input already has >= cores partitions and skips this.
     */
-  def shingled(df: DataFrame, textCol: String, idCol: String, w: Int): DataFrame =
-    df.select(col(idCol), shingleCol(col(textCol), w).as("__sh"))
+  def shingled(df: DataFrame, textCol: String, idCol: String, w: Int): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+    spread.select(col(idCol), shingleCol(col(textCol), w).as("__sh"))
+  }
 
   /** MinHash signature from a shingle-hash array column: `numHashes`
-    * permutations via seeded xxhash64 re-hashes, min-folded with the
-    * `aggregate` HOF. array<long> of length numHashes.
+    * permutations via seeded xxhash64 re-hashes, min-folded in ONE
+    * `aggregate` HOF with an array accumulator (a fold per permutation
+    * would bloat the plan to numHashes aggregate trees and dominate
+    * analysis/codegen time). array<long> of length numHashes; element i is
+    * min over shingles of xxhash64(i, shingle).
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      aggregate(shingles, lit(Long.MaxValue),
-        (acc, h) => least(acc, xxhash64(lit(i.toLong), h)))
-    }: _*)
+    aggregate(shingles,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc, sequence(lit(0L), lit(numHashes - 1L)),
+        (a, i) => least(a, xxhash64(i, h))))
 
   /** Candidate duplicate pairs via MinHash + LSH banding from a pre-shingled
     * (id, __sh) frame: signature split into `bands` bands of `rowsPerBand`;
