@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.algebra.Semigroup
 import graft.time.{Batcher, BatchID, Timestamp}
-import graft.plans.SortedGroups
+import graft.plans.{GraftEncoders, SortedGroups}
 
 /** The keyed operator family — the reference's `KeyedProducer`
   * (Producer.scala:342-429) over `Dataset[(Long, K, V)]` (ts-millis, key,
@@ -105,7 +105,7 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)])(
     implicit val out: Encoder[(Long, K, (V, Option[J]))] =
       Encoders.tuple(Encoders.scalaLong, kEnc, vjEnc)
     implicit val mergedVal: Encoder[(Option[V], Option[J])] =
-      Encoders.kryo[(Option[V], Option[J])]
+      Encoders.tuple(GraftEncoders.option(vEnc), GraftEncoders.option(jEnc))
     implicit val mergedEnc: Encoder[(Long, K, (Option[V], Option[J]))] =
       Encoders.tuple(Encoders.scalaLong, kEnc, mergedVal)
     val merged: Dataset[(Long, K, (Option[V], Option[J]))] =
@@ -138,8 +138,10 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)])(
     */
   def sumByKey(batcher: Batcher)(implicit sg: Semigroup[V]): Dataset[(K, Long, (Option[V], V))] = {
     val perBatch: Dataset[(K, Long, V)] = sumDeltasPerBatch(batcher)
+    // product-encoded (nullable struct), NOT kryo: store outputs stay
+    // columnar/prunable (see GraftEncoders)
     implicit val outEnc: Encoder[(K, Long, (Option[V], V))] =
-      Encoders.tuple(kEnc, Encoders.scalaLong, Encoders.kryo[(Option[V], V)])
+      Encoders.tuple(kEnc, Encoders.scalaLong, GraftEncoders.priorDelta(vEnc))
     // scan batches per key in order to compute the running prior
     val keyed = perBatch.map(r => (r._2, r._1, r._3)) // (batchAsTs, K, V)
     SortedGroups.perKeyTimeSorted(keyed) { (k: K, it: Iterator[(Long, V)]) =>

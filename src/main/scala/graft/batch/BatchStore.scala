@@ -3,7 +3,7 @@ package graft.batch
 import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
 
 import graft.algebra.Semigroup
-import graft.plans.SortedGroups
+import graft.plans.{GraftEncoders, SortedGroups}
 import graft.time.BatchID
 
 /** Versioned key-value snapshot store on Parquet — the rebuild of the
@@ -82,10 +82,12 @@ final class BatchStore[K, V](val path: String)(
       case None            => deltaRows
     }
 
+    // product-encoded prior/delta (nullable struct, not kryo): the merge
+    // output is store content — it must stay columnar
     implicit val outEnc: Encoder[(K, Long, (Option[V], V))] =
-      Encoders.tuple(kEnc, Encoders.scalaLong, Encoders.kryo[(Option[V], V)])
+      Encoders.tuple(kEnc, Encoders.scalaLong, GraftEncoders.priorDelta(vEnc))
     implicit val snapRowEnc: Encoder[(K, Long, (Option[V], V), Boolean)] =
-      Encoders.tuple(kEnc, Encoders.scalaLong, Encoders.kryo[(Option[V], V)], Encoders.scalaBoolean)
+      Encoders.tuple(kEnc, Encoders.scalaLong, GraftEncoders.priorDelta(vEnc), Encoders.scalaBoolean)
 
     // one scan per key in batch order; snapshot row (if any) comes first
     // because it carries the earliest batch id and sorts with tag=false.

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 
 import graft.algebra.Semigroup
-import graft.plans.SortedGroups
+import graft.plans.{GraftEncoders, SortedGroups}
 
 /** The reference's hardest operator: `leftJoin` against a store whose content
   * DEPENDS on the join output (summingbird-scalding/.../Service.scala:196-269
@@ -42,7 +42,8 @@ object LoopJoin {
       implicit sg: Semigroup[V], kEnc: Encoder[K], uEnc: Encoder[U],
       vEnc: Encoder[V]): Dataset[(Long, K, (U, Option[V]))] = {
     implicit val outEnc: Encoder[(Long, K, (U, Option[V]))] =
-      Encoders.tuple(Encoders.scalaLong, kEnc, Encoders.kryo[(U, Option[V])])
+      Encoders.tuple(Encoders.scalaLong, kEnc,
+        Encoders.tuple(uEnc, GraftEncoders.option(vEnc)))
     joinAndState(events, initial, valueFn).flatMap {
       case Left(row) => Iterator.single(row)
       case Right(_)  => Iterator.empty
@@ -60,7 +61,8 @@ object LoopJoin {
       vEnc: Encoder[V]): Dataset[Either[(Long, K, (U, Option[V])), (K, V)]] = {
 
     // merge initial snapshot (tag=init, sorts first via Long.MinValue ts)
-    implicit val uvEnc: Encoder[(Option[U], Option[V])] = Encoders.kryo[(Option[U], Option[V])]
+    implicit val uvEnc: Encoder[(Option[U], Option[V])] =
+      Encoders.tuple(GraftEncoders.option(uEnc), GraftEncoders.option(vEnc))
     implicit val rowEnc: Encoder[(Long, K, (Option[U], Option[V]))] =
       Encoders.tuple(Encoders.scalaLong, kEnc, uvEnc)
     val evRows: Dataset[(Long, K, (Option[U], Option[V]))] =

@@ -35,7 +35,8 @@ object StreamingSum {
     implicit val rowEnc: Encoder[(Long, K, V)] =
       Encoders.tuple(Encoders.scalaLong, kEnc, vEnc)
     implicit val outEnc: Encoder[(K, Long, (Option[V], V))] =
-      Encoders.tuple(kEnc, Encoders.scalaLong, Encoders.kryo[(Option[V], V)])
+      Encoders.tuple(kEnc, Encoders.scalaLong,
+        graft.plans.GraftEncoders.priorDelta(vEnc))
 
     val timeout =
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
