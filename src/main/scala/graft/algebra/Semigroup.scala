@@ -171,6 +171,49 @@ object HLL {
   }
 }
 
+/** Count-min sketch as a Semigroup value — the reference's other workhorse
+  * sketch (algebird CMS, used for heavy-hitter / frequency stores; SURVEY
+  * §1.3 "anything with a Semigroup is a legal value"). depth x width count
+  * matrix; merge = element-wise add (commutative); point estimate = min
+  * over rows (always an over-estimate, within eps*N with prob 1-delta for
+  * width=ceil(e/eps), depth=ceil(ln(1/delta))).
+  */
+final case class CMS(depth: Int, width: Int, totalCount: Long, counts: Array[Long]) {
+  def estimate(item: Long): Long = {
+    var best = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val c = counts(r * width + CMS.bucket(item, r, width))
+      if (c < best) best = c
+      r += 1
+    }
+    if (best == Long.MaxValue) 0L else best
+  }
+}
+object CMS {
+  def empty(depth: Int = 5, width: Int = 512): CMS =
+    CMS(depth, width, 0L, new Array[Long](depth * width))
+  def ofLong(item: Long, count: Long = 1L, depth: Int = 5, width: Int = 512): CMS = {
+    val counts = new Array[Long](depth * width)
+    var r = 0
+    while (r < depth) { counts(r * width + bucket(item, r, width)) = count; r += 1 }
+    CMS(depth, width, count, counts)
+  }
+  private[algebra] def bucket(item: Long, row: Int, width: Int): Int =
+    (((HLL.fmix64(item + row * 0x9e3779b97f4a7c15L) >>> 1) % width)).toInt
+  implicit val cmsSemigroup: Semigroup[CMS] = new Semigroup[CMS] {
+    def plus(a: CMS, b: CMS): CMS = {
+      require(a.depth == b.depth && a.width == b.width,
+        s"CMS shape mismatch: ${a.depth}x${a.width} vs ${b.depth}x${b.width}")
+      val out = new Array[Long](a.counts.length)
+      var i = 0
+      while (i < out.length) { out(i) = a.counts(i) + b.counts(i); i += 1 }
+      CMS(a.depth, a.width, a.totalCount + b.totalCount, out)
+    }
+    override def isCommutative = true
+  }
+}
+
 /** Exponentially time-decayed sum as a Semigroup value (reference expresses
   * decayed counters via algebird `DecayedValue`; SURVEY §1.3). `halfLifeMs`
   * fixed per instance; merge rescales the older side to the newer timestamp.

@@ -15,8 +15,8 @@ import graft.time.{Batcher, BatchID}
   *
   * Closure-based `map`/`filter`/`flatMap` are kept for API parity (the
   * reference's scalar layer is arbitrary Scala closures, SURVEY §2.6); for
-  * columnar pipelines prefer the `where`/`selectExpr` passthroughs which stay
-  * in whole-stage codegen.
+  * columnar pipelines prefer the `where(Column)` passthrough (and plain
+  * DataFrames via `toDF`) which stay in whole-stage codegen.
   */
 final class GraftStream[T](val ds: Dataset[(Long, T)])(implicit enc: Encoder[T])
     extends Serializable {
@@ -54,6 +54,12 @@ final class GraftStream[T](val ds: Dataset[(Long, T)])(implicit enc: Encoder[T])
   def merge(other: GraftStream[T]): GraftStream[T] =
     new GraftStream(ds.union(other.ds))
   def ++(other: GraftStream[T]): GraftStream[T] = merge(other)
+
+  /** Columnar filter passthrough — stays fully inside Catalyst/codegen
+    * (unlike the closure `filter`). The event time is column `_1`, the
+    * value `_2` (fields of a product T as `_2.field`).
+    */
+  def where(cond: Column): GraftStream[T] = new GraftStream(ds.filter(cond))
 
   /** either: tagged union (Producer.scala:280-282). */
   def either[U: Encoder](other: GraftStream[U]): GraftStream[Either[T, U]] = {

@@ -92,6 +92,29 @@ class ApproxOpsSpec extends AnyFunSuite {
     assert(lshKept == exactKept)
   }
 
+  test("CMS frequency estimates: never under, within eps*N, merge == bulk") {
+    import graft.algebra.CMS
+    val rnd = new scala.util.Random(5)
+    // zipfian-ish: item i appears ~ 2000/(i+1) times
+    val items = (0 until 50).flatMap(i => Seq.fill(2000 / (i + 1))(i.toLong))
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sketches = items.map(CMS.ofLong(_))
+    val bulk = sketches.reduce(CMS.cmsSemigroup.plus)
+    // split-merge equals bulk (associativity over a random split)
+    val (l, r) = sketches.splitAt(rnd.nextInt(items.size - 1) + 1)
+    val split = CMS.cmsSemigroup.plus(
+      l.reduce(CMS.cmsSemigroup.plus), r.reduce(CMS.cmsSemigroup.plus))
+    assert(split.counts.toSeq == bulk.counts.toSeq && split.totalCount == bulk.totalCount)
+    val n = items.size
+    val eps = math.E / 512
+    truth.foreach { case (item, c) =>
+      val est = bulk.estimate(item)
+      assert(est >= c, s"under-estimate for $item")
+      assert(est <= c + (eps * n).ceil.toLong * 3, s"way over for $item: $est vs $c")
+    }
+    assert(bulk.estimate(999999L) <= (eps * n).ceil.toLong * 3)
+  }
+
   test("simhash banding is complete for hamming distance <= 3") {
     // pigeonhole, checked empirically: any pair of 64-bit signatures at
     // hamming <= 3 shares at least one untouched 16-bit band
