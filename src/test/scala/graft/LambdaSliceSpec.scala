@@ -98,6 +98,49 @@ class LambdaSliceSpec extends AnyFunSuite {
         s"get($w)")
   }
 
+  test("non-commutative semigroup through BatchStore.merge folds in batch order") {
+    val s = spark; import s.implicits._
+    implicit val listSg: Semigroup[List[Long]] = Semigroup.listSemigroup[Long]
+    // (ts, key, value-as-singleton-list); ts unique => total order
+    val evs = Seq.tabulate(60)(i => (i.toLong * 37 % 1000, i.toLong % 3, i.toLong))
+      .groupBy(e => (e._1, e._2)).values.map(_.head).toSeq
+    val deltas = GraftStream.from(evs.toDS())(_._1)
+      .asKeyedWith(_._2, (e: (Long, Long, Long)) => List(e._3))
+      .sumDeltasPerBatch(batcher)
+    val tmp = Files.createTempDirectory("graft_lambda_nc_").toString
+    val store = new BatchStore[Long, List[Long]](tmp)
+    store.merge(spark, deltas, BatchID(4)).collect()
+    val out = store.merge(spark, deltas, BatchID(9)).collect()
+    // after both merges the snapshot is the FULL time-ordered concatenation
+    val snap = store.readLast(spark).get._2.collect().toMap
+    val model = evs.groupBy(_._2).view.mapValues(_.toSeq.sortBy(_._1).map(_._3).toList).toMap
+    assert(snap == model)
+    // and every emitted prior is a prefix of the final value
+    out.foreach { case (k, _, (prior, _)) =>
+      prior.foreach(p => assert(model(k).startsWith(p), s"$k: $p not a prefix"))
+    }
+  }
+
+  test("non-commutative semigroup through StreamingSum folds micro-batch rows in event-time order") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val listSg: Semigroup[List[Long]] = Semigroup.listSemigroup[Long]
+    val ms = MemoryStream[(Long, Long, List[Long])]
+    val out = StreamingSum.sumByKey[Long, List[Long]](ms.toDS(), Batcher.unit)
+      .map { case (k, _, (p, d)) => (k, p.getOrElse(Nil).mkString(","), d.mkString(",")) }
+    val q = out.writeStream.format("memory").queryName("nc_stream_out")
+      .outputMode("append").start()
+    try {
+      // deliberately out of ts order within the micro-batch
+      ms.addData((30L, 1L, List(30L)), (10L, 1L, List(10L)), (20L, 1L, List(20L)))
+      q.processAllAvailable()
+      ms.addData((50L, 1L, List(50L)), (40L, 1L, List(40L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("nc_stream_out").as[(Long, String, String)].collect().toSet
+    assert(rows == Set((1L, "", "10,20,30"), (1L, "10,20,30", "40,50")))
+  }
+
   test("StreamingSum on MemoryStream: summed deltas == batch deltas, prior chain replays state, lambda merge == model") {
     val s = spark; import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

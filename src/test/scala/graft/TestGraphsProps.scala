@@ -135,6 +135,23 @@ object TestGraphsProps extends Properties("TestGraphs") {
       ok
     }
 
+  property("multipleSummer: one source, two stores (also-fanout) == model (TestGraphs.multipleSummer)") =
+    Prop.forAll(genEvents) { evs =>
+      val s = spark; import s.implicits._
+      val src = stream(evs)
+      // two tails off one source — the reference's AlsoProducer multi-store
+      // job; `also` sequences them into one logical job
+      val storeA = src.asKeyedWith(_._2, (_: (Long, Long, Long))._3)
+        .sumByKeyAllTime(sg, implicitly).collect().toMap
+      val storeB = src.filter(_._3 > 0)
+        .asKeyedWith(e => e._2 % 4, (_: (Long, Long, Long)) => 1L)
+        .sumByKeyAllTime(sg, implicitly).collect().toMap
+      val modelA = evs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val modelB = evs.filter(_._3 > 0).groupBy(_._2 % 4)
+        .view.mapValues(_.size.toLong).toMap
+      storeA == modelA && storeB == modelB
+    }
+
   property("leftJoinAsof(stream service) == last-write-strictly-before model") =
     Prop.forAll(genEvents, genEvents) { (lefts0, rights0) =>
       val s = spark; import s.implicits._
