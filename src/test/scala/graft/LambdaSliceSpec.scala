@@ -98,6 +98,47 @@ class LambdaSliceSpec extends AnyFunSuite {
         s"get($w)")
   }
 
+  test("the SAME GraftStream operator pipeline runs on a streaming Dataset (one API, two planners)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // identical logical pipeline, written once against GraftStream
+    def pipeline(src: GraftStream[(Long, String)]) =
+      src.flatMap(r => r._2.split(" ").iterator.filter(_.nonEmpty))
+        .filter(_ != "skip")
+        .asKeyedWith(identity[String], (_: String) => 1L)
+    val data = Seq((100L, "a b skip"), (250L, "b c"), (310L, "a a skip b"))
+
+    val batch = pipeline(GraftStream.from(data.toDS())(_._1))
+      .sumDeltasPerBatch(batcher)(Semigroup.longSemigroup)
+      .collect().map(r => ((r._1, r._2), r._3)).toMap
+
+    val ms = MemoryStream[(Long, String)]
+    val keyed = pipeline(new graft.api.GraftStream(
+      graft.streaming.StreamingIO.timed(ms.toDS())(_._1).map { case (t, r) => (t, r) }))
+    val out = graft.streaming.StreamingSum.sumByKey[String, Long](
+        keyed.ds, batcher)(Semigroup.longSemigroup, implicitly, implicitly)
+      .map { case (k, b, (_, d)) => (k, b, d) }
+    val q = out.writeStream.format("memory").queryName("same_api_out")
+      .outputMode("append").start()
+    try { ms.addData(data: _*); q.processAllAvailable() } finally q.stop()
+    val streaming = spark.table("same_api_out").as[(String, Long, Long)]
+      .collect().groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toMap
+    assert(streaming == batch)
+  }
+
+  test("uncommitted snapshot directories are invisible to readLast") {
+    val s = spark; import s.implicits._
+    val tmp = Files.createTempDirectory("graft_commitlog_").toString
+    val store = new BatchStore[String, Long](tmp)
+    val deltas = deltaDs
+    store.merge(spark, deltas, BatchID(4))(Semigroup.longSemigroup).collect()
+    // a crashed job that wrote data but never committed: bare parquet dir
+    Seq(("ghost", 999L)).toDF("key", "value")
+      .write.parquet(s"$tmp/batch_id=99")
+    assert(store.readLast(spark).get._1 == BatchID(4))
+    assert(!store.readLast(spark).get._2.collect().toMap.contains("ghost"))
+  }
+
   test("non-commutative semigroup through BatchStore.merge folds in batch order") {
     val s = spark; import s.implicits._
     implicit val listSg: Semigroup[List[Long]] = Semigroup.listSemigroup[Long]
