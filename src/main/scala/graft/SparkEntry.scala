@@ -522,8 +522,9 @@ object SparkEntry {
         TF.fingerprintMd5(col("text")).as("fp"))),
 
     "q_langid" -> ((s, dir) =>
+      // native Catalyst expression (codegen'd), not a UDF
       t(s, dir, "documents").select(col("doc_id"),
-        TF.langIdUdf(col("text")).as("lang_guess"))),
+        graft.functions.NativeExpressions.langId(col("text")).as("lang_guess"))),
 
     "q_multimodal" -> ((s, dir) => {
       // opaque-binary media pipeline: documents' utf-8 bytes play the media

@@ -216,7 +216,8 @@ object Dedup {
     */
   def simhash(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sig = df.select(col(idCol), TextFunctions.simhashUdf(col(textCol)).as("__sim"))
+    val sig = df.select(col(idCol),
+        graft.functions.NativeExpressions.simhash64(col(textCol)).as("__sim"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col(idCol), col("__sim"), posexplode(array(
       (0 until 4).map(b => shiftrightunsigned(col("__sim"), b * 16).bitwiseAND(lit(0xffffL))): _*
