@@ -1,0 +1,58 @@
+package graft.batch
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+
+import graft.algebra.Semigroup
+import graft.sources.TimePathedSource
+import graft.time.BatchID
+
+/** The incremental batch state machine — the rebuild of the reference's
+  * run loop (`Scalding.run(state, mode, plan)`, ScaldingPlatform.scala:
+  * 788-841 with HDFSState JobState.scala:23-40): each invocation
+  *
+  *  1. reads the store's commit log to find the last processed batch,
+  *  2. asks [[TimePathedSource]] what input batches actually exist and
+  *     shrinks the request to the maximal available prefix (availability
+  *     planning — "at least one batch" or nothing, mirroring
+  *     BatchedStore.scala:358-365),
+  *  3. runs the user's delta pipeline over ONLY those batch partitions,
+  *  4. merges into the store, committing one rolled-forward snapshot.
+  *
+  * Crash-safe by construction: deltas are recomputed from source (no
+  * intermediate state), the snapshot commit is the atomic state-file
+  * update, and an interrupted run leaves the previous snapshot authoritative.
+  */
+object BatchDriver {
+
+  /** Outcome of one driver invocation. */
+  sealed trait Result
+  case object NothingToDo extends Result
+  final case class Ran(from: BatchID, to: BatchID) extends Result
+
+  /** @param sourcePath  batch-partitioned input (batch_id=N dirs)
+    * @param store       target snapshot store
+    * @param upTo        inclusive upper bound of the request (e.g. "now")
+    * @param deltas      user pipeline: planned input batches -> per-(K,
+    *                    batch) Semigroup-summed deltas (typically
+    *                    `KeyedGraftStream.sumDeltasPerBatch`)
+    */
+  def runIncremental[K, V](
+      spark: SparkSession,
+      sourcePath: String,
+      store: BatchStore[K, V],
+      upTo: BatchID)(
+      deltas: org.apache.spark.sql.DataFrame => Dataset[(K, Long, V)])(
+      implicit sg: Semigroup[V], kEnc: Encoder[K], vEnc: Encoder[V]): Result = {
+    val firstNeeded = store.state.lastCommitted(upTo)
+      .map(_.next).getOrElse(
+        TimePathedSource.availableBatches(spark, sourcePath).headOption
+          .getOrElse(return NothingToDo))
+    if (firstNeeded > upTo) return NothingToDo
+    TimePathedSource.read(spark, sourcePath, (firstNeeded, upTo)) match {
+      case None => NothingToDo
+      case Some(((lo, hi), input)) =>
+        store.merge(spark, deltas(input), hi).count() // force + commit
+        Ran(lo, hi)
+    }
+  }
+}

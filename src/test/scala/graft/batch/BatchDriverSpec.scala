@@ -1,0 +1,72 @@
+package graft.batch
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.algebra.Semigroup
+import graft.time.BatchID
+
+/** The incremental run loop: plans only available batches, rolls the
+  * snapshot forward run by run, never reprocesses committed batches, and
+  * refuses to jump a gap.
+  */
+class BatchDriverSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private implicit val sg: Semigroup[Long] = Semigroup.longSemigroup
+
+  // source partition batch b: rows (key = "k" + (i % 3), weight 1) * (b + 1)
+  private def writeBatch(root: String, b: Long): Unit = {
+    val s = spark; import s.implicits._
+    (0 until (b.toInt + 1) * 3).map(i => (s"k${i % 3}", 1L))
+      .toDF("key", "w").write.parquet(s"$root/batch_id=$b")
+  }
+
+  private def pipeline(df: org.apache.spark.sql.DataFrame) = {
+    val s = spark; import s.implicits._
+    df.groupBy(col("key"), col("batch_id").cast("long"))
+      .agg(sum(col("w")).as("d"))
+      .select(col("key"), col("batch_id").cast("long"), col("d").cast("long"))
+      .as[(String, Long, Long)]
+  }
+
+  test("incremental runs: available prefix only, roll forward, gap stops the plan") {
+    val s = spark; import s.implicits._
+    val src = Files.createTempDirectory("graft_driver_src_").toString
+    val storeDir = Files.createTempDirectory("graft_driver_store_").toString
+    val store = new BatchStore[String, Long](storeDir)
+
+    // run 1: batches 0..1 exist, request through 5 -> runs 0..1
+    writeBatch(src, 0L); writeBatch(src, 1L)
+    assert(BatchDriver.runIncremental(spark, src, store, BatchID(5))(pipeline)
+      == BatchDriver.Ran(BatchID(0), BatchID(1)))
+    assert(store.state.lastCommitted(BatchID(99)).contains(BatchID(1)))
+    // snapshot = batches 0+1: key k0 gets 1 + 2 = 3 (per key)
+    assert(store.readLast(spark).get._2.collect().toMap
+      == Map("k0" -> 3L, "k1" -> 3L, "k2" -> 3L))
+
+    // run 2: batch 2 appears plus a gap then 4 -> runs ONLY 2
+    writeBatch(src, 2L); writeBatch(src, 4L)
+    assert(BatchDriver.runIncremental(spark, src, store, BatchID(5))(pipeline)
+      == BatchDriver.Ran(BatchID(2), BatchID(2)))
+    assert(store.readLast(spark).get._2.collect().toMap
+      == Map("k0" -> 6L, "k1" -> 6L, "k2" -> 6L))
+
+    // run 3: still a gap at 3 -> nothing to do, snapshot untouched
+    assert(BatchDriver.runIncremental(spark, src, store, BatchID(5))(pipeline)
+      == BatchDriver.NothingToDo)
+
+    // run 4: the gap fills -> 3..4 in one run; totals = batches 0..4
+    writeBatch(src, 3L)
+    assert(BatchDriver.runIncremental(spark, src, store, BatchID(5))(pipeline)
+      == BatchDriver.Ran(BatchID(3), BatchID(4)))
+    assert(store.readLast(spark).get._2.collect().toMap
+      == Map("k0" -> 15L, "k1" -> 15L, "k2" -> 15L))
+
+    // run 5: everything committed -> idempotent no-op
+    assert(BatchDriver.runIncremental(spark, src, store, BatchID(4))(pipeline)
+      == BatchDriver.NothingToDo)
+  }
+}
