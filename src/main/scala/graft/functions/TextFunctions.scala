@@ -179,4 +179,23 @@ object TextFunctions {
   }
   def shingleUdf(w: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((s: String) => shingleHashes(s, w))
+
+  /** Winnowing fingerprint (Schleimer-Wilkerson-Aiken, SIGMOD'03 — the
+    * MOSS document-fingerprint scheme): the distinct minima of every
+    * `window`-length sliding window over the shingle-hash SEQUENCE.
+    * Guarantees every match of length >= window + w - 1 tokens shares a
+    * fingerprint, while keeping ~2/(window+1) of the shingles. Fully
+    * columnar over a shingle-hash array column (see
+    * [[graft.operators.Dedup.shingleCol]] for the hash sequence).
+    */
+  def winnow(shingleSeq: Column, window: Int): Column = {
+    require(window > 0)
+    val n = size(shingleSeq)
+    array_distinct(
+      when(n > window,
+        transform(sequence(lit(1), n - lit(window - 1)),
+          i => array_min(slice(shingleSeq, i, lit(window)))))
+        .otherwise(when(n > 0, array(array_min(shingleSeq)))
+          .otherwise(array().cast("array<bigint>"))))
+  }
 }

@@ -58,14 +58,19 @@ object Dedup {
     * UDF). Docs shorter than w tokens contribute their full token run as one
     * shingle; empty docs an empty set.
     */
-  def shingleCol(text: Column, w: Int): Column = {
+  def shingleCol(text: Column, w: Int): Column =
+    array_distinct(shingleSeqCol(text, w))
+
+  /** Ordered (position-preserving, duplicate-keeping) w-shingle hash
+    * sequence — what winnowing ([[TextFunctions.winnow]]) consumes.
+    */
+  def shingleSeqCol(text: Column, w: Int): Column = {
     val toks = TextFunctions.tokens(lower(text))
     val windows = transform(sequence(lit(1), size(toks) - lit(w - 1)),
       i => xxhash64(concat_ws(" ", slice(toks, i, lit(w)))))
-    array_distinct(
-      when(size(toks) >= w, windows)
-        .when(size(toks) > 0, array(xxhash64(concat_ws(" ", toks))))
-        .otherwise(array().cast("array<bigint>")))
+    when(size(toks) >= w, windows)
+      .when(size(toks) > 0, array(xxhash64(concat_ws(" ", toks))))
+      .otherwise(array().cast("array<bigint>"))
   }
 
   /** (id, shingle-set) projection — the shared first stage of the minhash

@@ -143,6 +143,42 @@ class ApproxOpsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L, 4L))
   }
 
+  test("winnowing fingerprints: match a scala reference, guarantee shared matches, compress") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector.tabulate(60)(i => s"t$i")
+    val shared = Seq.fill(20)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = Seq(
+      (1L, Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ") + " " + shared),
+      (2L, shared + " " + Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")),
+      (3L, Seq.fill(50)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val w = 3; val window = 4
+    val out = docs.select(col("doc_id"),
+        Dedup.shingleSeqCol(col("text"), w).as("__seq"),
+        graft.functions.TextFunctions.winnow(
+          Dedup.shingleSeqCol(col("text"), w), window).as("__fp"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+    // scala reference: distinct minima of each sliding window
+    def ref(seq: Seq[Long]): Set[Long] =
+      if (seq.isEmpty) Set.empty
+      else if (seq.length <= window) Set(seq.min)
+      else seq.sliding(window).map(_.min).toSet
+    out.foreach { case (id, (seq, fp)) =>
+      assert(fp.toSet == ref(seq), s"doc $id")
+      assert(fp.distinct == fp)
+      // compression: far fewer fingerprints than shingles
+      if (seq.length > window) assert(fp.length < seq.length)
+    }
+    // the 20-token shared run guarantees a common fingerprint for docs 1,2
+    val common = out(1L)._2.toSet.intersect(out(2L)._2.toSet)
+    assert(common.nonEmpty)
+    // unrelated doc 3 shares nothing with the planted run's minima
+    assert(out(3L)._2.toSet.intersect(common).isEmpty)
+  }
+
   test("language id separates scripts and latin languages") {
     assert(TextFunctions.languageOf("the quick brown fox jumps over the lazy dog and the cat") == "en")
     assert(TextFunctions.languageOf("der schnelle braune fuchs springt über den faulen hund und die katze") == "de")
