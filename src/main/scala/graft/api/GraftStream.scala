@@ -149,6 +149,29 @@ object GraftStream {
       spark.read.parquet(path).select(col("ts_ms"), col("value"))
         .toDF("_1", "_2").as[(Long, T)])
   }
+
+  /** STREAMING replay of a batched sink — `readStream` over the sink
+    * directory (the reference's spout-from-files shape): existing batches
+    * replay first, newly landed files arrive as later micro-batches. File
+    * streaming sources need an explicit schema; it is derived from the
+    * value encoder (primitives wrote a scalar `value` column, products a
+    * struct).
+    */
+  def fromBatchedSinkStream[T: Encoder](spark: SparkSession, path: String): GraftStream[T] = {
+    import org.apache.spark.sql.types._
+    val enc = implicitly[Encoder[T]]
+    val valueType =
+      if (enc.schema.fields.length == 1 && enc.schema.fields(0).name == "value")
+        enc.schema.fields(0).dataType
+      else StructType(enc.schema.fields)
+    val schema = StructType(Seq(
+      StructField("ts_ms", LongType), StructField("value", valueType)))
+    implicit val pair: Encoder[(Long, T)] =
+      Encoders.tuple(Encoders.scalaLong, enc)
+    new GraftStream(
+      spark.readStream.schema(schema).parquet(path)
+        .select(col("ts_ms"), col("value")).toDF("_1", "_2").as[(Long, T)])
+  }
 }
 
 /** Sink abstraction (reference `Sink`, Platform.scala / BatchedSink.scala). */

@@ -34,4 +34,32 @@ class StreamingIOSpec extends AnyFunSuite {
     assert(rows.values.forall(_ == 1), s"duplicated delivery: $rows")
     assert(batchCounts.get() == 4L)
   }
+
+  test("a batched sink replays as a STREAM: existing batches first, new files follow") {
+    val s = spark; import s.implicits._
+    import graft.api.{GraftSink, GraftStream}
+    import graft.time.Batcher
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_stream_").toString
+    val batcher = Batcher.ofMillis(1000)
+    val sink = GraftSink.parquet[Long](dir, batcher)
+    def writeVals(vs: (Long, Long)*): Unit =
+      sink.write(vs.toSeq.toDS().map(identity))
+
+    writeVals((100L, 11L), (1200L, 22L))
+    val replay = GraftStream.fromBatchedSinkStream[Long](spark, dir)
+      .map(_ * 10).toDF
+    val q = replay.writeStream.format("memory").queryName("sink_replay")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("sink_replay").as[(Long, Long)].collect().toSet
+      assert(first == Set((100L, 110L), (1200L, 220L)))
+      // a late batch lands -> it arrives as a later micro-batch
+      writeVals((2500L, 33L))
+      q.processAllAvailable()
+      val all = spark.table("sink_replay").as[(Long, Long)].collect().toSet
+      assert(all == Set((100L, 110L), (1200L, 220L), (2500L, 330L)))
+    } finally q.stop()
+  }
 }
