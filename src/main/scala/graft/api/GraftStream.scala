@@ -159,15 +159,14 @@ object GraftStream {
     */
   def fromBatchedSinkStream[T: Encoder](spark: SparkSession, path: String): GraftStream[T] = {
     import org.apache.spark.sql.types._
-    val enc = implicitly[Encoder[T]]
-    val valueType =
-      if (enc.schema.fields.length == 1 && enc.schema.fields(0).name == "value")
-        enc.schema.fields(0).dataType
-      else StructType(enc.schema.fields)
+    implicit val pair: Encoder[(Long, T)] =
+      Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[T]])
+    // the sink wrote ds.toDF("ts_ms", "value") from Dataset[(Long, T)] —
+    // the tuple encoder's second field IS the value column's exact type
+    // (scalar for primitives, struct for products; no name-based guessing)
+    val valueType = pair.schema.fields(1).dataType
     val schema = StructType(Seq(
       StructField("ts_ms", LongType), StructField("value", valueType)))
-    implicit val pair: Encoder[(Long, T)] =
-      Encoders.tuple(Encoders.scalaLong, enc)
     new GraftStream(
       spark.readStream.schema(schema).parquet(path)
         .select(col("ts_ms"), col("value")).toDF("_1", "_2").as[(Long, T)])

@@ -71,12 +71,22 @@ object ClientStore {
       upTo: BatchID = BatchID(Long.MaxValue))(
       implicit sg: Semigroup[V], kEnc: Encoder[K], vEnc: Encoder[V]): Option[V] = {
     implicit val kvEnc: Encoder[(K, V)] = Encoders.tuple(kEnc, vEnc)
+    // COLUMN filter when the key type has a literal form (pushes to the
+    // parquet scan — only the key's row group is read); typed-closure
+    // fallback for exotic key types
+    import org.apache.spark.sql.functions.lit
+    val keyLit = scala.util.Try(lit(key)).toOption
+    // positional column refs: typed Datasets keep their source column names
+    def filterKey[R](ds: Dataset[R], byClosure: R => Boolean): Dataset[R] =
+      keyLit.fold(ds.filter(byClosure))(l => ds.where(ds(ds.columns(0)) === l))
     val (offBatch, snapshotK) = offline.readLast(spark, upTo) match {
-      case Some((b, snap)) => (b.id, snap.filter(_._1 == key))
+      case Some((b, snap)) => (b.id, filterKey[(K, V)](snap, _._1 == key))
       case None            => (Long.MinValue, spark.emptyDataset[(K, V)])
     }
-    val onlineK = onlineDeltas
-      .filter(r => r._1 == key && r._2 > offBatch && r._2 <= upTo.id)
+    val onlineFiltered = filterKey[(K, Long, V)](onlineDeltas, _._1 == key)
+    val batchCol = onlineFiltered(onlineFiltered.columns(1))
+    val onlineK = onlineFiltered
+      .where(batchCol > offBatch && batchCol <= upTo.id)
       .map(r => (r._1, r._3))
     mergeKV(snapshotK.union(onlineK)).collect().headOption.map(_._2)
   }

@@ -29,6 +29,14 @@ import graft.functions.{TextFunctions, VectorFunctions}
   * is dropped if any candidate duplicate with a smaller id verifies. (Single
   * LSH pass, no transitive closure — the standard large-scale choice; full
   * connected components would need an iterative join.)
+  *
+  * Cache lifecycle: the minhash/simhash/jaccard pipelines persist their
+  * signature/shingle intermediates (MEMORY_AND_DISK) because both sides of
+  * the candidate self-join read them; the persists live until the caller
+  * releases them (`spark.catalog.clearCache()` or application end). These
+  * operators are designed for run-to-completion batch jobs; long-lived
+  * services composing many dedup calls should clear the cache between
+  * pipelines.
   */
 object Dedup {
 
@@ -84,8 +92,11 @@ object Dedup {
     */
   def shingled(df: DataFrame, textCol: String, idCol: String, w: Int): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    // inputFiles is a metadata-only probe (no physical planning pass);
+    // empty (non-file plans) conservatively spreads — correct for the
+    // small derived inputs where that happens
     val spread =
-      if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+      if (df.inputFiles.length < parallelism) df.repartition(parallelism) else df
     spread.select(col(idCol), shingleCol(col(textCol), w).as("__sh"))
   }
 
