@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
 /** Temporal (as-of) left join as a composable DataFrame operator — the
@@ -37,39 +37,10 @@ object AsofJoin {
   def asofJoin(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, rightVals: Seq[String],
-      strict: Boolean = false): DataFrame = {
-
-    val leftCols = left.columns
-    require(rightVals.forall(right.columns.contains), s"missing rightVals in ${right.columns.mkString(",")}")
-
-    // left rows tag 1, right rows tag 0 for >= semantics (right at equal t
-    // visible); strict flips tags so rights at equal t sort after lefts.
-    val (lTag, rTag) = if (strict) (0, 1) else (1, 0)
-    val lside = left
-      .withColumn("__t", col(leftTime))
-      .withColumn("__tag", lit(lTag))
-      .withColumns(rightVals.map(v => s"__rv_$v" -> lit(null)).toMap)
-    val rside = right
-      .select((keys.map(col) :+ col(rightTime).as("__t")) ++ rightVals.map(v => col(v).as(s"__rv_$v")): _*)
-      .withColumn("__tag", lit(rTag))
-    // align schemas: right side lacks left-only columns
-    val lOnly = leftCols.filterNot(keys.contains)
-    val rAligned = rside.withColumns(lOnly.map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
-    val unioned = lside.select(
-      (leftCols.map(col) ++ Seq(col("__t"), col("__tag")) ++ rightVals.map(v => col(s"__rv_$v"))): _*)
-      .unionByName(rAligned.select(
-        (leftCols.map(col) ++ Seq(col("__t"), col("__tag")) ++ rightVals.map(v => col(s"__rv_$v"))): _*))
-
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(unioned) { (df, v) =>
-      df.withColumn(v, last(col(s"__rv_$v"), ignoreNulls = true).over(w))
+      strict: Boolean = false): DataFrame =
+    joinWith(left, right, keys, leftTime, rightTime, rightVals, strict) {
+      (w, v) => last(col(s"__rv_$v"), ignoreNulls = true).over(w)
     }
-    filled
-      .where(col("__tag") === lit(lTag))
-      .select((leftCols.map(col) ++ rightVals.map(col)): _*)
-  }
 
   /** As-of join where the right side is RUNNING-SUMMED up to t instead of
     * last-value — the reference's `LookupJoin.rightSumming` used when joining
@@ -81,29 +52,48 @@ object AsofJoin {
   def asofJoinSumming(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, rightVals: Seq[String],
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false): DataFrame =
+    joinWith(left, right, keys, leftTime, rightTime, rightVals, strict) {
+      (w, v) => sum(col(s"__rv_$v")).over(w)
+    }
+
+  /** Shared scaffold: tag the two sides, align schemas, union, apply one
+    * windowed fill expression per right value, keep only left rows.
+    */
+  private def joinWith(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightVals: Seq[String],
+      strict: Boolean)(fill: (WindowSpec, String) => Column): DataFrame = {
 
     val leftCols = left.columns
+    require(rightVals.forall(right.columns.contains),
+      s"missing rightVals in ${right.columns.mkString(",")}")
+
+    // left rows tag 1, right rows tag 0 for >= semantics (right at equal t
+    // visible); strict flips tags so rights at equal t sort after lefts.
     val (lTag, rTag) = if (strict) (0, 1) else (1, 0)
     val lside = left
       .withColumn("__t", col(leftTime))
       .withColumn("__tag", lit(lTag))
       .withColumns(rightVals.map(v => s"__rv_$v" -> lit(null)).toMap)
     val rside = right
-      .select((keys.map(col) :+ col(rightTime).as("__t")) ++ rightVals.map(v => col(v).as(s"__rv_$v")): _*)
+      .select((keys.map(col) :+ col(rightTime).as("__t")) ++
+        rightVals.map(v => col(v).as(s"__rv_$v")): _*)
       .withColumn("__tag", lit(rTag))
+    // align schemas: right side lacks left-only columns
     val lOnly = leftCols.filterNot(keys.contains)
-    val rAligned = rside.withColumns(lOnly.map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
-    val unioned = lside.select(
-      (leftCols.map(col) ++ Seq(col("__t"), col("__tag")) ++ rightVals.map(v => col(s"__rv_$v"))): _*)
-      .unionByName(rAligned.select(
-        (leftCols.map(col) ++ Seq(col("__t"), col("__tag")) ++ rightVals.map(v => col(s"__rv_$v"))): _*))
+    val rAligned = rside.withColumns(
+      lOnly.map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
+    val ordered =
+      leftCols.map(col) ++ Seq(col("__t"), col("__tag")) ++
+        rightVals.map(v => col(s"__rv_$v"))
+    val unioned = lside.select(ordered: _*).unionByName(rAligned.select(ordered: _*))
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightVals.foldLeft(unioned) { (df, v) =>
-      df.withColumn(v, sum(col(s"__rv_$v")).over(w))
+      df.withColumn(v, fill(w, v))
     }
     filled
       .where(col("__tag") === lit(lTag))
