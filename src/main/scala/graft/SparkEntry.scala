@@ -44,9 +44,13 @@ object SparkEntry {
       .select("event_id", "ts_ms", "user_id", "event_type", "value", "props").as[Ev]
   }
 
+  /** COLUMNAR source: the (ts, Ev) pair is a Catalyst projection, so
+    * `where()` predicates push down to the parquet scan (closure filters
+    * can't). `_1` is ts_ms, Ev fields are `_2.<field>`.
+    */
   private def eventStream(s: SparkSession, dir: String): GraftStream[Ev] = {
     import s.implicits._
-    GraftStream.from(eventsDs(s, dir))(_.ts_ms)
+    GraftStream.fromColumnar(eventsDs(s, dir), col("ts_ms"))
   }
 
   private def docsDs(s: SparkSession, dir: String): Dataset[Doc] = {
@@ -82,28 +86,29 @@ object SparkEntry {
     "q_map" -> ((s, dir) => {
       import s.implicits._
       eventStream(s, dir).map(e => (e.event_id, e.value * 2))
-        .ds.map(_._2).toDF("event_id", "doubled")
+        .valuesDF("event_id", "doubled")
     }),
 
-    "q_filter" -> ((s, dir) => {
-      import s.implicits._
-      eventStream(s, dir).filter(_.event_type == "click")
-        .ds.map(r => (r._2.event_id, r._2.user_id)).toDF("event_id", "user_id")
-    }),
+    // columnar filter: the predicate PUSHES DOWN to the parquet scan
+    // (PlanAuditSpec asserts PushedFilters); the closure `filter` twin is
+    // exercised by q_merge and TestGraphsProps
+    "q_filter" -> ((s, dir) =>
+      eventStream(s, dir).where(col("_2.event_type") === "click")
+        .ds.select(col("_2.event_id").as("event_id"), col("_2.user_id").as("user_id"))),
 
     "q_flatmap" -> ((s, dir) => {
       import s.implicits._
-      GraftStream.from(docsDs(s, dir))(_.doc_id)
+      GraftStream.fromColumnar(docsDs(s, dir), col("doc_id"))
         .flatMap(d => d.text.split("\\s+").iterator.filter(_.nonEmpty)
           .map(w => (d.doc_id, w)))
-        .ds.map(_._2).toDF("doc_id", "word")
+        .valuesDF("doc_id", "word")
     }),
 
     "q_collect" -> ((s, dir) => {
       import s.implicits._
       eventStream(s, dir)
         .collect { case e if e.event_type == "purchase" => (e.user_id, e.value) }
-        .ds.map(_._2).toDF("user_id", "value")
+        .valuesDF("user_id", "value")
     }),
 
     "q_optionmap" -> ((s, dir) => {
@@ -113,21 +118,23 @@ object SparkEntry {
           val digits = e.props.filter(_.isDigit)
           if (digits.nonEmpty) Some((e.event_id, digits.toLong)) else None
         })
-        .ds.map(_._2).toDF("event_id", "k")
+        .valuesDF("event_id", "k")
     }),
 
+    // closure-filter parity (q_filter covers the pushed-down columnar twin)
     "q_merge" -> ((s, dir) => {
-      import s.implicits._
       val clicks = eventStream(s, dir).filter(_.event_type == "click")
       val buys = eventStream(s, dir).filter(_.event_type == "purchase")
-      (clicks ++ buys).ds.map(r => (r._2.event_id, r._2.event_type))
-        .toDF("event_id", "event_type")
+      (clicks ++ buys).ds.select(col("_2.event_id").as("event_id"),
+        col("_2.event_type").as("event_type"))
     }),
 
     "q_either" -> ((s, dir) => {
       import s.implicits._
-      val l = eventStream(s, dir).filter(_.event_type == "signup").map(_.event_id)
-      val r = GraftStream.from(docsDs(s, dir))(_.doc_id).map(_.doc_id)
+      val l = eventStream(s, dir).where(col("_2.event_type") === "signup")
+        .selectValue[Long](col("_2.event_id"))
+      val r = GraftStream.fromColumnar(docsDs(s, dir), col("doc_id"))
+        .selectValue[Long](col("_2.doc_id"))
       l.either(r).ds.map {
         case (_, Left(id))  => ("L", id)
         case (_, Right(id)) => ("R", id)
@@ -144,9 +151,10 @@ object SparkEntry {
         .toDF("word", "cnt")
     }),
 
+    // closure mapKeys (the subject) over a columnar keyed source
     "q_mapkeys" -> ((s, dir) => {
       import s.implicits._
-      eventStream(s, dir).asKeyedWith(_.user_id, (_: Ev) => 1L)
+      eventStream(s, dir).asKeyedCols[Long, Long](col("_2.user_id"), lit(1L))
         .mapKeys(_ % 10)
         .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
         .toDF("bucket", "cnt")
@@ -154,67 +162,69 @@ object SparkEntry {
 
     "q_flatmapkeys" -> ((s, dir) => {
       import s.implicits._
-      eventStream(s, dir).asKeyedWith(_.user_id, (_: Ev) => 1L)
+      eventStream(s, dir).asKeyedCols[Long, Long](col("_2.user_id"), lit(1L))
         .flatMapKeys(k => Iterator(k, k + 1000L))
         .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
         .toDF("user_key", "cnt")
     }),
 
+    // columnar mapValues (selectValues); the closure twin is law-covered
     "q_mapvalues" -> ((s, dir) => {
       import s.implicits._
-      eventStream(s, dir).asKeyedWith(_.user_id, (e: Ev) => e.value)
-        .mapValues(_ => 1L)
+      eventStream(s, dir).asKeyedCols[Long, Double](col("_2.user_id"), col("_2.value"))
+        .selectValues[Long](lit(1L))
         .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
         .toDF("user_id", "cnt")
     }),
 
     "q_flatmapvalues" -> ((s, dir) => {
       import s.implicits._
-      eventStream(s, dir).asKeyedWith(_.user_id, (e: Ev) => e.event_type)
+      eventStream(s, dir).asKeyedCols[Long, String](col("_2.user_id"), col("_2.event_type"))
         .flatMapValues(v => Iterator(v, v))
-        .mapValues(_ => 1L)
+        .selectValues[Long](lit(1L))
         .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
         .toDF("user_id", "cnt")
     }),
 
+    // columnar filterKeys: where() on the key column — pushes to the scan
     "q_filterkeys" -> ((s, dir) => {
       import s.implicits._
-      eventStream(s, dir).asKeyedWith(_.user_id, (_: Ev) => 1L)
-        .filterKeys(_ < 50L)
+      eventStream(s, dir).asKeyedCols[Long, Long](col("_2.user_id"), lit(1L))
+        .where(col("_2") < 50L)
         .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
         .toDF("user_id", "cnt")
     }),
 
     "q_filtervalues" -> ((s, dir) => {
       import s.implicits._
-      eventStream(s, dir).asKeyedWith(_.user_id, (e: Ev) => e.value)
-        .filterValues(_ > 50.0)
-        .mapValues(_ => 1L)
+      eventStream(s, dir).asKeyedCols[Long, Double](col("_2.user_id"), col("_2.value"))
+        .where(col("_3") > 50.0)
+        .selectValues[Long](lit(1L))
         .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
         .toDF("user_id", "cnt")
     }),
 
     "q_keys" -> ((s, dir) => {
       import s.implicits._
-      eventStream(s, dir).asKeyedWith(_.event_type, (e: Ev) => e.event_id)
-        .keys.asKeyedWith(identity[String], (_: String) => 1L)
+      eventStream(s, dir).asKeyedCols[String, Long](col("_2.event_type"), col("_2.event_id"))
+        .keys.asKeyedCols[String, Long](col("_2"), lit(1L))
         .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
         .toDF("event_type", "cnt")
     }),
 
     "q_values" -> ((s, dir) => {
       import s.implicits._
-      eventStream(s, dir).asKeyedWith(_.event_type, (e: Ev) => e.user_id)
-        .values.asKeyedWith(identity[Long], (_: Long) => 1L)
+      eventStream(s, dir).asKeyedCols[String, Long](col("_2.event_type"), col("_2.user_id"))
+        .values.asKeyedCols[Long, Long](col("_2"), lit(1L))
         .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
         .toDF("user_id", "cnt")
     }),
 
     "q_swap" -> ((s, dir) => {
       import s.implicits._
-      eventStream(s, dir).asKeyedWith(_.event_type, (e: Ev) => e.user_id)
+      eventStream(s, dir).asKeyedCols[String, Long](col("_2.event_type"), col("_2.user_id"))
         .swap
-        .mapValues(_ => 1L)
+        .selectValues[Long](lit(1L))
         .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
         .toDF("user_id", "cnt")
     }),
@@ -224,18 +234,19 @@ object SparkEntry {
       import s.implicits._
       val service: Dataset[(Long, String)] =
         t(s, dir, "customer").select(col("c_custkey"), col("c_name")).as[(Long, String)]
-      eventStream(s, dir).asKeyedWith(_.user_id, (e: Ev) => e.event_id)
+      eventStream(s, dir).asKeyedCols[Long, Long](col("_2.user_id"), col("_2.event_id"))
         .leftJoinDs(service)
-        .ds.map(r => (r._3._1, r._2, r._3._2)).toDF("event_id", "user_id", "c_name")
+        .ds.select(col("_3._1").as("event_id"), col("_2").as("user_id"),
+          col("_3._2").as("c_name"))
     }),
 
     "q_lookup" -> ((s, dir) => {
       import s.implicits._
       val service: Dataset[(Long, String)] =
         t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")).as[(Long, String)]
-      eventStream(s, dir).map(_.user_id)
+      eventStream(s, dir).selectValue[Long](col("_2.user_id"))
         .lookup(service)
-        .ds.map(r => (r._2._1, r._2._2)).toDF("user_id", "segment")
+        .ds.select(col("_2._1").as("user_id"), col("_2._2").as("segment"))
     }),
 
     "q_asof_join" -> ((s, dir) => {
@@ -286,7 +297,8 @@ object SparkEntry {
       // event looks up the current count, then writes +1 back. Event-time
       // := event_id so the scan order is total and oracle-reproducible.
       import s.implicits._
-      val events = eventsDs(s, dir).map(e => (e.event_id, e.user_id, e.event_id))
+      val events = eventsDF(s, dir).select(col("event_id").as("_1"),
+        col("user_id").as("_2"), col("event_id").as("_3")).as[(Long, Long, Long)]
       LoopJoin.loopJoin[Long, Long, Long](events, None, (_, _) => Some(1L))(
           Semigroup.longSemigroup, implicitly, implicitly, implicitly)
         .map { case (_, user, (eid, prior)) => (eid, user, prior.getOrElse(0L)) }
@@ -332,10 +344,10 @@ object SparkEntry {
       // prior = all-time sum before this batch, delta = this batch's sum
       import s.implicits._
       val daily = Batcher.ofDays(1)
-      eventStream(s, dir).asKeyedWith(_.user_id, (_: Ev) => 1L)
+      eventStream(s, dir).asKeyedCols[Long, Long](col("_2.user_id"), lit(1L))
         .sumByKey(daily)(Semigroup.longSemigroup)
-        .map { case (k, b, (prior, delta)) => (k, b, prior, delta) }
-        .toDF("user_id", "batch_id", "prior", "delta")
+        .select(col("_1").as("user_id"), col("_2").as("batch_id"),
+          col("_3._1").as("prior"), col("_3._2").as("delta"))
     }),
 
     "q_client_merge" -> ((s, dir) => {
@@ -343,11 +355,11 @@ object SparkEntry {
       // semigroup-merged with online deltas (second half)
       import s.implicits._
       val cut = 1705276800000L // 2024-01-15T00:00:00Z
-      val offline = eventStream(s, dir).filter(_.ts_ms < cut)
-        .asKeyedWith(_.user_id, (_: Ev) => 1L)
+      val offline = eventStream(s, dir).where(col("_1") < cut)
+        .asKeyedCols[Long, Long](col("_2.user_id"), lit(1L))
         .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
-      val online = eventStream(s, dir).filter(_.ts_ms >= cut)
-        .asKeyedWith(_.user_id, (_: Ev) => 1L)
+      val online = eventStream(s, dir).where(col("_1") >= cut)
+        .asKeyedCols[Long, Long](col("_2.user_id"), lit(1L))
         .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
       graft.client.ClientStore.mergeKV(offline.union(online))(
         Semigroup.longSemigroup, implicitly, implicitly)
@@ -365,7 +377,7 @@ object SparkEntry {
       import s.implicits._
       val daily = Batcher.ofDays(1)
       val cutBatch = 19736L // day before 2024-01-15
-      val deltas = eventStream(s, dir).asKeyedWith(_.user_id, (_: Ev) => 1L)
+      val deltas = eventStream(s, dir).asKeyedCols[Long, Long](col("_2.user_id"), lit(1L))
         .sumDeltasPerBatch(daily)(Semigroup.longSemigroup)
         .persist()
       val tmp = java.nio.file.Files.createTempDirectory("graft_store_").toString
@@ -376,8 +388,8 @@ object SparkEntry {
       // driver-side max() job
       val out2 = store.merge(s, deltas, BatchID(19800L))(Semigroup.longSemigroup)
       out1.union(out2)
-        .map { case (k, b, (prior, delta)) => (k, b, prior, delta) }
-        .toDF("user_id", "batch_id", "prior", "delta")
+        .select(col("_1").as("user_id"), col("_2").as("batch_id"),
+          col("_3._1").as("prior"), col("_3._2").as("delta"))
     }),
 
     "q_lambda_merged" -> ((s, dir) => {
@@ -388,7 +400,7 @@ object SparkEntry {
       import s.implicits._
       val daily = Batcher.ofDays(1)
       val cutBatch = 19736L
-      val deltas = eventStream(s, dir).asKeyedWith(_.user_id, (_: Ev) => 1L)
+      val deltas = eventStream(s, dir).asKeyedCols[Long, Long](col("_2.user_id"), lit(1L))
         .sumDeltasPerBatch(daily)(Semigroup.longSemigroup)
         .persist()
       val tmp = java.nio.file.Files.createTempDirectory("graft_store_").toString
@@ -403,10 +415,10 @@ object SparkEntry {
       // latest event per user via a max-(ts,event_id) semigroup value
       import s.implicits._
       eventStream(s, dir)
-        .asKeyedWith(_.user_id, (e: Ev) => (e.ts_ms, e.event_id))
+        .asKeyedCols[Long, (Long, Long)](col("_2.user_id"),
+          struct(col("_2.ts_ms").as("_1"), col("_2.event_id").as("_2")))
         .sumByKeyAllTime(Semigroup.maxSemigroup[(Long, Long)], implicitly)
-        .map { case (u, (_, eid)) => (u, eid) }
-        .toDF("user_id", "last_event")
+        .select(col("_1").as("user_id"), col("_2._2").as("last_event"))
     }),
 
     "q_topk" -> ((s, dir) => {

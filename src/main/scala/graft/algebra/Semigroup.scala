@@ -18,6 +18,14 @@ trait Semigroup[V] extends Serializable {
     val it = items.iterator
     if (!it.hasNext) None else Some(it.reduce(plus))
   }
+  /** Catalyst aggregate expression equivalent to folding `plus` over a group,
+    * when one exists (e.g. `sum` for the numeric semigroups). A planner fast
+    * path: `sumByKey` uses it to stay in whole-stage-codegen hash aggregation
+    * instead of the typed `reduceGroups` path — at scale that is the
+    * difference between a columnar partial agg and per-row deserialization.
+    * Only sound for commutative instances (Spark aggregates in any order).
+    */
+  def columnForm: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None
 }
 
 /** Semigroup with identity. */
@@ -38,14 +46,18 @@ object Semigroup {
   implicit val longSemigroup: Monoid[Long] = new Monoid[Long] {
     def zero = 0L; def plus(a: Long, b: Long) = a + b
     override def isCommutative = true
+    override def columnForm = Some(c => org.apache.spark.sql.functions.sum(c))
   }
   implicit val intSemigroup: Monoid[Int] = new Monoid[Int] {
     def zero = 0; def plus(a: Int, b: Int) = a + b
     override def isCommutative = true
+    // Spark widens sum(int) to long; cast back to keep the value type stable
+    override def columnForm = Some(c => org.apache.spark.sql.functions.sum(c).cast("int"))
   }
   implicit val doubleSemigroup: Monoid[Double] = new Monoid[Double] {
     def zero = 0.0; def plus(a: Double, b: Double) = a + b
     override def isCommutative = true
+    override def columnForm = Some(c => org.apache.spark.sql.functions.sum(c))
   }
   implicit def setSemigroup[T]: Monoid[Set[T]] = new Monoid[Set[T]] {
     def zero = Set.empty[T]; def plus(a: Set[T], b: Set[T]) = a ++ b

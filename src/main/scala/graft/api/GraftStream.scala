@@ -57,9 +57,43 @@ final class GraftStream[T](val ds: Dataset[(Long, T)])(implicit enc: Encoder[T])
 
   /** Columnar filter passthrough — stays fully inside Catalyst/codegen
     * (unlike the closure `filter`). The event time is column `_1`, the
-    * value `_2` (fields of a product T as `_2.field`).
+    * value `_2` (fields of a product T as `_2.field`). On a
+    * [[GraftStream.fromColumnar]] source, Catalyst collapses the
+    * struct-field access and PUSHES the predicate to the scan.
     */
   def where(cond: Column): GraftStream[T] = new GraftStream(ds.filter(cond))
+
+  /** Columnar map: replace the value with a Column expression (fields of a
+    * product T are `_2.field`). The codegen'd twin of the closure `map` —
+    * no deserialization, pruning/pushdown survive.
+    */
+  def selectValue[U: Encoder](valueCol: Column): GraftStream[U] = {
+    implicit val out: Encoder[(Long, U)] =
+      Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[U]])
+    new GraftStream(ds.select(col("_1"), valueCol.as("_2")).as[(Long, U)])
+  }
+
+  /** Columnar projection of the value side to a DataFrame: a product value's
+    * struct is flattened back to real columns (pruning reaches the scan), a
+    * scalar value becomes one column. `names` optionally renames positionally.
+    */
+  def valuesDF(names: String*): org.apache.spark.sql.DataFrame = {
+    val flat =
+      if (GraftStream.isProductEncoder(enc)) ds.select(col("_2.*"))
+      else ds.select(col("_2"))
+    if (names.isEmpty) flat else flat.toDF(names: _*)
+  }
+
+  /** Columnar upgrade to the keyed family: key and value given as Column
+    * expressions over (`_1` = ts, `_2` = value) — the codegen'd twin of
+    * [[asKeyedWith]].
+    */
+  def asKeyedCols[K: Encoder, V: Encoder](keyCol: Column, valueCol: Column): KeyedGraftStream[K, V] = {
+    implicit val triple: Encoder[(Long, K, V)] =
+      Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[K]], implicitly[Encoder[V]])
+    new KeyedGraftStream(
+      ds.select(col("_1"), keyCol.as("_2"), valueCol.as("_3")).as[(Long, K, V)])
+  }
 
   /** either: tagged union (Producer.scala:280-282). */
   def either[U: Encoder](other: GraftStream[U]): GraftStream[Either[T, U]] = {
@@ -88,26 +122,32 @@ final class GraftStream[T](val ds: Dataset[(Long, T)])(implicit enc: Encoder[T])
   def also[U](result: GraftStream[U]): GraftStream[U] = result
 
   /** lookup: enrich the whole element by a keyed service
-    * (Producer.scala:252-253): `T => (T, Option[V])`. Broadcast-friendly left
-    * equi-join (Catalyst picks broadcast when the service is small).
+    * (Producer.scala:252-253): `T => (T, Option[V])`. A fully COLUMNAR left
+    * equi-join: no closure touches the rows, so Catalyst broadcasts small
+    * services, prunes columns, and keeps whole-stage codegen. A missing
+    * match surfaces as a null field, which the Option encoder reads as None.
     */
   def lookup[V](service: Dataset[(T, V)])(
       implicit tvEnc: Encoder[(T, Option[V])]): GraftStream[(T, Option[V])] = {
     implicit val out: Encoder[(Long, (T, Option[V]))] =
       Encoders.tuple(Encoders.scalaLong, tvEnc)
-    // positional refs: a Dataset[(A,B)] built via .as[...] keeps source names
-    val joined = ds.joinWith(service,
-      ds(ds.columns(1)) === service(service.columns(0)), "left_outer")
-    new GraftStream(joined.map { case ((t, k), sv) => (t, (k, Option(sv).map(_._2))) })
+    val svc = service.toDF("__svc_k", "__svc_v")
+    val joined = ds.toDF("_1", "_2")
+      .join(svc, col("_2") === col("__svc_k"), "left_outer")
+      .select(col("_1"),
+        struct(col("_2").as("_1"), col("__svc_v").as("_2")).as("_2"))
+    new GraftStream(joined.as[(Long, (T, Option[V]))])
   }
 
   /** Upgrade to the keyed operator family — the reference's implicit
-    * `Producer[(K,V)] => KeyedProducer` (Producer.scala:60-68).
+    * `Producer[(K,V)] => KeyedProducer` (Producer.scala:60-68). T is a pair,
+    * so its struct fields are `_1`/`_2` — a pure columnar projection.
     */
   def asKeyed[K, V](implicit ev: T <:< (K, V), kEnc: Encoder[K], vEnc: Encoder[V]): KeyedGraftStream[K, V] = {
     implicit val triple: Encoder[(Long, K, V)] =
       Encoders.tuple(Encoders.scalaLong, kEnc, vEnc)
-    new KeyedGraftStream(ds.map { case (t, x) => val (k, v) = ev(x); (t, k, v) })
+    new KeyedGraftStream(
+      ds.select(col("_1"), col("_2._1").as("_2"), col("_2._2").as("_3")).as[(Long, K, V)])
   }
 
   def asKeyedWith[K, V](kf: T => K, vf: T => V)(
@@ -128,6 +168,26 @@ object GraftStream {
     implicit val pair: Encoder[(Long, T)] =
       Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[T]])
     new GraftStream(ds.map(t => (timeOf(t), t)))
+  }
+
+  private[api] def isProductEncoder(enc: Encoder[_]): Boolean =
+    classOf[Product].isAssignableFrom(enc.clsTag.runtimeClass)
+
+  /** COLUMNAR source — the scale-path twin of [[from]]: the (ts, value) pair
+    * is built as a Catalyst projection (the event time as a Column, the value
+    * as a struct of the dataset's columns) instead of a closure `map`.
+    * Filters applied via `where(col("_2.field") ...)` collapse through the
+    * struct and PUSH DOWN to the scan — with the closure form every row is
+    * decoded before the first predicate runs, which at 100 TB means reading
+    * row groups a pushed filter would skip.
+    */
+  def fromColumnar[T](ds: Dataset[T], tsCol: Column)(implicit enc: Encoder[T]): GraftStream[T] = {
+    implicit val pair: Encoder[(Long, T)] =
+      Encoders.tuple(Encoders.scalaLong, enc)
+    val valueCol =
+      if (isProductEncoder(enc)) struct(ds.columns.map(col): _*)
+      else col(ds.columns.head)
+    new GraftStream(ds.select(tsCol.cast("long").as("_1"), valueCol.as("_2")).as[(Long, T)])
   }
 
   /** Source from a DataFrame with an event-time column (TimestampType),

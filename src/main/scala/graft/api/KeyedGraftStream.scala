@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{Column, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 
 import graft.algebra.Semigroup
@@ -20,18 +20,46 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)])(
   private def triple[A: Encoder, B: Encoder]: Encoder[(Long, A, B)] =
     Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[A]], implicitly[Encoder[B]])
 
-  /** keys / values / swap projections (Producer.scala:382,425,428). */
+  /** keys / values / swap projections (Producer.scala:382,425,428) — pure
+    * COLUMNAR projections (no closure): pruning and pushdown survive them.
+    */
   def keys: GraftStream[K] = {
     implicit val e: Encoder[(Long, K)] = Encoders.tuple(Encoders.scalaLong, kEnc)
-    new GraftStream(ds.map(r => (r._1, r._2)))
+    new GraftStream(ds.select(col("_1"), col("_2")).as[(Long, K)])
   }
   def values: GraftStream[V] = {
     implicit val e: Encoder[(Long, V)] = Encoders.tuple(Encoders.scalaLong, vEnc)
-    new GraftStream(ds.map(r => (r._1, r._3)))
+    new GraftStream(ds.select(col("_1"), col("_3").as("_2")).as[(Long, V)])
   }
   def swap: KeyedGraftStream[V, K] = {
     implicit val e: Encoder[(Long, V, K)] = triple[V, K](vEnc, kEnc)
-    new KeyedGraftStream(ds.map(r => (r._1, r._3, r._2)))
+    new KeyedGraftStream(ds.select(col("_1"), col("_3").as("_2"), col("_2").as("_3")).as[(Long, V, K)])
+  }
+
+  /** Columnar filter over (`_1` = ts, `_2` = key, `_3` = value) — the
+    * codegen'd twin of filterKeys/filterValues; pushes to the scan on a
+    * columnar source.
+    */
+  def where(cond: Column): KeyedGraftStream[K, V] =
+    new KeyedGraftStream(ds.filter(cond))
+
+  /** Columnar re-key / re-value — the codegen'd twins of mapKeys/mapValues. */
+  def selectKeys[K2: Encoder](keyCol: Column): KeyedGraftStream[K2, V] = {
+    implicit val e: Encoder[(Long, K2, V)] = triple[K2, V]
+    new KeyedGraftStream(ds.select(col("_1"), keyCol.as("_2"), col("_3")).as[(Long, K2, V)])
+  }
+  def selectValues[V2: Encoder](valueCol: Column): KeyedGraftStream[K, V2] = {
+    implicit val e: Encoder[(Long, K, V2)] = triple[K, V2]
+    new KeyedGraftStream(ds.select(col("_1"), col("_2"), valueCol.as("_3")).as[(Long, K, V2)])
+  }
+
+  /** Columnar flatMapKeys: `keysCol` is an ARRAY Column; each element becomes
+    * a key paired with the row's value (explode — stays in codegen).
+    */
+  def explodeKeys[K2: Encoder](keysCol: Column): KeyedGraftStream[K2, V] = {
+    implicit val e: Encoder[(Long, K2, V)] = triple[K2, V]
+    new KeyedGraftStream(
+      ds.select(col("_1"), explode(keysCol).as("_2"), col("_3")).as[(Long, K2, V)])
   }
 
   /** mapKeys / flatMapKeys re-key the stream (Producer.scala:374-375,405-406
@@ -75,24 +103,29 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)])(
 
   def toStream(implicit kvEnc: Encoder[(K, V)]): GraftStream[(K, V)] = {
     implicit val e: Encoder[(Long, (K, V))] = Encoders.tuple(Encoders.scalaLong, kvEnc)
-    new GraftStream(ds.map(r => (r._1, (r._2, r._3))))
+    new GraftStream(
+      ds.select(col("_1"), struct(col("_2").as("_1"), col("_3").as("_2")).as("_2"))
+        .as[(Long, (K, V))])
   }
 
   /** leftJoin against a static service (Producer.scala:388-389 →
-    * LeftJoinedProducer): `(K, V) => (K, (V, Option[J]))`. Equi left join;
-    * Catalyst broadcasts small services automatically (the reference's online
-    * multiGet lookup, FlatMapOperation.scala:113-137, becomes a join).
+    * LeftJoinedProducer): `(K, V) => (K, (V, Option[J]))`. A fully COLUMNAR
+    * left equi-join — no closure touches the rows, so Catalyst broadcasts
+    * small services, prunes columns, and keeps whole-stage codegen (the
+    * reference's online multiGet lookup, FlatMapOperation.scala:113-137,
+    * becomes a join). A missing match is a null field, which the Option
+    * encoder reads back as None.
     */
   def leftJoinDs[J](service: Dataset[(K, J)])(
       implicit vjEnc: Encoder[(V, Option[J])]): KeyedGraftStream[K, (V, Option[J])] = {
     implicit val out: Encoder[(Long, K, (V, Option[J]))] =
       Encoders.tuple(Encoders.scalaLong, kEnc, vjEnc)
-    // positional refs: a Dataset[(A,B)] built via .as[...] keeps source names
-    val joined = ds.joinWith(service,
-      ds(ds.columns(1)) === service(service.columns(0)), "left_outer")
-    new KeyedGraftStream(joined.map { case ((t, k, v), sv) =>
-      (t, k, (v, Option(sv).map(_._2)))
-    })
+    val svc = service.toDF("__svc_k", "__svc_v")
+    val joined = ds.toDF("_1", "_2", "_3")
+      .join(svc, col("_2") === col("__svc_k"), "left_outer")
+      .select(col("_1"), col("_2"),
+        struct(col("_3").as("_1"), col("__svc_v").as("_2")).as("_3"))
+    new KeyedGraftStream(joined.as[(Long, K, (V, Option[J]))])
   }
 
   /** Temporal (as-of) leftJoin against a change-stream service: each left
@@ -161,12 +194,21 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)])(
   def sumDeltasPerBatch(batcher: Batcher)(implicit sg: Semigroup[V]): Dataset[(K, Long, V)] = {
     implicit val outEnc: Encoder[(K, Long, V)] =
       Encoders.tuple(kEnc, Encoders.scalaLong, vEnc)
-    if (sg.isCommutative) {
-      implicit val kbEnc: Encoder[(K, Long)] = Encoders.tuple(kEnc, Encoders.scalaLong)
-      ds.groupByKey(r => (r._2, batcher.batchOf(Timestamp(r._1)).id))
-        .mapValues(_._3)(vEnc)
-        .reduceGroups((a: V, b: V) => sg.plus(a, b))
-        .map { case ((k, b), v) => (k, b, v) }
+    if (sg.isCommutative) sg.columnForm match {
+      case Some(aggFn) =>
+        // fast path: the semigroup has a native Catalyst aggregate — one
+        // codegen'd hash aggregation (partial + final), fully columnar
+        ds.toDF("_ts", "_k", "_v")
+          .groupBy(col("_k"), batcher.batchIdColumn(col("_ts")).as("_b"))
+          .agg(aggFn(col("_v")).as("_s"))
+          .select(col("_k").as("_1"), col("_b").as("_2"), col("_s").as("_3"))
+          .as[(K, Long, V)]
+      case None =>
+        implicit val kbEnc: Encoder[(K, Long)] = Encoders.tuple(kEnc, Encoders.scalaLong)
+        ds.groupByKey(r => (r._2, batcher.batchOf(Timestamp(r._1)).id))
+          .mapValues(_._3)(vEnc)
+          .reduceGroups((a: V, b: V) => sg.plus(a, b))
+          .map { case ((k, b), v) => (k, b, v) }
     } else {
       // non-commutative: fold strictly in event-time order within (K, batch)
       implicit val kbEnc2: Encoder[(K, Long)] = Encoders.tuple(kEnc, Encoders.scalaLong)
@@ -182,8 +224,24 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)])(
   }
 
   /** All-time sumByKey with Batcher.unit — convenience matching the common
-    * streaming-job shape.
+    * streaming-job shape. The final projection is columnar (no closure).
     */
   def sumByKeyAllTime(implicit sg: Semigroup[V], kvEnc: Encoder[(K, V)]): Dataset[(K, V)] =
-    sumDeltasPerBatch(Batcher.unit).map(r => (r._1, r._3))(kvEnc)
+    sumDeltasPerBatch(Batcher.unit)
+      .select(col("_1"), col("_3").as("_2")).as[(K, V)](kvEnc)
+
+  /** Columnar aggregation escape hatch: sum the value column with an
+    * arbitrary Catalyst AGGREGATE expression (e.g. a native sketch aggregate
+    * from [[graft.functions.SketchAggregates]]) — for aggregations whose
+    * semigroup form would allocate per event. One codegen'd hash agg; the
+    * aggregate's own buffer semantics stand in for `plus`.
+    */
+  def sumByKeyAgg[V2: Encoder](aggFn: Column => Column): Dataset[(K, V2)] = {
+    implicit val out: Encoder[(K, V2)] = Encoders.tuple(kEnc, implicitly[Encoder[V2]])
+    ds.toDF("_ts", "_k", "_v")
+      .groupBy(col("_k"))
+      .agg(aggFn(col("_v")).as("_s"))
+      .select(col("_k").as("_1"), col("_s").as("_2"))
+      .as[(K, V2)]
+  }
 }

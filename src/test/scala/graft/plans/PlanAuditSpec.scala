@@ -62,6 +62,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("GraftStream columnar source: q_filter predicate pushes to the parquet scan") {
+    // the round-4 verdict's top item: with the closure source every filter
+    // ran post-deserialization; the columnar source must push it down
+    val p = plan(graft.SparkEntry.queries("q_filter")(spark, dir))
+    assert(p.contains("EqualTo(event_type,click)"), p)
+    assert(p.contains("PushedFilters"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props"), s"scan reads pruned column: $readSchema")
+  }
+
+  test("columnar keyed pipeline plans with zero object deserialization (q_mapvalues)") {
+    val p = plan(graft.SparkEntry.queries("q_mapvalues")(spark, dir))
+    assert(!p.contains("DeserializeToObject"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("columnar filterKeys predicate pushes to the scan (q_filterkeys)") {
+    val p = plan(graft.SparkEntry.queries("q_filterkeys")(spark, dir))
+    assert(p.contains("LessThan(user_id,50)"), p)
+  }
+
+  test("columnar lookup join is closure-free and broadcasts the service (q_lookup)") {
+    val p = plan(graft.SparkEntry.queries("q_lookup")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("DeserializeToObject"), p)
+  }
+
   test("whole-stage codegen covers the scalar text operators") {
     // charCount/alphaRatio are plain expressions -> codegen'd ("*(n)" stage
     // markers); higher-order array functions run as expressions outside
