@@ -449,15 +449,35 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"))),
 
     "q_hll" -> ((s, dir) => {
-      // HLL sketch as a semigroup VALUE (merge-able store content) — the
-      // estimate is deterministic but engine-specific: rows-only oracle
+      // HLL via the native TypedImperativeAggregate (one mutable register
+      // set per key per partition — no per-event allocation); identical
+      // registers to the HLL semigroup VALUE form (SketchAggregatesSpec
+      // asserts equality). Estimate is engine-specific: rows-only oracle.
       import s.implicits._
-      import graft.algebra.HLL
+      import graft.functions.{SketchAggregates => SK}
       eventStream(s, dir)
-        .asKeyedWith(_.event_type, (e: Ev) => HLL.ofLong(e.user_id))
-        .sumByKeyAllTime(HLL.hllSemigroup, implicitly)
-        .map { case (et, hll) => (et, hll.estimate) }
+        .asKeyedCols[String, Long](col("_2.event_type"), col("_2.user_id"))
+        .sumByKeyAgg[Long](c => SK.hllCountDistinct(c))
         .toDF("event_type", "approx_users")
+    }),
+
+    "q_cms" -> ((s, dir) => {
+      // Count-min sketch aggregate: per event_type, sketch the user_id
+      // stream, then check the DETERMINISTIC CMS invariant per user —
+      // a point estimate can never under-count (estimate >= exact count,
+      // by construction, independent of data). The eps*N over-count bound
+      // is probabilistic and lives in SketchAggregatesSpec instead.
+      import s.implicits._
+      import graft.functions.{SketchAggregates => SK}
+      val sketches = eventStream(s, dir)
+        .asKeyedCols[String, Long](col("_2.event_type"), col("_2.user_id"))
+        .sumByKeyAgg[Array[Byte]](c => SK.cmsSketch(c, depth = 5, width = 8192))
+        .toDF("event_type", "__sk")
+      val exact = eventsDF(s, dir)
+        .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("__cnt"))
+      exact.join(sketches, Seq("event_type"))
+        .select(col("event_type"), col("user_id"),
+          (SK.cmsEstimate(col("__sk"), col("user_id")) >= col("__cnt")).as("cnt_ok"))
     }),
 
     // -- dedup family ----------------------------------------------------
@@ -756,6 +776,10 @@ object SparkEntry {
 
     "q_count_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+
+    "q_cms" ->
+      """SELECT event_type, user_id, TRUE AS cnt_ok
+        |FROM events GROUP BY event_type, user_id""".stripMargin,
 
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",

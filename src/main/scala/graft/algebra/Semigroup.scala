@@ -156,6 +156,12 @@ final case class HLL(p: Int, registers: Array[Byte]) {
 }
 object HLL {
   def empty(p: Int = 12): HLL = HLL(p, new Array[Byte](1 << p))
+  /** Estimate straight from a register array (p is implied by its length) —
+    * shared by the HLL value type and the native
+    * [[graft.functions.SketchAggregates]] aggregate (also its codegen target).
+    */
+  def estimateOf(registers: Array[Byte]): Long =
+    HLL(java.lang.Integer.numberOfTrailingZeros(registers.length), registers).estimate
   def ofLong(x: Long, p: Int = 12): HLL = {
     val h = fmix64(x)
     val idx = (h >>> (64 - p)).toInt
@@ -211,8 +217,46 @@ object CMS {
     while (r < depth) { counts(r * width + bucket(item, r, width)) = count; r += 1 }
     CMS(depth, width, count, counts)
   }
-  private[algebra] def bucket(item: Long, row: Int, width: Int): Int =
+  def bucket(item: Long, row: Int, width: Int): Int =
     (((HLL.fmix64(item + row * 0x9e3779b97f4a7c15L) >>> 1) % width)).toInt
+
+  // ---- packed wire form (int depth, int width, longs: counts ++ total) ----
+  // shared by the native SketchAggregates.cmsSketch aggregate and its
+  // cmsEstimate scalar expression (codegen calls these static forwarders)
+
+  def pack(depth: Int, width: Int, counts: Array[Long], total: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + counts.length * 8 + 8)
+    bb.putInt(depth).putInt(width)
+    var i = 0
+    while (i < counts.length) { bb.putLong(counts(i)); i += 1 }
+    bb.putLong(total)
+    bb.array()
+  }
+
+  def unpack(bytes: Array[Byte]): CMS = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val depth = bb.getInt; val width = bb.getInt
+    val counts = new Array[Long](depth * width)
+    var i = 0
+    while (i < counts.length) { counts(i) = bb.getLong; i += 1 }
+    CMS(depth, width, bb.getLong, counts)
+  }
+
+  def estimateOfPacked(bytes: Array[Byte], item: Long): Long = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val depth = bb.getInt; val width = bb.getInt
+    var best = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val c = bb.getLong(8 + (r * width + bucket(item, r, width)) * 8)
+      if (c < best) best = c
+      r += 1
+    }
+    if (best == Long.MaxValue) 0L else best
+  }
+
+  def totalOfPacked(bytes: Array[Byte]): Long =
+    java.nio.ByteBuffer.wrap(bytes).getLong(bytes.length - 8)
   implicit val cmsSemigroup: Semigroup[CMS] = new Semigroup[CMS] {
     def plus(a: CMS, b: CMS): CMS = {
       require(a.depth == b.depth && a.width == b.width,

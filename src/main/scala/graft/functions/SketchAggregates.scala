@@ -1,0 +1,217 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+
+import graft.algebra.{CMS, HLL}
+
+/** Native sketch AGGREGATES (SURVEY §7.3) — the allocation-free twins of the
+  * [[graft.algebra.HLL]]/[[graft.algebra.CMS]] semigroup value types.
+  *
+  * The semigroup forms build a fresh register array PER EVENT (`HLL.ofLong`
+  * allocates 4 KB a row) because a Semigroup can only combine values; that is
+  * the right shape for store CONTENT (mergeable snapshots) but GC death in a
+  * hot aggregation at scale. These `TypedImperativeAggregate`s keep ONE
+  * mutable register set per grouping key per partition and fold rows into it
+  * in place — Spark's partial aggregation then merges one sketch per
+  * (key, partition), so allocation is O(keys), not O(events).
+  *
+  * Register/bucket arithmetic is shared with the semigroup implementations
+  * (same `fmix64`, same rank/bucket functions), so a sketch built here merges
+  * bit-for-bit with one built by the value types.
+  *
+  * Reference provenance: the reference expresses these as algebird HLL/CMS
+  * *values* fed to a Summer (SURVEY §1.3); the aggregate form is this
+  * engine's idiomatic-Spark expression of the same computation.
+  */
+object SketchAggregates {
+
+  private def integralCheck(name: String, child: Expression): TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name needs an integral child, got $other")
+    }
+
+  /** HyperLogLog over an integral column → BinaryType registers (2^p bytes).
+    * Read the estimate with [[hllEstimate]]; merge sketches downstream by
+    * re-aggregating with max per register if ever needed (the batch store
+    * path keeps the HLL value type instead).
+    */
+  case class HllSketchAgg(
+      child: Expression,
+      p: Int = 12,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+    override def checkInputDataTypes(): TypeCheckResult = integralCheck(prettyName, child)
+
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](1 << p)
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v != null) {
+        // identical arithmetic to HLL.ofLong, minus the per-row allocation
+        val h = HLL.fmix64(v.asInstanceOf[Number].longValue)
+        val idx = (h >>> (64 - p)).toInt
+        val rest = h << p
+        val rank =
+          (java.lang.Long.numberOfLeadingZeros(rest | (1L << (p - 1))) + 1).min(64 - p)
+        if (rank > (buf(idx) & 0xff)) buf(idx) = rank.toByte
+      }
+      buf
+    }
+
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) { if ((b(i) & 0xff) > (a(i) & 0xff)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def eval(buf: Array[Byte]): Any = buf
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): HllSketchAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HllSketchAgg =
+      copy(child = newChildren.head)
+    override def prettyName: String = "graft_hll_sketch"
+  }
+
+  /** Count-min sketch over an integral column → BinaryType packed
+    * (depth, width, counts, total); point-estimate with [[cmsEstimate]],
+    * total stream count with [[cmsTotal]].
+    */
+  case class CmsSketchAgg(
+      child: Expression,
+      depth: Int = 5,
+      width: Int = 512,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+    override def checkInputDataTypes(): TypeCheckResult = integralCheck(prettyName, child)
+
+    // buffer layout: counts(depth*width) ++ totalCount
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width + 1)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val item = v.asInstanceOf[Number].longValue
+        var r = 0
+        while (r < depth) { buf(r * width + CMS.bucket(item, r, width)) += 1L; r += 1 }
+        buf(depth * width) += 1L
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def eval(buf: Array[Long]): Any =
+      CMS.pack(depth, width, java.util.Arrays.copyOf(buf, depth * width), buf(depth * width))
+
+    override def serialize(buf: Array[Long]): Array[Byte] =
+      CMS.pack(depth, width, java.util.Arrays.copyOf(buf, depth * width), buf(depth * width))
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val c = CMS.unpack(bytes)
+      val buf = java.util.Arrays.copyOf(c.counts, depth * width + 1)
+      buf(depth * width) = c.totalCount
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): CmsSketchAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): CmsSketchAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): CmsSketchAgg =
+      copy(child = newChildren.head)
+    override def prettyName: String = "graft_cms_sketch"
+  }
+
+  /** Scalar: estimate from HLL registers (codegen'd static call). */
+  case class HllEstimate(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"graft_hll_estimate needs binary, got ${child.dataType}")
+    override protected def nullSafeEval(input: Any): Any =
+      HLL.estimateOf(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.algebra.HLL.estimateOf($c)")
+    override protected def withNewChildInternal(newChild: Expression): HllEstimate =
+      copy(child = newChild)
+    override def prettyName: String = "graft_hll_estimate"
+  }
+
+  /** Scalar: CMS point estimate of `item` (never under-counts). */
+  case class CmsEstimate(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (BinaryType, LongType | IntegerType | ShortType | ByteType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"graft_cms_estimate needs (binary, integral), got $other")
+      }
+    override protected def nullSafeEval(sketch: Any, item: Any): Any =
+      CMS.estimateOfPacked(sketch.asInstanceOf[Array[Byte]], item.asInstanceOf[Number].longValue)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (s, i) => s"graft.algebra.CMS.estimateOfPacked($s, (long)($i))")
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CmsEstimate =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "graft_cms_estimate"
+  }
+
+  /** Scalar: total updates folded into a CMS sketch. */
+  case class CmsTotal(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"graft_cms_total needs binary, got ${child.dataType}")
+    override protected def nullSafeEval(input: Any): Any =
+      CMS.totalOfPacked(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.algebra.CMS.totalOfPacked($c)")
+    override protected def withNewChildInternal(newChild: Expression): CmsTotal =
+      copy(child = newChild)
+    override def prettyName: String = "graft_cms_total"
+  }
+
+  // ---- Column API ----
+
+  def hllSketch(c: Column, p: Int = 12): Column =
+    ColumnBridge.column(HllSketchAgg(ColumnBridge.expression(c), p).toAggregateExpression())
+  def hllEstimate(c: Column): Column =
+    ColumnBridge.column(HllEstimate(ColumnBridge.expression(c)))
+  /** Convenience: approx distinct count as one aggregate column. */
+  def hllCountDistinct(c: Column, p: Int = 12): Column = hllEstimate(hllSketch(c, p))
+
+  def cmsSketch(c: Column, depth: Int = 5, width: Int = 512): Column =
+    ColumnBridge.column(CmsSketchAgg(ColumnBridge.expression(c), depth, width).toAggregateExpression())
+  def cmsEstimate(sketch: Column, item: Column): Column =
+    ColumnBridge.column(CmsEstimate(ColumnBridge.expression(sketch), ColumnBridge.expression(item)))
+  def cmsTotal(sketch: Column): Column =
+    ColumnBridge.column(CmsTotal(ColumnBridge.expression(sketch)))
+}
