@@ -22,23 +22,49 @@ import graft.time.BatchID
   * merge is one shuffle on K (hash for commutative values) and the delta
   * aggregation is map-side-combined by Spark's hash aggregate, so the
   * shuffled bytes are ≈ |distinct keys touched|, not |events|.
+  *
+  * @param versionsToKeep retain only the newest N committed snapshots
+  *        (reference `VersionedBatchStore.versionsToKeep`,
+  *        VersionedBatchStore.scala:40,105). Older snapshot dirs are deleted
+  *        after each successful commit; the newest is never deleted. Default
+  *        keeps everything (the pre-retention behavior).
+  * @param firstNonZero declared start boundary (reference
+  *        `InitialBatchedStore`, store/InitialBatchedStore.scala:28-45): the
+  *        store is empty at exactly this batch's start, and any read strictly
+  *        before that boundary fails fast instead of silently serving an
+  *        empty store — catching a mis-pointed path or a request for history
+  *        that never existed.
   */
-final class BatchStore[K, V](val path: String)(
+final class BatchStore[K, V](
+    val path: String,
+    val versionsToKeep: Int = Int.MaxValue,
+    val firstNonZero: Option[BatchID] = None)(
     implicit kEnc: Encoder[K], vEnc: Encoder[V]) extends Serializable {
+
+  require(versionsToKeep >= 1, s"versionsToKeep must be >= 1, got $versionsToKeep")
 
   private implicit def kvEnc: Encoder[(K, V)] = Encoders.tuple(kEnc, vEnc)
 
   def state: BatchState = BatchState.read(path)
 
   /** Last committed snapshot at or before `beforeOrAt` (reference
-    * `readLast(exclusiveUB)`, BatchedStore.scala:92-95).
+    * `readLast(exclusiveUB)`, BatchedStore.scala:92-95). With [[firstNonZero]]
+    * declared, a read below the boundary (beforeOrAt < firstNonZero - 1)
+    * throws; a read at exactly the boundary returns None (empty store).
     */
-  def readLast(spark: SparkSession, beforeOrAt: BatchID = BatchID(Long.MaxValue)): Option[(BatchID, Dataset[(K, V)])] =
+  def readLast(spark: SparkSession, beforeOrAt: BatchID = BatchID(Long.MaxValue)): Option[(BatchID, Dataset[(K, V)])] = {
+    firstNonZero.foreach { fnz =>
+      if (beforeOrAt.id < fnz.id - 1)
+        throw new IllegalStateException(
+          s"BatchStore($path) declares firstNonZero=${fnz.id}: reading through batch " +
+          s"${beforeOrAt.id} is before the store existed (mis-pointed path or bad request)")
+    }
     state.lastCommitted(beforeOrAt).map { b =>
       // snapshots are written as (key, value); rename positionally back to
       // the tuple encoder's (_1, _2) field names
       (b, spark.read.parquet(snapshotDir(b)).toDF("_1", "_2").as[(K, V)])
     }
+  }
 
   def snapshotDir(b: BatchID): String = s"$path/batch_id=${b.id}"
 
@@ -48,6 +74,23 @@ final class BatchStore[K, V](val path: String)(
   def writeSnapshot(b: BatchID, snapshot: Dataset[(K, V)]): Unit = {
     snapshot.toDF("key", "value").write.mode("overwrite").parquet(snapshotDir(b))
     BatchState.commit(path, b)
+    prune()
+  }
+
+  /** Retention (reference VersionedBatchStore.scala:105 `succeedVersion` →
+    * `cleanup`): drop all but the newest [[versionsToKeep]] committed
+    * snapshots. Crash-safe ordering — the pruned ids leave the commit log
+    * FIRST (atomic state rewrite), then their dirs are deleted, so a crash
+    * mid-prune can orphan a dir but never leave the log pointing at a
+    * deleted snapshot.
+    */
+  private def prune(): Unit = if (versionsToKeep != Int.MaxValue) {
+    val committed = state.committed.sorted
+    val drop = committed.dropRight(versionsToKeep)
+    if (drop.nonEmpty) {
+      BatchState.write(path, BatchState(committed.takeRight(versionsToKeep)))
+      drop.foreach { id => BatchState.deleteDir(snapshotDir(BatchID(id))) }
+    }
   }
 
   /** The incremental merge — reference `BatchedStore.mergeBatched`
@@ -64,7 +107,12 @@ final class BatchStore[K, V](val path: String)(
       implicit sg: Semigroup[V]): Dataset[(K, Long, (Option[V], V))] = {
 
     val prior: Option[(BatchID, Dataset[(K, V)])] = readLast(spark, upTo.prev)
-    val priorBatch = prior.map(_._1.id).getOrElse(Long.MinValue)
+    // With firstNonZero declared and no snapshot yet, the fold starts at the
+    // boundary: deltas below it are out of the store's contract (the store is
+    // empty before firstNonZero by definition) and are excluded.
+    val priorBatch = prior.map(_._1.id)
+      .orElse(firstNonZero.map(_.id - 1))
+      .getOrElse(Long.MinValue)
 
     // tag: snapshot rows enter the scan as batch = priorBatch with isSnapshot
     implicit val vbEnc: Encoder[(V, Boolean)] = Encoders.tuple(vEnc, Encoders.scalaBoolean)
@@ -137,16 +185,32 @@ object BatchState {
     }
   }
 
-  def commit(path: String, b: BatchID): Unit = {
-    val prev = read(path)
-    val next = BatchState((b.id :: prev.committed).distinct.sorted)
+  def commit(path: String, b: BatchID): Unit =
+    write(path, BatchState((b.id :: read(path).committed).distinct.sorted))
+
+  /** Atomic overwrite of the commit log (write-to-temp + rename). */
+  def write(path: String, st: BatchState): Unit = {
     val f = stateFile(path)
     f.getParentFile.mkdirs()
     val tmp = new java.io.File(f.getParent, s"._graft_state.${System.nanoTime}.tmp")
     java.nio.file.Files.write(tmp.toPath,
-      next.committed.mkString("{\"committed\":[", ",", "]}").getBytes("UTF-8"))
+      st.committed.mkString("{\"committed\":[", ",", "]}").getBytes("UTF-8"))
     java.nio.file.Files.move(tmp.toPath, f.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Recursive local-FS delete of a pruned snapshot dir. (On a cluster this
+    * is a `FileSystem.delete(path, recursive = true)` — the local form keeps
+    * the library free of a Hadoop conf dependency in tests.)
+    */
+  def deleteDir(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
   }
 }

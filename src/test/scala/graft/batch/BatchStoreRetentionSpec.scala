@@ -1,0 +1,67 @@
+package graft.batch
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.algebra.Semigroup
+import graft.time.BatchID
+
+/** Snapshot retention (reference VersionedBatchStore.scala:40,105) and the
+  * declared-start boundary (reference InitialBatchedStore.scala:28-45).
+  */
+class BatchStoreRetentionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private implicit val sg: Semigroup[Long] = Semigroup.longSemigroup
+
+  private def snapshotDirs(path: String): Set[String] = {
+    val d = new java.io.File(path)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName).toSet
+  }
+
+  test("versionsToKeep=2: five merges leave exactly the two newest snapshots, newest still serves") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_retention_").toString
+    val store = new BatchStore[String, Long](dir, versionsToKeep = 2)
+    (1L to 5L).foreach { b =>
+      store.merge(spark, Seq(("k", b, b)).toDS(), BatchID(b)).count()
+    }
+    assert(snapshotDirs(dir) == Set("batch_id=4", "batch_id=5"))
+    assert(store.state.committed == List(4L, 5L))
+    val (last, snap) = store.readLast(spark).get
+    assert(last == BatchID(5))
+    assert(snap.collect().toMap == Map("k" -> 15L)) // 1+2+3+4+5 survived the pruning
+  }
+
+  test("default retention keeps every snapshot") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_retention_all_").toString
+    val store = new BatchStore[String, Long](dir)
+    (1L to 3L).foreach { b =>
+      store.merge(spark, Seq(("k", b, 1L)).toDS(), BatchID(b)).count()
+    }
+    assert(snapshotDirs(dir) == Set("batch_id=1", "batch_id=2", "batch_id=3"))
+  }
+
+  test("firstNonZero: refuse reads before the boundary, empty at exactly the boundary") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_fnz_").toString
+    val store = new BatchStore[String, Long](dir, firstNonZero = Some(BatchID(10)))
+
+    // reading through batch 9 (boundary - 1) is the legal empty-at-start read
+    assert(store.readLast(spark, BatchID(9)).isEmpty)
+    // reading through batch 8 is before the store existed: fail fast
+    intercept[IllegalStateException](store.readLast(spark, BatchID(8)))
+    // merging a batch before the start fails fast too (via readLast(upTo.prev))
+    intercept[IllegalStateException](
+      store.merge(spark, Seq(("k", 9L, 1L)).toDS(), BatchID(9)).count())
+
+    // the first merge at exactly the boundary works, and a stray delta below
+    // the declared start is out of contract and excluded from the fold
+    store.merge(spark, Seq(("k", 9L, 100L), ("k", 10L, 1L)).toDS(), BatchID(10)).count()
+    assert(store.readLast(spark).get._2.collect().toMap == Map("k" -> 1L))
+  }
+}
