@@ -128,6 +128,66 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)])(
     new KeyedGraftStream(joined.as[(Long, K, (V, Option[J]))])
   }
 
+  /** leftJoin against a LIVE external service (reference online leftJoin,
+    * FlatMapOperation.scala:113-137): per partition, open one connection,
+    * batch keys into `multiGet`s of `batchSize`, and keep up to `maxWaiting`
+    * lookups in flight (the MaxWaitingFutures analogue, AllOpts.scala:36-45)
+    * — overlapping service latency with row processing while bounding the
+    * memory held by outstanding responses. Results stream out in input
+    * order; the connection closes on task completion (success or failure).
+    *
+    * Use [[leftJoinDs]] when the service is dataset-shaped — Catalyst then
+    * plans a broadcast/shuffle join. This connector is for services that
+    * only exist behind a lookup API.
+    */
+  def leftJoinExternal[W](
+      service: ExternalService[K, W],
+      batchSize: Int = 100,
+      maxWaiting: Int = 4,
+      lookupTimeout: scala.concurrent.duration.Duration = scala.concurrent.duration.Duration(30, "s"))(
+      implicit vwEnc: Encoder[(V, Option[W])]): KeyedGraftStream[K, (V, Option[W])] = {
+    implicit val out: Encoder[(Long, K, (V, Option[W]))] =
+      Encoders.tuple(Encoders.scalaLong, kEnc, vwEnc)
+    require(batchSize >= 1 && maxWaiting >= 1, s"batchSize/maxWaiting must be >= 1")
+    val joined = ds.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val conn = service.open()
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; conn.close() }
+        // close when the task ends even if downstream stops consuming early
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+
+        val inflight = new scala.collection.mutable.Queue[(Seq[(Long, K, V)], scala.concurrent.Future[Map[K, W]])]()
+        def drainOne(): Iterator[(Long, K, (V, Option[W]))] = {
+          val (batch, fut) = inflight.dequeue()
+          val res = scala.concurrent.Await.result(fut, lookupTimeout)
+          batch.iterator.map(r => (r._1, r._2, (r._3, res.get(r._2))))
+        }
+        val pipelined = rows.grouped(batchSize).flatMap { batch =>
+          inflight.enqueue((batch, conn.multiGet(batch.map(_._2).distinct)))
+          if (inflight.size >= maxWaiting) drainOne() else Iterator.empty
+        }
+        val drainRest = new Iterator[(Long, K, (V, Option[W]))] {
+          private var cur: Iterator[(Long, K, (V, Option[W]))] = Iterator.empty
+          def hasNext: Boolean = {
+            while (!cur.hasNext && inflight.nonEmpty) cur = drainOne()
+            val h = cur.hasNext
+            if (!h) closeOnce()
+            h
+          }
+          def next(): (Long, K, (V, Option[W])) = {
+            if (!hasNext) throw new NoSuchElementException("drained")
+            cur.next()
+          }
+        }
+        pipelined ++ drainRest
+      }
+    }
+    new KeyedGraftStream(joined)
+  }
+
   /** Temporal (as-of) leftJoin against a change-stream service: each left
     * event at time t sees the service value as of t (strictly before t —
     * lookups-before-writes, reference LookupJoin via BatchedService.scala:
