@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.algebra.{Semigroup, TopK}
-import graft.api.{GraftSink, GraftStream, KeyedGraftStream}
+import graft.api.{ExternalService, GraftSink, GraftStream, KeyedGraftStream}
 import graft.batch.BatchStore
 import graft.client.ClientStore
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
@@ -236,6 +236,24 @@ object SparkEntry {
         t(s, dir, "customer").select(col("c_custkey"), col("c_name")).as[(Long, String)]
       eventStream(s, dir).asKeyedCols[Long, Long](col("_2.user_id"), col("_2.event_id"))
         .leftJoinDs(service)
+        .ds.select(col("_3._1").as("event_id"), col("_2").as("user_id"),
+          col("_3._2").as("c_name"))
+    }),
+
+    "q_leftjoin_external" -> ((s, dir) => {
+      import s.implicits._
+      // live-connector twin of q_leftjoin: an external KV service cannot be
+      // dataset-shaped by definition, so the oracle rig backs it with a
+      // broadcast of the customer table (the collect is the SERVICE's data,
+      // bounded by the dimension size — the event stream itself stays
+      // distributed and flows through the batched mapPartitions connector)
+      val svcMap: Map[Long, String] =
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+          .as[(Long, String)].collect().toMap
+      val bc = s.sparkContext.broadcast(svcMap)
+      eventStream(s, dir).asKeyedCols[Long, Long](col("_2.user_id"), col("_2.event_id"))
+        .leftJoinExternal(ExternalService.fromFunction[Long, String](k => bc.value.get(k)),
+          batchSize = 512, maxWaiting = 4)
         .ds.select(col("_3._1").as("event_id"), col("_2").as("user_id"),
           col("_3._2").as("c_name"))
     }),
@@ -492,8 +510,14 @@ object SparkEntry {
         w = 3, bands = 16, rowsPerBand = 4, threshold = 0.5).select("doc_id")),
 
     "q_minhash_cands" -> ((s, dir) =>
-      Dedup.minhashCandidates(docsDs(s, dir).toDF, "text", "doc_id",
-        w = 3, bands = 16, rowsPerBand = 4)),
+      // the VERIFIED candidate stage: banding proposes, exact shingle
+      // jaccard disposes. Oracling the raw candidate set would assert
+      // perfect banding PRECISION (false positives are allowed by
+      // construction — a single sub-threshold band collision on regenerated
+      // data would fail the gate); the verified stage is the contract.
+      Dedup.minhashVerifiedPairs(docsDs(s, dir).toDF, "text", "doc_id",
+        w = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        .select("id_a", "id_b")),
 
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docsDs(s, dir).toDF, "text", "doc_id", maxHamming = 3)
@@ -681,6 +705,10 @@ object SparkEntry {
       """SELECT e.event_id, e.user_id, c.c_name
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
 
+    "q_leftjoin_external" ->
+      """SELECT e.event_id, e.user_id, c.c_name
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+
     "q_lookup" ->
       """SELECT e.user_id, c.c_mktsegment AS segment
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
@@ -788,11 +816,10 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))""".stripMargin,
 
-    // the minhash LSH stages are deterministic given the data, and on the
-    // verification corpus the banding achieves exact recall/precision at
-    // the 0.5 threshold (asserted empirically; see ApproxOpsSpec for the
-    // recall law on planted duplicates) — so the EXACT jaccard forms serve
-    // as their oracles
+    // q_minhash_cands is the VERIFIED stage, so exact Jaccard precision is
+    // guaranteed by construction; matching the exact pair set then asserts
+    // only banding RECALL, which is ~1 at the 0.5 threshold for this
+    // banding config on near-dup corpora (recall law in ApproxOpsSpec)
     "q_minhash_cands" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(

@@ -18,7 +18,7 @@ import graft.time.{Batcher, BatchID}
   * columnar pipelines prefer the `where(Column)` passthrough (and plain
   * DataFrames via `toDF`) which stay in whole-stage codegen.
   */
-final class GraftStream[T](val ds: Dataset[(Long, T)])(implicit enc: Encoder[T])
+sealed class GraftStream[T](val ds: Dataset[(Long, T)])(implicit enc: Encoder[T])
     extends Serializable {
   private implicit def pairEnc: Encoder[(Long, T)] =
     Encoders.tuple(Encoders.scalaLong, enc)
@@ -106,20 +106,12 @@ final class GraftStream[T](val ds: Dataset[(Long, T)])(implicit enc: Encoder[T])
     * plan; persist first if the upstream is expensive (the reference's
     * fan-out `.fork`, ScaldingPlatform.scala:343-359 ≈ `.persist`).
     */
-  def write(sink: GraftSink[T]): GraftStream[T] = { sink.write(ds); this }
+  def write(sink: GraftSink[T]): TailStream[T] = { sink.write(ds); new TailStream(ds) }
 
   /** name: option-scope label (Producer.scala:228). No planner effect here —
     * Catalyst owns physical planning; kept for API parity & debugging.
     */
   def name(n: String): GraftStream[T] = new GraftStream(ds.as(n))
-
-  /** also: plan `this` as a side tail, emit `result` (Producer.scala:297-300
-    * AlsoProducer — multi-output jobs). Sinks in this engine write eagerly
-    * when `write` is called, so by the time `also` runs, this branch's
-    * effects are complete; `also` is the explicit sequencing point combining
-    * two tails into one logical job (in Spark, two actions in one app).
-    */
-  def also[U](result: GraftStream[U]): GraftStream[U] = result
 
   /** lookup: enrich the whole element by a keyed service
     * (Producer.scala:252-253): `T => (T, Option[V])`. A fully COLUMNAR left
@@ -158,6 +150,23 @@ final class GraftStream[T](val ds: Dataset[(Long, T)])(implicit enc: Encoder[T])
   }
 
   def toDF: org.apache.spark.sql.DataFrame = ds.toDF("ts_ms", "value")
+}
+
+/** A stream whose side effects are already planned — returned by `write`.
+  * Mirrors the reference's `TailProducer` (Producer.scala:292-311): `also`
+  * is only available HERE, so sequencing a tail that never wrote (whose
+  * effects would be silently dropped, since Spark plans are lazy) is a
+  * compile error instead of quiet data loss. Sinks in this engine write
+  * eagerly when `write` is called, so by the time `also` runs this branch's
+  * effects are complete; `also` is the explicit sequencing point combining
+  * two tails into one logical job (in Spark, two actions in one app).
+  */
+final class TailStream[T](ds0: Dataset[(Long, T)])(implicit enc0: Encoder[T])
+    extends GraftStream[T](ds0) {
+  /** also: plan `this` as a side tail, emit `result` (Producer.scala:297-300
+    * AlsoProducer — multi-output jobs).
+    */
+  def also[U](result: GraftStream[U]): GraftStream[U] = result
 }
 
 object GraftStream {

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
 
 import graft.algebra.Semigroup
 import graft.batch.BatchStore
+import graft.plans.SortedGroups
 import graft.time.BatchID
 
 /** The lambda-architecture serving-time merge — rebuild of the reference's
@@ -38,17 +39,24 @@ object ClientStore {
       case Some((b, snap)) => (b.id, snap)
       case None            => (Long.MinValue, spark.emptyDataset[(K, V)])
     }
-    val online = onlineDeltas
+    implicit val taggedEnc: Encoder[(Long, K, V)] =
+      Encoders.tuple(Encoders.scalaLong, kEnc, vEnc)
+    // tag with a fold-order key: snapshot rows first (Long.MinValue), then
+    // online deltas in batch order — the reference's offline-then-online
+    // merge order (ClientStore.scala:79-122), which matters exactly when the
+    // semigroup is non-commutative
+    val snapTagged = snapshot.map(r => (Long.MinValue, r._1, r._2))
+    val onlineTagged = onlineDeltas
       .filter(r => r._2 > offBatch && r._2 <= upTo.id)
-      .map(r => (r._1, r._3))
-    mergeKV(snapshot.union(online))
+      .map(r => (r._2, r._1, r._3))
+    mergeTagged(snapTagged.union(onlineTagged))
   }
 
-  /** Semigroup-merge (K, V) rows per key — commutative values via
-    * `reduceGroups` (hash agg); non-commutative inputs here have no defined
-    * order (reference merges offline-then-online), so offline-first ordering
-    * is preserved by tagging in `merged` — for plain KV merge we require
-    * commutativity or accept reduce order.
+  /** Semigroup-merge (K, V) rows per key via `reduceGroups` (one shuffle,
+    * map-side combined hash agg). The fold order is whatever order Spark's
+    * aggregate sees the rows in — ONLY sound for commutative semigroups; for
+    * non-commutative values use [[merged]]/[[mergeTagged]], which fold
+    * offline-then-online in batch order.
     */
   def mergeKV[K, V](kv: Dataset[(K, V)])(
       implicit sg: Semigroup[V], kEnc: Encoder[K], vEnc: Encoder[V]): Dataset[(K, V)] = {
@@ -56,6 +64,25 @@ object ClientStore {
     kv.groupByKey(_._1)(kEnc)
       .mapValues(_._2)(vEnc)
       .reduceGroups((a: V, b: V) => sg.plus(a, b))
+  }
+
+  /** Merge (sortKey, K, V) rows per key in sortKey order. Commutative
+    * semigroups drop the tag and take the hash-agg path; non-commutative
+    * values fold through the spill-safe per-key sorted scan (same machinery
+    * as BatchStore.merge), so the serving merge is deterministic:
+    * offline snapshot first, then online deltas in batch order.
+    */
+  def mergeTagged[K, V](rows: Dataset[(Long, K, V)])(
+      implicit sg: Semigroup[V], kEnc: Encoder[K], vEnc: Encoder[V]): Dataset[(K, V)] = {
+    implicit val kvEnc: Encoder[(K, V)] = Encoders.tuple(kEnc, vEnc)
+    if (sg.isCommutative)
+      mergeKV(rows.map(r => (r._2, r._3))(kvEnc))
+    else
+      SortedGroups.perKeyTimeSorted(rows) { (k: K, it: Iterator[(Long, V)]) =>
+        var acc: Option[V] = None
+        it.foreach { case (_, v) => acc = Some(acc.fold(v)(a => sg.plus(a, v))) }
+        acc.iterator.map(v => (k, v))
+      }()
   }
 
   /** Point lookup for a single key — the reference's `get` (serving path).
@@ -85,9 +112,12 @@ object ClientStore {
     }
     val onlineFiltered = filterKey[(K, Long, V)](onlineDeltas, _._1 == key)
     val batchCol = onlineFiltered(onlineFiltered.columns(1))
-    val onlineK = onlineFiltered
+    implicit val taggedEnc: Encoder[(Long, K, V)] =
+      Encoders.tuple(Encoders.scalaLong, kEnc, vEnc)
+    val snapTagged = snapshotK.map(r => (Long.MinValue, r._1, r._2))
+    val onlineTagged = onlineFiltered
       .where(batchCol > offBatch && batchCol <= upTo.id)
-      .map(r => (r._1, r._3))
-    mergeKV(snapshotK.union(onlineK)).collect().headOption.map(_._2)
+      .map(r => (r._2, r._1, r._3))
+    mergeTagged(snapTagged.union(onlineTagged)).collect().headOption.map(_._2)
   }
 }

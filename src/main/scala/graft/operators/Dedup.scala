@@ -32,11 +32,13 @@ import graft.functions.{TextFunctions, VectorFunctions}
   *
   * Cache lifecycle: the minhash/simhash/jaccard pipelines persist their
   * signature/shingle intermediates (MEMORY_AND_DISK) because both sides of
-  * the candidate self-join read them; the persists live until the caller
-  * releases them (`spark.catalog.clearCache()` or application end). These
-  * operators are designed for run-to-completion batch jobs; long-lived
-  * services composing many dedup calls should clear the cache between
-  * pipelines.
+  * the candidate self-join read them — and RELEASE them before returning:
+  * each pipeline eagerly materializes its small terminal frame (candidate
+  * pairs / drop-id set — orders of magnitude smaller than the corpus) via
+  * `localCheckpoint`, then unpersists the wide intermediates. Checkpoint
+  * blocks are ContextCleaner-managed (freed when the returned frame is
+  * GC'd), unlike CacheManager entries which outlive their last reader — so
+  * a long-lived service composing many dedup calls accumulates nothing.
   */
 object Dedup {
 
@@ -130,12 +132,15 @@ object Dedup {
       transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))).as(Seq("__band", "__bandhash")))
     val a = banded.as("a"); val b = banded.as("b")
-    a.join(b,
+    val cands = a.join(b,
         col("a.__band") === col("b.__band") &&
         col("a.__bandhash") === col("b.__bandhash") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+      .localCheckpoint(true) // materialize the (small) pair set ...
+    sig.unpersist()          // ... so the wide signature cache can go now
+    cands
   }
 
   /** Candidate pairs straight from documents (shingles computed here). */
@@ -154,7 +159,26 @@ object Dedup {
     val cands = candidatesFromShingles(sh, idCol, bands, rowsPerBand)
     val verified = verifyJaccardShingles(sh, cands, idCol, threshold)
     val drop = verified.select(col("id_b").as(idCol)).distinct()
+      .localCheckpoint(true)
+    sh.unpersist()
     df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Verified candidate pairs — LSH banding proposes, exact shingle-set
+    * Jaccard disposes: (id_a, id_b, jaccard) for pairs that share a band AND
+    * verify at `threshold`. This is the operator's contract surface (the raw
+    * candidate set is allowed false positives by construction); the exact
+    * all-pairs join is its ground truth whenever banding recall is 1 on the
+    * corpus.
+    */
+  def minhashVerifiedPairs(df: DataFrame, textCol: String, idCol: String,
+      w: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = shingled(df, textCol, idCol, w).persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = candidatesFromShingles(sh, idCol, bands, rowsPerBand)
+    val out = verifyJaccardShingles(sh, cands, idCol, threshold).localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /** Exact shingle-set Jaccard for candidate pairs, against a pre-shingled
@@ -223,7 +247,9 @@ object Dedup {
       .crossJoin(empties.select(col(idCol).as("id_b")))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
-    verified.union(emptyPairs)
+    val out = verified.union(emptyPairs).localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /** SimHash near-dup: 64-bit signatures; candidates share at least one of
@@ -249,6 +275,8 @@ object Dedup {
     val drop = cands
       .where(TextFunctions.hammingDistance64(col("__sim_a"), col("__sim_b")) <= maxHamming)
       .select(col("id_b").as(idCol)).distinct()
+      .localCheckpoint(true)
+    sig.unpersist()
     df.join(drop, Seq(idCol), "left_anti")
   }
 

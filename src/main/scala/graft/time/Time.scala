@@ -86,6 +86,21 @@ object Batcher {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
 
+  /** Civil wall clock of an epoch-millis instant in `zoneId`, as
+    * millis-since-epoch OF THE LOCAL DATETIME (i.e. instant + zone offset) —
+    * `java.time.LocalDateTime.ofInstant` in integer arithmetic, INDEPENDENT
+    * of spark.sql.session.timeZone. `from_utc_timestamp` shifts the internal
+    * micros by `zoneId`'s offset at that instant (a pure function of the
+    * instant — no wall-clock ambiguity), and `unix_millis` reads the
+    * internal value back without any session-tz rendering. A TIMESTAMP_NTZ
+    * round-trip (convert_timezone) would instead pass through the session
+    * zone's wall clock, which mis-resolves instants inside the session
+    * zone's own DST fall-back overlap hour (asserted in
+    * CalendarBatcherSpec's non-UTC-session case).
+    */
+  private[time] def civilMillis(tsMillis: Column, zoneId: String): Column =
+    unix_millis(from_utc_timestamp(timestamp_millis(tsMillis), zoneId))
+
   /** Fixed-duration batches (reference MillisecondBatcher, Batcher.scala:51-70).
     * Uses floorDiv so pre-epoch times bucket correctly.
     */
@@ -121,8 +136,9 @@ object Batcher {
     * track local midnight across DST transitions — a 23- or 25-hour civil
     * day is one batch, which fixed-duration Millis cannot express.
     * `batchIdColumn` runs the same calendar arithmetic inside Catalyst
-    * (convert_timezone + datediff/hour), property-checked against
-    * `batchOf` across DST boundaries.
+    * (session-tz-independent: see [[Batcher.civilMillis]]),
+    * property-checked against `batchOf` across DST boundaries and under
+    * non-UTC session timezones.
     */
   sealed abstract class Calendar(zoneId: String) extends Batcher {
     protected val zone: java.time.ZoneId = java.time.ZoneId.of(zoneId)
@@ -134,9 +150,7 @@ object Batcher {
     def earliestTimeOf(b: BatchID): Timestamp = Timestamp(
       java.time.LocalDate.ofEpochDay(b.id).atStartOfDay(zone).toInstant.toEpochMilli)
     def batchIdColumn(tsMillis: Column): Column =
-      datediff(
-        to_date(convert_timezone(lit("UTC"), lit(zoneId), timestamp_millis(tsMillis))),
-        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+      floor(Batcher.civilMillis(tsMillis, zoneId) / lit(86400000L)).cast("long")
   }
 
   final case class CalendarHours(zoneId: String) extends Calendar(zoneId) {
@@ -156,11 +170,9 @@ object Batcher {
       Timestamp(java.time.LocalDate.ofEpochDay(day).atTime(hour, 0)
         .atZone(zone).toInstant.toEpochMilli) // overlap -> earlier offset
     }
-    def batchIdColumn(tsMillis: Column): Column = {
-      val tsZ = convert_timezone(lit("UTC"), lit(zoneId), timestamp_millis(tsMillis))
-      (datediff(to_date(tsZ), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long") * lit(24L) +
-        hour(tsZ).cast("long"))
-    }
+    // epochDay*24 + hourOfDay == floorDiv(civil local millis, 1 hour)
+    def batchIdColumn(tsMillis: Column): Column =
+      floor(Batcher.civilMillis(tsMillis, zoneId) / lit(3600000L)).cast("long")
   }
 
   def calendarDays(zone: String): Batcher = CalendarDays(zone)

@@ -98,6 +98,31 @@ class LambdaSliceSpec extends AnyFunSuite {
         s"get($w)")
   }
 
+  test("ClientStore.merged folds offline-then-online in batch order for non-commutative semigroups") {
+    val s = spark; import s.implicits._
+    // list-concat is order-sensitive: the serving merge must produce the
+    // same sequence as replaying all events in batch order
+    val sg: Semigroup[List[Long]] = Semigroup.from(commutative = false)(_ ++ _)
+    val evs: Seq[(Long, String)] = events
+    val listDeltas = GraftStream.from(evs.toDS())(_._1)
+      .asKeyedWith(_._2, (e: (Long, String)) => List(e._1))
+      .sumDeltasPerBatch(batcher)(sg)
+    val tmp = Files.createTempDirectory("graft_lambda_nc_").toString
+    val store = new BatchStore[String, List[Long]](tmp)
+    store.merge(spark, listDeltas, BatchID(4))(sg).collect()
+
+    val merged = ClientStore.merged(spark, store, listDeltas)(sg, implicitly, implicitly)
+      .collect().toMap
+    // model: per word, all timestamps in (batch, event-time) order
+    val model = evs.groupBy(_._2).view.mapValues { ws =>
+      ws.map(_._1).sortBy(t => (batcher.batchOf(Timestamp(t)).id, t)).toList
+    }.toMap
+    assert(merged == model)
+    for (w <- words)
+      assert(ClientStore.get(spark, store, listDeltas, w)(sg, implicitly, implicitly)
+        .contains(model(w)), s"get($w)")
+  }
+
   test("the SAME GraftStream operator pipeline runs on a streaming Dataset (one API, two planners)") {
     val s = spark; import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

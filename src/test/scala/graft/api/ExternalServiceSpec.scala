@@ -1,0 +1,117 @@
+package graft.api
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicBoolean}
+
+import scala.concurrent.Future
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+
+/** Counting mock for the live-lookup connector. Static state is fine here:
+  * local-mode tests run executors in the test JVM.
+  */
+object CountingService {
+  val opens = new AtomicInteger(0)
+  val closes = new AtomicInteger(0)
+  val calls = new AtomicInteger(0)
+  val maxBatch = new AtomicInteger(0)
+  val inflight = new AtomicInteger(0)
+  val maxInflight = new AtomicInteger(0)
+  val closedBeforeLookup = new AtomicBoolean(false)
+
+  def reset(): Unit = {
+    opens.set(0); closes.set(0); calls.set(0); maxBatch.set(0)
+    inflight.set(0); maxInflight.set(0); closedBeforeLookup.set(false)
+  }
+
+  private def bumpMax(target: AtomicInteger, v: Int): Unit = {
+    var cur = target.get()
+    while (v > cur && !target.compareAndSet(cur, v)) cur = target.get()
+  }
+
+  /** Service mapping k -> k * 10 for even keys only (odd keys miss). */
+  def service(delayMs: Long = 0): ExternalService[Long, Long] =
+    new ExternalService[Long, Long] {
+      def open(): ExternalService.Conn[Long, Long] = {
+        opens.incrementAndGet()
+        val closed = new AtomicBoolean(false)
+        new ExternalService.Conn[Long, Long] {
+          def multiGet(keys: Seq[Long]): Future[Map[Long, Long]] = {
+            if (closed.get()) closedBeforeLookup.set(true)
+            calls.incrementAndGet()
+            bumpMax(maxBatch, keys.size)
+            bumpMax(maxInflight, inflight.incrementAndGet())
+            import scala.concurrent.ExecutionContext.Implicits.global
+            Future {
+              if (delayMs > 0) Thread.sleep(delayMs)
+              val r = keys.iterator.filter(_ % 2 == 0).map(k => k -> k * 10).toMap
+              inflight.decrementAndGet()
+              r
+            }
+          }
+          def close(): Unit = { closed.set(true); closes.incrementAndGet() }
+        }
+      }
+    }
+}
+
+class ExternalServiceSpec extends AnyFunSuite with Matchers {
+  private val spark = SparkTestSession.spark
+
+  private def keyed(n: Int, partitions: Int) = {
+    val s = spark; import s.implicits._
+    val evs = (0 until n).map(i => (i.toLong, (i % 37).toLong, i.toLong * 3))
+    new KeyedGraftStream(evs.toDS().repartition(partitions))
+  }
+
+  test("leftJoinExternal == leftJoinDs on the same service data (misses included)") {
+    val s = spark; import s.implicits._
+    CountingService.reset()
+    val stream = keyed(500, 4)
+    val ext = stream.leftJoinExternal(CountingService.service(), batchSize = 32, maxWaiting = 3)
+      .ds.collect().sortBy(r => (r._1, r._2))
+    val svcDs = (0L until 37L).filter(_ % 2 == 0).map(k => (k, k * 10)).toDS()
+    val ref = keyed(500, 4).leftJoinDs(svcDs)
+      .ds.collect().sortBy(r => (r._1, r._2))
+    ext should contain theSameElementsInOrderAs ref
+    // every row survives, misses are None
+    ext.length shouldBe 500
+    assert(ext.exists(_._3._2.isEmpty) && ext.exists(_._3._2.nonEmpty))
+  }
+
+  test("one connection per non-empty partition, closed exactly once, batches bounded") {
+    val s = spark; import s.implicits._
+    CountingService.reset()
+    val stream = keyed(1000, 5)
+    stream.leftJoinExternal(CountingService.service(), batchSize = 64, maxWaiting = 2)
+      .ds.collect()
+    CountingService.opens.get() shouldBe 5
+    CountingService.closes.get() shouldBe 5
+    CountingService.maxBatch.get() should be <= 64
+    CountingService.closedBeforeLookup.get() shouldBe false
+    // batched, not per-row: 1000 rows / 64 per batch ~= 16 calls, never 1000
+    CountingService.calls.get() should be <= 5 * (1000 / 5 / 64 + 1)
+  }
+
+  test("pipelining keeps at most maxWaiting lookups in flight") {
+    val s = spark; import s.implicits._
+    CountingService.reset()
+    val stream = keyed(600, 2)
+    stream.leftJoinExternal(CountingService.service(delayMs = 5), batchSize = 10, maxWaiting = 3)
+      .ds.collect()
+    // 2 partitions * 3 waiting max
+    CountingService.maxInflight.get() should be <= 2 * 3
+    CountingService.maxInflight.get() should be >= 2 // it does overlap lookups
+  }
+
+  test("fromFunction wraps a plain lookup with the same join semantics") {
+    val s = spark; import s.implicits._
+    val f: Long => Option[String] = k => if (k < 10) Some(s"u$k") else None
+    val rows = keyed(100, 3)
+      .leftJoinExternal(ExternalService.fromFunction(f), batchSize = 7)
+      .ds.collect()
+    rows.foreach { case (_, k, (_, w)) => w shouldBe f(k) }
+  }
+}

@@ -41,6 +41,32 @@ class CalendarBatcherSpec extends AnyFunSuite {
     }
   }
 
+  test("batchIdColumn is session-timezone independent (non-UTC session)") {
+    // the store-layout invariant: batchIdColumn must equal batchOf no matter
+    // what spark.sql.session.timeZone is. civilMillis never renders through
+    // the session zone's wall clock (an NTZ round-trip would mis-resolve
+    // instants in the session zone's fall-back overlap hour — LA's
+    // 2024-11-03 01:xx is in `samples`, so that case is covered here)
+    val s = spark; import s.implicits._
+    val prior = s.conf.get("spark.sql.session.timeZone")
+    try {
+      for (sessionTz <- Seq("Australia/Sydney", "America/Los_Angeles")) {
+        s.conf.set("spark.sql.session.timeZone", sessionTz)
+        val ts = samples
+        val df = ts.toDF("ms")
+        for (z <- Seq("America/New_York", "UTC");
+             b <- Seq(Batcher.calendarDays(z), Batcher.calendarHours(z))) {
+          val viaColumn = df.select(col("ms"), b.batchIdColumn(col("ms")).as("b"))
+            .as[(Long, Long)].collect().toMap
+          ts.foreach { t =>
+            assert(viaColumn(t) == b.batchOf(Timestamp(t)).id,
+              s"session=$sessionTz zone=$z batcher=$b t=$t")
+          }
+        }
+      }
+    } finally s.conf.set("spark.sql.session.timeZone", prior)
+  }
+
   test("calendar days track local midnight: DST days are 23/25 civil hours") {
     val b = Batcher.CalendarDays("America/New_York")
     // 2024-03-10 (spring forward): 23 hours
