@@ -33,10 +33,11 @@ object SparkEntry {
     * integral-division millis (exact — double division would lose precision
     * above 2^53 ns).
     */
-  private def eventsDF(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  // Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at SESSION
+  // CONSTRUCTION (Bench/Verify/SparkTestSession builders) — a query builder
+  // must not mutate global session conf.
+  private def eventsDF(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").withColumn("ts_ms", expr("ts DIV 1000000"))
-  }
 
   private def eventsDs(s: SparkSession, dir: String): Dataset[Ev] = {
     import s.implicits._

@@ -29,7 +29,7 @@ class SemigroupAggregator[V](sg: Semigroup[V])(implicit venc: Encoder[V])
   }
   def finish(buf: Option[V]): V =
     buf.getOrElse(throw new IllegalStateException("empty group"))
-  def bufferEncoder: Encoder[Option[V]] = Encoders.kryo[Option[V]]
+  def bufferEncoder: Encoder[Option[V]] = graft.plans.GraftEncoders.option[V]
   def outputEncoder: Encoder[V] = venc
 }
 
@@ -43,6 +43,6 @@ class PairValueAggregator[K, V](sg: Semigroup[V])(implicit venc: Encoder[V])
   def reduce(buf: Option[V], kv: (K, V)): Option[V] = inner.reduce(buf, kv._2)
   def merge(a: Option[V], b: Option[V]): Option[V] = inner.merge(a, b)
   def finish(buf: Option[V]): V = inner.finish(buf)
-  def bufferEncoder: Encoder[Option[V]] = Encoders.kryo[Option[V]]
+  def bufferEncoder: Encoder[Option[V]] = graft.plans.GraftEncoders.option[V]
   def outputEncoder: Encoder[V] = venc
 }

@@ -95,9 +95,14 @@ sealed class GraftStream[T](val ds: Dataset[(Long, T)])(implicit enc: Encoder[T]
       ds.select(col("_1"), keyCol.as("_2"), valueCol.as("_3")).as[(Long, K, V)])
   }
 
-  /** either: tagged union (Producer.scala:280-282). */
+  /** either: tagged union (Producer.scala:280-282). Product-encoded as
+    * (isRight, nullable left, nullable right) — see
+    * [[graft.plans.GraftEncoders.either]] — so the union stays columnar
+    * instead of carrying kryo blobs through downstream shuffles.
+    */
   def either[U: Encoder](other: GraftStream[U]): GraftStream[Either[T, U]] = {
-    implicit val eitherEnc: Encoder[Either[T, U]] = Encoders.kryo[Either[T, U]]
+    implicit val eitherEnc: Encoder[Either[T, U]] =
+      graft.plans.GraftEncoders.either(enc, implicitly[Encoder[U]])
     map[Either[T, U]](Left(_)).merge(other.map[Either[T, U]](Right(_)))
   }
 

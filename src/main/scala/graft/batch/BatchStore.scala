@@ -154,13 +154,24 @@ final class BatchStore[K, V](
         outs ++ Iterator.single((k, upTo.id, (running, running.getOrElse(null.asInstanceOf[V])), true))
       }()
 
+    // cache lifecycle (same discipline as Dedup): persist the wide scan for
+    // exactly the two consumers (snapshot write, output materialization),
+    // localCheckpoint the output eagerly, then RELEASE the scan — a
+    // long-lived driver running many incremental merges must not accumulate
+    // one cache entry per merge. The checkpointed blocks are freed by the
+    // ContextCleaner when the returned Dataset is collected.
     val persisted = scanned.persist()
-    val snapshot: Dataset[(K, V)] = persisted
-      .filter(_._4)
-      .map { case (k, _, (post, _), _) => (k, post.get) }
-    writeSnapshot(upTo, snapshot)
-    val out = persisted.filter(r => !r._4).map(r => (r._1, r._2, r._3))
-    out
+    try {
+      val snapshot: Dataset[(K, V)] = persisted
+        .filter(_._4)
+        .map { case (k, _, (post, _), _) => (k, post.get) }
+      writeSnapshot(upTo, snapshot)
+      persisted.filter(r => !r._4).map(r => (r._1, r._2, r._3))
+        .localCheckpoint(true)
+    } finally {
+      persisted.unpersist()
+      ()
+    }
   }
 }
 

@@ -73,8 +73,14 @@ object LoopJoin {
       case None => evRows
     }
 
+    // product-encoded Either (tag + nullable structs), not kryo: the
+    // shuffle-adjacent scan output stays columnar (GraftEncoders.either)
+    implicit val leftEnc: Encoder[(Long, K, (U, Option[V]))] =
+      Encoders.tuple(Encoders.scalaLong, kEnc,
+        Encoders.tuple(uEnc, GraftEncoders.option(vEnc)))
+    implicit val rightEnc: Encoder[(K, V)] = Encoders.tuple(kEnc, vEnc)
     implicit val outEnc: Encoder[Either[(Long, K, (U, Option[V])), (K, V)]] =
-      Encoders.kryo[Either[(Long, K, (U, Option[V])), (K, V)]]
+      GraftEncoders.either(leftEnc, rightEnc)
     SortedGroups.perKeyTimeSorted(allRows) { (k: K, it: Iterator[(Long, (Option[U], Option[V]))]) =>
       var state: Option[V] = None
       val outs = it.flatMap {

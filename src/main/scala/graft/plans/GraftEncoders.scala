@@ -36,4 +36,31 @@ object GraftEncoders {
   /** (Option[V], V) — the Summer's prior/delta pair, product-encoded. */
   def priorDelta[V](implicit vEnc: Encoder[V]): Encoder[(Option[V], V)] =
     Encoders.tuple(option[V], vEnc)
+
+  /** `Either[L, R]` as a PRODUCT encoder — physical layout
+    * `(isRight: boolean, left: nullable struct, right: nullable struct)`
+    * via Catalyst's TransformingEncoder, instead of a kryo binary blob.
+    * Shuffles carrying Either rows stay columnar (prunable, readable,
+    * tungsten-sized); only the thin tag/branch codec runs per row. Falls
+    * back to kryo only when an element encoder itself is opaque.
+    */
+  def either[L, R](implicit lEnc: Encoder[L], rEnc: Encoder[R]): Encoder[Either[L, R]] =
+    (lEnc, rEnc) match {
+      case (_: AgnosticEncoder[_], _: AgnosticEncoder[_]) =>
+        type Repr = (Boolean, Option[L], Option[R])
+        val repr = Encoders.tuple(Encoders.scalaBoolean, option(lEnc), option(rEnc))
+          .asInstanceOf[AgnosticEncoder[Repr]]
+        AgnosticEncoders.TransformingEncoder[Either[L, R], Repr](
+          scala.reflect.classTag[Either[L, R]],
+          repr,
+          () => new org.apache.spark.sql.catalyst.encoders.Codec[Either[L, R], Repr] {
+            def encode(in: Either[L, R]): Repr = in match {
+              case Left(a)  => (false, Some(a), None)
+              case Right(b) => (true, None, Some(b))
+            }
+            def decode(out: Repr): Either[L, R] =
+              if (out._1) Right(out._3.get) else Left(out._2.get)
+          }).asInstanceOf[Encoder[Either[L, R]]]
+      case _ => Encoders.kryo[Either[L, R]]
+    }
 }

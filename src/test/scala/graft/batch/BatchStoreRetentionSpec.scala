@@ -46,6 +46,19 @@ class BatchStoreRetentionSpec extends AnyFunSuite {
     assert(snapshotDirs(dir) == Set("batch_id=1", "batch_id=2", "batch_id=3"))
   }
 
+  test("merge leaves no cache entry behind (r6 verdict: persist must be released)") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_cache_").toString
+    val store = new BatchStore[String, Long](dir)
+    val out = store.merge(spark, Seq(("k", 1L, 2L), ("j", 1L, 3L)).toDS(), BatchID(1))
+    // output is fully usable after the merge returns...
+    assert(out.collect().map(r => (r._1, r._3)).toMap ==
+      Map("k" -> (None, 2L), "j" -> (None, 3L)))
+    // ...and the internal persist was released (no per-merge cache leak)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "BatchStore.merge leaked a cache entry")
+  }
+
   test("firstNonZero: refuse reads before the boundary, empty at exactly the boundary") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft_fnz_").toString

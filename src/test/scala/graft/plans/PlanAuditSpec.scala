@@ -89,6 +89,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("DeserializeToObject"), p)
   }
 
+  test("either and loop-join seams carry no kryo/binary blobs (product-encoded)") {
+    // r6 verdict item 3: Either seams must be (tag, nullable structs), not
+    // opaque kryo bytes — the schemas prove the physical layout is columnar
+    val pEither = graft.SparkEntry.queries("q_either")(spark, dir)
+    val pLoop = graft.SparkEntry.queries("q_loop_join")(spark, dir)
+    Seq(pEither, pLoop).foreach { df =>
+      val p = plan(df)
+      assert(!p.toLowerCase.contains("kryo"), p)
+      // a kryo seam surfaces as a BinaryType column; no binary anywhere in
+      // any intermediate schema of these queries (none is a legit binary col)
+      df.queryExecution.analyzed.foreach { node =>
+        node.output.foreach { a =>
+          assert(!a.dataType.catalogString.contains("binary"),
+            s"binary blob attribute $a in:\n$p")
+        }
+      }
+    }
+    // and the encoder itself round-trips both branches
+    val s = spark; import s.implicits._
+    implicit val e: org.apache.spark.sql.Encoder[Either[Long, String]] =
+      GraftEncoders.either[Long, String]
+    val ds = Seq[Either[Long, String]](Left(7L), Right("x")).toDS()
+    assert(!ds.schema.catalogString.contains("binary"), ds.schema.catalogString)
+    assert(ds.collect().toSet == Set(Left(7L), Right("x")))
+  }
+
   test("whole-stage codegen covers the scalar text operators") {
     // charCount/alphaRatio are plain expressions -> codegen'd ("*(n)" stage
     // markers); higher-order array functions run as expressions outside
