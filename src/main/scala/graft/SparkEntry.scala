@@ -358,6 +358,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
     }),
 
+    "q_batcher_combined" -> ((s, dir) => {
+      // Combined batcher (reference CombinedBatcher): daily batches before
+      // the cut, hourly after, ids monotone across the switch. The cut lands
+      // exactly on a daily boundary — the case where a naive batchOf(at)
+      // would skip an id.
+      val comb = Batcher.Combined(Batcher.ofDays(1), Batcher.ofHours(1),
+        Timestamp(1705276800000L)) // 2024-01-15T00:00:00Z
+      eventsDF(s, dir)
+        .groupBy(col("user_id"), comb.batchIdColumn(col("ts_ms")).as("batch_id"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
     "q_sumbykey_delta" -> ((s, dir) => {
       // the Summer's (Option[V], V) contract per (key, batch):
       // prior = all-time sum before this batch, delta = this batch's sum
@@ -739,6 +751,18 @@ object SparkEntry {
         |    CAST(timezone('America/New_York', CAST(ts AS TIMESTAMPTZ)) AS DATE)) AS batch_id,
         |  count(*) AS cnt
         |FROM events GROUP BY user_id, batch_id""".stripMargin,
+
+    // Combined(daily, hourly, at=2024-01-15T00:00Z): boundaryBatch =
+    // floorDiv(cut-1, day) = 19735, afterBase = floorDiv(cut, hour) = 473688,
+    // so post-cut ids are (19735 + 1 - 473688) + hourly_id = -453952 + hourly_id
+    "q_batcher_combined" ->
+      """SELECT user_id,
+        |  CASE WHEN epoch_ms(ts) < 1705276800000
+        |    THEN CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT)
+        |    ELSE -453952 + CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT)
+        |  END AS batch_id,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_sumbykey_delta" ->
       """WITH per_batch AS (
