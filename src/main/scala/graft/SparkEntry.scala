@@ -753,13 +753,13 @@ object SparkEntry {
         |FROM events GROUP BY user_id, batch_id""".stripMargin,
 
     // Combined(daily, hourly, at=2024-01-15T00:00Z): boundaryBatch =
-    // floorDiv(cut-1, day) = 19735, afterBase = floorDiv(cut, hour) = 473688,
-    // so post-cut ids are (19735 + 1 - 473688) + hourly_id = -453952 + hourly_id
+    // floorDiv(cut-1, day) = 19736, afterBase = floorDiv(cut, hour) = 473688,
+    // so post-cut ids are (19736 + 1 - 473688) + hourly_id = -453951 + hourly_id
     "q_batcher_combined" ->
       """SELECT user_id,
         |  CASE WHEN epoch_ms(ts) < 1705276800000
         |    THEN CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT)
-        |    ELSE -453952 + CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT)
+        |    ELSE -453951 + CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT)
         |  END AS batch_id,
         |  count(*) AS cnt
         |FROM events GROUP BY 1, 2""".stripMargin,
