@@ -18,10 +18,20 @@ import graft.time.{Batcher, BatchID}
   * columnar pipelines prefer the `where(Column)` passthrough (and plain
   * DataFrames via `toDF`) which stay in whole-stage codegen.
   */
-sealed class GraftStream[T](val ds: Dataset[(Long, T)])(implicit enc: Encoder[T])
+sealed class GraftStream[T](val ds: Dataset[(Long, T)],
+    val shardHint: Option[Int] = None)(implicit enc: Encoder[T])
     extends Serializable {
   private implicit def pairEnc: Encoder[(Long, T)] =
     Encoders.tuple(Encoders.scalaLong, enc)
+
+  /** Input to the next closure expansion, pre-resharded when a
+    * `name(_, shards = k)` hint is in scope (reference FlatMapShards,
+    * ScaldingPlatform.scala:534-539): a round-robin exchange spreads a
+    * skewed or under-partitioned source across k tasks BEFORE the expensive
+    * closure runs. Without the hint, no exchange is added.
+    */
+  private def shardedDs: Dataset[(Long, T)] =
+    shardHint.fold(ds)(k => ds.repartition(k))
 
   /** map (Producer.scala:256-258 → OptionMappedProducer). */
   def map[U: Encoder](f: T => U): GraftStream[U] =
@@ -40,14 +50,16 @@ sealed class GraftStream[T](val ds: Dataset[(Long, T)])(implicit enc: Encoder[T]
   def optionMap[U: Encoder](f: T => Option[U]): GraftStream[U] = {
     implicit val out: Encoder[(Long, U)] =
       Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[U]])
-    new GraftStream(ds.flatMap { case (t, v) => f(v).map((t, _)) })
+    new GraftStream(shardedDs.flatMap { case (t, v) => f(v).map((t, _)) })
   }
 
-  /** flatMap: 0..n expansion (Producer.scala:270-271 → FlatMappedProducer). */
+  /** flatMap: 0..n expansion (Producer.scala:270-271 → FlatMappedProducer).
+    * Honors a pending `shards` hint (FlatMapShards) by resharding first.
+    */
   def flatMap[U: Encoder](f: T => IterableOnce[U]): GraftStream[U] = {
     implicit val out: Encoder[(Long, U)] =
       Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[U]])
-    new GraftStream(ds.flatMap { case (t, v) => f(v).iterator.map((t, _)) })
+    new GraftStream(shardedDs.flatMap { case (t, v) => f(v).iterator.map((t, _)) })
   }
 
   /** merge / ++ (Producer.scala:222,231 → MergedProducer) = union. */
@@ -92,7 +104,8 @@ sealed class GraftStream[T](val ds: Dataset[(Long, T)])(implicit enc: Encoder[T]
     implicit val triple: Encoder[(Long, K, V)] =
       Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[K]], implicitly[Encoder[V]])
     new KeyedGraftStream(
-      ds.select(col("_1"), keyCol.as("_2"), valueCol.as("_3")).as[(Long, K, V)])
+      ds.select(col("_1"), keyCol.as("_2"), valueCol.as("_3")).as[(Long, K, V)],
+      shardHint)
   }
 
   /** either: tagged union (Producer.scala:280-282). Product-encoded as
@@ -113,10 +126,20 @@ sealed class GraftStream[T](val ds: Dataset[(Long, T)])(implicit enc: Encoder[T]
     */
   def write(sink: GraftSink[T]): TailStream[T] = { sink.write(ds); new TailStream(ds) }
 
-  /** name: option-scope label (Producer.scala:228). No planner effect here —
-    * Catalyst owns physical planning; kept for API parity & debugging.
+  /** name: option-scope label (Producer.scala:228). The bare form is a pure
+    * label (Catalyst owns physical planning); the `shards` overload is the
+    * one per-name option AQE cannot infer (reference NamedProducer → options
+    * map, ScaldingPlatform.scala:391-392; FlatMapShards 534-539): it
+    * requests a specific parallelism, honored by the NEXT sharding-aware
+    * operator — a closure flatMap/optionMap reshards its input round-robin
+    * to k tasks; carried into the keyed family (via asKeyed*), the next
+    * aggregation shuffles on the key into exactly k partitions.
     */
-  def name(n: String): GraftStream[T] = new GraftStream(ds.as(n))
+  def name(n: String): GraftStream[T] = new GraftStream(ds.as(n), shardHint)
+  def name(n: String, shards: Int): GraftStream[T] = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    new GraftStream(ds.as(n), Some(shards))
+  }
 
   /** lookup: enrich the whole element by a keyed service
     * (Producer.scala:252-253): `T => (T, Option[V])`. A fully COLUMNAR left
@@ -144,14 +167,15 @@ sealed class GraftStream[T](val ds: Dataset[(Long, T)])(implicit enc: Encoder[T]
     implicit val triple: Encoder[(Long, K, V)] =
       Encoders.tuple(Encoders.scalaLong, kEnc, vEnc)
     new KeyedGraftStream(
-      ds.select(col("_1"), col("_2._1").as("_2"), col("_2._2").as("_3")).as[(Long, K, V)])
+      ds.select(col("_1"), col("_2._1").as("_2"), col("_2._2").as("_3")).as[(Long, K, V)],
+      shardHint)
   }
 
   def asKeyedWith[K, V](kf: T => K, vf: T => V)(
       implicit kEnc: Encoder[K], vEnc: Encoder[V]): KeyedGraftStream[K, V] = {
     implicit val triple: Encoder[(Long, K, V)] =
       Encoders.tuple(Encoders.scalaLong, kEnc, vEnc)
-    new KeyedGraftStream(ds.map { case (t, x) => (t, kf(x), vf(x)) })
+    new KeyedGraftStream(ds.map { case (t, x) => (t, kf(x), vf(x)) }, shardHint)
   }
 
   def toDF: org.apache.spark.sql.DataFrame = ds.toDF("ts_ms", "value")

@@ -12,8 +12,22 @@ import graft.plans.{GraftEncoders, SortedGroups}
   * value). Aggregation is `sumByKey` into a Semigroup, the reference's single
   * aggregation primitive (SURVEY §2.4).
   */
-final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)])(
+final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)],
+    val shardHint: Option[Int] = None)(
     implicit kEnc: Encoder[K], vEnc: Encoder[V]) extends Serializable {
+
+  /** Per-name shards/Reducers option (reference ScaldingPlatform.scala:
+    * 391-392, 534-539): request that the next key-shuffling aggregation use
+    * exactly `shards` partitions. AQE normally picks this; the hint is the
+    * explicit override for the cases it can't see in advance (a known-skewed
+    * key domain, a store whose snapshot layout wants fixed parallelism).
+    */
+  def name(n: String, shards: Int): KeyedGraftStream[K, V] = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    new KeyedGraftStream(ds.as(n), Some(shards))
+  }
+  def name(n: String): KeyedGraftStream[K, V] =
+    new KeyedGraftStream(ds.as(n), shardHint)
 
   private implicit def tripleEnc: Encoder[(Long, K, V)] =
     Encoders.tuple(Encoders.scalaLong, kEnc, vEnc)
@@ -33,7 +47,7 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)])(
   }
   def swap: KeyedGraftStream[V, K] = {
     implicit val e: Encoder[(Long, V, K)] = triple[V, K](vEnc, kEnc)
-    new KeyedGraftStream(ds.select(col("_1"), col("_3").as("_2"), col("_2").as("_3")).as[(Long, V, K)])
+    new KeyedGraftStream(ds.select(col("_1"), col("_3").as("_2"), col("_2").as("_3")).as[(Long, V, K)], shardHint)
   }
 
   /** Columnar filter over (`_1` = ts, `_2` = key, `_3` = value) — the
@@ -41,16 +55,16 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)])(
     * columnar source.
     */
   def where(cond: Column): KeyedGraftStream[K, V] =
-    new KeyedGraftStream(ds.filter(cond))
+    new KeyedGraftStream(ds.filter(cond), shardHint)
 
   /** Columnar re-key / re-value — the codegen'd twins of mapKeys/mapValues. */
   def selectKeys[K2: Encoder](keyCol: Column): KeyedGraftStream[K2, V] = {
     implicit val e: Encoder[(Long, K2, V)] = triple[K2, V]
-    new KeyedGraftStream(ds.select(col("_1"), keyCol.as("_2"), col("_3")).as[(Long, K2, V)])
+    new KeyedGraftStream(ds.select(col("_1"), keyCol.as("_2"), col("_3")).as[(Long, K2, V)], shardHint)
   }
   def selectValues[V2: Encoder](valueCol: Column): KeyedGraftStream[K, V2] = {
     implicit val e: Encoder[(Long, K, V2)] = triple[K, V2]
-    new KeyedGraftStream(ds.select(col("_1"), col("_2"), valueCol.as("_3")).as[(Long, K, V2)])
+    new KeyedGraftStream(ds.select(col("_1"), col("_2"), valueCol.as("_3")).as[(Long, K, V2)], shardHint)
   }
 
   /** Columnar flatMapKeys: `keysCol` is an ARRAY Column; each element becomes
@@ -59,7 +73,7 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)])(
   def explodeKeys[K2: Encoder](keysCol: Column): KeyedGraftStream[K2, V] = {
     implicit val e: Encoder[(Long, K2, V)] = triple[K2, V]
     new KeyedGraftStream(
-      ds.select(col("_1"), explode(keysCol).as("_2"), col("_3")).as[(Long, K2, V)])
+      ds.select(col("_1"), explode(keysCol).as("_2"), col("_3")).as[(Long, K2, V)], shardHint)
   }
 
   /** mapKeys / flatMapKeys re-key the stream (Producer.scala:374-375,405-406
@@ -67,11 +81,11 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)])(
     */
   def mapKeys[K2: Encoder](f: K => K2): KeyedGraftStream[K2, V] = {
     implicit val e: Encoder[(Long, K2, V)] = triple[K2, V]
-    new KeyedGraftStream(ds.map(r => (r._1, f(r._2), r._3)))
+    new KeyedGraftStream(ds.map(r => (r._1, f(r._2), r._3)), shardHint)
   }
   def flatMapKeys[K2: Encoder](f: K => IterableOnce[K2]): KeyedGraftStream[K2, V] = {
     implicit val e: Encoder[(Long, K2, V)] = triple[K2, V]
-    new KeyedGraftStream(ds.flatMap(r => f(r._2).iterator.map(k2 => (r._1, k2, r._3))))
+    new KeyedGraftStream(ds.flatMap(r => f(r._2).iterator.map(k2 => (r._1, k2, r._3))), shardHint)
   }
 
   /** mapValues / flatMapValues keep the key (Producer.scala:378-379,409-410 →
@@ -79,18 +93,18 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)])(
     */
   def mapValues[V2: Encoder](f: V => V2): KeyedGraftStream[K, V2] = {
     implicit val e: Encoder[(Long, K, V2)] = triple[K, V2]
-    new KeyedGraftStream(ds.map(r => (r._1, r._2, f(r._3))))
+    new KeyedGraftStream(ds.map(r => (r._1, r._2, f(r._3))), shardHint)
   }
   def flatMapValues[V2: Encoder](f: V => IterableOnce[V2]): KeyedGraftStream[K, V2] = {
     implicit val e: Encoder[(Long, K, V2)] = triple[K, V2]
-    new KeyedGraftStream(ds.flatMap(r => f(r._3).iterator.map(v2 => (r._1, r._2, v2))))
+    new KeyedGraftStream(ds.flatMap(r => f(r._3).iterator.map(v2 => (r._1, r._2, v2))), shardHint)
   }
 
   /** filterKeys / filterValues (Producer.scala:358-368). */
   def filterKeys(f: K => Boolean): KeyedGraftStream[K, V] =
-    new KeyedGraftStream(ds.filter(r => f(r._2)))
+    new KeyedGraftStream(ds.filter(r => f(r._2)), shardHint)
   def filterValues(f: V => Boolean): KeyedGraftStream[K, V] =
-    new KeyedGraftStream(ds.filter(r => f(r._3)))
+    new KeyedGraftStream(ds.filter(r => f(r._3)), shardHint)
 
   /** collectKeys / collectValues (Producer.scala:345-350). */
   def collectKeys[K2: Encoder](pf: PartialFunction[K, K2]): KeyedGraftStream[K2, V] =
@@ -125,7 +139,7 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)])(
       .join(svc, col("_2") === col("__svc_k"), "left_outer")
       .select(col("_1"), col("_2"),
         struct(col("_3").as("_1"), col("__svc_v").as("_2")).as("_3"))
-    new KeyedGraftStream(joined.as[(Long, K, (V, Option[J]))])
+    new KeyedGraftStream(joined.as[(Long, K, (V, Option[J]))], shardHint)
   }
 
   /** leftJoin against a LIVE external service (reference online leftJoin,
@@ -185,7 +199,7 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)])(
         pipelined ++ drainRest
       }
     }
-    new KeyedGraftStream(joined)
+    new KeyedGraftStream(joined, shardHint)
   }
 
   /** Temporal (as-of) leftJoin against a change-stream service: each left
@@ -215,7 +229,7 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)])(
         }
       }
     }(tagIsRight = r => r._3._1.isEmpty)
-    new KeyedGraftStream(out0)
+    new KeyedGraftStream(out0, shardHint)
   }
 
   /** sumByKey — the single aggregation primitive (Producer.scala:412-422 →
@@ -237,7 +251,7 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)])(
       Encoders.tuple(kEnc, Encoders.scalaLong, GraftEncoders.priorDelta(vEnc))
     // scan batches per key in order to compute the running prior
     val keyed = perBatch.map(r => (r._2, r._1, r._3)) // (batchAsTs, K, V)
-    SortedGroups.perKeyTimeSorted(keyed) { (k: K, it: Iterator[(Long, V)]) =>
+    SortedGroups.perKeyTimeSorted(keyed, shardHint) { (k: K, it: Iterator[(Long, V)]) =>
       var prior: Option[V] = None
       it.map { case (batch, delta) =>
         val out = (k, batch, (prior, delta))
@@ -257,8 +271,12 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)])(
     if (sg.isCommutative) sg.columnForm match {
       case Some(aggFn) =>
         // fast path: the semigroup has a native Catalyst aggregate — one
-        // codegen'd hash aggregation (partial + final), fully columnar
-        ds.toDF("_ts", "_k", "_v")
+        // codegen'd hash aggregation (partial + final), fully columnar.
+        // A shards hint pins the key exchange to exactly k partitions
+        // (HashPartitioning on _k satisfies the (_k,_b) clustering, so the
+        // aggregate adds no second exchange); without it, conf + AQE decide.
+        val flat = ds.toDF("_ts", "_k", "_v")
+        shardHint.fold(flat)(k => flat.repartition(k, col("_k")))
           .groupBy(col("_k"), batcher.batchIdColumn(col("_ts")).as("_b"))
           .agg(aggFn(col("_v")).as("_s"))
           .select(col("_k").as("_1"), col("_b").as("_2"), col("_s").as("_3"))
@@ -276,7 +294,7 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)])(
         Encoders.tuple(Encoders.scalaLong, kbEnc2, vEnc)
       val byKb: Dataset[(Long, (K, Long), V)] =
         ds.map(r => (r._1, (r._2, batcher.batchOf(Timestamp(r._1)).id), r._3))
-      SortedGroups.perKeyTimeSorted(byKb) { (kb: (K, Long), it: Iterator[(Long, V)]) =>
+      SortedGroups.perKeyTimeSorted(byKb, shardHint) { (kb: (K, Long), it: Iterator[(Long, V)]) =>
         val summed = it.map(_._2).reduce(sg.plus)
         Iterator.single((kb._1, kb._2, summed))
       }()
@@ -298,7 +316,8 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)])(
     */
   def sumByKeyAgg[V2: Encoder](aggFn: Column => Column): Dataset[(K, V2)] = {
     implicit val out: Encoder[(K, V2)] = Encoders.tuple(kEnc, implicitly[Encoder[V2]])
-    ds.toDF("_ts", "_k", "_v")
+    val flat = ds.toDF("_ts", "_k", "_v")
+    shardHint.fold(flat)(k => flat.repartition(k, col("_k")))
       .groupBy(col("_k"))
       .agg(aggFn(col("_v")).as("_s"))
       .select(col("_k").as("_1"), col("_s").as("_2"))

@@ -22,15 +22,19 @@ object SortedGroups {
     * timestamps: rows with tag=false sort before tag=true (the reference's
     * lookups-before-writes tie-break, Service.scala:210-213).
     */
-  def perKeyTimeSorted[K, V, U](ds: Dataset[(Long, K, V)])(
+  /** `numShards` pins the key-exchange partition count (the per-name
+    * Reducers/shards option); None leaves it to conf + AQE.
+    */
+  def perKeyTimeSorted[K, V, U](ds: Dataset[(Long, K, V)],
+      numShards: Option[Int] = None)(
       f: (K, Iterator[(Long, V)]) => Iterator[U])(
       tagIsRight: ((Long, K, V)) => Boolean = (_: (Long, K, V)) => false)(
       implicit kEnc: Encoder[K], vEnc: Encoder[V], uEnc: Encoder[U]): Dataset[U] = {
     implicit val taggedEnc: Encoder[(Long, K, V, Int)] =
       Encoders.tuple(Encoders.scalaLong, kEnc, vEnc, Encoders.scalaInt)
     val tagged = ds.map(r => (r._1, r._2, r._3, if (tagIsRight(r)) 1 else 0))
-    val sorted = tagged
-      .repartition(col("_2"))
+    val sorted = numShards.fold(tagged.repartition(col("_2")))(
+        k => tagged.repartition(k, col("_2")))
       .sortWithinPartitions(col("_2"), col("_1"), col("_4"))
     sorted.mapPartitions { it =>
       groupedFlat[(Long, K, V, Int), K, U](it, _._2, (k, rows) => f(k, rows.map(r => (r._1, r._3))))

@@ -115,6 +115,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(ds.collect().toSet == Set(Left(7L), Right("x")))
   }
 
+  test("name(n, shards = k) pins the requested partitioning (FlatMapShards/Reducers analogue)") {
+    val s = spark; import s.implicits._
+    import graft.api.GraftStream
+    import graft.algebra.Semigroup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[graft.Doc]
+
+    // FlatMapShards: the closure flatMap reshards its input round-robin to 7
+    val fm = GraftStream.from(docs)(_.doc_id)
+      .name("tokenize", shards = 7)
+      .flatMap(d => d.text.split("\\s+").iterator)
+    val pFm = fm.ds.queryExecution.executedPlan.toString
+    assert(pFm.contains("RoundRobinPartitioning(7"), pFm)
+
+    // Reducers: the keyed aggregation shuffles on the key into exactly 13
+    // partitions, and the hint survives intermediate keyed transforms;
+    // the aggregate adds NO second exchange on top of the requested one
+    val agg = GraftStream.from(docs)(_.doc_id)
+      .asKeyedWith(_.doc_id % 10, (_: graft.Doc) => 1L)
+      .name("cnt", shards = 13)
+      .mapValues(v => v) // hint must survive a value transform
+      .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
+    val pAgg = agg.queryExecution.executedPlan.toString
+    assert(pAgg.contains(", 13)"), pAgg)
+    assert(pAgg.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, pAgg)
+
+    // without the hint: no round-robin exchange appears
+    val plain = GraftStream.from(docs)(_.doc_id).flatMap(d => d.text.split("\\s+").iterator)
+    assert(!plain.ds.queryExecution.executedPlan.toString.contains("RoundRobinPartitioning"))
+  }
+
   test("whole-stage codegen covers the scalar text operators") {
     // charCount/alphaRatio are plain expressions -> codegen'd ("*(n)" stage
     // markers); higher-order array functions run as expressions outside
