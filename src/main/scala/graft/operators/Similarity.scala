@@ -78,31 +78,62 @@ object Similarity {
 
   /** IVF: coarse quantizer seeded by the `nCentroids` vectors with the
     * smallest hashed id (one TakeOrdered — no count(), no global sort),
-    * centroids collected to the driver and inlined as literal arrays so
-    * assignment is a single argmax PROJECTION (zero shuffle, zero windows
-    * over the data). Queries probe the `nProbe` nearest centroids; with
-    * nProbe = nCentroids every vector is a candidate, so the result is
-    * EXACT per-query top-k (the oracle-checked configuration).
+    * refined by `lloydIters` deterministic Lloyd iterations (assign to
+    * nearest centroid → per-centroid mean), centroids collected to the
+    * driver and inlined as literal arrays so assignment is a single argmax
+    * PROJECTION (zero shuffle, zero windows over the data). Queries probe
+    * the `nProbe` nearest centroids; with nProbe = nCentroids every vector
+    * is a candidate, so the result is EXACT per-query top-k (the
+    * oracle-checked configuration) regardless of centroid quality; at
+    * partial probe the refined centroids make recall defensible (spherical
+    * k-means: cosine argmax is scale-invariant, so the unnormalized mean is
+    * the correct centroid direction).
     *
     * At 100 TB: the only per-vector work is nCentroids cosine evaluations
-    * inside one codegen'd projection; the only shuffle is the broadcast-join
-    * of candidates against the (tiny) probe table plus the per-query top-k.
+    * inside one codegen'd projection; each Lloyd iteration is one extra
+    * scan whose shuffle carries only (centroid, dim) partial sums —
+    * nCentroids × dim cells, independent of row count; the only data-side
+    * shuffle of the query phase is the broadcast-join of candidates against
+    * the (tiny) probe table plus the per-query top-k.
     */
   def ivfTopK(spark: SparkSession, df: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, qVecCol: String, qIdCol: String,
-      k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
+    require(lloydIters >= 0, s"lloydIters must be >= 0, got $lloydIters")
     // deterministic seeds: smallest xxhash64(id) — a pseudo-random but
     // reproducible sample, fetched with a TakeOrderedAndProject
-    val centroids: Array[Array[Double]] = df
+    val seeds: Array[Array[Double]] = df
       .select(col(vecCol).cast("array<double>").as("__v"), col(idCol).as("__sid"))
       .orderBy(xxhash64(col("__sid")), col("__sid"))
       .limit(nCentroids)
       .collect()
       .map(_.getSeq[Double](0).toArray)
 
-    def simsTo(v: Column): Column =
-      array(centroids.map(c =>
+    def simsToCents(v: Column, cents: Array[Array[Double]]): Column =
+      array(cents.map(c =>
         VectorFunctions.cosine(v, array(c.map(lit(_)): _*))): _*)
+    def argmaxCid(v: Column, cents: Array[Array[Double]]): Column = {
+      val sims = simsToCents(v, cents)
+      (array_position(sims, array_max(sims)) - 1).cast("int")
+    }
+
+    // Lloyd: new centroid = mean of assigned vectors; an empty centroid
+    // keeps its previous position (deterministic). The aggregate groups on
+    // (centroid id, dimension index) — nCentroids × dim cells total.
+    val centroids: Array[Array[Double]] = (0 until lloydIters).foldLeft(seeds) {
+      (cents, _) =>
+        val means = df
+          .select(argmaxCid(col(vecCol), cents).as("__cid"),
+            posexplode(col(vecCol).cast("array<double>")))
+          .groupBy(col("__cid"), col("pos"))
+          .agg(avg(col("col")).as("__m"))
+          .collect()
+        val next = cents.map(_.clone())
+        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        next
+    }
+
+    def simsTo(v: Column): Column = simsToCents(v, centroids)
 
     // nearest-centroid assignment: argmax over the literal centroid array,
     // in one narrow projection (first index wins ties — deterministic)

@@ -53,6 +53,26 @@ class ApproxOpsSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("Lloyd-refined IVF at partial probe: planted dup found, recall vs brute >= 0.6") {
+    val s = spark; import s.implicits._
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id").isin(0L, 50L, 201L))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val ivf = Similarity.ivfTopK(spark, df, "embedding", "vec_id",
+        queries, "q_vec", "q_id", k = 5, nCentroids = 4, nProbe = 2,
+        lloydIters = 2)
+      .as[(Long, Long, Double)].collect()
+    // a near-duplicate query must land in the same refined cell as its source
+    assert(ivf.filter(_._1 == 201L).map(_._2).contains(5L),
+      s"query 201 missed source 5: ${ivf.toSeq}")
+    val brute = Similarity.bruteForceTopKJoin(df, "embedding", "vec_id",
+        queries, "q_vec", "q_id", k = 5)
+      .as[(Long, Long, Double)].collect()
+    val recall = ivf.map(r => (r._1, r._2)).toSet
+      .intersect(brute.map(r => (r._1, r._2)).toSet).size.toDouble / brute.length
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
   test("LSH ANN finds the planted near-duplicates; recall vs brute >= 0.6") {
     val s = spark; import s.implicits._
     val df = vecs.toDF("vec_id", "embedding")
