@@ -118,18 +118,26 @@ object Similarity {
     }
 
     // Lloyd: new centroid = mean of assigned vectors; an empty centroid
-    // keeps its previous position (deterministic). The aggregate groups on
-    // (centroid id, dimension index) — nCentroids × dim cells total.
+    // keeps its previous position (deterministic). One hash aggregation per
+    // iteration: dim per-element avg aggregates grouped on the argmax cell —
+    // the grouping key is evaluated ONCE per row (a posexplode formulation
+    // would let Catalyst recompute the argmax under the generator, dim
+    // times per row), and the shuffle carries only nCentroids × dim cells.
+    val dims = seeds.headOption.map(_.length).getOrElse(0)
     val centroids: Array[Array[Double]] = (0 until lloydIters).foldLeft(seeds) {
       (cents, _) =>
         val means = df
           .select(argmaxCid(col(vecCol), cents).as("__cid"),
-            posexplode(col(vecCol).cast("array<double>")))
-          .groupBy(col("__cid"), col("pos"))
-          .agg(avg(col("col")).as("__m"))
+            col(vecCol).cast("array<double>").as("__v"))
+          .groupBy(col("__cid"))
+          .agg(array((0 until dims).map(i => avg(col("__v").getItem(i))): _*).as("__m"))
           .collect()
         val next = cents.map(_.clone())
-        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        means.foreach { r =>
+          val m = r.getSeq[Double](1)
+          var i = 0
+          while (i < dims) { next(r.getInt(0))(i) = m(i); i += 1 }
+        }
         next
     }
 
