@@ -358,6 +358,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
     }),
 
+    "q_lastbytime" -> ((s, dir) => {
+      // lastByTime value semigroup (latest-write-wins register, SURVEY §1.3):
+      // per user, the time and type of their latest event. Non-commutative,
+      // so sumByKey routes it through the event-time-ordered fold.
+      import s.implicits._
+      implicit val sg: Semigroup[(Long, String)] = Semigroup.lastByTime[String]
+      eventStream(s, dir)
+        .asKeyedCols[Long, (Long, String)](col("_2.user_id"),
+          struct(col("_1").as("_1"), col("_2.event_type").as("_2")))
+        .sumByKeyAllTime(sg, implicitly)
+        .select(col("_1").as("user_id"), col("_2._1").as("last_ts_ms"),
+          col("_2._2").as("last_type"))
+    }),
+
     "q_batcher_combined" -> ((s, dir) => {
       // Combined batcher (reference CombinedBatcher): daily batches before
       // the cut, hourly after, ids monotone across the switch. The cut lands
@@ -751,6 +765,13 @@ object SparkEntry {
         |    CAST(timezone('America/New_York', CAST(ts AS TIMESTAMPTZ)) AS DATE)) AS batch_id,
         |  count(*) AS cnt
         |FROM events GROUP BY user_id, batch_id""".stripMargin,
+
+    // per-user ms timestamps are unique in this data (no ties), so
+    // latest-write-wins is deterministic and arg_max is an exact oracle
+    "q_lastbytime" ->
+      """SELECT user_id, epoch_ms(max(ts)) AS last_ts_ms,
+        |  arg_max(event_type, ts) AS last_type
+        |FROM events GROUP BY 1""".stripMargin,
 
     // Combined(daily, hourly, at=2024-01-15T00:00Z): boundaryBatch =
     // floorDiv(cut-1, day) = 19736, afterBase = floorDiv(cut, hour) = 473688,

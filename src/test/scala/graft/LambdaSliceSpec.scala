@@ -151,6 +151,41 @@ class LambdaSliceSpec extends AnyFunSuite {
     assert(streaming == batch)
   }
 
+  test("loop join across the batch/streaming handoff: offline store seeds online state") {
+    // the lambda slice at the hardest operator: run the batch LoopJoin over
+    // the early events, hand its final store to StreamingLoopJoin as the
+    // initial state for the late events — the combined join output must
+    // equal ONE batch LoopJoin over all events (reference semantics: the
+    // online loop join picks up exactly where the offline store left off)
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val sg: Semigroup[Long] = Semigroup.longSemigroup
+    val fn: (Long, Option[Long]) => Option[Long] = (u, st) => Some(st.getOrElse(0L) + u)
+    // unique, increasing ts; keys cycle so every key spans the handoff
+    val all = Seq.tabulate(40)(i => (i.toLong, i.toLong % 4, (i + 1).toLong))
+    val (early, late) = all.partition(_._1 < 20)
+
+    val batchPhase = graft.operators.LoopJoin
+      .joinAndState[Long, Long, Long](early.toDS(), None, fn).collect()
+    val offlineStore = batchPhase.collect { case Right(kv) => kv }.toMap
+    val joins1 = batchPhase.collect { case Left(r) => (r._1, r._2, r._3._1, r._3._2) }
+
+    val ms = MemoryStream[(Long, Long, Long)]
+    val out = graft.streaming.StreamingLoopJoin.loopJoin[Long, Long, Long](
+      ms.toDS(), Some(offlineStore.toSeq.toDS()), fn)
+    val q = out.writeStream.format("memory").queryName("lj_handoff")
+      .outputMode("append").start()
+    try { ms.addData(late: _*); q.processAllAvailable() } finally q.stop()
+    val joins2 = spark.table("lj_handoff").as[(Long, Long, (Long, Option[Long]))]
+      .collect().map(r => (r._1, r._2, r._3._1, r._3._2))
+
+    val full = graft.operators.LoopJoin
+      .loopJoin[Long, Long, Long](all.toDS(), None, fn)
+      .collect().map(r => (r._1, r._2, r._3._1, r._3._2))
+    assert((joins1 ++ joins2).toSet == full.toSet)
+    assert(joins1.length + joins2.length == full.length)
+  }
+
   test("uncommitted snapshot directories are invisible to readLast") {
     val s = spark; import s.implicits._
     val tmp = Files.createTempDirectory("graft_commitlog_").toString
