@@ -358,6 +358,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
     }),
 
+    "q_decayed" -> ((s, dir) => {
+      // exponentially time-decayed sum (SURVEY §1.3 Decayed value): per
+      // user, events' values decayed to the user's latest event time with a
+      // 7-day half-life. Commutative merge (rescale to max ts, then add);
+      // rounded to 6 dp — association order only perturbs ~1e-12 relative.
+      import s.implicits._
+      import graft.algebra.Decayed
+      implicit val sg: Semigroup[Decayed] =
+        Decayed.semigroup(halfLifeMs = 7.0 * 86400000.0)
+      eventStream(s, dir)
+        .asKeyedCols[Long, Decayed](col("_2.user_id"),
+          struct(col("_1").as("ts"), col("_2.value").as("value")))
+        .sumByKeyAllTime(sg, implicitly)
+        .select(col("_1").as("user_id"), col("_2.ts").as("last_ts_ms"),
+          round(col("_2.value"), 6).as("decayed"))
+    }),
+
     "q_lastbytime" -> ((s, dir) => {
       // lastByTime value semigroup (latest-write-wins register, SURVEY §1.3):
       // per user, the time and type of their latest event. Non-commutative,
@@ -765,6 +782,14 @@ object SparkEntry {
         |    CAST(timezone('America/New_York', CAST(ts AS TIMESTAMPTZ)) AS DATE)) AS batch_id,
         |  count(*) AS cnt
         |FROM events GROUP BY user_id, batch_id""".stripMargin,
+
+    "q_decayed" ->
+      """WITH m AS (SELECT user_id, max(epoch_ms(ts)) AS tmax FROM events GROUP BY 1)
+        |SELECT e.user_id, m.tmax AS last_ts_ms,
+        |  round(sum(e.value * pow(2.0, (epoch_ms(e.ts) - m.tmax) / 604800000.0)), 6)
+        |    AS decayed
+        |FROM events e JOIN m ON e.user_id = m.user_id
+        |GROUP BY e.user_id, m.tmax""".stripMargin,
 
     // per-user ms timestamps are unique in this data (no ties), so
     // latest-write-wins is deterministic and arg_max is an exact oracle
