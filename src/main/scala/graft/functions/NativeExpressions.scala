@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the two per-row text algorithms that
@@ -58,9 +58,72 @@ object NativeExpressions {
     override def prettyName: String = "graft_langid"
   }
 
+  /** MinHash signature over a shingle-hash array — the third per-row
+    * algorithm worth a native expression: the HOF formulation
+    * (aggregate × zip_with) evaluates an interpreted lambda and allocates a
+    * fresh accumulator array per shingle, and measured as the single most
+    * expensive stage in the bench. This expression runs the
+    * [[MinHashImpl.signature]] tight loop (one XXH64.hashLong + compare per
+    * (shingle, index)) and produces bit-identical output to the HOF (law in
+    * ApproxOpsSpec).
+    */
+  case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_minhash_sig needs an array<bigint> child, got $other")
+      }
+    override protected def nullSafeEval(input: Any): Any =
+      MinHashImpl.signature(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.MinHashImpl.signature($c, $numHashes)")
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+    override def prettyName: String = "graft_minhash_sig"
+  }
+
+  /** Hashed w-shingle sequence over a token array — companion to
+    * [[MinHashSig]] covering the other interpreted-HOF hot stage of the
+    * dedup family (per-window slice + concat_ws + xxhash64). Bit-identical
+    * to the HOF formulation (law in ApproxOpsSpec); the token array itself
+    * still comes from codegen'd split/filter/lower.
+    */
+  case class ShingleHashes(child: Expression, w: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_shingle_hashes needs an array<string> child, got $other")
+      }
+    override protected def nullSafeEval(input: Any): Any =
+      MinHashImpl.shingleHashes(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.MinHashImpl.shingleHashes($c, $w)")
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+      copy(child = newChild)
+    override def prettyName: String = "graft_shingle_hashes"
+  }
+
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
 
   def langId(text: Column): Column =
     ColumnBridge.column(LangId(ColumnBridge.expression(text)))
+
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numHashes))
+
+  def shingleHashes(tokens: Column, w: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), w))
 }

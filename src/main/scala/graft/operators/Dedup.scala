@@ -72,9 +72,20 @@ object Dedup {
     array_distinct(shingleSeqCol(text, w))
 
   /** Ordered (position-preserving, duplicate-keeping) w-shingle hash
-    * sequence — what winnowing ([[TextFunctions.winnow]]) consumes.
+    * sequence — what winnowing ([[TextFunctions.winnow]]) consumes. Runs as
+    * the native [[graft.functions.NativeExpressions.ShingleHashes]]
+    * expression (per-window slice/concat/hash in one tight loop; the token
+    * array still comes from codegen'd split/filter/lower); bit-identical to
+    * [[shingleSeqColHof]] (law in ApproxOpsSpec).
     */
-  def shingleSeqCol(text: Column, w: Int): Column = {
+  def shingleSeqCol(text: Column, w: Int): Column =
+    graft.functions.NativeExpressions.shingleHashes(
+      TextFunctions.tokens(lower(text)), w)
+
+  /** Reference HOF formulation of [[shingleSeqCol]] (the law's ground
+    * truth).
+    */
+  private[graft] def shingleSeqColHof(text: Column, w: Int): Column = {
     val toks = TextFunctions.tokens(lower(text))
     val windows = transform(sequence(lit(1), size(toks) - lit(w - 1)),
       i => xxhash64(concat_ws(" ", slice(toks, i, lit(w)))))
@@ -102,14 +113,25 @@ object Dedup {
     spread.select(col(idCol), shingleCol(col(textCol), w).as("__sh"))
   }
 
-  /** MinHash signature from a shingle-hash array column: `numHashes`
-    * permutations via seeded xxhash64 re-hashes, min-folded in ONE
-    * `aggregate` HOF with an array accumulator (a fold per permutation
-    * would bloat the plan to numHashes aggregate trees and dominate
-    * analysis/codegen time). array<long> of length numHashes; element i is
-    * min over shingles of xxhash64(i, shingle).
+  /** MinHash signature from a shingle-hash array column: array<long> of
+    * length numHashes; element i is min over shingles of
+    * xxhash64(i, shingle). Runs as the native codegen'd
+    * [[graft.functions.NativeExpressions.MinHashSig]] expression — the HOF
+    * formulation ([[minhashSignatureHof]]) interprets a lambda and
+    * allocates an accumulator array per shingle and was the single most
+    * expensive stage in the bench; the native form is one
+    * XXH64.hashLong + compare per (shingle, index), bit-identical output
+    * (equality law in ApproxOpsSpec).
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
+    graft.functions.NativeExpressions.minhashSig(shingles, numHashes)
+
+  /** Reference HOF formulation of [[minhashSignature]] (kept as the law's
+    * ground truth): min-fold in ONE `aggregate` with an array accumulator
+    * (a fold per permutation would bloat the plan to numHashes aggregate
+    * trees and dominate analysis/codegen time).
+    */
+  private[graft] def minhashSignatureHof(shingles: Column, numHashes: Int): Column =
     aggregate(shingles,
       array_repeat(lit(Long.MaxValue), numHashes),
       (acc, h) => zip_with(acc, sequence(lit(0L), lit(numHashes - 1L)),

@@ -211,6 +211,30 @@ class ApproxOpsSpec extends AnyFunSuite {
     assert(TextFunctions.languageOf("") == "und")
   }
 
+  test("native MinHashSig and ShingleHashes are bit-identical to the HOF formulations") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a completely different document with other words entirely here"),
+      (3L, "short doc"),     // fewer tokens than w
+      (4L, ""),              // empty
+      (5L, "  spaced   out\ttabs\nnewlines  "),
+      (6L, "Ünïcode TÉXT and Mixed CASE words")).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      Dedup.shingleSeqCol(col("text"), 3).as("native_sh"),
+      Dedup.shingleSeqColHof(col("text"), 3).as("hof_sh"))
+    sh.collect().foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"shingles doc ${r.getLong(0)}")
+    }
+    val both = docs.select(col("doc_id"),
+        Dedup.minhashSignature(array_distinct(Dedup.shingleSeqCol(col("text"), 3)), 64).as("native"),
+        Dedup.minhashSignatureHof(array_distinct(Dedup.shingleSeqColHof(col("text"), 3)), 64).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"signature doc ${r.getLong(0)}")
+    }
+  }
+
   test("minhash candidates achieve full recall on high-jaccard pairs (this data)") {
     val s = spark; import s.implicits._
     // 40 docs, 5 planted near-dup pairs (one token changed out of 12)
