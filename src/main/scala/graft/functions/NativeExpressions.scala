@@ -115,6 +115,69 @@ object NativeExpressions {
     override def prettyName: String = "graft_shingle_hashes"
   }
 
+  private def elemTag(dt: DataType): Option[Int] = dt match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _)   => Some(VectorImpl.TFloat)
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _)  => Some(VectorImpl.TDouble)
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) => Some(VectorImpl.TInt)
+    case ArrayType(LongType, _)                               => Some(VectorImpl.TLong)
+    case _                                                    => None
+  }
+
+  /** Native dot product over two numeric array columns — the vector family's
+    * hot kernel (every similarity/embedding-dedup op, and lshBucket runs
+    * nBits of these per row). Same left-to-right fold as the HOF
+    * formulation, so results are bit-identical (law in ApproxOpsSpec).
+    */
+  case class DotProduct(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+    override def nullable: Boolean = true
+    private lazy val (ta, tb) = (elemTag(left.dataType).get, elemTag(right.dataType).get)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (elemTag(left.dataType).isDefined && elemTag(right.dataType).isDefined)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_dot needs numeric array children, got ${left.dataType} / ${right.dataType}")
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VectorImpl.dot(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], ta,
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], tb)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val r = ctx.freshName("dotRes")
+        s"""java.lang.Double $r = graft.functions.VectorImpl.dot($a, $ta, $b, $tb);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+           |""".stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_dot"
+  }
+
+  /** Native sum of squares over a numeric array column (the norm kernel). */
+  case class SumSquares(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+    override def nullable: Boolean = true
+    private lazy val ta = elemTag(child.dataType).get
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (elemTag(child.dataType).isDefined)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_sumsq needs a numeric array child, got ${child.dataType}")
+    override protected def nullSafeEval(input: Any): Any =
+      VectorImpl.sumSquares(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], ta)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val r = ctx.freshName("ssRes")
+        s"""java.lang.Double $r = graft.functions.VectorImpl.sumSquares($c, $ta);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+           |""".stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): SumSquares =
+      copy(child = newChild)
+    override def prettyName: String = "graft_sumsq"
+  }
+
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
 
@@ -126,4 +189,10 @@ object NativeExpressions {
 
   def shingleHashes(tokens: Column, w: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), w))
+
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sumSquares(a: Column): Column =
+    ColumnBridge.column(SumSquares(ColumnBridge.expression(a)))
 }

@@ -13,11 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  def dot(a: Column, b: Column): Column =
+  /** Native codegen'd kernels ([[NativeExpressions.DotProduct]] /
+    * [[NativeExpressions.SumSquares]]) — same left-to-right fold as the HOF
+    * forms below, bit-identical results (law in ApproxOpsSpec), without the
+    * per-element interpreted-lambda cost.
+    */
+  def dot(a: Column, b: Column): Column = NativeExpressions.dotProduct(a, b)
+
+  def norm(a: Column): Column = sqrt(NativeExpressions.sumSquares(a))
+
+  /** Reference HOF formulations (the equality law's ground truth). */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column =
+  private[graft] def normHof(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
   def cosine(a: Column, b: Column): Column = {

@@ -235,6 +235,26 @@ class ApproxOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native DotProduct/SumSquares are bit-identical to the HOF formulations") {
+    val s = spark; import s.implicits._
+    import graft.functions.VectorFunctions
+    val df = vecs.toDF("vec_id", "embedding") // array<double>
+    val fdf = vecs.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding") // array<float> (the storage type)
+    val q = array(Array.tabulate(dim)(i => lit(math.sin(i + 1.0))): _*)
+    Seq(df, fdf).foreach { frame =>
+      val rows = frame.select(
+        VectorFunctions.dot(col("embedding"), q).as("nd"),
+        VectorFunctions.dotHof(col("embedding"), q).as("hd"),
+        VectorFunctions.norm(col("embedding")).as("nn"),
+        VectorFunctions.normHof(col("embedding")).as("hn")).collect()
+      rows.foreach { r =>
+        assert(r.getDouble(0) == r.getDouble(1), "dot mismatch")
+        assert(r.getDouble(2) == r.getDouble(3), "norm mismatch")
+      }
+    }
+  }
+
   test("minhash candidates achieve full recall on high-jaccard pairs (this data)") {
     val s = spark; import s.implicits._
     // 40 docs, 5 planted near-dup pairs (one token changed out of 12)
