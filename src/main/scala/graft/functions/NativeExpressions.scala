@@ -178,6 +178,33 @@ object NativeExpressions {
     override def prettyName: String = "graft_sumsq"
   }
 
+  /** Intersection size of two sorted, distinct array<bigint> columns —
+    * linear merge, count-equal to size(array_intersect) on such inputs
+    * (callers sort once per document; see VectorImpl.sortedIntersectCount).
+    */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_sorted_intersect_count needs array<bigint> children, got $other")
+      }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VectorImpl.sortedIntersectCount(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.VectorImpl.sortedIntersectCount($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_sorted_intersect_count"
+  }
+
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
 
@@ -195,4 +222,8 @@ object NativeExpressions {
 
   def sumSquares(a: Column): Column =
     ColumnBridge.column(SumSquares(ColumnBridge.expression(a)))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -42,6 +42,24 @@ object VectorImpl {
     acc
   }
 
+  /** Intersection size of two SORTED, DISTINCT long arrays by linear merge
+    * — count-equal to `size(array_intersect(a, b))` (which builds a hash
+    * set per invocation) on such inputs, at O(n+m) with zero allocation.
+    * The dedup verification stages sort their shingle sets once per
+    * document, so every candidate pair pays only the merge scan.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   def sumSquares(a: ArrayData, ta: Int): java.lang.Double = {
     val n = a.numElements()
     var acc = 0.0

@@ -209,9 +209,12 @@ object Dedup {
   def verifyJaccardShingles(sh: DataFrame, pairs: DataFrame, idCol: String,
       threshold: Double): DataFrame =
     pairs
-      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), "id_b")
-      .withColumn("__inter", size(array_intersect(col("__sh_a"), col("__sh_b"))))
+      // sort once per joined document row, then count intersections by the
+      // native linear merge (count-equal to size(array_intersect))
+      .join(sh.select(col(idCol).as("id_a"), array_sort(col("__sh")).as("__sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), array_sort(col("__sh")).as("__sh_b")), "id_b")
+      .withColumn("__inter", graft.functions.NativeExpressions
+        .sortedIntersectCount(col("__sh_a"), col("__sh_b")))
       .withColumn("__union", size(col("__sh_a")) + size(col("__sh_b")) - col("__inter"))
       .withColumn("jaccard", when(col("__union") > 0,
         col("__inter").cast("double") / col("__union")).otherwise(lit(1.0)))
@@ -257,7 +260,10 @@ object Dedup {
     val verified = candPairs
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), "id_b")
-      .withColumn("__inter", size(array_intersect(col("__sh_a"), col("__sh_b"))))
+      // __sh is sorted+distinct here: the native linear-merge count replaces
+      // array_intersect's per-pair hash-set build
+      .withColumn("__inter", graft.functions.NativeExpressions
+        .sortedIntersectCount(col("__sh_a"), col("__sh_b")))
       .withColumn("__union", size(col("__sh_a")) + size(col("__sh_b")) - col("__inter"))
       .withColumn("jaccard", col("__inter").cast("double") / col("__union"))
       .where(col("jaccard") >= threshold)

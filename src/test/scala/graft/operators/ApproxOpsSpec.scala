@@ -255,6 +255,21 @@ class ApproxOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sortedIntersectCount == size(array_intersect) on sorted distinct arrays") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(200) { i =>
+      def arr() = Seq.fill(rnd.nextInt(30))(rnd.nextLong() % 50).distinct.sorted
+      (i.toLong, arr(), arr())
+    } :+ ((200L, Seq.empty[Long], Seq(1L, 2L))) :+ ((201L, Seq.empty[Long], Seq.empty[Long]))
+    val df = rows.toDF("id", "a", "b")
+    val bad = df.select(
+        graft.functions.NativeExpressions.sortedIntersectCount(col("a"), col("b")).as("native"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .where(col("native") =!= col("ref")).count()
+    assert(bad == 0L)
+  }
+
   test("minhash candidates achieve full recall on high-jaccard pairs (this data)") {
     val s = spark; import s.implicits._
     // 40 docs, 5 planted near-dup pairs (one token changed out of 12)
