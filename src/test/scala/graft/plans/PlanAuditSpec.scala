@@ -146,6 +146,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plain.ds.queryExecution.executedPlan.toString.contains("RoundRobinPartitioning"))
   }
 
+  test("native kernels (dot, minhash sig, shingles, intersect) run inside whole-stage codegen") {
+    // regression guard: these expressions implement doGenCode (no
+    // CodegenFallback) — the hot stages must show codegen spans, not
+    // interpreted projection
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pDot = plan(e.select(graft.functions.VectorFunctions.cosine(
+      col("embedding"), array((0 until 64).map(i => lit(i * 0.5)): _*)).as("c")))
+    assert(pDot.contains("graft_dot") && pDot.contains("graft_sumsq"), pDot)
+    assert(pDot.contains("*("), pDot)
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pSig = plan(docs.select(graft.operators.Dedup.minhashSignature(
+      graft.operators.Dedup.shingleCol(col("text"), 3), 64).as("s")))
+    assert(pSig.contains("graft_minhash_sig") && pSig.contains("graft_shingle_hashes"), pSig)
+    assert(pSig.contains("*("), pSig)
+    assert(!pSig.toLowerCase.contains("fallback"), pSig)
+  }
+
   test("whole-stage codegen covers the scalar text operators") {
     // charCount/alphaRatio are plain expressions -> codegen'd ("*(n)" stage
     // markers); higher-order array functions run as expressions outside
