@@ -358,6 +358,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
     }),
 
+    "q_collectkeys" -> ((s, dir) => {
+      // collectKeys (partial function over keys, Producer.scala:345-347):
+      // keep p-prefixed event types, re-key to uppercase, count
+      import s.implicits._
+      eventStream(s, dir).asKeyedCols[String, Long](col("_2.event_type"), lit(1L))
+        .collectKeys { case t if t.startsWith("p") => t.toUpperCase }
+        .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
+        .toDF("etype", "cnt")
+    }),
+
+    "q_collectvalues" -> ((s, dir) => {
+      // collectValues (Producer.scala:348-350): keep values over 100,
+      // shifted down, summed per user
+      import s.implicits._
+      eventStream(s, dir).asKeyedCols[Long, Double](col("_2.user_id"), col("_2.value"))
+        .collectValues { case v if v > 100.0 => v - 100.0 }
+        .sumByKeyAllTime(Semigroup.doubleSemigroup, implicitly)
+        .select(col("_1").as("user_id"), round(col("_2"), 6).as("sumv"))
+    }),
+
     "q_decayed" -> ((s, dir) => {
       // exponentially time-decayed sum (SURVEY §1.3 Decayed value): per
       // user, events' values decayed to the user's latest event time with a
@@ -782,6 +802,14 @@ object SparkEntry {
         |    CAST(timezone('America/New_York', CAST(ts AS TIMESTAMPTZ)) AS DATE)) AS batch_id,
         |  count(*) AS cnt
         |FROM events GROUP BY user_id, batch_id""".stripMargin,
+
+    "q_collectkeys" ->
+      """SELECT upper(event_type) AS etype, count(*) AS cnt
+        |FROM events WHERE event_type LIKE 'p%' GROUP BY 1""".stripMargin,
+
+    "q_collectvalues" ->
+      """SELECT user_id, round(sum(value - 100), 6) AS sumv
+        |FROM events WHERE value > 100 GROUP BY 1""".stripMargin,
 
     "q_decayed" ->
       """WITH m AS (SELECT user_id, max(epoch_ms(ts)) AS tmax FROM events GROUP BY 1)
