@@ -643,6 +643,12 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TF.fingerprintMd5(col("text")).as("fp"))),
 
+    // no SQL oracle (engine-specific shingle hashes) — rows-only check;
+    // the winnowing guarantees are law-checked in ApproxOpsSpec
+    "q_winnow" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        size(TF.winnow(Dedup.shingleSeqCol(col("text"), 3), 4)).as("n_fp"))),
+
     "q_langid" -> ((s, dir) =>
       // native Catalyst expression (codegen'd), not a UDF
       t(s, dir, "documents").select(col("doc_id"),

@@ -283,6 +283,24 @@ object GraftSink {
         .withColumn("batch_id", batcher.batchIdColumn(col("ts_ms")))
         .write.mode("append").partitionBy("batch_id").parquet(path)
   }
+  /** Idempotent batch-committed parquet sink: each touched `batch_id=N`
+    * partition is OVERWRITTEN atomically (dynamic partition overwrite), so
+    * re-running a failed or replayed job converges to the same sink state
+    * instead of appending duplicates — the effect of the reference's
+    * version-state-managed sinks (BatchedSink under HDFSState; a retry
+    * rewrites the version rather than double-writing). Use [[parquet]] when
+    * the source itself is append-only between runs and duplication is
+    * impossible; use this when runs may overlap or retry.
+    */
+  def committedParquet[T](path: String, batcher: Batcher): GraftSink[T] = new GraftSink[T] {
+    def write(ds: Dataset[(Long, T)]): Unit =
+      ds.toDF("ts_ms", "value")
+        .withColumn("batch_id", batcher.batchIdColumn(col("ts_ms")))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(path)
+  }
+
   /** In-memory collecting sink for tests. */
   def memory[T](): MemorySink[T] = new MemorySink[T]
   final class MemorySink[T] extends GraftSink[T] {

@@ -35,6 +35,30 @@ class StreamingIOSpec extends AnyFunSuite {
     assert(batchCounts.get() == 4L)
   }
 
+  test("committedParquet sink is idempotent: a retried write converges, other batches survive") {
+    val s = spark; import s.implicits._
+    import graft.api.{GraftSink, GraftStream}
+    import graft.time.Batcher
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_commit_").toString
+    val batcher = Batcher.ofMillis(1000)
+    val sink = GraftSink.committedParquet[Long](dir, batcher)
+
+    // first run writes batches 0 and 1
+    sink.write(Seq((100L, 1L), (1200L, 2L)).toDS().map(identity))
+    // a RETRY of a job covering batch 1 (plus a new batch 2): batch 1 is
+    // overwritten in place — not appended — and batch 0 is untouched
+    sink.write(Seq((1300L, 20L), (2500L, 3L)).toDS().map(identity))
+
+    val rows = GraftStream.fromBatchedSink[Long](spark, dir).ds.collect().toSet
+    assert(rows == Set((100L, 1L), (1300L, 20L), (2500L, 3L)))
+
+    // re-running the identical write is a no-op on final state
+    sink.write(Seq((1300L, 20L), (2500L, 3L)).toDS().map(identity))
+    val again = GraftStream.fromBatchedSink[Long](spark, dir).ds.collect().toSet
+    assert(again == rows)
+  }
+
   test("a batched sink replays as a STREAM: existing batches first, new files follow") {
     val s = spark; import s.implicits._
     import graft.api.{GraftSink, GraftStream}
