@@ -336,7 +336,7 @@ object SparkEntry {
         .collect { case e if e.event_type == "purchase" => e.event_id }
         .write(GraftSink.parquet[Long](tmp, daily))
       tail.also(GraftStream.fromBatchedSink[Long](s, tmp))
-        .toDF
+        .toDF()
         .groupBy(daily.batchIdColumn(col("ts_ms")).as("batch_id"))
         .agg(count(lit(1)).as("cnt"))
     }),
@@ -564,13 +564,13 @@ object SparkEntry {
 
     // -- dedup family ----------------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
-      Dedup.exact(docsDs(s, dir).toDF, "text", "doc_id").select("doc_id")),
+      Dedup.exact(docsDs(s, dir).toDF(), "text", "doc_id").select("doc_id")),
 
     "q_dedup_exact_norm" -> ((s, dir) =>
-      Dedup.exactNormalized(docsDs(s, dir).toDF, "text", "doc_id").select("doc_id")),
+      Dedup.exactNormalized(docsDs(s, dir).toDF(), "text", "doc_id").select("doc_id")),
 
     "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashLsh(docsDs(s, dir).toDF, "text", "doc_id",
+      Dedup.minhashLsh(docsDs(s, dir).toDF(), "text", "doc_id",
         w = 3, bands = 16, rowsPerBand = 4, threshold = 0.5).select("doc_id")),
 
     "q_minhash_cands" -> ((s, dir) =>
@@ -579,19 +579,19 @@ object SparkEntry {
       // perfect banding PRECISION (false positives are allowed by
       // construction — a single sub-threshold band collision on regenerated
       // data would fail the gate); the verified stage is the contract.
-      Dedup.minhashVerifiedPairs(docsDs(s, dir).toDF, "text", "doc_id",
+      Dedup.minhashVerifiedPairs(docsDs(s, dir).toDF(), "text", "doc_id",
         w = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
         .select("id_a", "id_b")),
 
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhash(docsDs(s, dir).toDF, "text", "doc_id", maxHamming = 3)
+      Dedup.simhash(docsDs(s, dir).toDF(), "text", "doc_id", maxHamming = 3)
         .select("doc_id")),
 
     "q_ngram_jaccard" -> ((s, dir) =>
       // EXACT all-pairs n-gram Jaccard >= 0.5 — the ground truth the LSH
       // candidate stage approximates; oracle-checked via DuckDB string
       // shingle sets (hashing is jaccard-invariant modulo 64-bit collisions)
-      Dedup.jaccardAllPairs(docsDs(s, dir).toDF, "text", "doc_id", 3, 0.5)),
+      Dedup.jaccardAllPairs(docsDs(s, dir).toDF(), "text", "doc_id", 3, 0.5)),
 
     "q_dedup_embedding" -> ((s, dir) =>
       // exact all-pairs form (oracle-checked); the LSH-bucketed scale path

@@ -178,7 +178,7 @@ sealed class GraftStream[T](val ds: Dataset[(Long, T)],
     new KeyedGraftStream(ds.map { case (t, x) => (t, kf(x), vf(x)) }, shardHint)
   }
 
-  def toDF: org.apache.spark.sql.DataFrame = ds.toDF("ts_ms", "value")
+  def toDF(): org.apache.spark.sql.DataFrame = ds.toDF("ts_ms", "value")
 }
 
 /** A stream whose side effects are already planned — returned by `write`.
@@ -223,7 +223,7 @@ object GraftStream {
     implicit val pair: Encoder[(Long, T)] =
       Encoders.tuple(Encoders.scalaLong, enc)
     val valueCol =
-      if (isProductEncoder(enc)) struct(ds.columns.map(col): _*)
+      if (isProductEncoder(enc)) struct(ds.columns.toIndexedSeq.map(col): _*)
       else col(ds.columns.head)
     new GraftStream(ds.select(tsCol.cast("long").as("_1"), valueCol.as("_2")).as[(Long, T)])
   }

@@ -53,7 +53,7 @@ object VectorFunctions {
   def lshBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
     val planes = hyperplanes(dim, nBits, seed)
     planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (plane, i)) =>
-      val planeCol = array(plane.map(lit(_)): _*)
+      val planeCol = array(plane.toIndexedSeq.map(lit(_)): _*)
       acc + when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
   }

@@ -85,7 +85,7 @@ object AsofJoin {
     val rAligned = rside.withColumns(
       lOnly.map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
     val ordered =
-      leftCols.map(col) ++ Seq(col("__t"), col("__tag")) ++
+      leftCols.toIndexedSeq.map(col) ++ Seq(col("__t"), col("__tag")) ++
         rightVals.map(v => col(s"__rv_$v"))
     val unioned = lside.select(ordered: _*).unionByName(rAligned.select(ordered: _*))
 
@@ -97,6 +97,6 @@ object AsofJoin {
     }
     filled
       .where(col("__tag") === lit(lTag))
-      .select((leftCols.map(col) ++ rightVals.map(col)): _*)
+      .select((leftCols.toIndexedSeq.map(col) ++ rightVals.map(col)): _*)
   }
 }

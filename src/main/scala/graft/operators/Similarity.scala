@@ -30,7 +30,7 @@ object Similarity {
     */
   def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Array[Double], k: Int): DataFrame = {
-    val qCol = array(query.map(lit(_)): _*)
+    val qCol = array(query.toIndexedSeq.map(lit(_)): _*)
     df.select(col(idCol),
         round(VectorFunctions.cosine(col(vecCol), qCol), 6).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol))
@@ -110,8 +110,8 @@ object Similarity {
       .map(_.getSeq[Double](0).toArray)
 
     def simsToCents(v: Column, cents: Array[Array[Double]]): Column =
-      array(cents.map(c =>
-        VectorFunctions.cosine(v, array(c.map(lit(_)): _*))): _*)
+      array(cents.toIndexedSeq.map(c =>
+        VectorFunctions.cosine(v, array(c.toIndexedSeq.map(lit(_)): _*))): _*)
     def argmaxCid(v: Column, cents: Array[Array[Double]]): Column = {
       val sims = simsToCents(v, cents)
       (array_position(sims, array_max(sims)) - 1).cast("int")
@@ -153,8 +153,8 @@ object Similarity {
 
     // queries probe their nProbe highest-similarity centroids: sort the
     // (sim, cid) struct array descending, slice, explode — still columnar
-    val qSims = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(VectorFunctions.cosine(col(qVecCol), array(c.map(lit(_)): _*)).as("s"),
+    val qSims = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      struct(VectorFunctions.cosine(col(qVecCol), array(c.toIndexedSeq.map(lit(_)): _*)).as("s"),
         lit(i).as("cid"))
     }: _*)
     val probes = queries

@@ -23,8 +23,10 @@ import graft.functions.NativeExpressions
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo("graft.functions.NativeExpressions", null, name, usage, "")
+  private def info(name: String, usage: String): ExpressionInfo = {
+    val _ = usage // kept for scaladoc readability at the call sites
+    new ExpressionInfo("graft.functions.NativeExpressions", name)
+  }
 
   private def intArg(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
