@@ -114,4 +114,31 @@ class ExternalServiceSpec extends AnyFunSuite with Matchers {
       .ds.collect()
     rows.foreach { case (_, k, (_, w)) => w shouldBe f(k) }
   }
+
+  test("leftJoinExternal works on a STREAMING dataset; connections close per micro-batch") {
+    // the online form of the reference's service leftJoin: the same
+    // connector runs under Structured Streaming, opening fresh connections
+    // in each micro-batch's tasks and closing every one at task end
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    CountingService.reset()
+    val ms = MemoryStream[(Long, Long, Long)]
+    val joined = new KeyedGraftStream(ms.toDS())
+      .leftJoinExternal(CountingService.service(), batchSize = 8, maxWaiting = 2)
+    val q = joined.ds.writeStream.format("memory").queryName("ext_stream_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, 2L, 10L), (2L, 3L, 20L)); q.processAllAvailable()
+      ms.addData((3L, 4L, 30L), (4L, 5L, 40L), (5L, 6L, 50L)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ext_stream_out").as[(Long, Long, (Long, Option[Long]))]
+      .collect().map(r => (r._2, r._3._2)).toSet
+    assert(rows == Set((2L, Some(20L)), (3L, None), (4L, Some(40L)),
+      (5L, None), (6L, Some(60L))))
+    assert(CountingService.opens.get() > 0)
+    assert(CountingService.closes.get() == CountingService.opens.get(),
+      s"leaked connections: opens=${CountingService.opens.get()} closes=${CountingService.closes.get()}")
+    assert(!CountingService.closedBeforeLookup.get())
+  }
 }
