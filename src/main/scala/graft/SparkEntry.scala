@@ -324,6 +324,20 @@ object SparkEntry {
         .toDF("event_id", "user_id", "prior_events")
     }),
 
+    "q_loop_join_presplit" -> ((s, dir) => {
+      // the hot-key pre-split form of the loop join: same semantics as
+      // q_loop_join (state-independent +1 delta), but each key's scan is
+      // parallelized across event-id chunks (chunk totals -> prefix seeds ->
+      // per-chunk scans). Must match the same running-counter oracle.
+      import s.implicits._
+      val events = eventsDF(s, dir).select(col("event_id").as("_1"),
+        col("user_id").as("_2"), col("event_id").as("_3")).as[(Long, Long, Long)]
+      LoopJoin.loopJoinPreSplit[Long, Long, Long](events, None, _ => Some(1L),
+          _ / 4096)(Semigroup.longSemigroup, implicitly, implicitly, implicitly)
+        .map { case (_, user, (eid, prior)) => (eid, user, prior.getOrElse(0L)) }
+        .toDF("event_id", "user_id", "prior_events")
+    }),
+
     "q_also" -> ((s, dir) => {
       // also (AlsoProducer, Producer.scala:297-300): side tail writes
       // purchases to a batched sink; the result branch REPLAYS that sink
@@ -882,6 +896,11 @@ object SparkEntry {
         |ON e.user_id = r.user_id AND e.ts >= r.signup_ts""".stripMargin,
 
     "q_loop_join" ->
+      """SELECT event_id, user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS prior_events
+        |FROM events""".stripMargin,
+
+    "q_loop_join_presplit" ->
       """SELECT event_id, user_id,
         |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS prior_events
         |FROM events""".stripMargin,

@@ -84,6 +84,38 @@ object LoopJoinProps extends Properties("LoopJoin") {
           joins.toSet == mJoins && stores == mStore) :| label
     }
 
+  property("loopJoinPreSplit == loopJoin for state-independent deltas") =
+    Prop.forAll(genEvents, genInitial, Gen.oneOf(1L, 3L, 7L, 100L),
+        Gen.choose(0, 2)) { (evs, init, granule, fnIdx) =>
+      val s = spark; import s.implicits._
+      val deltas: Vector[Long => Option[Long]] = Vector(
+        u => Some(u), _ => Some(1L), u => if (u % 2 == 0) Some(u) else None)
+      val delta = deltas(fnIdx)
+      val initDs = if (init.isEmpty) None else Some(init.toSeq.toDS())
+      val split = LoopJoin.loopJoinPreSplit[Long, Long, Long](
+        evs.toDS(), initDs, delta, _ / granule).collect().toSet
+      val (mJoins, _) = model(evs, init, (u, _) => delta(u))
+      Prop(split == mJoins) :| s"granule=$granule fn=$fnIdx n=${evs.size}"
+    }
+
+  property("loopJoinPreSplit: non-commutative (list) semigroup, chunk order") =
+    Prop.forAll(genEvents, Gen.oneOf(1L, 5L, 13L)) { (evs, granule) =>
+      val s = spark; import s.implicits._
+      implicit val lsg: Semigroup[List[Long]] = Semigroup.listSemigroup[Long]
+      val delta: Long => Option[List[Long]] = u => Some(List(u))
+      val split = LoopJoin.loopJoinPreSplit[Long, Long, List[Long]](
+        evs.toDS(), None, delta, _ / granule).collect()
+        .map { case (t, k, (u, st)) => (t, k, (u, st.getOrElse(Nil))) }.toSet
+      // model: prior state is the time-ordered list of earlier events' values
+      val want = evs.groupBy(_._2).flatMap { case (k, g) =>
+        val sorted = g.sortBy(_._1)
+        sorted.zipWithIndex.map { case ((t, _, u), i) =>
+          (t, k, (u, sorted.take(i).map(_._3).toList))
+        }
+      }.toSet
+      Prop(split == want) :| s"granule=$granule n=${evs.size}"
+    }
+
   property("loopJoin emits exactly the join rows") =
     Prop.forAll(genEvents) { evs =>
       val s = spark; import s.implicits._
