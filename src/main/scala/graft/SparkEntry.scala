@@ -9,7 +9,7 @@ import graft.api.{ExternalService, GraftSink, GraftStream, KeyedGraftStream}
 import graft.batch.BatchStore
 import graft.client.ClientStore
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{AsofJoin, BatchServices, Dedup, LoopJoin, Similarity}
+import graft.operators.{AsofJoin, BatchServices, Dedup, LoopJoin, Sampling, Similarity}
 import graft.time.{BatchID, Batcher, Timestamp}
 
 /** Typed rows for the API-parity queries (encoders derive at use sites). */
@@ -668,6 +668,39 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         graft.functions.NativeExpressions.langId(col("text")).as("lang_guess"))),
 
+    "q_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: docs sharing >= 5 distinct word 3-grams
+      // with the held-out "benchmark" slice (doc_id % 20 == 0). The
+      // benchmark n-gram set broadcasts; only (id, hash64) Longs move.
+      val docs = t(s, dir, "documents").where(col("doc_id") % 20 =!= 0)
+      val bench = t(s, dir, "documents").where(col("doc_id") % 20 === 0)
+      Dedup.decontaminate(docs, bench, "text", "doc_id", n = 3, minOverlap = 5)
+    }),
+
+    "q_repetition" -> ((s, dir) =>
+      // Gopher repetition quality rules: duplicate-line fraction (0 on this
+      // single-line corpus — still verified), duplicate- and top-2-gram
+      // occurrence fractions. One narrow codegen'd projection.
+      t(s, dir, "documents").select(col("doc_id"),
+        round(TF.duplicateLineFraction(col("text")), 6).as("dup_line_frac"),
+        round(TF.duplicateNgramFraction(col("text"), 2), 6).as("dup_bigram_frac"),
+        round(TF.topNgramFraction(col("text"), 2), 6).as("top_bigram_frac"))),
+
+    "q_sample_stratified" -> ((s, dir) =>
+      // deterministic stratified sampling: per-event_type keep rates from
+      // the md5-uniform of event_id — membership is a pure function of the
+      // data (re-runs/re-shards/other engines agree row-for-row)
+      Sampling.stratified(eventsDF(s, dir), col("event_type"), col("event_id"),
+          Map("purchase" -> 0.5, "click" -> 0.05, "view" -> 0.2), default = 0.01)
+        .select(col("event_id"), col("event_type"))),
+
+    "q_split" -> ((s, dir) =>
+      // deterministic train/val/test assignment: every event gets exactly
+      // one label from the same portable md5-uniform
+      eventsDF(s, dir).select(col("event_id"),
+        Sampling.splitCol(col("event_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))),
+
     "q_multimodal" -> ((s, dir) => {
       // opaque-binary media pipeline: documents' utf-8 bytes play the media
       // content; features flow through the real mapPartitions batch
@@ -1002,6 +1035,61 @@ object SparkEntry {
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
         |    ELSE 1.0 END, 6) AS jaccard
         |FROM sh a, sh b WHERE a.doc_id < b.doc_id AND jaccard >= 0.5""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |ng AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_transform(range(1, len(t) - 1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+        |    WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+        |    ELSE [] END) AS s FROM toks),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM ng WHERE doc_id % 20 = 0),
+        |docng AS (SELECT doc_id, unnest(s) AS g FROM ng WHERE doc_id % 20 != 0)
+        |SELECT d.doc_id, count(*) AS n_overlap
+        |FROM docng d JOIN bench b ON d.g = b.g
+        |GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+
+    "q_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |ng AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 2 THEN
+        |      list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1]))
+        |    WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+        |    ELSE [] END AS s FROM toks),
+        |ln AS (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS ls
+        |  FROM documents)
+        |SELECT ng.doc_id,
+        |  round(CASE WHEN len(ls) > 0 THEN
+        |    (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS dup_line_frac,
+        |  round(CASE WHEN len(s) > 0 THEN
+        |    (len(s) - len(list_distinct(s))) / CAST(len(s) AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS dup_bigram_frac,
+        |  round(CASE WHEN len(s) > 0 THEN
+        |    list_max(list_transform(list_distinct(s),
+        |      g -> len(list_filter(s, x -> x = g)))) / CAST(len(s) AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS top_bigram_frac
+        |FROM ng JOIN ln ON ng.doc_id = ln.doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |    / 4294967296.0
+        |  < CASE event_type WHEN 'purchase' THEN 0.5 WHEN 'click' THEN 0.05
+        |    WHEN 'view' THEN 0.2 ELSE 0.01 END""".stripMargin,
+
+    "q_split" ->
+      """SELECT event_id,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT event_id,
+        |  CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |    / 4294967296.0 AS u
+        |FROM events)""".stripMargin,
 
     "q_dedup_embedding" ->
       """SELECT e.vec_id FROM embeddings e WHERE NOT EXISTS (

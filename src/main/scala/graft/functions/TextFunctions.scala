@@ -83,6 +83,69 @@ object TextFunctions {
     round(lenScore * 0.25 + wordLenScore * 0.25 + stopScore * 0.25 + punctScore * 0.25, 6)
   }
 
+  // --- repetition metrics (the Gopher quality-filter family: Rae et al.
+  // 2021 "Scaling Language Models", appendix A1.1 — docs dominated by
+  // repeated lines / n-grams are boilerplate or spam and get dropped
+  // before training). All columnar HOFs in one narrow projection: no
+  // shuffle, no UDF, prunes to the text column.
+
+  /** Non-empty lines (trimmed-empty lines dropped, content preserved). */
+  def linesCol(text: Column): Column =
+    filter(split(text, "\n"), l => length(trim(l)) > 0)
+
+  /** Fraction of line occurrences that are repeats of another line —
+    * `(count - distinct) / count`; 0.0 for empty docs.
+    */
+  def duplicateLineFraction(text: Column): Column = {
+    val ls = linesCol(text)
+    when(size(ls) > 0,
+      (size(ls) - size(array_distinct(ls))).cast("double") / size(ls))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of characters sitting in lines that occur more than once
+    * (all occurrences counted, per the Gopher "duplicate line character
+    * fraction" rule). Quadratic in lines-per-doc — bounded by document
+    * size, still one codegen'd projection.
+    */
+  def duplicateLineCharFraction(text: Column): Column = {
+    val ls = linesCol(text)
+    val dupChars = aggregate(
+      filter(ls, l => size(filter(ls, x => x === l)) > 1),
+      lit(0L), (acc, l) => acc + length(l))
+    val allChars = aggregate(ls, lit(0L), (acc, l) => acc + length(l))
+    when(allChars > 0, dupChars.cast("double") / allChars).otherwise(lit(0.0))
+  }
+
+  /** Hashed word n-grams in document order (duplicates kept) — the
+    * counting basis for the n-gram repetition rules. Shares [[tokens]]
+    * with every other operator; hashing via the native ShingleHashes
+    * kernel. Docs shorter than n tokens yield their full token run as one
+    * n-gram; empty docs an empty array.
+    */
+  def wordNgramHashes(text: Column, n: Int): Column =
+    NativeExpressions.shingleHashes(tokens(lower(text)), n)
+
+  /** Fraction of n-gram occurrences that are repeats — `(count - distinct)
+    * / count` over [[wordNgramHashes]]; 0.0 when no n-grams.
+    */
+  def duplicateNgramFraction(text: Column, n: Int): Column = {
+    val ng = wordNgramHashes(text, n)
+    when(size(ng) > 0,
+      (size(ng) - size(array_distinct(ng))).cast("double") / size(ng))
+      .otherwise(lit(0.0))
+  }
+
+  /** Occurrence share of the single most frequent n-gram (the Gopher
+    * "top n-gram fraction"); 0.0 when no n-grams.
+    */
+  def topNgramFraction(text: Column, n: Int): Column = {
+    val ng = wordNgramHashes(text, n)
+    val topCount = array_max(
+      transform(array_distinct(ng), g => size(filter(ng, x => x === g))))
+    when(size(ng) > 0, topCount.cast("double") / size(ng)).otherwise(lit(0.0))
+  }
+
   /** Character n-grams of the lowercased text — the feature for language ID.
     * Columnar: slice the string at every offset (substr is codegen'd).
     */

@@ -63,6 +63,35 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Benchmark decontamination — the pre-training hygiene pass that drops
+    * training documents overlapping a held-out eval set (the word-n-gram
+    * overlap procedure of GPT-3 appendix C and its successors). Returns
+    * (idCol, n_overlap) for every document sharing at least `minOverlap`
+    * DISTINCT word n-grams with ANY benchmark document; callers anti-join
+    * the result against the corpus to drop, or keep it as an audit table.
+    *
+    * 100 TB shape: eval sets are tiny next to the corpus, so the
+    * benchmark's distinct n-gram hash set BROADCASTS (`broadcastBenchmark
+    * = false` falls back to a shuffle join for oversized benchmark
+    * suites); documents explode to (id, hash64) pairs — the text column
+    * never moves, only Longs — and the overlap count is a partial-agg
+    * hash aggregation on id. Shingling runs as the native codegen'd
+    * [[graft.functions.NativeExpressions.ShingleHashes]] kernel.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, textCol: String,
+      idCol: String, n: Int = 8, minOverlap: Int = 1,
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    val docNg = docs.select(col(idCol),
+      explode(shingleCol(col(textCol), n)).as("__g"))
+    val bench0 = benchmark
+      .select(explode(shingleCol(col(textCol), n)).as("__g")).distinct()
+    val bench = if (broadcastBenchmark) broadcast(bench0) else bench0
+    docNg.join(bench, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= minOverlap)
+  }
+
   /** Distinct 64-bit hashes of the lowercased token w-shingles, entirely in
     * Catalyst HOFs (`transform`/`sequence`/`slice`/`xxhash64` — codegen'd, no
     * UDF). Docs shorter than w tokens contribute their full token run as one

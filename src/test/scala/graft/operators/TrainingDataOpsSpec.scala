@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.functions.{TextFunctions => TF}
+
+/** Planted-example tests for the training-data hygiene operators:
+  * decontamination, Gopher repetition metrics (including the newline cases
+  * the synthetic corpus can't exercise — its docs are single-line), and
+  * deterministic sampling invariants the DuckDB oracle rows don't cover
+  * (nesting, split completeness, key-level stability).
+  */
+class TrainingDataOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("decontaminate flags the doc that copies benchmark text, not the clean one") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "intro words then the quick brown fox jumps over the lazy dog and more"),
+      (2L, "completely different vocabulary about spark catalyst plans"),
+      (3L, "quick brown fox appears here")) // shares 1 distinct 3-gram
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminate(docs, bench, "text", "doc_id",
+      n = 3, minOverlap = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 contains the benchmark's 7-token run -> shares its first 5
+    // 3-grams... all 7 3-grams of the benchmark appear in doc 1
+    assert(got.keySet == Set(1L))
+    assert(got(1L) == 7L)
+    // at minOverlap = 1 doc 3 appears too ("quick brown fox")
+    val loose = Dedup.decontaminate(docs, bench, "text", "doc_id",
+      n = 3, minOverlap = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loose.keySet == Set(1L, 3L))
+    assert(loose(3L) == 1L)
+  }
+
+  test("repetition metrics on multi-line planted docs") {
+    val docs = Seq(
+      (1L, "aaa\nbbb\naaa\nccc"),    // 4 lines, one repeated pair
+      (2L, "x y x y x y"),           // bigrams: xy yx xy yx xy -> top "x y" 3/5
+      (3L, ""),
+      (4L, "one\n\n  \ntwo")         // blank/whitespace lines dropped
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+      TF.duplicateLineFraction(col("text")).as("dlf"),
+      TF.duplicateLineCharFraction(col("text")).as("dlcf"),
+      TF.duplicateNgramFraction(col("text"), 2).as("dnf"),
+      TF.topNgramFraction(col("text"), 2).as("tnf"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // doc 1: 4 lines, 3 distinct -> dup_line 1/4; dup chars 6/12
+    assert(got(1L)._1 == 0.25)
+    assert(got(1L)._2 == 0.5)
+    // doc 2: bigrams [x y, y x, x y, y x, x y]: 5 total 2 distinct
+    assert(got(2L)._3 == 3.0 / 5.0)
+    assert(got(2L)._4 == 3.0 / 5.0)
+    // empty doc: all zeros, no division blowup
+    assert(got(3L) == ((0.0, 0.0, 0.0, 0.0)))
+    // whitespace-only lines don't count
+    assert(got(4L)._1 == 0.0)
+  }
+
+  test("sampling: deterministic, nested across fractions, stable by key") {
+    val ids = spark.range(0, 5000).toDF("id")
+    def keep(f: Double): Set[Long] =
+      Sampling.sampled(ids, col("id"), f).as[Long].collect().toSet
+    val s10 = keep(0.1)
+    // deterministic: same membership on re-run
+    assert(keep(0.1) == s10)
+    // nested: a smaller rate is a subset of a larger one (same key)
+    val s50 = keep(0.5)
+    assert(s10.subsetOf(s50))
+    // rate lands near the target (md5 uniformity; 5000 keys, +-3 sigma)
+    assert(math.abs(s10.size - 500) < 3 * math.sqrt(5000 * 0.1 * 0.9))
+    assert(math.abs(s50.size - 2500) < 3 * math.sqrt(5000 * 0.25))
+    // membership is a function of the KEY, not the row: a re-shuffled /
+    // re-partitioned frame keeps exactly the same ids
+    val reshard = ids.repartition(13)
+    assert(Sampling.sampled(reshard, col("id"), 0.1).as[Long].collect().toSet == s10)
+  }
+
+  test("splitCol partitions every row into exactly one split at ~weights") {
+    val ids = spark.range(0, 6000).toDF("id")
+    val got = ids.select(col("id"),
+        Sampling.splitCol(col("id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .as("split"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.sum == 6000)
+    assert(got.keySet == Set("train", "val", "test"))
+    assert(math.abs(got("train") - 4800) < 3 * math.sqrt(6000 * 0.8 * 0.2))
+    assert(math.abs(got("val") - 600) < 3 * math.sqrt(6000 * 0.1 * 0.9))
+    // split assignment agrees with sampled(): the first 80% of the uniform
+    // range IS the train split (one shared definition of membership)
+    val trainIds = ids.select(col("id"))
+      .where(Sampling.uniformCol(col("id")) < 0.8).as[Long].collect().toSet
+    val labeled = ids.select(col("id"), Sampling.splitCol(col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .where(col("split") === "train").select(col("id")).as[Long].collect().toSet
+    assert(labeled == trainIds)
+  }
+
+  test("stratified keeps per-stratum rates and ignores unlisted strata by default") {
+    val rows = spark.range(0, 3000).select(col("id"),
+      when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b")
+        .otherwise("c").as("s"))
+    val got = Sampling.stratified(rows, col("s"), col("id"),
+        Map("a" -> 0.5, "b" -> 0.05), default = 0.0)
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("c"))
+    assert(math.abs(got("a") - 500) < 3 * math.sqrt(1000 * 0.25))
+    assert(math.abs(got.getOrElse("b", 0L) - 50) < 3 * math.sqrt(1000 * 0.05 * 0.95))
+  }
+}
