@@ -48,6 +48,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges.forall(!_.contains("text#")), exchanges.mkString("\n"))
   }
 
+  test("decontaminate broadcasts the benchmark set and never shuffles text") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(Dedup.decontaminate(
+      docs.where(col("doc_id") % 20 =!= 0), docs.where(col("doc_id") % 20 === 0),
+      "text", "doc_id", n = 3, minOverlap = 5))
+    assert(p.contains("BroadcastHashJoin"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(!_.contains("text#")),
+      s"text in exchange:\n${exchanges.mkString("\n")}")
+  }
+
+  test("deterministic sampling is a narrow codegen'd filter (no shuffle, no UDF)") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val p = plan(graft.operators.Sampling.stratified(ev, col("event_type"),
+      col("event_id"), Map("purchase" -> 0.5), default = 0.01))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    // `*(n)` prefix = the Filter runs inside a WholeStageCodegen stage
+    assert(p.linesIterator.exists(l => l.contains("Filter") && l.trim.startsWith("*(")), p)
+  }
+
   test("no unpartitioned global Window anywhere in the ANN/IVF plans") {
     val e = spark.read.parquet(s"$dir/../sf0.001/embeddings.parquet")
     val queries = e.where(col("vec_id") < 3)
