@@ -597,6 +597,29 @@ object SparkEntry {
         w = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
         .select("id_a", "id_b")),
 
+    "q_dedup_incr_exact" -> ((s, dir) => {
+      // incremental exact dedup: a "daily batch" (the %5 slice plus planted
+      // byte-copies of corpus docs under shifted ids) deduped against the
+      // historical corpus without re-pairing the corpus with itself. The
+      // planted copies must all drop; the originals survive.
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val newBatch = base.where(col("doc_id") % 5 === 0).unionByName(
+        base.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val corpus = base.where(col("doc_id") % 5 =!= 0)
+      Dedup.exactAgainst(newBatch, corpus, "text", "doc_id").select("doc_id")
+    }),
+
+    "q_dedup_incr_minhash" -> ((s, dir) => {
+      // incremental near-dup: cross-only LSH between the new batch and the
+      // corpus (bands x |new| bucket probes, no corpus self-join), verified
+      // at exact 3-gram jaccard >= 0.5 against the cross-pair oracle
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      Dedup.minhashNearCorpus(
+        base.where(col("doc_id") % 5 === 0), base.where(col("doc_id") % 5 =!= 0),
+        "text", "doc_id", w = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+    }),
+
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docsDs(s, dir).toDF(), "text", "doc_id", maxHamming = 3)
         .select("doc_id")),
@@ -685,6 +708,24 @@ object SparkEntry {
         round(TF.duplicateLineFraction(col("text")), 6).as("dup_line_frac"),
         round(TF.duplicateNgramFraction(col("text"), 2), 6).as("dup_bigram_frac"),
         round(TF.topNgramFraction(col("text"), 2), 6).as("top_bigram_frac"))),
+
+    "q_redact" -> ((s, dir) => {
+      // PII scrub. The synthetic corpus is clean, so plant id-derived PII
+      // identically here and in the oracle: the redacted string and the
+      // per-category counts must match byte-for-byte across engines.
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 ssn 123-45-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        expr("repeat(' ip 8.8.8.8', CAST(doc_id % 3 AS INT))"))
+      val counts = TF.piiCounts(planted)
+      t(s, dir, "documents").select(col("doc_id"),
+        TF.redactPii(planted).as("clean"),
+        counts.getField("emails").as("n_email"),
+        counts.getField("ips").as("n_ip"),
+        counts.getField("ssns").as("n_ssn"))
+    }),
 
     "q_sample_stratified" -> ((s, dir) =>
       // deterministic stratified sampling: per-event_type keep rates from
@@ -1036,6 +1077,36 @@ object SparkEntry {
         |    ELSE 1.0 END, 6) AS jaccard
         |FROM sh a, sh b WHERE a.doc_id < b.doc_id AND jaccard >= 0.5""".stripMargin,
 
+    "q_dedup_incr_exact" ->
+      """WITH newb AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        |keep AS (SELECT min(doc_id) AS doc_id, text FROM newb GROUP BY text)
+        |SELECT doc_id FROM keep WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents c WHERE c.doc_id % 5 != 0 AND c.text = keep.text)""".stripMargin,
+
+    // same recall argument as q_minhash_cands: the verified stage matches
+    // the exact cross-pair set because banding recall is ~1 at 0.5 here
+    "q_dedup_incr_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        |    ELSE [] END) AS s
+        |  FROM (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |    FROM documents))
+        |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+        |  round(CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0 THEN
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |    ELSE 1.0 END, 6) AS jaccard
+        |FROM sh a, sh b
+        |WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0 AND jaccard >= 0.5""".stripMargin,
+
     "q_decontaminate" ->
       """WITH toks AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
@@ -1075,6 +1146,24 @@ object SparkEntry {
         |      g -> len(list_filter(s, x -> x = g)))) / CAST(len(s) AS DOUBLE)
         |    ELSE 0.0 END, 6) AS top_bigram_frac
         |FROM ng JOIN ln ON ng.doc_id = ln.doc_id""".stripMargin,
+
+    "q_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'
+        |    || CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || repeat(' ip 8.8.8.8', CAST(doc_id % 3 AS INT)) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '(\+?\d{1,3}[-. ]?)?(\(\d{3}\)|\d{3})[-. ]?\d{3}[-. ]?\d{4}', '<PHONE>', 'g') AS clean,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn
+        |FROM p""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT event_id, event_type FROM events

@@ -83,6 +83,41 @@ object TextFunctions {
     round(lenScore * 0.25 + wordLenScore * 0.25 + stopScore * 0.25 + punctScore * 0.25, 6)
   }
 
+  // --- PII redaction (the scrub pass before any corpus release; patterns
+  // are RE2-safe — no lookaround, no backrefs — so the identical regex runs
+  // in Spark (Java regex) and the DuckDB oracle (RE2), and would run in any
+  // RE2-based scrubber). regexp_replace is codegen'd: the whole pass is a
+  // narrow projection.
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "(\\+?\\d{1,3}[-. ]?)?(\\(\\d{3}\\)|\\d{3})[-. ]?\\d{3}[-. ]?\\d{4}"
+  val SsnPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  def redactEmails(text: Column): Column =
+    regexp_replace(text, EmailPattern, "<EMAIL>")
+  def redactIps(text: Column): Column =
+    regexp_replace(text, Ipv4Pattern, "<IP>")
+  def redactPhones(text: Column): Column =
+    regexp_replace(text, PhonePattern, "<PHONE>")
+  def redactSsns(text: Column): Column =
+    regexp_replace(text, SsnPattern, "<SSN>")
+
+  /** Full scrub. Order matters: emails first (an address can embed digit
+    * runs a later pass would half-eat), then SSN before phone (an SSN is a
+    * phone-shaped digit run with higher specificity).
+    */
+  def redactPii(text: Column): Column =
+    redactPhones(redactSsns(redactIps(redactEmails(text))))
+
+  /** Match counts per category — the audit metric (how much PII a source
+    * carries decides whether it ships at all).
+    */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(EmailPattern)).as("emails"),
+    regexp_count(text, lit(Ipv4Pattern)).as("ips"),
+    regexp_count(text, lit(SsnPattern)).as("ssns"))
+
   // --- repetition metrics (the Gopher quality-filter family: Rae et al.
   // 2021 "Scaling Language Models", appendix A1.1 — docs dominated by
   // repeated lines / n-grams are boilerplate or spam and get dropped

@@ -63,6 +63,67 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Incremental exact dedup — the daily-ingest shape: dedup a NEW batch
+    * against itself and against the historical corpus WITHOUT re-scanning
+    * or re-pairing the corpus with itself. Returns the surviving rows of
+    * `newDf` (first occurrence per digest within the batch, and not
+    * byte-identical to any corpus document).
+    *
+    * 100 TB shape: the corpus contributes only its distinct digest column
+    * (in practice read from the store the previous run wrote); the
+    * anti-join shuffles (digest, id) pairs, never text.
+    */
+  def exactAgainst(newDf: DataFrame, corpus: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val corpusDig = corpus.select(md5(col(textCol)).as("__digest")).distinct()
+    val survivors = newDf
+      .select(col(idCol), md5(col(textCol)).as("__digest"))
+      .groupBy(col("__digest")).agg(min(col(idCol)).as(idCol))
+      .join(corpusDig, Seq("__digest"), "left_anti")
+      .select(col(idCol))
+    newDf.join(survivors, Seq(idCol), "left_semi")
+  }
+
+  /** Incremental near-dup: (new_id, corpus_id, jaccard) for every `newDf`
+    * document that verifies at `threshold` exact n-gram Jaccard against a
+    * corpus document. Only CROSS pairs are proposed — the corpus never
+    * re-pairs with itself, so a daily run pays bands x |new| bucket
+    * probes, not the corpus self-join the full [[minhashLsh]] would.
+    * Drop the flagged ids from the batch with an anti-join, or keep the
+    * table as provenance of WHICH corpus doc each near-dup collided with.
+    */
+  def minhashNearCorpus(newDf: DataFrame, corpus: DataFrame, textCol: String,
+      idCol: String, w: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val shNew = shingled(newDf, textCol, idCol, w).persist(StorageLevel.MEMORY_AND_DISK)
+    val shCor = shingled(corpus, textCol, idCol, w).persist(StorageLevel.MEMORY_AND_DISK)
+    def banded(sh: DataFrame, as: String): DataFrame =
+      sh.select(col(idCol).as(as),
+          minhashSignature(col("__sh"), numHashes).as("__sig"))
+        .select(col(as), posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => hash(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+          .as(Seq("__band", "__bandhash")))
+    val cands = banded(shNew, "new_id")
+      .join(banded(shCor, "corpus_id"), Seq("__band", "__bandhash"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+      .localCheckpoint(true)
+    val out = cands
+      .join(shNew.select(col(idCol).as("new_id"), array_sort(col("__sh")).as("__sh_a")), "new_id")
+      .join(shCor.select(col(idCol).as("corpus_id"), array_sort(col("__sh")).as("__sh_b")), "corpus_id")
+      .withColumn("__inter", graft.functions.NativeExpressions
+        .sortedIntersectCount(col("__sh_a"), col("__sh_b")))
+      .withColumn("__union", size(col("__sh_a")) + size(col("__sh_b")) - col("__inter"))
+      .withColumn("jaccard", when(col("__union") > 0,
+        col("__inter").cast("double") / col("__union")).otherwise(lit(1.0)))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint(true)
+    shNew.unpersist(); shCor.unpersist()
+    out
+  }
+
   /** Benchmark decontamination — the pre-training hygiene pass that drops
     * training documents overlapping a held-out eval set (the word-n-gram
     * overlap procedure of GPT-3 appendix C and its successors). Returns

@@ -65,6 +65,51 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(got(4L)._1 == 0.0)
   }
 
+  test("exactAgainst drops corpus copies and within-batch repeats, keeps first occurrence") {
+    val corpus = Seq((10L, "historic document alpha"), (11L, "historic document beta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "fresh content one"),
+      (2L, "historic document alpha"),   // byte-copy of corpus -> drop
+      (3L, "fresh content two"),
+      (4L, "fresh content one"),         // within-batch repeat -> drop (1 survives)
+      (5L, "fresh content two")          // within-batch repeat -> drop
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactAgainst(batch, corpus, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+  }
+
+  test("minhashNearCorpus flags only cross near-dups with their corpus match") {
+    val mk = (n: Int, extra: String) =>
+      (0 until 40).map(i => s"tok${(i * 7 + n) % 13} word$i").mkString(" ") + " " + extra
+    val corpus = Seq((100L, mk(1, "corpus tail")), (101L, mk(5, "unrelated text entirely")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, mk(1, "batch tail")),         // near-dup of corpus 100
+      (2L, "totally different short doc about spark plans and nothing else"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashNearCorpus(batch, corpus, "text", "doc_id",
+        w = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L)))
+  }
+
+  test("redactPii scrubs every category and leaves clean text alone") {
+    val rows = Seq(
+      (1L, "mail bob.smith+x@corp.io from 192.168.1.1, ssn 123-45-6789, call 650-555-0199"),
+      (2L, "perfectly clean prose with numbers 42 and 7 but no pii"),
+      (3L, "two mails a@b.co c@d.org and v6-ish 1.2.3.4 8.8.8.8")).toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"), TF.redactPii(col("text")).as("c"),
+        TF.piiCounts(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getStruct(2)))).toMap
+    assert(got(1L)._1 == "mail <EMAIL> from <IP>, ssn <SSN>, call <PHONE>")
+    assert(got(1L)._2.getInt(0) == 1 && got(1L)._2.getInt(1) == 1 && got(1L)._2.getInt(2) == 1)
+    assert(got(2L)._1 == "perfectly clean prose with numbers 42 and 7 but no pii")
+    assert(got(3L)._1 == "two mails <EMAIL> <EMAIL> and v6-ish <IP> <IP>")
+    assert(got(3L)._2.getInt(0) == 2 && got(3L)._2.getInt(1) == 2)
+  }
+
   test("sampling: deterministic, nested across fractions, stable by key") {
     val ids = spark.range(0, 5000).toDF("id")
     def keep(f: Double): Set[Long] =
