@@ -94,10 +94,22 @@ object Dedup {
     */
   def minhashNearCorpus(newDf: DataFrame, corpus: DataFrame, textCol: String,
       idCol: String, w: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame =
+    minhashNearCorpusShingled(shingled(newDf, textCol, idCol, w),
+      shingled(corpus, textCol, idCol, w), idCol, bands, rowsPerBand, threshold)
+
+  /** [[minhashNearCorpus]] from pre-shingled (id, __sh) frames — the true
+    * incremental entry point: persist [[shingled]]'s output for the corpus
+    * once (parquet next to the corpus), and each daily run pays shingling
+    * only for the new batch. The corpus side here is typically
+    * `spark.read.parquet(corpusShinglesPath)`.
+    */
+  def minhashNearCorpusShingled(shNew0: DataFrame, shCor0: DataFrame,
+      idCol: String, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val shNew = shingled(newDf, textCol, idCol, w).persist(StorageLevel.MEMORY_AND_DISK)
-    val shCor = shingled(corpus, textCol, idCol, w).persist(StorageLevel.MEMORY_AND_DISK)
+    val shNew = shNew0.persist(StorageLevel.MEMORY_AND_DISK)
+    val shCor = shCor0.persist(StorageLevel.MEMORY_AND_DISK)
     def banded(sh: DataFrame, as: String): DataFrame =
       sh.select(col(idCol).as(as),
           minhashSignature(col("__sh"), numHashes).as("__sig"))
