@@ -9,7 +9,7 @@ import graft.api.{ExternalService, GraftSink, GraftStream, KeyedGraftStream}
 import graft.batch.BatchStore
 import graft.client.ClientStore
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{AsofJoin, BatchServices, Dedup, LoopJoin, Sampling, Similarity}
+import graft.operators.{AsofJoin, BatchServices, Dedup, LoopJoin, PretrainPipeline, Sampling, Similarity}
 import graft.time.{BatchID, Batcher, Timestamp}
 
 /** Typed rows for the API-parity queries (encoders derive at use sites). */
@@ -620,6 +620,18 @@ object SparkEntry {
         "text", "doc_id", w = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
     }),
 
+    "q_pipeline" -> ((s, dir) => {
+      // the END-TO-END hygiene pipeline: quality gate -> repetition gate ->
+      // exact dedup -> verified minhash near-dup dedup -> benchmark
+      // decontamination -> deterministic sample + split labels, one call.
+      // Every stage is individually oracled elsewhere; this row oracles the
+      // COMPOSITION (stage order and survivor flow).
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      PretrainPipeline.clean(
+        base.where(col("doc_id") % 20 =!= 0), base.where(col("doc_id") % 20 === 0),
+        "text", "doc_id")
+    }),
+
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docsDs(s, dir).toDF(), "text", "doc_id", maxHamming = 3)
         .select("doc_id")),
@@ -1076,6 +1088,70 @@ object SparkEntry {
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
         |    ELSE 1.0 END, 6) AS jaccard
         |FROM sh a, sh b WHERE a.doc_id < b.doc_id AND jaccard >= 0.5""".stripMargin,
+
+    // stage thresholds chosen so every stage drops documents at sf0.01;
+    // near-dup stage leans on the same banding-recall argument as
+    // q_minhash_cands (survivor pairs are a subset of the all-pairs set)
+    "q_pipeline" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 != 0),
+        |feat AS (SELECT doc_id, text,
+        |  length(text) AS n_chars,
+        |  CASE WHEN len(toks_l) > 0 THEN
+        |    CAST(len(list_filter(toks_l, x -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','are','was','for','on',
+        |       'with','as','at','by','it','be','this','that'], x))) AS DOUBLE) / len(toks_l)
+        |    ELSE 0.0 END AS stop_ratio,
+        |  CASE WHEN len(bg) > 0 THEN
+        |    (len(bg) - len(list_distinct(bg))) / CAST(len(bg) AS DOUBLE)
+        |    ELSE 0.0 END AS dup_bg
+        |  FROM (SELECT doc_id, text, toks_l,
+        |    CASE WHEN len(toks_l) >= 2 THEN
+        |      list_transform(range(1, len(toks_l)), i -> concat_ws(' ', toks_l[i], toks_l[i+1]))
+        |    WHEN len(toks_l) > 0 THEN [array_to_string(toks_l, ' ')]
+        |    ELSE [] END AS bg
+        |    FROM (SELECT doc_id, text,
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks_l
+        |      FROM corpus))),
+        |q AS (SELECT doc_id, text FROM feat
+        |  WHERE n_chars >= 150 AND stop_ratio >= 0.02 AND dup_bg <= 0.08),
+        |e AS (SELECT doc_id, text FROM q
+        |  WHERE doc_id = (SELECT min(q2.doc_id) FROM q q2 WHERE q2.text = q.text)),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_transform(range(1, len(t) - 1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+        |    WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+        |    ELSE [] END) AS s
+        |  FROM (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |    FROM e)),
+        |nd AS (SELECT a.doc_id, a.s FROM sh a WHERE NOT EXISTS (
+        |  SELECT 1 FROM sh b WHERE b.doc_id < a.doc_id
+        |  AND CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0 THEN
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |    ELSE 1.0 END >= 0.5)),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM (
+        |  SELECT list_distinct(
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_transform(range(1, len(t) - 1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+        |    WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+        |    ELSE [] END) AS s
+        |  FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |    FROM documents WHERE doc_id % 20 = 0))),
+        |cont AS (SELECT doc_id FROM (
+        |    SELECT d.doc_id, count(*) AS ov
+        |    FROM (SELECT doc_id, unnest(s) AS g FROM nd) d
+        |    JOIN bench b ON d.g = b.g GROUP BY 1)
+        |  WHERE ov >= 5),
+        |final AS (SELECT nd.doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(nd.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |      / 4294967296.0 AS u,
+        |    CAST(concat('0x', substr(md5(CAST(nd.doc_id AS VARCHAR) || ':sample'), 1, 8)) AS UBIGINT)
+        |      / 4294967296.0 AS us
+        |  FROM nd WHERE nd.doc_id NOT IN (SELECT doc_id FROM cont))
+        |SELECT doc_id,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        |FROM final WHERE us < 0.9""".stripMargin,
 
     "q_dedup_incr_exact" ->
       """WITH newb AS (
