@@ -9,7 +9,7 @@ import graft.api.{ExternalService, GraftSink, GraftStream, KeyedGraftStream}
 import graft.batch.BatchStore
 import graft.client.ClientStore
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{AsofJoin, BatchServices, Dedup, LoopJoin, PretrainPipeline, Sampling, Similarity}
+import graft.operators.{AsofJoin, BatchServices, Dedup, LoopJoin, PretrainPipeline, Sampling, Scoring, Similarity}
 import graft.time.{BatchID, Batcher, Timestamp}
 
 /** Typed rows for the API-parity queries (encoders derive at use sites). */
@@ -620,6 +620,16 @@ object SparkEntry {
         "text", "doc_id", w = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
     }),
 
+    "q_lm_score" -> ((s, dir) => {
+      // CCNet-style LM quality scoring: unigram LM from the even-id half of
+      // the corpus, mean per-token surprisal for the odd-id half. The LM
+      // table broadcasts; scoring is explode -> broadcast probe -> hash avg.
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val lm = Scoring.unigramLm(base.where(col("doc_id") % 2 === 0), "text")
+      Scoring.surprisal(base.where(col("doc_id") % 2 === 1), lm, "text", "doc_id")
+        .select(col("doc_id"), round(col("surprisal"), 6).as("surprisal"))
+    }),
+
     "q_pipeline" -> ((s, dir) => {
       // the END-TO-END hygiene pipeline: quality gate -> repetition gate ->
       // exact dedup -> verified minhash near-dup dedup -> benchmark
@@ -1088,6 +1098,19 @@ object SparkEntry {
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
         |    ELSE 1.0 END, 6) AS jaccard
         |FROM sh a, sh b WHERE a.doc_id < b.doc_id AND jaccard >= 0.5""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH tok AS (SELECT unnest(
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |lm AS (SELECT token,
+        |    -log2(count(*) / CAST((SELECT count(*) FROM tok) AS DOUBLE)) AS logp
+        |  FROM tok GROUP BY token),
+        |dt AS (SELECT doc_id, unnest(
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT d.doc_id, round(avg(coalesce(lm.logp, 24.0)), 6) AS surprisal
+        |FROM dt d LEFT JOIN lm ON d.token = lm.token GROUP BY 1""".stripMargin,
 
     // stage thresholds chosen so every stage drops documents at sf0.01;
     // near-dup stage leans on the same banding-recall argument as

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Language-model quality scoring — the CCNet-style filter (Wenzek et al.,
+  * LREC 2020): score each document by its mean per-token surprisal under a
+  * language model trained on a trusted reference corpus; documents that
+  * look nothing like the reference (high surprisal) are dropped or
+  * down-weighted before training. The model here is the unigram LM — the
+  * degenerate but embarrassingly-scalable case: the whole "model" is a
+  * (token, -log2 p) table.
+  *
+  * 100 TB shape: the LM table is VOCABULARY-sized (millions of rows at
+  * web scale, a few GB) — it broadcasts; scoring explodes documents to
+  * (id, token) pairs, probes the broadcast map, and mean-aggregates on id
+  * with partial aggregation. The corpus pass that builds the table is one
+  * hash aggregation over token counts.
+  */
+object Scoring {
+
+  /** (token, logp) table from a reference corpus: logp = -log2 of the
+    * token's unigram probability. Tokens are [[TextFunctions.tokens]] of
+    * the lowercased text — the same tokenizer as every other operator.
+    */
+  def unigramLm(corpus: DataFrame, textCol: String): DataFrame = {
+    val counts = corpus
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("token"),
+        (-log2(col("cnt").cast("double") / col("__total"))).as("logp"))
+  }
+
+  /** Mean per-token surprisal of each document under `lm` ((token, logp)).
+    * Out-of-vocabulary tokens cost `unkLogp` bits (choose >= the table's
+    * max — unseen should never score cheaper than rare). Lower = closer to
+    * the reference corpus. Empty documents score `unkLogp`.
+    */
+  def surprisal(docs: DataFrame, lm: DataFrame, textCol: String,
+      idCol: String, unkLogp: Double = 24.0): DataFrame =
+    docs
+      .select(col(idCol),
+        explode_outer(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .join(broadcast(lm), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(coalesce(avg(coalesce(col("logp"), lit(unkLogp))), lit(unkLogp))
+        .as("surprisal"))
+}

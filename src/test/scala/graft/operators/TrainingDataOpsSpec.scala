@@ -95,6 +95,24 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 100L)))
   }
 
+  test("surprisal ranks reference-like text below gibberish, prices OOV at unkLogp") {
+    val corpus = Seq.tabulate(20)(i => (i.toLong, "the quick brown fox and the lazy dog"))
+      .toDF("doc_id", "text")
+    val lm = Scoring.unigramLm(corpus, "text")
+    val docs = Seq(
+      (1L, "the quick brown fox"),          // all in-vocabulary
+      (2L, "zxq wvut qqqq"),                // all OOV -> exactly unkLogp
+      (3L, "the quick zxq")                 // mixed
+    ).toDF("doc_id", "text")
+    val got = Scoring.surprisal(docs, lm, "text", "doc_id", unkLogp = 24.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(2L) == 24.0)
+    assert(got(1L) < got(3L) && got(3L) < got(2L))
+    // hand-check doc 1: corpus has 8 tokens/doc, 'the' twice -> p=1/4, the
+    // other three tokens p=1/8 -> mean = (2 + 3 + 3 + 3) / 4 bits
+    assert(math.abs(got(1L) - 2.75) < 1e-9)
+  }
+
   test("redactPii scrubs every category and leaves clean text alone") {
     val rows = Seq(
       (1L, "mail bob.smith+x@corp.io from 192.168.1.1, ssn 123-45-6789, call 650-555-0199"),
