@@ -9,7 +9,7 @@ import graft.api.{ExternalService, GraftSink, GraftStream, KeyedGraftStream}
 import graft.batch.BatchStore
 import graft.client.ClientStore
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{AsofJoin, BatchServices, Dedup, LoopJoin, PretrainPipeline, Sampling, Scoring, Similarity}
+import graft.operators.{AsofJoin, BatchServices, Dedup, LoopJoin, PretrainPipeline, RowIndex, Sampling, Scoring, Similarity}
 import graft.time.{BatchID, Batcher, Timestamp}
 
 /** Typed rows for the API-parity queries (encoders derive at use sites). */
@@ -620,6 +620,13 @@ object SparkEntry {
         "text", "doc_id", w = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
     }),
 
+    "q_row_index" -> ((s, dir) =>
+      // contiguous 0-based export ids in (ts, event_id) order WITHOUT the
+      // single-task global window: range partition -> per-partition counts
+      // -> broadcast offsets -> per-slice row_number
+      RowIndex.withRowIndex(eventsDF(s, dir), "idx", col("ts"), col("event_id"))
+        .select(col("event_id"), col("idx"))),
+
     "q_lm_score" -> ((s, dir) => {
       // CCNet-style LM quality scoring: unigram LM from the even-id half of
       // the corpus, mean per-token surprisal for the odd-id half. The LM
@@ -1098,6 +1105,11 @@ object SparkEntry {
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
         |    ELSE 1.0 END, 6) AS jaccard
         |FROM sh a, sh b WHERE a.doc_id < b.doc_id AND jaccard >= 0.5""".stripMargin,
+
+    "q_row_index" ->
+      """SELECT event_id,
+        |  row_number() OVER (ORDER BY ts, event_id) - 1 AS idx
+        |FROM events""".stripMargin,
 
     "q_lm_score" ->
       """WITH tok AS (SELECT unnest(

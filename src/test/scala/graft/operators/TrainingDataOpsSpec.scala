@@ -95,6 +95,19 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 100L)))
   }
 
+  test("withRowIndex assigns contiguous 0-based ids in total order, any input layout") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(5000)((rnd.nextLong(1000), rnd.nextLong()))
+      .distinct.map { case (t, id) => (t, id) }
+    val df = rows.toDF("t", "id").repartition(17) // scrambled layout
+    val got = RowIndex.withRowIndex(df, "idx", col("t"), col("id"))
+      .select("t", "id", "idx").as[(Long, Long, Long)].collect()
+    val want = rows.sortBy(r => (r._1, r._2)).zipWithIndex
+      .map { case ((t, id), i) => (t, id, i.toLong) }.toSet
+    assert(got.length == rows.size)
+    assert(got.toSet == want)
+  }
+
   test("surprisal ranks reference-like text below gibberish, prices OOV at unkLogp") {
     val corpus = Seq.tabulate(20)(i => (i.toLong, "the quick brown fox and the lazy dog"))
       .toDF("doc_id", "text")

@@ -69,6 +69,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.linesIterator.exists(l => l.contains("Filter") && l.trim.startsWith("*(")), p)
   }
 
+  test("withRowIndex's data-sized window is partitioned (no global funnel)") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val p = plan(graft.operators.RowIndex.withRowIndex(ev, "idx",
+      col("user_id"), col("event_id")))
+    // every Window over the DATA must be partitioned by the range slice;
+    // the only permissible global window is the one over partition COUNTS
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, p)
+    val unpartitioned = windows.filterNot(_.contains("__pid"))
+    assert(unpartitioned.forall(_.contains("__n")),
+      s"data-sized unpartitioned window:\n${windows.mkString("\n")}")
+  }
+
   test("no unpartitioned global Window anywhere in the ANN/IVF plans") {
     val e = spark.read.parquet(s"$dir/../sf0.001/embeddings.parquet")
     val queries = e.where(col("vec_id") < 3)
