@@ -30,8 +30,13 @@ object RowIndex {
     */
   def withRowIndex(df: DataFrame, indexCol: String, order: Column*): DataFrame = {
     require(order.nonEmpty, "withRowIndex needs at least one order column")
+    // materialize the range shuffle ONCE (plan-level exchange reuse does
+    // not fire across the counts/join consumers under AQE — measured two
+    // full range exchanges without this); both passes then read blocks.
+    // Same lifecycle discipline as the dedup family's localCheckpoint.
     val ranged = df.repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .withColumn("__offset",
         coalesce(sum(col("__n")).over(
