@@ -764,6 +764,14 @@ object SparkEntry {
           Map("purchase" -> 0.5, "click" -> 0.05, "view" -> 0.2), default = 0.01)
         .select(col("event_id"), col("event_type"))),
 
+    "q_sample_quota" -> ((s, dir) =>
+      // exact quota: the 150 smallest key-uniforms per event_type —
+      // count + oversampled narrow filter + small-window trim, never a
+      // whole-stratum window
+      Sampling.quota(eventsDF(s, dir).select("event_id", "event_type"),
+          col("event_type"), col("event_id"), k = 150)
+        .select(col("event_id"), col("event_type"))),
+
     "q_split" -> ((s, dir) =>
       // deterministic train/val/test assignment: every event gets exactly
       // one label from the same portable md5-uniform
@@ -1282,6 +1290,15 @@ object SparkEntry {
         |    / 4294967296.0
         |  < CASE event_type WHEN 'purchase' THEN 0.5 WHEN 'click' THEN 0.05
         |    WHEN 'view' THEN 0.2 ELSE 0.01 END""".stripMargin,
+
+    "q_sample_quota" ->
+      """SELECT event_id, event_type FROM (
+        |  SELECT event_id, event_type,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY
+        |      CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |        / 4294967296.0,
+        |      CAST(event_id AS VARCHAR)) AS rn
+        |  FROM events) WHERE rn <= 150""".stripMargin,
 
     "q_split" ->
       """SELECT event_id,

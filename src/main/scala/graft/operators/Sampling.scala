@@ -48,6 +48,45 @@ object Sampling {
     df.where(uniformCol(key) < rate)
   }
 
+  /** EXACTLY `k` rows per stratum — the k smallest key-uniforms, so
+    * membership is as deterministic and engine-reproducible as [[sampled]]
+    * ("give me exactly 100k documents per language, the same ones every
+    * run"). Strata smaller than k are kept whole.
+    *
+    * Scale shape: ranking whole strata in one window funnels each stratum
+    * through a single task (a language at 100 TB is not a window). Instead:
+    * per-stratum counts (hash agg, broadcast), an OVERSAMPLED narrow filter
+    * keeps ~`oversample`·k candidates per stratum, and the exact trim's
+    * window runs over that small candidate set. A stratum whose candidate
+    * pool still came up short (P ≈ exp(-k/3) at oversample=4 — checked
+    * declaratively, not assumed) falls back to ranking its full rows; the
+    * fallback union is empty on every healthy run and costs one anti-join.
+    */
+  def quota(df: DataFrame, stratum: Column, key: Column, k: Int,
+      oversample: Double = 4.0): DataFrame = {
+    require(k > 0 && oversample > 1.0, "need k > 0 and oversample > 1")
+    val cols = df.columns.map(col)
+    val withU = df.withColumn("__s", stratum).withColumn("__u", uniformCol(key))
+      .withColumn("__k", key.cast("string"))
+    val counts = withU.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+    val cands = withU.join(broadcast(counts), "__s")
+      .where(col("__u") < least(lit(1.0), lit(oversample * k) / col("__n")))
+    def trim(rows: DataFrame): DataFrame = rows.withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__s")).orderBy(col("__u"), col("__k"))))
+      .where(col("__rn") <= k)
+    val trimmed = trim(cands)
+    // short = strata where the candidate pool missed the true top-k: fewer
+    // candidates than min(k, n). Empty in practice; the plan stays lazy.
+    val short = cands.groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+      .join(broadcast(counts), "__s")
+      .where(col("__c") < least(lit(k.toLong), col("__n")))
+      .select(col("__s"))
+    val healthy = trimmed.join(broadcast(short), Seq("__s"), "left_anti")
+    val rescued = trim(withU.join(broadcast(short), "__s"))
+    healthy.select(cols: _*).unionByName(rescued.select(cols: _*))
+  }
+
   /** Deterministic disjoint split assignment (train/val/test): label each
     * row by where its uniform falls in the cumulative weight ranges.
     * Weights need not sum to 1 — they are normalized. Every row gets

@@ -160,6 +160,28 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(Sampling.sampled(reshard, col("id"), 0.1).as[Long].collect().toSet == s10)
   }
 
+  test("quota returns exactly the k smallest uniforms per stratum, incl. tight oversample") {
+    val rows = spark.range(0, 3000).select(col("id"),
+      when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b")
+        .otherwise("c").as("s"))
+    // ground truth: k smallest uniforms per stratum, straight from the
+    // uniform column itself
+    val us = rows.withColumn("u", Sampling.uniformCol(col("id")))
+      .select("id", "s", "u").as[(Long, String, Double)].collect()
+    def model(k: Int): Set[Long] = us.groupBy(_._2).values.flatMap(
+      _.sortBy(r => (r._3, r._1.toString)).take(k).map(_._1)).toSet
+    for ((k, over) <- Seq((40, 4.0), (900, 4.0), (1200, 4.0), (500, 1.05))) {
+      val got = Sampling.quota(rows, col("s"), col("id"), k, over)
+        .select("id").as[Long].collect()
+      assert(got.length == got.toSet.size, s"duplicates at k=$k")
+      assert(got.toSet == model(k), s"k=$k oversample=$over")
+    }
+    // n < k: stratum kept whole
+    val small = Sampling.quota(rows.where(col("id") < 10), col("s"), col("id"), 100)
+      .select("id").as[Long].collect().toSet
+    assert(small == (0L until 10L).toSet)
+  }
+
   test("splitCol partitions every row into exactly one split at ~weights") {
     val ids = spark.range(0, 6000).toDF("id")
     val got = ids.select(col("id"),
