@@ -637,6 +637,16 @@ object SparkEntry {
         .select(col("doc_id"), round(col("surprisal"), 6).as("surprisal"))
     }),
 
+    "q_lm_score_bigram" -> ((s, dir) => {
+      // conditional-bigram LM from the even-id half, mean per-bigram
+      // surprisal for the odd-id half — same broadcast-table shape as
+      // q_lm_score, one n-gram order up
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val lm = Scoring.bigramLm(base.where(col("doc_id") % 2 === 0), "text")
+      Scoring.bigramSurprisal(base.where(col("doc_id") % 2 === 1), lm, "text", "doc_id")
+        .select(col("doc_id"), round(col("surprisal"), 6).as("surprisal"))
+    }),
+
     "q_pipeline" -> ((s, dir) => {
       // the END-TO-END hygiene pipeline: quality gate -> repetition gate ->
       // exact dedup -> verified minhash near-dup dedup -> benchmark
@@ -1131,6 +1141,27 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 2 = 1)
         |SELECT d.doc_id, round(avg(coalesce(lm.logp, 24.0)), 6) AS surprisal
         |FROM dt d LEFT JOIN lm ON d.token = lm.token GROUP BY 1""".stripMargin,
+
+    "q_lm_score_bigram" ->
+      """WITH ct AS (SELECT list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |cbg AS (SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> {'p': t[i], 'w': t[i+1]})) AS bg
+        |  FROM ct WHERE len(t) >= 2),
+        |bgc AS (SELECT bg.p AS p, bg.w AS w, count(*) AS c FROM cbg GROUP BY 1, 2),
+        |ctx AS (SELECT p, sum(c) AS n FROM bgc GROUP BY 1),
+        |lm AS (SELECT bgc.p, bgc.w, -log2(c / CAST(n AS DOUBLE)) AS logp
+        |  FROM bgc JOIN ctx ON bgc.p = ctx.p),
+        |dbg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> {'p': t[i], 'w': t[i+1]})) AS bg
+        |  FROM (SELECT doc_id, list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |    FROM documents WHERE doc_id % 2 = 1)
+        |  WHERE len(t) >= 2)
+        |SELECT d.doc_id, round(avg(coalesce(lm.logp, 24.0)), 6) AS surprisal
+        |FROM dbg d LEFT JOIN lm ON d.bg.p = lm.p AND d.bg.w = lm.w
+        |GROUP BY 1""".stripMargin,
 
     // stage thresholds chosen so every stage drops documents at sf0.01;
     // near-dup stage leans on the same banding-recall argument as

@@ -35,6 +35,48 @@ object Scoring {
         (-log2(col("cnt").cast("double") / col("__total"))).as("logp"))
   }
 
+  /** (prev, token, logp) conditional-bigram table: logp = -log2 of
+    * P(token | prev) = c(prev, token) / c(prev as predecessor). Bigrams
+    * never cross document boundaries. One step from [[unigramLm]] toward
+    * the n-gram KenLM CCNet itself uses; same broadcast-table shape.
+    */
+  def bigramLm(corpus: DataFrame, textCol: String): DataFrame = {
+    val bgCounts = corpus
+      .select(explode(bigrams(col(textCol))).as("bg"))
+      .groupBy(col("bg.prev").as("prev"), col("bg.token").as("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val ctx = bgCounts.groupBy(col("prev")).agg(sum(col("cnt")).as("__n"))
+    bgCounts.join(ctx, "prev")
+      .select(col("prev"), col("token"),
+        (-log2(col("cnt").cast("double") / col("__n"))).as("logp"))
+  }
+
+  /** Mean per-bigram surprisal under a [[bigramLm]] table; unseen bigrams
+    * (including unseen contexts) cost `unkLogp` bits. Documents with fewer
+    * than two tokens score `unkLogp`.
+    */
+  def bigramSurprisal(docs: DataFrame, lm: DataFrame, textCol: String,
+      idCol: String, unkLogp: Double = 24.0): DataFrame =
+    docs
+      .select(col(idCol), explode_outer(bigrams(col(textCol))).as("bg"))
+      .join(broadcast(lm),
+        col("bg.prev") === col("prev") && col("bg.token") === col("token"), "left")
+      .groupBy(col(idCol))
+      .agg(coalesce(avg(coalesce(col("logp"), lit(unkLogp))), lit(unkLogp))
+        .as("surprisal"))
+
+  /** array<struct<prev,token>> of in-document token bigrams; empty for
+    * docs under two tokens (slice length would go negative unguarded).
+    */
+  private def bigrams(text: Column): Column = {
+    val toks = TextFunctions.tokens(lower(text))
+    when(size(toks) >= 2,
+      arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("prev"),
+        slice(toks, lit(2), size(toks) - 1).as("token")))
+      .otherwise(array().cast("array<struct<prev:string,token:string>>"))
+  }
+
   /** Mean per-token surprisal of each document under `lm` ((token, logp)).
     * Out-of-vocabulary tokens cost `unkLogp` bits (choose >= the table's
     * max — unseen should never score cheaper than rare). Lower = closer to

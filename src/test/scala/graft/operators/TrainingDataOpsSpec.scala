@@ -126,6 +126,21 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(math.abs(got(1L) - 2.75) < 1e-9)
   }
 
+  test("bigramSurprisal conditions on context, prices unseen bigrams at unkLogp") {
+    // corpus bigrams: (a,b) x2, (b,a), (b,c) -> P(b|a)=1, P(a|b)=P(c|b)=1/2
+    val corpus = Seq((0L, "a b a b c")).toDF("doc_id", "text")
+    val lm = Scoring.bigramLm(corpus, "text")
+    val got = Scoring.bigramSurprisal(Seq(
+        (1L, "a b c"),     // (a,b): 0 bits, (b,c): 1 bit -> mean 0.5
+        (2L, "c a"),       // (c,a) unseen context -> 24
+        (3L, "a")          // no bigrams -> 24
+      ).toDF("doc_id", "text"), lm, "text", "doc_id", unkLogp = 24.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 0.5) < 1e-9)
+    assert(got(2L) == 24.0)
+    assert(got(3L) == 24.0)
+  }
+
   test("redactPii scrubs every category and leaves clean text alone") {
     val rows = Seq(
       (1L, "mail bob.smith+x@corp.io from 192.168.1.1, ssn 123-45-6789, call 650-555-0199"),
