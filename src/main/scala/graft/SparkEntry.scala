@@ -9,7 +9,7 @@ import graft.api.{ExternalService, GraftSink, GraftStream, KeyedGraftStream}
 import graft.batch.BatchStore
 import graft.client.ClientStore
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{AsofJoin, BatchServices, Dedup, LoopJoin, PretrainPipeline, RowIndex, Sampling, Scoring, Similarity}
+import graft.operators.{AsofJoin, BatchServices, Dedup, LoopJoin, Packing, PretrainPipeline, RowIndex, Sampling, Scoring, Similarity}
 import graft.time.{BatchID, Batcher, Timestamp}
 
 /** Typed rows for the API-parity queries (encoders derive at use sites). */
@@ -627,6 +627,31 @@ object SparkEntry {
       RowIndex.withRowIndex(eventsDF(s, dir), "idx", col("ts"), col("event_id"))
         .select(col("event_id"), col("idx"))),
 
+    "q_pack" -> ((s, dir) =>
+      // concat-and-chunk packing into 512-token training sequences in
+      // doc_id order — global token prefix sum via the RowIndex shape
+      // (range partition -> per-partition totals -> broadcast offsets),
+      // never a data-sized unpartitioned window
+      Packing.packSequences(
+        t(s, dir, "documents").select(col("doc_id"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens")),
+        col("n_tokens"), 512L, Seq(col("doc_id")))
+        .select(col("doc_id"), col("n_tokens"), col("seq_id"), col("seq_offset"))),
+
+    "q_shared_ngrams" -> ((s, dir) =>
+      // cross-document duplicated-trigram stats: docs sharing any distinct
+      // lowercased 3-gram with another doc; only (id, gram-hash) Longs move
+      Dedup.sharedNgramStats(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, minDocs = 2)),
+
+    "q_boilerplate" -> ((s, dir) =>
+      // C4-style boilerplate-line removal at corpus doc-frequency >= 2;
+      // this corpus has no repeated lines, so the row also pins the exact
+      // split/filter/rebuild byte-roundtrip (planted-removal laws live in
+      // TrainingDataOpsSpec)
+      Dedup.removeBoilerplateLines(t(s, dir, "documents"), "text", "doc_id",
+        minDocs = 2)),
+
     "q_lm_score" -> ((s, dir) => {
       // CCNet-style LM quality scoring: unigram LM from the even-id half of
       // the corpus, mean per-token surprisal for the odd-id half. The LM
@@ -1128,6 +1153,48 @@ object SparkEntry {
       """SELECT event_id,
         |  row_number() OVER (ORDER BY ts, event_id) - 1 AS idx
         |FROM events""".stripMargin,
+
+    "q_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(s // 512 AS BIGINT) AS seq_id,
+        |  CAST(s % 512 AS BIGINT) AS seq_offset
+        |FROM c""".stripMargin,
+
+    "q_shared_ngrams" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |ng AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_transform(range(1, len(t) - 1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+        |    WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+        |    ELSE [] END) AS s FROM toks),
+        |flat AS (SELECT doc_id, unnest(s) AS g FROM ng),
+        |shared AS (SELECT g FROM flat GROUP BY g HAVING count(*) >= 2),
+        |cnt AS (SELECT f.doc_id, count(*) AS n_shared
+        |  FROM flat f JOIN shared USING (g) GROUP BY 1)
+        |SELECT c.doc_id, c.n_shared, CAST(len(ng.s) AS BIGINT) AS n_grams,
+        |  round(c.n_shared / CAST(len(ng.s) AS DOUBLE), 6) AS shared_frac
+        |FROM cnt c JOIN ng USING (doc_id)""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH lines AS (SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line FROM documents),
+        |freq AS (SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1)
+        |  WHERE df >= 2),
+        |rem AS (SELECT coalesce(list(line), []) AS r FROM freq)
+        |SELECT d.doc_id,
+        |  array_to_string(list_filter(string_split(d.text, chr(10)),
+        |    l -> NOT list_contains(r.r, l)), chr(10)) AS clean_text
+        |FROM documents d CROSS JOIN rem r""".stripMargin,
 
     "q_lm_score" ->
       """WITH tok AS (SELECT unnest(

@@ -165,6 +165,66 @@ object Dedup {
       .where(col("n_overlap") >= minOverlap)
   }
 
+  /** Cross-document duplicated-n-gram statistics (the corpus-level
+    * complement of the WITHIN-document repetition metrics in
+    * [[graft.operators.Scoring]]): for each document, how many of its
+    * distinct lowercased word n-grams also appear in at least `minDocs - 1`
+    * OTHER documents — the boilerplate/template-share signal RefinedWeb-style
+    * pipelines threshold on before near-dedup.
+    *
+    * Output: (idCol, n_shared, n_grams, shared_frac), restricted to docs
+    * with n_shared >= 1. Shuffle shape at 100 TB: only (id, 8-byte gram
+    * hash) pairs move — the document-frequency aggregate and the join back
+    * are both on hashed grams, never text.
+    */
+  def sharedNgramStats(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val ng = docs.select(col(idCol), explode(shingleCol(col(textCol), n)).as("__g"))
+    // grams are distinct per doc already, so doc-frequency is a plain count
+    val shared = ng.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDocs).select(col("__g"))
+    val totals = docs.select(col(idCol),
+      size(shingleCol(col(textCol), n)).cast("long").as("n_grams"))
+    ng.join(shared, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(totals, idCol)
+      .select(col(idCol), col("n_shared"), col("n_grams"),
+        round(col("n_shared") / col("n_grams"), 6).as("shared_frac"))
+  }
+
+  /** C4-style boilerplate-line removal: delete every line that occurs
+    * byte-identically in at least `minDocs` distinct documents (navigation
+    * chrome, cookie banners, license footers), preserving the remaining
+    * lines' order and content exactly. Documents whose every line is
+    * boilerplate come back with an empty string, not dropped — dropping is a
+    * quality-filter decision, not this operator's.
+    *
+    * Shuffle shape at 100 TB: the line-frequency aggregate moves only
+    * (8-byte line hash, id) pairs — distinct-ed, then counted. Line text
+    * itself moves once, in the rebuild groupBy, which is the output.
+    */
+  def removeBoilerplateLines(docs: DataFrame, textCol: String, idCol: String,
+      minDocs: Int = 3, cleanCol: String = "clean_text"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
+      .withColumn("__h", xxhash64(col("__line")))
+    val boiler = lines.select(col("__h"), col(idCol)).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDocs).select(col("__h"))
+    val rebuilt = lines.join(boiler, Seq("__h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws("\n",
+        transform(
+          array_sort(collect_list(struct(col("__pos").as("p"), col("__line").as("l")))),
+          s => s.getField("l"))).as(cleanCol))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(cleanCol), lit("")).as(cleanCol))
+  }
+
   /** Distinct 64-bit hashes of the lowercased token w-shingles, entirely in
     * Catalyst HOFs (`transform`/`sequence`/`slice`/`xxhash64` — codegen'd, no
     * UDF). Docs shorter than w tokens contribute their full token run as one

@@ -229,4 +229,63 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(math.abs(got("a") - 500) < 3 * math.sqrt(1000 * 0.25))
     assert(math.abs(got.getOrElse("b", 0L) - 50) < 3 * math.sqrt(1000 * 0.05 * 0.95))
   }
+
+  test("packSequences matches the scanLeft model, any input layout") {
+    val tokens = Seq.tabulate(200)(i => (i.toLong, (i * 37 % 90 + 1).toLong))
+    // model: exclusive prefix sum in id order -> (seq, offset)
+    val starts = tokens.sortBy(_._1).scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (id, n)) => (id, acc + n)
+    }.tail.map { case (id, endSum) => id -> endSum }.toMap
+    val expect = tokens.map { case (id, n) =>
+      val start = starts(id) - n
+      (id, start / 7, start % 7)
+    }.toSet
+    for (parts <- Seq(1, 5, 32)) {
+      val df = tokens.toDF("id", "n").repartition(parts, col("n"))
+      val got = Packing.packSequences(df, col("n"), 7L, Seq(col("id")))
+        .select("id", "seq_id", "seq_offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
+  test("sharedNgramStats counts cross-doc trigram overlap, full-dup doc at frac 1") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),          // exact dup of 1
+      (3L, "unrelated words about catalyst planning"),  // disjoint
+      (4L, "zeta alpha beta gamma eta"))                // shares 1 trigram
+      .toDF("doc_id", "text")
+    val got = Dedup.sharedNgramStats(docs, "text", "doc_id", n = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!got.contains(3L))
+    assert(got(1L) == ((3L, 3L)) && got(2L) == ((3L, 3L)))
+    assert(got(4L) == ((1L, 3L))) // only "alpha beta gamma" is shared
+    // minDocs = 3: no gram reaches 3 docs except "alpha beta gamma"
+    val strict = Dedup.sharedNgramStats(docs, "text", "doc_id", n = 3, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(strict == Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("removeBoilerplateLines drops corpus-frequent lines only, exact roundtrip") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nreal content one\nfooter"),
+      (2L, "COOKIE BANNER\nreal content two\nfooter"),
+      (3L, "COOKIE BANNER\nunique text here"),
+      (4L, "all alone\nno shared lines"),
+      (5L, "COOKIE BANNER")) // every line boilerplate -> ""
+      .toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplateLines(docs, "text", "doc_id", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "real content one\nfooter")
+    assert(got(2L) == "real content two\nfooter")
+    assert(got(3L) == "unique text here")
+    assert(got(4L) == "all alone\nno shared lines") // untouched, byte-exact
+    assert(got(5L) == "")                           // kept as a row, emptied
+    // at minDocs = 2 the footer (2 docs) goes too
+    val tight = Dedup.removeBoilerplateLines(docs, "text", "doc_id", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tight(1L) == "real content one")
+    assert(tight(5L) == "")
+  }
 }

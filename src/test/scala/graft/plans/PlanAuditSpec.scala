@@ -82,6 +82,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"data-sized unpartitioned window:\n${windows.mkString("\n")}")
   }
 
+  test("packSequences: data-sized window partitioned; boilerplate/shared-ngram shuffles carry hashes, not text") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pk = plan(graft.operators.Packing.packSequences(
+      docs.select(col("doc_id"), length(col("text")).cast("long").as("n")),
+      col("n"), 512L, Seq(col("doc_id"))))
+    val windows = pk.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, pk)
+    // the only unpartitioned window is over per-partition totals (__n)
+    assert(windows.filterNot(_.contains("__pid")).forall(_.contains("__n")),
+      s"data-sized unpartitioned window:\n${windows.mkString("\n")}")
+    // line-frequency and gram-frequency aggregates move only 8-byte hashes
+    val bp = plan(Dedup.removeBoilerplateLines(docs, "text", "doc_id", minDocs = 2))
+    val bpAgg = bp.linesIterator.filter(_.contains("Exchange hashpartitioning(__h")).toSeq
+    assert(bpAgg.nonEmpty, bp)
+    assert(bpAgg.forall(!_.contains("__line#")), bpAgg.mkString("\n"))
+    val sh = plan(Dedup.sharedNgramStats(docs, "text", "doc_id", n = 3, minDocs = 2))
+    val shEx = sh.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shEx.nonEmpty, sh)
+    assert(shEx.forall(!_.contains("text#")), shEx.mkString("\n"))
+  }
+
   test("no unpartitioned global Window anywhere in the ANN/IVF plans") {
     val e = spark.read.parquet(s"$dir/../sf0.001/embeddings.parquet")
     val queries = e.where(col("vec_id") < 3)
