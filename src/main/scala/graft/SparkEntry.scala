@@ -799,6 +799,15 @@ object SparkEntry {
           Map("purchase" -> 0.5, "click" -> 0.05, "view" -> 0.2), default = 0.01)
         .select(col("event_id"), col("event_type"))),
 
+    "q_sample_mixture" -> ((s, dir) =>
+      // data-mixing table: per-language keep rates derived from target
+      // shares of a 300-row output; rate-starved strata (everything but
+      // 'en' here) cap at 1 and are kept whole
+      Sampling.mixture(t(s, dir, "documents"), col("lang"), col("doc_id"),
+          Map("en" -> 0.5, "fr" -> 0.2, "de" -> 0.2, "es" -> 0.1),
+          totalRows = 300)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     "q_sample_quota" -> ((s, dir) =>
       // exact quota: the 150 smallest key-uniforms per event_type —
       // count + oversampled narrow filter + small-window trim, never a
@@ -1388,6 +1397,18 @@ object SparkEntry {
         |    / 4294967296.0
         |  < CASE event_type WHEN 'purchase' THEN 0.5 WHEN 'click' THEN 0.05
         |    WHEN 'view' THEN 0.2 ELSE 0.01 END""".stripMargin,
+
+    "q_sample_mixture" ->
+      """WITH c AS (SELECT lang AS s, count(*) AS n FROM documents GROUP BY 1),
+        |r AS (SELECT s, least(1.0, CAST(300 AS DOUBLE) * w / n) AS rate FROM (
+        |    SELECT s, n, CASE s WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+        |      WHEN 'fr' THEN CAST(0.2 AS DOUBLE) WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+        |      WHEN 'es' THEN CAST(0.1 AS DOUBLE) ELSE 0 END AS w FROM c)
+        |  WHERE w > 0)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN r ON d.lang = r.s
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |    / 4294967296.0 < r.rate""".stripMargin,
 
     "q_sample_quota" ->
       """SELECT event_id, event_type FROM (

@@ -65,7 +65,7 @@ object Sampling {
   def quota(df: DataFrame, stratum: Column, key: Column, k: Int,
       oversample: Double = 4.0): DataFrame = {
     require(k > 0 && oversample > 1.0, "need k > 0 and oversample > 1")
-    val cols = df.columns.map(col)
+    val cols = df.columns.toIndexedSeq.map(col)
     val withU = df.withColumn("__s", stratum).withColumn("__u", uniformCol(key))
       .withColumn("__k", key.cast("string"))
     val counts = withU.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
@@ -102,5 +102,40 @@ object Sampling {
     weights.init.zip(cuts.init).foldRight(lit(weights.last._1): Column) {
       case (((name, _), cut), acc) => when(u < lit(cut), lit(name)).otherwise(acc)
     }
+  }
+
+  /** Target-mixture sampling — the data-mixing table of a pretraining run
+    * ("60% web, 20% code, 20% books"): derive each stratum's keep rate from
+    * its target SHARE of a `totalRows`-row output, `rate(s) = min(1,
+    * totalRows · w(s) / n(s))`, and apply the same deterministic key-uniform
+    * filter as [[stratified]]. A stratum that cannot supply its target
+    * (rate capped at 1) is kept whole — redistributing its shortfall is a
+    * policy choice left with the caller; unlisted strata drop.
+    *
+    * Weights are ABSOLUTE shares of `totalRows` (they need not sum to 1;
+    * the expected output size is `totalRows · Σw`). They are deliberately
+    * NOT normalized: dividing by Σw would inject an IEEE-rounded factor
+    * (0.5+0.2+0.2+0.1 ≠ 1.0 in doubles) and break bit-reproducibility of
+    * the rate against other engines running the same arithmetic.
+    *
+    * Scale shape: one small per-stratum count aggregate whose result
+    * broadcasts back as the rate table; the filter itself stays the narrow
+    * codegen'd uniform comparison. No driver-side collect.
+    */
+  def mixture(df: DataFrame, stratum: Column, key: Column,
+      weights: Map[String, Double], totalRows: Long): DataFrame = {
+    require(totalRows > 0, s"totalRows must be > 0, got $totalRows")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixture weights must be positive")
+    val wCol = weights.foldLeft(lit(0.0)) { case (acc, (s, w)) =>
+      when(col("__s") === lit(s), lit(w)).otherwise(acc)
+    }
+    val rates = df.groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
+      .withColumn("__rate", least(lit(1.0), lit(totalRows.toDouble) * wCol / col("__n")))
+      .where(col("__rate") > 0)
+      .select(col("__s"), col("__rate"))
+    df.join(broadcast(rates), stratum === col("__s"))
+      .where(uniformCol(key) < col("__rate"))
+      .drop("__s", "__rate")
   }
 }

@@ -230,6 +230,31 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(math.abs(got.getOrElse("b", 0L) - 50) < 3 * math.sqrt(1000 * 0.05 * 0.95))
   }
 
+  test("mixture hits target shares, keeps starved strata whole, drops unlisted") {
+    // a: 2000 rows at weight .5 of 500 -> rate .125; b: 900 at .3 -> 150/900;
+    // c: 100 at .2 -> target 100 >= n, rate caps at 1 (kept whole);
+    // d: unlisted -> dropped
+    val rows = spark.range(0, 3100).select(col("id"),
+      when(col("id") < 2000, "a").when(col("id") < 2900, "b")
+        .when(col("id") < 3000, "c").otherwise("d").as("s"))
+    val got = Sampling.mixture(rows, col("s"), col("id"),
+        Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), totalRows = 500)
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("d"))
+    assert(got("c") == 100L) // starved stratum kept in full, exactly
+    assert(math.abs(got("a") - 250) < 3 * math.sqrt(2000 * 0.125 * 0.875))
+    assert(math.abs(got("b") - 150) < 3 * math.sqrt(900 * (150.0 / 900) * (750.0 / 900)))
+    // membership is the same deterministic uniform as sampled(): stratum-a
+    // survivors are exactly the keys under the derived rate
+    val aIds = Sampling.mixture(rows, col("s"), col("id"),
+        Map("a" -> 0.5), totalRows = 500)
+      .select(col("id")).as[Long].collect().toSet
+    val expect = rows.where(col("s") === "a")
+      .where(Sampling.uniformCol(col("id")) < 250.0 / 2000)
+      .select(col("id")).as[Long].collect().toSet
+    assert(aIds == expect)
+  }
+
   test("packSequences matches the scanLeft model, any input layout") {
     val tokens = Seq.tabulate(200)(i => (i.toLong, (i * 37 % 90 + 1).toLong))
     // model: exclusive prefix sum in id order -> (seq, offset)
