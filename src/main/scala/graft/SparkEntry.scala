@@ -704,6 +704,14 @@ object SparkEntry {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
         dim = 64, threshold = 0.95, nBits = 8).select("vec_id")),
 
+    "q_semdedup" -> ((s, dir) =>
+      // SemDeDup at nClusters = 1: the cluster-scoped pair search is
+      // exhaustive, so the survivor set is exact (the oracle-checked
+      // configuration, like full-probe IVF); partial-cluster recall and
+      // the cluster-containment law live in ApproxOpsSpec
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "embedding", "vec_id",
+        nClusters = 1, threshold = 0.9, lloydIters = 0).select("vec_id")),
+
     // -- similarity search ----------------------------------------------
     "q_ann_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1431,6 +1439,11 @@ object SparkEntry {
       """SELECT e.vec_id FROM embeddings e WHERE NOT EXISTS (
         |  SELECT 1 FROM embeddings o WHERE o.vec_id < e.vec_id
         |  AND list_cosine_similarity(o.embedding::DOUBLE[], e.embedding::DOUBLE[]) >= 0.95)""".stripMargin,
+
+    "q_semdedup" ->
+      """SELECT e.vec_id FROM embeddings e WHERE NOT EXISTS (
+        |  SELECT 1 FROM embeddings o WHERE o.vec_id < e.vec_id
+        |  AND list_cosine_similarity(o.embedding::DOUBLE[], e.embedding::DOUBLE[]) >= 0.9)""".stripMargin,
 
     "q_ann_brute" -> {
       val qvec = Array.tabulate(64)(i => math.sin(i + 1.0)).mkString("[", ", ", "]")

@@ -511,4 +511,42 @@ object Dedup {
       .select(col(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * cluster-scoped cosine — spherical k-means the embeddings
+    * ([[Similarity.kmeansCentroids]]: deterministic hash-picked seeds +
+    * Lloyd, centroid shuffle independent of row count), then inside each
+    * cluster drop every row whose cosine to a SMALLER-id cluster-mate
+    * reaches `threshold` (same survivor policy as the whole dedup family).
+    *
+    * Scale shape: assignment is a narrow literal-centroid argmax
+    * projection; the pair search is an equi-join on the cluster id — the
+    * quadratic term is bounded by the largest CLUSTER, never the corpus.
+    * Pairs split across clusters are missed by construction — that is the
+    * SemDeDup trade (raise `nClusters` for speed, lower it for recall).
+    * With `nClusters = 1` the search is exhaustive and the result exactly
+    * matches [[embeddingNearDupExact]] — the oracle-checked configuration
+    * (mirroring how full-probe IVF oracles ANN).
+    */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+      nClusters: Int, threshold: Double = 0.95,
+      lloydIters: Int = 2): DataFrame = {
+    require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
+    val cents = Similarity.kmeansCentroids(df, vecCol, idCol, nClusters, lloydIters)
+    def normalized(v: Column): Column = {
+      val n = VectorFunctions.norm(v)
+      when(n > 0, transform(v, x => x.cast("double") / n))
+        .otherwise(transform(v, x => x.cast("double")))
+    }
+    val assigned = df.select(col(idCol),
+      Similarity.nearestCentroid(col(vecCol), cents).as("__cid"),
+      normalized(col(vecCol)).as("__nv"))
+    val a = assigned.select(col(idCol), col("__cid"), col("__nv").as("__va"))
+    val b = assigned.select(col(idCol).as("__ob"), col("__cid"), col("__nv").as("__vb"))
+    val drop = a.join(b, Seq("__cid"))
+      .where(col("__ob") < col(idCol) &&
+        VectorFunctions.dot(col("__va"), col("__vb")) >= threshold)
+      .select(col(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -96,59 +96,67 @@ object Similarity {
     * shuffle of the query phase is the broadcast-join of candidates against
     * the (tiny) probe table plus the per-query top-k.
     */
-  def ivfTopK(spark: SparkSession, df: DataFrame, vecCol: String, idCol: String,
-      queries: DataFrame, qVecCol: String, qIdCol: String,
-      k: Int, nCentroids: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
+  private[operators] def simsToCents(v: Column, cents: Array[Array[Double]]): Column =
+    array(cents.toIndexedSeq.map(c =>
+      VectorFunctions.cosine(v, array(c.toIndexedSeq.map(lit(_)): _*))): _*)
+
+  /** Nearest-centroid id by cosine argmax over LITERAL centroids — one
+    * narrow codegen'd projection, zero shuffle (first index wins ties —
+    * deterministic).
+    */
+  def nearestCentroid(v: Column, cents: Array[Array[Double]]): Column = {
+    val sims = simsToCents(v, cents)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** Deterministic spherical k-means centroids: seeded by the `nCentroids`
+    * vectors with the smallest hashed id (one TakeOrderedAndProject — no
+    * count(), no global sort), refined by `lloydIters` Lloyd iterations
+    * (assign to nearest centroid → per-centroid mean; an empty centroid
+    * keeps its previous position). One hash aggregation per iteration: dim
+    * per-element avg aggregates grouped on the argmax cell — the grouping
+    * key is evaluated ONCE per row (a posexplode formulation would let
+    * Catalyst recompute the argmax under the generator, dim times per
+    * row), and the shuffle carries only nCentroids × dim cells,
+    * independent of row count. Cosine argmax is scale-invariant, so the
+    * unnormalized mean is the correct centroid direction.
+    */
+  def kmeansCentroids(df: DataFrame, vecCol: String, idCol: String,
+      nCentroids: Int, lloydIters: Int): Array[Array[Double]] = {
     require(lloydIters >= 0, s"lloydIters must be >= 0, got $lloydIters")
-    // deterministic seeds: smallest xxhash64(id) — a pseudo-random but
-    // reproducible sample, fetched with a TakeOrderedAndProject
     val seeds: Array[Array[Double]] = df
       .select(col(vecCol).cast("array<double>").as("__v"), col(idCol).as("__sid"))
       .orderBy(xxhash64(col("__sid")), col("__sid"))
       .limit(nCentroids)
       .collect()
       .map(_.getSeq[Double](0).toArray)
-
-    def simsToCents(v: Column, cents: Array[Array[Double]]): Column =
-      array(cents.toIndexedSeq.map(c =>
-        VectorFunctions.cosine(v, array(c.toIndexedSeq.map(lit(_)): _*))): _*)
-    def argmaxCid(v: Column, cents: Array[Array[Double]]): Column = {
-      val sims = simsToCents(v, cents)
-      (array_position(sims, array_max(sims)) - 1).cast("int")
-    }
-
-    // Lloyd: new centroid = mean of assigned vectors; an empty centroid
-    // keeps its previous position (deterministic). One hash aggregation per
-    // iteration: dim per-element avg aggregates grouped on the argmax cell —
-    // the grouping key is evaluated ONCE per row (a posexplode formulation
-    // would let Catalyst recompute the argmax under the generator, dim
-    // times per row), and the shuffle carries only nCentroids × dim cells.
     val dims = seeds.headOption.map(_.length).getOrElse(0)
-    val centroids: Array[Array[Double]] = (0 until lloydIters).foldLeft(seeds) {
-      (cents, _) =>
-        val means = df
-          .select(argmaxCid(col(vecCol), cents).as("__cid"),
-            col(vecCol).cast("array<double>").as("__v"))
-          .groupBy(col("__cid"))
-          .agg(array((0 until dims).map(i => avg(col("__v").getItem(i))): _*).as("__m"))
-          .collect()
-        val next = cents.map(_.clone())
-        means.foreach { r =>
-          val m = r.getSeq[Double](1)
-          var i = 0
-          while (i < dims) { next(r.getInt(0))(i) = m(i); i += 1 }
-        }
-        next
+    (0 until lloydIters).foldLeft(seeds) { (cents, _) =>
+      val means = df
+        .select(nearestCentroid(col(vecCol), cents).as("__cid"),
+          col(vecCol).cast("array<double>").as("__v"))
+        .groupBy(col("__cid"))
+        .agg(array((0 until dims).map(i => avg(col("__v").getItem(i))): _*).as("__m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        val m = r.getSeq[Double](1)
+        var i = 0
+        while (i < dims) { next(r.getInt(0))(i) = m(i); i += 1 }
+      }
+      next
     }
+  }
 
-    def simsTo(v: Column): Column = simsToCents(v, centroids)
+  def ivfTopK(spark: SparkSession, df: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, qVecCol: String, qIdCol: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
+    val centroids = kmeansCentroids(df, vecCol, idCol, nCentroids, lloydIters)
 
     // nearest-centroid assignment: argmax over the literal centroid array,
-    // in one narrow projection (first index wins ties — deterministic)
+    // in one narrow projection
     val assigned = df
-      .withColumn("__sims", simsTo(col(vecCol)))
-      .withColumn("__cid",
-        (array_position(col("__sims"), array_max(col("__sims"))) - 1).cast("int"))
+      .withColumn("__cid", nearestCentroid(col(vecCol), centroids))
       .select(col(idCol), col(vecCol), col("__cid"))
 
     // queries probe their nProbe highest-similarity centroids: sort the

@@ -37,6 +37,13 @@ object GraftEncoders {
   def priorDelta[V](implicit vEnc: Encoder[V]): Encoder[(Option[V], V)] =
     Encoders.tuple(option[V], vEnc)
 
+  /** `Array[Long]` as a native array-of-bigint — for state-store values
+    * holding id lists (never a kryo blob in the state store).
+    */
+  def longArray: Encoder[Array[Long]] =
+    AgnosticEncoders.ArrayEncoder(AgnosticEncoders.PrimitiveLongEncoder,
+      containsNull = false).asInstanceOf[Encoder[Array[Long]]]
+
   /** `Either[L, R]` as a PRODUCT encoder — physical layout
     * `(isRight: boolean, left: nullable struct, right: nullable struct)`
     * via Catalyst's TransformingEncoder, instead of a kryo binary blob.

@@ -1,7 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+import graft.operators.Dedup
+import graft.plans.GraftEncoders
 
 /** Streaming form of the exact-dedup family — ingest-time dedup for a
   * continuously arriving corpus (the online half of
@@ -42,4 +46,63 @@ object StreamingDedup {
       .withWatermark(eventTimeCol, horizon)
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
+
+  /** Streaming MinHash-LSH NEAR-dup candidates — ingest-time counterpart of
+    * [[graft.operators.Dedup.minhashCandidates]]: each arriving document's
+    * banded signature probes per-bucket state (the ids previously seen in
+    * that (band, bandHash) bucket) and emits a candidate pair per bucket
+    * mate, as (smaller id, larger id). Signature/banding use the IDENTICAL
+    * columnar expressions as the batch pipeline, so on the same corpus the
+    * emitted pair SET equals the batch candidate set (asserted in
+    * StreamingDedupSpec) — candidates may repeat across bands/micro-batches
+    * (append mode cannot retro-dedup); like all LSH candidates they carry
+    * false positives and feed a downstream verification, which dedups.
+    *
+    * State per bucket is an id array capped at `maxBucket` (a hot bucket —
+    * boilerplate-heavy near-identical docs — would otherwise grow state and
+    * emit O(n²) pairs); arrivals past the cap still pair against the
+    * remembered ids but are not themselves remembered. Only ids live in the
+    * state store (native bigint array), never text or signatures.
+    */
+  def minhashCandidates(ds: DataFrame, textCol: String, idCol: String,
+      w: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      maxBucket: Int = 256): Dataset[(Long, Long)] = {
+    val numHashes = bands * rowsPerBand
+    // signature once per row, then band explosion — the same expressions
+    // (and therefore the same bucket keys) as Dedup.candidatesFromShingles
+    val sig = ds.select(col(idCol).cast("long").as("__id"),
+      Dedup.minhashSignature(Dedup.shingleCol(col(textCol), w), numHashes).as("__sig"))
+    val banded = sig.select(col("__id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+        .as(Seq("__band", "__bandhash")))
+    implicit val rowEnc: Encoder[(Long, Int, Int)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaInt)
+    implicit val keyEnc: Encoder[(Int, Int)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt)
+    implicit val pairEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val stateEnc: Encoder[Array[Long]] = GraftEncoders.longArray
+    banded.as[(Long, Int, Int)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Array[Long], (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          val prior = state.getOption.getOrElse(Array.empty[Long])
+          // sort for a deterministic in-batch fold order
+          val newIds = rows.map(_._1).toArray.distinct.sorted
+          val out = Seq.newBuilder[(Long, Long)]
+          val bucket = scala.collection.mutable.ArrayBuffer.from(prior)
+          newIds.foreach { id =>
+            if (!prior.contains(id)) {
+              bucket.foreach { p =>
+                if (p != id) out += ((math.min(p, id), math.max(p, id)))
+              }
+              if (bucket.length < maxBucket) bucket += id
+            }
+          }
+          state.update(bucket.toArray)
+          out.result().iterator
+      }
+  }
 }

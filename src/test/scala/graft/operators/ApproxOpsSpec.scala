@@ -112,6 +112,28 @@ class ApproxOpsSpec extends AnyFunSuite {
     assert(lshKept == exactKept)
   }
 
+  test("semanticDedup: 1-cluster == exact; clustering only ADDS survivors; planted dups still drop (this data)") {
+    val s = spark; import s.implicits._
+    val df = vecs.toDF("vec_id", "embedding")
+    val all = vecs.map(_._1).toSet
+    val exactKept = Dedup.embeddingNearDupExact(df, "embedding", "vec_id",
+      threshold = 0.95).select("vec_id").as[Long].collect().toSet
+    val oneCluster = Dedup.semanticDedup(df, "embedding", "vec_id",
+      nClusters = 1, threshold = 0.95).select("vec_id").as[Long].collect().toSet
+    assert(oneCluster == exactKept) // exhaustive configuration is exact
+    for (k <- Seq(3, 8)) {
+      val kept = Dedup.semanticDedup(df, "embedding", "vec_id",
+        nClusters = k, threshold = 0.95).select("vec_id").as[Long].collect().toSet
+      // cluster scoping can only MISS pairs -> survivor superset of exact,
+      // and never invents a drop
+      assert(exactKept.subsetOf(kept), s"k=$k")
+      assert(kept.subsetOf(all), s"k=$k")
+      // a planted near-dup sits ~on top of its source: cosine argmax puts
+      // both in the same cluster, so SemDeDup still drops all three
+      assert((all -- kept) == Set(200L, 201L, 202L), s"k=$k")
+    }
+  }
+
   test("CMS frequency estimates: never under, within eps*N, merge == bulk") {
     import graft.algebra.CMS
     val rnd = new scala.util.Random(5)

@@ -60,4 +60,56 @@ class StreamingDedupSpec extends AnyFunSuite {
     val got = spark.table("sdedup_wm").select(col("text")).as[String].collect().toSeq
     assert(got.sorted == Seq("alpha", "beta", "gamma"))
   }
+
+  private val nearDupDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs away quickly"),
+    (3L, "completely different text about spark catalyst optimizer rules that rewrite logical plans before physical planning internals"),
+    (4L, "completely different text about spark catalyst optimizer rules that rewrite logical plans before physical planning behavior"),
+    (5L, "unrelated document covering streaming state stores and watermarks"))
+
+  test("streaming minhash candidates == batch candidate set, cross-micro-batch pairs included") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val batchPairs = graft.operators.Dedup.minhashCandidates(
+      nearDupDocs.toDF("id", "text"), "text", "id")
+      .as[(Long, Long)].collect().toSet
+    assert(batchPairs.contains((1L, 2L)) && batchPairs.contains((3L, 4L)))
+
+    // each near-dup pair split ACROSS micro-batches
+    val ms = MemoryStream[(Long, String)]
+    val cands = StreamingDedup.minhashCandidates(
+      ms.toDS().toDF("id", "text"), "text", "id")
+    val q = cands.writeStream.format("memory").queryName("smh")
+      .outputMode("append").start()
+    try {
+      ms.addData(nearDupDocs(0), nearDupDocs(2))
+      q.processAllAvailable()
+      ms.addData(nearDupDocs(1), nearDupDocs(4))
+      q.processAllAvailable()
+      ms.addData(nearDupDocs(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("smh").as[(Long, Long)].collect().toSet
+    assert(streamed == batchPairs)
+
+    // batch-mode invocation of the streaming operator agrees too
+    val oneShot = StreamingDedup.minhashCandidates(
+      nearDupDocs.toDF("id", "text"), "text", "id")
+      .collect().toSet
+    assert(oneShot == batchPairs)
+  }
+
+  test("streaming minhash maxBucket caps state but keeps pairing against remembered ids") {
+    val s = spark; import s.implicits._
+    // 4 byte-identical docs in one shot with maxBucket = 2: every band
+    // bucket remembers ids 1,2 only; 3 and 4 each pair against {1,2}
+    // but never against each other
+    val same = (1L to 4L).map(i => (i, "identical text repeated in every single document here"))
+    val got = StreamingDedup.minhashCandidates(
+      same.toDF("id", "text"), "text", "id", maxBucket = 2)
+      .collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)))
+  }
 }
