@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.algebra.{Semigroup, TopK}
+import graft.algebra.{Moments, QHist, Semigroup, SpaceSaver, TopK}
 import graft.api.{ExternalService, GraftSink, GraftStream, KeyedGraftStream}
 import graft.batch.BatchStore
 import graft.client.ClientStore
@@ -576,6 +576,80 @@ object SparkEntry {
           (SK.cmsEstimate(col("__sk"), col("user_id")) >= col("__cnt")).as("cnt_ok"))
     }),
 
+    "q_moments" -> ((s, dir) => {
+      // mean/variance/skewness/kurtosis per event_type via the Moments
+      // semigroup VALUE (algebird Moments; SURVEY §1.3): partials merge
+      // with the Pebay pairwise formulas, stats read off the final value.
+      // Rounded to 6dp on both sides — merge order differs from the
+      // oracle's two-pass formula only in float ulps.
+      import s.implicits._
+      eventStream(s, dir)
+        .asKeyedWith(_.event_type, (e: Ev) => Moments.of(e.value))
+        .sumByKeyAllTime(Moments.momentsSemigroup, implicitly)
+        .map { case (et, m) => (et, m.n, m.mean, m.variance, m.skewness, m.kurtosis) }
+        .toDF("event_type", "n_events", "mean_v", "var_v", "skew_v", "kurt_v")
+        .select(col("event_type"), col("n_events"),
+          round(col("mean_v"), 6).as("mean_v"),
+          round(col("var_v"), 6).as("var_v"),
+          round(col("skew_v"), 6).as("skew_v"),
+          round(col("kurt_v"), 6).as("kurt_v"))
+    }),
+
+    "q_heavy_hitters" -> ((s, dir) => {
+      // top-3 users by event count per event_type via the SpaceSaver
+      // semigroup VALUE (algebird SpaceSaver; SURVEY §1.3). capacity 2048
+      // >= distinct users per type through sf0.1 (1500), so the sketch is
+      // in its EXACT regime and the oracle is the true frequency ranking;
+      // the bounded-memory approximation guarantees (eviction regime) are
+      // law-checked in SemigroupSpec.
+      import s.implicits._
+      implicit val sg: Semigroup[SpaceSaver[Long]] = SpaceSaver.spaceSaverSemigroup[Long]
+      eventStream(s, dir)
+        .asKeyedWith(_.event_type, (e: Ev) => SpaceSaver.one(2048, e.user_id))
+        .sumByKeyAllTime(sg, implicitly)
+        .flatMap { case (et, ss) => ss.topK(3).map { case (u, c, _) => (et, u, c) } }
+        .toDF("event_type", "user_id", "cnt")
+    }),
+
+    "q_quantile" -> ((s, dir) => {
+      // p50/p90/p99 of value per event_type via the QHist semigroup VALUE
+      // (the algebird-QTree role; SURVEY §1.3). The histogram is exact
+      // (bucket counts, not samples), so the bucket [lo, hi) holding the
+      // ceil(q*n)-th element is a deterministic function of the data —
+      // the oracle recomputes it from the exact rank-quantile.
+      import s.implicits._
+      eventStream(s, dir)
+        .asKeyedWith(_.event_type, (e: Ev) => QHist.of(e.value, width = 0.25))
+        .sumByKeyAllTime(QHist.qhistSemigroup, implicitly)
+        .flatMap { case (et, h) =>
+          Seq(0.5, 0.9, 0.99).map { p =>
+            val (lo, hi) = h.quantileBounds(p)
+            (et, p, lo, hi)
+          }
+        }
+        .toDF("event_type", "p", "lo", "hi")
+        .select(col("event_type"), col("p"),
+          round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
+    }),
+
+    "q_bloom" -> ((s, dir) => {
+      // Bloom filter of user_ids per event_type via the native aggregate
+      // (one bit array per key per partition, OR-merged partials), then
+      // the DETERMINISTIC no-false-negative invariant: every (event_type,
+      // user_id) actually present must probe true. The false-positive
+      // RATE is probabilistic and lives in SketchAggregatesSpec.
+      import s.implicits._
+      import graft.functions.{SketchAggregates => SK}
+      val sketches = eventStream(s, dir)
+        .asKeyedCols[String, Long](col("_2.event_type"), col("_2.user_id"))
+        .sumByKeyAgg[Array[Byte]](c => SK.bloomFilter(c, numBits = 1 << 16, k = 5))
+        .toDF("event_type", "__bf")
+      eventsDF(s, dir).select(col("event_type"), col("user_id")).distinct()
+        .join(sketches, Seq("event_type"))
+        .select(col("event_type"), col("user_id"),
+          SK.bfContains(col("__bf"), col("user_id")).as("contained"))
+    }),
+
     // -- dedup family ----------------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docsDs(s, dir).toDF(), "text", "doc_id").select("doc_id")),
@@ -608,6 +682,20 @@ object SparkEntry {
           .select((col("doc_id") + 10000).as("doc_id"), col("text")))
       val corpus = base.where(col("doc_id") % 5 =!= 0)
       Dedup.exactAgainst(newBatch, corpus, "text", "doc_id").select("doc_id")
+    }),
+
+    "q_dedup_incr_bloom" -> ((s, dir) => {
+      // same daily-ingest shape, via the Bloom-prefiltered path: the
+      // corpus collapses to one bit array; only sketch-flagged batch rows
+      // enter the verification anti-join. No false negatives => result is
+      // exactly exactAgainst's, so the two queries share an oracle.
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val newBatch = base.where(col("doc_id") % 5 === 0).unionByName(
+        base.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val corpus = base.where(col("doc_id") % 5 =!= 0)
+      Dedup.exactAgainstBloom(newBatch, corpus, "text", "doc_id",
+        numBits = 1 << 20, k = 5).select("doc_id")
     }),
 
     "q_dedup_incr_minhash" -> ((s, dir) => {
@@ -1096,6 +1184,53 @@ object SparkEntry {
       """SELECT event_type, user_id, TRUE AS cnt_ok
         |FROM events GROUP BY event_type, user_id""".stripMargin,
 
+    // central moments: Spark merges partials pairwise (Pebay), the oracle
+    // computes two-pass population moments — identical up to float ulps,
+    // pinned by the 6dp rounding on both sides
+    "q_moments" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n_events, avg(value) AS mu
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, m.n_events,
+        |  round(m.mu, 6) AS mean_v,
+        |  round(avg(pow(e.value - m.mu, 2)), 6) AS var_v,
+        |  round(avg(pow(e.value - m.mu, 3))
+        |    / pow(avg(pow(e.value - m.mu, 2)), 1.5), 6) AS skew_v,
+        |  round(avg(pow(e.value - m.mu, 4))
+        |    / pow(avg(pow(e.value - m.mu, 2)), 2) - 3.0, 6) AS kurt_v
+        |FROM events e JOIN m USING (event_type)
+        |GROUP BY e.event_type, m.n_events, m.mu""".stripMargin,
+
+    // capacity >= distinct users per type => the sketch is exact, and the
+    // oracle is the true ranking (ties broken by user_id on both sides)
+    "q_heavy_hitters" ->
+      """SELECT event_type, user_id, cnt FROM (
+        |  SELECT event_type, user_id, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY count(*) DESC, user_id ASC) AS rn
+        |  FROM events GROUP BY event_type, user_id) WHERE rn <= 3""".stripMargin,
+
+    // the bucket of the ceil(q*n)-th smallest value is a deterministic
+    // function of the exact rank-quantile; width 0.25 buckets have exact
+    // binary bounds so the 6dp rounding is a no-op on both sides
+    "q_quantile" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, CAST(p AS DOUBLE) AS p,
+        |  round(0.25 * floor(value / 0.25), 6) AS lo,
+        |  round(0.25 * (floor(value / 0.25) + 1), 6) AS hi
+        |FROM r JOIN (VALUES (0.5), (0.9), (0.99)) AS ps(p) ON TRUE
+        |WHERE rk = greatest(1, CAST(ceil(p * n) AS BIGINT))""".stripMargin,
+
+    // Bloom no-false-negatives: every present pair must probe true,
+    // independent of sketch parameters
+    "q_bloom" ->
+      """SELECT DISTINCT event_type, user_id, TRUE AS contained
+        |FROM events""".stripMargin,
+
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
 
@@ -1312,6 +1447,18 @@ object SparkEntry {
         |FROM final WHERE us < 0.9""".stripMargin,
 
     "q_dedup_incr_exact" ->
+      """WITH newb AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        |keep AS (SELECT min(doc_id) AS doc_id, text FROM newb GROUP BY text)
+        |SELECT doc_id FROM keep WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents c WHERE c.doc_id % 5 != 0 AND c.text = keep.text)""".stripMargin,
+
+    // Bloom pre-filter never drops a true dup (no false negatives) and
+    // false positives are removed by the verification anti-join, so the
+    // result is exactly exactAgainst's
+    "q_dedup_incr_bloom" ->
       """WITH newb AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
         |  UNION ALL

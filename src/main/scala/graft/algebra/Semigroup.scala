@@ -270,6 +270,268 @@ object CMS {
   }
 }
 
+/** Central-moments accumulator as a Semigroup value (the reference's
+  * algebird `Moments` — mean/variance/skewness/kurtosis as a mergeable
+  * VALUE fed to a Summer, not an operator; SURVEY §1.3). Carries
+  * (n, mean, m2, m3, m4) where mk = sum((x - mean)^k); merge is the
+  * standard pairwise-update formula (Pebay, Sandia tech report
+  * SAND2008-6212 — the same public formulas Spark's own central-moment
+  * aggregates use), so partial aggregation across partitions is exact up
+  * to float rounding.
+  */
+final case class Moments(n: Long, mean: Double, m2: Double, m3: Double, m4: Double) {
+  def count: Long = n
+  /** Population variance m2/n. */
+  def variance: Double = if (n == 0) Double.NaN else m2 / n
+  def stddev: Double = math.sqrt(variance)
+  /** Population skewness g1 = sqrt(n) m3 / m2^1.5. */
+  def skewness: Double =
+    if (n == 0 || m2 == 0.0) Double.NaN else math.sqrt(n.toDouble) * m3 / math.pow(m2, 1.5)
+  /** Excess kurtosis g2 = n m4 / m2^2 - 3. */
+  def kurtosis: Double =
+    if (n == 0 || m2 == 0.0) Double.NaN else n.toDouble * m4 / (m2 * m2) - 3.0
+}
+object Moments {
+  val zero: Moments = Moments(0L, 0.0, 0.0, 0.0, 0.0)
+  def of(x: Double): Moments = Moments(1L, x, 0.0, 0.0, 0.0)
+  implicit val momentsSemigroup: Monoid[Moments] = new Monoid[Moments] {
+    def zero: Moments = Moments.zero
+    def plus(a: Moments, b: Moments): Moments = {
+      if (a.n == 0L) b
+      else if (b.n == 0L) a
+      else {
+        val na = a.n.toDouble; val nb = b.n.toDouble; val n = na + nb
+        val d = b.mean - a.mean
+        val d2 = d * d
+        val mean = a.mean + d * nb / n
+        val m2 = a.m2 + b.m2 + d2 * na * nb / n
+        val m3 = a.m3 + b.m3 +
+          d * d2 * na * nb * (na - nb) / (n * n) +
+          3.0 * d * (na * b.m2 - nb * a.m2) / n
+        val m4 = a.m4 + b.m4 +
+          d2 * d2 * na * nb * (na * na - na * nb + nb * nb) / (n * n * n) +
+          6.0 * d2 * (na * na * b.m2 + nb * nb * a.m2) / (n * n) +
+          4.0 * d * (na * b.m3 - nb * a.m3) / n
+        Moments(a.n + b.n, mean, m2, m3, m4)
+      }
+    }
+    override def isCommutative = true
+  }
+}
+
+/** Bloom filter as a Semigroup value (the reference's algebird `BF` —
+  * approximate set membership as a mergeable VALUE; SURVEY §1.3). `numBits`
+  * bit array (packed in longs), `k` probes per item via double hashing
+  * (Kirsch–Mitzenmacher: pos_i = h1 + i*h2 mod m — two fmix64 calls per
+  * item regardless of k). Merge = bitwise OR (commutative monoid).
+  * Guarantee: NO false negatives, ever; false-positive rate ≈
+  * (1 - e^{-kn/m})^k.
+  */
+final case class BF(numBits: Int, k: Int, bits: Array[Long]) {
+  def contains(item: Long): Boolean = BF.containsBits(bits, numBits, k, item)
+  def ones: Int = { var i = 0; var c = 0; while (i < bits.length) { c += java.lang.Long.bitCount(bits(i)); i += 1 }; c }
+  /** Cardinality estimate -m/k ln(1 - X/m) from the fill ratio (Swamidass &
+    * Baldi 2007); saturates to Long.MaxValue when every bit is set.
+    */
+  def approxSize: Long = {
+    val x = ones
+    if (x >= numBits) Long.MaxValue
+    else math.round(-(numBits.toDouble / k) * math.log1p(-x.toDouble / numBits))
+  }
+}
+object BF {
+  def empty(numBits: Int = 1 << 16, k: Int = 5): BF = {
+    require(numBits > 0 && k > 0, s"need numBits > 0 and k > 0, got $numBits, $k")
+    BF(numBits, k, new Array[Long]((numBits + 63) >>> 6))
+  }
+  def ofLong(item: Long, numBits: Int = 1 << 16, k: Int = 5): BF = {
+    val bf = empty(numBits, k)
+    setBits(bf.bits, numBits, k, item)
+    bf
+  }
+  def ofString(s: String, numBits: Int = 1 << 16, k: Int = 5): BF =
+    ofLong(s.foldLeft(1125899906842597L)((h, c) => 31 * h + c), numBits, k)
+
+  /** i-th probe position; shared by the value type and the native
+    * [[graft.functions.SketchAggregates]] aggregate (codegen target).
+    */
+  def bitPos(item: Long, i: Int, numBits: Int): Int = {
+    val h1 = HLL.fmix64(item)
+    val h2 = HLL.fmix64(item + 0x9e3779b97f4a7c15L) | 1L // odd => full period
+    (((h1 + i * h2) >>> 1) % numBits).toInt
+  }
+  def setBits(bits: Array[Long], numBits: Int, k: Int, item: Long): Unit = {
+    var i = 0
+    while (i < k) { val p = bitPos(item, i, numBits); bits(p >>> 6) |= 1L << (p & 63); i += 1 }
+  }
+  def containsBits(bits: Array[Long], numBits: Int, k: Int, item: Long): Boolean = {
+    var i = 0
+    while (i < k) {
+      val p = bitPos(item, i, numBits)
+      if ((bits(p >>> 6) & (1L << (p & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  // ---- packed wire form (int numBits, int k, long words) ----
+  def pack(numBits: Int, k: Int, bits: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + bits.length * 8)
+    bb.putInt(numBits).putInt(k)
+    var i = 0
+    while (i < bits.length) { bb.putLong(bits(i)); i += 1 }
+    bb.array()
+  }
+  def unpack(bytes: Array[Byte]): BF = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val numBits = bb.getInt; val k = bb.getInt
+    val bits = new Array[Long]((bytes.length - 8) / 8)
+    var i = 0
+    while (i < bits.length) { bits(i) = bb.getLong; i += 1 }
+    BF(numBits, k, bits)
+  }
+  def containsPacked(bytes: Array[Byte], item: Long): Boolean = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val numBits = bb.getInt; val k = bb.getInt
+    var i = 0
+    while (i < k) {
+      val p = bitPos(item, i, numBits)
+      if ((bb.getLong(8 + (p >>> 6) * 8) & (1L << (p & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  implicit val bfSemigroup: Semigroup[BF] = new Semigroup[BF] {
+    def plus(a: BF, b: BF): BF = {
+      require(a.numBits == b.numBits && a.k == b.k,
+        s"BF shape mismatch: ${a.numBits}/${a.k} vs ${b.numBits}/${b.k}")
+      val out = new Array[Long](a.bits.length)
+      var i = 0
+      while (i < out.length) { out(i) = a.bits(i) | b.bits(i); i += 1 }
+      BF(a.numBits, a.k, out)
+    }
+    override def isCommutative = true
+  }
+}
+
+/** Space-saving heavy-hitters sketch as a Semigroup value (the reference's
+  * algebird `SpaceSaver` — bounded-memory top-k-by-frequency as a VALUE;
+  * SURVEY §1.3). At most `capacity` counters of (count, err); a reported
+  * count never under-counts the true count, `count - err` never
+  * over-counts it, and any item with true frequency > n/capacity is
+  * guaranteed present (Metwally et al., ICDT'05). Merge sums counters
+  * present on both sides; an item absent from one side inherits that
+  * side's worst-case undercount (its max evicted weight) as extra
+  * count+err, then the union is trimmed back to `capacity` (largest
+  * counts, ties broken by item ordering, so the trim is deterministic).
+  * With `capacity` >= distinct items the sketch is EXACT (err 0) and
+  * merge-order independent.
+  */
+final case class SpaceSaver[T](capacity: Int, counters: Map[T, (Long, Long)]) {
+  /** (item, estimate, maxError) descending by estimate; ties by item. */
+  def topK(k: Int)(implicit ord: Ordering[T]): List[(T, Long, Long)] =
+    counters.toList.map { case (t, (c, e)) => (t, c, e) }
+      .sortBy { case (t, c, _) => (-c, t) }((Ordering.Tuple2(Ordering.Long, ord)))
+      .take(k)
+  /** Max weight any evicted item could have carried — what an absent item
+    * may have accumulated before eviction (0 while under capacity).
+    */
+  def evictedBound: Long =
+    if (counters.size < capacity) 0L
+    else counters.valuesIterator.map(_._1).foldLeft(Long.MaxValue)(math.min)
+}
+object SpaceSaver {
+  def one[T](capacity: Int, item: T): SpaceSaver[T] = {
+    require(capacity > 0, s"capacity must be > 0, got $capacity")
+    SpaceSaver(capacity, Map(item -> ((1L, 0L))))
+  }
+  implicit def spaceSaverSemigroup[T](implicit ord: Ordering[T]): Semigroup[SpaceSaver[T]] =
+    new Semigroup[SpaceSaver[T]] {
+      def plus(a: SpaceSaver[T], b: SpaceSaver[T]): SpaceSaver[T] = {
+        val cap = math.max(a.capacity, b.capacity)
+        val (big, small) = if (a.counters.size >= b.counters.size) (a, b) else (b, a)
+        val smallFloor = small.evictedBound
+        val merged: Map[T, (Long, Long)] =
+          if (smallFloor == 0L) {
+            // The hot shape — the stream fold's per-event singleton (and any
+            // under-capacity side): keys absent from `small` would gain
+            // (+0, +0), so leave `big`'s map untouched and fold only
+            // `small`'s entries in. O(|small|) per merge instead of
+            // O(distinct) — this is what keeps the per-event aggregation
+            // linear (the same trap the r4 HLL per-event allocation hit).
+            val bigFloor = big.evictedBound
+            small.counters.foldLeft(big.counters) { case (acc, (t, (c, e))) =>
+              val (c0, e0) = acc.getOrElse(t, (bigFloor, bigFloor))
+              acc.updated(t, (c0 + c, e0 + e))
+            }
+          } else {
+            // both sides have evicted: every key needs both floors
+            val bigFloor = big.evictedBound
+            val keys = big.counters.keySet ++ small.counters.keySet
+            keys.iterator.map { t =>
+              val (bc, be) = big.counters.getOrElse(t, (bigFloor, bigFloor))
+              val (sc, se) = small.counters.getOrElse(t, (smallFloor, smallFloor))
+              t -> ((bc + sc, be + se))
+            }.toMap
+          }
+        if (merged.size <= cap) SpaceSaver(cap, merged)
+        else SpaceSaver(cap, merged.toList.sortBy { case (t, (c, _)) => (-c, t) }(
+          Ordering.Tuple2(Ordering.Long, ord)).take(cap).toMap)
+      }
+      override def isCommutative = true
+    }
+}
+
+/** Mergeable quantile histogram as a Semigroup value (the role algebird
+  * `QTree` plays in the reference's jobs — latency/size percentiles as a
+  * store VALUE; SURVEY §1.3). Fixed-resolution variant: values bucket to
+  * `floor(x / width)`, merge sums per-bucket counts (commutative, exact —
+  * unlike a sampling sketch, the histogram itself is deterministic).
+  * [[quantileBounds]] returns the half-open bucket `[lo, hi)` holding the
+  * `ceil(q*n)`-th smallest element — the true q-quantile ALWAYS lies
+  * inside, so accuracy is `width`, not probabilistic. Bucket count is
+  * bounded by value-range/width (algebird's QTree adapts its resolution
+  * instead; at a fixed width the map stays small for any bounded metric —
+  * latencies, sizes, scores).
+  */
+final case class QHist(width: Double, n: Long, buckets: Map[Long, Long]) {
+  /** Bucket [lo, hi) of the ceil(q*n)-th smallest element (1-based rank,
+    * q in [0,1]; q=0 means the minimum's bucket).
+    */
+  def quantileBounds(q: Double): (Double, Double) = {
+    require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
+    require(n > 0L, "quantile of an empty histogram")
+    val rank = math.max(1L, math.ceil(q * n).toLong)
+    val sorted = buckets.toArray.sortBy(_._1)
+    var cum = 0L
+    var i = 0
+    while (i < sorted.length) {
+      cum += sorted(i)._2
+      if (cum >= rank) return (width * sorted(i)._1, width * (sorted(i)._1 + 1))
+      i += 1
+    }
+    val last = sorted.last._1
+    (width * last, width * (last + 1))
+  }
+}
+object QHist {
+  def of(x: Double, width: Double): QHist = {
+    require(width > 0.0, s"width must be > 0, got $width")
+    QHist(width, 1L, Map(math.floor(x / width).toLong -> 1L))
+  }
+  implicit val qhistSemigroup: Semigroup[QHist] = new Semigroup[QHist] {
+    def plus(a: QHist, b: QHist): QHist = {
+      require(a.width == b.width, s"QHist width mismatch: ${a.width} vs ${b.width}")
+      val merged = b.buckets.foldLeft(a.buckets) { case (acc, (k, c)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + c)
+      }
+      QHist(a.width, a.n + b.n, merged)
+    }
+    override def isCommutative = true
+  }
+}
+
 /** Exponentially time-decayed sum as a Semigroup value (reference expresses
   * decayed counters via algebird `DecayedValue`; SURVEY §1.3). `halfLifeMs`
   * fixed per instance; merge rescales the older side to the newer timestamp.

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
 
-import graft.algebra.{CMS, HLL}
+import graft.algebra.{BF, CMS, HLL}
 
 /** Native sketch AGGREGATES (SURVEY §7.3) — the allocation-free twins of the
   * [[graft.algebra.HLL]]/[[graft.algebra.CMS]] semigroup value types.
@@ -150,6 +150,71 @@ object SketchAggregates {
     override def prettyName: String = "graft_cms_sketch"
   }
 
+  /** Bloom filter over an integral column → BinaryType packed
+    * (numBits, k, words); membership with [[bfContains]]. One mutable bit
+    * array per grouping key per partition (the BF *value* form allocates
+    * numBits/8 bytes per row); partial merges OR word-wise, bit-identical
+    * to [[graft.algebra.BF]]'s semigroup (same probe positions).
+    */
+  case class BloomFilterAgg(
+      child: Expression,
+      numBits: Int = 1 << 16,
+      k: Int = 5,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+    override def checkInputDataTypes(): TypeCheckResult = integralCheck(prettyName, child)
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long]((numBits + 63) >>> 6)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) BF.setBits(buf, numBits, k, v.asInstanceOf[Number].longValue)
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+
+    override def eval(buf: Array[Long]): Any = BF.pack(numBits, k, buf)
+    override def serialize(buf: Array[Long]): Array[Byte] = BF.pack(numBits, k, buf)
+    override def deserialize(bytes: Array[Byte]): Array[Long] = BF.unpack(bytes).bits
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): BloomFilterAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): BloomFilterAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): BloomFilterAgg =
+      copy(child = newChildren.head)
+    override def prettyName: String = "graft_bloom_filter"
+  }
+
+  /** Scalar: Bloom membership probe — false means DEFINITELY absent. */
+  case class BfContains(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (BinaryType, LongType | IntegerType | ShortType | ByteType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"graft_bf_contains needs (binary, integral), got $other")
+      }
+    override protected def nullSafeEval(sketch: Any, item: Any): Any =
+      BF.containsPacked(sketch.asInstanceOf[Array[Byte]], item.asInstanceOf[Number].longValue)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (s, i) => s"graft.algebra.BF.containsPacked($s, (long)($i))")
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BfContains =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "graft_bf_contains"
+  }
+
   /** Scalar: estimate from HLL registers (codegen'd static call). */
   case class HllEstimate(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -207,6 +272,11 @@ object SketchAggregates {
     ColumnBridge.column(HllEstimate(ColumnBridge.expression(c)))
   /** Convenience: approx distinct count as one aggregate column. */
   def hllCountDistinct(c: Column, p: Int = 12): Column = hllEstimate(hllSketch(c, p))
+
+  def bloomFilter(c: Column, numBits: Int = 1 << 16, k: Int = 5): Column =
+    ColumnBridge.column(BloomFilterAgg(ColumnBridge.expression(c), numBits, k).toAggregateExpression())
+  def bfContains(sketch: Column, item: Column): Column =
+    ColumnBridge.column(BfContains(ColumnBridge.expression(sketch), ColumnBridge.expression(item)))
 
   def cmsSketch(c: Column, depth: Int = 5, width: Int = 512): Column =
     ColumnBridge.column(CmsSketchAgg(ColumnBridge.expression(c), depth, width).toAggregateExpression())

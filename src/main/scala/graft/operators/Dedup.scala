@@ -84,6 +84,44 @@ object Dedup {
     newDf.join(survivors, Seq(idCol), "left_semi")
   }
 
+  /** [[exactAgainst]] with a Bloom-filter pre-filter on the corpus side —
+    * the 100 TB shape when the corpus digest set is itself huge. The corpus
+    * collapses to ONE packed bit array (numBits/8 bytes; partial aggregates
+    * merge word-wise OR, so the corpus scan shuffles one sketch per
+    * partition, never its digests), broadcast inside the filter literal.
+    * A new-batch row probes the sketch narrowly; only the rows the sketch
+    * flags (true dups + the ~fpp false positives) enter the verification
+    * anti-join, so the corpus digest column is joined against a frame a
+    * few orders of magnitude smaller than the batch. Bloom "no false
+    * negatives" makes the verified result EXACTLY [[exactAgainst]]'s.
+    *
+    * Size numBits ~ 10-15 bits per corpus document for fpp < 1%; 4 GiB of
+    * bits covers ~3B docs — driver-collectable, and at that scale replace
+    * the in-literal broadcast with an explicit `spark.sparkContext
+    * .broadcast` if the plan is reused.
+    */
+  def exactAgainstBloom(newDf: DataFrame, corpus: DataFrame, textCol: String,
+      idCol: String, numBits: Int = 1 << 20, k: Int = 5): DataFrame = {
+    import graft.functions.{SketchAggregates => SK}
+    // digest -> Long item for the sketch: first 8 bytes of the md5
+    def item(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val sketch = corpus.agg(SK.bloomFilter(item(col(textCol)), numBits, k)).head().getAs[Array[Byte]](0)
+    val candidates = newDf
+      .select(col(idCol), md5(col(textCol)).as("__digest"))
+      .groupBy(col("__digest")).agg(min(col(idCol)).as(idCol))
+      .where(SK.bfContains(lit(sketch),
+        conv(substring(col("__digest"), 1, 15), 16, 10).cast("long")))
+    val corpusDig = corpus.select(md5(col(textCol)).as("__digest")).distinct()
+    val dropIds = candidates.join(corpusDig, Seq("__digest"), "left_semi").select(col(idCol))
+    val batchKeep = newDf
+      .select(col(idCol), md5(col(textCol)).as("__digest"))
+      .groupBy(col("__digest")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    newDf.join(batchKeep, Seq(idCol), "left_semi")
+      .join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Incremental near-dup: (new_id, corpus_id, jaccard) for every `newDf`
     * document that verifies at `threshold` exact n-gram Jaccard against a
     * corpus document. Only CROSS pairs are proposed — the corpus never

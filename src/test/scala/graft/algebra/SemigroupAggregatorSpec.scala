@@ -79,4 +79,42 @@ class SemigroupAggregatorSpec extends AnyFunSuite {
     // the second run saw the live (un-expired) state from the first
     assert(rows.exists(r => r._1 == 1L && r._3 == Some(11L) && r._4 == 1L))
   }
+
+  test("sketch value types (Moments, QHist) flow through StreamingSum == batch fold") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Seq(
+      (0L, 1L, 2.0), (1L, 1L, 8.0), (2L, 2L, 5.0), (3L, 1L, 4.0), (4L, 2L, 5.5))
+
+    // Moments: one micro-batch => delta is the full event-time-ordered fold,
+    // bit-identical to the same fold done offline
+    val msM = MemoryStream[(Long, Long, Moments)]
+    msM.addData(events.map { case (t, k, v) => (t, k, Moments.of(v)) })
+    val outM = StreamingSum.sumByKey[Long, Moments](msM.toDS(), Batcher.unit)(
+        Moments.momentsSemigroup, implicitly, implicitly)
+      .map { case (k, _, (_, d)) => (k, d) }
+    val qM = outM.writeStream.format("memory").queryName("sketch_m")
+      .outputMode("append").start()
+    try { qM.processAllAvailable() } finally qM.stop()
+    val gotM = spark.table("sketch_m").as[(Long, Moments)].collect().toMap
+    val modelM = events.groupBy(_._2).view.mapValues(
+      evs => evs.sortBy(_._1).map(e => Moments.of(e._3))
+        .reduce(Moments.momentsSemigroup.plus)).toMap
+    assert(gotM == modelM)
+
+    // QHist: exact Long bucket counts => structural equality
+    val msQ = MemoryStream[(Long, Long, QHist)]
+    msQ.addData(events.map { case (t, k, v) => (t, k, QHist.of(v, width = 1.0)) })
+    val outQ = StreamingSum.sumByKey[Long, QHist](msQ.toDS(), Batcher.unit)(
+        QHist.qhistSemigroup, implicitly, implicitly)
+      .map { case (k, _, (_, d)) => (k, d) }
+    val qQ = outQ.writeStream.format("memory").queryName("sketch_q")
+      .outputMode("append").start()
+    try { qQ.processAllAvailable() } finally qQ.stop()
+    val gotQ = spark.table("sketch_q").as[(Long, QHist)].collect().toMap
+    val modelQ = events.groupBy(_._2).view.mapValues(
+      evs => evs.map(e => QHist.of(e._3, 1.0)).reduce(QHist.qhistSemigroup.plus)).toMap
+    assert(gotQ == modelQ)
+    assert(gotQ(1L).quantileBounds(0.5) == (4.0, 5.0))
+  }
 }

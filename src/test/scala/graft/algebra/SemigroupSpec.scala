@@ -134,4 +134,104 @@ class SemigroupSpec extends AnyFunSuite {
     assert(Semigroup.listSemigroup[Int].sumOption(Seq(List(1), List(2), List(3))) ==
       Some(List(1, 2, 3)))
   }
+
+  test("QHist: exact mergeable histogram; quantile bounds always bracket the true quantile") {
+    val sg = QHist.qhistSemigroup
+    val rnd = new Random(46)
+    val xs = Vector.fill(1000)(rnd.nextDouble() * 50 - 10)
+    val w = 0.5
+    associative[QHist](sg, r => QHist.of(r.nextDouble() * 50 - 10, w), "qhist")
+    commutativeIfDeclared[QHist](sg, r => QHist.of(r.nextDouble() * 50 - 10, w), "qhist")
+    val h = xs.map(QHist.of(_, w)).reduce(sg.plus)
+    assert(h.n == xs.size)
+    val sorted = xs.sorted
+    for (q <- Seq(0.0, 0.01, 0.5, 0.9, 0.99, 1.0)) {
+      val rank = math.max(1L, math.ceil(q * xs.size).toLong)
+      val trueQ = sorted((rank - 1).toInt)
+      val (lo, hi) = h.quantileBounds(q)
+      assert(lo <= trueQ && trueQ < hi, s"q=$q: [$lo,$hi) misses $trueQ")
+      assert(math.abs(hi - lo - w) < 1e-12) // accuracy is exactly the width
+    }
+  }
+
+  test("Moments: any merge tree equals the direct two-pass formulas") {
+    val rnd = new Random(44)
+    val xs = Vector.fill(500)(rnd.nextDouble() * 100 - 30)
+    val sg = Moments.momentsSemigroup
+    // three different association orders over random split points
+    val leftFold = xs.map(Moments.of).reduceLeft(sg.plus)
+    val (l, r) = xs.splitAt(137)
+    val pairTree = sg.plus(l.map(Moments.of).reduceLeft(sg.plus),
+      r.map(Moments.of).reduceLeft(sg.plus))
+    val n = xs.size.toDouble
+    val mu = xs.sum / n
+    val m2 = xs.map(x => math.pow(x - mu, 2)).sum
+    val m3 = xs.map(x => math.pow(x - mu, 3)).sum
+    val m4 = xs.map(x => math.pow(x - mu, 4)).sum
+    for (m <- Seq(leftFold, pairTree)) {
+      assert(m.n == xs.size)
+      assert(math.abs(m.mean - mu) < 1e-9)
+      assert(math.abs(m.m2 - m2) / m2 < 1e-9)
+      assert(math.abs(m.m3 - m3) / math.abs(m3).max(1.0) < 1e-9)
+      assert(math.abs(m.m4 - m4) / m4 < 1e-9)
+      assert(math.abs(m.variance - m2 / n) < 1e-9)
+      assert(math.abs(m.skewness - math.sqrt(n) * m3 / math.pow(m2, 1.5)) < 1e-9)
+      assert(math.abs(m.kurtosis - (n * m4 / (m2 * m2) - 3.0)) < 1e-9)
+    }
+    // skewness sign tracks the tail
+    val skewed = (1 to 100).map(_ => 1.0) ++ Seq(1000.0)
+    val sk = skewed.map(Moments.of).reduceLeft(sg.plus)
+    assert(sk.skewness > 0)
+  }
+
+  test("BF: no false negatives ever; OR-merge; fp rate near theory") {
+    val sg = BF.bfSemigroup
+    val inserted = (1L to 2000L).map(i => HLL.fmix64(i))
+    val bf = inserted.map(BF.ofLong(_, 1 << 16, 5)).reduce(sg.plus)
+    inserted.foreach(x => assert(bf.contains(x), s"false negative for $x"))
+    // merge is bitwise OR, any association
+    val (a, b) = inserted.splitAt(700)
+    val merged = sg.plus(a.map(BF.ofLong(_, 1 << 16, 5)).reduce(sg.plus),
+      b.map(BF.ofLong(_, 1 << 16, 5)).reduce(sg.plus))
+    assert(merged.bits.toSeq == bf.bits.toSeq)
+    // fp rate on 10k disjoint probes: theory (1-e^{-kn/m})^k ~ 2.4e-5 at
+    // n=2000, m=65536, k=5; allow generous slack
+    val probes = (1L to 10000L).map(i => HLL.fmix64(-i))
+    val fps = probes.count(bf.contains)
+    assert(fps <= 10, s"fp count $fps out of 10000")
+    // fill-ratio cardinality estimate within 5%
+    assert(math.abs(bf.approxSize - 2000.0) / 2000.0 < 0.05)
+  }
+
+  test("SpaceSaver: exact under capacity; eviction keeps Metwally guarantees") {
+    implicit val ord: Ordering[Long] = Ordering.Long
+    val sg = SpaceSaver.spaceSaverSemigroup[Long]
+    val rnd = new Random(45)
+    // zipfy stream over 40 items
+    val stream = Vector.fill(3000)((math.pow(rnd.nextDouble(), 3) * 40).toLong)
+    val exact = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // capacity >= distinct => exact counts, zero error, any merge shape
+    val big = stream.map(SpaceSaver.one(64, _)).reduce(sg.plus)
+    assert(big.counters.size == exact.size)
+    exact.foreach { case (k, c) => assert(big.counters(k) == ((c, 0L)), s"item $k") }
+    // eviction regime: est >= true >= est - err for every reported item;
+    // every item with true count > n/capacity must be present
+    val cap = 8
+    val small = stream.map(SpaceSaver.one(cap, _)).reduce(sg.plus)
+    assert(small.counters.size <= cap)
+    small.counters.foreach { case (k, (est, err)) =>
+      val truth = exact.getOrElse(k, 0L)
+      assert(est >= truth, s"under-count for $k: $est < $truth")
+      assert(est - err <= truth, s"guarantee broken for $k: $est - $err > $truth")
+    }
+    val threshold = stream.size.toLong / cap
+    exact.filter(_._2 > threshold).keys.foreach { k =>
+      assert(small.counters.contains(k), s"frequent item $k evicted")
+    }
+    // merge order independence in the exact regime
+    val (x, y) = stream.splitAt(1234)
+    val viaSplit = sg.plus(x.map(SpaceSaver.one(64, _)).reduce(sg.plus),
+      y.map(SpaceSaver.one(64, _)).reduce(sg.plus))
+    assert(viaSplit.counters == big.counters)
+  }
 }

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestSession
-import graft.algebra.{CMS, HLL, Semigroup}
+import graft.algebra.{BF, CMS, HLL, Semigroup}
 import graft.functions.{SketchAggregates => SK}
 
 /** The native sketch aggregates must (a) agree bit-for-bit with the
@@ -79,5 +79,31 @@ class SketchAggregatesSpec extends AnyFunSuite {
     val row = df.agg(SK.cmsSketch(col("x")).as("c"), SK.hllCountDistinct(col("x")).as("h")).head()
     assert(CMS.totalOfPacked(row.getAs[Array[Byte]]("c")) == 3L)
     assert(row.getLong(1) == 2L)
+  }
+
+  test("Bloom aggregate bits equal the BF semigroup's; partitioning-invariant") {
+    val packed = items.toDF("x")
+      .agg(SK.bloomFilter(col("x"), 1 << 14, 5).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val viaSg = items.map(BF.ofLong(_, 1 << 14, 5)).reduce(BF.bfSemigroup.plus)
+    assert(BF.unpack(packed).bits.toSeq == viaSg.bits.toSeq)
+    val repart = items.toDF("x").repartition(7)
+      .agg(SK.bloomFilter(col("x"), 1 << 14, 5).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    assert(repart.toSeq == packed.toSeq)
+  }
+
+  test("bfContains: every inserted item probes true; absent items mostly false") {
+    val df = items.toDF("x")
+    val withSketch = df.distinct().crossJoin(
+      df.agg(SK.bloomFilter(col("x"), 1 << 14, 5).as("b")))
+    // no false negatives, asserted columnar through the scalar expression
+    assert(withSketch.where(!SK.bfContains(col("b"), col("x"))).count() == 0L)
+    // false-positive rate on disjoint probes stays near theory
+    val probes = (1 to 5000).map(i => HLL.fmix64(-i.toLong)).toDF("x")
+    val fps = probes.crossJoin(
+        df.agg(SK.bloomFilter(col("x"), 1 << 14, 5).as("b")))
+      .where(SK.bfContains(col("b"), col("x"))).count()
+    assert(fps <= 25, s"fp count $fps out of 5000")
   }
 }

@@ -78,6 +78,13 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     val got = Dedup.exactAgainst(batch, corpus, "text", "doc_id")
       .select("doc_id").as[Long].collect().toSet
     assert(got == Set(1L, 3L))
+    // the Bloom-prefiltered path is exact (no false negatives + verified
+    // positives), even at a tiny sketch where false positives are certain
+    for (bits <- Seq(64, 1 << 16)) {
+      val viaBloom = Dedup.exactAgainstBloom(batch, corpus, "text", "doc_id",
+        numBits = bits, k = 3).select("doc_id").as[Long].collect().toSet
+      assert(viaBloom == Set(1L, 3L), s"numBits=$bits")
+    }
   }
 
   test("minhashNearCorpus flags only cross near-dups with their corpus match") {
