@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.algebra.{Moments, QHist, Semigroup, SpaceSaver, TopK}
+import graft.algebra.{Moments, QHist, Semigroup, TopK}
 import graft.api.{ExternalService, GraftSink, GraftStream, KeyedGraftStream}
 import graft.batch.BatchStore
 import graft.client.ClientStore
@@ -597,18 +597,22 @@ object SparkEntry {
 
     "q_heavy_hitters" -> ((s, dir) => {
       // top-3 users by event count per event_type via the SpaceSaver
-      // semigroup VALUE (algebird SpaceSaver; SURVEY §1.3). capacity 2048
-      // >= distinct users per type through sf0.1 (1500), so the sketch is
-      // in its EXACT regime and the oracle is the true frequency ranking;
+      // sketch (algebird SpaceSaver; SURVEY §1.3), via the native
+      // aggregate (one mutable counter map per key per partition — the
+      // semigroup VALUE form pays a persistent-map fold per event, and is
+      // law-checked equal in SketchAggregatesSpec). capacity 2048 >=
+      // distinct users per type through sf0.1 (1500), so the sketch is in
+      // its EXACT regime and the oracle is the true frequency ranking;
       // the bounded-memory approximation guarantees (eviction regime) are
       // law-checked in SemigroupSpec.
       import s.implicits._
-      implicit val sg: Semigroup[SpaceSaver[Long]] = SpaceSaver.spaceSaverSemigroup[Long]
+      import graft.functions.{SketchAggregates => SK}
       eventStream(s, dir)
-        .asKeyedWith(_.event_type, (e: Ev) => SpaceSaver.one(2048, e.user_id))
-        .sumByKeyAllTime(sg, implicitly)
-        .flatMap { case (et, ss) => ss.topK(3).map { case (u, c, _) => (et, u, c) } }
-        .toDF("event_type", "user_id", "cnt")
+        .asKeyedCols[String, Long](col("_2.event_type"), col("_2.user_id"))
+        .sumByKeyAggDF(c => SK.spaceSaver(c, capacity = 2048))
+        .select(col("_1").as("event_type"), posexplode(col("_2")))
+        .where(col("pos") < 3)
+        .select(col("event_type"), col("col.item").as("user_id"), col("col.cnt").as("cnt"))
     }),
 
     "q_quantile" -> ((s, dir) => {

@@ -314,13 +314,19 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)],
     * semigroup form would allocate per event. One codegen'd hash agg; the
     * aggregate's own buffer semantics stand in for `plus`.
     */
-  def sumByKeyAgg[V2: Encoder](aggFn: Column => Column): Dataset[(K, V2)] = {
-    implicit val out: Encoder[(K, V2)] = Encoders.tuple(kEnc, implicitly[Encoder[V2]])
+  def sumByKeyAgg[V2: Encoder](aggFn: Column => Column): Dataset[(K, V2)] =
+    sumByKeyAggDF(aggFn).as[(K, V2)](
+      Encoders.tuple(kEnc, implicitly[Encoder[V2]]))
+
+  /** [[sumByKeyAgg]] without the typed projection — for aggregate result
+    * types with no natural Scala encoder (e.g. the array<struct> a
+    * heavy-hitters sketch emits). Columns: `_1` = key, `_2` = aggregate.
+    */
+  def sumByKeyAggDF(aggFn: Column => Column): org.apache.spark.sql.DataFrame = {
     val flat = ds.toDF("_ts", "_k", "_v")
     shardHint.fold(flat)(k => flat.repartition(k, col("_k")))
       .groupBy(col("_k"))
       .agg(aggFn(col("_v")).as("_s"))
       .select(col("_k").as("_1"), col("_s").as("_2"))
-      .as[(K, V2)]
   }
 }

@@ -196,6 +196,137 @@ object SketchAggregates {
     override def prettyName: String = "graft_bloom_filter"
   }
 
+  /** SpaceSaver heavy hitters over an integral column →
+    * array<struct<item,cnt,err>> ordered by (cnt desc, item asc). One
+    * mutable counter map per grouping key per partition (the
+    * [[graft.algebra.SpaceSaver]] VALUE form pays a persistent-map fold
+    * per event); identical merge semantics to the semigroup — absent
+    * items inherit the other side's evicted bound as extra count+err —
+    * so the exact regime (capacity >= distinct) matches the value form
+    * entry-for-entry (asserted in SketchAggregatesSpec).
+    */
+  case class SpaceSaverAgg(
+      child: Expression,
+      capacity: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[Long, Array[Long]]] {
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(new StructType()
+      .add("item", LongType).add("cnt", LongType).add("err", LongType), containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = integralCheck(prettyName, child)
+
+    override def createAggregationBuffer(): java.util.HashMap[Long, Array[Long]] =
+      new java.util.HashMap[Long, Array[Long]](capacity * 2)
+
+    private def floorOf(m: java.util.HashMap[Long, Array[Long]]): Long =
+      if (m.size < capacity) 0L
+      else {
+        var min = Long.MaxValue
+        val it = m.values().iterator()
+        while (it.hasNext) { val c = it.next()(0); if (c < min) min = c }
+        min
+      }
+
+    override def update(m: java.util.HashMap[Long, Array[Long]], input: InternalRow): java.util.HashMap[Long, Array[Long]] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val item = v.asInstanceOf[Number].longValue
+        val cur = m.get(item)
+        if (cur != null) cur(0) += 1L
+        else if (m.size < capacity) m.put(item, Array(1L, 0L))
+        else {
+          // classic SpaceSaver eviction: replace a min-count counter
+          // (smallest item among mins, for a deterministic choice)
+          var minC = Long.MaxValue; var minItem = 0L
+          val it = m.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next(); val c = e.getValue()(0)
+            if (c < minC || (c == minC && e.getKey < minItem)) { minC = c; minItem = e.getKey }
+          }
+          m.remove(minItem)
+          m.put(item, Array(minC + 1L, minC))
+        }
+      }
+      m
+    }
+
+    override def merge(a: java.util.HashMap[Long, Array[Long]], b: java.util.HashMap[Long, Array[Long]]): java.util.HashMap[Long, Array[Long]] = {
+      val aFloor = floorOf(a); val bFloor = floorOf(b)
+      val it = b.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val cur = a.get(e.getKey)
+        if (cur != null) { cur(0) += e.getValue()(0); cur(1) += e.getValue()(1) }
+        else a.put(e.getKey, Array(aFloor + e.getValue()(0), aFloor + e.getValue()(1)))
+      }
+      if (bFloor > 0L) {
+        // keys only in a inherit b's evicted bound
+        val ia = a.entrySet().iterator()
+        while (ia.hasNext) {
+          val e = ia.next()
+          if (!b.containsKey(e.getKey)) { e.getValue()(0) += bFloor; e.getValue()(1) += bFloor }
+        }
+      }
+      if (a.size > capacity) {
+        val sorted = sortedEntries(a)
+        var i = capacity
+        while (i < sorted.length) { a.remove(sorted(i)._1); i += 1 }
+      }
+      a
+    }
+
+    private def sortedEntries(m: java.util.HashMap[Long, Array[Long]]): Array[(Long, Array[Long])] = {
+      val arr = new Array[(Long, Array[Long])](m.size)
+      val it = m.entrySet().iterator()
+      var i = 0
+      while (it.hasNext) { val e = it.next(); arr(i) = (e.getKey, e.getValue); i += 1 }
+      java.util.Arrays.sort(arr, new java.util.Comparator[(Long, Array[Long])] {
+        def compare(x: (Long, Array[Long]), y: (Long, Array[Long])): Int = {
+          val c = java.lang.Long.compare(y._2(0), x._2(0))
+          if (c != 0) c else java.lang.Long.compare(x._1, y._1)
+        }
+      })
+      arr
+    }
+
+    override def eval(m: java.util.HashMap[Long, Array[Long]]): Any = {
+      val sorted = sortedEntries(m)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        sorted.map { case (item, ce) => InternalRow(item, ce(0), ce(1)) }.toArray[Any])
+    }
+
+    override def serialize(m: java.util.HashMap[Long, Array[Long]]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + m.size * 24)
+      bb.putInt(m.size)
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        bb.putLong(e.getKey).putLong(e.getValue()(0)).putLong(e.getValue()(1))
+      }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.HashMap[Long, Array[Long]] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val m = new java.util.HashMap[Long, Array[Long]](capacity * 2)
+      var i = 0
+      while (i < n) { m.put(bb.getLong, Array(bb.getLong, bb.getLong)); i += 1 }
+      m
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSaverAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): SpaceSaverAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): SpaceSaverAgg =
+      copy(child = newChildren.head)
+    override def prettyName: String = "graft_space_saver"
+  }
+
   /** Scalar: Bloom membership probe — false means DEFINITELY absent. */
   case class BfContains(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = BooleanType
@@ -272,6 +403,9 @@ object SketchAggregates {
     ColumnBridge.column(HllEstimate(ColumnBridge.expression(c)))
   /** Convenience: approx distinct count as one aggregate column. */
   def hllCountDistinct(c: Column, p: Int = 12): Column = hllEstimate(hllSketch(c, p))
+
+  def spaceSaver(c: Column, capacity: Int): Column =
+    ColumnBridge.column(SpaceSaverAgg(ColumnBridge.expression(c), capacity).toAggregateExpression())
 
   def bloomFilter(c: Column, numBits: Int = 1 << 16, k: Int = 5): Column =
     ColumnBridge.column(BloomFilterAgg(ColumnBridge.expression(c), numBits, k).toAggregateExpression())

@@ -93,6 +93,35 @@ class SketchAggregatesSpec extends AnyFunSuite {
     assert(repart.toSeq == packed.toSeq)
   }
 
+  test("SpaceSaver aggregate: exact regime matches the value form; eviction keeps guarantees") {
+    import graft.algebra.SpaceSaver
+    // exact regime: capacity >= distinct => counts equal the semigroup fold
+    val rows = items.toDF("x")
+      .agg(SK.spaceSaver(col("x"), 256).as("hh"))
+      .selectExpr("inline(hh)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val viaSg = items.map(SpaceSaver.one(256, _))
+      .reduce(SpaceSaver.spaceSaverSemigroup[Long].plus)
+    assert(rows.forall(_._3 == 0L))
+    assert(rows.map(t => t._1 -> t._2).toMap ==
+      viaSg.counters.view.mapValues(_._1).toMap)
+    // descending (cnt, item-asc) order is part of the contract
+    assert(rows.sortBy(t => (-t._2, t._1)).toSeq == rows.toSeq)
+    // eviction regime via a tiny capacity, repartitioned (forces merges):
+    // est >= true >= est - err, frequent items survive
+    val exact = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val small = items.toDF("x").repartition(7)
+      .agg(SK.spaceSaver(col("x"), 16).as("hh"))
+      .selectExpr("inline(hh)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(small.length <= 16)
+    small.foreach { case (item, est, err) =>
+      val truth = exact.getOrElse(item, 0L)
+      assert(est >= truth, s"under-count for $item: $est < $truth")
+      assert(est - err <= truth, s"guarantee broken for $item")
+    }
+  }
+
   test("bfContains: every inserted item probes true; absent items mostly false") {
     val df = items.toDF("x")
     val withSketch = df.distinct().crossJoin(
