@@ -665,6 +665,15 @@ object SparkEntry {
       Dedup.minhashLsh(docsDs(s, dir).toDF(), "text", "doc_id",
         w = 3, bands = 16, rowsPerBand = 4, threshold = 0.5).select("doc_id")),
 
+    "q_dedup_cc" -> ((s, dir) =>
+      // transitive-closure dedup: connected components over the verified
+      // near-dup graph, keep each component's min id. The oracle computes
+      // the same closure with a recursive CTE over the exact-jaccard pair
+      // set (banding recall is ~1 at 0.5 on this corpus, as established
+      // for q_minhash_cands).
+      Dedup.minhashLshTransitive(docsDs(s, dir).toDF(), "text", "doc_id",
+        w = 3, bands = 16, rowsPerBand = 4, threshold = 0.5).select("doc_id")),
+
     "q_minhash_cands" -> ((s, dir) =>
       // the VERIFIED candidate stage: banding proposes, exact shingle
       // jaccard disposes. Oracling the raw candidate set would assert
@@ -1286,6 +1295,35 @@ object SparkEntry {
       """SELECT e.vec_id FROM embeddings e WHERE NOT EXISTS (
         |  SELECT 1 FROM embeddings o WHERE o.vec_id < e.vec_id
         |  AND list_cosine_similarity(o.embedding::DOUBLE[], e.embedding::DOUBLE[]) >= 0.95)""".stripMargin,
+
+    // reachability closure via recursive CTE: a doc is dropped iff some
+    // smaller id is reachable in the exact-jaccard>=0.5 pair graph
+    "q_dedup_cc" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        |    ELSE [] END) AS s
+        |  FROM (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |    FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |  AND (CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0 THEN
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |    ELSE 1.0 END) >= 0.5),
+        |edges AS (SELECT ida AS s, idb AS d FROM pairs
+        |  UNION SELECT idb AS s, ida AS d FROM pairs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+        |SELECT doc_id FROM documents WHERE doc_id NOT IN (
+        |  SELECT DISTINCT s FROM reach WHERE d < s)""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH sh AS (

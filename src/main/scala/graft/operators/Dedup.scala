@@ -403,6 +403,69 @@ object Dedup {
     out
   }
 
+  /** Distributed connected components over an undirected pair set — the
+    * transitive-closure upgrade to this family's single-pass "smallest id
+    * among direct candidates survives" policy (see the object scaladoc):
+    * with components, a chain a~b~c collapses to ONE survivor even when a
+    * and c never pair directly. Min-label propagation: each round every
+    * node adopts the smallest label among itself and its neighbors — one
+    * equi-join + hash-agg per round over (id, label) Longs only, never a
+    * payload column — and rounds needed = component diameter. Near-dup
+    * components are dense (LSH re-pairs everything mutually similar), so
+    * the diameter is small in practice; `maxIters` caps pathological
+    * chains, and the alternating large-star/small-star contraction
+    * (Kiveris et al., SoCC'14) is the O(log² n)-round upgrade if a
+    * workload ever needs it. Each round localCheckpoints the label frame
+    * so the iterative lineage never re-executes from the source.
+    *
+    * Returns (`idOut`, "comp"), comp = the minimum id reachable. Nodes in
+    * no pair are absent (their component is trivially themselves).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      idOut: String = "id", maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var comp = edges.select(col("src").as(idOut)).distinct()
+      .select(col(idOut), col(idOut).as("comp"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val viaNbr = edges
+        .join(comp.withColumnRenamed(idOut, "__nbr"), col("dst") === col("__nbr"))
+        .select(col("src").as(idOut), col("comp"))
+      val next = comp.union(viaNbr)
+        .groupBy(col(idOut)).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(comp.withColumnRenamed("comp", "__old"), idOut)
+        .where(col("comp") =!= col("__old")).limit(1).count()
+      comp = next
+      converged = changed == 0L
+      iter += 1
+    }
+    edges.unpersist()
+    comp
+  }
+
+  /** [[minhashLsh]] with TRANSITIVE closure: verified pairs → connected
+    * components → keep each component's minimum id. Unlike the single-pass
+    * policy, a doc whose only smaller-id relatives are reachable through
+    * intermediates (e.g. ids 2~9 and 9~5: 5's only direct pair is the
+    * larger 9) is still deduplicated into the component.
+    */
+  def minhashLshTransitive(df: DataFrame, textCol: String, idCol: String,
+      w: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashVerifiedPairs(df, textCol, idCol, w, bands, rowsPerBand, threshold)
+    val comp = connectedComponents(pairs, "id_a", "id_b", idCol)
+    val drop = comp.where(col("comp") < col(idCol)).select(col(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Exact shingle-set Jaccard for candidate pairs, against a pre-shingled
     * (id, __sh) frame — only candidate rows pay the set-intersection cost.
     */

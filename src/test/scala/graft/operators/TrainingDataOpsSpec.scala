@@ -87,6 +87,38 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: chains collapse to min label, separate components stay apart") {
+    val pairs = Seq(
+      (2L, 9L), (9L, 5L),                    // chain with a larger-id middle
+      (100L, 101L),                          // separate component
+      (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L) // 5-chain: needs >1 round
+    ).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b", "id")
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(2L -> 2L, 9L -> 2L, 5L -> 2L,
+      100L -> 100L, 101L -> 100L,
+      11L -> 11L, 12L -> 11L, 13L -> 11L, 14L -> 11L, 15L -> 11L))
+  }
+
+  test("minhashLshTransitive dedups through intermediates where the single pass cannot") {
+    // sliding windows over one token sequence: adjacent docs share >=0.5
+    // shingle jaccard, the two ends share ~0.31 — a chain 2 ~ 9 ~ 5 where
+    // 5's only DIRECT pair is the larger id 9
+    def words(from: Int, until: Int): String = (from until until).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (2L, words(1, 41)), (9L, words(11, 51)), (5L, words(21, 61)),
+      (30L, "completely unrelated text about something else entirely here")
+    ).toDF("doc_id", "text")
+    val singlePass = Dedup.minhashLsh(docs, "text", "doc_id",
+      w = 3, bands = 32, rowsPerBand = 2, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val transitive = Dedup.minhashLshTransitive(docs, "text", "doc_id",
+      w = 3, bands = 32, rowsPerBand = 2, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(singlePass == Set(2L, 5L, 30L)) // 5 survives: its direct pair 9 is larger
+    assert(transitive == Set(2L, 30L))     // component {2,9,5} keeps only its min
+  }
+
   test("minhashNearCorpus flags only cross near-dups with their corpus match") {
     val mk = (n: Int, extra: String) =>
       (0 until 40).map(i => s"tok${(i * 7 + n) % 13} word$i").mkString(" ") + " " + extra

@@ -59,6 +59,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"text in exchange:\n${exchanges.mkString("\n")}")
   }
 
+  test("exactAgainstBloom: candidates broadcast into the verification join; text never shuffles") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = Dedup.exactAgainstBloom(
+      docs.where(col("doc_id") % 5 === 0), docs.where(col("doc_id") % 5 =!= 0),
+      "text", "doc_id", numBits = 1 << 16, k = 5)
+    val p = plan(df)
+    // the sketch-flagged candidate frame is tiny => Spark broadcasts it,
+    // so the corpus digest column streams through the semi-join unshuffled
+    assert(p.contains("BroadcastHashJoin"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(!_.contains("text#")),
+      s"text in exchange:\n${exchanges.mkString("\n")}")
+  }
+
+  test("sketch aggregates run one partial+final hash aggregation (no extra shuffle)") {
+    import graft.functions.{SketchAggregates => SK}
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    for (agg <- Seq(
+        SK.spaceSaver(col("user_id"), 64),
+        SK.bloomFilter(col("user_id"), 1 << 12, 5),
+        SK.hllSketch(col("user_id")))) {
+      val p = plan(ev.groupBy(col("event_type")).agg(agg.as("s")))
+      val nAggs = p.linesIterator.count(_.contains("ObjectHashAggregate"))
+      val nExch = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(nAggs == 2, s"expected partial+final ObjectHashAggregate:\n$p")
+      assert(nExch == 1, s"expected exactly one key exchange:\n$p")
+    }
+  }
+
   test("deterministic sampling is a narrow codegen'd filter (no shuffle, no UDF)") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val p = plan(graft.operators.Sampling.stratified(ev, col("event_type"),
