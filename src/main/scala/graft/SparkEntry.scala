@@ -665,6 +665,13 @@ object SparkEntry {
       Dedup.minhashLsh(docsDs(s, dir).toDF(), "text", "doc_id",
         w = 3, bands = 16, rowsPerBand = 4, threshold = 0.5).select("doc_id")),
 
+    "q_exact_substr" -> ((s, dir) =>
+      // ExactSubstr-style span removal (Lee et al. ACL'22): non-first
+      // occurrences of 8-token windows are removed, text rebuilt from
+      // surviving tokens. Oracle recomputes the same first-occurrence
+      // ranking over literal gram strings in DuckDB.
+      Dedup.removeDuplicatedSpans(docsDs(s, dir).toDF(), "text", "doc_id", k = 8)),
+
     "q_dedup_cc" -> ((s, dir) =>
       // transitive-closure dedup: connected components over the verified
       // near-dup graph, keep each component's min id. The oracle computes
@@ -1295,6 +1302,40 @@ object SparkEntry {
       """SELECT e.vec_id FROM embeddings e WHERE NOT EXISTS (
         |  SELECT 1 FROM embeddings o WHERE o.vec_id < e.vec_id
         |  AND list_cosine_similarity(o.embedding::DOUBLE[], e.embedding::DOUBLE[]) >= 0.95)""".stripMargin,
+
+    // first-occurrence ranking over literal 8-gram strings; Spark ranks
+    // over xxhash64 of the same gram (position sets identical absent a
+    // 64-bit collision)
+    "q_exact_substr" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, i AS pos, array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+        |  FROM t, UNNEST(range(1, greatest(len(toks) - 6, 1))) AS u(i)),
+        |flagged AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |    FROM w) WHERE rn > 1),
+        |cover AS (
+        |  SELECT DISTINCT f.doc_id, r.j
+        |  FROM flagged f, UNNEST(range(f.pos, f.pos + 8)) AS r(j)),
+        |tok AS (
+        |  SELECT doc_id, toks[i] AS tok, i
+        |  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+        |kept AS (
+        |  SELECT k.doc_id, k.tok, k.i
+        |  FROM tok k LEFT JOIN cover c ON k.doc_id = c.doc_id AND k.i = c.j
+        |  WHERE c.j IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean,
+        |  len(t.toks) - coalesce(a.n_kept, 0) AS n_removed
+        |FROM t LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // reachability closure via recursive CTE: a doc is dropped iff some
     // smaller id is reachable in the exact-jaccard>=0.5 pair graph

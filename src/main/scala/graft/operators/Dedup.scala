@@ -403,6 +403,51 @@ object Dedup {
     out
   }
 
+  /** ExactSubstr-style duplicated-span REMOVAL (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22 — their
+    * suffix-array ExactSubstr, re-expressed as a distributed k-gram scan):
+    * every whitespace-token k-gram window whose occurrence is NOT the
+    * corpus-wide first (first = smallest (id, pos)) marks its k tokens for
+    * removal; the text is rebuilt from surviving tokens. An exact copy of
+    * an earlier doc loses every token (the original keeps all); repeated
+    * spans WITHIN a doc keep only their first occurrence. Output
+    * normalizes inter-token whitespace to single spaces (C4-style).
+    *
+    * 100 TB shape: windows shuffle as (hash64, id, pos) — never gram
+    * text; the first-occurrence ranking is a window function PARTITIONED
+    * BY gram hash (no global funnel); the rebuild is one columnar HOF
+    * pass per doc. Collision risk of hash64 on gram identity is the same
+    * documented trade as [[sharedNgramStats]].
+    *
+    * Returns (`idCol`, "text_clean", "n_removed").
+    */
+  def removeDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame = {
+    val toks = filter(split(col(textCol), "\\s+"), x => length(x) > 0)
+    val base = df.select(col(idCol), toks.as("__t"))
+    val wins = base
+      .withColumn("__n", size(col("__t")))
+      .where(col("__n") >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), col("__n") - k),
+        i => xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(k)))))))
+      .toDF(idCol, "__pos", "__h")
+    val byGram = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
+    val starts = wins
+      .withColumn("__rn", row_number().over(byGram))
+      .where(col("__rn") > 1)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("__pos"))).as("__starts"))
+    base.join(starts, Seq(idCol), "left")
+      .withColumn("__s", coalesce(col("__starts"), array()))
+      .withColumn("__kept", filter(col("__t"),
+        (x, i) => !exists(col("__s"), s => s <= i && i < s + k)))
+      .select(col(idCol),
+        concat_ws(" ", col("__kept")).as("text_clean"),
+        (size(col("__t")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   /** Distributed connected components over an undirected pair set — the
     * transitive-closure upgrade to this family's single-pass "smallest id
     * among direct candidates survives" policy (see the object scaladoc):

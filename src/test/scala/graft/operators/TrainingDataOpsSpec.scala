@@ -87,6 +87,24 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("removeDuplicatedSpans: non-first 8-gram occurrences removed, first kept, exact copy emptied") {
+    val eightGram = (1 to 8).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),            // first occurrence of "c..j" 8-gram
+      (2L, s"x y c d e f g h i j z"),         // repeats doc1's span -> span removed
+      (3L, "a b c d e f g h i j"),            // exact copy of doc1 -> fully emptied
+      (4L, s"$eightGram $eightGram"),         // within-doc repeat -> second half removed
+      (5L, "short doc under k tokens")        // no windows -> untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(docs, "text", "doc_id", k = 8)
+      .as[(Long, String, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(1L) == (("a b c d e f g h i j", 0L)))
+    assert(got(2L) == (("x y z", 8L)))
+    assert(got(3L) == (("", 10L)))
+    assert(got(4L) == ((eightGram, 8L)))
+    assert(got(5L) == (("short doc under k tokens", 0L)))
+  }
+
   test("connectedComponents: chains collapse to min label, separate components stay apart") {
     val pairs = Seq(
       (2L, 9L), (9L, 5L),                    // chain with a larger-id middle

@@ -59,6 +59,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"text in exchange:\n${exchanges.mkString("\n")}")
   }
 
+  test("removeDuplicatedSpans: ranking window is hash-partitioned; exchanges carry no text") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(Dedup.removeDuplicatedSpans(docs, "text", "doc_id", k = 8))
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.exists(_.contains("windowspecdefinition")), p)
+    assert(!p.contains("SinglePartition"), s"global funnel in plan:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(!_.contains("text#")),
+      s"text in exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("exactAgainstBloom: candidates broadcast into the verification join; text never shuffles") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val df = Dedup.exactAgainstBloom(
