@@ -80,6 +80,41 @@ class LambdaSliceSpec extends AnyFunSuite {
     assert(oneShot.toSet == all.toSet)
   }
 
+  test("sketch value types are legal store content: Moments and QHist roll through BatchStore.merge") {
+    import graft.algebra.{Moments, QHist}
+    val s = spark; import s.implicits._
+    val raw = Seq( // (key, batch, x)
+      ("a", 1L, 2.0), ("a", 1L, 8.0), ("a", 2L, 5.0), ("b", 1L, 3.0),
+      ("a", 3L, 7.0), ("b", 3L, 4.0), ("b", 3L, 4.5))
+
+    val tmpM = Files.createTempDirectory("graft_moments_store_").toString
+    val storeM = new BatchStore[String, Moments](tmpM)
+    val mDeltas = raw.toDS().map { case (k, b, x) => (k, b, Moments.of(x)) }
+    storeM.merge(spark, mDeltas, BatchID(2))(Moments.momentsSemigroup).collect()
+    storeM.merge(spark, mDeltas, BatchID(3))(Moments.momentsSemigroup).collect()
+    val (mBatch, mSnap) = storeM.readLast(spark).get
+    assert(mBatch == BatchID(3))
+    val mGot = mSnap.collect().toMap
+    val mModel = raw.groupBy(_._1).view.mapValues(
+      evs => evs.map(e => Moments.of(e._3)).reduce(Moments.momentsSemigroup.plus)).toMap
+    assert(mGot.keySet == mModel.keySet)
+    mModel.foreach { case (k, m) =>
+      assert(mGot(k).n == m.n)
+      assert(math.abs(mGot(k).mean - m.mean) < 1e-9)
+      assert(math.abs(mGot(k).variance - m.variance) < 1e-9)
+    }
+
+    val tmpQ = Files.createTempDirectory("graft_qhist_store_").toString
+    val storeQ = new BatchStore[String, QHist](tmpQ)
+    val qDeltas = raw.toDS().map { case (k, b, x) => (k, b, QHist.of(x, width = 1.0)) }
+    storeQ.merge(spark, qDeltas, BatchID(3))(QHist.qhistSemigroup).collect()
+    val qGot = storeQ.readLast(spark).get._2.collect().toMap
+    val qModel = raw.groupBy(_._1).view.mapValues(
+      evs => evs.map(e => QHist.of(e._3, 1.0)).reduce(QHist.qhistSemigroup.plus)).toMap
+    assert(qGot == qModel.toMap)
+    assert(qGot("a").quantileBounds(0.5) == (5.0, 6.0))
+  }
+
   test("ClientStore.merged/get over snapshot + online deltas == all-data recompute") {
     val s = spark; import s.implicits._
     val deltas = deltaDs
