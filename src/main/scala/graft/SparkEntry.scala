@@ -672,6 +672,18 @@ object SparkEntry {
       // ranking over literal gram strings in DuckDB.
       Dedup.removeDuplicatedSpans(docsDs(s, dir).toDF(), "text", "doc_id", k = 8)),
 
+    "q_span_incr" -> ((s, dir) => {
+      // incremental span removal: the daily batch (doc_id % 5 == 0) loses
+      // spans already present in the historical corpus plus non-first
+      // re-occurrences within the batch; the corpus-side input is the
+      // stored spanHashes frame (here computed inline).
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val batch = base.where(col("doc_id") % 5 === 0)
+      val corpus = base.where(col("doc_id") % 5 =!= 0)
+      Dedup.removeDuplicatedSpansAgainst(batch,
+        Dedup.spanHashes(corpus, "text", k = 8), "text", "doc_id", k = 8)
+    }),
+
     "q_dedup_cc" -> ((s, dir) =>
       // transitive-closure dedup: connected components over the verified
       // near-dup graph, keep each component's min id. The oracle computes
@@ -1319,6 +1331,44 @@ object SparkEntry {
         |    SELECT doc_id, pos,
         |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
         |    FROM w) WHERE rn > 1),
+        |cover AS (
+        |  SELECT DISTINCT f.doc_id, r.j
+        |  FROM flagged f, UNNEST(range(f.pos, f.pos + 8)) AS r(j)),
+        |tok AS (
+        |  SELECT doc_id, toks[i] AS tok, i
+        |  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+        |kept AS (
+        |  SELECT k.doc_id, k.tok, k.i
+        |  FROM tok k LEFT JOIN cover c ON k.doc_id = c.doc_id AND k.i = c.j
+        |  WHERE c.j IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean,
+        |  len(t.toks) - coalesce(a.n_kept, 0) AS n_removed
+        |FROM t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q_span_incr" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |ct AS (
+        |  SELECT list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE doc_id % 5 != 0),
+        |cg AS (
+        |  SELECT DISTINCT array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+        |  FROM ct, UNNEST(range(1, greatest(len(toks) - 6, 1))) AS u(i)),
+        |w AS (
+        |  SELECT doc_id, i AS pos, array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+        |  FROM t, UNNEST(range(1, greatest(len(toks) - 6, 1))) AS u(i)),
+        |flagged AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, gram,
+        |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |    FROM w) x
+        |  WHERE rn > 1 OR gram IN (SELECT gram FROM cg)),
         |cover AS (
         |  SELECT DISTINCT f.doc_id, r.j
         |  FROM flagged f, UNNEST(range(f.pos, f.pos + 8)) AS r(j)),

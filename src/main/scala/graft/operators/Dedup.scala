@@ -423,20 +423,69 @@ object Dedup {
     */
   def removeDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8): DataFrame = {
-    val toks = filter(split(col(textCol), "\\s+"), x => length(x) > 0)
-    val base = df.select(col(idCol), toks.as("__t"))
-    val wins = base
+    val base = tokenized(df, textCol, idCol)
+    val byGram = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
+    val starts = spanWindows(base, idCol, k)
+      .withColumn("__rn", row_number().over(byGram))
+      .where(col("__rn") > 1)
+    rebuildWithoutSpans(base, starts, idCol, k)
+  }
+
+  /** Distinct k-gram window hashes of a corpus — persist this next to the
+    * corpus (parquet) so each daily [[removeDuplicatedSpansAgainst]] run
+    * pays windowing only for the new batch.
+    */
+  def spanHashes(df: DataFrame, textCol: String, k: Int = 8): DataFrame =
+    spanWindows(
+      tokenized(df.withColumn("__sp_id", monotonically_increasing_id()),
+        textCol, "__sp_id"), "__sp_id", k)
+      .select(col("__h")).distinct()
+
+  /** Incremental [[removeDuplicatedSpans]] — the daily-ingest form: spans
+    * already present in the historical corpus (by k-gram hash membership)
+    * and non-first re-occurrences WITHIN the batch are removed; the corpus
+    * itself is never rewritten. `corpusHashes` is [[spanHashes]]' output
+    * (typically read back from parquet). The membership check is a
+    * digest-only semi-join — batch windows shuffle as (hash, id, pos),
+    * corpus hashes as bare Longs.
+    */
+  def removeDuplicatedSpansAgainst(newDf: DataFrame, corpusHashes: DataFrame,
+      textCol: String, idCol: String, k: Int = 8): DataFrame = {
+    val base = tokenized(newDf, textCol, idCol)
+    val wins = spanWindows(base, idCol, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val byGram = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
+    val withinBatch = wins
+      .withColumn("__rn", row_number().over(byGram))
+      .where(col("__rn") > 1)
+      .select(col(idCol), col("__pos"))
+    val inCorpus = wins.join(corpusHashes.select(col("__h")), Seq("__h"), "left_semi")
+      .select(col(idCol), col("__pos"))
+    val out = rebuildWithoutSpans(base, withinBatch.union(inCorpus), idCol, k)
+      .localCheckpoint(true)
+    wins.unpersist()
+    out
+  }
+
+  private def tokenized(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      filter(split(col(textCol), "\\s+"), x => length(x) > 0).as("__t"))
+
+  /** (id, __pos, __h): 0-based window start → hash64 of the k-token gram. */
+  private def spanWindows(base: DataFrame, idCol: String, k: Int): DataFrame =
+    base
       .withColumn("__n", size(col("__t")))
       .where(col("__n") >= k)
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), col("__n") - k),
         i => xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(k)))))))
       .toDF(idCol, "__pos", "__h")
-    val byGram = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
-    val starts = wins
-      .withColumn("__rn", row_number().over(byGram))
-      .where(col("__rn") > 1)
+
+  private def rebuildWithoutSpans(base: DataFrame, flagged: DataFrame,
+      idCol: String, k: Int): DataFrame = {
+    val starts = flagged
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("__pos"))).as("__starts"))
     base.join(starts, Seq(idCol), "left")

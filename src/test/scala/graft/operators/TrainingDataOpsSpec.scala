@@ -105,6 +105,22 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(got(5L) == (("short doc under k tokens", 0L)))
   }
 
+  test("removeDuplicatedSpansAgainst: corpus spans and within-batch repeats removed, fresh text kept") {
+    val corpus = Seq((100L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "intro words the quick brown fox jumps over the lazy outro"), // corpus 8-gram inside
+      (2L, "entirely novel content with no overlap against anything stored"),
+      (3L, "entirely novel content with no overlap against anything stored")  // within-batch copy of 2
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpansAgainst(batch,
+      Dedup.spanHashes(corpus, "text", k = 8), "text", "doc_id", k = 8)
+      .as[(Long, String, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // doc 1: the corpus 8-gram "the quick ... the lazy" covers tokens 2..9
+    assert(got(1L) == (("intro words outro", 8L)))
+    assert(got(2L) == (("entirely novel content with no overlap against anything stored", 0L)))
+    assert(got(3L) == (("", 9L))) // exact within-batch copy empties out
+  }
+
   test("connectedComponents: chains collapse to min label, separate components stay apart") {
     val pairs = Seq(
       (2L, 9L), (9L, 5L),                    // chain with a larger-id middle
