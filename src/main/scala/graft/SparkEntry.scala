@@ -855,6 +855,15 @@ object SparkEntry {
         k = 5, nCentroids = 8, nProbe = 8) // full probe = exact
     }),
 
+    "q_ann_pq" -> ((s, dir) => {
+      // product-quantization ANN: codes-only asymmetric-distance
+      // rescoring (approximate by construction — rows-only check here;
+      // ADC-exactness and recall-vs-brute laws in ApproxOpsSpec)
+      val e = t(s, dir, "embeddings")
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      Similarity.pqTopK(e, "embedding", "vec_id", q, k = 10, dim = 64, m = 8, c = 16)
+    }),
+
     // -- text analysis ---------------------------------------------------
     "q_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),

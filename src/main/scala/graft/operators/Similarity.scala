@@ -176,4 +176,101 @@ object Similarity {
       .where(col("__rank") <= k)
       .select(col(qIdCol), col(idCol), col("cosine_sim"))
   }
+
+  // ---- product quantization (Jegou/Douze/Schmid, TPAMI'11) -------------
+
+  private def litArr(xs: Array[Double]): Column = array(xs.toIndexedSeq.map(lit(_)): _*)
+
+  /** L2 argmin as an argmax: |v−c|² = |v|² − 2(v·c − |c|²/2), so the
+    * nearest centroid maximizes v·c − |c|²/2 (|v|² is per-row constant).
+    * Literal centroids + native dot kernels: one narrow projection.
+    */
+  private def l2Scores(v: Column, cents: Array[Array[Double]]): Column =
+    array(cents.toIndexedSeq.map { c =>
+      VectorFunctions.dot(v, litArr(c)) - lit(c.map(x => x * x).sum / 2.0)
+    }: _*)
+
+  private def nearestL2(v: Column, cents: Array[Array[Double]]): Column = {
+    val s = l2Scores(v, cents)
+    (array_position(s, array_max(s)) - 1).cast("int")
+  }
+
+  /** Deterministic per-subspace L2 k-means codebooks, `[m][c][dim/m]`: the
+    * vector splits into `m` contiguous subspaces, each learning `c`
+    * centroids (seeds = the c subvectors with the smallest hashed id, like
+    * [[kmeansCentroids]]; each Lloyd iteration shuffles only c × dim/m
+    * cells). Train once, persist driver-side next to the encoded table.
+    */
+  def pqCodebooks(df: DataFrame, vecCol: String, idCol: String, dim: Int,
+      m: Int, c: Int, lloydIters: Int = 2): Array[Array[Array[Double]]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    Array.tabulate(m) { sub =>
+      val vSub = slice(col(vecCol).cast("array<double>"), sub * subDim + 1, subDim)
+      val seeds = df.select(vSub.as("__v"), col(idCol).as("__sid"))
+        .orderBy(xxhash64(col("__sid")), col("__sid"))
+        .limit(c).collect().map(_.getSeq[Double](0).toArray)
+      (0 until lloydIters).foldLeft(seeds) { (cents, _) =>
+        val means = df.select(nearestL2(vSub, cents).as("__cid"), vSub.as("__v"))
+          .groupBy(col("__cid"))
+          .agg(array((0 until subDim).map(i => avg(col("__v").getItem(i))): _*).as("__m"))
+          .collect()
+        val next = cents.map(_.clone())
+        means.foreach { r =>
+          val mean = r.getSeq[Double](1)
+          var i = 0
+          while (i < subDim) { next(r.getInt(0))(i) = mean(i); i += 1 }
+        }
+        next
+      }
+    }
+  }
+
+  /** PQ codes: `array<int>` of length m — dim floats compress to m small
+    * ints (32× at dim=64, m=8, 8-bit codes). One codegen'd projection;
+    * persist the (id, code) frame and search THAT.
+    */
+  def pqEncode(v: Column, books: Array[Array[Array[Double]]]): Column = {
+    val subDim = books.head.head.length
+    array(books.zipWithIndex.toIndexedSeq.map { case (cents, sub) =>
+      nearestL2(slice(v.cast("array<double>"), sub * subDim + 1, subDim), cents)
+    }: _*)
+  }
+
+  /** Asymmetric-distance top-k from CODES ONLY — the 100 TB rescoring
+    * path: the scan reads m ints per row, never the embedding column.
+    * Score ≈ cos(query, reconstruction) via two m-lookups into literal
+    * per-subspace tables (query·centroid partial dots and centroid partial
+    * square-norms); top-k is a TakeOrdered, no shuffle of the codes.
+    */
+  def pqTopKEncoded(encoded: DataFrame, codeCol: String, idCol: String,
+      books: Array[Array[Array[Double]]], query: Array[Double], k: Int): DataFrame = {
+    val subDim = books.head.head.length
+    val dotTab = books.zipWithIndex.map { case (cents, sub) =>
+      cents.map(cent => (0 until subDim).map(i => query(sub * subDim + i) * cent(i)).sum)
+    }
+    val nrmTab = books.map(_.map(cent => cent.map(x => x * x).sum))
+    val dotLit = array(dotTab.map(litArr).toIndexedSeq: _*)
+    val nrmLit = array(nrmTab.map(litArr).toIndexedSeq: _*)
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    def lookupSum(tab: Column): Column =
+      aggregate(sequence(lit(0), lit(books.length - 1)), lit(0.0), (acc, i) =>
+        acc + element_at(element_at(tab, i + 1), element_at(col(codeCol), i + 1) + 1))
+    encoded.select(col(idCol),
+        round(lookupSum(dotLit) / (lit(qNorm) * sqrt(lookupSum(nrmLit))), 6).as("pq_sim"))
+      .orderBy(col("pq_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** One-call PQ ANN: train codebooks, encode, ADC top-k. Approximate by
+    * construction (quantization error) — compare against brute force in
+    * tests, not an oracle.
+    */
+  def pqTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Array[Double], k: Int, dim: Int, m: Int = 8, c: Int = 16,
+      lloydIters: Int = 2): DataFrame = {
+    val books = pqCodebooks(df, vecCol, idCol, dim, m, c, lloydIters)
+    pqTopKEncoded(df.select(col(idCol), pqEncode(col(vecCol), books).as("__code")),
+      "__code", idCol, books, query, k)
+  }
 }

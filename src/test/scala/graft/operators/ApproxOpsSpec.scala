@@ -73,6 +73,37 @@ class ApproxOpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("PQ: ADC score == cosine(query, reconstruction) exactly; recall vs brute >= 0.6") {
+    val s = spark; import s.implicits._
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = Array.tabulate(dim)(i => math.sin(i + 1.0))
+    val books = Similarity.pqCodebooks(df, "embedding", "vec_id", dim, m = 4, c = 8)
+    val encoded = df.select(col("vec_id"),
+      Similarity.pqEncode(col("embedding"), books).as("__code"))
+    // ADC plumbing is exact over the codes: the columnar lookup-sum score
+    // must equal the driver-side cosine of q against the reconstruction
+    val n = vecs.size
+    val scores = Similarity.pqTopKEncoded(encoded, "__code", "vec_id", books, q, k = n)
+      .as[(Long, Double)].collect().toMap
+    val codes = encoded.as[(Long, Seq[Int])].collect().toMap
+    assert(scores.size == n && codes.size == n)
+    val subDim = dim / 4
+    codes.foreach { case (id, code) =>
+      val recon = code.zipWithIndex.flatMap { case (cd, sub) => books(sub)(cd) }.toArray
+      val dot = recon.zip(q).map { case (a, b) => a * b }.sum
+      val expect = dot / (math.sqrt(q.map(x => x * x).sum) * math.sqrt(recon.map(x => x * x).sum))
+      assert(math.abs(scores(id) - (math.rint(expect * 1e6) / 1e6)) < 2e-6,
+        s"ADC mismatch for $id: ${scores(id)} vs $expect (recon of $code, subDim=$subDim)")
+    }
+    // quantized rescoring still ranks the true neighborhood first
+    val brute = Similarity.bruteForceTopK(df, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val pq = Similarity.pqTopK(df, "embedding", "vec_id", q, k = 10, dim = dim, m = 4, c = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall=$recall pq=$pq brute=$brute")
+  }
+
   test("LSH ANN finds the planted near-duplicates; recall vs brute >= 0.6") {
     val s = spark; import s.implicits._
     val df = vecs.toDF("vec_id", "embedding")
