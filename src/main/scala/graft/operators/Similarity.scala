@@ -195,34 +195,53 @@ object Similarity {
     (array_position(s, array_max(s)) - 1).cast("int")
   }
 
-  /** Deterministic per-subspace L2 k-means codebooks, `[m][c][dim/m]`: the
-    * vector splits into `m` contiguous subspaces, each learning `c`
-    * centroids (seeds = the c subvectors with the smallest hashed id, like
-    * [[kmeansCentroids]]; each Lloyd iteration shuffles only c × dim/m
-    * cells). Train once, persist driver-side next to the encoded table.
+  /** Deterministic per-subspace L2 k-means codebooks, `[m][c][dim/m]`.
+    * Codebooks train on a BOUNDED deterministic sample — the `trainSample`
+    * vectors with the smallest hashed id, one TakeOrdered job — with the
+    * Lloyd iterations running driver-side on that sample (standard PQ
+    * practice: codebooks come from a ~10^4-10^6 vector sample, never the
+    * full corpus — at 100 TB this is the difference between one bounded
+    * scan and 2·m full-corpus aggregation jobs; encode and rescoring stay
+    * fully distributed). Seeds = the first c sampled subvectors; an empty
+    * cluster keeps its previous centroid; assignment ties keep the first
+    * index — the same rules as [[kmeansCentroids]].
     */
   def pqCodebooks(df: DataFrame, vecCol: String, idCol: String, dim: Int,
-      m: Int, c: Int, lloydIters: Int = 2): Array[Array[Array[Double]]] = {
+      m: Int, c: Int, lloydIters: Int = 2,
+      trainSample: Int = 16384): Array[Array[Array[Double]]] = {
     require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(trainSample >= c, s"trainSample $trainSample < c=$c")
     val subDim = dim / m
+    val sample: Array[Array[Double]] = df
+      .select(col(vecCol).cast("array<double>").as("__v"), col(idCol).as("__sid"))
+      .orderBy(xxhash64(col("__sid")), col("__sid"))
+      .limit(trainSample).collect().map(_.getSeq[Double](0).toArray)
     Array.tabulate(m) { sub =>
-      val vSub = slice(col(vecCol).cast("array<double>"), sub * subDim + 1, subDim)
-      val seeds = df.select(vSub.as("__v"), col(idCol).as("__sid"))
-        .orderBy(xxhash64(col("__sid")), col("__sid"))
-        .limit(c).collect().map(_.getSeq[Double](0).toArray)
-      (0 until lloydIters).foldLeft(seeds) { (cents, _) =>
-        val means = df.select(nearestL2(vSub, cents).as("__cid"), vSub.as("__v"))
-          .groupBy(col("__cid"))
-          .agg(array((0 until subDim).map(i => avg(col("__v").getItem(i))): _*).as("__m"))
-          .collect()
-        val next = cents.map(_.clone())
-        means.foreach { r =>
-          val mean = r.getSeq[Double](1)
+      val subVecs = sample.map(_.slice(sub * subDim, (sub + 1) * subDim))
+      var cents = subVecs.take(c).map(_.clone())
+      for (_ <- 0 until lloydIters) {
+        val sums = Array.fill(c)(new Array[Double](subDim))
+        val counts = new Array[Long](c)
+        subVecs.foreach { v =>
+          var best = 0; var bestScore = Double.NegativeInfinity
+          var j = 0
+          while (j < c) {
+            var s = 0.0; var i = 0
+            while (i < subDim) { s += v(i) * cents(j)(i); i += 1 }
+            s -= cents(j).map(x => x * x).sum / 2.0
+            if (s > bestScore) { bestScore = s; best = j } // first index wins ties
+            j += 1
+          }
           var i = 0
-          while (i < subDim) { next(r.getInt(0))(i) = mean(i); i += 1 }
+          while (i < subDim) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1L
         }
-        next
+        cents = Array.tabulate(c) { j =>
+          if (counts(j) == 0L) cents(j)
+          else sums(j).map(_ / counts(j))
+        }
       }
+      cents
     }
   }
 
