@@ -13,7 +13,8 @@ import graft.plans.{GraftEncoders, SortedGroups}
   * aggregation primitive (SURVEY §2.4).
   */
 final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)],
-    val shardHint: Option[Int] = None)(
+    val shardHint: Option[Int] = None,
+    val commutativeHint: Option[Boolean] = None)(
     implicit kEnc: Encoder[K], vEnc: Encoder[V]) extends Serializable {
 
   /** Per-name shards/Reducers option (reference ScaldingPlatform.scala:
@@ -24,10 +25,20 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)],
     */
   def name(n: String, shards: Int): KeyedGraftStream[K, V] = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
-    new KeyedGraftStream(ds.as(n), Some(shards))
+    new KeyedGraftStream(ds.as(n), Some(shards), commutativeHint)
   }
+  /** Per-name commutativity option (reference `MonoidIsCommutative`,
+    * option/Commutativity.scala:23-48): override the semigroup's declared
+    * commutativity for the next aggregation. `commutative = true` lets a
+    * conservatively-declared semigroup take the unordered hash-agg path
+    * (the user asserts order-insensitivity, exactly the reference's
+    * contract); `commutative = false` forces the event-time-ordered fold —
+    * e.g. to make floating-point summation deterministic across runs.
+    */
+  def name(n: String, commutative: Boolean): KeyedGraftStream[K, V] =
+    new KeyedGraftStream(ds.as(n), shardHint, Some(commutative))
   def name(n: String): KeyedGraftStream[K, V] =
-    new KeyedGraftStream(ds.as(n), shardHint)
+    new KeyedGraftStream(ds.as(n), shardHint, commutativeHint)
 
   private implicit def tripleEnc: Encoder[(Long, K, V)] =
     Encoders.tuple(Encoders.scalaLong, kEnc, vEnc)
@@ -47,7 +58,7 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)],
   }
   def swap: KeyedGraftStream[V, K] = {
     implicit val e: Encoder[(Long, V, K)] = triple[V, K](vEnc, kEnc)
-    new KeyedGraftStream(ds.select(col("_1"), col("_3").as("_2"), col("_2").as("_3")).as[(Long, V, K)], shardHint)
+    new KeyedGraftStream(ds.select(col("_1"), col("_3").as("_2"), col("_2").as("_3")).as[(Long, V, K)], shardHint, commutativeHint)
   }
 
   /** Columnar filter over (`_1` = ts, `_2` = key, `_3` = value) — the
@@ -55,16 +66,16 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)],
     * columnar source.
     */
   def where(cond: Column): KeyedGraftStream[K, V] =
-    new KeyedGraftStream(ds.filter(cond), shardHint)
+    new KeyedGraftStream(ds.filter(cond), shardHint, commutativeHint)
 
   /** Columnar re-key / re-value — the codegen'd twins of mapKeys/mapValues. */
   def selectKeys[K2: Encoder](keyCol: Column): KeyedGraftStream[K2, V] = {
     implicit val e: Encoder[(Long, K2, V)] = triple[K2, V]
-    new KeyedGraftStream(ds.select(col("_1"), keyCol.as("_2"), col("_3")).as[(Long, K2, V)], shardHint)
+    new KeyedGraftStream(ds.select(col("_1"), keyCol.as("_2"), col("_3")).as[(Long, K2, V)], shardHint, commutativeHint)
   }
   def selectValues[V2: Encoder](valueCol: Column): KeyedGraftStream[K, V2] = {
     implicit val e: Encoder[(Long, K, V2)] = triple[K, V2]
-    new KeyedGraftStream(ds.select(col("_1"), col("_2"), valueCol.as("_3")).as[(Long, K, V2)], shardHint)
+    new KeyedGraftStream(ds.select(col("_1"), col("_2"), valueCol.as("_3")).as[(Long, K, V2)], shardHint, commutativeHint)
   }
 
   /** Columnar flatMapKeys: `keysCol` is an ARRAY Column; each element becomes
@@ -73,7 +84,7 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)],
   def explodeKeys[K2: Encoder](keysCol: Column): KeyedGraftStream[K2, V] = {
     implicit val e: Encoder[(Long, K2, V)] = triple[K2, V]
     new KeyedGraftStream(
-      ds.select(col("_1"), explode(keysCol).as("_2"), col("_3")).as[(Long, K2, V)], shardHint)
+      ds.select(col("_1"), explode(keysCol).as("_2"), col("_3")).as[(Long, K2, V)], shardHint, commutativeHint)
   }
 
   /** mapKeys / flatMapKeys re-key the stream (Producer.scala:374-375,405-406
@@ -81,11 +92,11 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)],
     */
   def mapKeys[K2: Encoder](f: K => K2): KeyedGraftStream[K2, V] = {
     implicit val e: Encoder[(Long, K2, V)] = triple[K2, V]
-    new KeyedGraftStream(ds.map(r => (r._1, f(r._2), r._3)), shardHint)
+    new KeyedGraftStream(ds.map(r => (r._1, f(r._2), r._3)), shardHint, commutativeHint)
   }
   def flatMapKeys[K2: Encoder](f: K => IterableOnce[K2]): KeyedGraftStream[K2, V] = {
     implicit val e: Encoder[(Long, K2, V)] = triple[K2, V]
-    new KeyedGraftStream(ds.flatMap(r => f(r._2).iterator.map(k2 => (r._1, k2, r._3))), shardHint)
+    new KeyedGraftStream(ds.flatMap(r => f(r._2).iterator.map(k2 => (r._1, k2, r._3))), shardHint, commutativeHint)
   }
 
   /** mapValues / flatMapValues keep the key (Producer.scala:378-379,409-410 →
@@ -93,18 +104,18 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)],
     */
   def mapValues[V2: Encoder](f: V => V2): KeyedGraftStream[K, V2] = {
     implicit val e: Encoder[(Long, K, V2)] = triple[K, V2]
-    new KeyedGraftStream(ds.map(r => (r._1, r._2, f(r._3))), shardHint)
+    new KeyedGraftStream(ds.map(r => (r._1, r._2, f(r._3))), shardHint, commutativeHint)
   }
   def flatMapValues[V2: Encoder](f: V => IterableOnce[V2]): KeyedGraftStream[K, V2] = {
     implicit val e: Encoder[(Long, K, V2)] = triple[K, V2]
-    new KeyedGraftStream(ds.flatMap(r => f(r._3).iterator.map(v2 => (r._1, r._2, v2))), shardHint)
+    new KeyedGraftStream(ds.flatMap(r => f(r._3).iterator.map(v2 => (r._1, r._2, v2))), shardHint, commutativeHint)
   }
 
   /** filterKeys / filterValues (Producer.scala:358-368). */
   def filterKeys(f: K => Boolean): KeyedGraftStream[K, V] =
-    new KeyedGraftStream(ds.filter(r => f(r._2)), shardHint)
+    new KeyedGraftStream(ds.filter(r => f(r._2)), shardHint, commutativeHint)
   def filterValues(f: V => Boolean): KeyedGraftStream[K, V] =
-    new KeyedGraftStream(ds.filter(r => f(r._3)), shardHint)
+    new KeyedGraftStream(ds.filter(r => f(r._3)), shardHint, commutativeHint)
 
   /** collectKeys / collectValues (Producer.scala:345-350). */
   def collectKeys[K2: Encoder](pf: PartialFunction[K, K2]): KeyedGraftStream[K2, V] =
@@ -139,7 +150,7 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)],
       .join(svc, col("_2") === col("__svc_k"), "left_outer")
       .select(col("_1"), col("_2"),
         struct(col("_3").as("_1"), col("__svc_v").as("_2")).as("_3"))
-    new KeyedGraftStream(joined.as[(Long, K, (V, Option[J]))], shardHint)
+    new KeyedGraftStream(joined.as[(Long, K, (V, Option[J]))], shardHint, commutativeHint)
   }
 
   /** leftJoin against a LIVE external service (reference online leftJoin,
@@ -199,7 +210,7 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)],
         pipelined ++ drainRest
       }
     }
-    new KeyedGraftStream(joined, shardHint)
+    new KeyedGraftStream(joined, shardHint, commutativeHint)
   }
 
   /** Temporal (as-of) leftJoin against a change-stream service: each left
@@ -229,7 +240,7 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)],
         }
       }
     }(tagIsRight = r => r._3._1.isEmpty)
-    new KeyedGraftStream(out0, shardHint)
+    new KeyedGraftStream(out0, shardHint, commutativeHint)
   }
 
   /** sumByKey — the single aggregation primitive (Producer.scala:412-422 →
@@ -268,7 +279,10 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)],
   def sumDeltasPerBatch(batcher: Batcher)(implicit sg: Semigroup[V]): Dataset[(K, Long, V)] = {
     implicit val outEnc: Encoder[(K, Long, V)] =
       Encoders.tuple(kEnc, Encoders.scalaLong, vEnc)
-    if (sg.isCommutative) sg.columnForm match {
+    // the per-name MonoidIsCommutative option overrides the semigroup's
+    // declaration (reference ScaldingPlatform.scala:391-392 reads the same
+    // option to choose the physical aggregation)
+    if (commutativeHint.getOrElse(sg.isCommutative)) sg.columnForm match {
       case Some(aggFn) =>
         // fast path: the semigroup has a native Catalyst aggregate — one
         // codegen'd hash aggregation (partial + final), fully columnar.

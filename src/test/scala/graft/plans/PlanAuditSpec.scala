@@ -241,6 +241,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plain.ds.queryExecution.executedPlan.toString.contains("RoundRobinPartitioning"))
   }
 
+  test("name(n, commutative = ...) overrides the aggregation path (MonoidIsCommutative)") {
+    val s = spark; import s.implicits._
+    import graft.algebra.Semigroup
+    import graft.time.Batcher
+    val ks = new graft.api.KeyedGraftStream[String, Long](
+      Seq((1L, "a", 3L), (2L, "a", 9L), (3L, "b", 4L), (4L, "a", 1L)).toDS())
+    // under-declared semigroup (max is commutative but declared not):
+    // the hint admits it to the unordered group path, same result
+    val underDeclared = Semigroup.from[Long](commutative = false)(math.max)
+    val hinted = ks.name("agg", commutative = true)
+      .sumDeltasPerBatch(Batcher.unit)(underDeclared)
+    val plain = ks.sumDeltasPerBatch(Batcher.unit)(underDeclared)
+    assert(hinted.collect().toSet == plain.collect().toSet)
+    assert(hinted.collect().toSet == Set(("a", 0L, 9L), ("b", 0L, 4L)))
+    // forcing non-commutative on a columnForm semigroup abandons the
+    // codegen'd hash aggregation for the event-time-ordered fold (the
+    // deterministic-float-order use case)
+    val default = ks.sumDeltasPerBatch(Batcher.unit)(Semigroup.longSemigroup)
+    val forcedOrdered = ks.name("agg", commutative = false)
+      .sumDeltasPerBatch(Batcher.unit)(Semigroup.longSemigroup)
+    assert(plan(default.toDF()).contains("HashAggregate"))
+    assert(!plan(forcedOrdered.toDF()).contains("HashAggregate"),
+      plan(forcedOrdered.toDF()))
+    assert(forcedOrdered.collect().toSet == default.collect().toSet)
+  }
+
   test("native kernels (dot, minhash sig, shingles, intersect) run inside whole-stage codegen") {
     // regression guard: these expressions implement doGenCode (no
     // CodegenFallback) — the hot stages must show codegen spans, not
