@@ -169,7 +169,9 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)],
       service: ExternalService[K, W],
       batchSize: Int = 100,
       maxWaiting: Int = 4,
-      lookupTimeout: scala.concurrent.duration.Duration = scala.concurrent.duration.Duration(30, "s"))(
+      lookupTimeout: scala.concurrent.duration.Duration = scala.concurrent.duration.Duration(30, "s"),
+      retries: Int = 0,
+      missOnFailure: Boolean = false)(
       implicit vwEnc: Encoder[(V, Option[W])]): KeyedGraftStream[K, (V, Option[W])] = {
     implicit val out: Encoder[(Long, K, (V, Option[W]))] =
       Encoders.tuple(Encoders.scalaLong, kEnc, vwEnc)
@@ -185,9 +187,31 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)],
           .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
 
         val inflight = new scala.collection.mutable.Queue[(Seq[(Long, K, V)], scala.concurrent.Future[Map[K, W]])]()
+        // failure policy (reference OnlineExceptionHandler, online/option/
+        // AllOpts.scala): re-issue a failed batch `retries` times on the
+        // same connection; after that, `missOnFailure` degrades the batch
+        // to misses (every key None) instead of failing the task — for
+        // pipelines where the joined feature is best-effort. Default is
+        // fail-the-task: Spark's task retry is the at-least-once backstop,
+        // as the reference's acking is.
         def drainOne(): Iterator[(Long, K, (V, Option[W]))] = {
           val (batch, fut) = inflight.dequeue()
-          val res = scala.concurrent.Await.result(fut, lookupTimeout)
+          val res =
+            try scala.concurrent.Await.result(fut, lookupTimeout)
+            catch { case scala.util.control.NonFatal(first) =>
+              var out: Option[Map[K, W]] = None
+              var last: Throwable = first
+              var attempt = 0
+              while (out.isEmpty && attempt < retries) {
+                attempt += 1
+                try out = Some(scala.concurrent.Await.result(
+                  conn.multiGet(batch.map(_._2).distinct), lookupTimeout))
+                catch { case scala.util.control.NonFatal(e) => last = e }
+              }
+              out.getOrElse {
+                if (missOnFailure) Map.empty[K, W] else throw last
+              }
+            }
           batch.iterator.map(r => (r._1, r._2, (r._3, res.get(r._2))))
         }
         val pipelined = rows.grouped(batchSize).flatMap { batch =>

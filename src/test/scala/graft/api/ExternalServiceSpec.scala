@@ -57,6 +57,26 @@ object CountingService {
     }
 }
 
+/** Static failure counter for the flaky-service laws (local-mode: executors
+  * share the test JVM).
+  */
+object FlakyService {
+  val failuresLeft = new AtomicInteger(0)
+  /** Fails each multiGet while failuresLeft > 0, then behaves like
+    * CountingService.service (k -> k*10 for even keys).
+    */
+  def service(): ExternalService[Long, Long] = new ExternalService[Long, Long] {
+    def open(): ExternalService.Conn[Long, Long] = new ExternalService.Conn[Long, Long] {
+      def multiGet(keys: Seq[Long]): Future[Map[Long, Long]] =
+        if (failuresLeft.getAndDecrement() > 0)
+          Future.failed(new RuntimeException("transient service failure"))
+        else
+          Future.successful(keys.iterator.filter(_ % 2 == 0).map(k => k -> k * 10).toMap)
+      def close(): Unit = ()
+    }
+  }
+}
+
 class ExternalServiceSpec extends AnyFunSuite with Matchers {
   private val spark = SparkTestSession.spark
 
@@ -64,6 +84,31 @@ class ExternalServiceSpec extends AnyFunSuite with Matchers {
     val s = spark; import s.implicits._
     val evs = (0 until n).map(i => (i.toLong, (i % 37).toLong, i.toLong * 3))
     new KeyedGraftStream(evs.toDS().repartition(partitions))
+  }
+
+  test("failure policy: retries recover a transient failure; missOnFailure degrades to misses") {
+    val s = spark; import s.implicits._
+    // one partition, one batch => exactly one initial multiGet
+    def run(retries: Int, missOnFailure: Boolean) =
+      keyed(40, 1).leftJoinExternal(FlakyService.service(), batchSize = 100,
+          retries = retries, missOnFailure = missOnFailure)
+        .ds.map { case (_, k, (v, w)) => (k, v, w) }.collect()
+
+    FlakyService.failuresLeft.set(1) // first call fails, retry succeeds
+    val recovered = run(retries = 1, missOnFailure = false)
+    assert(recovered.length == 40)
+    assert(recovered.forall { case (k, _, w) => w == (if (k % 2 == 0) Some(k * 10) else None) })
+
+    FlakyService.failuresLeft.set(1000) // never recovers
+    val degraded = run(retries = 2, missOnFailure = true)
+    assert(degraded.length == 40 && degraded.forall(_._3.isEmpty))
+
+    FlakyService.failuresLeft.set(1000)
+    val ex = intercept[org.apache.spark.SparkException] {
+      run(retries = 1, missOnFailure = false)
+    }
+    assert(ex.getMessage.contains("transient service failure")
+      || Option(ex.getCause).exists(_.getMessage.contains("transient service failure")))
   }
 
   test("leftJoinExternal == leftJoinDs on the same service data (misses included)") {
