@@ -134,6 +134,34 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       11L -> 11L, 12L -> 11L, 13L -> 11L, 14L -> 11L, 15L -> 11L))
   }
 
+  test("connectedComponents == union-find model on random graphs") {
+    val rnd = new scala.util.Random(48)
+    for (trial <- 1 to 12) {
+      val nNodes = 2 + rnd.nextInt(28)
+      val nEdges = 1 + rnd.nextInt(40)
+      val pairs = Seq.fill(nEdges) {
+        val a = rnd.nextInt(nNodes).toLong
+        var b = rnd.nextInt(nNodes).toLong
+        if (a == b) b = (b + 1) % nNodes
+        (a, b)
+      }
+      // driver union-find model
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val model = parent.keys.toList.map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"), "id_a", "id_b", "id")
+        .as[(Long, Long)].collect().toMap
+      assert(got == model, s"trial $trial: $pairs")
+    }
+  }
+
   test("minhashLshTransitive dedups through intermediates where the single pass cannot") {
     // sliding windows over one token sequence: adjacent docs share >=0.5
     // shingle jaccard, the two ends share ~0.31 — a chain 2 ~ 9 ~ 5 where
