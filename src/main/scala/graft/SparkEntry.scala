@@ -864,6 +864,16 @@ object SparkEntry {
       Similarity.pqTopK(e, "embedding", "vec_id", q, k = 10, dim = 64, m = 8, c = 16)
     }),
 
+    "q_ann_ivfpq" -> ((s, dir) => {
+      // IVF-PQ (FAISS IVFADC layout): coarse cells + PQ-coded residuals,
+      // probe scan reads (cell, codes) only. Approximate by construction
+      // — rows-only here; recall law in ApproxOpsSpec.
+      val e = t(s, dir, "embeddings")
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      Similarity.ivfPqTopK(e, "embedding", "vec_id", q, k = 10,
+        dim = 64, nCentroids = 16, nProbe = 4, m = 8, c = 16)
+    }),
+
     // -- text analysis ---------------------------------------------------
     "q_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),

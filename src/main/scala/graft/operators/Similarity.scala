@@ -216,33 +216,56 @@ object Similarity {
       .select(col(vecCol).cast("array<double>").as("__v"), col(idCol).as("__sid"))
       .orderBy(xxhash64(col("__sid")), col("__sid"))
       .limit(trainSample).collect().map(_.getSeq[Double](0).toArray)
+    pqCodebooksLocal(sample, dim, m, c, lloydIters)
+  }
+
+  /** [[pqCodebooks]] from an in-memory sample (already collected). */
+  def pqCodebooksLocal(sample: Array[Array[Double]], dim: Int, m: Int, c: Int,
+      lloydIters: Int): Array[Array[Array[Double]]] = {
+    val subDim = dim / m
     Array.tabulate(m) { sub =>
       val subVecs = sample.map(_.slice(sub * subDim, (sub + 1) * subDim))
-      var cents = subVecs.take(c).map(_.clone())
-      for (_ <- 0 until lloydIters) {
-        val sums = Array.fill(c)(new Array[Double](subDim))
-        val counts = new Array[Long](c)
-        subVecs.foreach { v =>
-          var best = 0; var bestScore = Double.NegativeInfinity
-          var j = 0
-          while (j < c) {
-            var s = 0.0; var i = 0
-            while (i < subDim) { s += v(i) * cents(j)(i); i += 1 }
-            s -= cents(j).map(x => x * x).sum / 2.0
-            if (s > bestScore) { bestScore = s; best = j } // first index wins ties
-            j += 1
-          }
-          var i = 0
-          while (i < subDim) { sums(best)(i) += v(i); i += 1 }
-          counts(best) += 1L
-        }
-        cents = Array.tabulate(c) { j =>
-          if (counts(j) == 0L) cents(j)
-          else sums(j).map(_ / counts(j))
-        }
-      }
-      cents
+      localKmeans(subVecs, c, lloydIters, spherical = false)
     }
+  }
+
+  /** Driver-side Lloyd — `spherical = false`: L2 assignment via the
+    * dot − |c|²/2 argmax; `spherical = true`: cosine argmax, matching
+    * [[nearestCentroid]]'s tie rule (first index wins). Empty clusters
+    * keep their previous centroid. Seeds = the first c vectors.
+    */
+  private def localKmeans(vecs: Array[Array[Double]], c: Int, lloydIters: Int,
+      spherical: Boolean): Array[Array[Double]] = {
+    val dims = vecs.headOption.map(_.length).getOrElse(0)
+    var cents = vecs.take(c).map(_.clone())
+    for (_ <- 0 until lloydIters) {
+      val sums = Array.fill(c)(new Array[Double](dims))
+      val counts = new Array[Long](c)
+      vecs.foreach { v =>
+        var best = 0; var bestScore = Double.NegativeInfinity
+        var j = 0
+        while (j < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < dims) { d += v(i) * cents(j)(i); i += 1 }
+          val s =
+            if (spherical) {
+              val denom = math.sqrt(v.map(x => x * x).sum) *
+                math.sqrt(cents(j).map(x => x * x).sum)
+              if (denom > 0.0) d / denom else 0.0
+            } else d - cents(j).map(x => x * x).sum / 2.0
+          if (s > bestScore) { bestScore = s; best = j } // first index wins ties
+          j += 1
+        }
+        var i = 0
+        while (i < dims) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1L
+      }
+      cents = Array.tabulate(cents.length) { j =>
+        if (counts(j) == 0L) cents(j)
+        else sums(j).map(_ / counts(j))
+      }
+    }
+    cents
   }
 
   /** PQ codes: `array<int>` of length m — dim floats compress to m small
@@ -291,5 +314,130 @@ object Similarity {
     val books = pqCodebooks(df, vecCol, idCol, dim, m, c, lloydIters)
     pqTopKEncoded(df.select(col(idCol), pqEncode(col(vecCol), books).as("__code")),
       "__code", idCol, books, query, k)
+  }
+
+  /** IVF-PQ — the canonical billion-scale ANN layout (FAISS's IVFADC;
+    * Jégou et al. TPAMI'11 §V): vectors assign to a coarse cell
+    * ([[kmeansCentroids]]) and only the RESIDUAL vector − centroid is
+    * PQ-coded, so the codes spend their bits on within-cell detail. A
+    * query probes its `nProbe` highest-similarity cells and ADC-scores
+    * dot(q, centroid) + dot(q, residual-reconstruction), both from
+    * literal lookup tables — the probe scan reads (cell, m codes) per
+    * row, never the embedding column. Codebooks train on the bounded
+    * [[pqCodebooks]] sample of residuals; everything downstream of the
+    * two TakeOrdered sample jobs is one narrow projection + one
+    * cell-filtered scored scan.
+    */
+  def ivfPqTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Array[Double], k: Int, dim: Int, nCentroids: Int = 16,
+      nProbe: Int = 4, m: Int = 8, c: Int = 16, lloydIters: Int = 2,
+      trainSample: Int = 16384): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    // ONE training job: coarse spherical k-means AND residual PQ codebooks
+    // both come from the same bounded hashed-id sample, driver-side
+    val sample = df
+      .select(col(vecCol).cast("array<double>").as("__v"), col(idCol).as("__sid"))
+      .orderBy(xxhash64(col("__sid")), col("__sid"))
+      .limit(trainSample).collect().map(_.getSeq[Double](0).toArray)
+    val cents = localKmeans(sample, nCentroids, lloydIters, spherical = true)
+    def cellOf(v: Array[Double]): Int = {
+      var best = 0; var bestScore = Double.NegativeInfinity
+      var j = 0
+      while (j < cents.length) {
+        var d = 0.0; var i = 0
+        while (i < v.length) { d += v(i) * cents(j)(i); i += 1 }
+        val denom = math.sqrt(v.map(x => x * x).sum) *
+          math.sqrt(cents(j).map(x => x * x).sum)
+        val s = if (denom > 0.0) d / denom else 0.0
+        if (s > bestScore) { bestScore = s; best = j }
+        j += 1
+      }
+      best
+    }
+    val residualSample = sample.map { v =>
+      val cent = cents(cellOf(v))
+      Array.tabulate(v.length)(i => v(i) - cent(i))
+    }
+    val books = pqCodebooksLocal(residualSample, dim, m, c, lloydIters)
+    // ONE data scan: cell assign → residual → encode as a typed
+    // per-partition kernel. A columnar formulation would inline the
+    // residual expression into every one of the m×c code dot products
+    // (Catalyst substitutes, it doesn't let-bind), blowing the generated
+    // method past codegen limits — plain JVM loops over the captured
+    // codebook arrays are both smaller and faster here; the (id, cell,
+    // codes) frame they produce is columnar for the scoring scan.
+    val subDim0 = dim / m
+    val session = df.sparkSession
+    import session.implicits._
+    val centsB = cents
+    val booksB = books
+    val encoded = df
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, vSeq) =>
+          val v = vSeq.toArray
+          // coarse cell: cosine argmax, first index wins (nearestCentroid's rule)
+          var cell = 0; var bestScore = Double.NegativeInfinity
+          val vNorm = math.sqrt(v.map(x => x * x).sum)
+          var j = 0
+          while (j < centsB.length) {
+            var d = 0.0; var i = 0
+            while (i < v.length) { d += v(i) * centsB(j)(i); i += 1 }
+            val denom = vNorm * math.sqrt(centsB(j).map(x => x * x).sum)
+            val s = if (denom > 0.0) d / denom else 0.0
+            if (s > bestScore) { bestScore = s; cell = j }
+            j += 1
+          }
+          val cent = centsB(cell)
+          val codes = new Array[Int](booksB.length)
+          var sub = 0
+          while (sub < booksB.length) {
+            val off = sub * subDim0
+            var best = 0; var bs = Double.NegativeInfinity
+            var cj = 0
+            while (cj < booksB(sub).length) {
+              val cb = booksB(sub)(cj)
+              var s = 0.0; var i = 0
+              while (i < subDim0) { s += (v(off + i) - cent(off + i)) * cb(i); i += 1 }
+              s -= cb.map(x => x * x).sum / 2.0
+              if (s > bs) { bs = s; best = cj }
+              cj += 1
+            }
+            codes(sub) = best
+            sub += 1
+          }
+          (id, cell, codes)
+        }
+      }.toDF(idCol, "__cell", "__code")
+    // query-side: probe cells by cosine; ADC over residual codes plus the
+    // exact query-centroid dot per cell
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val cellSims = cents.map { cent =>
+      val d = cent.zip(query).map { case (a, b) => a * b }.sum
+      d / (qNorm * math.sqrt(cent.map(x => x * x).sum).max(1e-300))
+    }
+    val probed = cellSims.zipWithIndex.sortBy { case (s, i) => (-s, i) }
+      .take(nProbe).map(_._2).toSet
+    val subDim = dim / m
+    val dotTab = books.zipWithIndex.map { case (cb, sub) =>
+      cb.map(cent => (0 until subDim).map(i => query(sub * subDim + i) * cent(i)).sum)
+    }
+    val qCentDot = cents.map(_.zip(query).map { case (a, b) => a * b }.sum)
+    val dotLit = array(dotTab.map(litArr).toIndexedSeq: _*)
+    val qcLit = litArr(qCentDot)
+    def lookupSum(tab: Column): Column =
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, i) =>
+        acc + element_at(element_at(tab, i + 1), element_at(col("__code"), i + 1) + 1))
+    // score = dot(q, centroid + recon(residual)) / |q| — the standard
+    // IVFADC inner-product surrogate (vector norms quantize away; ranking
+    // quality is the recall law's concern, not absolute cosine)
+    encoded
+      .where(col("__cell").isInCollection(probed))
+      .select(col(idCol),
+        round((element_at(qcLit, col("__cell") + 1) + lookupSum(dotLit)) / lit(qNorm), 6)
+          .as("ivfpq_score"))
+      .orderBy(col("ivfpq_score").desc, col(idCol))
+      .limit(k)
   }
 }

@@ -104,6 +104,24 @@ class ApproxOpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall=$recall pq=$pq brute=$brute")
   }
 
+  test("IVF-PQ: full-probe recall vs brute >= 0.6; partial probe stays within probed cells") {
+    val s = spark; import s.implicits._
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = Array.tabulate(dim)(i => math.cos(i + 0.5))
+    val brute = Similarity.bruteForceTopK(df, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val full = Similarity.ivfPqTopK(df, "embedding", "vec_id", q, k = 10,
+        dim = dim, nCentroids = 4, nProbe = 4, m = 4, c = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = brute.intersect(full).size.toDouble / brute.size
+    assert(recall >= 0.6, s"full-probe recall=$recall ivfpq=$full brute=$brute")
+    // partial probe returns at most k rows from the probed cells only
+    val partial = Similarity.ivfPqTopK(df, "embedding", "vec_id", q, k = 10,
+        dim = dim, nCentroids = 4, nProbe = 1, m = 4, c = 8)
+      .select("vec_id").as[Long].collect()
+    assert(partial.length <= 10 && partial.nonEmpty)
+  }
+
   test("LSH ANN finds the planted near-duplicates; recall vs brute >= 0.6") {
     val s = spark; import s.implicits._
     val df = vecs.toDF("vec_id", "embedding")
