@@ -684,6 +684,17 @@ object SparkEntry {
         Dedup.spanHashes(corpus, "text", k = 8), "text", "doc_id", k = 8)
     }),
 
+    "q_pipeline_spans" -> ((s, dir) => {
+      // span-hygiene COMPOSITION: ExactSubstr span removal → drop docs
+      // emptied by it → exact dedup of the REBUILT text (catches docs
+      // that became byte-identical only after their duplicated spans
+      // were cut). The whole chain is oracled in one SQL statement.
+      val cleaned = Dedup.removeDuplicatedSpans(
+        t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id", k = 8)
+      Dedup.exact(cleaned.where(length(col("text_clean")) > 0),
+        "text_clean", "doc_id").select("doc_id")
+    }),
+
     "q_dedup_cc" -> ((s, dir) =>
       // transitive-closure dedup: connected components over the verified
       // near-dup graph, keep each component's min id. The oracle computes
@@ -1405,6 +1416,37 @@ object SparkEntry {
         |SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean,
         |  len(t.toks) - coalesce(a.n_kept, 0) AS n_removed
         |FROM t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q_pipeline_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, i AS pos, array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+        |  FROM t, UNNEST(range(1, greatest(len(toks) - 6, 1))) AS u(i)),
+        |flagged AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |    FROM w) WHERE rn > 1),
+        |cover AS (
+        |  SELECT DISTINCT f.doc_id, r.j
+        |  FROM flagged f, UNNEST(range(f.pos, f.pos + 8)) AS r(j)),
+        |tok AS (
+        |  SELECT doc_id, toks[i] AS tok, i
+        |  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+        |kept AS (
+        |  SELECT k.doc_id, k.tok, k.i
+        |  FROM tok k LEFT JOIN cover c ON k.doc_id = c.doc_id AND k.i = c.j
+        |  WHERE c.j IS NULL),
+        |rebuilt AS (
+        |  SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean
+        |  FROM t LEFT JOIN (
+        |    SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean
+        |    FROM kept GROUP BY doc_id) a USING (doc_id))
+        |SELECT min(doc_id) AS doc_id FROM rebuilt
+        |WHERE len(text_clean) > 0 GROUP BY text_clean""".stripMargin,
 
     // reachability closure via recursive CTE: a doc is dropped iff some
     // smaller id is reachable in the exact-jaccard>=0.5 pair graph
