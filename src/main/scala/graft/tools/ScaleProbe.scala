@@ -47,6 +47,9 @@ object ScaleProbe {
     val docsN = prep(s"docs$factor", selfUnion(docs, "doc_id", factor))
     val ev1 = prep("ev1", events)
     val evN = prep(s"ev$factor", selfUnion(events, "user_id", factor))
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+    val emb1 = prep("emb1", embs)
+    val embN = prep(s"emb$factor", selfUnion(embs, "vec_id", factor))
 
     def time(f: => Long): Double = {
       f // warm
@@ -74,6 +77,25 @@ object ScaleProbe {
         spark.read.parquet(p).groupBy(col("event_type"))
           .agg(SK.spaceSaver(col("user_id"), 8192).as("hh"))
           .agg(sum(size(col("hh")))).collect().head.getLong(0)),
+      "ann_pq" -> { p =>
+        val e = spark.read.parquet(p)
+        graft.operators.Similarity.pqTopK(e, "embedding", "vec_id",
+          Array.tabulate(64)(i => math.sin(i + 1.0)), k = 10, dim = 64)
+          .agg(sum(col("pq_sim"))).collect().head.getDouble(0).toLong
+      },
+      "ann_ivfpq" -> { p =>
+        val e = spark.read.parquet(p)
+        graft.operators.Similarity.ivfPqTopK(e, "embedding", "vec_id",
+          Array.tabulate(64)(i => math.sin(i + 1.0)), k = 10, dim = 64)
+          .agg(sum(col("ivfpq_score"))).collect().head.getDouble(0).toLong
+      },
+      "span_incr" -> { p =>
+        val d = spark.read.parquet(p)
+        Dedup.removeDuplicatedSpansAgainst(d.where(col("doc_id") % 5 === 0),
+          Dedup.spanHashes(d.where(col("doc_id") % 5 =!= 0), "text", k = 8),
+          "text", "doc_id", k = 8)
+          .agg(sum(col("n_removed"))).collect().head.getLong(0)
+      },
       "moments_bloom_quantile" -> { p =>
         val ev = spark.read.parquet(p)
         ev.groupBy(col("event_type")).agg(SK.bloomFilter(col("user_id")).as("b"))
@@ -87,6 +109,7 @@ object ScaleProbe {
     selected.toSeq.sortBy(_._1).foreach { case (name, f) =>
       val (d1, dp) = (name match {
         case "heavy_hitters" | "moments_bloom_quantile" => (ev1, evN)
+        case "ann_pq" | "ann_ivfpq" => (emb1, embN)
         case _ => (docs1, docsN)
       })
       val t1 = time(f(d1))
