@@ -904,9 +904,20 @@ object SparkEntry {
 
     // no SQL oracle (engine-specific shingle hashes) — rows-only check;
     // the winnowing guarantees are law-checked in ApproxOpsSpec
-    "q_winnow" -> ((s, dir) =>
+    "q_winnow" -> ((s, dir) => {
+      // winnowing as a CORRECTNESS row (q_cms pattern): the fingerprint
+      // SET is engine-specific, but the 3-gram count is SQL-exact and the
+      // fingerprint count obeys the deterministic guarantee
+      // 0 < n_fp <= max(1, g - w + 1) for g > 0 (0 for empty docs) by
+      // construction — the density EXPECTATION 2/(w+1) stays law-only.
+      val seq = Dedup.shingleSeqCol(col("text"), 3)
+      val g = size(seq)
+      val nFp = size(TF.winnow(seq, 4))
       t(s, dir, "documents").select(col("doc_id"),
-        size(TF.winnow(Dedup.shingleSeqCol(col("text"), 3), 4)).as("n_fp"))),
+        g.as("n_grams"),
+        ((g === 0 && nFp === 0) ||
+          (g > 0 && nFp >= 1 && nFp <= greatest(g - 3, lit(1)))).as("fp_ok"))
+    }),
 
     "q_langid" -> ((s, dir) =>
       // native Catalyst expression (codegen'd), not a UDF
@@ -1245,6 +1256,17 @@ object SparkEntry {
     "q_cms" ->
       """SELECT event_type, user_id, TRUE AS cnt_ok
         |FROM events GROUP BY event_type, user_id""".stripMargin,
+
+    // winnowing invariant: n_grams is recomputed exactly at the string
+    // level; the fingerprint-count bound must hold for every doc
+    "q_winnow" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3 THEN len(toks) - 2
+        |       WHEN len(toks) > 0 THEN 1 ELSE 0 END AS n_grams,
+        |  TRUE AS fp_ok
+        |FROM (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents)""".stripMargin,
 
     // central moments: Spark merges partials pairwise (Pebay), the oracle
     // computes two-pass population moments — identical up to float ulps,
