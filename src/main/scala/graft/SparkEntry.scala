@@ -548,13 +548,23 @@ object SparkEntry {
       // HLL via the native TypedImperativeAggregate (one mutable register
       // set per key per partition — no per-event allocation); identical
       // registers to the HLL semigroup VALUE form (SketchAggregatesSpec
-      // asserts equality). Estimate is engine-specific: rows-only oracle.
+      // asserts equality). The estimate itself is engine-specific, but
+      // |est − exact| ≤ max(1, 5% · exact) is deterministic on given
+      // data (q_cms pattern; the tighter ±2% bound at 10k distinct is the
+      // SketchAggregatesSpec law) — so the row is fully oracled against
+      // the SQL-exact distinct count.
       import s.implicits._
       import graft.functions.{SketchAggregates => SK}
-      eventStream(s, dir)
+      val est = eventStream(s, dir)
         .asKeyedCols[String, Long](col("_2.event_type"), col("_2.user_id"))
         .sumByKeyAgg[Long](c => SK.hllCountDistinct(c))
-        .toDF("event_type", "approx_users")
+        .toDF("event_type", "__est")
+      eventsDF(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .join(est, Seq("event_type"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("__est") - col("n_users")) <=
+            greatest(lit(1.0), col("n_users") * 0.05)).as("est_ok"))
     }),
 
     "q_cms" -> ((s, dir) => {
@@ -1252,6 +1262,12 @@ object SparkEntry {
 
     "q_count_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+
+    // HLL invariant row: the exact count is recomputed in SQL; the
+    // estimate must land within the 5% envelope for every key
+    "q_hll" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, TRUE AS est_ok
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_cms" ->
       """SELECT event_type, user_id, TRUE AS cnt_ok
