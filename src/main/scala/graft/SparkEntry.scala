@@ -540,6 +540,17 @@ object SparkEntry {
         .toDF("user_id", "event_ids")
     }),
 
+    "q_json_props" -> ((s, dir) =>
+      // JSON-metadata filtering — the training-pipeline shape where
+      // per-record metadata gates inclusion: extract props.k (Spark's
+      // codegen'd get_json_object), filter on it, aggregate per type
+      eventsDF(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("__k"))
+        .where(col("__k") >= 50)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hi"), sum(col("__k")).as("sum_k"))),
+
     "q_count_distinct" -> ((s, dir) =>
       eventsDF(s, dir).groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"))),
@@ -1262,6 +1273,12 @@ object SparkEntry {
 
     "q_count_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS n_hi, sum(k) AS sum_k
+        |FROM (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |WHERE k >= 50 GROUP BY event_type""".stripMargin,
 
     // HLL invariant row: the exact count is recomputed in SQL; the
     // estimate must land within the 5% envelope for every key
