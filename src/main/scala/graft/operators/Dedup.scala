@@ -414,22 +414,36 @@ object Dedup {
     * normalizes inter-token whitespace to single spaces (C4-style).
     *
     * 100 TB shape: windows shuffle as (hash64, id, pos) — never gram
-    * text; the first-occurrence ranking is a window function PARTITIONED
-    * BY gram hash (no global funnel); the rebuild is one columnar HOF
-    * pass per doc. Collision risk of hash64 on gram identity is the same
-    * documented trade as [[sharedNgramStats]].
+    * text; the first-occurrence selection is a min(struct) hash aggregate
+    * + re-join (see [[nonFirstOccurrences]] — no ranking window, so a
+    * boilerplate gram with millions of occurrences partial-aggregates
+    * map-side instead of serializing one task's sort); the rebuild is one
+    * columnar HOF pass per doc. Collision risk of hash64 on gram identity
+    * is the same documented trade as [[sharedNgramStats]].
     *
     * Returns (`idCol`, "text_clean", "n_removed").
     */
   def removeDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8): DataFrame = {
     val base = tokenized(df, textCol, idCol)
-    val byGram = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
-    val starts = spanWindows(base, idCol, k)
-      .withColumn("__rn", row_number().over(byGram))
-      .where(col("__rn") > 1)
-    rebuildWithoutSpans(base, starts, idCol, k)
+    val wins = spanWindows(base, idCol, k)
+    rebuildWithoutSpans(base, nonFirstOccurrences(wins, idCol), idCol, k)
+  }
+
+  /** Window occurrences that are NOT their gram's corpus-wide first
+    * ((id, pos)-minimal). Deliberately an aggregate + self-join rather
+    * than a `row_number` window: a boilerplate gram occurring millions of
+    * times would serialize a ranking window into one task's sort, while
+    * the min(struct) aggregate collapses map-side to one row per gram per
+    * partition and AQE's skew-join handles the hot gram on the re-join.
+    */
+  private def nonFirstOccurrences(wins: DataFrame, idCol: String): DataFrame = {
+    val firsts = wins.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__first"))
+    wins.join(firsts, Seq("__h"))
+      .where(col(idCol) =!= col(s"__first.$idCol") ||
+        col("__pos") =!= col("__first.__pos"))
+      .select(col(idCol), col("__pos"))
   }
 
   /** Distinct k-gram window hashes of a corpus — persist this next to the
@@ -455,12 +469,7 @@ object Dedup {
     val base = tokenized(newDf, textCol, idCol)
     val wins = spanWindows(base, idCol, k)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val byGram = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
-    val withinBatch = wins
-      .withColumn("__rn", row_number().over(byGram))
-      .where(col("__rn") > 1)
-      .select(col(idCol), col("__pos"))
+    val withinBatch = nonFirstOccurrences(wins, idCol)
     val inCorpus = wins.join(corpusHashes.select(col("__h")), Seq("__h"), "left_semi")
       .select(col(idCol), col("__pos"))
     val out = rebuildWithoutSpans(base, withinBatch.union(inCorpus), idCol, k)

@@ -59,11 +59,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"text in exchange:\n${exchanges.mkString("\n")}")
   }
 
-  test("removeDuplicatedSpans: ranking window is hash-partitioned; exchanges carry no text") {
+  test("removeDuplicatedSpans: no ranking window (hot-gram-safe aggregate); exchanges carry no text") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(Dedup.removeDuplicatedSpans(docs, "text", "doc_id", k = 8))
-    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
-    assert(windows.exists(_.contains("windowspecdefinition")), p)
+    // first-occurrence selection must be a partial-aggregable min, not a
+    // ranking window (which would serialize a hot gram into one sort)
+    assert(!p.contains("windowspecdefinition"), s"ranking window in plan:\n$p")
     assert(!p.contains("SinglePartition"), s"global funnel in plan:\n$p")
     val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(exchanges.forall(!_.contains("text#")),
