@@ -1,0 +1,55 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** The reference Counter contract: created per (group, name) under a job
+  * id, incremented from inside operator closures on the executors, read
+  * on the driver. In local mode each task runs exactly once, so the
+  * values here are exact.
+  */
+class CountersSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("counters increment from inside GraftStream closures, driver reads totals") {
+    val s = spark; import s.implicits._
+    val seen = Counters.counter(spark, "job", "events_seen")
+    val dropped = Counters.counter(spark, "job", "events_dropped")
+    val before = (seen.value, dropped.value)
+    val out = GraftStream.from((1L to 100L).map(i => (i, i)).toDS())(_._1)
+      .map { e => seen.incr(); e }
+      .filter { e =>
+        val keep = e._2 % 4 != 0
+        if (!keep) dropped.incr()
+        keep
+      }
+      .ds.count()
+    assert(out == 75L)
+    assert(seen.value - before._1 == 100L)
+    assert(dropped.value - before._2 == 25L)
+  }
+
+  test("re-requesting a counter returns the same one; forSession lists registrations") {
+    val a = Counters.counter(spark, "g2", "n1")
+    val b = Counters.counter(spark, "g2", "n1")
+    a.incrBy(5L)
+    assert(b.value == a.value)
+    val names = Counters.forSession(spark).map(c => (c.group, c.name))
+    assert(names.contains(("g2", "n1")) && names.contains(("job", "events_seen")))
+    assert(names == names.sorted)
+  }
+
+  test("counters work under Structured Streaming micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s = spark; import s.implicits._
+    val c = Counters.counter(spark, "stream", "rows")
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    ms.addData(1L to 40L: _*)
+    val q = ms.toDS().map { x => c.incr(); x }
+      .writeStream.format("noop").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(c.value == 40L)
+  }
+}
