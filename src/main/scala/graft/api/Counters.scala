@@ -28,14 +28,29 @@ final class Counter private[api] (val group: String, val name: String,
 object Counters {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), Counter]()
+  private val evictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Get-or-create the (group, name) counter for this session — the
     * reference's `Counter(Group(g), Name(n))(jobId)` with the Spark
     * application id playing JobId. Re-requesting returns the SAME counter
-    * (the reference registers into a per-job set the same way).
+    * (the reference registers into a per-job set the same way). The first
+    * registration per application installs an application-end listener
+    * that evicts that application's entries, so a long-lived JVM cycling
+    * sessions does not accumulate dead accumulators.
     */
   def counter(spark: SparkSession, group: String, name: String): Counter = {
-    val key = (spark.sparkContext.applicationId, group, name)
+    val appId = spark.sparkContext.applicationId
+    if (evictionHooked.add(appId)) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          registry.keySet.removeIf(_._1 == appId)
+          evictionHooked.remove(appId)
+        }
+      })
+    }
+    val key = (appId, group, name)
     registry.computeIfAbsent(key, _ =>
       new Counter(group, name, spark.sparkContext.longAccumulator(s"graft.$group.$name")))
   }

@@ -123,8 +123,11 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)],
   def collectValues[V2: Encoder](pf: PartialFunction[V, V2]): KeyedGraftStream[K, V2] =
     flatMapValues(v => pf.lift(v))
 
+  /** Union; the left side's per-name hints survive (matching the shards
+    * hint's propagation rule everywhere else in the family).
+    */
   def merge(other: KeyedGraftStream[K, V]): KeyedGraftStream[K, V] =
-    new KeyedGraftStream(ds.union(other.ds))
+    new KeyedGraftStream(ds.union(other.ds), shardHint, commutativeHint)
 
   def toStream(implicit kvEnc: Encoder[(K, V)]): GraftStream[(K, V)] = {
     implicit val e: Encoder[(Long, (K, V))] = Encoders.tuple(Encoders.scalaLong, kvEnc)

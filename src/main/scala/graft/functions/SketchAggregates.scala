@@ -164,6 +164,9 @@ object SketchAggregates {
       inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
 
+    require(numBits > 0 && k > 0,
+      s"graft_bloom_filter needs numBits > 0 and k > 0, got $numBits, $k")
+
     override def children: Seq[Expression] = Seq(child)
     override def nullable: Boolean = false
     override def dataType: DataType = BinaryType

@@ -107,18 +107,22 @@ object Dedup {
     def item(c: Column): Column =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     val sketch = corpus.agg(SK.bloomFilter(item(col(textCol)), numBits, k)).head().getAs[Array[Byte]](0)
-    val candidates = newDf
-      .select(col(idCol), md5(col(textCol)).as("__digest"))
-      .groupBy(col("__digest")).agg(min(col(idCol)).as(idCol))
-      .where(SK.bfContains(lit(sketch),
-        conv(substring(col("__digest"), 1, 15), 16, 10).cast("long")))
-    val corpusDig = corpus.select(md5(col(textCol)).as("__digest")).distinct()
-    val dropIds = candidates.join(corpusDig, Seq("__digest"), "left_semi").select(col(idCol))
+    // ONE batch-side digest aggregation: the keep frame is computed once
+    // and the sketch-flagged candidates derive from it with a narrow filter
     val batchKeep = newDf
       .select(col(idCol), md5(col(textCol)).as("__digest"))
       .groupBy(col("__digest")).agg(min(col(idCol)).as(idCol))
-      .select(col(idCol))
-    newDf.join(batchKeep, Seq(idCol), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candidates = batchKeep.where(SK.bfContains(lit(sketch),
+      conv(substring(col("__digest"), 1, 15), 16, 10).cast("long")))
+    val corpusDig = corpus.select(md5(col(textCol)).as("__digest")).distinct()
+    // materialize only the id frames (8 bytes a row) so the cached digest
+    // aggregation can be released; the text-carrying result stays lazy
+    val dropIds = candidates.join(corpusDig, Seq("__digest"), "left_semi")
+      .select(col(idCol)).localCheckpoint(true)
+    val keepIds = batchKeep.select(col(idCol)).localCheckpoint(true)
+    batchKeep.unpersist()
+    newDf.join(keepIds, Seq(idCol), "left_semi")
       .join(dropIds, Seq(idCol), "left_anti")
   }
 
@@ -417,17 +421,24 @@ object Dedup {
     * text; the first-occurrence selection is a min(struct) hash aggregate
     * + re-join (see [[nonFirstOccurrences]] — no ranking window, so a
     * boilerplate gram with millions of occurrences partial-aggregates
-    * map-side instead of serializing one task's sort); the rebuild is one
-    * columnar HOF pass per doc. Collision risk of hash64 on gram identity
-    * is the same documented trade as [[sharedNgramStats]].
+    * map-side instead of serializing one task's sort); the rebuild is a
+    * typed two-pointer sweep, linear in tokens + flagged starts per doc
+    * (see [[rebuildWithoutSpans]]). Collision risk of hash64 on gram
+    * identity is the same documented trade as [[sharedNgramStats]].
     *
-    * Returns (`idCol`, "text_clean", "n_removed").
+    * Returns (`idCol` cast to long — the family's numeric-id convention,
+    * "text_clean", "n_removed").
     */
   def removeDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8): DataFrame = {
     val base = tokenized(df, textCol, idCol)
-    val wins = spanWindows(base, idCol, k)
-    rebuildWithoutSpans(base, nonFirstOccurrences(wins, idCol), idCol, k)
+    // both sides of nonFirstOccurrences' self-join read the window
+    // explode — persist it once (the incremental sibling does the same)
+    val wins = spanWindows(base, idCol, k).persist(StorageLevel.MEMORY_AND_DISK)
+    val out = rebuildWithoutSpans(base, nonFirstOccurrences(wins, idCol), idCol, k)
+      .localCheckpoint(true)
+    wins.unpersist()
+    out
   }
 
   /** Window occurrences that are NOT their gram's corpus-wide first
@@ -492,18 +503,47 @@ object Dedup {
         i => xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(k)))))))
       .toDF(idCol, "__pos", "__h")
 
+  /** Rebuild text from the tokens NOT covered by any flagged start's
+    * [s, s+k) span. A typed two-pointer sweep over the (sorted) starts —
+    * linear in tokens + starts per doc; the HOF formulation
+    * (`filter(toks, (x,i) => !exists(starts, ...))`) is O(tokens ×
+    * starts) per doc, a single-task blowup for a large mostly-duplicated
+    * document whose start list is ~its token count.
+    */
   private def rebuildWithoutSpans(base: DataFrame, flagged: DataFrame,
       idCol: String, k: Int): DataFrame = {
     val starts = flagged
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("__pos"))).as("__starts"))
+    val session = base.sparkSession
+    import session.implicits._
     base.join(starts, Seq(idCol), "left")
-      .withColumn("__s", coalesce(col("__starts"), array()))
-      .withColumn("__kept", filter(col("__t"),
-        (x, i) => !exists(col("__s"), s => s <= i && i < s + k)))
-      .select(col(idCol),
-        concat_ws(" ", col("__kept")).as("text_clean"),
-        (size(col("__t")) - size(col("__kept"))).cast("long").as("n_removed"))
+      .select(col(idCol).cast("long"), col("__t"),
+        coalesce(col("__starts"), array()).as("__s"))
+      .as[(Long, Seq[String], Seq[Int])]
+      .mapPartitions { it =>
+        it.map { case (id, toks, ss) =>
+          val sb = new StringBuilder
+          var kept = 0
+          var si = 0
+          var coverEnd = -1 // exclusive end of the coverage seen so far
+          var i = 0
+          while (i < toks.length) {
+            while (si < ss.length && ss(si) <= i) {
+              val e = ss(si) + k
+              if (e > coverEnd) coverEnd = e
+              si += 1
+            }
+            if (i >= coverEnd) {
+              if (kept > 0) sb.append(' ')
+              sb.append(toks(i))
+              kept += 1
+            }
+            i += 1
+          }
+          (id, sb.toString, (toks.length - kept).toLong)
+        }
+      }.toDF(idCol, "text_clean", "n_removed")
   }
 
   /** Distributed connected components over an undirected pair set — the

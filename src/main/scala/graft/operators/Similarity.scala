@@ -371,6 +371,10 @@ object Similarity {
     import session.implicits._
     val centsB = cents
     val booksB = books
+    // row-invariant norms precomputed ONCE and captured by the closure —
+    // never recomputed (or re-allocated) inside the per-row loops
+    val centNorms = cents.map(cent => math.sqrt(cent.map(x => x * x).sum))
+    val halfCbNorms = books.map(_.map(cb => cb.map(x => x * x).sum / 2.0))
     val encoded = df
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Seq[Double])]
@@ -379,12 +383,15 @@ object Similarity {
           val v = vSeq.toArray
           // coarse cell: cosine argmax, first index wins (nearestCentroid's rule)
           var cell = 0; var bestScore = Double.NegativeInfinity
-          val vNorm = math.sqrt(v.map(x => x * x).sum)
+          var vSq = 0.0
+          var vi = 0
+          while (vi < v.length) { vSq += v(vi) * v(vi); vi += 1 }
+          val vNorm = math.sqrt(vSq)
           var j = 0
           while (j < centsB.length) {
             var d = 0.0; var i = 0
             while (i < v.length) { d += v(i) * centsB(j)(i); i += 1 }
-            val denom = vNorm * math.sqrt(centsB(j).map(x => x * x).sum)
+            val denom = vNorm * centNorms(j)
             val s = if (denom > 0.0) d / denom else 0.0
             if (s > bestScore) { bestScore = s; cell = j }
             j += 1
@@ -400,7 +407,7 @@ object Similarity {
               val cb = booksB(sub)(cj)
               var s = 0.0; var i = 0
               while (i < subDim0) { s += (v(off + i) - cent(off + i)) * cb(i); i += 1 }
-              s -= cb.map(x => x * x).sum / 2.0
+              s -= halfCbNorms(sub)(cj)
               if (s > bs) { bs = s; best = cj }
               cj += 1
             }
