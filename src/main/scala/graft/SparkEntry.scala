@@ -978,7 +978,8 @@ object SparkEntry {
         TF.redactPii(planted).as("clean"),
         counts.getField("emails").as("n_email"),
         counts.getField("ips").as("n_ip"),
-        counts.getField("ssns").as("n_ssn"))
+        counts.getField("ssns").as("n_ssn"),
+        counts.getField("phones").as("n_phone"))
     }),
 
     "q_sample_stratified" -> ((s, dir) =>
@@ -1789,10 +1790,12 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
-        |    '(\+?\d{1,3}[-. ]?)?(\(\d{3}\)|\d{3})[-. ]?\d{3}[-. ]?\d{4}', '<PHONE>', 'g') AS clean,
+        |    '\b(\+?\d{1,3}[-. ]?)?(\(\d{3}\)|\d{3})[-. ]?\d{3}[-. ]?\d{4}\b', '<PHONE>', 'g') AS clean,
         |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
         |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
-        |  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn
+        |  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+        |  len(regexp_extract_all(t,
+        |    '\b(\+?\d{1,3}[-. ]?)?(\(\d{3}\)|\d{3})[-. ]?\d{3}[-. ]?\d{4}\b')) AS n_phone
         |FROM p""".stripMargin,
 
     "q_sample_stratified" ->

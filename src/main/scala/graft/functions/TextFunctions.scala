@@ -91,7 +91,10 @@ object TextFunctions {
 
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val PhonePattern = "(\\+?\\d{1,3}[-. ]?)?(\\(\\d{3}\\)|\\d{3})[-. ]?\\d{3}[-. ]?\\d{4}"
+  // \b on both ends: without them a 16-digit card number or a 14-digit
+  // timestamp gets its first 10-13 digits eaten as a "phone" and the rest
+  // left behind — the anchors make over-long digit runs unmatchable
+  val PhonePattern = "\\b(\\+?\\d{1,3}[-. ]?)?(\\(\\d{3}\\)|\\d{3})[-. ]?\\d{3}[-. ]?\\d{4}\\b"
   val SsnPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
 
   def redactEmails(text: Column): Column =
@@ -116,7 +119,8 @@ object TextFunctions {
   def piiCounts(text: Column): Column = struct(
     regexp_count(text, lit(EmailPattern)).as("emails"),
     regexp_count(text, lit(Ipv4Pattern)).as("ips"),
-    regexp_count(text, lit(SsnPattern)).as("ssns"))
+    regexp_count(text, lit(SsnPattern)).as("ssns"),
+    regexp_count(text, lit(PhonePattern)).as("phones"))
 
   // --- repetition metrics (the Gopher quality-filter family: Rae et al.
   // 2021 "Scaling Language Models", appendix A1.1 — docs dominated by

@@ -36,6 +36,15 @@ object VectorFunctions {
     when(n > 0, d / n).otherwise(lit(0.0))
   }
 
+  /** L2-normalize (as array<double>); a zero vector passes through
+    * un-scaled rather than dividing by zero.
+    */
+  def l2Normalize(v: Column): Column = {
+    val n = norm(v)
+    when(n > 0, transform(v, x => x.cast("double") / n))
+      .otherwise(transform(v, x => x.cast("double")))
+  }
+
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(
       zip_with(a, b, (x, y) => {

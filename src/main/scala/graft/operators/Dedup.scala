@@ -222,12 +222,25 @@ object Dedup {
   def sharedNgramStats(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // three consumers read the exploded (id, gram-hash) frame — persist it
+    // so the text scan + shingle kernel run once, and derive the per-doc
+    // totals from it (grams are distinct per doc) instead of re-shingling
     val ng = docs.select(col(idCol), explode(shingleCol(col(textCol), n)).as("__g"))
-    // grams are distinct per doc already, so doc-frequency is a plain count
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = sharedNgramStatsFrom(ng, idCol, minDocs).localCheckpoint(true)
+    ng.unpersist()
+    out
+  }
+
+  /** Lazy composition of [[sharedNgramStats]] from a pre-built exploded
+    * (id, __g) frame — the plan-auditable core; the public entry wraps it
+    * in the persist/checkpoint/release lifecycle.
+    */
+  private[graft] def sharedNgramStatsFrom(ng: DataFrame, idCol: String,
+      minDocs: Int): DataFrame = {
     val shared = ng.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
       .where(col("__df") >= minDocs).select(col("__g"))
-    val totals = docs.select(col(idCol),
-      size(shingleCol(col(textCol), n)).cast("long").as("n_grams"))
+    val totals = ng.groupBy(col(idCol)).agg(count(lit(1)).cast("long").as("n_grams"))
     ng.join(shared, "__g")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
@@ -283,8 +296,10 @@ object Dedup {
     * [[shingleSeqColHof]] (law in ApproxOpsSpec).
     */
   def shingleSeqCol(text: Column, w: Int): Column =
-    graft.functions.NativeExpressions.shingleHashes(
-      TextFunctions.tokens(lower(text)), w)
+    // one kernel invocation, one name to maintain: this IS
+    // TextFunctions.wordNgramHashes (same tokenizer, same ShingleHashes
+    // kernel) — delegated so a tokenizer/hash change can't fork the two
+    TextFunctions.wordNgramHashes(text, w)
 
   /** Reference HOF formulation of [[shingleSeqCol]] (the law's ground
     * truth).
@@ -741,15 +756,10 @@ object Dedup {
     */
   def embeddingNearDupExact(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.95): DataFrame = {
-    def normalized(v: Column): Column = {
-      val n = VectorFunctions.norm(v)
-      when(n > 0, transform(v, x => x.cast("double") / n))
-        .otherwise(transform(v, x => x.cast("double")))
-    }
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val a = df.select(col(idCol), normalized(col(vecCol)).as("__va"))
+    val a = df.select(col(idCol), VectorFunctions.l2Normalize(col(vecCol)).as("__va"))
       .repartition(parallelism)
-    val b = df.select(col(idCol).as("__ob"), normalized(col(vecCol)).as("__vb"))
+    val b = df.select(col(idCol).as("__ob"), VectorFunctions.l2Normalize(col(vecCol)).as("__vb"))
     val drop = a.join(broadcast(b), col("__ob") < col(idCol))
       .where(VectorFunctions.dot(col("__va"), col("__vb")) >= threshold)
       .select(col(idCol)).distinct()
@@ -777,14 +787,9 @@ object Dedup {
       lloydIters: Int = 2): DataFrame = {
     require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
     val cents = Similarity.kmeansCentroids(df, vecCol, idCol, nClusters, lloydIters)
-    def normalized(v: Column): Column = {
-      val n = VectorFunctions.norm(v)
-      when(n > 0, transform(v, x => x.cast("double") / n))
-        .otherwise(transform(v, x => x.cast("double")))
-    }
     val assigned = df.select(col(idCol),
       Similarity.nearestCentroid(col(vecCol), cents).as("__cid"),
-      normalized(col(vecCol)).as("__nv"))
+      VectorFunctions.l2Normalize(col(vecCol)).as("__nv"))
     val a = assigned.select(col(idCol), col("__cid"), col("__nv").as("__va"))
     val b = assigned.select(col(idCol).as("__ob"), col("__cid"), col("__nv").as("__vb"))
     val drop = a.join(b, Seq("__cid"))

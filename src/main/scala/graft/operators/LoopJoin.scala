@@ -104,8 +104,12 @@ object LoopJoin {
     //    the composite key — the hot key spreads across its chunks)
     implicit val chunkedEnc: Encoder[(Long, (K, Long), U)] =
       Encoders.tuple(Encoders.scalaLong, kcEnc, uEnc)
+    // materialized ONCE (localCheckpoint, ContextCleaner-managed blocks —
+    // the RowIndex/withPrefixSum pattern): both the chunk-totals pass and
+    // the final per-chunk scan read it, and without this the events
+    // source is scanned and mapped twice
     val chunked: Dataset[(Long, (K, Long), U)] =
-      events.map(r => (r._1, (r._2, chunkOf(r._1)), r._3))
+      events.map(r => (r._1, (r._2, chunkOf(r._1)), r._3)).localCheckpoint(true)
     implicit val totEnc: Encoder[(Long, K, Option[V])] =
       Encoders.tuple(Encoders.scalaLong, kEnc, optVEnc)
     val chunkTotals: Dataset[(Long, K, Option[V])] =

@@ -26,29 +26,13 @@ import org.apache.spark.sql.functions._
 object RowIndex {
 
   /** Appends `indexCol` holding 0-based contiguous positions in
-    * `order`-ascending order.
+    * `order`-ascending order. The 0-based index IS the exclusive running
+    * count of 1s, so this delegates to the shared distributed-prefix-sum
+    * primitive ([[Packing.withPrefixSum]]) — one implementation of the
+    * range-shuffle/offsets/per-slice-window shape to maintain.
     */
   def withRowIndex(df: DataFrame, indexCol: String, order: Column*): DataFrame = {
     require(order.nonEmpty, "withRowIndex needs at least one order column")
-    // materialize the range shuffle ONCE (plan-level exchange reuse does
-    // not fire across the counts/join consumers under AQE — measured two
-    // full range exchanges without this); both passes then read blocks.
-    // Same lifecycle discipline as the dedup family's localCheckpoint.
-    val ranged = df.repartitionByRange(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
-      .withColumn("__offset",
-        coalesce(sum(col("__n")).over(
-          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("__pid"), col("__offset"))
-    // the offsets window IS global — but over partition COUNTS (thousands
-    // of rows), not data; the data-sized window below is per-range-slice
-    val intra = row_number().over(
-      Window.partitionBy(col("__pid")).orderBy(order: _*))
-    ranged.join(broadcast(offsets), "__pid")
-      .withColumn(indexCol, col("__offset") + intra.cast("long") - lit(1L))
-      .drop("__pid", "__offset")
+    Packing.withPrefixSum(df, lit(1L), indexCol, order)
   }
 }

@@ -252,9 +252,16 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getStruct(2)))).toMap
     assert(got(1L)._1 == "mail <EMAIL> from <IP>, ssn <SSN>, call <PHONE>")
     assert(got(1L)._2.getInt(0) == 1 && got(1L)._2.getInt(1) == 1 && got(1L)._2.getInt(2) == 1)
+    assert(got(1L)._2.getInt(3) == 1) // the phone is counted, not just scrubbed
     assert(got(2L)._1 == "perfectly clean prose with numbers 42 and 7 but no pii")
     assert(got(3L)._1 == "two mails <EMAIL> <EMAIL> and v6-ish <IP> <IP>")
     assert(got(3L)._2.getInt(0) == 2 && got(3L)._2.getInt(1) == 2)
+    // over-long digit runs are NOT phone-shaped: the \b anchors keep a
+    // card number / timestamp intact instead of half-eating it
+    val long = Seq((4L, "card 4111111111111111 at 20260812120000 ok"))
+      .toDF("doc_id", "text")
+      .select(TF.redactPii(col("text"))).head().getString(0)
+    assert(long == "card 4111111111111111 at 20260812120000 ok")
   }
 
   test("sampling: deterministic, nested across fractions, stable by key") {

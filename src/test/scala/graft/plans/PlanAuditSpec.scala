@@ -138,7 +138,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val bpAgg = bp.linesIterator.filter(_.contains("Exchange hashpartitioning(__h")).toSeq
     assert(bpAgg.nonEmpty, bp)
     assert(bpAgg.forall(!_.contains("__line#")), bpAgg.mkString("\n"))
-    val sh = plan(Dedup.sharedNgramStats(docs, "text", "doc_id", n = 3, minDocs = 2))
+    // audit the lazy core (the public entry checkpoints its output, which
+    // collapses the executed plan to a block scan)
+    val ng = docs.select(col("doc_id"),
+      explode(Dedup.shingleCol(col("text"), 3)).as("__g"))
+    val sh = plan(Dedup.sharedNgramStatsFrom(ng, "doc_id", minDocs = 2))
     val shEx = sh.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(shEx.nonEmpty, sh)
     assert(shEx.forall(!_.contains("text#")), shEx.mkString("\n"))
