@@ -122,6 +122,12 @@ class SketchAggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("bad sketch parameters fail at construction, not per-row in executors") {
+    intercept[IllegalArgumentException](SK.bloomFilter(col("x"), numBits = 0, k = 5))
+    intercept[IllegalArgumentException](SK.bloomFilter(col("x"), numBits = 1 << 10, k = 0))
+    intercept[IllegalArgumentException](BF.empty(numBits = -1))
+  }
+
   test("bfContains: every inserted item probes true; absent items mostly false") {
     val df = items.toDF("x")
     val withSketch = df.distinct().crossJoin(
