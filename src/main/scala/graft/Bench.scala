@@ -6,6 +6,13 @@ import org.apache.spark.sql.SparkSession
   * per-query pass/fail status. A failing query keeps its (wasted) time,
   * is reported in "failed", and makes the process exit non-zero — a broken
   * query can never masquerade as a fast success.
+  *
+  * SPARK_GRAFT_BENCH_REPS=N (default 1) runs every query N times and adds
+  * "queries_min" / "total_min" — per-query minimums across reps — next to
+  * the first-run "queries" / "value" numbers. The minimum is the
+  * stall-resistant signal on a shared host (a co-tenant page-cache or CPU
+  * stall inflates one rep, not all of them); first-run numbers stay for
+  * continuity with earlier rounds.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,25 +44,32 @@ object Bench {
     }
     // SPARK_GRAFT_ONLY=q_a,q_b runs a subset (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1).max(1)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e"); false
-        }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // queries that persist intermediates must not leak cache across the
-      // run — teardown happens OUTSIDE the query's timed window
-      spark.catalog.clearCache()
-      name -> (elapsed, ok)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e"); false
+          }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // queries that persist intermediates must not leak cache across the
+        // run — teardown happens OUTSIDE the query's timed window
+        spark.catalog.clearCache()
+        (elapsed, ok)
+      }
+      name -> (times.head._1, times.map(_._1).min, times.forall(_._2))
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
+    val qsMin = results.map { case (k, (_, v, _)) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, (_, _, false)) => "\"" + k + "\"" }
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val totalMin = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -836,9 +836,25 @@ object SparkEntry {
         "text", "doc_id")
     }),
 
-    "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhash(docsDs(s, dir).toDF(), "text", "doc_id", maxHamming = 3)
-        .select("doc_id")),
+    "q_dedup_simhash" -> ((s, dir) => {
+      // planted-needle invariant oracle (q_hll pattern): the survivor set
+      // itself is signature-specific, but simhash(maxHamming=3) MUST drop
+      // an exact copy — identical text ⇒ identical 64-bit signature ⇒
+      // hamming 0, and the 4×16-bit banding is pigeonhole-complete at
+      // hamming ≤ 3, so the copy always pairs with its smaller-id original
+      // and the smallest-id-survives policy drops it. Plant a copy of
+      // every 10th doc at doc_id + 100_000_000 and oracle that ALL planted
+      // copies are dropped; the full simhash pipeline (signatures, banding
+      // join, hamming verify) runs over corpus + plants to produce it.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(100000000L)).as("doc_id"), col("text"))
+      val survivors = Dedup.simhash(docs.union(planted), "text", "doc_id",
+        maxHamming = 3).select(col("doc_id"), lit(1).as("__kept"))
+      planted.select("doc_id")
+        .join(survivors, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("__kept").isNull.as("planted_dropped"))
+    }),
 
     "q_ngram_jaccard" -> ((s, dir) =>
       // EXACT all-pairs n-gram Jaccard >= 0.5 — the ground truth the LSH
@@ -888,22 +904,43 @@ object SparkEntry {
     }),
 
     "q_ann_pq" -> ((s, dir) => {
-      // product-quantization ANN: codes-only asymmetric-distance
-      // rescoring (approximate by construction — rows-only check here;
-      // ADC-exactness and recall-vs-brute laws in ApproxOpsSpec)
-      val e = t(s, dir, "embeddings")
+      // product-quantization ANN with a planted-needle invariant oracle
+      // (q_hll pattern): ADC ranking is quantization-specific, but a
+      // planted exact match of the query (vec_id = −1) must surface in
+      // the top-k — its ADC score is cos(q, recon(q)) ≈ 0.76-0.83 on this
+      // corpus while the best natural neighbor scores ≤ ~0.48, so the
+      // needle found/not-found bit is deterministic. The full PQ path
+      // (codebook training, encode, codes-only ADC rescore) runs over
+      // corpus + needle to produce the row. ADC-exactness and
+      // recall-vs-brute laws live in ApproxOpsSpec.
+      import s.implicits._
       val q = Array.tabulate(64)(i => math.sin(i + 1.0))
-      Similarity.pqTopK(e, "embedding", "vec_id", q, k = 10, dim = 64, m = 8, c = 16)
+      val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val needle = Seq((-1L, q.toSeq)).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast(e0.schema("embedding").dataType))
+      Similarity.pqTopK(e0.union(needle), "embedding", "vec_id", q,
+          k = 10, dim = 64, m = 8, c = 16)
+        .agg(count(lit(1)).as("k"), countDistinct(col("vec_id")).as("n_ids"),
+          max(col("vec_id") === -1L).as("needle_found"))
     }),
 
     "q_ann_ivfpq" -> ((s, dir) => {
       // IVF-PQ (FAISS IVFADC layout): coarse cells + PQ-coded residuals,
-      // probe scan reads (cell, codes) only. Approximate by construction
-      // — rows-only here; recall law in ApproxOpsSpec.
-      val e = t(s, dir, "embeddings")
+      // probe scan reads (cell, codes) only. Planted-needle invariant
+      // oracle, same construction as q_ann_pq: the needle assigns to the
+      // query's argmax-similarity cell, which is by definition among the
+      // probed cells, and its residual reconstruction dominates natural
+      // neighbors — found-in-top-k is deterministic. Recall and
+      // probed-cell-containment laws live in ApproxOpsSpec.
+      import s.implicits._
       val q = Array.tabulate(64)(i => math.sin(i + 1.0))
-      Similarity.ivfPqTopK(e, "embedding", "vec_id", q, k = 10,
-        dim = 64, nCentroids = 16, nProbe = 4, m = 8, c = 16)
+      val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val needle = Seq((-1L, q.toSeq)).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast(e0.schema("embedding").dataType))
+      Similarity.ivfPqTopK(e0.union(needle), "embedding", "vec_id", q, k = 10,
+          dim = 64, nCentroids = 16, nProbe = 4, m = 8, c = 16)
+        .agg(count(lit(1)).as("k"), countDistinct(col("vec_id")).as("n_ids"),
+          max(col("vec_id") === -1L).as("needle_found"))
     }),
 
     // -- text analysis ---------------------------------------------------
@@ -1026,6 +1063,32 @@ object SparkEntry {
       Multimodal.featurize(media)
         .select(col("id").as("doc_id"), col("nBytes").as("n_bytes"),
           col("nFrames").as("n_frames"), col("contentMd5").as("content_md5"))
+    }),
+
+    "q_multimodal_decode" -> ((s, dir) => {
+      // REAL image decode (JDK javax.imageio — public API, no new deps):
+      // plant one deterministic grayscale PNG per 10th doc, whose
+      // width/height/constant pixel value are pure functions of doc_id —
+      // so the DECODED geometry and mean are fully SQL-oracled. The PNG
+      // bytes flow through the same opaque-binary MediaRow plumbing and
+      // mapPartitions batch decode any 100 TB media column would use;
+      // round-trip pixel-exactness lives in MultimodalSpec.
+      import s.implicits._
+      import graft.functions.Multimodal
+      val planted = docsDs(s, dir).filter(_.doc_id % 10 == 0).map { d =>
+        val w = 8 + (d.doc_id % 16).toInt
+        val h = 4 + (d.doc_id % 8).toInt
+        val v = (d.doc_id % 251).toInt
+        Multimodal.MediaRow(d.doc_id,
+          Multimodal.MediaMeta("image/png", w, h, 1, 0),
+          Multimodal.encodeGrayPng(w, h, v))
+      }
+      Multimodal.featurizeImages(planted)
+        .select(col("id").as("doc_id"), col("decoded"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("bands").cast("long").as("bands"),
+          round(col("meanValue"), 5).as("mean_value"))
     }),
 
     // -- headline relational shapes (bench) ------------------------------
@@ -1210,8 +1273,8 @@ object SparkEntry {
         |    count(*) AS delta
         |  FROM events GROUP BY 1, 2)
         |SELECT user_id, batch_id,
-        |  sum(delta) OVER (PARTITION BY user_id ORDER BY batch_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior,
+        |  CAST(sum(delta) OVER (PARTITION BY user_id ORDER BY batch_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS prior,
         |  delta
         |FROM per_batch""".stripMargin,
 
@@ -1224,8 +1287,8 @@ object SparkEntry {
         |    count(*) AS delta
         |  FROM events GROUP BY 1, 2)
         |SELECT user_id, batch_id,
-        |  sum(delta) OVER (PARTITION BY user_id ORDER BY batch_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior,
+        |  CAST(sum(delta) OVER (PARTITION BY user_id ORDER BY batch_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS prior,
         |  delta
         |FROM per_batch""".stripMargin,
 
@@ -1275,8 +1338,10 @@ object SparkEntry {
     "q_count_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
 
+    // CAST(sum(..) AS BIGINT): DuckDB's sum(BIGINT) returns HUGEINT (int128),
+    // which hash-mismatches Spark's LongType even when the values agree.
     "q_json_props" ->
-      """SELECT event_type, count(*) AS n_hi, sum(k) AS sum_k
+      """SELECT event_type, count(*) AS n_hi, CAST(sum(k) AS BIGINT) AS sum_k
         |FROM (SELECT event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |WHERE k >= 50 GROUP BY event_type""".stripMargin,
@@ -1860,6 +1925,24 @@ object SparkEntry {
         |        e.vec_id) AS rn
         |  FROM embeddings e, embeddings q WHERE q.vec_id < 3) WHERE rn <= 5""".stripMargin,
 
+    // planted-needle invariants (see the matching queries): the result
+    // identity of an approximate index is engine-specific, but k rows
+    // returned / all-distinct / needle-found are deterministic TRUE-column
+    // facts, like q_hll's estimate-within-envelope row
+    "q_ann_pq" ->
+      """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_ids,
+        |  TRUE AS needle_found""".stripMargin,
+
+    "q_ann_ivfpq" ->
+      """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_ids,
+        |  TRUE AS needle_found""".stripMargin,
+
+    // every planted exact copy (identical text, larger id) must be dropped:
+    // hamming 0 is banding-complete at any maxHamming, smallest id survives
+    "q_dedup_simhash" ->
+      """SELECT doc_id + 100000000 AS doc_id, TRUE AS planted_dropped
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+
     "q_token_count" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens,
@@ -1893,6 +1976,17 @@ object SparkEntry {
         |  CAST(ceil(octet_length(encode(text)) / 1024.0) AS BIGINT) AS n_frames,
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
+
+    // planted gray PNGs: geometry and constant pixel value are pure
+    // functions of doc_id, so the REAL ImageIO decode is fully oracled
+    // (round-5dp margin analysis: every v/255 sits >= 9.8e-8 from a
+    // rounding boundary vs <= 3e-8 float representation error)
+    "q_multimodal_decode" ->
+      """SELECT doc_id, TRUE AS decoded,
+        |  8 + doc_id % 16 AS width, 4 + doc_id % 8 AS height,
+        |  CAST(1 AS BIGINT) AS bands,
+        |  round(CAST(doc_id % 251 AS DOUBLE) / 255, 5) AS mean_value
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -36,12 +36,115 @@ object Multimodal {
   /** Stub codec frame size: fixed-length frames over the raw bytes. */
   val FrameBytes: Int = 1024
 
-  /** DETERMINISTIC FAKE decode — stands in for the real image/audio codec
-    * (not present in this container). Bytes map to normalized [0,1]
-    * "samples"; real deployments replace exactly this function.
+  /** DETERMINISTIC FAKE decode — the fallback for content no real codec
+    * here can read (audio/video; the container has no ffmpeg binding).
+    * Bytes map to normalized [0,1] "samples"; real deployments replace
+    * exactly this function.
     */
   def decodeStub(content: Array[Byte]): Array[Float] =
     content.map(b => (b & 0xff) / 255.0f)
+
+  /** A REAL decoded image: dimensions, band (channel) count, and
+    * row-major band-interleaved samples normalized to [0,1] by each
+    * band's declared bit depth.
+    */
+  final case class DecodedImage(width: Int, height: Int, bands: Int,
+      samples: Array[Float])
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG / JPEG / GIF /
+    * BMP / WBMP — public JDK API, zero added dependencies). Returns None
+    * when ImageIO has no reader for the bytes (audio, video, corrupt
+    * content) so callers can fall back to [[decodeStub]]; [[decode]]
+    * composes exactly that policy.
+    */
+  def decodeImage(content: Array[Byte]): Option[DecodedImage] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache inside executors
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val raster = img.getRaster
+        val w = raster.getWidth; val h = raster.getHeight
+        val bands = raster.getNumBands
+        val maxVal = Array.tabulate(bands)(b =>
+          ((1L << raster.getSampleModel.getSampleSize(b)) - 1L).toFloat)
+        val out = new Array[Float](w * h * bands)
+        var idx = 0; var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) {
+              out(idx) = raster.getSample(x, y, b) / maxVal(b)
+              idx += 1; b += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        Some(DecodedImage(w, h, bands, out))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode policy for mixed media: real image decode when ImageIO can
+    * read the bytes, deterministic stub otherwise.
+    */
+  def decode(content: Array[Byte]): Array[Float] =
+    decodeImage(content) match {
+      case Some(d) => d.samples
+      case None    => decodeStub(content)
+    }
+
+  /** Deterministic grayscale PNG encoder (JDK ImageIO) — the planted-image
+    * generator for tests and the oracled decode query: every pixel holds
+    * `value` (0-255), so the decoded mean is exactly value/255.
+    */
+  def encodeGrayPng(width: Int, height: Int, value: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && value >= 0 && value <= 255)
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, value); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Per-image REAL-decode features. `decoded` distinguishes the ImageIO
+    * path from the stub fallback; width/height/bands are −1 on fallback
+    * (the stub has no geometry).
+    */
+  final case class ImageFeatures(id: Long, decoded: Boolean, width: Int,
+      height: Int, bands: Int, meanValue: Double)
+
+  /** Batch REAL image featurization: one narrow mapPartitions pass, codec
+    * configured once per partition — same batch shape as [[featurize]]
+    * but through [[decodeImage]] with the stub fallback.
+    */
+  def featurizeImages(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    val s = media.sparkSession; import s.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        decodeImage(r.content) match {
+          case Some(d) =>
+            var sum = 0.0; var i = 0
+            while (i < d.samples.length) { sum += d.samples(i); i += 1 }
+            val mean = if (d.samples.isEmpty) 0.0 else sum / d.samples.length
+            ImageFeatures(r.id, decoded = true, d.width, d.height, d.bands, mean)
+          case None =>
+            val px = decodeStub(r.content)
+            val mean = if (px.isEmpty) 0.0 else px.map(_.toDouble).sum / px.length
+            ImageFeatures(r.id, decoded = false, -1, -1, -1, mean)
+        }
+      }
+    }
+  }
 
   /** "Resize" a decoded buffer to exactly `n` samples by uniform striding
     * (nearest-neighbour downsample in stub terms). n > 0.

@@ -72,4 +72,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L).entropy == 0.0 && out(3L).meanValue == 0.0)
     assert(out(3L).contentMd5 == md5hex(Array.empty[Byte]))
   }
+
+  test("encodeGrayPng -> decodeImage round-trips geometry and every pixel") {
+    val png = encodeGrayPng(7, 3, 200)
+    val d = decodeImage(png).get
+    assert(d.width == 7 && d.height == 3 && d.bands == 1)
+    assert(d.samples.length == 21)
+    assert(d.samples.forall(_ == 200 / 255.0f))
+    // non-constant image: pixel order is row-major
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 2; x <- 0 until 2)
+      img.getRaster.setSample(x, y, 0, y * 2 + x) // 0,1 / 2,3
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val d2 = decodeImage(bos.toByteArray).get
+    assert(d2.samples.toSeq == Seq(0, 1, 2, 3).map(_ / 255.0f))
+  }
+
+  test("decodeImage: None on non-image bytes; decode() falls back to the stub") {
+    val junk = "definitely not an image".getBytes("UTF-8")
+    assert(decodeImage(junk).isEmpty)
+    assert(decode(junk).toSeq == decodeStub(junk).toSeq)
+    // and a real PNG takes the ImageIO path (stub would see ~90 header bytes)
+    val png = encodeGrayPng(4, 4, 128)
+    assert(decode(png).length == 16)
+  }
+
+  test("featurizeImages: ImageIO path for PNGs, stub fallback flagged for other bytes") {
+    val s = spark; import s.implicits._
+    val media = Seq(
+      MediaRow(1L, MediaMeta("image/png", 10, 5, 1, 0), encodeGrayPng(10, 5, 51)),
+      MediaRow(2L, MediaMeta("audio", 0, 0, 0, 8000), Array.fill[Byte](64)(65)))
+      .toDS().repartition(2)
+    val out = featurizeImages(media).collect().map(f => f.id -> f).toMap
+    assert(out(1L).decoded && out(1L).width == 10 && out(1L).height == 5 &&
+      out(1L).bands == 1)
+    assert(math.abs(out(1L).meanValue - 51 / 255.0) < 1e-6)
+    assert(!out(2L).decoded && out(2L).width == -1 && out(2L).height == -1)
+    assert(math.abs(out(2L).meanValue - 65 / 255.0) < 1e-6)
+  }
 }

@@ -162,6 +162,57 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponentsStar == union-find model (and min-label) on random graphs") {
+    val rnd = new scala.util.Random(96)
+    for (trial <- 1 to 12) {
+      val nNodes = 2 + rnd.nextInt(28)
+      val nEdges = 1 + rnd.nextInt(40)
+      val pairs = Seq.fill(nEdges) {
+        val a = rnd.nextInt(nNodes).toLong
+        var b = rnd.nextInt(nNodes).toLong
+        if (a == b) b = (b + 1) % nNodes
+        (a, b)
+      }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val model = parent.keys.toList.map(x => x -> find(x)).toMap
+      val star = Dedup.connectedComponentsStarDetailed(
+        pairs.toDF("id_a", "id_b"), "id_a", "id_b", "id")
+      assert(star.converged, s"trial $trial did not converge")
+      assert(star.components.as[(Long, Long)].collect().toMap == model,
+        s"trial $trial: $pairs")
+      val minLabel = Dedup.connectedComponents(
+        pairs.toDF("id_a", "id_b"), "id_a", "id_b", "id")
+        .as[(Long, Long)].collect().toMap
+      assert(minLabel == model, s"trial $trial (min-label): $pairs")
+    }
+  }
+
+  test("star contraction: round count stays logarithmic on a diameter-63 chain; " +
+      "min-label exhausts maxIters and reports the under-merge") {
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStarDetailed(chain, "id_a", "id_b", "id")
+    assert(star.converged)
+    // min-label would need 63 rounds (one hop per round); star contraction
+    // halves chain structure every alternation — O(log^2 n), well under 10
+    assert(star.rounds <= 10, s"star took ${star.rounds} rounds on a 63-chain")
+    assert(star.components.as[(Long, Long)].collect().toMap ==
+      (0L to 63L).map(_ -> 0L).toMap)
+    // min-label at maxIters=20 cannot reach the far end of the chain: the
+    // result must be flagged non-converged and is visibly under-merged
+    val ml = Dedup.connectedComponentsDetailed(chain, "id_a", "id_b", "id", maxIters = 20)
+    assert(!ml.converged)
+    assert(ml.components.where(col("comp") =!= 0L).count() > 0,
+      "expected an under-merged label on the far end of the chain")
+  }
+
   test("minhashLshTransitive dedups through intermediates where the single pass cannot") {
     // sliding windows over one token sequence: adjacent docs share >=0.5
     // shingle jaccard, the two ends share ~0.31 — a chain 2 ~ 9 ~ 5 where
