@@ -888,11 +888,21 @@ object SparkEntry {
     }),
 
     "q_ann_lsh" -> ((s, dir) => {
+      // LSH ANN with a self-hit invariant oracle: each query vector IS a
+      // table row, so it lands in its own bucket (multi-probe includes the
+      // identity probe), scores cosine 1.0 against itself, and must rank
+      // first — self_found is deterministic even though the rest of the
+      // top-k is hash-specific. k_ok pins the top-k contract (1..k rows
+      // per query). Recall-vs-brute law lives in ApproxOpsSpec.
       val e = t(s, dir, "embeddings")
       val queries = e.where(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.lshTopK(e, "embedding", "vec_id", queries, "q_vec", "q_id",
-        dim = 64, k = 5, nBits = 8)
+          dim = 64, k = 5, nBits = 8)
+        .groupBy(col("q_id"))
+        .agg(max(col("vec_id") === col("q_id") && col("cosine_sim") === 1.0)
+            .as("self_found"),
+          (count(lit(1)).between(1, 5)).as("k_ok"))
     }),
 
     "q_ann_ivf" -> ((s, dir) => {
@@ -1855,12 +1865,12 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
-        |    '\b(\+?\d{1,3}[-. ]?)?(\(\d{3}\)|\d{3})[-. ]?\d{3}[-. ]?\d{4}\b', '<PHONE>', 'g') AS clean,
+        |    '(\+\d{1,3}[-. ]?(\(\d{3}\)|\d{3})|\(\d{3}\)|\b\d{3})[-. ]?\d{3}[-. ]?\d{4}\b', '<PHONE>', 'g') AS clean,
         |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
         |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
         |  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
         |  len(regexp_extract_all(t,
-        |    '\b(\+?\d{1,3}[-. ]?)?(\(\d{3}\)|\d{3})[-. ]?\d{3}[-. ]?\d{4}\b')) AS n_phone
+        |    '(\+\d{1,3}[-. ]?(\(\d{3}\)|\d{3})|\(\d{3}\)|\b\d{3})[-. ]?\d{3}[-. ]?\d{4}\b')) AS n_phone
         |FROM p""".stripMargin,
 
     "q_sample_stratified" ->
@@ -1932,6 +1942,12 @@ object SparkEntry {
     "q_ann_pq" ->
       """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_ids,
         |  TRUE AS needle_found""".stripMargin,
+
+    // each LSH query vector is a table row: it shares its own bucket, so
+    // the self-hit at cosine 1.0 is deterministic
+    "q_ann_lsh" ->
+      """SELECT vec_id AS q_id, TRUE AS self_found, TRUE AS k_ok
+        |FROM embeddings WHERE vec_id < 3""".stripMargin,
 
     "q_ann_ivfpq" ->
       """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_ids,

@@ -44,6 +44,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // observability: every job counter the queries incremented, for
+    // cross-round diffing (at-least-once totals — diagnostics, not billing)
+    val counters = api.Counters.snapshot(spark)
+      .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/counters.json"), counters)
     spark.stop()
   }
 }

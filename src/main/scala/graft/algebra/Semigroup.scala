@@ -427,6 +427,18 @@ object BF {
   * counts, ties broken by item ordering, so the trim is deterministic).
   * With `capacity` >= distinct items the sketch is EXACT (err 0) and
   * merge-order independent.
+  *
+  * ORDER-DEPENDENCE CAVEAT: once eviction starts (a side at capacity),
+  * merge results depend on how the aggregation GROUPED the inputs — every
+  * grouping's estimates stay within the (count, count−err) bounds above,
+  * but they are not bit-identical across runs with different partition
+  * shapes. `isCommutative = true` asserts the bounds survive reordering
+  * (they do — the floors only grow), NOT bit-determinism; oracle rows over
+  * this sketch must therefore either stay under capacity (exact regime)
+  * or check invariants, never exact hashes. Mismatched capacities are
+  * rejected like the reference's algebird SpaceSaver (`+` requires equal
+  * capacity): silently taking max() would let two differently-sized
+  * sketches merge into bounds neither side's error analysis covers.
   */
 final case class SpaceSaver[T](capacity: Int, counters: Map[T, (Long, Long)]) {
   /** (item, estimate, maxError) descending by estimate; ties by item. */
@@ -449,7 +461,9 @@ object SpaceSaver {
   implicit def spaceSaverSemigroup[T](implicit ord: Ordering[T]): Semigroup[SpaceSaver[T]] =
     new Semigroup[SpaceSaver[T]] {
       def plus(a: SpaceSaver[T], b: SpaceSaver[T]): SpaceSaver[T] = {
-        val cap = math.max(a.capacity, b.capacity)
+        require(a.capacity == b.capacity,
+          s"SpaceSaver capacity mismatch: ${a.capacity} vs ${b.capacity}")
+        val cap = a.capacity
         val (big, small) = if (a.counters.size >= b.counters.size) (a, b) else (b, a)
         val smallFloor = small.evictedBound
         val merged: Map[T, (Long, Long)] =

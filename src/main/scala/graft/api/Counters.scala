@@ -64,4 +64,13 @@ object Counters {
     registry.asScala.collect { case ((a, _, _), c) if a == app => c }
       .toSeq.sortBy(c => (c.group, c.name))
   }
+
+  /** Point-in-time driver-side read of every session counter,
+    * "group.name" → value — the PlatformStatProvider surface an operator
+    * dashboard (or the Verify dump) polls; sorted-key map so successive
+    * snapshots diff cleanly across runs.
+    */
+  def snapshot(spark: SparkSession): scala.collection.immutable.SortedMap[String, Long] =
+    scala.collection.immutable.SortedMap.from(
+      forSession(spark).map(c => s"${c.group}.${c.name}" -> c.value))
 }

@@ -62,9 +62,17 @@ sealed class GraftStream[T](val ds: Dataset[(Long, T)],
     new GraftStream(shardedDs.flatMap { case (t, v) => f(v).iterator.map((t, _)) })
   }
 
-  /** merge / ++ (Producer.scala:222,231 → MergedProducer) = union. */
-  def merge(other: GraftStream[T]): GraftStream[T] =
-    new GraftStream(ds.union(other.ds))
+  /** merge / ++ (Producer.scala:222,231 → MergedProducer) = union. Shard
+    * hints combine symmetrically — max of the two requests (the union
+    * carries at least each side's volume), one-sided hints propagate.
+    */
+  def merge(other: GraftStream[T]): GraftStream[T] = {
+    val shards = (shardHint, other.shardHint) match {
+      case (Some(a), Some(b)) => Some(a max b)
+      case (a, b)             => a.orElse(b)
+    }
+    new GraftStream(ds.union(other.ds), shards)
+  }
   def ++(other: GraftStream[T]): GraftStream[T] = merge(other)
 
   /** Columnar filter passthrough — stays fully inside Catalyst/codegen

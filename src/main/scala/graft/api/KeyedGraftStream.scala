@@ -123,11 +123,24 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)],
   def collectValues[V2: Encoder](pf: PartialFunction[V, V2]): KeyedGraftStream[K, V2] =
     flatMapValues(v => pf.lift(v))
 
-  /** Union; the left side's per-name hints survive (matching the shards
-    * hint's propagation rule everywhere else in the family).
+  /** Union; per-name hints combine SYMMETRICALLY: the merged stream takes
+    * the max of the two shard hints (the union carries at least each
+    * side's volume, so the larger parallelism request wins) and the AND of
+    * the two commutativity overrides (an ordered-fold request on either
+    * side must survive the merge — order sensitivity is contagious). A
+    * hint set on only one side propagates unchanged.
     */
-  def merge(other: KeyedGraftStream[K, V]): KeyedGraftStream[K, V] =
-    new KeyedGraftStream(ds.union(other.ds), shardHint, commutativeHint)
+  def merge(other: KeyedGraftStream[K, V]): KeyedGraftStream[K, V] = {
+    val shards = (shardHint, other.shardHint) match {
+      case (Some(a), Some(b)) => Some(a max b)
+      case (a, b)             => a.orElse(b)
+    }
+    val commutative = (commutativeHint, other.commutativeHint) match {
+      case (Some(a), Some(b)) => Some(a && b)
+      case (a, b)             => a.orElse(b)
+    }
+    new KeyedGraftStream(ds.union(other.ds), shards, commutative)
+  }
 
   def toStream(implicit kvEnc: Encoder[(K, V)]): GraftStream[(K, V)] = {
     implicit val e: Encoder[(Long, (K, V))] = Encoders.tuple(Encoders.scalaLong, kvEnc)

@@ -91,10 +91,15 @@ object TextFunctions {
 
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  // \b on both ends: without them a 16-digit card number or a 14-digit
-  // timestamp gets its first 10-13 digits eaten as a "phone" and the rest
-  // left behind — the anchors make over-long digit runs unmatchable
-  val PhonePattern = "\\b(\\+?\\d{1,3}[-. ]?)?(\\(\\d{3}\\)|\\d{3})[-. ]?\\d{3}[-. ]?\\d{4}\\b"
+  // Anchoring rationale: the trailing \b plus a boundary at each head form
+  // make over-long digit runs (16-digit cards, 14-digit timestamps)
+  // unmatchable. The head is a three-way alternation because \b cannot
+  // match before '+' or '(' (non-word chars on both sides) and RE2 has no
+  // lookbehind: a '+CC' or '(NNN)' head anchors on its literal instead,
+  // so "+1 555-123-4567" and "(555) 123-4567" redact whole — no leaked
+  // '+' prefix — while bare digit runs still require the leading \b.
+  val PhonePattern =
+    "(\\+\\d{1,3}[-. ]?(\\(\\d{3}\\)|\\d{3})|\\(\\d{3}\\)|\\b\\d{3})[-. ]?\\d{3}[-. ]?\\d{4}\\b"
   val SsnPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
 
   def redactEmails(text: Column): Column =

@@ -298,8 +298,13 @@ object Similarity {
     def lookupSum(tab: Column): Column =
       aggregate(sequence(lit(0), lit(books.length - 1)), lit(0.0), (acc, i) =>
         acc + element_at(element_at(tab, i + 1), element_at(col(codeCol), i + 1) + 1))
+    // greatest(ε, ·): a row whose codes all hit zero-norm centroids (a
+    // degenerate/empty training sample) would otherwise score NaN and sort
+    // nondeterministically — the guard pins such rows to score 0, ranked
+    // after any real match, deterministically
     encoded.select(col(idCol),
-        round(lookupSum(dotLit) / (lit(qNorm) * sqrt(lookupSum(nrmLit))), 6).as("pq_sim"))
+        round(lookupSum(dotLit) /
+          greatest(lit(1e-12), lit(qNorm) * sqrt(lookupSum(nrmLit))), 6).as("pq_sim"))
       .orderBy(col("pq_sim").desc, col(idCol))
       .limit(k)
   }

@@ -41,6 +41,18 @@ class CountersSpec extends AnyFunSuite {
     assert(names == names.sorted)
   }
 
+  test("snapshot maps group.name -> value with sorted keys") {
+    val c1 = Counters.counter(spark, "snap", "zeta")
+    val c2 = Counters.counter(spark, "snap", "alpha")
+    c1.incrBy(3L); c2.incrBy(11L)
+    val snap = Counters.snapshot(spark)
+    assert(snap("snap.zeta") == c1.value && snap("snap.alpha") == c2.value)
+    assert(snap.keys.toSeq == snap.keys.toSeq.sorted)
+    // a later increment shows in a later snapshot, not the earlier one
+    c1.incr()
+    assert(Counters.snapshot(spark)("snap.zeta") == snap("snap.zeta") + 1)
+  }
+
   test("counters work under Structured Streaming micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val s = spark; import s.implicits._

@@ -313,6 +313,13 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
       .select(TF.redactPii(col("text"))).head().getString(0)
     assert(long == "card 4111111111111111 at 20260812120000 ok")
+    // international and paren forms redact WHOLE — \b cannot sit before
+    // '+' or '(', so those heads anchor on their literal instead (the
+    // leaked "+<PHONE>" form was a real prefix leak)
+    val intl = Seq((5L, "call +1 650-555-0199 or +15551234567 or (650) 555-0199 ok"))
+      .toDF("doc_id", "text")
+      .select(TF.redactPii(col("text"))).head().getString(0)
+    assert(intl == "call <PHONE> or <PHONE> or <PHONE> ok")
   }
 
   test("sampling: deterministic, nested across fractions, stable by key") {

@@ -272,6 +272,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(forcedOrdered.collect().toSet == default.collect().toSet)
   }
 
+  test("merge combines per-name hints symmetrically: max(shards), AND(commutative)") {
+    val s = spark; import s.implicits._
+    def ks(hintShards: Option[Int], hintComm: Option[Boolean]) = {
+      val base = new graft.api.KeyedGraftStream[String, Long](
+        Seq((1L, "a", 3L)).toDS())
+      val s1 = hintShards.fold(base)(n => base.name("l", shards = n))
+      hintComm.fold(s1)(c => s1.name("l", commutative = c))
+    }
+    // max of the two shard requests wins; one-sided hints propagate
+    assert(ks(Some(7), None).merge(ks(Some(13), None)).shardHint == Some(13))
+    assert(ks(Some(13), None).merge(ks(Some(7), None)).shardHint == Some(13))
+    assert(ks(None, None).merge(ks(Some(7), None)).shardHint == Some(7))
+    assert(ks(Some(7), None).merge(ks(None, None)).shardHint == Some(7))
+    assert(ks(None, None).merge(ks(None, None)).shardHint == None)
+    // an ordered-fold request (commutative = false) on EITHER side survives
+    assert(ks(None, Some(true)).merge(ks(None, Some(false))).commutativeHint == Some(false))
+    assert(ks(None, Some(false)).merge(ks(None, Some(true))).commutativeHint == Some(false))
+    assert(ks(None, Some(true)).merge(ks(None, Some(true))).commutativeHint == Some(true))
+    assert(ks(None, None).merge(ks(None, Some(false))).commutativeHint == Some(false))
+    // and the merged hint drives the physical plan: the union aggregates
+    // on 13 partitions (right side's larger request)
+    import graft.algebra.Semigroup
+    val merged = ks(Some(7), None).merge(ks(Some(13), None))
+      .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
+    assert(merged.queryExecution.executedPlan.toString.contains(", 13)"))
+    // unkeyed streams: same max(shards) rule, either side's hint survives
+    val g1 = graft.api.GraftStream.from(Seq(1L).toDS())(identity).name("l", shards = 5)
+    val g2 = graft.api.GraftStream.from(Seq(2L).toDS())(identity).name("r", shards = 9)
+    assert(g1.merge(g2).shardHint == Some(9))
+    assert(g2.merge(g1).shardHint == Some(9))
+    assert(g1.merge(graft.api.GraftStream.from(Seq(3L).toDS())(identity)).shardHint == Some(5))
+  }
+
   test("native kernels (dot, minhash sig, shingles, intersect) run inside whole-stage codegen") {
     // regression guard: these expressions implement doGenCode (no
     // CodegenFallback) — the hot stages must show codegen spans, not
