@@ -718,15 +718,20 @@ object Dedup {
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
+    var edgeCount = edges.count()
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = edgeCount == 0L
     while (iter < maxIters && !converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextCount = next.count()
       // Fixpoint test: identical edge sets. Both frames are distinct, so an
-      // empty symmetric difference reduces to equal counts + empty subtract.
-      converged = next.count() == edges.count() &&
+      // empty symmetric difference reduces to equal counts + empty subtract
+      // (&& short-circuits the subtract job whenever the counts moved; the
+      // previous round's count is carried, never recomputed).
+      converged = nextCount == edgeCount &&
         next.exceptAll(edges).limit(1).count() == 0L
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     // At the fixpoint the edges form stars (v -> component min). Component
