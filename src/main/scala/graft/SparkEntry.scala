@@ -987,10 +987,37 @@ object SparkEntry {
           (g > 0 && nFp >= 1 && nFp <= greatest(g - 3, lit(1)))).as("fp_ok"))
     }),
 
-    "q_langid" -> ((s, dir) =>
-      // native Catalyst expression (codegen'd), not a UDF
-      t(s, dir, "documents").select(col("doc_id"),
-        graft.functions.NativeExpressions.langId(col("text")).as("lang_guess"))),
+    "q_langid" -> ((s, dir) => {
+      // planted-extreme invariant oracle (q_hll pattern): script plants
+      // (hiragana/hangul/CJK/cyrillic) are deterministic by
+      // codepoint-range detection, Latin plants by trigram-profile
+      // dominance, 'und' by construction — each planted guess is pinned;
+      // the whole corpus still flows through the native codegen'd LangId
+      // expression, collapsing to one always-true containment row (every
+      // guess lands in the closed label set).
+      import s.implicits._
+      import graft.functions.NativeExpressions
+      val planted = Seq(
+        (-1L, "the thing and the best of the year and the rest of the morning", "en"),
+        (-2L, "der die und ich nicht sich ein eine schon unglaublich", "de"),
+        (-3L, "le de la et que les dans une entente quelque", "fr"),
+        (-4L, "el de la ciudad que los en una canción corazón adelantado", "es"),
+        (-5L, "di che la per una della nelle quale mente bellissima atto", "it"),
+        (-6L, "こんにちは せかい", "ja"),
+        (-7L, "안녕하세요 세계", "ko"),
+        (-8L, "你好世界", "zh"),
+        (-9L, "привет мир как дела", "ru"),
+        (-10L, "12345 67890 !!!", "und")
+      ).toDF("doc_id", "text", "expected")
+      val plantedOut = planted.select(col("doc_id"), col("expected").as("lang"),
+        (NativeExpressions.langId(col("text")) === col("expected")).as("lang_ok"))
+      val corpus = t(s, dir, "documents")
+        .select(NativeExpressions.langId(col("text")).as("__g"))
+        .agg(min(col("__g").isin("en", "de", "fr", "es", "it",
+          "ja", "ko", "zh", "ru", "und")).as("lang_ok"))
+        .select(lit(0L).as("doc_id"), lit("__corpus").as("lang"), col("lang_ok"))
+      plantedOut.union(corpus)
+    }),
 
     "q_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: docs sharing >= 5 distinct word 3-grams
@@ -1948,6 +1975,14 @@ object SparkEntry {
     "q_ann_lsh" ->
       """SELECT vec_id AS q_id, TRUE AS self_found, TRUE AS k_ok
         |FROM embeddings WHERE vec_id < 3""".stripMargin,
+
+    // planted script/profile extremes have pinned guesses; the corpus row
+    // asserts closed-label-set containment over every real document
+    "q_langid" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, TRUE AS lang_ok
+        |FROM (VALUES (-1, 'en'), (-2, 'de'), (-3, 'fr'), (-4, 'es'),
+        |  (-5, 'it'), (-6, 'ja'), (-7, 'ko'), (-8, 'zh'), (-9, 'ru'),
+        |  (-10, 'und'), (0, '__corpus')) AS t(doc_id, lang)""".stripMargin,
 
     "q_ann_ivfpq" ->
       """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_ids,
