@@ -843,12 +843,15 @@ object SparkEntry {
       // hamming 0, and the 4×16-bit banding is pigeonhole-complete at
       // hamming ≤ 3, so the copy always pairs with its smaller-id original
       // and the smallest-id-survives policy drops it. Plant a copy of
-      // every 10th doc at doc_id + 100_000_000 and oracle that ALL planted
-      // copies are dropped; the full simhash pipeline (signatures, banding
-      // join, hamming verify) runs over corpus + plants to produce it.
+      // every 10th doc — at id MAX + 1 + doc_id, so plants sit strictly
+      // above every real id at ANY corpus size (a fixed offset would
+      // collide once doc_ids reach it) — and oracle that ALL planted
+      // copies are dropped; the full simhash pipeline (signatures,
+      // banding join, hamming verify) runs over corpus + plants.
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val planted = docs.where(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + lit(100000000L)).as("doc_id"), col("text"))
+        .crossJoin(docs.agg(max(col("doc_id")).as("__mx")))
+        .select((col("__mx") + lit(1L) + col("doc_id")).as("doc_id"), col("text"))
       val survivors = Dedup.simhash(docs.union(planted), "text", "doc_id",
         maxHamming = 3).select(col("doc_id"), lit(1).as("__kept"))
       planted.select("doc_id")
@@ -1892,12 +1895,12 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
-        |    '(\+\d{1,3}[-. ]?(\(\d{3}\)|\d{3})|\(\d{3}\)|\b\d{3})[-. ]?\d{3}[-. ]?\d{4}\b', '<PHONE>', 'g') AS clean,
+        |    '(\+\d{1,3}[-. ]?(\(\d{3}\)|\d{3})|\b\d{1,3}[-. ]?(\(\d{3}\)|\d{3})|\(\d{3}\)|\b\d{3})[-. ]?\d{3}[-. ]?\d{4}\b', '<PHONE>', 'g') AS clean,
         |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
         |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
         |  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
         |  len(regexp_extract_all(t,
-        |    '(\+\d{1,3}[-. ]?(\(\d{3}\)|\d{3})|\(\d{3}\)|\b\d{3})[-. ]?\d{3}[-. ]?\d{4}\b')) AS n_phone
+        |    '(\+\d{1,3}[-. ]?(\(\d{3}\)|\d{3})|\b\d{1,3}[-. ]?(\(\d{3}\)|\d{3})|\(\d{3}\)|\b\d{3})[-. ]?\d{3}[-. ]?\d{4}\b')) AS n_phone
         |FROM p""".stripMargin,
 
     "q_sample_stratified" ->
@@ -1989,9 +1992,11 @@ object SparkEntry {
         |  TRUE AS needle_found""".stripMargin,
 
     // every planted exact copy (identical text, larger id) must be dropped:
-    // hamming 0 is banding-complete at any maxHamming, smallest id survives
+    // hamming 0 is banding-complete at any maxHamming, smallest id survives;
+    // plants sit at max(doc_id)+1+doc_id so they outrank ANY real id
     "q_dedup_simhash" ->
-      """SELECT doc_id + 100000000 AS doc_id, TRUE AS planted_dropped
+      """SELECT (SELECT max(doc_id) FROM documents) + 1 + doc_id AS doc_id,
+        |  TRUE AS planted_dropped
         |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
 
     "q_token_count" ->

@@ -93,13 +93,14 @@ object TextFunctions {
   val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   // Anchoring rationale: the trailing \b plus a boundary at each head form
   // make over-long digit runs (16-digit cards, 14-digit timestamps)
-  // unmatchable. The head is a three-way alternation because \b cannot
+  // unmatchable. The head is a four-way alternation because \b cannot
   // match before '+' or '(' (non-word chars on both sides) and RE2 has no
   // lookbehind: a '+CC' or '(NNN)' head anchors on its literal instead,
   // so "+1 555-123-4567" and "(555) 123-4567" redact whole — no leaked
-  // '+' prefix — while bare digit runs still require the leading \b.
+  // '+' prefix — while the no-plus country-code form ("1-800-555-0199",
+  // compact "15551234567") and bare digit runs anchor on the leading \b.
   val PhonePattern =
-    "(\\+\\d{1,3}[-. ]?(\\(\\d{3}\\)|\\d{3})|\\(\\d{3}\\)|\\b\\d{3})[-. ]?\\d{3}[-. ]?\\d{4}\\b"
+    "(\\+\\d{1,3}[-. ]?(\\(\\d{3}\\)|\\d{3})|\\b\\d{1,3}[-. ]?(\\(\\d{3}\\)|\\d{3})|\\(\\d{3}\\)|\\b\\d{3})[-. ]?\\d{3}[-. ]?\\d{4}\\b"
   val SsnPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
 
   def redactEmails(text: Column): Column =

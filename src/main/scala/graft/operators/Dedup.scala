@@ -711,7 +711,6 @@ object Dedup {
       .select(col(aCol).cast("long").as("n"))
       .union(pairs.select(col(bCol).cast("long").as("n")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
     var edges = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
@@ -734,12 +733,17 @@ object Dedup {
       edgeCount = nextCount
       iter += 1
     }
-    // At the fixpoint the edges form stars (v -> component min). Component
-    // minima have no outgoing edge: they label themselves.
+    // At the fixpoint the edges form stars (v -> component min) — one
+    // out-edge per non-center node, so the left join is one-row-per-id.
+    // A maxIters cutoff mid-contraction can leave a node with SEVERAL
+    // out-edges; collapse them to min(dst) so the (id, comp) contract
+    // (one row per node) holds even on the under-merged result.
+    val outEdges =
+      if (converged) edges
+      else edges.groupBy(col("src")).agg(min(col("dst")).as("dst"))
     val comp = nodes
-      .join(edges.withColumnRenamed("src", "n"), Seq("n"), "left")
+      .join(outEdges.withColumnRenamed("src", "n"), Seq("n"), "left")
       .select(col("n").as(idOut), coalesce(col("dst"), col("n")).as("comp"))
-    nodes.unpersist()
     warnIfNotConverged("star-contraction", CcResult(comp, iter, converged), maxIters)
   }
 

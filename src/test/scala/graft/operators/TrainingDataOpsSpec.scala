@@ -211,6 +211,14 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(!ml.converged)
     assert(ml.components.where(col("comp") =!= 0L).count() > 0,
       "expected an under-merged label on the far end of the chain")
+    // a maxIters cutoff mid-contraction still honors the one-row-per-id
+    // contract (residual multi-out-edge nodes collapse to min(dst))
+    val cut = Dedup.connectedComponentsStarDetailed(chain, "id_a", "id_b", "id",
+      maxIters = 1)
+    assert(!cut.converged)
+    val ids = cut.components.select("id").as[Long].collect()
+    assert(ids.length == ids.distinct.length && ids.length == 64,
+      s"expected 64 unique ids, got ${ids.length} rows")
   }
 
   test("minhashLshTransitive dedups through intermediates where the single pass cannot") {
@@ -320,6 +328,12 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
       .select(TF.redactPii(col("text"))).head().getString(0)
     assert(intl == "call <PHONE> or <PHONE> or <PHONE> ok")
+    // no-plus country-code forms redact whole too (the old single-head
+    // alternation dropped this branch — a caught regression)
+    val noPlus = Seq((6L, "call 1-800-555-0199 or 15551234567 ok"))
+      .toDF("doc_id", "text")
+      .select(TF.redactPii(col("text"))).head().getString(0)
+    assert(noPlus == "call <PHONE> or <PHONE> ok")
   }
 
   test("sampling: deterministic, nested across fractions, stable by key") {

@@ -108,11 +108,15 @@ def main(sfdir, outdir):
             except Exception as e:
                 results[name] = f"ROWS-ONLY-ERROR: {e}"
     ok = sum(1 for v in results.values() if v.startswith("OK"))
+    bad = 0
     for k, v in sorted(results.items()):
-        flag = "  " if v.startswith(("OK", "ROWS-ONLY (")) else "XX"
-        print(f"{flag} {k}: {v}")
+        good = v.startswith(("OK", "ROWS-ONLY ("))
+        bad += 0 if good else 1
+        print(f"{'  ' if good else 'XX'} {k}: {v}")
     print(f"\n{ok}/{len(oracle)} oracle-checked OK")
-    return 0 if ok == len(oracle) else 1
+    # exit non-zero on ANY XX line — including rows-only dump errors, which
+    # are outside `oracle` but still mean the Verify output is broken
+    return 0 if bad == 0 and ok == len(oracle) else 1
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
