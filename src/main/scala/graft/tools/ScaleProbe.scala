@@ -66,6 +66,29 @@ object ScaleProbe {
         Dedup.minhashLshTransitive(spark.read.parquet(p), "text", "doc_id",
           w = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
           .agg(sum(length(col("text")))).collect().head.getLong(0)),
+      // round-8: same transitive dedup via min-label propagation, for the
+      // star-vs-min-label cost comparison on shallow LSH graphs
+      "cc_minlabel" -> (p =>
+        Dedup.minhashLshTransitive(spark.read.parquet(p), "text", "doc_id",
+          w = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+          starContraction = false)
+          .agg(sum(length(col("text")))).collect().head.getLong(0)),
+      // round-8: REAL ImageIO encode+decode through the mapPartitions
+      // batch path (one planted PNG per doc, geometry id-derived)
+      "image_decode" -> { p =>
+        import spark.implicits._
+        import graft.functions.Multimodal
+        val media = spark.read.parquet(p)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, _) =>
+            Multimodal.MediaRow(id, Multimodal.MediaMeta("image/png", 0, 0, 1, 0),
+              Multimodal.encodeGrayPng(16 + (id % 16).toInt,
+                16 + (id % 8).toInt, (id % 251).toInt))
+          }
+        Multimodal.featurizeImages(media)
+          .agg(sum(col("width").cast("long") * col("height")))
+          .collect().head.getLong(0)
+      },
       "bloom_incr" -> { p =>
         val d = spark.read.parquet(p)
         Dedup.exactAgainstBloom(d.where(col("doc_id") % 5 === 0),
