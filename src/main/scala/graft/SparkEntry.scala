@@ -324,6 +324,102 @@ object SparkEntry {
         .toDF("event_id", "user_id", "prior_events")
     }),
 
+    // -- streaming components, driven as REAL Structured Streaming queries
+    // inside the gate (MemoryStream feed in deterministic micro-batches →
+    // processAllAvailable → memory sink), so the online half of the engine
+    // gets DuckDB-oracled rows, not just batch≡streaming laws. The
+    // driver-side MemoryStream feed is the standard streaming-test shape —
+    // the operators under test are the distributed state machines.
+
+    "q_streaming_sum" -> ((s, dir) => {
+      // online Summer (flatMapGroupsWithState, state ACROSS micro-batches):
+      // events arrive in 4 disjoint micro-batches; each emitted row is that
+      // micro-batch's (prior, delta) per (user, day-batch), so the deltas
+      // must sum to exactly the batch-layer totals whatever the slicing.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = eventsDF(s, dir).select(col("ts_ms"), col("user_id"), col("event_id"))
+        .as[(Long, Long, Long)].collect()
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val out = graft.streaming.StreamingSum.sumByKey(
+        ms.toDS().map { case (ts, u) => (ts, u, 1L) }, Batcher.ofDays(1))(
+        Semigroup.longSemigroup, implicitly, implicitly)
+      val view = "q_streaming_sum_sink"
+      s.catalog.dropTempView(view)
+      val q = out.writeStream.format("memory").queryName(view)
+        .outputMode("append").start()
+      try {
+        (0 until 4).foreach { i =>
+          ms.addData(rows.iterator.filter(_._3 % 4 == i).map(r => (r._1, r._2)).toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(view)
+        .select(col("_1").as("user_id"), col("_2").as("batch_id"),
+          col("_3._2").as("__delta"))
+        .groupBy(col("user_id"), col("batch_id"))
+        .agg(sum(col("__delta")).as("cnt"))
+    }),
+
+    "q_streaming_dedup" -> ((s, dir) => {
+      // ingest-time exact dedup with digest state across micro-batches:
+      // batch 1 feeds the whole corpus, batch 2 feeds planted byte-copies
+      // (ids above max) — every planted row must dedup against batch-1
+      // state, so the sink holds one row per distinct text and no planted
+      // id survives, both SQL-expressible facts.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = docsDs(s, dir).collect()
+      val maxId = docs.iterator.map(_.doc_id).max
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val out = graft.streaming.StreamingDedup.exact(
+        ms.toDS().toDF("doc_id", "text"), "text")
+      val view = "q_streaming_dedup_sink"
+      s.catalog.dropTempView(view)
+      val q = out.writeStream.format("memory").queryName(view)
+        .outputMode("append").start()
+      try {
+        ms.addData(docs.iterator.map(d => (d.doc_id, d.text)).toSeq)
+        q.processAllAvailable()
+        ms.addData(docs.iterator.filter(_.doc_id % 10 == 0)
+          .map(d => (maxId + 1 + d.doc_id, d.text)).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(view).agg(count(lit(1)).as("n_kept"),
+        (max(col("doc_id")) <= maxId).as("planted_dropped"))
+    }),
+
+    "q_streaming_loop_join" -> ((s, dir) => {
+      // streaming loop join (state-dependent store, flatMapGroupsWithState):
+      // events arrive in 4 event-id-quartile micro-batches, so arrival
+      // order respects event time per key and the running prior-event
+      // counter must reproduce the batch loop join's oracle exactly.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = eventsDF(s, dir).select(col("event_id"), col("user_id"))
+        .as[(Long, Long)].collect()
+      val maxId = rows.iterator.map(_._1).max
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val out = graft.streaming.StreamingLoopJoin.loopJoin[Long, Long, Long](
+        ms.toDS().map { case (eid, u) => (eid, u, eid) }, None, (_, _) => Some(1L))(
+        Semigroup.longSemigroup, implicitly, implicitly, implicitly)
+      val view = "q_streaming_loop_join_sink"
+      s.catalog.dropTempView(view)
+      val q = out.writeStream.format("memory").queryName(view)
+        .outputMode("append").start()
+      try {
+        (0 until 4).foreach { i =>
+          val lo = maxId * i / 4
+          val hi = if (i == 3) maxId + 1 else maxId * (i + 1) / 4
+          ms.addData(rows.iterator.filter(r => r._1 >= lo && r._1 < hi).toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(view)
+        .select(col("_1").as("event_id"), col("_2").as("user_id"),
+          coalesce(col("_3._2"), lit(0L)).as("prior_events"))
+    }),
+
     "q_loop_join_presplit" -> ((s, dir) => {
       // the hot-key pre-split form of the loop join: same semantics as
       // q_loop_join (state-independent +1 delta), but each key's scan is
@@ -1350,6 +1446,24 @@ object SparkEntry {
         |FROM events""".stripMargin,
 
     "q_loop_join_presplit" ->
+      """SELECT event_id, user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS prior_events
+        |FROM events""".stripMargin,
+
+    // streaming rows: whatever the micro-batch slicing, per-(key,batch)
+    // deltas sum to the batch totals, dedup keeps one row per distinct
+    // text with no planted id surviving, and the quartile-fed loop join
+    // reproduces the batch running counter exactly
+    "q_streaming_sum" ->
+      """SELECT user_id, CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS batch_id,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_streaming_dedup" ->
+      """SELECT count(DISTINCT text) AS n_kept, TRUE AS planted_dropped
+        |FROM documents""".stripMargin,
+
+    "q_streaming_loop_join" ->
       """SELECT event_id, user_id,
         |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS prior_events
         |FROM events""".stripMargin,
