@@ -324,6 +324,41 @@ object SparkEntry {
         .toDF("event_id", "user_id", "prior_events")
     }),
 
+    "q_incremental_driver" -> ((s, dir) => {
+      // the FULL incremental run loop (BatchDriver: commit log →
+      // availability planning → delta pipeline over only the planned
+      // batch partitions → snapshot commit) oracled end-to-end: events
+      // land in a batch_id=N partitioned source, three driver invocations
+      // with advancing upTo bounds roll the store forward (each plans and
+      // reads only its new prefix, recorded in the commit log), and the
+      // final snapshot must equal the all-time per-user counts. Bounds
+      // derive from the data's own batch range so the row is corpus-
+      // agnostic.
+      import s.implicits._
+      val src = java.nio.file.Files.createTempDirectory("graft_drv_src_").toString
+      val storeDir = java.nio.file.Files.createTempDirectory("graft_drv_store_").toString
+      val byBatch = eventsDF(s, dir)
+        .select(col("user_id"), expr("ts_ms DIV 86400000").as("batch_id"))
+      byBatch.repartition(col("batch_id"))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(src)
+      val Array(bLo, bHi) = byBatch
+        .agg(min(col("batch_id")), max(col("batch_id"))).as[(Long, Long)]
+        .head() match { case (a, b) => Array(a, b) }
+      val store = new graft.batch.BatchStore[Long, Long](storeDir)
+      def pipeline(input: org.apache.spark.sql.DataFrame): Dataset[(Long, Long, Long)] =
+        input.groupBy(col("user_id"), col("batch_id"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("user_id"), col("batch_id"), col("cnt"))
+          .as[(Long, Long, Long)]
+      val step = math.max(1L, (bHi - bLo) / 3)
+      Seq(bLo + step, bLo + 2 * step, bHi).foreach { upTo =>
+        graft.batch.BatchDriver.runIncremental(s, src, store,
+          graft.time.BatchID(upTo))(pipeline)(
+          Semigroup.longSemigroup, implicitly, implicitly)
+      }
+      store.readLast(s).get._2.toDF("user_id", "cnt")
+    }),
+
     // -- streaming components, driven as REAL Structured Streaming queries
     // inside the gate (MemoryStream feed in deterministic micro-batches →
     // processAllAvailable → memory sink), so the online half of the engine
@@ -1449,6 +1484,11 @@ object SparkEntry {
       """SELECT event_id, user_id,
         |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS prior_events
         |FROM events""".stripMargin,
+
+    // the incremental driver's three roll-forward runs must reconstruct
+    // the all-time totals exactly — no dropped or double-counted batches
+    "q_incremental_driver" ->
+      "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id",
 
     // streaming rows: whatever the micro-batch slicing, per-(key,batch)
     // deltas sum to the batch totals, dedup keeps one row per distinct
