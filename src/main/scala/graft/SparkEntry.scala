@@ -381,14 +381,20 @@ object SparkEntry {
         Semigroup.longSemigroup, implicitly, implicitly)
       val view = "q_streaming_sum_sink"
       s.catalog.dropTempView(view)
-      val q = out.writeStream.format("memory").queryName(view)
-        .outputMode("append").start()
+      // stateful streaming pays per-micro-batch state-store overhead per
+      // shuffle partition: pin a small count for this query's checkpoint
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
-        (0 until 4).foreach { i =>
-          ms.addData(rows.iterator.filter(_._3 % 4 == i).map(r => (r._1, r._2)).toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+        val q = out.writeStream.format("memory").queryName(view)
+          .outputMode("append").start()
+        try {
+          (0 until 4).foreach { i =>
+            ms.addData(rows.iterator.filter(_._3 % 4 == i).map(r => (r._1, r._2)).toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       s.table(view)
         .select(col("_1").as("user_id"), col("_2").as("batch_id"),
           col("_3._2").as("__delta"))
@@ -411,15 +417,19 @@ object SparkEntry {
         ms.toDS().toDF("doc_id", "text"), "text")
       val view = "q_streaming_dedup_sink"
       s.catalog.dropTempView(view)
-      val q = out.writeStream.format("memory").queryName(view)
-        .outputMode("append").start()
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
-        ms.addData(docs.iterator.map(d => (d.doc_id, d.text)).toSeq)
-        q.processAllAvailable()
-        ms.addData(docs.iterator.filter(_.doc_id % 10 == 0)
-          .map(d => (maxId + 1 + d.doc_id, d.text)).toSeq)
-        q.processAllAvailable()
-      } finally q.stop()
+        val q = out.writeStream.format("memory").queryName(view)
+          .outputMode("append").start()
+        try {
+          ms.addData(docs.iterator.map(d => (d.doc_id, d.text)).toSeq)
+          q.processAllAvailable()
+          ms.addData(docs.iterator.filter(_.doc_id % 10 == 0)
+            .map(d => (maxId + 1 + d.doc_id, d.text)).toSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       s.table(view).agg(count(lit(1)).as("n_kept"),
         (max(col("doc_id")) <= maxId).as("planted_dropped"))
     }),
@@ -440,19 +450,79 @@ object SparkEntry {
         Semigroup.longSemigroup, implicitly, implicitly, implicitly)
       val view = "q_streaming_loop_join_sink"
       s.catalog.dropTempView(view)
-      val q = out.writeStream.format("memory").queryName(view)
-        .outputMode("append").start()
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
-        (0 until 4).foreach { i =>
-          val lo = maxId * i / 4
-          val hi = if (i == 3) maxId + 1 else maxId * (i + 1) / 4
-          ms.addData(rows.iterator.filter(r => r._1 >= lo && r._1 < hi).toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+        val q = out.writeStream.format("memory").queryName(view)
+          .outputMode("append").start()
+        try {
+          (0 until 4).foreach { i =>
+            val lo = maxId * i / 4
+            val hi = if (i == 3) maxId + 1 else maxId * (i + 1) / 4
+            ms.addData(rows.iterator.filter(r => r._1 >= lo && r._1 < hi).toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       s.table(view)
         .select(col("_1").as("event_id"), col("_2").as("user_id"),
           coalesce(col("_3._2"), lit(0L)).as("prior_events"))
+    }),
+
+    "q_streaming_join" -> ((s, dir) => {
+      // watermarked stream-stream buffered leftJoin (the reference's
+      // leftJoin(stream, buffer)) as a REAL streaming query: purchases
+      // and signups feed two MemoryStreams in ts-quartile chunks (disjoint
+      // ascending ranges — nothing ever arrives late for the 1h
+      // watermark), a final sentinel advances both watermarks past every
+      // join window so unmatched-left nulls flush, and the sink must
+      // equal the batch range-join exactly: every signup of the same user
+      // in the trailing 7 days of each purchase, null when none.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = eventsDF(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_ms"), col("event_type"))
+        .as[(Long, Long, Long, String)].collect()
+      val minTs = evs.iterator.map(_._3).min
+      val maxTs = evs.iterator.map(_._3).max
+      val lms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+      val rms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+      val left = lms.toDS().toDF("event_id", "user_id", "__lms")
+        .withColumn("l_ts", timestamp_millis(col("__lms")))
+      val right = rms.toDS().toDF("r_event_id", "r_user", "__rms")
+        .withColumn("r_ts", timestamp_millis(col("__rms")))
+      val joined = graft.streaming.StreamingJoin.leftJoinBuffered(
+        left, "l_ts", right, "r_ts", Seq(("user_id", "r_user")),
+        windowMs = 7L * 86400000L, watermarkMs = 3600000L)
+      val view = "q_streaming_join_sink"
+      s.catalog.dropTempView(view)
+      // a stateful stream-stream join pays per-micro-batch state-store
+      // task overhead on every shuffle partition: pin a small partition
+      // count for this query's checkpoints (restored after) and feed two
+      // halves + sentinel — state still crosses micro-batches
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = joined.select(col("event_id"), col("user_id"), col("r_event_id"))
+          .writeStream.format("memory").queryName(view).outputMode("append").start()
+        try {
+          val purchases = evs.filter(e => e._4 == "purchase" && e._2 % 10 == 0)
+            .map(e => (e._1, e._2, e._3))
+          val signups = evs.filter(e => e._4 == "signup" && e._2 % 10 == 0)
+            .map(e => (e._1, e._2, e._3))
+          val mid = minTs + (maxTs - minTs) / 2 + 1
+          Seq((minTs, mid), (mid, maxTs + 1)).foreach { case (lo, hi) =>
+            lms.addData(purchases.iterator.filter(e => e._3 >= lo && e._3 < hi).toSeq)
+            rms.addData(signups.iterator.filter(e => e._3 >= lo && e._3 < hi).toSeq)
+            q.processAllAvailable()
+          }
+          val flush = maxTs + 8L * 86400000L // past every window + watermark
+          lms.addData(Seq((-1L, -1L, flush)))
+          rms.addData(Seq((-1L, -1L, flush)))
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      s.table(view).where(col("user_id") =!= -1L)
     }),
 
     "q_loop_join_presplit" -> ((s, dir) => {
@@ -1507,6 +1577,15 @@ object SparkEntry {
       """SELECT event_id, user_id,
         |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS prior_events
         |FROM events""".stripMargin,
+
+    "q_streaming_join" ->
+      """SELECT l.event_id, l.user_id, r.event_id AS r_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id % 10 = 0) l
+        |LEFT JOIN (SELECT * FROM events
+        |  WHERE event_type = 'signup' AND user_id % 10 = 0) r
+        |  ON l.user_id = r.user_id
+        |  AND epoch_ms(r.ts) <= epoch_ms(l.ts)
+        |  AND epoch_ms(r.ts) >= epoch_ms(l.ts) - 604800000""".stripMargin,
 
     "q_also" ->
       """SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS batch_id,
