@@ -24,6 +24,16 @@ case class Doc(doc_id: Long, text: String)
   */
 object SparkEntry {
 
+  /** Stateful streaming pays per-micro-batch state-store task overhead on
+    * every shuffle partition; the streaming gate queries pin a small count
+    * for their own checkpoints (the session value is restored after).
+    */
+  private def withPinnedShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -337,26 +347,40 @@ object SparkEntry {
       import s.implicits._
       val src = java.nio.file.Files.createTempDirectory("graft_drv_src_").toString
       val storeDir = java.nio.file.Files.createTempDirectory("graft_drv_store_").toString
+      // batch ids are the DENSE index over the days actually present (a
+      // tiny distinct-days dim, window over <=thousands of rows, broadcast
+      // back) — a raw day number would leave partition gaps on any
+      // zero-event day and availability planning would correctly stall
+      // at the hole forever, failing the row on such a corpus
+      val dayIdx = eventsDF(s, dir)
+        .select(expr("ts_ms DIV 86400000").as("day")).distinct()
+        .withColumn("batch_id", row_number().over(Window.orderBy(col("day"))).cast("long"))
       val byBatch = eventsDF(s, dir)
-        .select(col("user_id"), expr("ts_ms DIV 86400000").as("batch_id"))
+        .select(col("user_id"), expr("ts_ms DIV 86400000").as("day"))
+        .join(broadcast(dayIdx), "day")
+        .select(col("user_id"), col("batch_id"))
       byBatch.repartition(col("batch_id"))
         .write.mode("overwrite").partitionBy("batch_id").parquet(src)
-      val Array(bLo, bHi) = byBatch
-        .agg(min(col("batch_id")), max(col("batch_id"))).as[(Long, Long)]
-        .head() match { case (a, b) => Array(a, b) }
+      val bHi = dayIdx.count() // dense ids are 1..nDays
       val store = new graft.batch.BatchStore[Long, Long](storeDir)
       def pipeline(input: org.apache.spark.sql.DataFrame): Dataset[(Long, Long, Long)] =
         input.groupBy(col("user_id"), col("batch_id"))
           .agg(count(lit(1)).as("cnt"))
           .select(col("user_id"), col("batch_id"), col("cnt"))
           .as[(Long, Long, Long)]
-      val step = math.max(1L, (bHi - bLo) / 3)
-      Seq(bLo + step, bLo + 2 * step, bHi).foreach { upTo =>
+      val step = math.max(1L, bHi / 3)
+      Seq(1L + step, 1L + 2 * step, bHi).foreach { upTo =>
         graft.batch.BatchDriver.runIncremental(s, src, store,
           graft.time.BatchID(upTo))(pipeline)(
           Semigroup.longSemigroup, implicitly, implicitly)
       }
-      store.readLast(s).get._2.toDF("user_id", "cnt")
+      // materialize before deleting the temp source/store dirs the lazy
+      // plan would otherwise re-read (bench reps would pile up copies of
+      // the largest input table in /tmp)
+      val out = store.readLast(s).get._2.toDF("user_id", "cnt").localCheckpoint(true)
+      graft.batch.BatchState.deleteDir(src)
+      graft.batch.BatchState.deleteDir(storeDir)
+      out
     }),
 
     // -- streaming components, driven as REAL Structured Streaming queries
@@ -381,11 +405,7 @@ object SparkEntry {
         Semigroup.longSemigroup, implicitly, implicitly)
       val view = "q_streaming_sum_sink"
       s.catalog.dropTempView(view)
-      // stateful streaming pays per-micro-batch state-store overhead per
-      // shuffle partition: pin a small count for this query's checkpoint
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      withPinnedShufflePartitions(s, 4) {
         val q = out.writeStream.format("memory").queryName(view)
           .outputMode("append").start()
         try {
@@ -394,7 +414,7 @@ object SparkEntry {
             q.processAllAvailable()
           }
         } finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      }
       s.table(view)
         .select(col("_1").as("user_id"), col("_2").as("batch_id"),
           col("_3._2").as("__delta"))
@@ -410,16 +430,16 @@ object SparkEntry {
       // id survives, both SQL-expressible facts.
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val docs = docsDs(s, dir).collect()
+      // NULL texts would desync from the oracle (md5(NULL) is a kept
+      // dedup key, count(DISTINCT text) excludes NULLs) — feed non-null
+      val docs = docsDs(s, dir).collect().filter(_.text != null)
       val maxId = docs.iterator.map(_.doc_id).max
       val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
       val out = graft.streaming.StreamingDedup.exact(
         ms.toDS().toDF("doc_id", "text"), "text")
       val view = "q_streaming_dedup_sink"
       s.catalog.dropTempView(view)
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      withPinnedShufflePartitions(s, 4) {
         val q = out.writeStream.format("memory").queryName(view)
           .outputMode("append").start()
         try {
@@ -429,7 +449,7 @@ object SparkEntry {
             .map(d => (maxId + 1 + d.doc_id, d.text)).toSeq)
           q.processAllAvailable()
         } finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      }
       s.table(view).agg(count(lit(1)).as("n_kept"),
         (max(col("doc_id")) <= maxId).as("planted_dropped"))
     }),
@@ -450,9 +470,7 @@ object SparkEntry {
         Semigroup.longSemigroup, implicitly, implicitly, implicitly)
       val view = "q_streaming_loop_join_sink"
       s.catalog.dropTempView(view)
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      withPinnedShufflePartitions(s, 4) {
         val q = out.writeStream.format("memory").queryName(view)
           .outputMode("append").start()
         try {
@@ -463,7 +481,7 @@ object SparkEntry {
             q.processAllAvailable()
           }
         } finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      }
       s.table(view)
         .select(col("_1").as("event_id"), col("_2").as("user_id"),
           coalesce(col("_3._2"), lit(0L)).as("prior_events"))
@@ -480,7 +498,11 @@ object SparkEntry {
       // in the trailing 7 days of each purchase, null when none.
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // filters pushed into the scan: only the 10% user slice of the two
+      // joined event types ever reaches the driver-side feed arrays
       val evs = eventsDF(s, dir)
+        .where(col("user_id") % 10 === 0 &&
+          col("event_type").isin("purchase", "signup"))
         .select(col("event_id"), col("user_id"), col("ts_ms"), col("event_type"))
         .as[(Long, Long, Long, String)].collect()
       val minTs = evs.iterator.map(_._3).min
@@ -496,20 +518,12 @@ object SparkEntry {
         windowMs = 7L * 86400000L, watermarkMs = 3600000L)
       val view = "q_streaming_join_sink"
       s.catalog.dropTempView(view)
-      // a stateful stream-stream join pays per-micro-batch state-store
-      // task overhead on every shuffle partition: pin a small partition
-      // count for this query's checkpoints (restored after) and feed two
-      // halves + sentinel — state still crosses micro-batches
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      withPinnedShufflePartitions(s, 4) {
         val q = joined.select(col("event_id"), col("user_id"), col("r_event_id"))
           .writeStream.format("memory").queryName(view).outputMode("append").start()
         try {
-          val purchases = evs.filter(e => e._4 == "purchase" && e._2 % 10 == 0)
-            .map(e => (e._1, e._2, e._3))
-          val signups = evs.filter(e => e._4 == "signup" && e._2 % 10 == 0)
-            .map(e => (e._1, e._2, e._3))
+          val purchases = evs.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3))
+          val signups = evs.filter(_._4 == "signup").map(e => (e._1, e._2, e._3))
           val mid = minTs + (maxTs - minTs) / 2 + 1
           Seq((minTs, mid), (mid, maxTs + 1)).foreach { case (lo, hi) =>
             lms.addData(purchases.iterator.filter(e => e._3 >= lo && e._3 < hi).toSeq)
@@ -521,7 +535,7 @@ object SparkEntry {
           rms.addData(Seq((-1L, -1L, flush)))
           q.processAllAvailable()
         } finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      }
       s.table(view).where(col("user_id") =!= -1L)
     }),
 
