@@ -109,9 +109,14 @@ object SparkEntry {
 
     "q_flatmap" -> ((s, dir) => {
       import s.implicits._
+      // the reference's canonical Counter usage — incremented inside the
+      // tokenize flatMap (ExampleJob-style) — so Verify's counters.json
+      // carries a real cross-round-diffable value (a named accumulator
+      // add per emitted token; no measurable cost)
+      val tokens = graft.api.Counters.counter(s, "job", "tokens_emitted")
       GraftStream.fromColumnar(docsDs(s, dir), col("doc_id"))
         .flatMap(d => d.text.split("\\s+").iterator.filter(_.nonEmpty)
-          .map(w => (d.doc_id, w)))
+          .map { w => tokens.incr(); (d.doc_id, w) })
         .valuesDF("doc_id", "word")
     }),
 
