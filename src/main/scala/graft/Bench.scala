@@ -2,20 +2,29 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds and
-  * per-query pass/fail status. A failing query keeps its (wasted) time,
-  * is reported in "failed", and makes the process exit non-zero — a broken
+  * SPARK_GRAFT_SF_DIR. A failing query keeps its (wasted) time, is
+  * reported in "failed", and makes the process exit non-zero — a broken
   * query can never masquerade as a fast success.
   *
-  * SPARK_GRAFT_BENCH_REPS=N (default 2) runs every query N times and adds
-  * "queries_min" / "total_min" — per-query minimums across SUCCESSFUL reps
-  * — next to the first-run "queries" / "value" numbers. The minimum is the
-  * stall-resistant signal on a shared host (a co-tenant page-cache or CPU
-  * stall inflates one rep, not all of them — the documented multi-minute
-  * stall windows made single-run r7 totals swing 3x); first-run numbers
-  * stay for continuity with earlier rounds. Default is 2 so the official
-  * unattended run carries the stall-resistant signal, at roughly double
-  * the wall-clock (~3 min at sf0.1); set 1 to restore single-shot.
+  * Output contract (round 9): the harness that captures this process
+  * keeps only a bounded tail of stdout (~2000 chars), so stdout carries
+  * exactly ONE compact JSON line — totals, reps, failure list, and the
+  * slowest queries by stall-resistant minimum — guaranteed to fit the
+  * capture window. The full per-query maps (first-run seconds and
+  * per-query minimums for every query) are written to
+  * target/bench_full.json (override: SPARK_GRAFT_BENCH_OUT) and echoed
+  * to stderr, so the complete evidence survives even when only the
+  * compact line is archived.
+  *
+  * SPARK_GRAFT_BENCH_REPS=N (default 2) runs every query N times;
+  * "queries_min" / "total_min" are per-query minimums across SUCCESSFUL
+  * reps. The minimum is the stall-resistant signal on a shared host (a
+  * co-tenant page-cache or CPU stall inflates one rep, not all of them —
+  * documented multi-minute stall windows made single-run r7 totals swing
+  * 3x); first-run numbers stay for continuity with earlier rounds. A
+  * query with NO successful rep reports null in "queries_min" (a
+  * fast-fail timing is not a stall-resistant signal) and is excluded
+  * from "total_min".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -63,20 +72,42 @@ object Bench {
         spark.catalog.clearCache()
         (elapsed, ok)
       }
-      // the minimum counts SUCCESSFUL reps only: a fast-failing rep (e.g.
-      // transient executor loss) must not shrink the "honest minimum"
+      // the minimum counts SUCCESSFUL reps only: a query with zero
+      // successful reps gets None (rendered as JSON null) — a fast-fail
+      // timing must never masquerade as the stall-resistant minimum
       val okTimes = times.collect { case (t, true) => t }
-      val minOk = if (okTimes.nonEmpty) okTimes.min else times.map(_._1).min
+      val minOk = if (okTimes.nonEmpty) Some(okTimes.min) else None
       name -> (times.head._1, minOk, times.forall(_._2))
     }
-    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
+    def jnum(v: Option[Double]): String = v.fold("null")(_.toString)
+    val qs = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, v, _)) => s"\"" + k + "\":" + v }
+    val qsMin = results.map { case (k, (_, v, _)) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, (_, _, false)) => "\"" + k + "\"" }
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val totalMin = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val totalMin = results.values.flatMap(_._2).sum
+    val failedArr = failed.mkString("[", ",", "]")
+    // full evidence: every query's first-run seconds + successful-rep
+    // minimum, to a file (and stderr) — survives the bounded stdout capture
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"n_queries":${results.size},"queries":$qs,"queries_min":$qsMin,"failed":$failedArr,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: $e")
+    }
+    System.err.println(fullJson)
+    // compact line — the ONLY stdout output, sized to fit a ~2000-char
+    // capture window: totals + failures + the slowest queries by minimum
+    val slowest = results.toSeq
+      .sortBy { case (_, (first, min, _)) => -min.getOrElse(first) }
+      .take(12)
+      .map { case (k, (first, min, _)) => "\"" + k + "\":" + jnum(min.orElse(Some(first))) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"n_queries":${results.size},"failed":$failedArr,"queries":$slowest,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

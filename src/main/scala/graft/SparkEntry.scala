@@ -127,13 +127,15 @@ object SparkEntry {
         .valuesDF("user_id", "value")
     }),
 
+    // FIRST digit run, capped at 18 digits — the exact semantics the DuckDB
+    // oracle's regexp_extract computes (greedy leftmost match in both
+    // engines), and 18 digits always fits a signed Long/BIGINT, so neither
+    // side can overflow if the testdata ever grows longer digit runs
     "q_optionmap" -> ((s, dir) => {
       import s.implicits._
+      val firstRun = "[0-9]{1,18}".r
       eventStream(s, dir)
-        .optionMap(e => {
-          val digits = e.props.filter(_.isDigit)
-          if (digits.nonEmpty) Some((e.event_id, digits.toLong)) else None
-        })
+        .optionMap(e => firstRun.findFirstIn(e.props).map(d => (e.event_id, d.toLong)))
         .valuesDF("event_id", "k")
     }),
 
@@ -457,6 +459,58 @@ object SparkEntry {
       }
       s.table(view).agg(count(lit(1)).as("n_kept"),
         (max(col("doc_id")) <= maxId).as("planted_dropped"))
+    }),
+
+    "q_streaming_minhash" -> ((s, dir) => {
+      // streaming MinHash-LSH candidate machine (per-bucket id state in
+      // flatMapGroupsWithState) as a REAL streaming query: the corpus
+      // feeds in two ascending-doc_id halves, then a third micro-batch of
+      // planted byte-copies (ids above max, sources doc_id % 10 == 0).
+      // Identical text → identical signature → the copy must pair with
+      // its batch-1/2 source ACROSS the state store, and the deduped
+      // emitted pair set must equal the batch candidate set on the same
+      // fed corpus (signature/banding are the same columnar expressions;
+      // maxBucket is lifted above any bucket size at gate scale so the
+      // cap can't hide a missing pair).
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = docsDs(s, dir).collect().filter(_.text != null).sortBy(_.doc_id)
+      val maxId = docs.iterator.map(_.doc_id).max
+      val planted = docs.filter(_.doc_id % 10 == 0)
+        .map(d => (maxId + 1 + d.doc_id, d.text)).toSeq
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val out = graft.streaming.StreamingDedup.minhashCandidates(
+        ms.toDS().toDF("doc_id", "text"), "text", "doc_id", maxBucket = 8192)
+      val view = "q_streaming_minhash_sink"
+      s.catalog.dropTempView(view)
+      withPinnedShufflePartitions(s, 4) {
+        val q = out.writeStream.format("memory").queryName(view)
+          .outputMode("append").start()
+        try {
+          val half = docs.length / 2
+          ms.addData(docs.take(half).map(d => (d.doc_id, d.text)).toSeq)
+          q.processAllAvailable()
+          ms.addData(docs.drop(half).map(d => (d.doc_id, d.text)).toSeq)
+          q.processAllAvailable()
+          ms.addData(planted)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      val streamed = s.table(view)
+        .select(col("_1").as("id_a"), col("_2").as("id_b")).distinct()
+        .localCheckpoint(true)
+      val full = (docs.map(d => (d.doc_id, d.text)).toSeq ++ planted).toDF("doc_id", "text")
+      val batchCands = Dedup.minhashCandidates(full, "text", "doc_id")
+      // planted ids are the largest ids fed, so a planted doc always sits
+      // on the id_b side of its (source, copy) pair
+      val pairedPlanted = streamed.where(col("id_b") > maxId)
+        .select("id_b").distinct().count()
+      val extra = streamed.except(batchCands).count()
+      val missing = batchCands.except(streamed).count()
+      Seq((planted.length.toLong,
+          pairedPlanted == planted.length.toLong,
+          extra == 0L && missing == 0L))
+        .toDF("n_planted", "planted_all_paired", "stream_eq_batch")
     }),
 
     "q_streaming_loop_join" -> ((s, dir) => {
@@ -1010,6 +1064,17 @@ object SparkEntry {
         col("n_tokens"), 512L, Seq(col("doc_id")))
         .select(col("doc_id"), col("n_tokens"), col("seq_id"), col("seq_offset"))),
 
+    "q_pack_docwise" -> ((s, dir) =>
+      // document-boundary-aware packing: budgeted next-fit that never
+      // splits a doc across 512-token sequences — groups of 4096 tokens
+      // (by prefix sum) are the deterministic parallel unit, local seq ids
+      // renumber via a group-count-sized prefix sum
+      Packing.packDocwise(
+        t(s, dir, "documents").select(col("doc_id"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", col("n_tokens"), 512L, Seq(col("doc_id")), groupBudget = 4096L)
+        .select(col("doc_id"), col("n_tokens"), col("seq_id"), col("seq_offset"))),
+
     "q_shared_ngrams" -> ((s, dir) =>
       // cross-document duplicated-trigram stats: docs sharing any distinct
       // lowercased 3-gram with another doc; only (id, gram-hash) Longs move
@@ -1408,7 +1473,8 @@ object SparkEntry {
       "SELECT user_id, value FROM events WHERE event_type = 'purchase'",
 
     "q_optionmap" ->
-      "SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k FROM events",
+      """SELECT event_id, CAST(regexp_extract(props, '[0-9]{1,18}') AS BIGINT) AS k
+        |FROM events WHERE regexp_matches(props, '[0-9]')""".stripMargin,
 
     "q_merge" ->
       """SELECT event_id, event_type FROM events WHERE event_type = 'click'
@@ -1591,6 +1657,15 @@ object SparkEntry {
     "q_streaming_dedup" ->
       """SELECT count(DISTINCT text) AS n_kept, TRUE AS planted_dropped
         |FROM documents""".stripMargin,
+
+    // planted byte-copies must all pair with their sources across the
+    // state store, and the deduped streaming pair set must equal the
+    // batch candidate set on the same fed corpus (asserted Spark-side;
+    // the oracle pins the planted count and both invariants)
+    "q_streaming_minhash" ->
+      """SELECT count(*) AS n_planted, TRUE AS planted_all_paired,
+        |  TRUE AS stream_eq_batch
+        |FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0""".stripMargin,
 
     "q_streaming_loop_join" ->
       """SELECT event_id, user_id,
@@ -1890,6 +1965,9 @@ object SparkEntry {
         |SELECT doc_id FROM documents WHERE doc_id NOT IN (
         |  SELECT DISTINCT s FROM reach WHERE d < s)""".stripMargin,
 
+    // blank docs (empty shingle sets) follow the STAR contract: one
+    // (min blank id, other blank id, 1.0) row per extra blank — linear,
+    // transitively equivalent to the quadratic clique (Dedup.emptyDocStar)
     "q_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(
@@ -1900,13 +1978,17 @@ object SparkEntry {
         |    ELSE [] END) AS s
         |  FROM (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |    FROM documents))
+        |    FROM documents)),
+        |ne AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+        |emp AS (SELECT doc_id FROM sh WHERE len(s) = 0)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0 THEN
-        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-        |    ELSE 1.0 END, 6) AS jaccard
-        |FROM sh a, sh b WHERE a.doc_id < b.doc_id AND jaccard >= 0.5""".stripMargin,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |FROM ne a, ne b WHERE a.doc_id < b.doc_id AND jaccard >= 0.5
+        |UNION ALL
+        |SELECT (SELECT min(doc_id) FROM emp) AS id_a, e.doc_id AS id_b,
+        |  1.0 AS jaccard
+        |FROM emp e WHERE e.doc_id > (SELECT min(doc_id) FROM emp)""".stripMargin,
 
     "q_row_index" ->
       """SELECT event_id,
@@ -1925,6 +2007,50 @@ object SparkEntry {
         |  CAST(s // 512 AS BIGINT) AS seq_id,
         |  CAST(s % 512 AS BIGINT) AS seq_offset
         |FROM c""".stripMargin,
+
+    // docwise next-fit (Packing.packDocwise): groups of 4096 tokens by
+    // exclusive prefix sum, a sequential next-fit fold per group (the
+    // linear-recursion CTE walks every group in lockstep), then global
+    // renumbering by per-group sequence counts — the exact Scala fold
+    "q_pack_docwise" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        |  FROM t),
+        |g AS (SELECT doc_id, n_tokens, CAST(s // 4096 AS BIGINT) AS grp,
+        |    row_number() OVER (PARTITION BY s // 4096 ORDER BY s, doc_id) AS rn
+        |  FROM c),
+        |p AS (
+        |  SELECT grp, rn, doc_id, n_tokens,
+        |    CAST(0 AS BIGINT) AS seq, CAST(0 AS BIGINT) AS off,
+        |    CAST(CASE WHEN n_tokens > 512 THEN 1 ELSE 0 END AS BIGINT) AS cur,
+        |    CAST(CASE WHEN n_tokens > 512 THEN 0 ELSE n_tokens END AS BIGINT) AS fill
+        |  FROM g WHERE rn = 1
+        |  UNION ALL
+        |  SELECT g.grp, g.rn, g.doc_id, g.n_tokens,
+        |    CASE WHEN g.n_tokens > 512 THEN
+        |           (CASE WHEN p.fill > 0 THEN p.cur + 1 ELSE p.cur END)
+        |         WHEN p.fill + g.n_tokens <= 512 THEN p.cur
+        |         ELSE p.cur + 1 END AS seq,
+        |    CASE WHEN g.n_tokens > 512 OR p.fill + g.n_tokens > 512 THEN 0
+        |         ELSE p.fill END AS off,
+        |    CASE WHEN g.n_tokens > 512 THEN
+        |           (CASE WHEN p.fill > 0 THEN p.cur + 2 ELSE p.cur + 1 END)
+        |         WHEN p.fill + g.n_tokens <= 512 THEN p.cur
+        |         ELSE p.cur + 1 END AS cur,
+        |    CASE WHEN g.n_tokens > 512 THEN 0
+        |         WHEN p.fill + g.n_tokens <= 512 THEN p.fill + g.n_tokens
+        |         ELSE g.n_tokens END AS fill
+        |  FROM g JOIN p ON g.grp = p.grp AND g.rn = p.rn + 1),
+        |u AS (SELECT grp, max(seq) + 1 AS used FROM p GROUP BY grp),
+        |b AS (SELECT grp, coalesce(sum(used) OVER (ORDER BY grp
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base FROM u)
+        |SELECT p.doc_id, p.n_tokens, CAST(b.base + p.seq AS BIGINT) AS seq_id,
+        |  CAST(p.off AS BIGINT) AS seq_offset
+        |FROM p JOIN b ON p.grp = b.grp""".stripMargin,
 
     "q_shared_ngrams" ->
       """WITH toks AS (SELECT doc_id,

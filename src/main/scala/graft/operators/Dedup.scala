@@ -366,7 +366,18 @@ object Dedup {
   def candidatesFromShingles(sh: DataFrame, idCol: String,
       bands: Int, rowsPerBand: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = sh.select(col(idCol),
+    // blank documents (empty shingle sets) are handled OUT of the banded
+    // join: their signatures are all identical (min over nothing =
+    // Long.MaxValue in every position), so every blank pair would collide
+    // in every band and the self-join would emit the full n² clique — a
+    // 100 TB crawl slice with millions of blank docs would OOM that stage.
+    // Every blank pair is an exact duplicate by the Jaccard-1.0
+    // convention, so a star to the minimum blank id is transitively
+    // equivalent (same connected component, same dedup drop set) and
+    // linear. See [[jaccardAllPairs]] for the same contract on the exact
+    // form.
+    val nonEmpty = sh.where(size(col("__sh")) > 0)
+    val sig = nonEmpty.select(col(idCol),
         minhashSignature(col("__sh"), numHashes).as("__sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col(idCol), posexplode(
@@ -379,9 +390,25 @@ object Dedup {
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+      .union(emptyDocStar(sh, idCol).select(col("id_a"), col("id_b")))
       .localCheckpoint(true) // materialize the (small) pair set ...
     sig.unpersist()          // ... so the wide signature cache can go now
     cands
+  }
+
+  /** Star over blank documents: (min blank id, other blank id) pairs with
+    * jaccard 1.0 — the linear, transitively-equivalent replacement for the
+    * blank-doc clique (all blank pairs are Jaccard-1.0 by the empty-union
+    * convention). One single-row aggregate broadcast against the blank ids;
+    * no blank docs → zero rows.
+    */
+  private def emptyDocStar(sh: DataFrame, idCol: String): DataFrame = {
+    val empties = sh.where(size(col("__sh")) === 0).select(col(idCol))
+    empties
+      .crossJoin(broadcast(empties.agg(min(col(idCol)).as("__emin"))))
+      .where(col(idCol) > col("__emin"))
+      .select(col("__emin").as("id_a"), col(idCol).as("id_b"),
+        lit(1.0).as("jaccard"))
   }
 
   /** Candidate pairs straight from documents (shingles computed here). */
@@ -410,7 +437,9 @@ object Dedup {
     * verify at `threshold`. This is the operator's contract surface (the raw
     * candidate set is allowed false positives by construction); the exact
     * all-pairs join is its ground truth whenever banding recall is 1 on the
-    * corpus.
+    * corpus. Blank documents follow the [[emptyDocStar]] star contract:
+    * one (min blank id, blank id, 1.0) row per extra blank doc, never the
+    * quadratic clique.
     */
   def minhashVerifiedPairs(df: DataFrame, textCol: String, idCol: String,
       w: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
@@ -805,8 +834,11 @@ object Dedup {
     * At 100 TB this is the standard exact path: the shuffle carries
     * (shingle, id, size) prefix rows, candidate volume ≈ Σ df(prefix
     * shingle)² which collapses to near-duplicate pairs instead of n²/2.
-    * Requires threshold > 0; pairs of empty shingle sets (blank docs) are
-    * emitted with jaccard 1.0 to match the all-pairs definition.
+    * Requires threshold > 0. Blank documents (empty shingle sets) are all
+    * Jaccard 1.0 to each other by the empty-union convention, but the
+    * full clique is quadratic in the blank count — they are emitted as a
+    * STAR to the minimum blank id instead (linear, transitively
+    * equivalent for components/dedup consumers; see [[emptyDocStar]]).
     */
   def jaccardAllPairs(df: DataFrame, textCol: String, idCol: String,
       w: Int, threshold: Double): DataFrame = {
@@ -837,13 +869,9 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     // blank documents have empty shingle sets: all-pairs jaccard defines
-    // them as identical (union = 0 → 1.0); the prefix join can't see them
-    val empties = sh.where(col("__sz") === 0).select(col(idCol))
-    val emptyPairs = empties.select(col(idCol).as("id_a"))
-      .crossJoin(empties.select(col(idCol).as("id_b")))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
-    val out = verified.union(emptyPairs).localCheckpoint(true)
+    // them as identical (union = 0 → 1.0); the prefix join can't see them,
+    // and the full clique would be quadratic — emit the linear star
+    val out = verified.union(emptyDocStar(sh, idCol)).localCheckpoint(true)
     sh.unpersist()
     out
   }

@@ -63,6 +63,17 @@ object StreamingDedup {
     * emit O(n²) pairs); arrivals past the cap still pair against the
     * remembered ids but are not themselves remembered. Only ids live in the
     * state store (native bigint array), never text or signatures.
+    *
+    * Blank documents (empty shingle sets) mirror the batch star contract
+    * ([[graft.operators.Dedup.candidatesFromShingles]]): they bypass the
+    * banded buckets (their identical all-MaxValue signatures would turn
+    * every band bucket into a blank clique) and route to ONE dedicated
+    * state key remembering only the minimum blank id seen so far; each
+    * later blank emits a single pair against that minimum. When the
+    * minimum blank id arrives no later than the other blanks (ascending
+    * feeds; any corpus without blanks), the emitted set equals the batch
+    * star exactly; under adversarial arrival orders it is a union of
+    * stars — still linear and transitively equivalent.
     */
   def minhashCandidates(ds: DataFrame, textCol: String, idCol: String,
       w: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
@@ -70,12 +81,17 @@ object StreamingDedup {
     val numHashes = bands * rowsPerBand
     // signature once per row, then band explosion — the same expressions
     // (and therefore the same bucket keys) as Dedup.candidatesFromShingles
-    val sig = ds.select(col(idCol).cast("long").as("__id"),
-      Dedup.minhashSignature(Dedup.shingleCol(col(textCol), w), numHashes).as("__sig"))
+    val base = ds.select(col(idCol).cast("long").as("__id"),
+      Dedup.shingleCol(col(textCol), w).as("__shg"))
+    val sig = base.where(size(col("__shg")) > 0).select(col("__id"),
+      Dedup.minhashSignature(col("__shg"), numHashes).as("__sig"))
+    val blank = base.where(size(col("__shg")) === 0)
+      .select(col("__id"), lit(-1).as("__band"), lit(0).as("__bandhash"))
     val banded = sig.select(col("__id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
         .as(Seq("__band", "__bandhash")))
+      .union(blank)
     implicit val rowEnc: Encoder[(Long, Int, Int)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaInt)
     implicit val keyEnc: Encoder[(Int, Int)] =
@@ -87,21 +103,35 @@ object StreamingDedup {
       .groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState[Array[Long], (Long, Long)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (_, rows, state) =>
+        case ((band, _), rows, state) =>
           val prior = state.getOption.getOrElse(Array.empty[Long])
           // sort for a deterministic in-batch fold order
           val newIds = rows.map(_._1).toArray.distinct.sorted
           val out = Seq.newBuilder[(Long, Long)]
-          val bucket = scala.collection.mutable.ArrayBuffer.from(prior)
-          newIds.foreach { id =>
-            if (!prior.contains(id)) {
-              bucket.foreach { p =>
-                if (p != id) out += ((math.min(p, id), math.max(p, id)))
+          if (band == -1) {
+            // blank-document star: remember ONLY the running minimum id;
+            // each later blank pairs against it (linear, never a clique)
+            var minId = if (prior.nonEmpty) prior(0) else Long.MaxValue
+            newIds.foreach { id =>
+              if (id != minId) {
+                if (minId != Long.MaxValue)
+                  out += ((math.min(minId, id), math.max(minId, id)))
+                minId = math.min(minId, id)
               }
-              if (bucket.length < maxBucket) bucket += id
             }
+            if (minId != Long.MaxValue) state.update(Array(minId))
+          } else {
+            val bucket = scala.collection.mutable.ArrayBuffer.from(prior)
+            newIds.foreach { id =>
+              if (!prior.contains(id)) {
+                bucket.foreach { p =>
+                  if (p != id) out += ((math.min(p, id), math.max(p, id)))
+                }
+                if (bucket.length < maxBucket) bucket += id
+              }
+            }
+            state.update(bucket.toArray)
           }
-          state.update(bucket.toArray)
           out.result().iterator
       }
   }

@@ -362,4 +362,36 @@ class ApproxOpsSpec extends AnyFunSuite {
     assert(truth.nonEmpty && truth.subsetOf(cands),
       s"missed ${truth -- cands} of $truth")
   }
+
+  test("blank documents produce a linear star, never the quadratic clique") {
+    val s = spark; import s.implicits._
+    // 60 blank docs + 5 normal: the clique would be 60*59/2 = 1770 blank
+    // pairs; the star contract emits exactly 59, all anchored at the
+    // minimum blank id with jaccard 1.0
+    val blanks = Seq.tabulate(60)(i => (i.toLong, "   "))
+    val normal = Seq.tabulate(5)(i => (100L + i, s"alpha beta gamma delta epsilon unique$i"))
+    val docs = (blanks ++ normal).toDF("doc_id", "text")
+
+    val allPairs = Dedup.jaccardAllPairs(docs, "text", "doc_id", w = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val blankRows = allPairs.filter(_._1 < 100L)
+    assert(blankRows.length == 59, s"expected 59 star rows, got ${blankRows.length}")
+    assert(blankRows.forall { case (a, _, j) => a == 0L && j == 1.0 })
+    assert(blankRows.map(_._2).toSet == (1L until 60L).toSet)
+
+    // the banded candidate stage obeys the same contract (blank docs would
+    // otherwise collide in every band and emit the clique)
+    val cands = Dedup.minhashCandidates(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().filter(_._1 < 100L)
+    assert(cands.length == 59 && cands.forall(_._1 == 0L))
+
+    // verified pairs keep the star at jaccard 1.0, and full LSH dedup keeps
+    // exactly ONE blank doc (the star anchors every blank to doc 0)
+    val verified = Dedup.minhashVerifiedPairs(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().filter(_._1 < 100L)
+    assert(verified.length == 59 && verified.forall { case (a, _, j) => a == 0L && j == 1.0 })
+    val kept = Dedup.minhashLsh(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.count(_ < 100L) == 1 && kept.contains(0L))
+  }
 }

@@ -454,6 +454,56 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packDocwise: next-fit model match, docs never split, efficiency >= 0.5, any layout") {
+    val seqLen = 64L; val budget = 256L
+    val tokens = Seq.tabulate(300)(i => (i.toLong, (i * 37 % 90 + 1).toLong))
+    // sequential model: prefix-sum grouping, per-group next-fit fold,
+    // global renumbering by per-group sequence counts — the operator's
+    // documented semantics, executed in plain Scala
+    val ordered = tokens.sortBy(_._1)
+    val prefixes = ordered.scanLeft(0L)(_ + _._2)
+    val grouped = ordered.zip(prefixes)
+      .map { case ((id, n), s) => (s / budget, s, id, n) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val expected = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    var base = 0L
+    grouped.foreach { case (_, ds) =>
+      var cur = 0L; var fill = 0L; var maxSeq = 0L
+      ds.sortBy(d => (d._2, d._3)).foreach { case (_, _, id, tok) =>
+        if (tok > seqLen) {
+          val sq = if (fill > 0) cur + 1 else cur
+          expected(id) = (base + sq, 0L); cur = sq + 1; fill = 0L
+          maxSeq = math.max(maxSeq, sq)
+        } else if (fill + tok <= seqLen) {
+          expected(id) = (base + cur, fill); fill += tok
+          maxSeq = math.max(maxSeq, cur)
+        } else {
+          cur += 1; fill = tok; expected(id) = (base + cur, 0L)
+          maxSeq = math.max(maxSeq, cur)
+        }
+      }
+      base += maxSeq + 1
+    }
+    val byId = tokens.toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val df = tokens.toDF("id", "n").repartition(parts, col("n"))
+      val got = Packing.packDocwise(df, "id", col("n"), seqLen, Seq(col("id")), budget)
+        .select("id", "seq_id", "seq_offset").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expected.toMap, s"parts=$parts")
+      // the defining property: no doc that fits a sequence ever straddles one
+      got.foreach { case (id, (_, off)) =>
+        if (byId(id) <= seqLen) assert(off + byId(id) <= seqLen, s"doc $id split")
+      }
+      // packing efficiency (oversized docs occupy their own sequence and
+      // only help the ratio): waste is bounded by next-fit + one partial
+      // sequence per group
+      val nSeqs = got.values.map(_._1).toSet.size
+      val eff = tokens.map(_._2).sum.toDouble / (nSeqs * seqLen)
+      assert(eff >= 0.5, s"efficiency $eff")
+    }
+  }
+
   test("sharedNgramStats counts cross-doc trigram overlap, full-dup doc at frac 1") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),

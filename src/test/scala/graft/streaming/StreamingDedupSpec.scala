@@ -101,6 +101,33 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(oneShot == batchPairs)
   }
 
+  test("streaming minhash blank docs form a linear star matching the batch contract") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // blanks fed ascending (min id first) across micro-batches: the
+    // emitted set must equal the batch star — (min blank, other blank)
+    // only, never the clique — alongside untouched non-blank candidates
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "\t"),
+      (4L, nearDupDocs(0)._2), (5L, nearDupDocs(0)._2), (6L, ""))
+    val batchPairs = graft.operators.Dedup.minhashCandidates(
+      docs.toDF("id", "text"), "text", "id").as[(Long, Long)].collect().toSet
+    assert(batchPairs == Set((1L, 2L), (1L, 3L), (1L, 6L), (4L, 5L)))
+
+    val ms = MemoryStream[(Long, String)]
+    val cands = StreamingDedup.minhashCandidates(
+      ms.toDS().toDF("id", "text"), "text", "id")
+    val q = cands.writeStream.format("memory").queryName("smh_blank")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs(0), docs(1), docs(3))
+      q.processAllAvailable()
+      ms.addData(docs(2), docs(4), docs(5))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("smh_blank").as[(Long, Long)].collect().toSet
+    assert(streamed == batchPairs)
+  }
+
   test("streaming minhash maxBucket caps state but keeps pairing against remembered ids") {
     val s = spark; import s.implicits._
     // 4 byte-identical docs in one shot with maxBucket = 2: every band
