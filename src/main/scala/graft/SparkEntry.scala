@@ -27,6 +27,12 @@ object SparkEntry {
   /** Stateful streaming pays per-micro-batch state-store task overhead on
     * every shuffle partition; the streaming gate queries pin a small count
     * for their own checkpoints (the session value is restored after).
+    *
+    * SEQUENTIAL-ONLY: this mutates the session-global conf non-reentrantly,
+    * which is safe under Bench/Verify's one-query-at-a-time execution but
+    * would race concurrent queries onto 4 shuffle partitions. Concurrent
+    * callers must scope the override to a cloned session
+    * (`spark.newSession()`) instead.
     */
   private def withPinnedShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
     val saved = s.conf.get("spark.sql.shuffle.partitions")
@@ -376,18 +382,22 @@ object SparkEntry {
           .select(col("user_id"), col("batch_id"), col("cnt"))
           .as[(Long, Long, Long)]
       val step = math.max(1L, bHi / 3)
-      Seq(1L + step, 1L + 2 * step, bHi).foreach { upTo =>
-        graft.batch.BatchDriver.runIncremental(s, src, store,
-          graft.time.BatchID(upTo))(pipeline)(
-          Semigroup.longSemigroup, implicitly, implicitly)
+      // the temp dirs hold a partitioned copy of the events table — delete
+      // them on EVERY exit path (a throwing driver run or readLast would
+      // otherwise leak the copy into /tmp on each failing bench rep)
+      try {
+        Seq(1L + step, 1L + 2 * step, bHi).foreach { upTo =>
+          graft.batch.BatchDriver.runIncremental(s, src, store,
+            graft.time.BatchID(upTo))(pipeline)(
+            Semigroup.longSemigroup, implicitly, implicitly)
+        }
+        // materialize before deleting the temp source/store dirs the lazy
+        // plan would otherwise re-read
+        store.readLast(s).get._2.toDF("user_id", "cnt").localCheckpoint(true)
+      } finally {
+        graft.batch.BatchState.deleteDir(src)
+        graft.batch.BatchState.deleteDir(storeDir)
       }
-      // materialize before deleting the temp source/store dirs the lazy
-      // plan would otherwise re-read (bench reps would pile up copies of
-      // the largest input table in /tmp)
-      val out = store.readLast(s).get._2.toDF("user_id", "cnt").localCheckpoint(true)
-      graft.batch.BatchState.deleteDir(src)
-      graft.batch.BatchState.deleteDir(storeDir)
-      out
     }),
 
     // -- streaming components, driven as REAL Structured Streaming queries

@@ -758,6 +758,12 @@ object Dedup {
       // previous round's count is carried, never recomputed).
       converged = nextCount == edgeCount &&
         next.exceptAll(edges).limit(1).count() == 0L
+      // the superseded round's checkpoint blocks are dead the moment the
+      // fixpoint test above has run — release them now instead of pinning
+      // up to maxIters edge copies in executor storage until GC-driven
+      // ContextCleaner cleanup (the final frame stays: its blocks back the
+      // returned plan)
+      edges.unpersist()
       edges = next
       edgeCount = nextCount
       iter += 1

@@ -42,7 +42,8 @@ object ScaleProbe {
     }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("event_type"), col("user_id"), col("value"))
+      .select(col("event_type"), col("user_id"), col("value"),
+        expr("ts DIV 1000000").as("ts_ms"), col("event_id"))
     val docs1 = prep("docs1", docs)
     val docsN = prep(s"docs$factor", selfUnion(docs, "doc_id", factor))
     val ev1 = prep("ev1", events)
@@ -139,6 +140,104 @@ object ScaleProbe {
       val tN = time(f(dp))
       spark.catalog.clearCache()
       println(f"PROBE $name%-24s 1x=${t1}%.2fs ${factor}x=${tN}%.2fs ratio=${tN / t1}%.2f")
+    }
+
+    // round-9: streaming state machines probed the same way the batch
+    // operators were — wall-clock at 1x and factor-x PLUS shuffle-partition
+    // sensitivity (state-store tasks scale with partitions per micro-batch)
+    // and the state store's own size from the final micro-batch's query
+    // progress (rows + memory), so the 100x claim for the streaming half
+    // rests on measured state growth, not shuffle shape alone.
+    def streamProbe(name: String, parts: Int, p: String): (Double, Long, Long) = {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val saved = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try {
+        val q = name match {
+          case "streaming_sum" =>
+            // q_streaming_sum shape: 4 event-id-sliced micro-batches into
+            // the online Summer, state keyed (user, day-batch)
+            val rows = spark.read.parquet(p)
+              .select(col("ts_ms"), col("user_id"), col("event_id"))
+              .as[(Long, Long, Long)].collect()
+            val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+            val out = graft.streaming.StreamingSum.sumByKey(
+              ms.toDS().map { case (ts, u) => (ts, u, 1L) },
+              graft.time.Batcher.ofDays(1))(
+              graft.algebra.Semigroup.longSemigroup, implicitly, implicitly)
+            val q = out.writeStream.format("noop").outputMode("append").start()
+            (0 until 4).foreach { i =>
+              ms.addData(rows.iterator.filter(_._3 % 4 == i).map(r => (r._1, r._2)).toSeq)
+              q.processAllAvailable()
+            }
+            q
+          case "streaming_join" =>
+            // q_streaming_join shape: watermarked stream-stream buffered
+            // leftJoin over the 10% user slice, two ts-halves + flush
+            val evs = spark.read.parquet(p)
+              .where(col("user_id") % 10 === 0 &&
+                col("event_type").isin("purchase", "signup"))
+              .select(col("event_id"), col("user_id"), col("ts_ms"), col("event_type"))
+              .as[(Long, Long, Long, String)].collect()
+            val minTs = evs.iterator.map(_._3).min
+            val maxTs = evs.iterator.map(_._3).max
+            val lms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+            val rms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+            val left = lms.toDS().toDF("event_id", "user_id", "__lms")
+              .withColumn("l_ts", timestamp_millis(col("__lms")))
+            val right = rms.toDS().toDF("r_event_id", "r_user", "__rms")
+              .withColumn("r_ts", timestamp_millis(col("__rms")))
+            val joined = graft.streaming.StreamingJoin.leftJoinBuffered(
+              left, "l_ts", right, "r_ts", Seq(("user_id", "r_user")),
+              windowMs = 7L * 86400000L, watermarkMs = 3600000L)
+            val q = joined.select(col("event_id"), col("user_id"), col("r_event_id"))
+              .writeStream.format("noop").outputMode("append").start()
+            val purchases = evs.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3))
+            val signups = evs.filter(_._4 == "signup").map(e => (e._1, e._2, e._3))
+            val mid = minTs + (maxTs - minTs) / 2 + 1
+            Seq((minTs, mid), (mid, maxTs + 1)).foreach { case (lo, hi) =>
+              lms.addData(purchases.iterator.filter(e => e._3 >= lo && e._3 < hi).toSeq)
+              rms.addData(signups.iterator.filter(e => e._3 >= lo && e._3 < hi).toSeq)
+              q.processAllAvailable()
+            }
+            val flush = maxTs + 8L * 86400000L
+            lms.addData(Seq((-1L, -1L, flush)))
+            rms.addData(Seq((-1L, -1L, flush)))
+            q.processAllAvailable()
+            q
+          case other => sys.error(s"unknown stream probe $other")
+        }
+        // PEAK state across the run's micro-batches (the last trigger can
+        // be post-watermark-eviction — e.g. the join's flush sentinel —
+        // which would under-report the working-set the state store carried)
+        val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        val stateRows =
+          if (progs.isEmpty) -1L
+          else progs.map(_.stateOperators.map(_.numRowsTotal).sum).max
+        val stateMem =
+          if (progs.isEmpty) -1L
+          else progs.map(_.stateOperators.map(_.memoryUsedBytes).sum).max
+        q.stop()
+        (0.0, stateRows, stateMem)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    }
+    def timedStreamProbe(name: String, parts: Int, p: String): (Double, Long, Long) = {
+      val t0 = System.nanoTime()
+      val (_, rows, mem) = streamProbe(name, parts, p)
+      ((System.nanoTime() - t0) / 1e9, rows, mem)
+    }
+    val streamNames = Seq("streaming_sum", "streaming_join")
+      .filter(n => opsArg.forall(_.contains(n)))
+    if (streamNames.nonEmpty) {
+      // one discarded warm run pays the one-time streaming codepaths
+      streamProbe("streaming_sum", 4, ev1)
+      for (name <- streamNames; parts <- Seq(4, 32)) {
+        val (t1, r1, m1) = timedStreamProbe(name, parts, ev1)
+        val (tN, rN, mN) = timedStreamProbe(name, parts, evN)
+        println(f"PROBE $name%-16s parts=$parts%-3d 1x=${t1}%.2fs ${factor}x=${tN}%.2fs " +
+          f"ratio=${tN / t1}%.2f stateRows=${r1}->${rN} stateMB=${m1 / 1e6}%.1f->${mN / 1e6}%.1f")
+      }
     }
     spark.stop()
   }

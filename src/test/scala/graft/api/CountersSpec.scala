@@ -64,4 +64,43 @@ class CountersSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
     assert(c.value == 40L)
   }
+
+  test("job scopes isolate same-named counters; snapshots keep historical keys") {
+    val a = Counters.counterFor(spark, "jobA", "core", "emitted")
+    val b = Counters.counterFor(spark, "jobB", "core", "emitted")
+    val d = Counters.counter(spark, "core", "emitted") // DefaultJob scope
+    a.incrBy(7L); b.incrBy(2L); d.incrBy(40L)
+    assert(a.value == 7L && b.value == 2L && d.value == 40L)
+    assert(Counters.counterFor(spark, "jobA", "core", "emitted").value == 7L)
+    assert(Counters.forJob(spark, "jobA").map(c => (c.group, c.name)) ==
+      Seq(("core", "emitted")))
+    val snap = Counters.snapshot(spark)
+    // default scope keeps the un-prefixed key (Verify artifact stability);
+    // named jobs prefix theirs
+    assert(snap("core.emitted") == 40L)
+    assert(snap("jobA.core.emitted") == 7L && snap("jobB.core.emitted") == 2L)
+    assert(Counters.snapshotFor(spark, "jobB") == Map("core.emitted" -> 2L))
+  }
+
+  test("streaming counters are monotone across micro-batch triggers") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s = spark; import s.implicits._
+    val c = Counters.counterFor(spark, "mono", "stream", "rows")
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = ms.toDS().map { x => c.incr(); x }
+      .writeStream.format("noop").outputMode("append").start()
+    val observed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      (0 until 4).foreach { i =>
+        ms.addData((1L to 10L).map(_ + i * 10): _*)
+        q.processAllAvailable()
+        observed += Counters.snapshotFor(spark, "mono")("stream.rows")
+      }
+    } finally q.stop()
+    // accumulator totals never decrease trigger over trigger, and each
+    // trigger's delta is exactly that micro-batch's row count here
+    // (local mode: every task runs once)
+    assert(observed.toSeq == Seq(10L, 20L, 30L, 40L))
+    assert(observed.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+  }
 }
