@@ -1232,6 +1232,24 @@ object SparkEntry {
           max(col("vec_id") === -1L).as("needle_found"))
     }),
 
+    "q_ann_nsw" -> ((s, dir) => {
+      // graph ANN (partitioned NSW — HNSW's layer-0 per shard): planted-
+      // needle invariant oracle, q_ann_pq construction. The needle (exact
+      // copy of the query, vec_id = -1) scores cosine 1.0 while the best
+      // natural neighbor is far below; the greedy beam search must
+      // surface it from its shard's graph, and the merged top-k is
+      // deterministic by the smaller-id tie rule. Recall-vs-brute and
+      // built-index-equality laws live in ApproxOpsSpec.
+      import s.implicits._
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val needle = Seq((-1L, q.toSeq)).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast(e0.schema("embedding").dataType))
+      Similarity.nswTopK(e0.union(needle), "embedding", "vec_id", q, k = 10)
+        .agg(count(lit(1)).as("k"), countDistinct(col("vec_id")).as("n_ids"),
+          max(col("vec_id") === -1L && col("nsw_sim") === 1.0).as("needle_found"))
+    }),
+
     "q_ann_ivfpq" -> ((s, dir) => {
       // IVF-PQ (FAISS IVFADC layout): coarse cells + PQ-coded residuals,
       // probe scan reads (cell, codes) only. Planted-needle invariant
@@ -2376,6 +2394,12 @@ object SparkEntry {
         |  (-10, 'und'), (0, '__corpus')) AS t(doc_id, lang)""".stripMargin,
 
     "q_ann_ivfpq" ->
+      """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_ids,
+        |  TRUE AS needle_found""".stripMargin,
+
+    // the planted exact copy of the query scores cosine 1.0 and must
+    // surface from its NSW shard's beam search
+    "q_ann_nsw" ->
       """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_ids,
         |  TRUE AS needle_found""".stripMargin,
 

@@ -21,6 +21,12 @@ import graft.functions.VectorFunctions
   *  - [[ivfTopK]]: IVF-style variant — coarse centroids picked
   *    deterministically, vectors assigned to nearest centroid (the inverted
   *    file), queries probe the `nProbe` nearest centroids only.
+  *  - [[pqTopK]] / [[ivfPqTopK]]: product quantization — codes-only ADC
+  *    rescoring, the billion-scale storage layout.
+  *  - [[nswTopK]] / [[nswBuild]] + [[nswSearchBuilt]]: partitioned
+  *    navigable-small-world graphs — the high-recall/low-latency serving
+  *    regime; each hash shard builds HNSW's layer-0 independently and
+  *    queries beam-search every shard.
   */
 object Similarity {
 
@@ -450,6 +456,206 @@ object Similarity {
         round((element_at(qcLit, col("__cell") + 1) + lookupSum(dotLit)) / lit(qNorm), 6)
           .as("ivfpq_score"))
       .orderBy(col("ivfpq_score").desc, col(idCol))
+      .limit(k)
+  }
+
+  // ---- graph ANN: partitioned NSW (Malkov et al.'s navigable-small-world
+  // family — HNSW's layer-0 construction/search, IS'14 / TPAMI'20) --------
+
+  /** Cosine similarity of local vector `i` against `q` (norms precomputed);
+    * zero-norm rows score 0 (ranked last, deterministically).
+    */
+  private def simTo(vecs: Array[Array[Double]], norms: Array[Double],
+      i: Int, q: Array[Double], qNorm: Double): Double = {
+    val v = vecs(i)
+    var d = 0.0; var j = 0
+    while (j < v.length) { d += v(j) * q(j); j += 1 }
+    val denom = norms(i) * qNorm
+    if (denom > 0.0) d / denom else 0.0
+  }
+
+  /** Greedy beam search over one in-memory NSW graph — HNSW's
+    * SEARCH-LAYER: expand the best unexpanded candidate, keep the `ef`
+    * best results, stop when the best candidate is worse than the worst
+    * kept result. Fully deterministic: similarity ties break toward the
+    * smaller local index. Returns up to `ef` (index, sim) pairs, best
+    * first. `bound` limits the search to the first `bound` nodes (the
+    * incremental-construction prefix).
+    */
+  private def nswSearchLocal(vecs: Array[Array[Double]], norms: Array[Double],
+      adj: Array[scala.collection.mutable.ArrayBuffer[Int]], entry: Int,
+      q: Array[Double], ef: Int, bound: Int): Array[(Int, Double)] = {
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    // max-heap on (sim, smaller-index-wins)
+    val better = Ordering.by[(Int, Double), (Double, Int)] { case (i, s) => (s, -i) }
+    val cand = scala.collection.mutable.PriorityQueue.empty[(Int, Double)](better)
+    val res = scala.collection.mutable.PriorityQueue.empty[(Int, Double)](better.reverse)
+    val visited = new java.util.BitSet(bound)
+    visited.set(entry)
+    val es = simTo(vecs, norms, entry, q, qNorm)
+    cand.enqueue((entry, es)); res.enqueue((entry, es))
+    while (cand.nonEmpty) {
+      val (c, cs) = cand.dequeue()
+      val (wi, ws) = res.head
+      if (res.size >= ef && better.lt((c, cs), (wi, ws))) {
+        cand.clear() // best remaining candidate can't improve the result set
+      } else {
+        val ns = adj(c)
+        var t = 0
+        while (t < ns.length) {
+          val n = ns(t)
+          if (n < bound && !visited.get(n)) {
+            visited.set(n)
+            val s = simTo(vecs, norms, n, q, qNorm)
+            if (res.size < ef || better.gt((n, s), (res.head._1, res.head._2))) {
+              cand.enqueue((n, s)); res.enqueue((n, s))
+              if (res.size > ef) res.dequeue()
+            }
+          }
+          t += 1
+        }
+      }
+    }
+    res.dequeueAll.toArray.reverse // best first
+  }
+
+  /** In-memory NSW construction — HNSW's layer-0 insert loop: nodes enter
+    * in index order, each new node beam-searches the existing prefix
+    * (`efConstruction` beam) and links bidirectionally to its `m` nearest
+    * finds; neighbor lists cap at 2m, pruned back to the 2m nearest when
+    * an insertion overflows them (the simple-prune variant; determinism
+    * over the heuristic prune). Node 0 is the fixed entry point.
+    */
+  private def nswBuildLocal(vecs: Array[Array[Double]], norms: Array[Double],
+      m: Int, efConstruction: Int): Array[scala.collection.mutable.ArrayBuffer[Int]] = {
+    val n = vecs.length
+    val maxM = 2 * m
+    val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    var i = 1
+    while (i < n) {
+      val found = nswSearchLocal(vecs, norms, adj, 0, vecs(i), efConstruction, i)
+      val nbrs = found.take(m)
+      nbrs.foreach { case (nb, _) =>
+        adj(i) += nb
+        adj(nb) += i
+        if (adj(nb).length > maxM) {
+          val qNorm = norms(nb)
+          val kept = adj(nb).toArray
+            .map(x => (x, simTo(vecs, norms, x, vecs(nb), qNorm)))
+            .sortBy { case (x, s) => (-s, x) }
+            .take(maxM).map(_._1)
+          adj(nb).clear(); adj(nb) ++= kept
+        }
+      }
+      i += 1
+    }
+    adj
+  }
+
+  /** Partitioned NSW graph ANN — the high-recall/low-latency serving
+    * layout alongside IVF-PQ: vectors hash-shard into `nParts` independent
+    * graphs (parallel construction — each shard is HNSW's layer-0 built in
+    * one task), a query beam-searches every shard and the per-shard top-k
+    * merge by a TakeOrdered. Deterministic end to end: insertion order is
+    * ascending id within a shard, similarity ties break toward smaller
+    * ids, so the emitted top-k is stable across runs and layouts.
+    *
+    * At scale the shard is the serving-RAM unit: size `nParts` so one
+    * shard's (vectors + adjacency) fits an executor (~10M × 64d × 8B ≈
+    * 5 GB); construction is one shuffle by id + an embarrassingly parallel
+    * build, and the built graph ([[nswBuild]]) persists as plain
+    * (id, neighbor-ids) rows — pair it with [[pqEncode]] codes instead of
+    * raw vectors for codes-only serving storage, the same trade as IVFADC.
+    * Recall is approximate by construction (greedy search; cross-shard
+    * exactness only in the merge) — recall-vs-brute and needle laws live
+    * in ApproxOpsSpec.
+    */
+  def nswTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Array[Double], k: Int, nParts: Int = 4, m: Int = 8,
+      efConstruction: Int = 64, efSearch: Int = 64): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val q = query
+    val kk = k
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .repartition(nParts, col(idCol))
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val vecs = rows.map(_._2.toArray)
+          val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+          val adj = nswBuildLocal(vecs, norms, m, efConstruction)
+          nswSearchLocal(vecs, norms, adj, 0, q, math.max(efSearch, kk), vecs.length)
+            .take(kk).iterator.map { case (i, s) => (rows(i)._1, s) }
+        }
+      }
+      .toDF(idCol, "__s")
+      .select(col(idCol), round(col("__s"), 6).as("nsw_sim"))
+      .orderBy(col("nsw_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Materialized NSW adjacency — (id, nbr_ids) rows per shard, the
+    * persistable serving index. Search with [[nswSearchBuilt]] using the
+    * SAME `nParts` (hash co-location restores each shard's graph).
+    */
+  def nswBuild(df: DataFrame, vecCol: String, idCol: String,
+      nParts: Int = 4, m: Int = 8, efConstruction: Int = 64): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .repartition(nParts, col(idCol))
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val vecs = rows.map(_._2.toArray)
+          val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+          val adj = nswBuildLocal(vecs, norms, m, efConstruction)
+          rows.indices.iterator.map { i =>
+            (rows(i)._1, rows(i)._2, adj(i).toArray.sorted.map(j => rows(j)._1))
+          }
+        }
+      }
+      .toDF(idCol, vecCol, "nbr_ids")
+  }
+
+  /** Beam-search a [[nswBuild]] index: same `nParts` re-shards the rows
+    * into the graphs they were built in; emits the global top-k. The
+    * local search entry is each shard's smallest id — [[nswBuildLocal]]'s
+    * node 0 — so results are identical to the fused [[nswTopK]]
+    * (equality law in ApproxOpsSpec).
+    */
+  def nswSearchBuilt(index: DataFrame, vecCol: String, idCol: String,
+      query: Array[Double], k: Int, nParts: Int = 4,
+      efSearch: Int = 64): DataFrame = {
+    val session = index.sparkSession
+    import session.implicits._
+    val q = query
+    val kk = k
+    index.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"),
+        col("nbr_ids").cast("array<long>"))
+      .as[(Long, Seq[Double], Seq[Long])]
+      .repartition(nParts, col(idCol))
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val idx = rows.iterator.map(_._1).zipWithIndex.toMap
+          val vecs = rows.map(_._2.toArray)
+          val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+          val adj = rows.map(r =>
+            scala.collection.mutable.ArrayBuffer.from(r._3.iterator.flatMap(idx.get)))
+          nswSearchLocal(vecs, norms, adj, 0, q, math.max(efSearch, kk), vecs.length)
+            .take(kk).iterator.map { case (i, s) => (rows(i)._1, s) }
+        }
+      }
+      .toDF(idCol, "__s")
+      .select(col(idCol), round(col("__s"), 6).as("nsw_sim"))
+      .orderBy(col("nsw_sim").desc, col(idCol))
       .limit(k)
   }
 }

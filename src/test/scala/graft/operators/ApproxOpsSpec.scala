@@ -122,6 +122,37 @@ class ApproxOpsSpec extends AnyFunSuite {
     assert(partial.length <= 10 && partial.nonEmpty)
   }
 
+  test("NSW graph ANN: needle found, recall vs brute >= 0.6, built-index == fused, any layout") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val q = Array.fill(dim)(rnd.nextGaussian())
+    val df = (vecs :+ ((300L, q.clone()))).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(df, "embedding", "vec_id", q, 10)
+      .as[(Long, Double)].collect()
+    assert(brute.head._1 == 300L) // sanity: the planted copy is the 1-NN
+
+    val fused = Similarity.nswTopK(df, "embedding", "vec_id", q, k = 10,
+      nParts = 4, m = 4, efConstruction = 32, efSearch = 32)
+      .as[(Long, Double)].collect()
+    // greedy beam search must surface the exact planted copy
+    assert(fused.head._1 == 300L && fused.head._2 == 1.0)
+    val recall = fused.map(_._1).toSet.intersect(brute.map(_._1).toSet).size / 10.0
+    assert(recall >= 0.6, s"recall $recall")
+
+    // persisted adjacency + separate search reproduces the fused result
+    val index = Similarity.nswBuild(df, "embedding", "vec_id",
+      nParts = 4, m = 4, efConstruction = 32).localCheckpoint(true)
+    val viaIndex = Similarity.nswSearchBuilt(index, "embedding", "vec_id", q,
+      k = 10, nParts = 4, efSearch = 32).as[(Long, Double)].collect()
+    assert(viaIndex.toSeq == fused.toSeq)
+
+    // determinism across physical input layouts (repartition noise)
+    val relaid = Similarity.nswTopK(df.repartition(13, col("embedding")),
+      "embedding", "vec_id", q, k = 10, nParts = 4, m = 4,
+      efConstruction = 32, efSearch = 32).as[(Long, Double)].collect()
+    assert(relaid.toSeq == fused.toSeq)
+  }
+
   test("LSH ANN finds the planted near-duplicates; recall vs brute >= 0.6") {
     val s = spark; import s.implicits._
     val df = vecs.toDF("vec_id", "embedding")
