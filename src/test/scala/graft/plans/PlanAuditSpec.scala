@@ -148,6 +148,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shEx.forall(!_.contains("text#")), shEx.mkString("\n"))
   }
 
+  test("packDocwise: the only unpartitioned window is over group counts, never data") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Packing.packDocwise(
+      docs.select(col("doc_id"), length(col("text")).cast("long").as("n")),
+      "doc_id", col("n"), 512L, Seq(col("doc_id")), groupBudget = 4096L))
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, p)
+    // permissible unpartitioned windows: the prefix-sum over per-partition
+    // totals (__n) and the seq-id renumbering over per-GROUP counts
+    // (__used) — both partition-count/group-count-sized frames, never data
+    assert(windows.filterNot(_.contains("__pid"))
+        .forall(w => w.contains("__n") || w.contains("__used")),
+      s"data-sized unpartitioned window:\n${windows.mkString("\n")}")
+  }
+
   test("no unpartitioned global Window anywhere in the ANN/IVF plans") {
     val e = spark.read.parquet(s"$dir/../sf0.001/embeddings.parquet")
     val queries = e.where(col("vec_id") < 3)
