@@ -597,6 +597,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[nswTopK]] for a TABLE of query vectors: the queries collect to the
+    * driver (bounded — the same small-Q contract as
+    * [[bruteForceTopKJoin]]'s broadcast) and every shard beam-searches
+    * each query against its one graph build; per-query shard results
+    * merge by a window rank. Output (qIdCol, idCol, nsw_sim).
+    */
+  def nswTopKJoin(df: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, qVecCol: String, qIdCol: String, k: Int,
+      nParts: Int = 4, m: Int = 8, efConstruction: Int = 64,
+      efSearch: Int = 64, maxQueries: Int = 4096): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val kk = k
+    val qs: Array[(Long, Array[Double])] = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .limit(maxQueries + 1).collect().map { case (i, v) => (i, v.toArray) }
+    require(qs.length <= maxQueries,
+      s"nswTopKJoin query table exceeds maxQueries=$maxQueries — " +
+        "batch the queries or raise the bound consciously")
+    val perShard = df
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .repartition(nParts, col(idCol))
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val vecs = rows.map(_._2.toArray)
+          val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+          val adj = nswBuildLocal(vecs, norms, m, efConstruction)
+          qs.iterator.flatMap { case (qid, q) =>
+            nswSearchLocal(vecs, norms, adj, 0, q, math.max(efSearch, kk), vecs.length)
+              .take(kk).iterator.map { case (i, s) => (qid, rows(i)._1, s) }
+          }
+        }
+      }
+      .toDF(qIdCol, idCol, "__s")
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("__s").desc, col(idCol))
+    perShard.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .select(col(qIdCol), col(idCol), round(col("__s"), 6).as("nsw_sim"))
+  }
+
   /** Materialized NSW adjacency — (id, nbr_ids) rows per shard, the
     * persistable serving index. Search with [[nswSearchBuilt]] using the
     * SAME `nParts` (hash co-location restores each shard's graph).

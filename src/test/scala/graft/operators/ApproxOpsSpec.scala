@@ -151,6 +151,21 @@ class ApproxOpsSpec extends AnyFunSuite {
       "embedding", "vec_id", q, k = 10, nParts = 4, m = 4,
       efConstruction = 32, efSearch = 32).as[(Long, Double)].collect()
     assert(relaid.toSeq == fused.toSeq)
+
+    // query-table form: each query vector is a table row, so its self-hit
+    // at cosine 1.0 must rank first; the single-query form agrees
+    val queries = df.where(col("vec_id").isin(0L, 50L, 300L))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val joined = Similarity.nswTopKJoin(df, "embedding", "vec_id", queries,
+      "q_vec", "q_id", k = 10, nParts = 4, m = 4,
+      efConstruction = 32, efSearch = 32)
+      .as[(Long, Long, Double)].collect()
+    Seq(0L, 50L, 300L).foreach { qid =>
+      val hits = joined.filter(_._1 == qid).sortBy(r => (-r._3, r._2))
+      assert(hits.length == 10)
+      assert(hits.head._2 == qid && hits.head._3 == 1.0, s"q=$qid self-hit")
+    }
+    assert(joined.filter(_._1 == 300L).map(r => (r._2, r._3)).toSet == fused.toSet)
   }
 
   test("LSH ANN finds the planted near-duplicates; recall vs brute >= 0.6") {
