@@ -486,13 +486,22 @@ object Similarity {
       adj: Array[scala.collection.mutable.ArrayBuffer[Int]], entry: Int,
       q: Array[Double], ef: Int, bound: Int): Array[(Int, Double)] = {
     val qNorm = math.sqrt(q.map(x => x * x).sum)
+    nswSearchLocalBy(i => simTo(vecs, norms, i, q, qNorm), adj, entry, ef, bound)
+  }
+
+  /** [[nswSearchLocal]] generalized over the node-scoring function —
+    * true cosine for raw-vector shards, ADC lookups for codes-only shards.
+    */
+  private def nswSearchLocalBy(score: Int => Double,
+      adj: Array[scala.collection.mutable.ArrayBuffer[Int]], entry: Int,
+      ef: Int, bound: Int): Array[(Int, Double)] = {
     // max-heap on (sim, smaller-index-wins)
     val better = Ordering.by[(Int, Double), (Double, Int)] { case (i, s) => (s, -i) }
     val cand = scala.collection.mutable.PriorityQueue.empty[(Int, Double)](better)
     val res = scala.collection.mutable.PriorityQueue.empty[(Int, Double)](better.reverse)
     val visited = new java.util.BitSet(bound)
     visited.set(entry)
-    val es = simTo(vecs, norms, entry, q, qNorm)
+    val es = score(entry)
     cand.enqueue((entry, es)); res.enqueue((entry, es))
     while (cand.nonEmpty) {
       val (c, cs) = cand.dequeue()
@@ -506,7 +515,7 @@ object Similarity {
           val n = ns(t)
           if (n < bound && !visited.get(n)) {
             visited.set(n)
-            val s = simTo(vecs, norms, n, q, qNorm)
+            val s = score(n)
             if (res.size < ef || better.gt((n, s), (res.head._1, res.head._2))) {
               cand.enqueue((n, s)); res.enqueue((n, s))
               if (res.size > ef) res.dequeue()
@@ -665,6 +674,72 @@ object Similarity {
         }
       }
       .toDF(idCol, vecCol, "nbr_ids")
+  }
+
+  /** Codes-only serving index from a [[nswBuild]] result: the raw vector
+    * column is REPLACED by its PQ code (dim doubles → m small ints, the
+    * same 32x trade as [[pqTopKEncoded]]), keeping only
+    * (id, pq_code, nbr_ids) — the graph was built on true distances, the
+    * stored index carries none. Search with [[nswSearchCoded]] and the
+    * same codebooks.
+    */
+  def nswEncodeIndex(index: DataFrame, vecCol: String, idCol: String,
+      books: Array[Array[Array[Double]]]): DataFrame =
+    index.select(col(idCol), pqEncode(col(vecCol), books).as("pq_code"),
+      col("nbr_ids"))
+
+  /** Beam-search a codes-only [[nswEncodeIndex]] shard set: node scores
+    * are ADC lookups (the [[pqTopKEncoded]] cosine surrogate — query-side
+    * tables computed once on the driver, one m-entry sum per visited
+    * node), so the scan touches m ints per node and never a vector.
+    * Approximate twice over (graph greediness + quantization); the
+    * planted-needle law pins that an exact copy of the query still
+    * surfaces — its ADC score dominates natural neighbors by the same
+    * margin as q_ann_pq.
+    */
+  def nswSearchCoded(coded: DataFrame, idCol: String,
+      books: Array[Array[Array[Double]]], query: Array[Double], k: Int,
+      nParts: Int = 4, efSearch: Int = 64): DataFrame = {
+    val session = coded.sparkSession
+    import session.implicits._
+    val kk = k
+    val subDim = books.head.head.length
+    val dotTab = books.zipWithIndex.map { case (cents, sub) =>
+      cents.map(cent => (0 until subDim).map(i => query(sub * subDim + i) * cent(i)).sum)
+    }
+    val nrmTab = books.map(_.map(cent => cent.map(x => x * x).sum))
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    coded.select(col(idCol).cast("long"), col("pq_code").cast("array<int>"),
+        col("nbr_ids").cast("array<long>"))
+      .as[(Long, Seq[Int], Seq[Long])]
+      .repartition(nParts, col(idCol))
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val idx = rows.iterator.map(_._1).zipWithIndex.toMap
+          val codes = rows.map(_._2.toArray)
+          val adj = rows.map(r =>
+            scala.collection.mutable.ArrayBuffer.from(r._3.iterator.flatMap(idx.get)))
+          def adcScore(i: Int): Double = {
+            val code = codes(i)
+            var d = 0.0; var n2 = 0.0
+            var sub = 0
+            while (sub < code.length) {
+              d += dotTab(sub)(code(sub)); n2 += nrmTab(sub)(code(sub))
+              sub += 1
+            }
+            val denom = qNorm * math.sqrt(n2)
+            if (denom > 1e-12) d / denom else 0.0
+          }
+          nswSearchLocalBy(adcScore, adj, 0, math.max(efSearch, kk), rows.length)
+            .take(kk).iterator.map { case (i, s) => (rows(i)._1, s) }
+        }
+      }
+      .toDF(idCol, "__s")
+      .select(col(idCol), round(col("__s"), 6).as("nsw_pq_sim"))
+      .orderBy(col("nsw_pq_sim").desc, col(idCol))
+      .limit(k)
   }
 
   /** Beam-search a [[nswBuild]] index: same `nParts` re-shards the rows

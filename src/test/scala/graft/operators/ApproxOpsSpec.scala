@@ -166,6 +166,19 @@ class ApproxOpsSpec extends AnyFunSuite {
       assert(hits.head._2 == qid && hits.head._3 == 1.0, s"q=$qid self-hit")
     }
     assert(joined.filter(_._1 == 300L).map(r => (r._2, r._3)).toSet == fused.toSet)
+
+    // codes-only serving: the persisted index drops the vector column for
+    // PQ codes; ADC beam search must still surface the planted copy (its
+    // quantized self-similarity dominates natural neighbors), and the
+    // stored schema carries no embedding
+    val books = Similarity.pqCodebooks(df, "embedding", "vec_id", dim, m = 4, c = 8)
+    val coded = Similarity.nswEncodeIndex(index, "embedding", "vec_id", books)
+      .localCheckpoint(true)
+    assert(!coded.columns.contains("embedding"))
+    val codedHits = Similarity.nswSearchCoded(coded, "vec_id", books, q,
+      k = 10, nParts = 4, efSearch = 32).as[(Long, Double)].collect()
+    assert(codedHits.length == 10)
+    assert(codedHits.head._1 == 300L, s"codes-only needle miss: ${codedHits.toSeq}")
   }
 
   test("LSH ANN finds the planted near-duplicates; recall vs brute >= 0.6") {
