@@ -240,5 +240,8 @@ object ScaleProbe {
       }
     }
     spark.stop()
+    // the scratch copies are factor-x the sf inputs — don't leak them
+    // into /tmp across probe invocations
+    graft.batch.BatchState.deleteDir(scratch)
   }
 }
