@@ -120,6 +120,18 @@ object ScaleProbe {
           "text", "doc_id", k = 8)
           .agg(sum(col("n_removed"))).collect().head.getLong(0)
       },
+      // round-9: docwise next-fit packing — growth must track the prefix-sum
+      // + per-group-fold shape (group count scales with token volume, each
+      // group folds independently)
+      "pack_docwise" -> { p =>
+        val d = spark.read.parquet(p)
+        graft.operators.Packing.packDocwise(
+            d.select(col("doc_id"),
+              graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n")),
+            "doc_id", col("n"), 512L, Seq(col("doc_id")), groupBudget = 4096L)
+          .agg(sum(col("seq_id")), sum(col("seq_offset")))
+          .collect().head.getLong(0)
+      },
       "moments_bloom_quantile" -> { p =>
         val ev = spark.read.parquet(p)
         ev.groupBy(col("event_type")).agg(SK.bloomFilter(col("user_id")).as("b"))
@@ -206,6 +218,25 @@ object ScaleProbe {
             rms.addData(Seq((-1L, -1L, flush)))
             q.processAllAvailable()
             q
+          case "streaming_dedup" =>
+            // q_streaming_dedup shape: exact digest dedup, whole corpus in
+            // batch 1, 10% byte-copies in batch 2 — state is one row per
+            // distinct digest
+            val docs = spark.read.parquet(p)
+              .select(col("doc_id"), col("text"))
+              .where(col("text").isNotNull)
+              .as[(Long, String)].collect()
+            val maxId = docs.iterator.map(_._1).max
+            val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+            val out = graft.streaming.StreamingDedup.exact(
+              ms.toDS().toDF("doc_id", "text"), "text")
+            val q = out.writeStream.format("noop").outputMode("append").start()
+            ms.addData(docs.toSeq)
+            q.processAllAvailable()
+            ms.addData(docs.iterator.filter(_._1 % 10 == 0)
+              .map(d => (maxId + 1 + d._1, d._2)).toSeq)
+            q.processAllAvailable()
+            q
           case other => sys.error(s"unknown stream probe $other")
         }
         // PEAK state across the run's micro-batches (the last trigger can
@@ -227,14 +258,15 @@ object ScaleProbe {
       val (_, rows, mem) = streamProbe(name, parts, p)
       ((System.nanoTime() - t0) / 1e9, rows, mem)
     }
-    val streamNames = Seq("streaming_sum", "streaming_join")
+    val streamNames = Seq("streaming_sum", "streaming_join", "streaming_dedup")
       .filter(n => opsArg.forall(_.contains(n)))
     if (streamNames.nonEmpty) {
       // one discarded warm run pays the one-time streaming codepaths
       streamProbe("streaming_sum", 4, ev1)
       for (name <- streamNames; parts <- Seq(4, 32)) {
-        val (t1, r1, m1) = timedStreamProbe(name, parts, ev1)
-        val (tN, rN, mN) = timedStreamProbe(name, parts, evN)
+        val (p1, pN) = if (name == "streaming_dedup") (docs1, docsN) else (ev1, evN)
+        val (t1, r1, m1) = timedStreamProbe(name, parts, p1)
+        val (tN, rN, mN) = timedStreamProbe(name, parts, pN)
         println(f"PROBE $name%-16s parts=$parts%-3d 1x=${t1}%.2fs ${factor}x=${tN}%.2fs " +
           f"ratio=${tN / t1}%.2f stateRows=${r1}->${rN} stateMB=${m1 / 1e6}%.1f->${mN / 1e6}%.1f")
       }
