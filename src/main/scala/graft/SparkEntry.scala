@@ -1250,6 +1250,29 @@ object SparkEntry {
           max(col("vec_id") === -1L && col("nsw_sim") === 1.0).as("needle_found"))
     }),
 
+    "q_ann_nsw_coded" -> ((s, dir) => {
+      // codes-only NSW serving: the persisted index swaps vectors for PQ
+      // codes (nswEncodeIndex) and the beam search scores by ADC lookups
+      // (nswSearchCoded) — the needle's quantized self-similarity
+      // dominates natural neighbors by the q_ann_pq margin, so
+      // found-in-top-k stays deterministic through BOTH approximations
+      // (graph greediness + quantization).
+      import s.implicits._
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val needle = Seq((-1L, q.toSeq)).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast(e0.schema("embedding").dataType))
+      val full = e0.union(needle)
+      val books = Similarity.pqCodebooks(full, "embedding", "vec_id",
+        dim = 64, m = 8, c = 16)
+      val coded = Similarity.nswEncodeIndex(
+        Similarity.nswBuild(full, "embedding", "vec_id"),
+        "embedding", "vec_id", books).localCheckpoint(true)
+      Similarity.nswSearchCoded(coded, "vec_id", books, q, k = 10)
+        .agg(count(lit(1)).as("k"), countDistinct(col("vec_id")).as("n_ids"),
+          max(col("vec_id") === -1L).as("needle_found"))
+    }),
+
     "q_ann_ivfpq" -> ((s, dir) => {
       // IVF-PQ (FAISS IVFADC layout): coarse cells + PQ-coded residuals,
       // probe scan reads (cell, codes) only. Planted-needle invariant
@@ -2400,6 +2423,12 @@ object SparkEntry {
     // the planted exact copy of the query scores cosine 1.0 and must
     // surface from its NSW shard's beam search
     "q_ann_nsw" ->
+      """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_ids,
+        |  TRUE AS needle_found""".stripMargin,
+
+    // codes-only serving form: the needle survives graph greediness AND
+    // quantization (ADC margin argument, as q_ann_pq)
+    "q_ann_nsw_coded" ->
       """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_ids,
         |  TRUE AS needle_found""".stripMargin,
 
