@@ -40,6 +40,32 @@ object SparkEntry {
     try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
+  private val StateStoreProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private[graft] val RocksDBProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Streaming-gate session conf: pins the shuffle-partition count (per-
+    * micro-batch state-store task overhead scales with partitions) AND runs
+    * the state on the RocksDB state store provider — the Spark-native
+    * answer to the reference offloading online state to external Mergeable
+    * stores (StormPlatform.scala:66-67). The default HDFSBackedStateStore
+    * keeps every key in executor heap (~330 B/key measured, SURVEY §8), so
+    * at 100M+ keys per executor the heap is the first thing to fall over;
+    * RocksDB keeps the working state in native memory + local SST files
+    * and the gate queries prove the whole streaming half runs green on it.
+    * Both conf keys are restored after the body — same SEQUENTIAL-ONLY
+    * caveat as the partition pin.
+    */
+  private def withStreamingGateConf[A](s: SparkSession, n: Int)(body: => A): A = {
+    val savedProv = s.conf.getOption(StateStoreProviderKey)
+    s.conf.set(StateStoreProviderKey, RocksDBProvider)
+    try withPinnedShufflePartitions(s, n)(body)
+    finally savedProv match {
+      case Some(v) => s.conf.set(StateStoreProviderKey, v)
+      case None    => s.conf.unset(StateStoreProviderKey)
+    }
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -422,7 +448,7 @@ object SparkEntry {
         Semigroup.longSemigroup, implicitly, implicitly)
       val view = "q_streaming_sum_sink"
       s.catalog.dropTempView(view)
-      withPinnedShufflePartitions(s, 4) {
+      withStreamingGateConf(s, 4) {
         val q = out.writeStream.format("memory").queryName(view)
           .outputMode("append").start()
         try {
@@ -456,7 +482,7 @@ object SparkEntry {
         ms.toDS().toDF("doc_id", "text"), "text")
       val view = "q_streaming_dedup_sink"
       s.catalog.dropTempView(view)
-      withPinnedShufflePartitions(s, 4) {
+      withStreamingGateConf(s, 4) {
         val q = out.writeStream.format("memory").queryName(view)
           .outputMode("append").start()
         try {
@@ -493,7 +519,7 @@ object SparkEntry {
         ms.toDS().toDF("doc_id", "text"), "text", "doc_id", maxBucket = 8192)
       val view = "q_streaming_minhash_sink"
       s.catalog.dropTempView(view)
-      withPinnedShufflePartitions(s, 4) {
+      withStreamingGateConf(s, 4) {
         val q = out.writeStream.format("memory").queryName(view)
           .outputMode("append").start()
         try {
@@ -539,7 +565,7 @@ object SparkEntry {
         Semigroup.longSemigroup, implicitly, implicitly, implicitly)
       val view = "q_streaming_loop_join_sink"
       s.catalog.dropTempView(view)
-      withPinnedShufflePartitions(s, 4) {
+      withStreamingGateConf(s, 4) {
         val q = out.writeStream.format("memory").queryName(view)
           .outputMode("append").start()
         try {
@@ -587,7 +613,7 @@ object SparkEntry {
         windowMs = 7L * 86400000L, watermarkMs = 3600000L)
       val view = "q_streaming_join_sink"
       s.catalog.dropTempView(view)
-      withPinnedShufflePartitions(s, 4) {
+      withStreamingGateConf(s, 4) {
         val q = joined.select(col("event_id"), col("user_id"), col("r_event_id"))
           .writeStream.format("memory").queryName(view).outputMode("append").start()
         try {
@@ -1271,6 +1297,37 @@ object SparkEntry {
       Similarity.nswSearchCoded(coded, "vec_id", books, q, k = 10)
         .agg(count(lit(1)).as("k"), countDistinct(col("vec_id")).as("n_ids"),
           max(col("vec_id") === -1L).as("needle_found"))
+    }),
+
+    "q_ann_nsw_incr" -> ((s, dir) => {
+      // incremental ANN maintenance (nswInsertAgainst — the daily-ingest
+      // contract, as Dedup.exactAgainst): day 1 builds the index over the
+      // corpus; day 2 appends a batch at ids above every indexed id — the
+      // planted needle (exact query copy) plus deterministic noise rows.
+      // The incremental index must be IDENTICAL to a full rebuild over
+      // both days (append-only insert replays the construction loop node
+      // for node) and the day-2 needle must surface from a search of the
+      // incrementally-maintained index — both Spark-computed invariants
+      // the oracle pins TRUE.
+      import s.implicits._
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val vecType = e0.schema("embedding").dataType
+      val base = 1000000000L
+      val day2 = ((base, q.toSeq) +: Seq.tabulate(20)(j =>
+          (base + 1 + j.toLong, Seq.tabulate(64)(i => math.sin(j * 64 + i + 2.0)))))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast(vecType))
+      val idx1 = Similarity.nswBuild(e0, "embedding", "vec_id").localCheckpoint(true)
+      val incr = Similarity.nswInsertAgainst(idx1, day2, "embedding", "vec_id")
+        .localCheckpoint(true)
+      val rebuilt = Similarity.nswBuild(e0.unionByName(day2), "embedding", "vec_id")
+        .localCheckpoint(true)
+      val eq = incr.except(rebuilt).count() == 0 && rebuilt.except(incr).count() == 0
+      Similarity.nswSearchBuilt(incr, "embedding", "vec_id", q, k = 10)
+        .agg(count(lit(1)).as("k"), countDistinct(col("vec_id")).as("n_ids"),
+          max(col("vec_id") === base && col("nsw_sim") === 1.0).as("needle_found"))
+        .withColumn("insert_eq_rebuild", lit(eq))
     }),
 
     "q_ann_ivfpq" -> ((s, dir) => {
@@ -2431,6 +2488,13 @@ object SparkEntry {
     "q_ann_nsw_coded" ->
       """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_ids,
         |  TRUE AS needle_found""".stripMargin,
+
+    // incremental maintenance: the day-2 needle surfaces from the
+    // incrementally-inserted index, and the append-only insert equals the
+    // full rebuild exactly (adjacency included, computed Spark-side)
+    "q_ann_nsw_incr" ->
+      """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_ids,
+        |  TRUE AS needle_found, TRUE AS insert_eq_rebuild""".stripMargin,
 
     // every planted exact copy (identical text, larger id) must be dropped:
     // hamming 0 is banding-complete at any maxHamming, smallest id survives;

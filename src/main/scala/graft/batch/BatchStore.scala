@@ -1,6 +1,6 @@
 package graft.batch
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession, functions}
 
 import graft.algebra.Semigroup
 import graft.plans.{GraftEncoders, SortedGroups}
@@ -34,14 +34,28 @@ import graft.time.BatchID
   *        before that boundary fails fast instead of silently serving an
   *        empty store — catching a mis-pointed path or a request for history
   *        that never existed.
+  * @param keyBuckets key-clustered snapshot layout for the SERVING path
+  *        (the reference's ClientStore is a storehaus point-read,
+  *        summingbird-client ClientStore.scala:123-173 — a get must not
+  *        scan the store): snapshots write partitioned by
+  *        `kb = pmod(hash(key), n)` directories, rows sorted by key within
+  *        each file. [[readLastForKey]] then folds the bucket predicate to
+  *        a constant → static partition pruning reads ONE directory, and
+  *        the key equality pushes to parquet where the sorted layout prunes
+  *        to ~1 row group (PlanAuditSpec pins scanned-file count = 1).
+  *        Size n so a bucket ≈ one row group (128 MB) at the store's scale;
+  *        None keeps the flat layout (batch-merge-only stores don't pay
+  *        the extra shuffle).
   */
 final class BatchStore[K, V](
     val path: String,
     val versionsToKeep: Int = Int.MaxValue,
-    val firstNonZero: Option[BatchID] = None)(
+    val firstNonZero: Option[BatchID] = None,
+    val keyBuckets: Option[Int] = None)(
     implicit kEnc: Encoder[K], vEnc: Encoder[V]) extends Serializable {
 
   require(versionsToKeep >= 1, s"versionsToKeep must be >= 1, got $versionsToKeep")
+  keyBuckets.foreach(n => require(n >= 1, s"keyBuckets must be >= 1, got $n"))
 
   private implicit def kvEnc: Encoder[(K, V)] = Encoders.tuple(kEnc, vEnc)
 
@@ -60,19 +74,80 @@ final class BatchStore[K, V](
           s"${beforeOrAt.id} is before the store existed (mis-pointed path or bad request)")
     }
     state.lastCommitted(beforeOrAt).map { b =>
-      // snapshots are written as (key, value); rename positionally back to
+      // snapshots are written as (key, value); select by name (a clustered
+      // snapshot also carries the kb partition column) and rename back to
       // the tuple encoder's (_1, _2) field names
-      (b, spark.read.parquet(snapshotDir(b)).toDF("_1", "_2").as[(K, V)])
+      (b, spark.read.parquet(snapshotDir(b))
+        .select(functions.col("key").as("_1"), functions.col("value").as("_2"))
+        .as[(K, V)])
+    }
+  }
+
+  /** Point-read of the last snapshot: only `key`'s rows, with the scan
+    * pruned by the clustered layout when [[keyBuckets]] is set. The bucket
+    * predicate `kb = pmod(hash(lit(key)), n)` constant-folds at
+    * optimization time, so partition pruning selects ONE `kb=` directory
+    * statically; the key-equality predicate pushes to parquet, where the
+    * within-file key sort confines decoding to ~1 row group. Key types
+    * with no literal form fall back to an unpruned typed filter (same
+    * result, full scan) — the serving deployment uses literal-able keys.
+    */
+  def readLastForKey(spark: SparkSession, key: K,
+      beforeOrAt: BatchID = BatchID(Long.MaxValue)): Option[(BatchID, Dataset[(K, V)])] = {
+    import functions.{col, hash, lit, pmod}
+    firstNonZero.foreach { fnz =>
+      if (beforeOrAt.id < fnz.id - 1)
+        throw new IllegalStateException(
+          s"BatchStore($path) declares firstNonZero=${fnz.id}: reading through batch " +
+          s"${beforeOrAt.id} is before the store existed (mis-pointed path or bad request)")
+    }
+    state.lastCommitted(beforeOrAt).map { b =>
+      val raw = spark.read.parquet(snapshotDir(b))
+      val keyLit = scala.util.Try(lit(key)).toOption
+      val pruned = (keyBuckets, keyLit) match {
+        case (Some(n), Some(l)) if raw.columns.contains("kb") =>
+          // evaluate the bucket DRIVER-SIDE (same Murmur3/seed-42 semantics
+          // as the functions.hash used at write time) so the partition
+          // predicate is a plain literal — static pruning is then
+          // unconditional, not dependent on the optimizer folding a hash
+          val bucket = scala.util.Try {
+            org.apache.spark.sql.catalyst.expressions.Pmod(
+              org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+                Seq(org.apache.spark.sql.graftshim.ColumnBridge.expression(l)), 42),
+              org.apache.spark.sql.catalyst.expressions.Literal(n)).eval(null)
+          }.toOption
+          bucket match {
+            case Some(bk) => raw.where(col("kb") === lit(bk) && col("key") === l)
+            case None     => raw.where(col("kb") === pmod(hash(l), lit(n)) && col("key") === l)
+          }
+        case (_, Some(l)) => raw.where(col("key") === l)
+        case _            => raw
+      }
+      val ds = pruned.select(col("key").as("_1"), col("value").as("_2")).as[(K, V)]
+      (b, if (keyLit.isEmpty) ds.filter(_._1 == key) else ds)
     }
   }
 
   def snapshotDir(b: BatchID): String = s"$path/batch_id=${b.id}"
 
   /** Overwrite-commit the snapshot for batch `b` (reference `writeLast`,
-    * VersionedBatchStore.scala:62-143).
+    * VersionedBatchStore.scala:62-143). With [[keyBuckets]] set, the
+    * snapshot lands key-clustered: one shuffle into `n` bucket tasks
+    * (exactly one file per `kb=` directory), rows key-sorted within each
+    * file so parquet row-group stats are disjoint key ranges.
     */
   def writeSnapshot(b: BatchID, snapshot: Dataset[(K, V)]): Unit = {
-    snapshot.toDF("key", "value").write.mode("overwrite").parquet(snapshotDir(b))
+    import functions.{col, hash, lit, pmod}
+    val kv = snapshot.toDF("key", "value")
+    keyBuckets match {
+      case Some(n) =>
+        kv.withColumn("kb", pmod(hash(col("key")), lit(n)))
+          .repartition(n, col("kb"))
+          .sortWithinPartitions(col("kb"), col("key"))
+          .write.mode("overwrite").partitionBy("kb").parquet(snapshotDir(b))
+      case None =>
+        kv.write.mode("overwrite").parquet(snapshotDir(b))
+    }
     BatchState.commit(path, b)
     prune()
   }

@@ -85,10 +85,15 @@ object ClientStore {
       }()
   }
 
-  /** Point lookup for a single key — the reference's `get` (serving path).
-    * The key filter is pushed onto BOTH inputs before the merge, so only the
-    * single key's snapshot row + deltas are shuffled/collected — never the
-    * full store.
+  /** Point lookup for a single key — the reference's `get` (serving path,
+    * a storehaus point-read in the reference: ClientStore.scala:123-173).
+    * The offline side goes through `BatchStore.readLastForKey`: on a
+    * key-clustered store the bucket predicate statically prunes the scan
+    * to ONE `kb=` directory and the sorted layout confines parquet
+    * decoding to ~1 row group — matching the reference's point-read
+    * intent, not just its result. The online filter is pushed onto the
+    * delta scan the same way, so only the single key's snapshot row +
+    * deltas are shuffled/collected — never the full store.
     */
   def get[K, V](
       spark: SparkSession,
@@ -99,15 +104,14 @@ object ClientStore {
       implicit sg: Semigroup[V], kEnc: Encoder[K], vEnc: Encoder[V]): Option[V] = {
     implicit val kvEnc: Encoder[(K, V)] = Encoders.tuple(kEnc, vEnc)
     // COLUMN filter when the key type has a literal form (pushes to the
-    // parquet scan — only the key's row group is read); typed-closure
-    // fallback for exotic key types
+    // parquet scan); typed-closure fallback for exotic key types
     import org.apache.spark.sql.functions.lit
     val keyLit = scala.util.Try(lit(key)).toOption
     // positional column refs: typed Datasets keep their source column names
     def filterKey[R](ds: Dataset[R], byClosure: R => Boolean): Dataset[R] =
       keyLit.fold(ds.filter(byClosure))(l => ds.where(ds(ds.columns(0)) === l))
-    val (offBatch, snapshotK) = offline.readLast(spark, upTo) match {
-      case Some((b, snap)) => (b.id, filterKey[(K, V)](snap, _._1 == key))
+    val (offBatch, snapshotK) = offline.readLastForKey(spark, key, upTo) match {
+      case Some((b, snap)) => (b.id, snap)
       case None            => (Long.MinValue, spark.emptyDataset[(K, V)])
     }
     val onlineFiltered = filterKey[(K, Long, V)](onlineDeltas, _._1 == key)

@@ -474,35 +474,53 @@ object Similarity {
     if (denom > 0.0) d / denom else 0.0
   }
 
+  /** Deterministic multi-entry seeds for a shard of `n` nodes: `h` local
+    * indices spread evenly across the id-sorted range (0, n/h, 2n/h, …).
+    * A single fixed entry on a layer-0-only graph degrades recall as the
+    * shard grows (exactly what HNSW's upper layers fix); seeding the beam
+    * from several spread-out nodes recovers the multi-start effect with
+    * no extra stored structure and stays fully deterministic.
+    */
+  private def nswEntries(n: Int, h: Int): Array[Int] = {
+    val k = math.max(1, math.min(h, n))
+    Array.tabulate(k)(j => ((j.toLong * n) / k).toInt).distinct
+  }
+
   /** Greedy beam search over one in-memory NSW graph — HNSW's
     * SEARCH-LAYER: expand the best unexpanded candidate, keep the `ef`
     * best results, stop when the best candidate is worse than the worst
     * kept result. Fully deterministic: similarity ties break toward the
     * smaller local index. Returns up to `ef` (index, sim) pairs, best
     * first. `bound` limits the search to the first `bound` nodes (the
-    * incremental-construction prefix).
+    * incremental-construction prefix). `entries` seeds the beam (single
+    * node 0 during construction, [[nswEntries]] spread at search time).
     */
   private def nswSearchLocal(vecs: Array[Array[Double]], norms: Array[Double],
-      adj: Array[scala.collection.mutable.ArrayBuffer[Int]], entry: Int,
+      adj: Array[scala.collection.mutable.ArrayBuffer[Int]], entries: Array[Int],
       q: Array[Double], ef: Int, bound: Int): Array[(Int, Double)] = {
     val qNorm = math.sqrt(q.map(x => x * x).sum)
-    nswSearchLocalBy(i => simTo(vecs, norms, i, q, qNorm), adj, entry, ef, bound)
+    nswSearchLocalBy(i => simTo(vecs, norms, i, q, qNorm), adj, entries, ef, bound)
   }
 
   /** [[nswSearchLocal]] generalized over the node-scoring function —
     * true cosine for raw-vector shards, ADC lookups for codes-only shards.
     */
   private def nswSearchLocalBy(score: Int => Double,
-      adj: Array[scala.collection.mutable.ArrayBuffer[Int]], entry: Int,
+      adj: Array[scala.collection.mutable.ArrayBuffer[Int]], entries: Array[Int],
       ef: Int, bound: Int): Array[(Int, Double)] = {
     // max-heap on (sim, smaller-index-wins)
     val better = Ordering.by[(Int, Double), (Double, Int)] { case (i, s) => (s, -i) }
     val cand = scala.collection.mutable.PriorityQueue.empty[(Int, Double)](better)
     val res = scala.collection.mutable.PriorityQueue.empty[(Int, Double)](better.reverse)
     val visited = new java.util.BitSet(bound)
-    visited.set(entry)
-    val es = score(entry)
-    cand.enqueue((entry, es)); res.enqueue((entry, es))
+    entries.foreach { entry =>
+      if (entry < bound && !visited.get(entry)) {
+        visited.set(entry)
+        val es = score(entry)
+        cand.enqueue((entry, es)); res.enqueue((entry, es))
+        if (res.size > ef) res.dequeue()
+      }
+    }
     while (cand.nonEmpty) {
       val (c, cs) = cand.dequeue()
       val (wi, ws) = res.head
@@ -533,32 +551,52 @@ object Similarity {
     * (`efConstruction` beam) and links bidirectionally to its `m` nearest
     * finds; neighbor lists cap at 2m, pruned back to the 2m nearest when
     * an insertion overflows them (the simple-prune variant; determinism
-    * over the heuristic prune). Node 0 is the fixed entry point.
+    * over the heuristic prune). Node 0 is the construction entry point.
+    *
+    * CANONICAL NEIGHBOR ORDER: every adjacency buffer is kept sorted by
+    * local index at all times (appends of a new max index preserve it;
+    * prunes re-sort). Beam results depend on neighbor iteration order at
+    * the margin, so a canonical order is what makes the fused search, a
+    * reloaded [[nswBuild]] index (persisted lists are id-sorted = local-
+    * index-sorted), and [[nswInsertAgainst]]'s replayed insert loop agree
+    * STRUCTURALLY rather than by luck.
     */
   private def nswBuildLocal(vecs: Array[Array[Double]], norms: Array[Double],
       m: Int, efConstruction: Int): Array[scala.collection.mutable.ArrayBuffer[Int]] = {
     val n = vecs.length
-    val maxM = 2 * m
     val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
     var i = 1
     while (i < n) {
-      val found = nswSearchLocal(vecs, norms, adj, 0, vecs(i), efConstruction, i)
-      val nbrs = found.take(m)
-      nbrs.foreach { case (nb, _) =>
-        adj(i) += nb
-        adj(nb) += i
-        if (adj(nb).length > maxM) {
-          val qNorm = norms(nb)
-          val kept = adj(nb).toArray
-            .map(x => (x, simTo(vecs, norms, x, vecs(nb), qNorm)))
-            .sortBy { case (x, s) => (-s, x) }
-            .take(maxM).map(_._1)
-          adj(nb).clear(); adj(nb) ++= kept
-        }
-      }
+      nswInsertNode(vecs, norms, adj, i, m, efConstruction)
       i += 1
     }
     adj
+  }
+
+  /** One insert step of the NSW construction loop: beam-search the first
+    * `i` nodes, link node `i` to its `m` nearest bidirectionally, prune
+    * overflowing lists to the 2m nearest. Shared verbatim by
+    * [[nswBuildLocal]] and [[nswInsertAgainst]] so the incremental path
+    * IS the construction loop, not a reimplementation of it.
+    */
+  private def nswInsertNode(vecs: Array[Array[Double]], norms: Array[Double],
+      adj: Array[scala.collection.mutable.ArrayBuffer[Int]], i: Int,
+      m: Int, efConstruction: Int): Unit = {
+    val maxM = 2 * m
+    val found = nswSearchLocal(vecs, norms, adj, Array(0), vecs(i), efConstruction, i)
+    val nbrs = found.take(m).map(_._1)
+    adj(i) ++= nbrs.sorted // canonical local-index order
+    nbrs.foreach { nb =>
+      adj(nb) += i // i exceeds every existing member: stays sorted
+      if (adj(nb).length > maxM) {
+        val qNorm = norms(nb)
+        val kept = adj(nb).toArray
+          .map(x => (x, simTo(vecs, norms, x, vecs(nb), qNorm)))
+          .sortBy { case (x, s) => (-s, x) }
+          .take(maxM).map(_._1)
+        adj(nb).clear(); adj(nb) ++= kept.sorted
+      }
+    }
   }
 
   /** Partitioned NSW graph ANN — the high-recall/low-latency serving
@@ -581,7 +619,7 @@ object Similarity {
     */
   def nswTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Array[Double], k: Int, nParts: Int = 4, m: Int = 8,
-      efConstruction: Int = 64, efSearch: Int = 64): DataFrame = {
+      efConstruction: Int = 64, efSearch: Int = 64, entryCount: Int = 4): DataFrame = {
     val session = df.sparkSession
     import session.implicits._
     val q = query
@@ -596,7 +634,8 @@ object Similarity {
           val vecs = rows.map(_._2.toArray)
           val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
           val adj = nswBuildLocal(vecs, norms, m, efConstruction)
-          nswSearchLocal(vecs, norms, adj, 0, q, math.max(efSearch, kk), vecs.length)
+          nswSearchLocal(vecs, norms, adj, nswEntries(vecs.length, entryCount),
+              q, math.max(efSearch, kk), vecs.length)
             .take(kk).iterator.map { case (i, s) => (rows(i)._1, s) }
         }
       }
@@ -615,7 +654,7 @@ object Similarity {
   def nswTopKJoin(df: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, qVecCol: String, qIdCol: String, k: Int,
       nParts: Int = 4, m: Int = 8, efConstruction: Int = 64,
-      efSearch: Int = 64, maxQueries: Int = 4096): DataFrame = {
+      efSearch: Int = 64, maxQueries: Int = 4096, entryCount: Int = 4): DataFrame = {
     val session = df.sparkSession
     import session.implicits._
     val kk = k
@@ -637,8 +676,9 @@ object Similarity {
           val vecs = rows.map(_._2.toArray)
           val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
           val adj = nswBuildLocal(vecs, norms, m, efConstruction)
+          val entries = nswEntries(vecs.length, entryCount)
           qs.iterator.flatMap { case (qid, q) =>
-            nswSearchLocal(vecs, norms, adj, 0, q, math.max(efSearch, kk), vecs.length)
+            nswSearchLocal(vecs, norms, adj, entries, q, math.max(efSearch, kk), vecs.length)
               .take(kk).iterator.map { case (i, s) => (qid, rows(i)._1, s) }
           }
         }
@@ -688,6 +728,29 @@ object Similarity {
     index.select(col(idCol), pqEncode(col(vecCol), books).as("pq_code"),
       col("nbr_ids"))
 
+  /** Resolve a persisted neighbor-id list against the shard's id→local-index
+    * map. Every reference MUST resolve: [[nswBuild]]'s graphs are closed
+    * within a shard, so a dangling id means the index is being searched with
+    * a different `nParts` than it was built with — the hash re-split would
+    * fragment every shard's graph and recall would collapse silently. Fail
+    * loudly instead of dropping the edge.
+    */
+  private def resolveNbrs(id: Long, nbrs: Seq[Long],
+      idx: scala.collection.Map[Long, Int]): scala.collection.mutable.ArrayBuffer[Int] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[Int](nbrs.length)
+    nbrs.foreach { n =>
+      idx.get(n) match {
+        case Some(i) => buf += i
+        case None => throw new IllegalArgumentException(
+          s"NSW index shard: node $id references neighbor $n outside its shard — " +
+          "the index is being searched with a different nParts than it was built " +
+          "with (nswBuild and nswSearchBuilt/nswSearchCoded/nswInsertAgainst must " +
+          "share nParts), or rows were dropped from the persisted index")
+      }
+    }
+    buf
+  }
+
   /** Beam-search a codes-only [[nswEncodeIndex]] shard set: node scores
     * are ADC lookups (the [[pqTopKEncoded]] cosine surrogate — query-side
     * tables computed once on the driver, one m-entry sum per visited
@@ -699,7 +762,7 @@ object Similarity {
     */
   def nswSearchCoded(coded: DataFrame, idCol: String,
       books: Array[Array[Array[Double]]], query: Array[Double], k: Int,
-      nParts: Int = 4, efSearch: Int = 64): DataFrame = {
+      nParts: Int = 4, efSearch: Int = 64, entryCount: Int = 4): DataFrame = {
     val session = coded.sparkSession
     import session.implicits._
     val kk = k
@@ -719,8 +782,7 @@ object Similarity {
         else {
           val idx = rows.iterator.map(_._1).zipWithIndex.toMap
           val codes = rows.map(_._2.toArray)
-          val adj = rows.map(r =>
-            scala.collection.mutable.ArrayBuffer.from(r._3.iterator.flatMap(idx.get)))
+          val adj = rows.map(r => resolveNbrs(r._1, r._3, idx))
           def adcScore(i: Int): Double = {
             val code = codes(i)
             var d = 0.0; var n2 = 0.0
@@ -732,7 +794,8 @@ object Similarity {
             val denom = qNorm * math.sqrt(n2)
             if (denom > 1e-12) d / denom else 0.0
           }
-          nswSearchLocalBy(adcScore, adj, 0, math.max(efSearch, kk), rows.length)
+          nswSearchLocalBy(adcScore, adj, nswEntries(rows.length, entryCount),
+              math.max(efSearch, kk), rows.length)
             .take(kk).iterator.map { case (i, s) => (rows(i)._1, s) }
         }
       }
@@ -743,14 +806,14 @@ object Similarity {
   }
 
   /** Beam-search a [[nswBuild]] index: same `nParts` re-shards the rows
-    * into the graphs they were built in; emits the global top-k. The
-    * local search entry is each shard's smallest id — [[nswBuildLocal]]'s
-    * node 0 — so results are identical to the fused [[nswTopK]]
-    * (equality law in ApproxOpsSpec).
+    * into the graphs they were built in (a mismatched `nParts` fails loudly
+    * via [[resolveNbrs]]); emits the global top-k. The beam seeds from
+    * [[nswEntries]] spread over each shard — identical to the fused
+    * [[nswTopK]] (equality law in ApproxOpsSpec).
     */
   def nswSearchBuilt(index: DataFrame, vecCol: String, idCol: String,
       query: Array[Double], k: Int, nParts: Int = 4,
-      efSearch: Int = 64): DataFrame = {
+      efSearch: Int = 64, entryCount: Int = 4): DataFrame = {
     val session = index.sparkSession
     import session.implicits._
     val q = query
@@ -766,9 +829,9 @@ object Similarity {
           val idx = rows.iterator.map(_._1).zipWithIndex.toMap
           val vecs = rows.map(_._2.toArray)
           val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
-          val adj = rows.map(r =>
-            scala.collection.mutable.ArrayBuffer.from(r._3.iterator.flatMap(idx.get)))
-          nswSearchLocal(vecs, norms, adj, 0, q, math.max(efSearch, kk), vecs.length)
+          val adj = rows.map(r => resolveNbrs(r._1, r._3, idx))
+          nswSearchLocal(vecs, norms, adj, nswEntries(vecs.length, entryCount),
+              q, math.max(efSearch, kk), vecs.length)
             .take(kk).iterator.map { case (i, s) => (rows(i)._1, s) }
         }
       }
@@ -776,5 +839,66 @@ object Similarity {
       .select(col(idCol), round(col("__s"), 6).as("nsw_sim"))
       .orderBy(col("nsw_sim").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Incremental index maintenance — insert a batch of NEW vectors into a
+    * persisted [[nswBuild]] index without rebuilding the shard graphs: the
+    * same daily-ingest contract as `Dedup.exactAgainst`. New rows hash into
+    * their shard (SAME `nParts`/`m`/`efConstruction` as the build —
+    * mismatched `nParts` fails loudly via [[resolveNbrs]]), and each shard
+    * replays [[nswBuildLocal]]'s insert loop over just the new nodes:
+    * beam-search the existing graph, link bidirectionally to the `m`
+    * nearest, prune overflowing neighbor lists back to 2m. One shuffle of
+    * (index rows + new rows); per-shard work is O(|new| · efConstruction ·
+    * degree), independent of how many shards the daily batch misses.
+    *
+    * When every new id exceeds every indexed id (the append-only ingest
+    * shape — ids are assigned monotonically), the result is BYTE-IDENTICAL
+    * to `nswBuild(old ∪ new)`: insertion order is ascending id in both, so
+    * the incremental path inherits the full-rebuild recall laws (equality
+    * law in ApproxOpsSpec, gate row q_ann_nsw_incr). Interleaved ids still
+    * produce a valid NSW graph, just not the rebuild-identical one.
+    *
+    * Pair with [[pqEncode]] against the STORED codebooks to extend a
+    * codes-only serving index ([[nswEncodeIndex]]) with the same rows —
+    * codebooks are frozen at training time, exactly like IVFADC serving.
+    */
+  def nswInsertAgainst(index: DataFrame, newRows: DataFrame, vecCol: String,
+      idCol: String, nParts: Int = 4, m: Int = 8,
+      efConstruction: Int = 64): DataFrame = {
+    val session = index.sparkSession
+    import session.implicits._
+    val old = index.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"),
+      col("nbr_ids").cast("array<long>"))
+    val fresh = newRows.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"),
+      lit(null).cast("array<long>").as("nbr_ids"))
+    old.unionByName(fresh)
+      .as[(Long, Seq[Double], Seq[Long])]
+      .repartition(nParts, col(idCol))
+      .mapPartitions { it =>
+        val all = it.toArray.sortBy(_._1)
+        if (all.isEmpty) Iterator.empty
+        else {
+          val existing = all.filter(_._3 != null)
+          val added = all.filter(_._3 == null)
+          // locals 0..p-1 are the indexed rows in id order; the graph they
+          // carry references only ids in this set (resolveNbrs enforces it)
+          val rows = existing ++ added
+          val idx = existing.iterator.map(_._1).zipWithIndex.toMap
+          val vecs = rows.map(_._2.toArray)
+          val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+          val adj = Array.fill(rows.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
+          existing.indices.foreach { i => adj(i) = resolveNbrs(existing(i)._1, existing(i)._3, idx) }
+          var i = math.max(existing.length, 1) // node 0 of an all-new shard has no prefix
+          while (i < rows.length) {
+            nswInsertNode(vecs, norms, adj, i, m, efConstruction)
+            i += 1
+          }
+          rows.indices.iterator.map { j =>
+            (rows(j)._1, rows(j)._2, adj(j).toArray.sorted.map(x => rows(x)._1))
+          }
+        }
+      }
+      .toDF(idCol, vecCol, "nbr_ids")
   }
 }

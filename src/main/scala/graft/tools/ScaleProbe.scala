@@ -139,13 +139,26 @@ object ScaleProbe {
         ev.groupBy(col("event_type")).agg(
           count(lit(1)).as("n"), avg(col("value")), var_pop(col("value")))
           .agg(sum(col("n"))).collect().head.getLong(0)
-      }
+      },
+      // round-10: the two steepest 4x growth shapes (2.1x / 1.9x), probed
+      // again at 10x to pin that cost tracks shared-gram / cluster-pair
+      // VOLUME (which self-union inflates superlinearly by design), not a
+      // hidden quadratic in corpus size
+      "shared_ngrams" -> (p =>
+        Dedup.sharedNgramStats(spark.read.parquet(p), "text", "doc_id",
+          n = 3, minDocs = 2)
+          .agg(sum(col("n_shared")), sum(col("n_grams")))
+          .collect().head.getLong(0)),
+      "semdedup" -> (p =>
+        Dedup.semanticDedup(spark.read.parquet(p), "embedding", "vec_id",
+          nClusters = 16, threshold = 0.9)
+          .agg(count(lit(1))).collect().head.getLong(0))
     )
     val selected = ops.filter { case (n, _) => opsArg.forall(_.contains(n)) }
     selected.toSeq.sortBy(_._1).foreach { case (name, f) =>
       val (d1, dp) = (name match {
         case "heavy_hitters" | "moments_bloom_quantile" => (ev1, evN)
-        case "ann_pq" | "ann_ivfpq" => (emb1, embN)
+        case "ann_pq" | "ann_ivfpq" | "semdedup" => (emb1, embN)
         case _ => (docs1, docsN)
       })
       val t1 = time(f(d1))
@@ -160,13 +173,26 @@ object ScaleProbe {
     // and the state store's own size from the final micro-batch's query
     // progress (rows + memory), so the 100x claim for the streaming half
     // rests on measured state growth, not shuffle shape alone.
-    def streamProbe(name: String, parts: Int, p: String): (Double, Long, Long) = {
+    // providers: the default heap-backed HDFSBackedStateStore vs RocksDB —
+    // the store the gate queries now run on. RocksDB keeps state in native
+    // memory + local SST files, so its probe rows are the bounded-executor-
+    // heap evidence for the 100M-key regime where the heap-backed map dies.
+    val hdfsProvider = "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    val rocksProvider = graft.SparkEntry.RocksDBProvider
+    def streamProbe(name: String, parts: Int, p: String,
+        provider: String): (Double, Long, Long) = {
       import spark.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val saved = spark.conf.get("spark.sql.shuffle.partitions")
+      val savedProv = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
       try {
-        val q = name match {
+        // each arm STARTS its query, then returns (query, feed): the feed
+        // and progress inspection run inside try/finally q.stop(), so a
+        // throw mid-feed can't leak a running StreamingQuery (and its
+        // MemoryStream state) into the rest of the probe process
+        val (q, feed): (org.apache.spark.sql.streaming.StreamingQuery, () => Unit) = name match {
           case "streaming_sum" =>
             // q_streaming_sum shape: 4 event-id-sliced micro-batches into
             // the online Summer, state keyed (user, day-batch)
@@ -179,11 +205,10 @@ object ScaleProbe {
               graft.time.Batcher.ofDays(1))(
               graft.algebra.Semigroup.longSemigroup, implicitly, implicitly)
             val q = out.writeStream.format("noop").outputMode("append").start()
-            (0 until 4).foreach { i =>
+            (q, () => (0 until 4).foreach { i =>
               ms.addData(rows.iterator.filter(_._3 % 4 == i).map(r => (r._1, r._2)).toSeq)
               q.processAllAvailable()
-            }
-            q
+            })
           case "streaming_join" =>
             // q_streaming_join shape: watermarked stream-stream buffered
             // leftJoin over the 10% user slice, two ts-halves + flush
@@ -205,19 +230,20 @@ object ScaleProbe {
               windowMs = 7L * 86400000L, watermarkMs = 3600000L)
             val q = joined.select(col("event_id"), col("user_id"), col("r_event_id"))
               .writeStream.format("noop").outputMode("append").start()
-            val purchases = evs.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3))
-            val signups = evs.filter(_._4 == "signup").map(e => (e._1, e._2, e._3))
-            val mid = minTs + (maxTs - minTs) / 2 + 1
-            Seq((minTs, mid), (mid, maxTs + 1)).foreach { case (lo, hi) =>
-              lms.addData(purchases.iterator.filter(e => e._3 >= lo && e._3 < hi).toSeq)
-              rms.addData(signups.iterator.filter(e => e._3 >= lo && e._3 < hi).toSeq)
+            (q, () => {
+              val purchases = evs.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3))
+              val signups = evs.filter(_._4 == "signup").map(e => (e._1, e._2, e._3))
+              val mid = minTs + (maxTs - minTs) / 2 + 1
+              Seq((minTs, mid), (mid, maxTs + 1)).foreach { case (lo, hi) =>
+                lms.addData(purchases.iterator.filter(e => e._3 >= lo && e._3 < hi).toSeq)
+                rms.addData(signups.iterator.filter(e => e._3 >= lo && e._3 < hi).toSeq)
+                q.processAllAvailable()
+              }
+              val flush = maxTs + 8L * 86400000L
+              lms.addData(Seq((-1L, -1L, flush)))
+              rms.addData(Seq((-1L, -1L, flush)))
               q.processAllAvailable()
-            }
-            val flush = maxTs + 8L * 86400000L
-            lms.addData(Seq((-1L, -1L, flush)))
-            rms.addData(Seq((-1L, -1L, flush)))
-            q.processAllAvailable()
-            q
+            })
           case "streaming_dedup" =>
             // q_streaming_dedup shape: exact digest dedup, whole corpus in
             // batch 1, 10% byte-copies in batch 2 — state is one row per
@@ -231,44 +257,57 @@ object ScaleProbe {
             val out = graft.streaming.StreamingDedup.exact(
               ms.toDS().toDF("doc_id", "text"), "text")
             val q = out.writeStream.format("noop").outputMode("append").start()
-            ms.addData(docs.toSeq)
-            q.processAllAvailable()
-            ms.addData(docs.iterator.filter(_._1 % 10 == 0)
-              .map(d => (maxId + 1 + d._1, d._2)).toSeq)
-            q.processAllAvailable()
-            q
+            (q, () => {
+              ms.addData(docs.toSeq)
+              q.processAllAvailable()
+              ms.addData(docs.iterator.filter(_._1 % 10 == 0)
+                .map(d => (maxId + 1 + d._1, d._2)).toSeq)
+              q.processAllAvailable()
+            })
           case other => sys.error(s"unknown stream probe $other")
         }
-        // PEAK state across the run's micro-batches (the last trigger can
-        // be post-watermark-eviction — e.g. the join's flush sentinel —
-        // which would under-report the working-set the state store carried)
-        val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
-        val stateRows =
-          if (progs.isEmpty) -1L
-          else progs.map(_.stateOperators.map(_.numRowsTotal).sum).max
-        val stateMem =
-          if (progs.isEmpty) -1L
-          else progs.map(_.stateOperators.map(_.memoryUsedBytes).sum).max
-        q.stop()
-        (0.0, stateRows, stateMem)
-      } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+        try {
+          feed()
+          // PEAK state across the run's micro-batches (the last trigger can
+          // be post-watermark-eviction — e.g. the join's flush sentinel —
+          // which would under-report the working-set the state store carried)
+          val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
+          val stateRows =
+            if (progs.isEmpty) -1L
+            else progs.map(_.stateOperators.map(_.numRowsTotal).sum).max
+          val stateMem =
+            if (progs.isEmpty) -1L
+            else progs.map(_.stateOperators.map(_.memoryUsedBytes).sum).max
+          (0.0, stateRows, stateMem)
+        } finally q.stop()
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+        savedProv match {
+          case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
     }
-    def timedStreamProbe(name: String, parts: Int, p: String): (Double, Long, Long) = {
+    def timedStreamProbe(name: String, parts: Int, p: String,
+        provider: String): (Double, Long, Long) = {
       val t0 = System.nanoTime()
-      val (_, rows, mem) = streamProbe(name, parts, p)
+      val (_, rows, mem) = streamProbe(name, parts, p, provider)
       ((System.nanoTime() - t0) / 1e9, rows, mem)
     }
     val streamNames = Seq("streaming_sum", "streaming_join", "streaming_dedup")
       .filter(n => opsArg.forall(_.contains(n)))
     if (streamNames.nonEmpty) {
-      // one discarded warm run pays the one-time streaming codepaths
-      streamProbe("streaming_sum", 4, ev1)
-      for (name <- streamNames; parts <- Seq(4, 32)) {
+      // one discarded warm run per provider pays the one-time codepaths
+      streamProbe("streaming_sum", 4, ev1, hdfsProvider)
+      streamProbe("streaming_sum", 4, ev1, rocksProvider)
+      for (name <- streamNames; parts <- Seq(4, 32);
+           (provLabel, prov) <- Seq(("hdfs", hdfsProvider), ("rocksdb", rocksProvider))) {
         val (p1, pN) = if (name == "streaming_dedup") (docs1, docsN) else (ev1, evN)
-        val (t1, r1, m1) = timedStreamProbe(name, parts, p1)
-        val (tN, rN, mN) = timedStreamProbe(name, parts, pN)
-        println(f"PROBE $name%-16s parts=$parts%-3d 1x=${t1}%.2fs ${factor}x=${tN}%.2fs " +
-          f"ratio=${tN / t1}%.2f stateRows=${r1}->${rN} stateMB=${m1 / 1e6}%.1f->${mN / 1e6}%.1f")
+        val (t1, r1, m1) = timedStreamProbe(name, parts, p1, prov)
+        val (tN, rN, mN) = timedStreamProbe(name, parts, pN, prov)
+        println(f"PROBE $name%-16s parts=$parts%-3d store=$provLabel%-8s " +
+          f"1x=${t1}%.2fs ${factor}x=${tN}%.2fs ratio=${tN / t1}%.2f " +
+          f"stateRows=${r1}->${rN} stateMB=${m1 / 1e6}%.1f->${mN / 1e6}%.1f")
       }
     }
     spark.stop()

@@ -133,6 +133,25 @@ class LambdaSliceSpec extends AnyFunSuite {
         s"get($w)")
   }
 
+  test("key-clustered store: merged/get equal the flat layout (serving layout is transparent)") {
+    val s = spark; import s.implicits._
+    val deltas = deltaDs
+    val tmpFlat = Files.createTempDirectory("graft_lambda_flat_").toString
+    val tmpClus = Files.createTempDirectory("graft_lambda_clus_").toString
+    val flat = new BatchStore[String, Long](tmpFlat)
+    val clustered = new BatchStore[String, Long](tmpClus, keyBuckets = Some(4))
+    flat.merge(spark, deltas, BatchID(4))(Semigroup.longSemigroup).collect()
+    clustered.merge(spark, deltas, BatchID(4))(Semigroup.longSemigroup).collect()
+    // full-store reads agree across layouts
+    assert(clustered.readLast(spark).get._2.collect().toMap ==
+      flat.readLast(spark).get._2.collect().toMap)
+    // point gets agree, including the miss
+    for (w <- words :+ "absent")
+      assert(ClientStore.get(spark, clustered, deltas, w)(
+        Semigroup.longSemigroup, implicitly, implicitly) == totalsModel(events).get(w),
+        s"clustered get($w)")
+  }
+
   test("ClientStore.merged folds offline-then-online in batch order for non-commutative semigroups") {
     val s = spark; import s.implicits._
     // list-concat is order-sensitive: the serving merge must produce the

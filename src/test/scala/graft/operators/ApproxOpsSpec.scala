@@ -181,6 +181,65 @@ class ApproxOpsSpec extends AnyFunSuite {
     assert(codedHits.head._1 == 300L, s"codes-only needle miss: ${codedHits.toSeq}")
   }
 
+  test("NSW incremental insert: append-only batch == full rebuild exactly; day-2 needle surfaces") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(21)
+    val q = Array.fill(dim)(rnd.nextGaussian())
+    val batch1 = vecs.toDF("vec_id", "embedding")
+    // day-2 ingest: ids strictly above every indexed id (append-only shape),
+    // one exact copy of the query planted among fresh noise
+    val day2 = ((500L, q.clone()) +: Seq.tabulate(20)(j =>
+        (510L + j.toLong, Array.fill(dim)(rnd.nextGaussian()))))
+      .toDF("vec_id", "embedding")
+    val idx1 = Similarity.nswBuild(batch1, "embedding", "vec_id",
+      nParts = 4, m = 4, efConstruction = 32).localCheckpoint(true)
+    val incr = Similarity.nswInsertAgainst(idx1, day2, "embedding", "vec_id",
+      nParts = 4, m = 4, efConstruction = 32).localCheckpoint(true)
+    val rebuilt = Similarity.nswBuild(batch1.unionByName(day2), "embedding", "vec_id",
+      nParts = 4, m = 4, efConstruction = 32).localCheckpoint(true)
+    // append-only insert replays the construction loop node for node, so the
+    // incremental index is IDENTICAL to the full rebuild (adjacency included)
+    assert(incr.except(rebuilt).count() == 0 && rebuilt.except(incr).count() == 0,
+      "incremental insert diverged from full rebuild")
+    val hits = Similarity.nswSearchBuilt(incr, "embedding", "vec_id", q,
+      k = 10, nParts = 4, efSearch = 32).as[(Long, Double)].collect()
+    assert(hits.head._1 == 500L && hits.head._2 == 1.0,
+      s"day-2 needle missed: ${hits.toSeq}")
+  }
+
+  test("NSW search with mismatched nParts fails loudly (no silent graph fragmentation)") {
+    val s = spark; import s.implicits._
+    val df = vecs.toDF("vec_id", "embedding")
+    val idx = Similarity.nswBuild(df, "embedding", "vec_id",
+      nParts = 4, m = 4, efConstruction = 32).localCheckpoint(true)
+    val e = intercept[Exception] {
+      Similarity.nswSearchBuilt(idx, "embedding", "vec_id",
+        Array.fill(dim)(0.1), k = 5, nParts = 3, efSearch = 32).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("different nParts")),
+      s"expected the nParts-contract error, got: ${messages(e)}")
+  }
+
+  test("NSW multi-entry seeding: recall vs brute >= 0.6 holds at a 10x-larger shard, same efSearch") {
+    val s = spark; import s.implicits._
+    // 10x the base fixture in ONE shard — the regime where a single fixed
+    // entry on a layer-0-only graph loses recall (what HNSW's upper layers
+    // fix); spread multi-entry seeding must hold the line at efSearch=32
+    val rnd = new scala.util.Random(29)
+    val big = Seq.tabulate(1200)(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+    val df = big.toDF("vec_id", "embedding")
+    val q = Array.fill(dim)(rnd.nextGaussian())
+    val brute = Similarity.bruteForceTopK(df, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val nsw = Similarity.nswTopK(df, "embedding", "vec_id", q, k = 10,
+        nParts = 1, m = 8, efConstruction = 64, efSearch = 32)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = brute.intersect(nsw).size.toDouble / brute.size
+    assert(recall >= 0.6, s"10x-shard recall=$recall nsw=$nsw brute=$brute")
+  }
+
   test("LSH ANN finds the planted near-duplicates; recall vs brute >= 0.6") {
     val s = spark; import s.implicits._
     val df = vecs.toDF("vec_id", "embedding")

@@ -31,6 +31,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scan reads pruned columns: $readSchema")
   }
 
+  test("clustered BatchStore point-read statically prunes to ONE bucket file (serving get)") {
+    val s = spark; import s.implicits._
+    import graft.batch.BatchStore
+    import graft.time.BatchID
+    val tmp = java.nio.file.Files.createTempDirectory("graft_clustered_").toString
+    val store = new BatchStore[Long, Long](tmp, keyBuckets = Some(8))
+    store.writeSnapshot(BatchID(1), (0L until 1000L).map(k => (k, k * 2)).toDS())
+    // the layout really is 8 bucket dirs, one file each
+    val bdirs = new java.io.File(s"$tmp/batch_id=1").listFiles()
+      .filter(_.getName.startsWith("kb="))
+    assert(bdirs.length == 8, s"expected 8 kb= dirs, got ${bdirs.map(_.getName).toSeq}")
+    bdirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${d.getName} not single-file")
+    }
+    val got = store.readLastForKey(spark, 137L).get._2
+    assert(got.collect().toSeq == Seq((137L, 274L)))
+    // static partition pruning: of the 8 bucket dirs the scan reads ONE
+    // file, and the key equality is pushed into the parquet reader (the
+    // within-file key sort then confines decoding to ~1 row group)
+    val scan = got.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }.head
+    assert(scan.metrics("numFiles").value == 1,
+      s"point get scanned ${scan.metrics("numFiles").value} files (wanted 1 of 8)")
+    val scanStr = scan.toString
+    assert(scanStr.contains("EqualTo(key,137"), scanStr)
+    graft.batch.BatchState.deleteDir(tmp)
+  }
+
   test("dimension-filtered join broadcasts the small side (q3 shape)") {
     val c = spark.read.parquet(s"$dir/customer.parquet")
       .where(col("c_mktsegment") === "BUILDING")
