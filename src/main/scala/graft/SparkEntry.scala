@@ -359,6 +359,21 @@ object SparkEntry {
         .select("event_id", "user_id", "signup_id")
     }),
 
+    "q_unique_service" -> ((s, dir) => {
+      // UniqueKeyedService + EmptyService (reference scalding/service/
+      // UniqueKeyedService.scala, EmptyService): unique-keyed dimension
+      // lookup collapses the temporal machinery to a plain left equi-join
+      // (Catalyst broadcasts the small side), and the empty service
+      // contributes a typed all-null column — both directly
+      // SQL-expressible. The service is partial (signup users only) so
+      // the left-outer miss path carries real nulls.
+      val ev = eventsDF(s, dir).select(col("event_id"), col("user_id"))
+      val svc = eventsDF(s, dir).where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("event_id")).as("signup_event_id"))
+      val joined = BatchServices.uniqueKeyed(ev, svc, Seq("user_id"))
+      BatchServices.empty(joined, Seq(("missing_val", "bigint")))
+    }),
+
     "q_loop_join" -> ((s, dir) => {
       // loop join: the store DEPENDS on the join output (reference
       // Service.scala:196-269). Running prior-event counter per user: each
@@ -634,6 +649,45 @@ object SparkEntry {
       s.table(view).where(col("user_id") =!= -1L)
     }),
 
+    "q_fanout" -> ((s, dir) => {
+      // foreachBatch fan-out sink (StreamingIO.fanout — the
+      // WrittenProducer/AlsoProducer shape for streams): one streaming
+      // query, each micro-batch persisted once and handed to TWO parquet
+      // writers. Events feed in 3 event-id slices; both sinks must hold
+      // exactly the fed corpus (count oracled against the source table)
+      // and equal each other (Spark-computed invariant the oracle pins
+      // TRUE) — the written data is load-bearing on both tails.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = eventsDF(s, dir).select(col("event_id"), col("user_id"))
+        .as[(Long, Long)].collect()
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fanout_").toString
+      val (sinkA, sinkB) = (s"$tmp/a", s"$tmp/b")
+      val writer = graft.streaming.StreamingIO.fanout(
+        ms.toDS().toDF("event_id", "user_id"))(Seq(
+        (b, _) => b.write.mode("append").parquet(sinkA),
+        (b, _) => b.write.mode("append").parquet(sinkB)))
+      withStreamingGateConf(s, 4) {
+        val q = writer.start()
+        try {
+          (0 until 3).foreach { i =>
+            ms.addData(rows.iterator.filter(_._1 % 3 == i).toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      val a = s.read.parquet(sinkA)
+      val b = s.read.parquet(sinkB)
+      val equal = a.except(b).count() == 0 && b.except(a).count() == 0
+      // materialize the 1-row result, then reclaim the scratch sinks (the
+      // returned frame must not read deleted parquet lazily)
+      val out = a.agg(count(lit(1)).as("n_rows"))
+        .withColumn("sinks_equal", lit(equal)).localCheckpoint(true)
+      graft.batch.BatchState.deleteDir(tmp)
+      out
+    }),
+
     "q_loop_join_presplit" -> ((s, dir) => {
       // the hot-key pre-split form of the loop join: same semantics as
       // q_loop_join (state-independent +1 delta), but each key's scan is
@@ -796,6 +850,34 @@ object SparkEntry {
       out1.union(out2)
         .select(col("_1").as("user_id"), col("_2").as("batch_id"),
           col("_3._1").as("prior"), col("_3._2").as("delta"))
+    }),
+
+    "q_client_get" -> ((s, dir) => {
+      // round 10: the point-serving read end-to-end through the
+      // KEY-CLUSTERED snapshot layout (BatchStore keyBuckets →
+      // readLastForKey → ClientStore.get): offline = clustered snapshot
+      // through the cut batch, online = the delta stream; each get
+      // statically prunes its bucket dir and must equal the all-data
+      // per-user count. Keys are the 6 smallest user ids IN THE DATA, so
+      // the row is corpus-agnostic and every get is a hit.
+      import s.implicits._
+      val daily = Batcher.ofDays(1)
+      val cutBatch = 19736L // day before 2024-01-15
+      val deltas = eventStream(s, dir).asKeyedCols[Long, Long](col("_2.user_id"), lit(1L))
+        .sumDeltasPerBatch(daily)(Semigroup.longSemigroup)
+        .persist()
+      val tmp = java.nio.file.Files.createTempDirectory("graft_store_").toString
+      val store = new BatchStore[Long, Long](tmp, keyBuckets = Some(8))
+      store.merge(s, deltas, BatchID(cutBatch))(Semigroup.longSemigroup).count()
+      val keys = eventsDF(s, dir).select(col("user_id")).distinct()
+        .orderBy(col("user_id")).limit(6).as[Long].collect()
+      val got = keys.toSeq.map { k =>
+        (k, ClientStore.get(s, store, deltas, k)(
+          Semigroup.longSemigroup, implicitly, implicitly).getOrElse(0L))
+      }
+      deltas.unpersist()
+      graft.batch.BatchState.deleteDir(tmp)
+      got.toDF("user_id", "cnt")
     }),
 
     "q_lambda_merged" -> ((s, dir) => {
@@ -1729,6 +1811,13 @@ object SparkEntry {
     "q_lambda_merged" ->
       "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id",
 
+    // 6 point gets through the clustered serving layout == all-data counts
+    "q_client_get" ->
+      """SELECT user_id, count(*) AS cnt FROM events
+        |WHERE user_id IN (
+        |  SELECT user_id FROM events GROUP BY user_id ORDER BY user_id LIMIT 6)
+        |GROUP BY user_id""".stripMargin,
+
     "q_window_service" ->
       """SELECT e.event_id, e.user_id,
         |  CASE WHEN r.signup_ts >= e.ts - INTERVAL 7 DAY THEN r.signup_id END AS signup_id
@@ -1737,6 +1826,16 @@ object SparkEntry {
         |  SELECT user_id, ts AS signup_ts, max(event_id) AS signup_id
         |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts) r
         |ON e.user_id = r.user_id AND e.ts >= r.signup_ts""".stripMargin,
+
+    // unique-keyed service = plain left equi-join on the dimension shape;
+    // empty service = typed null column
+    "q_unique_service" ->
+      """SELECT e.event_id, e.user_id, f.signup_event_id,
+        |  CAST(NULL AS BIGINT) AS missing_val
+        |FROM events e LEFT JOIN (
+        |  SELECT user_id, CAST(min(event_id) AS BIGINT) AS signup_event_id
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id) f
+        |USING (user_id)""".stripMargin,
 
     "q_loop_join" ->
       """SELECT event_id, user_id,
@@ -1788,6 +1887,11 @@ object SparkEntry {
         |  ON l.user_id = r.user_id
         |  AND epoch_ms(r.ts) <= epoch_ms(l.ts)
         |  AND epoch_ms(r.ts) >= epoch_ms(l.ts) - 604800000""".stripMargin,
+
+    // both fan-out sinks hold exactly the fed corpus; cross-sink equality
+    // is computed Spark-side and pinned TRUE
+    "q_fanout" ->
+      """SELECT count(*) AS n_rows, TRUE AS sinks_equal FROM events""".stripMargin,
 
     "q_also" ->
       """SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS batch_id,
