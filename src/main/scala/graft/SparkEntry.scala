@@ -388,6 +388,63 @@ object SparkEntry {
         .toDF("event_id", "user_id", "prior_events")
     }),
 
+    "q_availability" -> ((s, dir) => {
+      // round 10: availability planning itself (TimePathedSource — the
+      // reference's satisfiableHdfs/minify + planner interval shrink)
+      // oracled directly: events land in a dense batch_id=N partitioned
+      // source, batch 3's directory is DELETED (the hole), and the
+      // requested range (1, nBatches) must shrink to the maximal
+      // satisfiable prefix (1, 2) — with the read returning exactly those
+      // two batches' rows and a request STARTING at the hole planning to
+      // None. All facts derive from the data's own day range, so the row
+      // is corpus-agnostic.
+      import s.implicits._
+      val src = java.nio.file.Files.createTempDirectory("graft_avail_").toString
+      val dayIdx = eventsDF(s, dir)
+        .select(expr("ts_ms DIV 86400000").as("day")).distinct()
+        .withColumn("batch_id", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      val byBatch = eventsDF(s, dir)
+        .select(col("user_id"), expr("ts_ms DIV 86400000").as("day"))
+        .join(broadcast(dayIdx), "day")
+        .select(col("user_id"), col("batch_id"))
+      byBatch.repartition(col("batch_id"))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(src)
+      val nBatches = dayIdx.count()
+      graft.batch.BatchState.deleteDir(s"$src/batch_id=3") // the hole
+      val ((lo, hi), planned) = graft.sources.TimePathedSource
+        .read(s, src, (BatchID(1), BatchID(nBatches))).get
+      val nRows = planned.count()
+      val holeStartNone = graft.sources.TimePathedSource
+        .satisfiable(s, src, (BatchID(3), BatchID(nBatches))).isEmpty
+      graft.batch.BatchState.deleteDir(src)
+      Seq((lo.id, hi.id, nRows, holeStartNone))
+        .toDF("planned_lo", "planned_hi", "n_rows", "hole_start_none")
+    }),
+
+    "q_name_options" -> ((s, dir) => {
+      // round 10: the `name` per-name options surface oracled — the
+      // reference's FlatMapShards / MonoidIsCommutative options keyed by
+      // node name (Options.scala). Three facts in one row set: the label
+      // is semantics-free (oracled content is the plain per-user count),
+      // `shards = 7` reshards the next closure flatMap onto exactly 7
+      // partitions (Spark-computed invariant), and `commutative = false`
+      // forces the event-time-ordered fold whose result must equal the
+      // hash-agg path on a commutative semigroup.
+      import s.implicits._
+      val base = eventStream(s, dir).asKeyedCols[Long, Long](col("_2.user_id"), lit(1L))
+      val default = base.sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
+      val forced = base.name("ordered", commutative = false)
+        .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
+      val pathsEqual = default.except(forced).count() == 0 &&
+        forced.except(default).count() == 0
+      val sharded = eventStream(s, dir).name("resharded", shards = 7)
+        .flatMap(e => Iterator.single(e.event_id))
+      val shardsOk = sharded.ds.rdd.getNumPartitions == 7
+      default.toDF("user_id", "cnt")
+        .withColumn("paths_equal", lit(pathsEqual))
+        .withColumn("shards_ok", lit(shardsOk))
+    }),
+
     "q_incremental_driver" -> ((s, dir) => {
       // the FULL incremental run loop (BatchDriver: commit log →
       // availability planning → delta pipeline over only the planned
@@ -1851,6 +1908,25 @@ object SparkEntry {
     // the all-time totals exactly — no dropped or double-counted batches
     "q_incremental_driver" ->
       "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id",
+
+    // a hole at dense batch 3 shrinks the plan to (1,2); the read returns
+    // exactly those batches' rows; a request starting at the hole is None
+    "q_availability" ->
+      """WITH d AS (
+        |  SELECT day, dense_rank() OVER (ORDER BY day) AS batch_id FROM (
+        |    SELECT DISTINCT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day
+        |    FROM events))
+        |SELECT CAST(1 AS BIGINT) AS planned_lo, CAST(2 AS BIGINT) AS planned_hi,
+        |  (SELECT count(*) FROM events e
+        |   JOIN d ON CAST(floor(epoch_ms(e.ts) / 86400000.0) AS BIGINT) = d.day
+        |   WHERE d.batch_id <= 2) AS n_rows,
+        |  TRUE AS hole_start_none""".stripMargin,
+
+    // the name label is semantics-free; the shards and commutativity
+    // options are Spark-computed invariants the oracle pins TRUE
+    "q_name_options" ->
+      """SELECT user_id, count(*) AS cnt, TRUE AS paths_equal, TRUE AS shards_ok
+        |FROM events GROUP BY user_id""".stripMargin,
 
     // streaming rows: whatever the micro-batch slicing, per-(key,batch)
     // deltas sum to the batch totals, dedup keeps one row per distinct

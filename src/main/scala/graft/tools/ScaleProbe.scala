@@ -180,13 +180,15 @@ object ScaleProbe {
     val hdfsProvider = "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
     val rocksProvider = graft.SparkEntry.RocksDBProvider
     def streamProbe(name: String, parts: Int, p: String,
-        provider: String): (Double, Long, Long) = {
+        provider: String, extra: Map[String, String] = Map.empty): (Double, Long, Long) = {
       import spark.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val saved = spark.conf.get("spark.sql.shuffle.partitions")
       val savedProv = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      val savedExtra = extra.keys.map(k => k -> spark.conf.getOption(k)).toMap
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+      extra.foreach { case (k, v) => spark.conf.set(k, v) }
       try {
         // each arm STARTS its query, then returns (query, feed): the feed
         // and progress inspection run inside try/finally q.stop(), so a
@@ -286,12 +288,16 @@ object ScaleProbe {
           case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
           case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         }
+        savedExtra.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
       }
     }
     def timedStreamProbe(name: String, parts: Int, p: String,
-        provider: String): (Double, Long, Long) = {
+        provider: String, extra: Map[String, String] = Map.empty): (Double, Long, Long) = {
       val t0 = System.nanoTime()
-      val (_, rows, mem) = streamProbe(name, parts, p, provider)
+      val (_, rows, mem) = streamProbe(name, parts, p, provider, extra)
       ((System.nanoTime() - t0) / 1e9, rows, mem)
     }
     val streamNames = Seq("streaming_sum", "streaming_join", "streaming_dedup")
@@ -310,6 +316,46 @@ object ScaleProbe {
           f"stateRows=${r1}->${rN} stateMB=${m1 / 1e6}%.1f->${mN / 1e6}%.1f")
       }
     }
+    // round-10: RocksDB HARD memory cap — boundedMemoryUsage pins the
+    // memtable + block cache under maxMemoryUsageMB across ALL state store
+    // instances on the executor; the probe shows the biggest-state machine
+    // (streaming_sum at factor-x keys) stays green with memory reported
+    // under the cap, i.e. resident state memory is a CONFIG knob, not a
+    // function of key count — the 100M-key story
+    if (opsArg.forall(_.contains("rocksdb_bounded"))) {
+      val cap = Map(
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage" -> "true",
+        "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB" -> "64")
+      streamProbe("streaming_sum", 4, ev1, rocksProvider, cap) // warm
+      val (t1, r1, m1) = timedStreamProbe("streaming_sum", 4, ev1, rocksProvider, cap)
+      val (tN, rN, mN) = timedStreamProbe("streaming_sum", 4, evN, rocksProvider, cap)
+      println(f"PROBE rocksdb_bounded cap=64MB 1x=${t1}%.2fs ${factor}x=${tN}%.2fs " +
+        f"stateRows=${r1}->${rN} stateMB=${m1 / 1e6}%.1f->${mN / 1e6}%.1f")
+    }
+
+    // round-10: incremental NSW insert vs full rebuild — the daily-ingest
+    // cost story for the ANN index: insert a 10% append-only batch into a
+    // prebuilt (checkpointed) index and compare against rebuilding over
+    // the union. Per-shard insert work is O(|new| · efC · degree); the
+    // rebuild pays that for EVERY vector.
+    if (opsArg.forall(_.contains("nsw_incr"))) {
+      import graft.operators.Similarity
+      // the factor-x table: at sf0.1 the base corpus is small enough that
+      // task overhead hides the work ratio; the scaled corpus puts real
+      // graph construction in both timed windows
+      val e1 = spark.read.parquet(embN)
+      val newBatch = e1.where(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(1000000000L))
+      val idx = Similarity.nswBuild(e1, "embedding", "vec_id").localCheckpoint(true)
+      idx.count() // materialize the day-1 index outside any timed window
+      val tIns = time(Similarity.nswInsertAgainst(idx, newBatch, "embedding", "vec_id")
+        .agg(sum(size(col("nbr_ids")))).collect().head.getLong(0))
+      val tReb = time(Similarity.nswBuild(e1.unionByName(newBatch), "embedding", "vec_id")
+        .agg(sum(size(col("nbr_ids")))).collect().head.getLong(0))
+      println(f"PROBE nsw_incr insert10pct=${tIns}%.2fs rebuild=${tReb}%.2fs " +
+        f"ratio=${tIns / tReb}%.2f")
+    }
+
     spark.stop()
     // the scratch copies are factor-x the sf inputs — don't leak them
     // into /tmp across probe invocations

@@ -61,6 +61,17 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.batch.BatchState.deleteDir(tmp)
   }
 
+  test("uniqueKeyed service join broadcasts the dimension side") {
+    import graft.operators.BatchServices
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"))
+    val svc = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("signup_event_id"))
+    val p = plan(BatchServices.uniqueKeyed(ev, svc, Seq("user_id")))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("dimension-filtered join broadcasts the small side (q3 shape)") {
     val c = spark.read.parquet(s"$dir/customer.parquet")
       .where(col("c_mktsegment") === "BUILDING")
