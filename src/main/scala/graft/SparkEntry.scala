@@ -1438,6 +1438,25 @@ object SparkEntry {
           max(col("vec_id") === -1L).as("needle_found"))
     }),
 
+    "q_ann_hnsw" -> ((s, dir) => {
+      // round 10: REAL hierarchical NSW (full HNSW per shard — id-hash
+      // level assignment, greedy descent through the upper layers, beam
+      // at layer 0). Same planted-needle invariant as q_ann_nsw, searched
+      // through the PERSISTED multi-layer index so the (id, vec,
+      // layer_nbrs) round-trip and the re-derived entry point are what
+      // the gate exercises.
+      import s.implicits._
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val needle = Seq((-1L, q.toSeq)).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast(e0.schema("embedding").dataType))
+      val index = Similarity.hnswBuild(e0.union(needle), "embedding", "vec_id")
+        .localCheckpoint(true)
+      Similarity.hnswSearchBuilt(index, "embedding", "vec_id", q, k = 10)
+        .agg(count(lit(1)).as("k"), countDistinct(col("vec_id")).as("n_ids"),
+          max(col("vec_id") === -1L && col("hnsw_sim") === 1.0).as("needle_found"))
+    }),
+
     "q_ann_nsw_incr" -> ((s, dir) => {
       // incremental ANN maintenance (nswInsertAgainst — the daily-ingest
       // contract, as Dedup.exactAgainst): day 1 builds the index over the
@@ -2666,6 +2685,12 @@ object SparkEntry {
     // codes-only serving form: the needle survives graph greediness AND
     // quantization (ADC margin argument, as q_ann_pq)
     "q_ann_nsw_coded" ->
+      """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_ids,
+        |  TRUE AS needle_found""".stripMargin,
+
+    // hierarchical form: the needle surfaces through the persisted
+    // multi-layer index (greedy upper-layer descent + layer-0 beam)
+    "q_ann_hnsw" ->
       """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_ids,
         |  TRUE AS needle_found""".stripMargin,
 

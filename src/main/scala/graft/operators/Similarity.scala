@@ -901,4 +901,288 @@ object Similarity {
       }
       .toDF(idCol, vecCol, "nbr_ids")
   }
+
+  // ---- hierarchical NSW: full HNSW per shard (Malkov-Yashunin TPAMI'20:
+  // exponentially-decaying layer assignment, greedy descent through the
+  // upper layers, beam at layer 0). The upper layers replace multi-entry
+  // seeding with the real long-range skip structure — search cost stays
+  // ~logarithmic in shard size instead of degrading as shards grow. ------
+
+  /** Deterministic HNSW level for a node id: the standard
+    * floor(-ln(u)·mL) draw with u derived from a splitmix64 hash of the id
+    * — stable across runs, shards, and physical layouts (no RNG state).
+    * Capped at 12 (a 10M-node shard at m=8 tops out around level 7).
+    */
+  private def hnswLevel(id: Long, mL: Double): Int = {
+    var z = id + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    val u = ((z >>> 11) + 0.5) / (1L << 53).toDouble // (0, 1)
+    math.min((-math.log(u) * mL).toInt, 12)
+  }
+
+  /** Build one in-memory HNSW over the shard (ascending-index insertion):
+    * each node enters at its [[hnswLevel]]; the insert greedy-descends
+    * from the current entry through layers above it, then beam-searches
+    * (`efConstruction`) and links `m` nearest per layer on the way down —
+    * neighbor caps 2m at layer 0, m above, simple prune, CANONICAL
+    * index-sorted buffers throughout (same determinism contract as
+    * [[nswBuildLocal]]). Returns (layers, levels, entry): `layers(l)(i)`
+    * is node i's layer-l adjacency; entry is the first node to reach the
+    * top level.
+    */
+  private def hnswBuildLocal(vecs: Array[Array[Double]], norms: Array[Double],
+      ids: Array[Long], m: Int, efConstruction: Int):
+      (Array[Array[scala.collection.mutable.ArrayBuffer[Int]]], Array[Int], Int) = {
+    val n = vecs.length
+    val levels = ids.map(hnswLevel(_, 1.0 / math.log(math.max(2, m))))
+    val maxLevel = levels.max
+    val layers = Array.fill(maxLevel + 1, n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    var entry = 0
+    var top = levels(0)
+    var i = 1
+    while (i < n) {
+      val et = hnswInsertNode(vecs, norms, layers, levels, entry, top, i, m, efConstruction)
+      entry = et._1; top = et._2
+      i += 1
+    }
+    (layers, levels, entry)
+  }
+
+  /** One insert step of the HNSW construction loop (shared verbatim by
+    * [[hnswBuildLocal]] and [[hnswInsertAgainst]], the same contract as
+    * [[nswInsertNode]]): greedy-descend from the current entry through
+    * the layers above node `i`'s level, then beam + link `m` nearest per
+    * layer downward. Returns the (entry, top) after the insert.
+    */
+  private def hnswInsertNode(vecs: Array[Array[Double]], norms: Array[Double],
+      layers: Array[Array[scala.collection.mutable.ArrayBuffer[Int]]],
+      levels: Array[Int], entry: Int, top: Int, i: Int,
+      m: Int, efConstruction: Int): (Int, Int) = {
+    val li = levels(i)
+    var cur = entry
+    var lc = top
+    while (lc > li) { // greedy descent (ef = 1) through the upper layers
+      val best = nswSearchLocal(vecs, norms, layers(lc), Array(cur), vecs(i), 1, i)
+      cur = best.head._1
+      lc -= 1
+    }
+    var lcd = math.min(top, li)
+    while (lcd >= 0) {
+      val found = nswSearchLocal(vecs, norms, layers(lcd), Array(cur), vecs(i),
+        efConstruction, i)
+      cur = found.head._1
+      val cap = if (lcd == 0) 2 * m else m
+      val nbrs = found.take(m).map(_._1)
+      layers(lcd)(i) ++= nbrs.sorted
+      nbrs.foreach { nb =>
+        layers(lcd)(nb) += i // i exceeds every member: stays sorted
+        if (layers(lcd)(nb).length > cap) {
+          val qNorm = norms(nb)
+          val kept = layers(lcd)(nb).toArray
+            .map(x => (x, simTo(vecs, norms, x, vecs(nb), qNorm)))
+            .sortBy { case (x, s) => (-s, x) }
+            .take(cap).map(_._1)
+          layers(lcd)(nb).clear(); layers(lcd)(nb) ++= kept.sorted
+        }
+      }
+      lcd -= 1
+    }
+    if (li > top) (i, li) else (entry, top)
+  }
+
+  /** Search one in-memory HNSW: greedy descent entry → layer 1, then a
+    * single `ef` beam at layer 0. Deterministic (canonical neighbor
+    * order, smaller-index tie rule).
+    */
+  private def hnswSearchLocal(vecs: Array[Array[Double]], norms: Array[Double],
+      layers: Array[Array[scala.collection.mutable.ArrayBuffer[Int]]],
+      levels: Array[Int], entry: Int, q: Array[Double], ef: Int): Array[(Int, Double)] = {
+    val n = vecs.length
+    var cur = entry
+    var lc = levels(entry)
+    while (lc > 0) {
+      val best = nswSearchLocal(vecs, norms, layers(lc), Array(cur), q, 1, n)
+      cur = best.head._1
+      lc -= 1
+    }
+    nswSearchLocal(vecs, norms, layers(0), Array(cur), q, ef, n)
+  }
+
+  /** Partitioned hierarchical NSW (full HNSW per hash shard) — the
+    * large-shard serving layout: where the layer-0-only [[nswTopK]] leans
+    * on multi-entry seeding to hold recall as shards grow, the upper
+    * layers give the real logarithmic skip structure, so one shard can be
+    * sized to the full ~10M-vector serving-RAM budget without efSearch
+    * inflation. Same determinism contract as the NSW family (id-order
+    * insertion, id-hash levels, canonical neighbor order, smaller-id
+    * ties); same shuffle shape (one repartition by id, embarrassingly
+    * parallel builds, TakeOrdered merge).
+    */
+  def hnswTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Array[Double], k: Int, nParts: Int = 4, m: Int = 8,
+      efConstruction: Int = 64, efSearch: Int = 64): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val q = query
+    val kk = k
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .repartition(nParts, col(idCol))
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val vecs = rows.map(_._2.toArray)
+          val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+          val (layers, levels, entry) =
+            hnswBuildLocal(vecs, norms, rows.map(_._1), m, efConstruction)
+          hnswSearchLocal(vecs, norms, layers, levels, entry, q, math.max(efSearch, kk))
+            .take(kk).iterator.map { case (i, s) => (rows(i)._1, s) }
+        }
+      }
+      .toDF(idCol, "__s")
+      .select(col(idCol), round(col("__s"), 6).as("hnsw_sim"))
+      .orderBy(col("hnsw_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Materialized HNSW — (id, vec, layer_nbrs) rows per shard, where
+    * `layer_nbrs(l)` is the node's layer-l neighbor ids and the array's
+    * length encodes its level + 1 (levels are id-derived, so the encoding
+    * is redundant but self-describing). Search with [[hnswSearchBuilt]]
+    * using the SAME `nParts`/`m` (levels re-derive from ids; a mismatched
+    * `nParts` fails loudly via [[resolveNbrs]]).
+    */
+  def hnswBuild(df: DataFrame, vecCol: String, idCol: String,
+      nParts: Int = 4, m: Int = 8, efConstruction: Int = 64): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .repartition(nParts, col(idCol))
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val vecs = rows.map(_._2.toArray)
+          val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+          val (layers, levels, _) =
+            hnswBuildLocal(vecs, norms, rows.map(_._1), m, efConstruction)
+          rows.indices.iterator.map { i =>
+            val perLayer: Seq[Seq[Long]] = (0 to levels(i)).map(l =>
+              layers(l)(i).toSeq.map(x => rows(x)._1))
+            (rows(i)._1, rows(i)._2, perLayer)
+          }
+        }
+      }
+      .toDF(idCol, vecCol, "layer_nbrs")
+  }
+
+  /** Beam-search a persisted [[hnswBuild]] index: same `nParts` restores
+    * each shard's graphs; the entry (first node to reach the shard's top
+    * level — the smallest id there, since levels are id-derived and the
+    * build updates the entry only on a strictly higher level) re-derives
+    * deterministically, so results are identical to the fused
+    * [[hnswTopK]] (equality law in ApproxOpsSpec).
+    */
+  def hnswSearchBuilt(index: DataFrame, vecCol: String, idCol: String,
+      query: Array[Double], k: Int, nParts: Int = 4,
+      efSearch: Int = 64): DataFrame = {
+    val session = index.sparkSession
+    import session.implicits._
+    val q = query
+    val kk = k
+    index.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"),
+        col("layer_nbrs").cast("array<array<long>>"))
+      .as[(Long, Seq[Double], Seq[Seq[Long]])]
+      .repartition(nParts, col(idCol))
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val idx = rows.iterator.map(_._1).zipWithIndex.toMap
+          val vecs = rows.map(_._2.toArray)
+          val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+          val levels = rows.map(_._3.length - 1)
+          val maxLevel = levels.max
+          val layers = Array.tabulate(maxLevel + 1, rows.length) { (l, i) =>
+            if (l <= levels(i)) resolveNbrs(rows(i)._1, rows(i)._3(l), idx)
+            else scala.collection.mutable.ArrayBuffer.empty[Int]
+          }
+          val entry = levels.indexOf(maxLevel) // smallest id at the top level
+          hnswSearchLocal(vecs, norms, layers, levels, entry, q, math.max(efSearch, kk))
+            .take(kk).iterator.map { case (i, s) => (rows(i)._1, s) }
+        }
+      }
+      .toDF(idCol, "__s")
+      .select(col(idCol), round(col("__s"), 6).as("hnsw_sim"))
+      .orderBy(col("hnsw_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Incremental maintenance for the hierarchical index — the HNSW
+    * counterpart of [[nswInsertAgainst]], same daily-ingest contract and
+    * the same equality guarantee: levels are id-derived and the entry
+    * point only advances on a strictly higher level, so an append-only
+    * batch (new ids above every indexed id) replays [[hnswBuildLocal]]'s
+    * loop node for node and the result is IDENTICAL to
+    * `hnswBuild(old ∪ new)`. SAME `nParts`/`m`/`efConstruction` as the
+    * build (levels depend on m; a mismatched `nParts` fails loudly via
+    * [[resolveNbrs]]).
+    */
+  def hnswInsertAgainst(index: DataFrame, newRows: DataFrame, vecCol: String,
+      idCol: String, nParts: Int = 4, m: Int = 8,
+      efConstruction: Int = 64): DataFrame = {
+    val session = index.sparkSession
+    import session.implicits._
+    val old = index.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"),
+      col("layer_nbrs").cast("array<array<long>>"))
+    val fresh = newRows.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"),
+      lit(null).cast("array<array<long>>").as("layer_nbrs"))
+    old.unionByName(fresh)
+      .as[(Long, Seq[Double], Seq[Seq[Long]])]
+      .repartition(nParts, col(idCol))
+      .mapPartitions { it =>
+        val all = it.toArray.sortBy(_._1)
+        if (all.isEmpty) Iterator.empty
+        else {
+          val existing = all.filter(_._3 != null)
+          val added = all.filter(_._3 == null)
+          val rows = existing ++ added
+          val idx = existing.iterator.map(_._1).zipWithIndex.toMap
+          val vecs = rows.map(_._2.toArray)
+          val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+          val levels = rows.map(r => hnswLevel(r._1, 1.0 / math.log(math.max(2, m))))
+          val maxLevel = levels.max
+          val layers = Array.fill(maxLevel + 1, rows.length)(
+            scala.collection.mutable.ArrayBuffer.empty[Int])
+          existing.indices.foreach { i =>
+            existing(i)._3.indices.foreach { l =>
+              layers(l)(i) = resolveNbrs(existing(i)._1, existing(i)._3(l), idx)
+            }
+          }
+          var (entry, top) =
+            if (existing.isEmpty) (0, levels(0))
+            else {
+              val exTop = existing.indices.iterator.map(levels(_)).max
+              (existing.indices.find(levels(_) == exTop).get, exTop)
+            }
+          var i = math.max(existing.length, 1)
+          while (i < rows.length) {
+            val et = hnswInsertNode(vecs, norms, layers, levels, entry, top, i,
+              m, efConstruction)
+            entry = et._1; top = et._2
+            i += 1
+          }
+          rows.indices.iterator.map { j =>
+            val perLayer: Seq[Seq[Long]] = (0 to levels(j)).map(l =>
+              layers(l)(j).toSeq.map(x => rows(x)._1))
+            (rows(j)._1, rows(j)._2, perLayer)
+          }
+        }
+      }
+      .toDF(idCol, vecCol, "layer_nbrs")
+  }
 }

@@ -240,6 +240,74 @@ class ApproxOpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"10x-shard recall=$recall nsw=$nsw brute=$brute")
   }
 
+  test("HNSW (real upper layers): needle found, built == fused, 10x-shard recall holds, any layout") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val q = Array.fill(dim)(rnd.nextGaussian())
+    val df = (vecs :+ ((300L, q.clone()))).toDF("vec_id", "embedding")
+    val fused = Similarity.hnswTopK(df, "embedding", "vec_id", q, k = 10,
+      nParts = 4, m = 4, efConstruction = 32, efSearch = 32)
+      .as[(Long, Double)].collect()
+    assert(fused.head._1 == 300L && fused.head._2 == 1.0, s"needle miss: ${fused.toSeq}")
+
+    // persisted multi-layer adjacency + re-derived entry reproduces the
+    // fused search exactly
+    val index = Similarity.hnswBuild(df, "embedding", "vec_id",
+      nParts = 4, m = 4, efConstruction = 32).localCheckpoint(true)
+    val viaIndex = Similarity.hnswSearchBuilt(index, "embedding", "vec_id", q,
+      k = 10, nParts = 4, efSearch = 32).as[(Long, Double)].collect()
+    assert(viaIndex.toSeq == fused.toSeq)
+
+    // physical-layout determinism
+    val relaid = Similarity.hnswTopK(df.repartition(13, col("embedding")),
+      "embedding", "vec_id", q, k = 10, nParts = 4, m = 4,
+      efConstruction = 32, efSearch = 32).as[(Long, Double)].collect()
+    assert(relaid.toSeq == fused.toSeq)
+
+    // level structure: every layer-l neighbor list implies membership of
+    // all lower layers (array length = level + 1 >= 1)
+    val lvls = index.select(col("vec_id"), size(col("layer_nbrs")).as("n"))
+      .as[(Long, Int)].collect()
+    assert(lvls.forall(_._2 >= 1) && lvls.exists(_._2 >= 2),
+      s"degenerate level structure: ${lvls.toSeq.take(10)}")
+
+    // the upper layers carry recall at a 10x-larger SINGLE shard without
+    // raising efSearch — the regime they exist for
+    val rnd2 = new scala.util.Random(29)
+    val big = Seq.tabulate(1200)(i => (i.toLong, Array.fill(dim)(rnd2.nextGaussian())))
+    val bigDf = big.toDF("vec_id", "embedding")
+    val q2 = Array.fill(dim)(rnd2.nextGaussian())
+    val brute = Similarity.bruteForceTopK(bigDf, "embedding", "vec_id", q2, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val hnsw = Similarity.hnswTopK(bigDf, "embedding", "vec_id", q2, k = 10,
+        nParts = 1, m = 8, efConstruction = 64, efSearch = 32)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = brute.intersect(hnsw).size.toDouble / brute.size
+    assert(recall >= 0.6, s"10x-shard HNSW recall=$recall hnsw=$hnsw brute=$brute")
+  }
+
+  test("HNSW incremental insert: append-only batch == full rebuild exactly; day-2 needle surfaces") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(21)
+    val q = Array.fill(dim)(rnd.nextGaussian())
+    val batch1 = vecs.toDF("vec_id", "embedding")
+    val day2 = ((500L, q.clone()) +: Seq.tabulate(20)(j =>
+        (510L + j.toLong, Array.fill(dim)(rnd.nextGaussian()))))
+      .toDF("vec_id", "embedding")
+    val idx1 = Similarity.hnswBuild(batch1, "embedding", "vec_id",
+      nParts = 4, m = 4, efConstruction = 32).localCheckpoint(true)
+    val incr = Similarity.hnswInsertAgainst(idx1, day2, "embedding", "vec_id",
+      nParts = 4, m = 4, efConstruction = 32).localCheckpoint(true)
+    val rebuilt = Similarity.hnswBuild(batch1.unionByName(day2), "embedding", "vec_id",
+      nParts = 4, m = 4, efConstruction = 32).localCheckpoint(true)
+    assert(incr.except(rebuilt).count() == 0 && rebuilt.except(incr).count() == 0,
+      "HNSW incremental insert diverged from full rebuild")
+    val hits = Similarity.hnswSearchBuilt(incr, "embedding", "vec_id", q,
+      k = 10, nParts = 4, efSearch = 32).as[(Long, Double)].collect()
+    assert(hits.head._1 == 500L && hits.head._2 == 1.0,
+      s"HNSW day-2 needle missed: ${hits.toSeq}")
+  }
+
   test("LSH ANN finds the planted near-duplicates; recall vs brute >= 0.6") {
     val s = spark; import s.implicits._
     val df = vecs.toDF("vec_id", "embedding")
