@@ -1457,6 +1457,55 @@ object SparkEntry {
           max(col("vec_id") === -1L && col("hnsw_sim") === 1.0).as("needle_found"))
     }),
 
+    "q_ann_hnsw_coded" -> ((s, dir) => {
+      // codes-only hierarchical serving: the persisted HNSW index swaps
+      // vectors for PQ codes (hnswEncodeIndex) and BOTH the greedy
+      // upper-layer descent and the layer-0 beam score by ADC lookups —
+      // the needle's quantized self-similarity dominates natural
+      // neighbors by the q_ann_pq margin through the whole hierarchy.
+      import s.implicits._
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val needle = Seq((-1L, q.toSeq)).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast(e0.schema("embedding").dataType))
+      val full = e0.union(needle)
+      val books = Similarity.pqCodebooks(full, "embedding", "vec_id",
+        dim = 64, m = 8, c = 16)
+      val coded = Similarity.hnswEncodeIndex(
+        Similarity.hnswBuild(full, "embedding", "vec_id"),
+        "embedding", "vec_id", books).localCheckpoint(true)
+      Similarity.hnswSearchCoded(coded, "vec_id", books, q, k = 10)
+        .agg(count(lit(1)).as("k"), countDistinct(col("vec_id")).as("n_ids"),
+          max(col("vec_id") === -1L).as("needle_found"))
+    }),
+
+    "q_ann_hnsw_incr" -> ((s, dir) => {
+      // incremental maintenance for the HIERARCHICAL index — same
+      // daily-ingest contract and append-only insert ≡ rebuild equality
+      // as q_ann_nsw_incr, through hnswInsertAgainst (levels are
+      // id-derived, the entry only advances on a strictly higher level,
+      // so the replayed loop is node-for-node identical).
+      import s.implicits._
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val vecType = e0.schema("embedding").dataType
+      val base = 1000000000L
+      val day2 = ((base, q.toSeq) +: Seq.tabulate(20)(j =>
+          (base + 1 + j.toLong, Seq.tabulate(64)(i => math.sin(j * 64 + i + 2.0)))))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast(vecType))
+      val idx1 = Similarity.hnswBuild(e0, "embedding", "vec_id").localCheckpoint(true)
+      val incr = Similarity.hnswInsertAgainst(idx1, day2, "embedding", "vec_id")
+        .localCheckpoint(true)
+      val rebuilt = Similarity.hnswBuild(e0.unionByName(day2), "embedding", "vec_id")
+        .localCheckpoint(true)
+      val eq = incr.except(rebuilt).count() == 0 && rebuilt.except(incr).count() == 0
+      Similarity.hnswSearchBuilt(incr, "embedding", "vec_id", q, k = 10)
+        .agg(count(lit(1)).as("k"), countDistinct(col("vec_id")).as("n_ids"),
+          max(col("vec_id") === base && col("hnsw_sim") === 1.0).as("needle_found"))
+        .withColumn("insert_eq_rebuild", lit(eq))
+    }),
+
     "q_ann_nsw_incr" -> ((s, dir) => {
       // incremental ANN maintenance (nswInsertAgainst — the daily-ingest
       // contract, as Dedup.exactAgainst): day 1 builds the index over the
@@ -2693,6 +2742,18 @@ object SparkEntry {
     "q_ann_hnsw" ->
       """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_ids,
         |  TRUE AS needle_found""".stripMargin,
+
+    // codes-only hierarchical serving: needle survives quantization AND
+    // graph greediness through every layer
+    "q_ann_hnsw_coded" ->
+      """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_ids,
+        |  TRUE AS needle_found""".stripMargin,
+
+    // hierarchical incremental maintenance: day-2 needle surfaces and the
+    // append-only insert equals the full rebuild exactly
+    "q_ann_hnsw_incr" ->
+      """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_ids,
+        |  TRUE AS needle_found, TRUE AS insert_eq_rebuild""".stripMargin,
 
     // incremental maintenance: the day-2 needle surfaces from the
     // incrementally-inserted index, and the append-only insert equals the

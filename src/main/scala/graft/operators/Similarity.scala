@@ -999,15 +999,26 @@ object Similarity {
   private def hnswSearchLocal(vecs: Array[Array[Double]], norms: Array[Double],
       layers: Array[Array[scala.collection.mutable.ArrayBuffer[Int]]],
       levels: Array[Int], entry: Int, q: Array[Double], ef: Int): Array[(Int, Double)] = {
-    val n = vecs.length
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    hnswSearchLocalBy(i => simTo(vecs, norms, i, q, qNorm), layers, levels, entry, ef)
+  }
+
+  /** [[hnswSearchLocal]] generalized over the node-scoring function —
+    * true cosine for raw-vector shards, ADC lookups for codes-only shards
+    * (the same split as [[nswSearchLocalBy]]).
+    */
+  private def hnswSearchLocalBy(score: Int => Double,
+      layers: Array[Array[scala.collection.mutable.ArrayBuffer[Int]]],
+      levels: Array[Int], entry: Int, ef: Int): Array[(Int, Double)] = {
+    val n = layers(0).length
     var cur = entry
     var lc = levels(entry)
     while (lc > 0) {
-      val best = nswSearchLocal(vecs, norms, layers(lc), Array(cur), q, 1, n)
+      val best = nswSearchLocalBy(score, layers(lc), Array(cur), 1, n)
       cur = best.head._1
       lc -= 1
     }
-    nswSearchLocal(vecs, norms, layers(0), Array(cur), q, ef, n)
+    nswSearchLocalBy(score, layers(0), Array(cur), ef, n)
   }
 
   /** Partitioned hierarchical NSW (full HNSW per hash shard) — the
@@ -1184,5 +1195,118 @@ object Similarity {
         }
       }
       .toDF(idCol, vecCol, "layer_nbrs")
+  }
+
+  /** Codes-only serving index from a [[hnswBuild]] result — the
+    * hierarchical counterpart of [[nswEncodeIndex]]: the vector column is
+    * REPLACED by its PQ code, keeping (id, pq_code, layer_nbrs). The
+    * graphs were built on true distances; the stored index carries none.
+    * Search with [[hnswSearchCoded]] and the same codebooks.
+    */
+  def hnswEncodeIndex(index: DataFrame, vecCol: String, idCol: String,
+      books: Array[Array[Array[Double]]]): DataFrame =
+    index.select(col(idCol), pqEncode(col(vecCol), books).as("pq_code"),
+      col("layer_nbrs"))
+
+  /** Beam-search a codes-only [[hnswEncodeIndex]] shard set: the greedy
+    * upper-layer descent AND the layer-0 beam both score by ADC lookups
+    * (query-side tables computed once on the driver, one m-entry sum per
+    * visited node) — the hierarchical skip structure works unchanged over
+    * quantized scores, so full-size shards get codes-only storage AND
+    * logarithmic search together.
+    */
+  def hnswSearchCoded(coded: DataFrame, idCol: String,
+      books: Array[Array[Array[Double]]], query: Array[Double], k: Int,
+      nParts: Int = 4, efSearch: Int = 64): DataFrame = {
+    val session = coded.sparkSession
+    import session.implicits._
+    val kk = k
+    val subDim = books.head.head.length
+    val dotTab = books.zipWithIndex.map { case (cents, sub) =>
+      cents.map(cent => (0 until subDim).map(i => query(sub * subDim + i) * cent(i)).sum)
+    }
+    val nrmTab = books.map(_.map(cent => cent.map(x => x * x).sum))
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    coded.select(col(idCol).cast("long"), col("pq_code").cast("array<int>"),
+        col("layer_nbrs").cast("array<array<long>>"))
+      .as[(Long, Seq[Int], Seq[Seq[Long]])]
+      .repartition(nParts, col(idCol))
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val idx = rows.iterator.map(_._1).zipWithIndex.toMap
+          val codes = rows.map(_._2.toArray)
+          val levels = rows.map(_._3.length - 1)
+          val maxLevel = levels.max
+          val layers = Array.tabulate(maxLevel + 1, rows.length) { (l, i) =>
+            if (l <= levels(i)) resolveNbrs(rows(i)._1, rows(i)._3(l), idx)
+            else scala.collection.mutable.ArrayBuffer.empty[Int]
+          }
+          val entry = levels.indexOf(maxLevel)
+          def adcScore(i: Int): Double = {
+            val code = codes(i)
+            var d = 0.0; var n2 = 0.0
+            var sub = 0
+            while (sub < code.length) {
+              d += dotTab(sub)(code(sub)); n2 += nrmTab(sub)(code(sub))
+              sub += 1
+            }
+            val denom = qNorm * math.sqrt(n2)
+            if (denom > 1e-12) d / denom else 0.0
+          }
+          hnswSearchLocalBy(adcScore, layers, levels, entry, math.max(efSearch, kk))
+            .take(kk).iterator.map { case (i, s) => (rows(i)._1, s) }
+        }
+      }
+      .toDF(idCol, "__s")
+      .select(col(idCol), round(col("__s"), 6).as("hnsw_pq_sim"))
+      .orderBy(col("hnsw_pq_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** [[hnswTopK]] for a TABLE of query vectors — the hierarchical
+    * counterpart of [[nswTopKJoin]]: queries collect to the driver under
+    * the same enforced `maxQueries` bound, every shard builds once and
+    * searches each query through its hierarchy, per-query shard results
+    * merge by a window rank. Output (qIdCol, idCol, hnsw_sim).
+    */
+  def hnswTopKJoin(df: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, qVecCol: String, qIdCol: String, k: Int,
+      nParts: Int = 4, m: Int = 8, efConstruction: Int = 64,
+      efSearch: Int = 64, maxQueries: Int = 4096): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val kk = k
+    val qs: Array[(Long, Array[Double])] = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .limit(maxQueries + 1).collect().map { case (i, v) => (i, v.toArray) }
+    require(qs.length <= maxQueries,
+      s"hnswTopKJoin query table exceeds maxQueries=$maxQueries — " +
+        "batch the queries or raise the bound consciously")
+    val perShard = df
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .repartition(nParts, col(idCol))
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val vecs = rows.map(_._2.toArray)
+          val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+          val (layers, levels, entry) =
+            hnswBuildLocal(vecs, norms, rows.map(_._1), m, efConstruction)
+          qs.iterator.flatMap { case (qid, q) =>
+            hnswSearchLocal(vecs, norms, layers, levels, entry, q, math.max(efSearch, kk))
+              .take(kk).iterator.map { case (i, s) => (qid, rows(i)._1, s) }
+          }
+        }
+      }
+      .toDF(qIdCol, idCol, "__s")
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("__s").desc, col(idCol))
+    perShard.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .select(col(qIdCol), col(idCol), round(col("__s"), 6).as("hnsw_sim"))
   }
 }

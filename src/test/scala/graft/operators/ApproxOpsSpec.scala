@@ -271,6 +271,32 @@ class ApproxOpsSpec extends AnyFunSuite {
     assert(lvls.forall(_._2 >= 1) && lvls.exists(_._2 >= 2),
       s"degenerate level structure: ${lvls.toSeq.take(10)}")
 
+    // codes-only serving through the hierarchy: the persisted index swaps
+    // vectors for PQ codes and the needle still surfaces via ADC scores
+    val books = Similarity.pqCodebooks(df, "embedding", "vec_id", dim, m = 4, c = 8)
+    val coded = Similarity.hnswEncodeIndex(index, "embedding", "vec_id", books)
+      .localCheckpoint(true)
+    assert(!coded.columns.contains("embedding"))
+    val codedHits = Similarity.hnswSearchCoded(coded, "vec_id", books, q,
+      k = 10, nParts = 4, efSearch = 32).as[(Long, Double)].collect()
+    assert(codedHits.length == 10)
+    assert(codedHits.head._1 == 300L, s"HNSW codes-only needle miss: ${codedHits.toSeq}")
+
+    // query-table form: self-hits rank first; the planted query agrees
+    // with the fused single-query search
+    val queries = df.where(col("vec_id").isin(0L, 50L, 300L))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val joined = Similarity.hnswTopKJoin(df, "embedding", "vec_id", queries,
+      "q_vec", "q_id", k = 10, nParts = 4, m = 4,
+      efConstruction = 32, efSearch = 32)
+      .as[(Long, Long, Double)].collect()
+    Seq(0L, 50L, 300L).foreach { qid =>
+      val hits = joined.filter(_._1 == qid).sortBy(r => (-r._3, r._2))
+      assert(hits.length == 10)
+      assert(hits.head._2 == qid && hits.head._3 == 1.0, s"hnsw q=$qid self-hit")
+    }
+    assert(joined.filter(_._1 == 300L).map(r => (r._2, r._3)).toSet == fused.toSet)
+
     // the upper layers carry recall at a 10x-larger SINGLE shard without
     // raising efSearch — the regime they exist for
     val rnd2 = new scala.util.Random(29)
