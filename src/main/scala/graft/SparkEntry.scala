@@ -400,25 +400,26 @@ object SparkEntry {
       // is corpus-agnostic.
       import s.implicits._
       val src = java.nio.file.Files.createTempDirectory("graft_avail_").toString
-      val dayIdx = eventsDF(s, dir)
-        .select(expr("ts_ms DIV 86400000").as("day")).distinct()
-        .withColumn("batch_id", row_number().over(Window.orderBy(col("day"))).cast("long"))
-      val byBatch = eventsDF(s, dir)
-        .select(col("user_id"), expr("ts_ms DIV 86400000").as("day"))
-        .join(broadcast(dayIdx), "day")
-        .select(col("user_id"), col("batch_id"))
-      byBatch.repartition(col("batch_id"))
-        .write.mode("overwrite").partitionBy("batch_id").parquet(src)
-      val nBatches = dayIdx.count()
-      graft.batch.BatchState.deleteDir(s"$src/batch_id=3") // the hole
-      val ((lo, hi), planned) = graft.sources.TimePathedSource
-        .read(s, src, (BatchID(1), BatchID(nBatches))).get
-      val nRows = planned.count()
-      val holeStartNone = graft.sources.TimePathedSource
-        .satisfiable(s, src, (BatchID(3), BatchID(nBatches))).isEmpty
-      graft.batch.BatchState.deleteDir(src)
-      Seq((lo.id, hi.id, nRows, holeStartNone))
-        .toDF("planned_lo", "planned_hi", "n_rows", "hole_start_none")
+      try { // scratch source deleted on EVERY exit path
+        val dayIdx = eventsDF(s, dir)
+          .select(expr("ts_ms DIV 86400000").as("day")).distinct()
+          .withColumn("batch_id", row_number().over(Window.orderBy(col("day"))).cast("long"))
+        val byBatch = eventsDF(s, dir)
+          .select(col("user_id"), expr("ts_ms DIV 86400000").as("day"))
+          .join(broadcast(dayIdx), "day")
+          .select(col("user_id"), col("batch_id"))
+        byBatch.repartition(col("batch_id"))
+          .write.mode("overwrite").partitionBy("batch_id").parquet(src)
+        val nBatches = dayIdx.count()
+        graft.batch.BatchState.deleteDir(s"$src/batch_id=3") // the hole
+        val ((lo, hi), planned) = graft.sources.TimePathedSource
+          .read(s, src, (BatchID(1), BatchID(nBatches))).get
+        val nRows = planned.count()
+        val holeStartNone = graft.sources.TimePathedSource
+          .satisfiable(s, src, (BatchID(3), BatchID(nBatches))).isEmpty
+        Seq((lo.id, hi.id, nRows, holeStartNone))
+          .toDF("planned_lo", "planned_hi", "n_rows", "hole_start_none")
+      } finally graft.batch.BatchState.deleteDir(src)
     }),
 
     "q_name_options" -> ((s, dir) => {
@@ -720,29 +721,31 @@ object SparkEntry {
         .as[(Long, Long)].collect()
       val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
       val tmp = java.nio.file.Files.createTempDirectory("graft_fanout_").toString
-      val (sinkA, sinkB) = (s"$tmp/a", s"$tmp/b")
-      val writer = graft.streaming.StreamingIO.fanout(
-        ms.toDS().toDF("event_id", "user_id"))(Seq(
-        (b, _) => b.write.mode("append").parquet(sinkA),
-        (b, _) => b.write.mode("append").parquet(sinkB)))
-      withStreamingGateConf(s, 4) {
-        val q = writer.start()
-        try {
-          (0 until 3).foreach { i =>
-            ms.addData(rows.iterator.filter(_._1 % 3 == i).toSeq)
-            q.processAllAvailable()
-          }
-        } finally q.stop()
-      }
-      val a = s.read.parquet(sinkA)
-      val b = s.read.parquet(sinkB)
-      val equal = a.except(b).count() == 0 && b.except(a).count() == 0
-      // materialize the 1-row result, then reclaim the scratch sinks (the
-      // returned frame must not read deleted parquet lazily)
-      val out = a.agg(count(lit(1)).as("n_rows"))
-        .withColumn("sinks_equal", lit(equal)).localCheckpoint(true)
-      graft.batch.BatchState.deleteDir(tmp)
-      out
+      // two full corpus copies land under /tmp — delete them on EVERY exit
+      // path (a failing feed mid-rep must not leak them across bench reps)
+      try {
+        val (sinkA, sinkB) = (s"$tmp/a", s"$tmp/b")
+        val writer = graft.streaming.StreamingIO.fanout(
+          ms.toDS().toDF("event_id", "user_id"))(Seq(
+          (b, _) => b.write.mode("append").parquet(sinkA),
+          (b, _) => b.write.mode("append").parquet(sinkB)))
+        withStreamingGateConf(s, 4) {
+          val q = writer.start()
+          try {
+            (0 until 3).foreach { i =>
+              ms.addData(rows.iterator.filter(_._1 % 3 == i).toSeq)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
+        val a = s.read.parquet(sinkA)
+        val b = s.read.parquet(sinkB)
+        val equal = a.except(b).count() == 0 && b.except(a).count() == 0
+        // materialize the 1-row result before the finally reclaims the
+        // sinks (the returned frame must not read deleted parquet lazily)
+        a.agg(count(lit(1)).as("n_rows"))
+          .withColumn("sinks_equal", lit(equal)).localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
     "q_loop_join_presplit" -> ((s, dir) => {
@@ -924,17 +927,19 @@ object SparkEntry {
         .sumDeltasPerBatch(daily)(Semigroup.longSemigroup)
         .persist()
       val tmp = java.nio.file.Files.createTempDirectory("graft_store_").toString
-      val store = new BatchStore[Long, Long](tmp, keyBuckets = Some(8))
-      store.merge(s, deltas, BatchID(cutBatch))(Semigroup.longSemigroup).count()
-      val keys = eventsDF(s, dir).select(col("user_id")).distinct()
-        .orderBy(col("user_id")).limit(6).as[Long].collect()
-      val got = keys.toSeq.map { k =>
-        (k, ClientStore.get(s, store, deltas, k)(
-          Semigroup.longSemigroup, implicitly, implicitly).getOrElse(0L))
+      try { // store dir + cache reclaimed on EVERY exit path
+        val store = new BatchStore[Long, Long](tmp, keyBuckets = Some(8))
+        store.merge(s, deltas, BatchID(cutBatch))(Semigroup.longSemigroup).count()
+        val keys = eventsDF(s, dir).select(col("user_id")).distinct()
+          .orderBy(col("user_id")).limit(6).as[Long].collect()
+        keys.toSeq.map { k =>
+          (k, ClientStore.get(s, store, deltas, k)(
+            Semigroup.longSemigroup, implicitly, implicitly).getOrElse(0L))
+        }.toDF("user_id", "cnt")
+      } finally {
+        deltas.unpersist()
+        graft.batch.BatchState.deleteDir(tmp)
       }
-      deltas.unpersist()
-      graft.batch.BatchState.deleteDir(tmp)
-      got.toDF("user_id", "cnt")
     }),
 
     "q_lambda_merged" -> ((s, dir) => {

@@ -66,22 +66,28 @@ final class BatchStore[K, V](
     * declared, a read below the boundary (beforeOrAt < firstNonZero - 1)
     * throws; a read at exactly the boundary returns None (empty store).
     */
-  def readLast(spark: SparkSession, beforeOrAt: BatchID = BatchID(Long.MaxValue)): Option[(BatchID, Dataset[(K, V)])] = {
+  /** Shared read scaffolding: firstNonZero boundary guard + last committed
+    * snapshot as a raw DataFrame (both read paths filter/select over it).
+    */
+  private def lastSnapshotRaw(spark: SparkSession,
+      beforeOrAt: BatchID): Option[(BatchID, org.apache.spark.sql.DataFrame)] = {
     firstNonZero.foreach { fnz =>
       if (beforeOrAt.id < fnz.id - 1)
         throw new IllegalStateException(
           s"BatchStore($path) declares firstNonZero=${fnz.id}: reading through batch " +
           s"${beforeOrAt.id} is before the store existed (mis-pointed path or bad request)")
     }
-    state.lastCommitted(beforeOrAt).map { b =>
+    state.lastCommitted(beforeOrAt).map(b => (b, spark.read.parquet(snapshotDir(b))))
+  }
+
+  def readLast(spark: SparkSession, beforeOrAt: BatchID = BatchID(Long.MaxValue)): Option[(BatchID, Dataset[(K, V)])] =
+    lastSnapshotRaw(spark, beforeOrAt).map { case (b, raw) =>
       // snapshots are written as (key, value); select by name (a clustered
       // snapshot also carries the kb partition column) and rename back to
       // the tuple encoder's (_1, _2) field names
-      (b, spark.read.parquet(snapshotDir(b))
-        .select(functions.col("key").as("_1"), functions.col("value").as("_2"))
+      (b, raw.select(functions.col("key").as("_1"), functions.col("value").as("_2"))
         .as[(K, V)])
     }
-  }
 
   /** Point-read of the last snapshot: only `key`'s rows, with the scan
     * pruned by the clustered layout when [[keyBuckets]] is set. The bucket
@@ -95,17 +101,22 @@ final class BatchStore[K, V](
   def readLastForKey(spark: SparkSession, key: K,
       beforeOrAt: BatchID = BatchID(Long.MaxValue)): Option[(BatchID, Dataset[(K, V)])] = {
     import functions.{col, hash, lit, pmod}
-    firstNonZero.foreach { fnz =>
-      if (beforeOrAt.id < fnz.id - 1)
-        throw new IllegalStateException(
-          s"BatchStore($path) declares firstNonZero=${fnz.id}: reading through batch " +
-          s"${beforeOrAt.id} is before the store existed (mis-pointed path or bad request)")
-    }
-    state.lastCommitted(beforeOrAt).map { b =>
-      val raw = spark.read.parquet(snapshotDir(b))
+    lastSnapshotRaw(spark, beforeOrAt).map { case (b, raw) =>
       val keyLit = scala.util.Try(lit(key)).toOption
       val pruned = (keyBuckets, keyLit) match {
         case (Some(n), Some(l)) if raw.columns.contains("kb") =>
+          // the declared bucket count MUST match the on-disk layout — a
+          // store reopened with a different keyBuckets would name the
+          // wrong kb= directory for most keys and silently serve
+          // empty/partial point reads (the same silent-fragmentation
+          // class resolveNbrs guards against for ANN shards)
+          val onDisk = new java.io.File(snapshotDir(b)).listFiles()
+          val kbDirs = if (onDisk == null) 0 else onDisk.count(_.getName.startsWith("kb="))
+          if (kbDirs != n)
+            throw new IllegalStateException(
+              s"BatchStore($path) snapshot batch ${b.id} has $kbDirs kb= bucket dirs " +
+              s"but the store declares keyBuckets=$n — reopened with a different " +
+              "bucket count than it was written with")
           // evaluate the bucket DRIVER-SIDE (same Murmur3/seed-42 semantics
           // as the functions.hash used at write time) so the partition
           // predicate is a plain literal — static pruning is then

@@ -885,6 +885,13 @@ object Similarity {
           // carry references only ids in this set (resolveNbrs enforces it)
           val rows = existing ++ added
           val idx = existing.iterator.map(_._1).zipWithIndex.toMap
+          // NEW means new: a re-delivered batch (at-least-once ingest) would
+          // otherwise emit duplicate-id rows and a silently corrupted index
+          added.foreach { r =>
+            if (idx.contains(r._1)) throw new IllegalArgumentException(
+              s"nswInsertAgainst: id ${r._1} is already in the index — newRows must " +
+              "contain only unindexed ids (dedup the ingest batch against the index first)")
+          }
           val vecs = rows.map(_._2.toArray)
           val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
           val adj = Array.fill(rows.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
@@ -1163,9 +1170,24 @@ object Similarity {
           val added = all.filter(_._3 == null)
           val rows = existing ++ added
           val idx = existing.iterator.map(_._1).zipWithIndex.toMap
+          added.foreach { r =>
+            if (idx.contains(r._1)) throw new IllegalArgumentException(
+              s"hnswInsertAgainst: id ${r._1} is already in the index — newRows must " +
+              "contain only unindexed ids (dedup the ingest batch against the index first)")
+          }
           val vecs = rows.map(_._2.toArray)
           val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
           val levels = rows.map(r => hnswLevel(r._1, 1.0 / math.log(math.max(2, m))))
+          // levels depend on m: a persisted level that disagrees with the
+          // re-derived one means this call's m differs from the build's —
+          // silently restructuring (or crashing mid-write) is the same
+          // contract-breach class as a mismatched nParts, so fail loudly
+          existing.indices.foreach { i =>
+            if (existing(i)._3.length - 1 != levels(i)) throw new IllegalArgumentException(
+              s"hnswInsertAgainst: node ${existing(i)._1} was built at level " +
+              s"${existing(i)._3.length - 1} but m=$m derives level ${levels(i)} — " +
+              "the insert must use the SAME m as the original hnswBuild")
+          }
           val maxLevel = levels.max
           val layers = Array.fill(maxLevel + 1, rows.length)(
             scala.collection.mutable.ArrayBuffer.empty[Int])

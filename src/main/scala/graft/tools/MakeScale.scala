@@ -35,6 +35,15 @@ object MakeScale {
     val shift = 1000000L
     def scaled(name: String, idCols: Seq[String]): Unit = {
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      // the shifted copies' id ranges must be disjoint, or uniqueness (and
+      // every count/dedup oracle derived from this output) silently breaks
+      // — e.g. running MakeScale on its own output would collide
+      idCols.foreach { c =>
+        val mx = df.agg(max(col(c))).collect().head.getLong(0)
+        require(mx < shift,
+          s"$name.$c max id $mx >= shift $shift — input ids would collide across " +
+          "the shifted copies (is this already a MakeScale output?)")
+      }
       (0 until factor).map { i =>
         idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * shift)))
       }.reduce(_ unionByName _)

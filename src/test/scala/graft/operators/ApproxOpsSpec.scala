@@ -334,6 +334,33 @@ class ApproxOpsSpec extends AnyFunSuite {
       s"HNSW day-2 needle missed: ${hits.toSeq}")
   }
 
+  test("incremental-insert guards: duplicate ids and mismatched m fail loudly") {
+    val s = spark; import s.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val df = vecs.toDF("vec_id", "embedding")
+    // re-delivered batch: an id already in the index must throw, not emit
+    // a silently corrupted duplicate-id index
+    val idx = Similarity.nswBuild(df, "embedding", "vec_id",
+      nParts = 4, m = 4, efConstruction = 32).localCheckpoint(true)
+    val e1 = intercept[Exception] {
+      Similarity.nswInsertAgainst(idx, df.where(col("vec_id") === 5L),
+        "embedding", "vec_id", nParts = 4, m = 4, efConstruction = 32).count()
+    }
+    assert(msgs(e1).exists(_.contains("already in the index")), msgs(e1))
+    // hierarchical insert with a different m than the build: levels are
+    // m-derived, so the mismatch must throw instead of silently
+    // restructuring nodes
+    val hidx = Similarity.hnswBuild(df, "embedding", "vec_id",
+      nParts = 4, m = 4, efConstruction = 32).localCheckpoint(true)
+    val fresh = Seq((900L, Array.fill(dim)(0.1))).toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      Similarity.hnswInsertAgainst(hidx, fresh, "embedding", "vec_id",
+        nParts = 4, m = 8, efConstruction = 32).count()
+    }
+    assert(msgs(e2).exists(_.contains("SAME m")), msgs(e2))
+  }
+
   test("LSH ANN finds the planted near-duplicates; recall vs brute >= 0.6") {
     val s = spark; import s.implicits._
     val df = vecs.toDF("vec_id", "embedding")

@@ -58,6 +58,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"point get scanned ${scan.metrics("numFiles").value} files (wanted 1 of 8)")
     val scanStr = scan.toString
     assert(scanStr.contains("EqualTo(key,137"), scanStr)
+    // reopening the same path with a DIFFERENT bucket count must fail
+    // loudly — the mis-declared layout would otherwise name the wrong
+    // kb= directory for most keys and silently serve empty point reads
+    val mis = new BatchStore[Long, Long](tmp, keyBuckets = Some(16))
+    val e = intercept[IllegalStateException] { mis.readLastForKey(spark, 137L) }
+    assert(e.getMessage.contains("different") && e.getMessage.contains("bucket"),
+      e.getMessage)
     graft.batch.BatchState.deleteDir(tmp)
   }
 
