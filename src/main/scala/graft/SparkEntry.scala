@@ -359,6 +359,60 @@ object SparkEntry {
         .select("event_id", "user_id", "signup_id")
     }),
 
+    "q_sessionize" -> ((s, dir) =>
+      // round 10: gaps-and-islands sessionization (30-min inactivity gap
+      // per user) — windows partitioned by user only, one hash exchange,
+      // exactly reproduced by the DuckDB lag + running-sum oracle
+      graft.operators.Sessionize.sessionize(eventsDF(s, dir),
+        "user_id", "ts_ms", gapMs = 1800000L)),
+
+    "q_streaming_sessionize" -> ((s, dir) => {
+      // streaming sessionization via the NATIVE session_window aggregate
+      // (merging session state per user in the state store, watermark
+      // eviction): the 10% user slice feeds in two ascending-ts halves
+      // plus a flush sentinel; the emitted sessions must equal the batch
+      // gaps-and-islands operator on the same fed corpus EXACTLY (same
+      // half-open gap convention), a Spark-computed invariant the oracle
+      // pins alongside the session count.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = eventsDF(s, dir).where(col("user_id") % 10 === 0)
+        .select(col("user_id"), col("ts_ms")).as[(Long, Long)].collect()
+      val minTs = evs.iterator.map(_._2).min
+      val maxTs = evs.iterator.map(_._2).max
+      val gap = 1800000L
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val out = graft.operators.Sessionize.sessionizeStreaming(
+        ms.toDS().toDF("user_id", "__ms")
+          .withColumn("ts", timestamp_millis(col("__ms"))),
+        "user_id", "ts", gapMs = gap)
+      val view = "q_streaming_sessionize_sink"
+      s.catalog.dropTempView(view)
+      withStreamingGateConf(s, 4) {
+        val q = out.writeStream.format("memory").queryName(view)
+          .outputMode("append").start()
+        try {
+          val mid = minTs + (maxTs - minTs) / 2 + 1
+          Seq((minTs, mid), (mid, maxTs + 1)).foreach { case (lo, hi) =>
+            ms.addData(evs.iterator.filter(e => e._2 >= lo && e._2 < hi).toSeq)
+            q.processAllAvailable()
+          }
+          // flush: past every open session's close + watermark
+          ms.addData(Seq((-1L, maxTs + 48L * 3600000L)))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      val streamed = s.table(view).where(col("user_id") =!= -1L)
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+        .localCheckpoint(true)
+      val batch = graft.operators.Sessionize.sessionize(
+          evs.toSeq.toDF("user_id", "ts_ms"), "user_id", "ts_ms", gapMs = gap)
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      val eq = streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0
+      streamed.agg(count(lit(1)).as("n_sessions"))
+        .withColumn("stream_eq_batch", lit(eq))
+    }),
+
     "q_unique_service" -> ((s, dir) => {
       // UniqueKeyedService + EmptyService (reference scalding/service/
       // UniqueKeyedService.scala, EmptyService): unique-keyed dimension
@@ -1956,6 +2010,40 @@ object SparkEntry {
         |  SELECT user_id, ts AS signup_ts, max(event_id) AS signup_id
         |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts) r
         |ON e.user_id = r.user_id AND e.ts >= r.signup_ts""".stripMargin,
+
+    // gaps-and-islands with the half-open gap convention (diff >= gap
+    // starts a new session); CAST the running sum (DuckDB window sum of
+    // BIGINT is HUGEINT)
+    "q_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))),
+        |s AS (
+        |  SELECT user_id, ts_ms,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM m)
+        |SELECT user_id, session_seq, min(ts_ms) AS session_start,
+        |  max(ts_ms) AS session_end, count(*) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // streamed session set == batch gaps-and-islands set (computed
+    // Spark-side); the oracle pins the session count over the fed slice
+    "q_streaming_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE user_id % 10 = 0
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)))
+        |SELECT CAST(sum(is_new) AS BIGINT) AS n_sessions,
+        |  TRUE AS stream_eq_batch
+        |FROM m""".stripMargin,
 
     // unique-keyed service = plain left equi-join on the dimension shape;
     // empty service = typed null column
