@@ -366,6 +366,24 @@ object SparkEntry {
       graft.operators.Sessionize.sessionize(eventsDF(s, dir),
         "user_id", "ts_ms", gapMs = 1800000L)),
 
+    "q_sliding_window" -> ((s, dir) =>
+      // round 10: SLIDING event-time windows (7-day window, 1-day slide —
+      // rolling weekly activity per user), completing the time-window
+      // triad: tumbling = the Batcher family, session = Sessionize,
+      // sliding = the native window() aggregate. Spark explodes each
+      // event into its 7 covering windows then map-side-combines, so the
+      // shuffle is ≈ |distinct (user, window)|, not 7x the events; the
+      // oracle reproduces the same 7-window cover with a lateral
+      // generate_series. Epoch is midnight-UTC-aligned so day windows
+      // land on day boundaries.
+      eventsDF(s, dir)
+        .withColumn("__t", timestamp_millis(col("ts_ms")))
+        .groupBy(col("user_id"), window(col("__t"), "7 days", "1 day").as("__w"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"),
+          (unix_millis(col("__w.start")) / lit(86400000L)).cast("long").as("window_day"),
+          col("cnt"))),
+
     "q_streaming_sessionize" -> ((s, dir) => {
       // streaming sessionization via the NATIVE session_window aggregate
       // (merging session state per user in the state store, watermark
@@ -2030,6 +2048,15 @@ object SparkEntry {
         |SELECT user_id, session_seq, min(ts_ms) AS session_start,
         |  max(ts_ms) AS session_end, count(*) AS n_events
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // each event covers the 7 day-aligned windows ending at-or-after it;
+    // the lateral series reproduces Spark's window() explode exactly
+    "q_sliding_window" ->
+      """SELECT e.user_id, CAST(t.d AS BIGINT) AS window_day, count(*) AS cnt
+        |FROM events e, UNNEST(generate_series(
+        |  CAST(floor(epoch_ms(e.ts) / 86400000.0) AS BIGINT) - 6,
+        |  CAST(floor(epoch_ms(e.ts) / 86400000.0) AS BIGINT))) AS t(d)
+        |GROUP BY 1, 2""".stripMargin,
 
     // streamed session set == batch gaps-and-islands set (computed
     // Spark-side); the oracle pins the session count over the fed slice

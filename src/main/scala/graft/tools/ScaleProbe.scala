@@ -152,12 +152,19 @@ object ScaleProbe {
       "semdedup" -> (p =>
         Dedup.semanticDedup(spark.read.parquet(p), "embedding", "vec_id",
           nClusters = 16, threshold = 0.9)
-          .agg(count(lit(1))).collect().head.getLong(0))
+          .agg(count(lit(1))).collect().head.getLong(0)),
+      // round-10: sessionization — one hash exchange on the key, per-key
+      // sorted windows; growth must track event volume
+      "sessionize" -> (p =>
+        graft.operators.Sessionize.sessionize(spark.read.parquet(p),
+          "user_id", "ts_ms", gapMs = 1800000L)
+          .agg(sum(col("n_events")), sum(col("session_seq")))
+          .collect().head.getLong(0))
     )
     val selected = ops.filter { case (n, _) => opsArg.forall(_.contains(n)) }
     selected.toSeq.sortBy(_._1).foreach { case (name, f) =>
       val (d1, dp) = (name match {
-        case "heavy_hitters" | "moments_bloom_quantile" => (ev1, evN)
+        case "heavy_hitters" | "moments_bloom_quantile" | "sessionize" => (ev1, evN)
         case "ann_pq" | "ann_ivfpq" | "semdedup" => (emb1, embN)
         case _ => (docs1, docsN)
       })
