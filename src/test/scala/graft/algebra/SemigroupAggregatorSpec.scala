@@ -80,47 +80,54 @@ class SemigroupAggregatorSpec extends AnyFunSuite {
     assert(rows.exists(r => r._1 == 1L && r._3 == Some(11L) && r._4 == 1L))
   }
 
-  test("RocksDB state store: Summer state survives a query restart from the checkpoint") {
+  test("RocksDB state store: Summer state survives a query restart (snapshot AND changelog checkpointing)") {
     // the gate queries run on RocksDBStateStoreProvider; this pins the
     // fault-tolerance half of that story — two Trigger.Once runs sharing a
     // checkpoint, the second run's PRIOR must reflect the first run's
-    // state, recovered from RocksDB SST files (not executor memory)
+    // state, recovered from RocksDB files (not executor memory). Run the
+    // scenario on BOTH checkpoint modes: full-snapshot (default) and
+    // changelog checkpointing (the large-state configuration — commits
+    // upload deltas, recovery REPLAYS the changelog, the riskier path).
     val s = spark; import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val saved = spark.conf.getOption(provKey)
-    spark.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val ms = MemoryStream[(Long, Long, Long)]
-      val out = StreamingSum.sumByKey[Long, Long](ms.toDS(), Batcher.unit)(
-          Semigroup.longSemigroup, implicitly, implicitly)
-        .map { case (k, b, (p, d)) => (k, b, p, d) }
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_rocks_ckpt_").toString
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Option[Long], Long)]
-      def runOnce(): Unit = {
-        val q = out.writeStream
-          .foreachBatch { (df: org.apache.spark.sql.Dataset[(Long, Long, Option[Long], Long)], _: Long) =>
-            buf.synchronized { buf ++= df.collect() }; ()
-          }
-          .outputMode("append")
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
-          .start()
-        try assert(q.awaitTermination(120000L)) finally q.stop()
+    val clogKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val saved = Seq(provKey, clogKey).map(k => k -> spark.conf.getOption(k)).toMap
+    for (changelog <- Seq(false, true)) {
+      spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(clogKey, changelog.toString)
+      try {
+        val ms = MemoryStream[(Long, Long, Long)]
+        val out = StreamingSum.sumByKey[Long, Long](ms.toDS(), Batcher.unit)(
+            Semigroup.longSemigroup, implicitly, implicitly)
+          .map { case (k, b, (p, d)) => (k, b, p, d) }
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_rocks_ckpt_").toString
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Option[Long], Long)]
+        def runOnce(): Unit = {
+          val q = out.writeStream
+            .foreachBatch { (df: org.apache.spark.sql.Dataset[(Long, Long, Option[Long], Long)], _: Long) =>
+              buf.synchronized { buf ++= df.collect() }; ()
+            }
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+            .start()
+          try assert(q.awaitTermination(120000L)) finally q.stop()
+        }
+        ms.addData((0L, 1L, 5L), (1L, 1L, 6L), (2L, 2L, 7L))
+        runOnce() // first query: no prior state
+        ms.addData((3L, 1L, 1L), (4L, 2L, 2L))
+        runOnce() // RESTARTED query: priors must come from recovered state
+        val rows = buf.synchronized(buf.toList)
+        assert(rows.exists(r => r._1 == 1L && r._3 == Some(11L) && r._4 == 1L),
+          s"changelog=$changelog: key 1 prior not recovered across restart: $rows")
+        assert(rows.exists(r => r._1 == 2L && r._3 == Some(7L) && r._4 == 2L),
+          s"changelog=$changelog: key 2 prior not recovered across restart: $rows")
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
       }
-      ms.addData((0L, 1L, 5L), (1L, 1L, 6L), (2L, 2L, 7L))
-      runOnce() // first query: no prior state
-      ms.addData((3L, 1L, 1L), (4L, 2L, 2L))
-      runOnce() // RESTARTED query: priors must come from recovered state
-      val rows = buf.synchronized(buf.toList)
-      assert(rows.exists(r => r._1 == 1L && r._3 == Some(11L) && r._4 == 1L),
-        s"key 1 prior not recovered across restart: $rows")
-      assert(rows.exists(r => r._1 == 2L && r._3 == Some(7L) && r._4 == 2L),
-        s"key 2 prior not recovered across restart: $rows")
-    } finally saved match {
-      case Some(v) => spark.conf.set(provKey, v)
-      case None    => spark.conf.unset(provKey)
     }
   }
 
