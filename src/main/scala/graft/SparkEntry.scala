@@ -1054,6 +1054,21 @@ object SparkEntry {
         .toDF("event_type", "event_id", "value")
     }),
 
+    "q_sumbykey_presplit" -> ((s, dir) => {
+      // round 10: the HOT-KEY PRE-SPLIT form of the non-commutative
+      // ordered fold (sumDeltasPerBatchPreSplit) — same List-concat
+      // semantics as q_sumbykey_ordered, but each key's event-time scan
+      // parallelizes across event-id chunks (chunk folds → chunk-order
+      // merge, identical by associativity). Must match the same ordered
+      // string_agg oracle exactly.
+      import s.implicits._
+      GraftStream.from(eventsDs(s, dir))(_.event_id)
+        .asKeyedWith(_.user_id, (e: Ev) => List(e.event_id))
+        .sumByKeyAllTimePreSplit(_ / 4096)(Semigroup.listSemigroup[Long], implicitly)
+        .map { case (u, ids) => (u, ids.mkString(",")) }
+        .toDF("user_id", "event_ids")
+    }),
+
     "q_sumbykey_ordered" -> ((s, dir) => {
       // NON-COMMUTATIVE semigroup (List concat) through sumByKey: routes
       // through the event-time-ordered fold (sorted groups), never hash
@@ -2163,6 +2178,11 @@ object SparkEntry {
         |FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
 
     "q_sumbykey_ordered" ->
+      """SELECT user_id, string_agg(event_id, ',' ORDER BY event_id) AS event_ids
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // the chunked fold merges back to exactly the ordered concat
+    "q_sumbykey_presplit" ->
       """SELECT user_id, string_agg(event_id, ',' ORDER BY event_id) AS event_ids
         |FROM events GROUP BY user_id""".stripMargin,
 

@@ -362,6 +362,58 @@ final class KeyedGraftStream[K, V](val ds: Dataset[(Long, K, V)],
     sumDeltasPerBatch(Batcher.unit)
       .select(col("_1"), col("_3").as("_2")).as[(K, V)](kvEnc)
 
+  /** Hot-key pre-split for the NON-COMMUTATIVE ordered fold — the
+    * Summer counterpart of `LoopJoin.loopJoinPreSplit`: a single hot
+    * (key, batch) group otherwise folds serially inside one task
+    * (spill-safe but not parallel — the skew ceiling of the sorted-scan
+    * path). Associativity rescues it: fold each `chunkOf(ts)` time chunk
+    * of the key in event-time order IN PARALLEL, then fold the per-chunk
+    * partials in chunk order — the result is identical by associativity
+    * (the fold order over events is unchanged), and the hot key's scan
+    * parallelism becomes the number of chunks it spans. Two sorted-group
+    * shuffles; phase 2's input is one row per (key, batch, chunk).
+    *
+    * Commutative semigroups don't need this (hash aggregation already
+    * combines map-side); use it when a non-commutative value (List
+    * concat, lastByTime chains, Moments in strict order) meets a key
+    * carrying a data-sized share of events.
+    */
+  def sumDeltasPerBatchPreSplit(batcher: Batcher, chunkOf: Long => Long)(
+      implicit sg: Semigroup[V]): Dataset[(K, Long, V)] = {
+    implicit val kbEnc: Encoder[(K, Long)] = Encoders.tuple(kEnc, Encoders.scalaLong)
+    implicit val kbcEnc: Encoder[((K, Long), Long)] =
+      Encoders.tuple(kbEnc, Encoders.scalaLong)
+    implicit val p1InEnc: Encoder[(Long, ((K, Long), Long), V)] =
+      Encoders.tuple(Encoders.scalaLong, kbcEnc, vEnc)
+    implicit val p1OutEnc: Encoder[(K, Long, Long, V)] =
+      Encoders.tuple(kEnc, Encoders.scalaLong, Encoders.scalaLong, vEnc)
+    implicit val outEnc: Encoder[(K, Long, V)] =
+      Encoders.tuple(kEnc, Encoders.scalaLong, vEnc)
+    // phase 1: ordered fold within (key, batch, chunk) — the parallel unit
+    val byKbc: Dataset[(Long, ((K, Long), Long), V)] = ds.map(r =>
+      (r._1, ((r._2, batcher.batchOf(Timestamp(r._1)).id), chunkOf(r._1)), r._3))
+    val partials: Dataset[(K, Long, Long, V)] =
+      SortedGroups.perKeyTimeSorted(byKbc, shardHint) {
+        (kbc: ((K, Long), Long), it: Iterator[(Long, V)]) =>
+          Iterator.single((kbc._1._1, kbc._1._2, kbc._2, it.map(_._2).reduce(sg.plus)))
+      }()
+    // phase 2: fold the chunk partials per (key, batch) in chunk order —
+    // one row per chunk, so even a fully-hot key scans trivially here
+    val byKb: Dataset[(Long, (K, Long), V)] =
+      partials.map(r => (r._3, (r._1, r._2), r._4))(
+        Encoders.tuple(Encoders.scalaLong, kbEnc, vEnc))
+    SortedGroups.perKeyTimeSorted(byKb, shardHint) {
+      (kb: (K, Long), it: Iterator[(Long, V)]) =>
+        Iterator.single((kb._1, kb._2, it.map(_._2).reduce(sg.plus)))
+    }()
+  }
+
+  /** [[sumByKeyAllTime]] through the pre-split ordered fold. */
+  def sumByKeyAllTimePreSplit(chunkOf: Long => Long)(
+      implicit sg: Semigroup[V], kvEnc: Encoder[(K, V)]): Dataset[(K, V)] =
+    sumDeltasPerBatchPreSplit(Batcher.unit, chunkOf)
+      .select(col("_1"), col("_3").as("_2")).as[(K, V)](kvEnc)
+
   /** Columnar aggregation escape hatch: sum the value column with an
     * arbitrary Catalyst AGGREGATE expression (e.g. a native sketch aggregate
     * from [[graft.functions.SketchAggregates]]) — for aggregations whose

@@ -87,6 +87,27 @@ class SortedGroupsSpec extends AnyFunSuite {
     info(s"hot-key 10x median: plain loopJoin ${plainMs}ms, preSplit ${splitMs}ms")
   }
 
+  test("pre-split ordered fold == plain ordered fold on a fully-hot key (associativity split)") {
+    // ONE key carries every event (the skew ceiling of the sorted scan):
+    // the chunked fold must parallelize the scan yet produce the identical
+    // non-commutative result — List concat is order-sensitive, so any
+    // chunk-boundary or merge-order slip shows immediately
+    val s = graft.SparkTestSession.spark; import s.implicits._
+    import graft.algebra.Semigroup
+    import graft.api.GraftStream
+    val n = 5000
+    val rows = Seq.tabulate(n)(i => (i.toLong, 7L)) // (ts=i, key=7)
+    val stream = GraftStream.from(rows.toDS())(_._1)
+      .asKeyedWith(_._2, (r: (Long, Long)) => List(r._1))
+    val plain = stream.sumByKeyAllTime(Semigroup.listSemigroup[Long], implicitly)
+      .collect().toMap
+    val split = stream.sumByKeyAllTimePreSplit(_ / 100)(
+        Semigroup.listSemigroup[Long], implicitly)
+      .collect().toMap
+    assert(split == plain)
+    assert(split(7L) == Seq.tabulate(n)(_.toLong).toList)
+  }
+
   test("perKeyTimeSorted: per-key rows arrive time-ordered with tie-break tag") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
