@@ -384,6 +384,59 @@ object SparkEntry {
           (unix_millis(col("__w.start")) / lit(86400000L)).cast("long").as("window_day"),
           col("cnt"))),
 
+    "q_streaming_sliding" -> ((s, dir) => {
+      // round 10: sliding event-time windows as a STREAMING aggregation —
+      // watermarked window(7 days, 1 day slide) over the 10% user slice,
+      // fed in two ascending-ts halves plus a flush sentinel past every
+      // window end + watermark. Append mode emits each (user, window)
+      // exactly once when the watermark passes its close; the emitted set
+      // must equal the batch sliding-window computation on the same fed
+      // slice (Spark-computed invariant; the oracle pins the distinct
+      // (user, window) count).
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = eventsDF(s, dir).where(col("user_id") % 10 === 0)
+        .select(col("user_id"), col("ts_ms")).as[(Long, Long)].collect()
+      val minTs = evs.iterator.map(_._2).min
+      val maxTs = evs.iterator.map(_._2).max
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val out = ms.toDS().toDF("user_id", "__ms")
+        .withColumn("ts", timestamp_millis(col("__ms")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), window(col("ts"), "7 days", "1 day").as("__w"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"),
+          (unix_millis(col("__w.start")) / lit(86400000L)).cast("long").as("window_day"),
+          col("cnt"))
+      val view = "q_streaming_sliding_sink"
+      s.catalog.dropTempView(view)
+      withStreamingGateConf(s, 4) {
+        val q = out.writeStream.format("memory").queryName(view)
+          .outputMode("append").start()
+        try {
+          val mid = minTs + (maxTs - minTs) / 2 + 1
+          Seq((minTs, mid), (mid, maxTs + 1)).foreach { case (lo, hi) =>
+            ms.addData(evs.iterator.filter(e => e._2 >= lo && e._2 < hi).toSeq)
+            q.processAllAvailable()
+          }
+          ms.addData(Seq((-1L, maxTs + 9L * 86400000L))) // flush everything
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      val streamed = s.table(view).where(col("user_id") =!= -1L)
+        .localCheckpoint(true)
+      val batch = evs.toSeq.toDF("user_id", "ts_ms")
+        .withColumn("__t", timestamp_millis(col("ts_ms")))
+        .groupBy(col("user_id"), window(col("__t"), "7 days", "1 day").as("__w"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"),
+          (unix_millis(col("__w.start")) / lit(86400000L)).cast("long").as("window_day"),
+          col("cnt"))
+      val eq = streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0
+      streamed.agg(count(lit(1)).as("n_windows"))
+        .withColumn("stream_eq_batch", lit(eq))
+    }),
+
     "q_streaming_sessionize" -> ((s, dir) => {
       // streaming sessionization via the NATIVE session_window aggregate
       // (merging session state per user in the state store, watermark
@@ -2072,6 +2125,17 @@ object SparkEntry {
         |  CAST(floor(epoch_ms(e.ts) / 86400000.0) AS BIGINT) - 6,
         |  CAST(floor(epoch_ms(e.ts) / 86400000.0) AS BIGINT))) AS t(d)
         |GROUP BY 1, 2""".stripMargin,
+
+    // streamed sliding-window set == the same 7-window-per-event cover
+    // (computed Spark-side); the oracle pins the distinct (user, window)
+    // count over the fed slice
+    "q_streaming_sliding" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_windows, TRUE AS stream_eq_batch
+        |FROM (
+        |  SELECT e.user_id, t.d FROM events e, UNNEST(generate_series(
+        |    CAST(floor(epoch_ms(e.ts) / 86400000.0) AS BIGINT) - 6,
+        |    CAST(floor(epoch_ms(e.ts) / 86400000.0) AS BIGINT))) AS t(d)
+        |  WHERE e.user_id % 10 = 0 GROUP BY 1, 2)""".stripMargin,
 
     // streamed session set == batch gaps-and-islands set (computed
     // Spark-side); the oracle pins the session count over the fed slice
