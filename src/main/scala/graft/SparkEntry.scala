@@ -1057,10 +1057,17 @@ object SparkEntry {
         store.merge(s, deltas, BatchID(cutBatch))(Semigroup.longSemigroup).count()
         val keys = eventsDF(s, dir).select(col("user_id")).distinct()
           .orderBy(col("user_id")).limit(6).as[Long].collect()
-        keys.toSeq.map { k =>
+        val singles = keys.toSeq.map { k =>
           (k, ClientStore.get(s, store, deltas, k)(
             Semigroup.longSemigroup, implicitly, implicitly).getOrElse(0L))
-        }.toDF("user_id", "cnt")
+        }
+        // the storehaus multiGet shape: ONE pruned job for the whole key
+        // set must agree with the per-key gets exactly
+        val multi = ClientStore.getBatch(s, store, deltas, keys.toSeq)(
+          Semigroup.longSemigroup, implicitly, implicitly)
+        require(multi == singles.toMap,
+          s"getBatch disagrees with per-key gets: $multi vs $singles")
+        multi.toSeq.toDF("user_id", "cnt")
       } finally {
         deltas.unpersist()
         graft.batch.BatchState.deleteDir(tmp)

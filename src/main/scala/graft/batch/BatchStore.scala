@@ -99,12 +99,25 @@ final class BatchStore[K, V](
     * result, full scan) — the serving deployment uses literal-able keys.
     */
   def readLastForKey(spark: SparkSession, key: K,
+      beforeOrAt: BatchID = BatchID(Long.MaxValue)): Option[(BatchID, Dataset[(K, V)])] =
+    readLastForKeys(spark, Seq(key), beforeOrAt)
+
+  /** Multi-key point-read (the storehaus multiGet shape — the reference's
+    * serving layer fetches key SETS, summingbird-client ClientStore.scala:
+    * 123-173): one pruned scan for the whole set. On a clustered store the
+    * scan statically prunes to the UNION of the keys' bucket dirs (each
+    * bucket evaluated driver-side, Murmur3/seed-42 as at write time) plus
+    * a pushed `key IN (...)` — so a 100-key multiget touches at most 100
+    * of n directories and ~1 row group each, never the store.
+    */
+  def readLastForKeys(spark: SparkSession, keys: Seq[K],
       beforeOrAt: BatchID = BatchID(Long.MaxValue)): Option[(BatchID, Dataset[(K, V)])] = {
     import functions.{col, hash, lit, pmod}
+    require(keys.nonEmpty, "readLastForKeys needs at least one key")
     lastSnapshotRaw(spark, beforeOrAt).map { case (b, raw) =>
-      val keyLit = scala.util.Try(lit(key)).toOption
-      val pruned = (keyBuckets, keyLit) match {
-        case (Some(n), Some(l)) if raw.columns.contains("kb") =>
+      val keyLits = scala.util.Try(keys.map(lit)).toOption
+      val pruned = (keyBuckets, keyLits) match {
+        case (Some(n), Some(ls)) if raw.columns.contains("kb") =>
           // the declared bucket count MUST match the on-disk layout — a
           // store reopened with a different keyBuckets would name the
           // wrong kb= directory for most keys and silently serve
@@ -117,25 +130,22 @@ final class BatchStore[K, V](
               s"BatchStore($path) snapshot batch ${b.id} has $kbDirs kb= bucket dirs " +
               s"but the store declares keyBuckets=$n — reopened with a different " +
               "bucket count than it was written with")
-          // evaluate the bucket DRIVER-SIDE (same Murmur3/seed-42 semantics
-          // as the functions.hash used at write time) so the partition
-          // predicate is a plain literal — static pruning is then
-          // unconditional, not dependent on the optimizer folding a hash
-          val bucket = scala.util.Try {
-            org.apache.spark.sql.catalyst.expressions.Pmod(
-              org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
-                Seq(org.apache.spark.sql.graftshim.ColumnBridge.expression(l)), 42),
-              org.apache.spark.sql.catalyst.expressions.Literal(n)).eval(null)
-          }.toOption
-          bucket match {
-            case Some(bk) => raw.where(col("kb") === lit(bk) && col("key") === l)
-            case None     => raw.where(col("kb") === pmod(hash(l), lit(n)) && col("key") === l)
-          }
-        case (_, Some(l)) => raw.where(col("key") === l)
-        case _            => raw
+          // each key's bucket is `pmod(hash(<literal>), n)` — a FOLDABLE
+          // expression (hash of a literal constant-folds), so the
+          // optimizer reduces the IN-list to plain literals and static
+          // partition pruning selects exactly the keys' bucket dirs.
+          // PlanAuditSpec pins scanned-files == 1 (single key) and
+          // <= |keys| (multiget), so a Spark version that stopped
+          // folding this would fail the suite loudly rather than
+          // silently scanning every bucket.
+          raw.where(col("key").isin(ls: _*))
+            .where(col("kb").isin(ls.map(l => pmod(hash(l), lit(n))): _*))
+        case (_, Some(ls)) => raw.where(col("key").isin(ls: _*))
+        case _             => raw
       }
       val ds = pruned.select(col("key").as("_1"), col("value").as("_2")).as[(K, V)]
-      (b, if (keyLit.isEmpty) ds.filter(_._1 == key) else ds)
+      val keySet = keys.toSet
+      (b, if (keyLits.isEmpty) ds.filter(r => keySet(r._1)) else ds)
     }
   }
 

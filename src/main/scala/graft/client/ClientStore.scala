@@ -124,4 +124,40 @@ object ClientStore {
       .map(r => (r._2, r._1, r._3))
     mergeTagged(snapTagged.union(onlineTagged)).collect().headOption.map(_._2)
   }
+
+  /** Multi-key lookup — the reference's serving shape is storehaus
+    * `multiGet` (a request fetches a key SET, ClientStore.scala:123-173):
+    * ONE pruned job serves every key instead of a job per key. The
+    * offline side goes through `BatchStore.readLastForKeys` (clustered
+    * stores prune to the union of the keys' bucket dirs); the online
+    * filter pushes a `key IN (...)` onto the delta scan. Missing keys are
+    * simply absent from the returned map.
+    */
+  def getBatch[K, V](
+      spark: SparkSession,
+      offline: BatchStore[K, V],
+      onlineDeltas: Dataset[(K, Long, V)],
+      keys: Seq[K],
+      upTo: BatchID = BatchID(Long.MaxValue))(
+      implicit sg: Semigroup[V], kEnc: Encoder[K], vEnc: Encoder[V]): Map[K, V] = {
+    implicit val kvEnc: Encoder[(K, V)] = Encoders.tuple(kEnc, vEnc)
+    import org.apache.spark.sql.functions.lit
+    val keyLits = scala.util.Try(keys.map(lit)).toOption
+    val keySet = keys.toSet
+    def filterKeys[R](ds: Dataset[R], byClosure: R => Boolean): Dataset[R] =
+      keyLits.fold(ds.filter(byClosure))(ls => ds.where(ds(ds.columns(0)).isin(ls: _*)))
+    val (offBatch, snapshotK) = offline.readLastForKeys(spark, keys, upTo) match {
+      case Some((b, snap)) => (b.id, snap)
+      case None            => (Long.MinValue, spark.emptyDataset[(K, V)])
+    }
+    val onlineFiltered = filterKeys[(K, Long, V)](onlineDeltas, r => keySet(r._1))
+    val batchCol = onlineFiltered(onlineFiltered.columns(1))
+    implicit val taggedEnc: Encoder[(Long, K, V)] =
+      Encoders.tuple(Encoders.scalaLong, kEnc, vEnc)
+    val snapTagged = snapshotK.map(r => (Long.MinValue, r._1, r._2))
+    val onlineTagged = onlineFiltered
+      .where(batchCol > offBatch && batchCol <= upTo.id)
+      .map(r => (r._2, r._1, r._3))
+    mergeTagged(snapTagged.union(onlineTagged)).collect().toMap
+  }
 }

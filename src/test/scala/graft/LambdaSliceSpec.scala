@@ -150,6 +150,10 @@ class LambdaSliceSpec extends AnyFunSuite {
       assert(ClientStore.get(spark, clustered, deltas, w)(
         Semigroup.longSemigroup, implicitly, implicitly) == totalsModel(events).get(w),
         s"clustered get($w)")
+    // multiget == the per-key gets in one job; missing keys simply absent
+    val multi = ClientStore.getBatch(spark, clustered, deltas, words :+ "absent")(
+      Semigroup.longSemigroup, implicitly, implicitly)
+    assert(multi == totalsModel(events).view.filterKeys(words.toSet).toMap)
   }
 
   test("ClientStore.merged folds offline-then-online in batch order for non-commutative semigroups") {

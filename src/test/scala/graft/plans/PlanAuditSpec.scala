@@ -58,6 +58,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"point get scanned ${scan.metrics("numFiles").value} files (wanted 1 of 8)")
     val scanStr = scan.toString
     assert(scanStr.contains("EqualTo(key,137"), scanStr)
+    // multiget: one scan for a key SET prunes to the union of the keys'
+    // bucket dirs (<= |keys| of the 8)
+    val multiKeys = Seq(137L, 202L, 911L)
+    val gotMulti = store.readLastForKeys(spark, multiKeys).get._2
+    assert(gotMulti.collect().toMap == multiKeys.map(k => k -> k * 2).toMap)
+    val mScan = gotMulti.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }.head
+    assert(mScan.metrics("numFiles").value <= multiKeys.length,
+      s"multiget scanned ${mScan.metrics("numFiles").value} files for ${multiKeys.length} keys")
     // reopening the same path with a DIFFERENT bucket count must fail
     // loudly — the mis-declared layout would otherwise name the wrong
     // kb= directory for most keys and silently serve empty point reads
