@@ -54,6 +54,13 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup skipped: $e")
     }
+    // schema contract: one loud up-front line naming the observed events.ts
+    // representation (or what broke), echoed into the compact JSON below —
+    // a testdata layout change must read as ONE diagnostic, not 66 failures
+    val contract =
+      try sources.EventTime.contractProbe(spark, sfDir)
+      catch { case e: IllegalStateException => s"BROKEN: ${e.getMessage}" }
+    System.err.println(s"[bench] schema contract: $contract")
     // SPARK_GRAFT_ONLY=q_a,q_b runs a subset (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(2).max(1)
@@ -101,7 +108,13 @@ object Bench {
     val failedArr = failed.mkString("[", ",", "]")
     // full evidence: every query's first-run seconds + successful-rep
     // minimum, to a file (and stderr) — survives the bounded stdout capture
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"n_queries":${results.size},"queries":$qs,"queries_min":$qsMin,"failed":$failedArr,"sf":"$sfDir"}"""
+    // JSON-safe contract string (a BROKEN message may carry quotes/newlines)
+    val contractJs = contract.map {
+      case '"' => '\''
+      case c if c < ' ' => ' '
+      case c => c
+    }.take(160)
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"n_queries":${results.size},"contract":"$contractJs","queries":$qs,"queries_min":$qsMin,"failed":$failedArr,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
@@ -122,7 +135,7 @@ object Bench {
       .take(12)
       .map { case (k, (first, min, _)) => "\"" + k + "\":" + jnum(min.orElse(Some(first))) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"n_queries":${results.size},"failed":$failedArr,"slowest_min":$slowest,"full":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"n_queries":${results.size},"contract":"$contractJs","failed":$failedArr,"slowest_min":$slowest,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

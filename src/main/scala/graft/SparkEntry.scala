@@ -70,16 +70,18 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** events with event-time millis attached (TimeExtractor → column).
-    * The source carries TIMESTAMP(NANOS) which Spark reads as a nanos Long
-    * under `nanosAsLong`; `ts` below is nanos (exact ordering), `ts_ms` is
-    * integral-division millis (exact — double division would lose precision
-    * above 2^53 ns).
+    * `EventTime.normalize` canonicalizes `ts` to a nanos Long by
+    * dispatching on the OBSERVED Spark type — the source has shipped as
+    * both `timestamp[ns]` (nanos Long under the sessions' `nanosAsLong`
+    * flag, kept for back-compat) and `timestamp[us]` (TIMESTAMP_NTZ) —
+    * so every downstream consumer (nanos window constants, as-of
+    * ordering, `ts DIV 1000000` millis) sees one representation.
+    * `ts` below is nanos (exact ordering), `ts_ms` is integral-division
+    * millis (exact — double division would lose precision above 2^53 ns).
     */
-  // Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at SESSION
-  // CONSTRUCTION (Bench/Verify/SparkTestSession builders) — a query builder
-  // must not mutate global session conf.
   private def eventsDF(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts_ms", expr("ts DIV 1000000"))
+    sources.EventTime.normalize(t(s, dir, "events"))
+      .withColumn("ts_ms", expr("ts DIV 1000000"))
 
   private def eventsDs(s: SparkSession, dir: String): Dataset[Ev] = {
     import s.implicits._
@@ -353,7 +355,7 @@ object SparkEntry {
       val right = ev.where(col("event_type") === "signup")
         .groupBy(col("user_id"), col("ts").as("signup_ts"))
         .agg(max("event_id").as("signup_id"))
-      // ts is TIMESTAMP(NANOS) read as nanos Long: window in nanos
+      // ts is the canonical nanos Long (EventTime.normalize): window in nanos
       BatchServices.windowed(left, right, Seq("user_id"), "ts", "signup_ts",
           Seq("signup_id"), window = 7L * 86400L * 1000000000L)
         .select("event_id", "user_id", "signup_id")

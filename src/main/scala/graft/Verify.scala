@@ -16,6 +16,15 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // schema contract FIRST: if the driver's tables changed representation
+    // underneath us, the headline diagnostic is ONE loud message naming the
+    // observed type — not N opaque per-query errors (the round-10 failure
+    // mode). Non-fatal: the queries that don't touch events still run.
+    try System.err.println(
+      s"[verify] schema contract ok: ${sources.EventTime.contractProbe(spark, sfDir)}")
+    catch { case e: IllegalStateException =>
+      System.err.println(s"[verify] SCHEMA CONTRACT BROKEN: ${e.getMessage}")
+    }
     new java.io.File(outDir).mkdirs()
     // optional local-iteration subset (unset => all, the driver's mode)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

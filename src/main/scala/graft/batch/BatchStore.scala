@@ -124,12 +124,31 @@ final class BatchStore[K, V](
           // empty/partial point reads (the same silent-fragmentation
           // class resolveNbrs guards against for ANN shards)
           val onDisk = new java.io.File(snapshotDir(b)).listFiles()
-          val kbDirs = if (onDisk == null) 0 else onDisk.count(_.getName.startsWith("kb="))
-          if (kbDirs != n)
+          val kbOnDisk = (if (onDisk == null) Array.empty[java.io.File] else onDisk)
+            .flatMap(f => scala.util.Try(f.getName.stripPrefix("kb=").toInt).toOption
+              .filter(_ => f.getName.startsWith("kb=")))
+            .toSet
+          // distinguish the two loud-failure classes: a snapshot written
+          // with a DIFFERENT bucket count is a contiguous kb=0..m-1 range
+          // of the wrong size; HOLES in the range mean a bucket dir was
+          // lost after commit (store corruption / partial copy). Both must
+          // refuse to serve — partition pruning would otherwise skip the
+          // requested key's absent dir and return an empty point read
+          // indistinguishable from "no value for key".
+          if (kbOnDisk != (0 until n).toSet) {
+            if (kbOnDisk == (0 until kbOnDisk.size).toSet)
+              throw new IllegalStateException(
+                s"BatchStore($path) snapshot batch ${b.id} has ${kbOnDisk.size} kb= " +
+                s"bucket dirs but the store declares keyBuckets=$n — reopened with a " +
+                "different bucket count than it was written with")
+            val span = math.max(n, kbOnDisk.maxOption.map(_ + 1).getOrElse(0))
+            val missing = ((0 until span).toSet -- kbOnDisk).toSeq.sorted
             throw new IllegalStateException(
-              s"BatchStore($path) snapshot batch ${b.id} has $kbDirs kb= bucket dirs " +
-              s"but the store declares keyBuckets=$n — reopened with a different " +
-              "bucket count than it was written with")
+              s"BatchStore($path) snapshot batch ${b.id} is missing bucket dirs " +
+              s"${missing.map(i => s"kb=$i").mkString(", ")} of the declared " +
+              s"keyBuckets=$n — store corruption or a partial write; refusing to " +
+              "serve point reads that could silently return empty")
+          }
           // each key's bucket is `pmod(hash(<literal>), n)` — a FOLDABLE
           // expression (hash of a literal constant-folds), so the
           // optimizer reduces the IN-list to plain literals and static

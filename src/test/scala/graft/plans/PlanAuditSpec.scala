@@ -75,6 +75,21 @@ class PlanAuditSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException] { mis.readLastForKey(spark, 137L) }
     assert(e.getMessage.contains("different") && e.getMessage.contains("bucket"),
       e.getMessage)
+    // CORRUPTION law: a bucket dir lost AFTER commit must fail LOUDLY on
+    // any point read — pruning would otherwise skip the hole and serve an
+    // empty result indistinguishable from "no value for key". Delete the
+    // dir that holds key 137's bucket, then read both a key in the hole
+    // and a key outside it: both refuse (the store cannot know which
+    // future keys route into the hole, so any serve is unsafe)
+    import org.apache.spark.sql.functions.{hash => fhash, lit, pmod}
+    val kb137 = spark.range(1).select(pmod(fhash(lit(137L)), lit(8))).head().getInt(0)
+    graft.batch.BatchState.deleteDir(s"$tmp/batch_id=1/kb=$kb137")
+    val holed = new BatchStore[Long, Long](tmp, keyBuckets = Some(8))
+    val eHole = intercept[IllegalStateException] { holed.readLastForKey(spark, 137L) }
+    assert(eHole.getMessage.contains("missing bucket") &&
+      eHole.getMessage.contains(s"kb=$kb137"), eHole.getMessage)
+    val eOther = intercept[IllegalStateException] { holed.readLastForKeys(spark, multiKeys) }
+    assert(eOther.getMessage.contains("missing bucket"), eOther.getMessage)
     graft.batch.BatchState.deleteDir(tmp)
   }
 
