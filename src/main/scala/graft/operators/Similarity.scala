@@ -115,6 +115,93 @@ object Similarity {
     (array_position(sims, array_max(sims)) - 1).cast("int")
   }
 
+  /** Two-level (coarse→fine) nearest-centroid assignment with
+    * multi-probe: ~(√k + nProbe·√k) cosines per row instead of k. The k
+    * FINE centroids are themselves clustered driver-side into ~√k coarse
+    * groups (tiny: k vectors, pure-Scala spherical Lloyd); a row scores
+    * the coarse centroids, PROBES its `nProbe` best groups, and argmaxes
+    * only over those groups' fine members — the coarse-quantizer shape
+    * every IVF system uses for assignment at scale, where brute-force k·d
+    * flops per row stop being free (measured: k scaled with corpus size
+    * turns assignment into the dominant semanticDedup cost).
+    * APPROXIMATE by construction — a row whose true nearest fine centroid
+    * hides in an unprobed group gets its probed best — with `nProbe` as
+    * the fidelity dial (nProbe >= group count is exact; exactness on
+    * separated clusters is law-pinned). Ties break to the smallest fine
+    * id, matching [[nearestCentroid]]'s first-index rule. The probed
+    * group set lands in a column first so codegen evaluates the coarse
+    * scores ONCE per row; each group's member cosines sit behind a
+    * `when(array_contains(...))` guard, so only probed groups' cosines
+    * execute per row.
+    */
+  def withNearestCentroidTwoLevel(df: DataFrame, v: Column,
+      cents: Array[Array[Double]], outCol: String, nProbe: Int = 4): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val k = cents.length
+    if (k <= 4) return df.withColumn(outCol, nearestCentroid(v, cents))
+    val dims = cents.head.length
+    val nCoarse = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    def norm(c: Array[Double]): Array[Double] = {
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val fine = cents.map(norm)
+    // driver-side spherical Lloyd over the k centroid vectors themselves
+    var coarse = Array.tabulate(nCoarse)(g => fine(g * k / nCoarse))
+    var member = Array.fill(k)(0)
+    for (_ <- 0 until 5) {
+      member = fine.map { c =>
+        var best = 0; var bs = Double.NegativeInfinity
+        for (g <- coarse.indices) {
+          val s = dot(c, coarse(g)); if (s > bs) { bs = s; best = g }
+        }
+        best
+      }
+      coarse = Array.tabulate(nCoarse) { g =>
+        val mem = member.indices.filter(member(_) == g)
+        if (mem.isEmpty) coarse(g)
+        else {
+          val m = new Array[Double](dims)
+          mem.foreach { i => var j = 0; while (j < dims) { m(j) += fine(i)(j); j += 1 } }
+          norm(m)
+        }
+      }
+    }
+    // empty groups drop out; each surviving group argmaxes its members only
+    val groups = (0 until nCoarse)
+      .map(g => (coarse(g), member.indices.filter(member(_) == g).toArray))
+      .filter(_._2.nonEmpty)
+    def litVec(c: Array[Double]): Column = array(c.toIndexedSeq.map(lit(_)): _*)
+    // top-nProbe coarse groups: (score, gid) structs sorted desc, sliced,
+    // gid extracted — materialized as a column so it evaluates once
+    val coarseStructs = array(groups.zipWithIndex.map { case ((cv, _), g) =>
+      struct(VectorFunctions.cosine(v, litVec(cv)).as("s"), lit(g).as("g"))
+    }: _*)
+    val probeCol = outCol + "_probe"
+    val withProbe = df.withColumn(probeCol,
+      transform(slice(reverse(array_sort(coarseStructs)), 1, math.min(nProbe, groups.length)),
+        x => x.getField("g")))
+    // per-group best (sim, -fineId), guarded: unprobed groups contribute a
+    // -inf sentinel and never evaluate their member cosines
+    val sentinel = struct(lit(Double.NegativeInfinity).as("s"), lit(Int.MinValue).as("nf"))
+    val candidates = array(groups.zipWithIndex.map { case ((_, mem), g) =>
+      val structsG = array(mem.toIndexedSeq.map(fid =>
+        struct(VectorFunctions.cosine(v, litVec(cents(fid))).as("s"),
+          lit(-fid).as("nf"))): _*)
+      when(array_contains(col(probeCol), g), array_max(structsG)).otherwise(sentinel)
+    }: _*)
+    // struct max orders by (sim, -fineId): equal sims -> larger -fineId
+    // -> SMALLEST fine id, the brute-force first-index rule
+    withProbe
+      .withColumn(outCol, (-array_max(candidates).getField("nf")).cast("int"))
+      .drop(probeCol)
+  }
+
   /** Deterministic spherical k-means centroids: seeded by the `nCentroids`
     * vectors with the smallest hashed id (one TakeOrderedAndProject — no
     * count(), no global sort), refined by `lloydIters` Lloyd iterations
@@ -128,7 +215,8 @@ object Similarity {
     * unnormalized mean is the correct centroid direction.
     */
   def kmeansCentroids(df: DataFrame, vecCol: String, idCol: String,
-      nCentroids: Int, lloydIters: Int): Array[Array[Double]] = {
+      nCentroids: Int, lloydIters: Int,
+      hierAssign: Boolean = false): Array[Array[Double]] = {
     require(lloydIters >= 0, s"lloydIters must be >= 0, got $lloydIters")
     val seeds: Array[Array[Double]] = df
       .select(col(vecCol).cast("array<double>").as("__v"), col(idCol).as("__sid"))
@@ -138,9 +226,18 @@ object Similarity {
       .map(_.getSeq[Double](0).toArray)
     val dims = seeds.headOption.map(_.length).getOrElse(0)
     (0 until lloydIters).foldLeft(seeds) { (cents, _) =>
-      val means = df
-        .select(nearestCentroid(col(vecCol), cents).as("__cid"),
-          col(vecCol).cast("array<double>").as("__v"))
+      // hierAssign: each Lloyd pass assigns through the two-level coarse
+      // quantizer too (√k-ish cosines/row) — the refinement trajectory is
+      // approximate in the same way the final assignment is, which is the
+      // standard large-k trade (Lloyd is a heuristic either way)
+      val assignedIter =
+        if (hierAssign)
+          withNearestCentroidTwoLevel(
+            df.select(col(vecCol).cast("array<double>").as("__v")), col("__v"),
+            cents, "__cid")
+        else df.select(col(vecCol).cast("array<double>").as("__v"))
+          .withColumn("__cid", nearestCentroid(col("__v"), cents))
+      val means = assignedIter
         .groupBy(col("__cid"))
         .agg(array((0 until dims).map(i => avg(col("__v").getItem(i))): _*).as("__m"))
         .collect()

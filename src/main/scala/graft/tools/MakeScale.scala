@@ -1,28 +1,38 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Materialize an N-x scale-up of an sf directory into scratch parquet —
   * the sf1-equivalent input for headline bench runs (the driver generates
-  * sf0.001/0.01/0.1 only). The three volume tables (events, documents,
-  * embeddings) self-union N times with ids shifted into disjoint ranges
-  * (same scheme as ScaleProbe); dimension tables copy through unchanged.
+  * sf0.001/0.01/0.1 only). Two modes:
   *
-  * HONEST CAVEAT, recorded with every number derived from this output:
-  * a self-union is a pessimistic stand-in for a genuinely larger sf — every
-  * document/vector becomes an N-way near-duplicate, so dedup/similarity
-  * operators do STRICTLY MORE pair work than on organically larger data,
-  * while key cardinalities (users, days) scale like the shifted-id
-  * scheme, not like organic growth.
+  * - default (self-union): the three volume tables (events, documents,
+  *   embeddings) self-union N times with ids shifted into disjoint ranges
+  *   (same scheme as ScaleProbe). HONEST CAVEAT, recorded with every
+  *   number derived from this output: every document/vector becomes an
+  *   N-way near-duplicate, so dedup/similarity operators do STRICTLY MORE
+  *   pair work than on organically larger data, while key cardinalities
+  *   (users, days) scale like the shifted-id scheme, not organic growth.
   *
-  * Usage: runMain graft.tools.MakeScale <sfDir> <outDir> <factor>
+  * - `organic`: keeps the base tables as-is and SYNTHESIZES the remaining
+  *   (N-1)x rows as new independent samples from the same distribution
+  *   family — documents as fresh draws from the base corpus vocabulary,
+  *   embeddings as fresh unit vectors around the same 10 label centroids,
+  *   events as fresh (user, ts, type, value) draws over an N-x user space
+  *   and the base time range. Every draw is a pure hash of the row id
+  *   (deterministic, distributed, no driver-side loops), so the output is
+  *   reproducible and pair volumes grow the way a genuinely larger corpus
+  *   grows — the honest complement to the self-union's pessimism.
+  *
+  * Usage: runMain graft.tools.MakeScale <sfDir> <outDir> <factor> [organic]
   */
 object MakeScale {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val organic = args.lift(3).contains("organic")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -50,10 +60,25 @@ object MakeScale {
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"MAKESCALE $name x$factor done")
     }
-    // event_id stays unique; user_id shifts so distinct keys scale too
-    scaled("events", Seq("event_id", "user_id"))
-    scaled("documents", Seq("doc_id"))
-    scaled("embeddings", Seq("vec_id"))
+    if (organic) {
+      // ts lands as the canonical nanos Long on BOTH branches of the union
+      // — EventTime's LongType dispatch reads it back
+      def write(name: String, df: DataFrame): Unit = {
+        df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+        println(s"MAKESCALE $name organic x$factor done")
+      }
+      write("events", Organic.events(spark, graft.sources.EventTime.normalize(
+        spark.read.parquet(s"$sfDir/events.parquet")), factor))
+      write("documents", Organic.docs(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet"), factor))
+      write("embeddings", Organic.embeddings(spark,
+        spark.read.parquet(s"$sfDir/embeddings.parquet"), factor))
+    } else {
+      // event_id stays unique; user_id shifts so distinct keys scale too
+      scaled("events", Seq("event_id", "user_id"))
+      scaled("documents", Seq("doc_id"))
+      scaled("embeddings", Seq("vec_id"))
+    }
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem")) {
       spark.read.parquet(s"$sfDir/$t.parquet")

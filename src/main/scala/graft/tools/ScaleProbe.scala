@@ -19,7 +19,11 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(4)
-    val opsArg = args.lift(2).map(_.split(",").toSet)
+    val opsArg = args.lift(2).map(_.split(",").toSet).filterNot(_.contains("all"))
+    // growth-shape mode: "selfunion" (default; pessimistic — every row an
+    // N-way near-duplicate) or "organic" (fresh samples from the same
+    // distribution family, Organic.scala — realistic pair-volume growth)
+    val mode = args.lift(3).getOrElse("selfunion")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -40,17 +44,29 @@ object ScaleProbe {
       df.write.mode("overwrite").parquet(p)
       p
     }
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("event_type"), col("user_id"), col("value"),
-        expr("ts DIV 1000000").as("ts_ms"), col("event_id"))
+    val docsRaw = spark.read.parquet(s"$sfDir/documents.parquet")
+    val eventsRaw = graft.sources.EventTime
+      .normalize(spark.read.parquet(s"$sfDir/events.parquet"))
+    val embsRaw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def evCols(df: DataFrame) = df.select(col("event_type"), col("user_id"),
+      col("value"), expr("ts DIV 1000000").as("ts_ms"), col("event_id"))
+    val docs = docsRaw.select("doc_id", "text")
+    val embs = embsRaw.select("vec_id", "embedding")
     val docs1 = prep("docs1", docs)
-    val docsN = prep(s"docs$factor", selfUnion(docs, "doc_id", factor))
-    val ev1 = prep("ev1", events)
-    val evN = prep(s"ev$factor", selfUnion(events, "user_id", factor))
-    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+    val ev1 = prep("ev1", evCols(eventsRaw))
     val emb1 = prep("emb1", embs)
-    val embN = prep(s"emb$factor", selfUnion(embs, "vec_id", factor))
+    val (docsN, evN, embN) = mode match {
+      case "organic" => (
+        prep(s"docs$factor", Organic.docs(spark, docsRaw, factor).select("doc_id", "text")),
+        prep(s"ev$factor", evCols(Organic.events(spark, eventsRaw, factor))),
+        prep(s"emb$factor", Organic.embeddings(spark, embsRaw, factor)
+          .select("vec_id", "embedding")))
+      case _ => (
+        prep(s"docs$factor", selfUnion(docs, "doc_id", factor)),
+        prep(s"ev$factor", selfUnion(evCols(eventsRaw), "user_id", factor)),
+        prep(s"emb$factor", selfUnion(embs, "vec_id", factor)))
+    }
+    println(s"PROBE mode=$mode factor=$factor sf=$sfDir")
 
     def time(f: => Long): Double = {
       f // warm
@@ -153,6 +169,22 @@ object ScaleProbe {
         Dedup.semanticDedup(spark.read.parquet(p), "embedding", "vec_id",
           nClusters = 16, threshold = 0.9)
           .agg(count(lit(1))).collect().head.getLong(0)),
+      // the FIXED-k semdedup probe above grows like within-cluster pair
+      // volume (~n²/k); a real deployment scales k with n (SemDeDup runs
+      // k ∝ corpus size), which this arm pins: k×factor on the factor-x
+      // corpus keeps per-cluster population (and so cost/row) flat
+      "semdedup_scaledk" -> (p =>
+        Dedup.semanticDedup(spark.read.parquet(p), "embedding", "vec_id",
+          nClusters = if (p == embN) 16 * factor else 16, threshold = 0.9)
+          .agg(count(lit(1))).collect().head.getLong(0)),
+      // same scaled-k regime through the two-level coarse quantizer
+      // (assignment ~2√k cosines/row instead of k) — the production
+      // configuration when k grows with the corpus
+      "semdedup_hier" -> (p =>
+        Dedup.semanticDedup(spark.read.parquet(p), "embedding", "vec_id",
+          nClusters = if (p == embN) 16 * factor else 16, threshold = 0.9,
+          hierAssign = true)
+          .agg(count(lit(1))).collect().head.getLong(0)),
       // round-10: sessionization — one hash exchange on the key, per-key
       // sorted windows; growth must track event volume
       "sessionize" -> (p =>
@@ -165,7 +197,8 @@ object ScaleProbe {
     selected.toSeq.sortBy(_._1).foreach { case (name, f) =>
       val (d1, dp) = (name match {
         case "heavy_hitters" | "moments_bloom_quantile" | "sessionize" => (ev1, evN)
-        case "ann_pq" | "ann_ivfpq" | "semdedup" => (emb1, embN)
+        case "ann_pq" | "ann_ivfpq" | "semdedup" | "semdedup_scaledk"
+           | "semdedup_hier" => (emb1, embN)
         case _ => (docs1, docsN)
       })
       val t1 = time(f(d1))

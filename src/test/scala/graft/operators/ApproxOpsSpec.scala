@@ -422,6 +422,45 @@ class ApproxOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("two-level centroid assignment: exact on separated clusters; hier semanticDedup keeps the dedup contract") {
+    val s = spark; import s.implicits._
+    // 36 one-hot fine centroids in 36 dims: any coarse grouping of one-hots
+    // is separated (a point near e_i has sim ~1/sqrt(|group|) to its own
+    // group's coarse centroid, ~0 to every other), so the two-level argmax
+    // must equal brute EXACTLY
+    val d36 = 36
+    val cents = Array.tabulate(d36)(i =>
+      Array.tabulate(d36)(j => if (i == j) 1.0 else 0.0))
+    val pts = (0 until 180).map { p =>
+      val c = p % d36
+      (p.toLong, Array.tabulate(d36)(j =>
+        (if (j == c) 1.0 else 0.0) + 0.05 * math.sin(p * d36 + j)))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val brute = df.withColumn("__cid",
+      Similarity.nearestCentroid(col("embedding"), cents))
+    val hier = Similarity.withNearestCentroidTwoLevel(
+      df, col("embedding"), cents, "__cid")
+    val b = brute.select("vec_id", "__cid").as[(Long, Int)].collect().toMap
+    val h = hier.select("vec_id", "__cid").as[(Long, Int)].collect().toMap
+    assert(h == b)
+    assert(b.values.toSet.size == d36) // every cluster actually hit
+    // the hier path through semanticDedup preserves the dedup contract on
+    // the gaussian fixture: survivors never invented, exact survivors kept,
+    // and the three planted near-dups (identical direction to their source,
+    // so identical assignment in BOTH regimes) still drop
+    val gdf = vecs.toDF("vec_id", "embedding")
+    val all = vecs.map(_._1).toSet
+    val exactKept = Dedup.embeddingNearDupExact(gdf, "embedding", "vec_id",
+      threshold = 0.95).select("vec_id").as[Long].collect().toSet
+    val hierKept = Dedup.semanticDedup(gdf, "embedding", "vec_id",
+      nClusters = 8, threshold = 0.95, hierAssign = true)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exactKept.subsetOf(hierKept))
+    assert(hierKept.subsetOf(all))
+    assert((all -- hierKept) == Set(200L, 201L, 202L))
+  }
+
   test("CMS frequency estimates: never under, within eps*N, merge == bulk") {
     import graft.algebra.CMS
     val rnd = new scala.util.Random(5)
