@@ -1531,12 +1531,17 @@ object SparkEntry {
       import s.implicits._
       val e = t(s, dir, "embeddings")
       val k = 64
+      // ONE k-means training shared by the operator and the quality check
+      // (each Lloyd pass compiles a k-literal-centroid expression; training
+      // twice would double the row's dominant fixed cost)
+      val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id", k, 2,
+        hierAssign = true)
       val hierKept = Dedup.semanticDedup(e, "embedding", "vec_id",
-        nClusters = k, threshold = 0.9, hierAssign = true)
+        nClusters = k, threshold = 0.9, hierAssign = true,
+        centroids = Some(cents))
         .select("vec_id").localCheckpoint(true)
       val exactKept = Dedup.embeddingNearDupExact(e, "embedding", "vec_id",
         threshold = 0.9).select("vec_id")
-      val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id", k, 2)
       def simToAssigned(cid: org.apache.spark.sql.Column) = {
         val sims = array(cents.toIndexedSeq.map(c => graft.functions.VectorFunctions
           .cosine(col("embedding"), array(c.toIndexedSeq.map(lit(_)): _*))): _*)

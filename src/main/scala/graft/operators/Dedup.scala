@@ -965,13 +965,21 @@ object Dedup {
     */
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
       nClusters: Int, threshold: Double = 0.95,
-      lloydIters: Int = 2, hierAssign: Boolean = false): DataFrame = {
+      lloydIters: Int = 2, hierAssign: Boolean = false,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
-    val cents = Similarity.kmeansCentroids(df, vecCol, idCol, nClusters, lloydIters,
-      hierAssign = hierAssign)
-    // hierAssign: the production-k regime — assignment via the two-level
-    // coarse quantizer (~2√k cosines/row instead of k), the lever that
-    // keeps per-row cost flat when k scales with corpus size
+    // callers that already trained centroids (shared with a quality check,
+    // an IVF index, or an earlier batch) pass them in — k-means is the
+    // expensive prefix of this operator, not the pair scan
+    val cents = centroids.getOrElse(
+      Similarity.kmeansCentroids(df, vecCol, idCol, nClusters, lloydIters,
+        hierAssign = hierAssign))
+    require(cents.length == nClusters,
+      s"provided ${cents.length} centroids but nClusters=$nClusters")
+    // hierAssign: the production-k regime — assignment via the multi-probe
+    // two-level coarse quantizer (~5√k cosines/row at nProbe=4 instead of
+    // k), the lever that keeps per-row cost flat when k scales with corpus
+    // size
     val assigned0 =
       if (hierAssign)
         Similarity.withNearestCentroidTwoLevel(df, col(vecCol), cents, "__cid")
