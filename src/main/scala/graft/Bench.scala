@@ -58,7 +58,7 @@ object Bench {
     // representation (or what broke), echoed into the compact JSON below —
     // a testdata layout change must read as ONE diagnostic, not 66 failures
     val contract =
-      try sources.EventTime.contractProbe(spark, sfDir)
+      try sources.TableContract.probe(spark, sfDir)
       catch { case e: IllegalStateException => s"BROKEN: ${e.getMessage}" }
     System.err.println(s"[bench] schema contract: $contract")
     // SPARK_GRAFT_ONLY=q_a,q_b runs a subset (local iteration aid)

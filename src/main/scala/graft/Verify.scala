@@ -21,7 +21,7 @@ object Verify {
     // observed type — not N opaque per-query errors (the round-10 failure
     // mode). Non-fatal: the queries that don't touch events still run.
     try System.err.println(
-      s"[verify] schema contract ok: ${sources.EventTime.contractProbe(spark, sfDir)}")
+      s"[verify] schema contract ok: ${sources.TableContract.probe(spark, sfDir)}")
     catch { case e: IllegalStateException =>
       System.err.println(s"[verify] SCHEMA CONTRACT BROKEN: ${e.getMessage}")
     }

@@ -23,9 +23,13 @@ object Organic {
     */
   def docs(spark: SparkSession, base: DataFrame, factor: Int): DataFrame = {
     val n0 = base.count()
+    // driver-side sample bounded even against a real-text corpus: the most
+    // frequent 4096 tokens are plenty to synthesize in-distribution filler
     val vocab = base.select(explode(split(col("text"), "\\s+")).as("w"))
-      .where(length(col("w")) > 0).distinct()
-      .collect().map(_.getString(0)).sorted // bounded: corpus vocabulary is ~dozens
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("w")).limit(4096)
+      .collect().map(_.getString(0)).sorted
     val langs = base.select(col("lang")).distinct().collect().map(_.getString(0)).sorted
     val srcs = base.select(col("source")).distinct().collect().map(_.getString(0)).sorted
     val fresh = spark.range(n0, n0 * factor).toDF("doc_id")
