@@ -566,9 +566,13 @@ object SparkEntry {
       // hash-agg path on a commutative semigroup.
       import s.implicits._
       val base = eventStream(s, dir).asKeyedCols[Long, Long](col("_2.user_id"), lit(1L))
+      // both sides materialize ONCE: each except direction would otherwise
+      // recompute both aggregation frames (4 computes for 2 needed)
       val default = base.sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
+        .localCheckpoint(true)
       val forced = base.name("ordered", commutative = false)
         .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
+        .localCheckpoint(true)
       val pathsEqual = default.except(forced).count() == 0 &&
         forced.except(default).count() == 0
       val sharded = eventStream(s, dir).name("resharded", shards = 7)
