@@ -9,7 +9,7 @@ import graft.api.{ExternalService, GraftSink, GraftStream, KeyedGraftStream}
 import graft.batch.BatchStore
 import graft.client.ClientStore
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{AsofJoin, BatchServices, Dedup, LoopJoin, Packing, PretrainPipeline, RowIndex, Sampling, Scoring, Similarity}
+import graft.operators.{AsofJoin, BatchServices, Dedup, LoopJoin, Packing, PretrainPipeline, Retrieval, RowIndex, Sampling, Scoring, Similarity}
 import graft.time.{BatchID, Batcher, Timestamp}
 
 /** Typed rows for the API-parity queries (encoders derive at use sites). */
@@ -101,6 +101,22 @@ object SparkEntry {
   private def docsDs(s: SparkSession, dir: String): Dataset[Doc] = {
     import s.implicits._
     t(s, dir, "documents").select("doc_id", "text").as[Doc]
+  }
+
+  /** The fixed BM25 gate query set — mirrored verbatim in the oracle SQL's
+    * VALUES clause (corpus-vocabulary terms so every query matches docs).
+    */
+  private val bm25QuerySet = Seq(
+    0 -> "spark window merge",
+    1 -> "customer filter join",
+    2 -> "batch stream data",
+    3 -> "hash join order sort",
+    4 -> "query group agg",
+    5 -> "vector scan dup table")
+
+  private def bm25Queries(s: SparkSession): DataFrame = {
+    import s.implicits._
+    bm25QuerySet.toDF("query_id", "qtext")
   }
 
   /** Flagship: the reference's canonical wordCount job (summingbird-example
@@ -1350,6 +1366,48 @@ object SparkEntry {
       Dedup.minhashLshTransitive(docsDs(s, dir).toDF(), "text", "doc_id",
         w = 3, bands = 16, rowsPerBand = 4, threshold = 0.5).select("doc_id")),
 
+    "q_dedup_canonical" -> ((s, dir) => {
+      // the POLICY layer over the same closure: production releases keep
+      // the best member per near-dup cluster, not the smallest id — here
+      // the longest text, ties to min id. Output is the full resolution
+      // mapping (every doc -> its cluster's canonical doc).
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("score", length(col("text")))
+      val pairs = Dedup.minhashVerifiedPairs(docs, "text", "doc_id",
+        w = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      Dedup.canonicalByScore(docs, pairs, "doc_id", "score")
+    }),
+
+    "q_bm25" -> ((s, dir) => {
+      // lexical retrieval: all BM25-scored (query, doc) pairs for the
+      // fixed query set — the index build + broadcast-candidate join +
+      // score aggregation path, fully oracled (scores to 6dp)
+      Retrieval.bm25Scores(t(s, dir, "documents").select("doc_id", "text"),
+        bm25Queries(s), "text", "doc_id", "qtext", "query_id")
+    }),
+
+    "q_bm25_topk" -> ((s, dir) => {
+      // per-query top-3 by (rounded score desc, doc_id) — the window
+      // rank compiles to WindowGroupLimit (partial top-k map-side)
+      val idx = Retrieval.buildIndex(
+        t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id")
+      Retrieval.bm25TopK(idx, bm25Queries(s), "qtext", "query_id", k = 3)
+    }),
+
+    "q_bm25_incr" -> ((s, dir) => {
+      // daily-ingest shape: index built on 2/3 of the corpus, the rest
+      // appended WITHOUT touching existing postings (stats merged
+      // associatively) — scores must equal the full rebuild, so this row
+      // shares q_bm25's oracle verbatim
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val idx0 = Retrieval.buildIndex(
+        base.where(col("doc_id") % 3 =!= 0), "text", "doc_id")
+      val idx = Retrieval.appendToIndex(idx0,
+        base.where(col("doc_id") % 3 === 0), "text")
+      Retrieval.bm25FromIndex(idx, bm25Queries(s), "qtext", "query_id")
+    }),
+
     "q_minhash_cands" -> ((s, dir) =>
       // the VERIFIED candidate stage: banding proposes, exact shingle
       // jaccard disposes. Oracling the raw candidate set would assert
@@ -1796,6 +1854,15 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TF.fingerprintMd5(col("text")).as("fp"))),
 
+    "q_quality_gate" -> ((s, dir) =>
+      // per-language rank cut: keep the top 30% by text length per lang —
+      // the deterministic rank-based quality gate (integer-exact cut, no
+      // percentile-interpolation boundary ambiguity)
+      Scoring.topFractionByScore(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+        col("lang"), length(col("text")), col("doc_id"), 0.3)
+        .select("doc_id", "lang", "rank")),
+
     // no SQL oracle (engine-specific shingle hashes) — rows-only check;
     // the winnowing guarantees are law-checked in ApproxOpsSpec
     "q_winnow" -> ((s, dir) => {
@@ -1992,6 +2059,41 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // DuckDB oracles (same parquet tables, bare table names)
   // ---------------------------------------------------------------------
+
+  /** BM25 oracle, assembled so the VALUES clause can never drift from
+    * [[bm25QuerySet]]. Arithmetic mirrors the Spark side token for token
+    * (same literals, same association) so both engines execute the same
+    * IEEE operations; only the final few-term sum reorders, which 6dp
+    * rounding absorbs.
+    */
+  private val bm25OracleBase: String =
+    "WITH q(query_id, qtext) AS (VALUES " +
+      bm25QuerySet.map { case (i, t) => "(" + i + ", '" + t + "')" }.mkString(", ") +
+      ")," +
+    """
+      |d AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |stats AS (SELECT count(*) AS n_docs,
+      |  CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM d),
+      |post AS (SELECT doc_id, tok, count(*) AS tf, any_value(dl) AS dl FROM (
+      |  SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM d)
+      |  GROUP BY doc_id, tok),
+      |qt AS (SELECT query_id, unnest(list_distinct(
+      |  list_filter(string_split_regex(lower(qtext), '\s+'), x -> len(x) > 0))) AS tok
+      |  FROM q),
+      |dfq AS (SELECT tok, count(*) AS df FROM post
+      |  WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY tok)""".stripMargin
+
+  private val bm25OracleScored: String = bm25OracleBase +
+    """
+      |SELECT qt.query_id, post.doc_id,
+      |  round(sum(ln(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+      |    * (post.tf * (1.2 + 1))
+      |    / (post.tf + 1.2 * ((1 - 0.75) + 0.75 * post.dl / stats.avgdl))), 6) AS score
+      |FROM qt JOIN post ON qt.tok = post.tok
+      |  JOIN dfq ON qt.tok = dfq.tok CROSS JOIN stats
+      |GROUP BY qt.query_id, post.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_source" ->
@@ -2603,6 +2705,67 @@ object SparkEntry {
         |SELECT doc_id FROM documents WHERE doc_id NOT IN (
         |  SELECT DISTINCT s FROM reach WHERE d < s)""".stripMargin,
 
+    // same reachability closure; then per component (min reachable id incl
+    // self) elect the winner by (length desc, id asc) and emit the full
+    // doc -> canonical mapping
+    "q_dedup_canonical" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        |    ELSE [] END) AS s
+        |  FROM (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |    FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |  AND (CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0 THEN
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |    ELSE 1.0 END) >= 0.5),
+        |edges AS (SELECT ida AS s, idb AS d FROM pairs
+        |  UNION SELECT idb AS s, ida AS d FROM pairs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |minreach AS (SELECT s AS doc_id, min(d) AS md FROM reach GROUP BY s),
+        |comp AS (
+        |  SELECT d.doc_id, least(d.doc_id, coalesce(m.md, d.doc_id)) AS comp
+        |  FROM documents d LEFT JOIN minreach m USING (doc_id)),
+        |winner AS (
+        |  SELECT comp, doc_id AS canon_id FROM (
+        |    SELECT c.comp, c.doc_id,
+        |      row_number() OVER (PARTITION BY c.comp
+        |        ORDER BY length(d.text) DESC, c.doc_id ASC) AS rn
+        |    FROM comp c JOIN documents d USING (doc_id)) WHERE rn = 1)
+        |SELECT c.doc_id, w.canon_id FROM comp c JOIN winner w USING (comp)""".stripMargin,
+
+    "q_bm25" -> bm25OracleScored,
+
+    // the incremental index MUST score identically to the full rebuild —
+    // the row shares the full-rebuild oracle verbatim
+    "q_bm25_incr" -> bm25OracleScored,
+
+    "q_bm25_topk" ->
+      (bm25OracleBase +
+        """,
+        |scored AS (
+        |  SELECT qt.query_id, post.doc_id,
+        |    round(sum(ln(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |      * (post.tf * (1.2 + 1))
+        |      / (post.tf + 1.2 * ((1 - 0.75) + 0.75 * post.dl / stats.avgdl))), 6) AS score
+        |  FROM qt JOIN post ON qt.tok = post.tok
+        |    JOIN dfq ON qt.tok = dfq.tok CROSS JOIN stats
+        |  GROUP BY qt.query_id, post.doc_id)
+        |SELECT query_id, doc_id, score, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM scored)
+        |WHERE rank <= 3""".stripMargin),
+
     // blank docs (empty shingle sets) follow the STAR contract: one
     // (min blank id, other blank id, 1.0) row per extra blank — linear,
     // transitively equivalent to the quadratic clique (Dedup.emptyDocStar)
@@ -3088,6 +3251,15 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+
+    "q_quality_gate" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY length(text) DESC, doc_id ASC) AS INTEGER) AS rank,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, rank FROM ranked WHERE rank <= ceil(0.3 * n)""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,

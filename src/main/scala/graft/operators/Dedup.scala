@@ -994,4 +994,63 @@ object Dedup {
       .select(col(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
   }
+
+  // ---------------------------------------------------------------------
+  // Canonical-representative selection: which duplicate survives
+  // ---------------------------------------------------------------------
+
+  /** Per-duplicate-cluster canonical mapping: every document maps to the
+    * BEST member of its connected component in the duplicate-pair graph
+    * (highest `scoreCol`, ties to the smallest id), and a singleton maps
+    * to itself.
+    *
+    * The min-id survivor the transitive family keeps is an arbitrary
+    * policy; a production corpus release keeps the best-quality member of
+    * each near-dup cluster (longest text, highest LM score, freshest
+    * crawl) and records the mapping so downstream references resolve.
+    * This operator separates the POLICY (a score column) from the closure.
+    *
+    * Shape at scale: components run over (long, long) edge pairs only
+    * (star contraction by default — O(log² n) rounds regardless of chain
+    * diameter); the winner election is ONE hash aggregation of
+    * (comp, score, id) rows via `max_by` — no window over the corpus, no
+    * payload columns in any shuffle. Docs outside every pair short-circuit
+    * to themselves through a left join.
+    *
+    * Returns (`idCol`, "canon_id") for EVERY input row.
+    */
+  def canonicalByScore(docs: DataFrame, pairs: DataFrame, idCol: String,
+      scoreCol: String, aCol: String = "id_a", bCol: String = "id_b",
+      starContraction: Boolean = true): DataFrame = {
+    val comp =
+      if (starContraction) connectedComponentsStar(pairs, aCol, bCol, idCol)
+      else connectedComponents(pairs, aCol, bCol, idCol)
+    val withComp = docs.select(col(idCol), col(scoreCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("comp"), col(idCol).cast("long")))
+    // argmax by (score desc, id asc) in one agg: struct comparison is
+    // lexicographic, so (score, -id) maximizes score then minimizes id
+    val winners = withComp.groupBy(col("__comp")).agg(
+      max_by(col(idCol),
+        struct(col(scoreCol), (lit(0L) - col(idCol)).as("__negid"))).as("canon_id"))
+    withComp.select(col(idCol), col("__comp"))
+      .join(winners, Seq("__comp"))
+      .select(col(idCol), col("canon_id"))
+  }
+
+  /** End-to-end best-survivor fuzzy dedup: MinHash-LSH candidates,
+    * exact-Jaccard verification, transitive closure, then KEEP the
+    * highest-`scoreCol` member of each cluster (ties to the smallest id)
+    * instead of [[minhashLshTransitive]]'s min-id policy. Returns the
+    * kept rows of `df`, all columns.
+    */
+  def minhashLshCanonical(df: DataFrame, textCol: String, idCol: String,
+      scoreCol: String, w: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.8, starContraction: Boolean = true): DataFrame = {
+    val pairs = minhashVerifiedPairs(df, textCol, idCol, w, bands, rowsPerBand, threshold)
+    val keep = canonicalByScore(df, pairs, idCol, scoreCol,
+      starContraction = starContraction)
+      .where(col(idCol) === col("canon_id")).select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
 }

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Sparse lexical retrieval over a document corpus: inverted-index build,
+  * incremental append, and BM25 scoring / top-k search.
+  *
+  * A training-data pipeline needs lexical search at corpus scale for
+  * decontamination against benchmark suites, targeted curation ("find all
+  * documents about X"), and dedup candidate generation — the retrieval
+  * complement of the embedding-space ANN family in
+  * [[graft.operators.Similarity]].
+  *
+  * Shape at scale (the 100 TB contract):
+  *  - The index is ONE shuffle of (doc, token) pairs — `groupBy(token,
+  *    doc)` — and carries `dl` (doc length) denormalized into each
+  *    posting row, so query-time scoring never joins back to the corpus.
+  *    Persist it partitioned/bucketed by `token` and posting lookups
+  *    prune to the query tokens' buckets.
+  *  - Queries are small relative to the corpus: the query-token frame is
+  *    BROADCAST against the postings scan, reducing the corpus-sized side
+  *    to candidate postings before any aggregation. Per-token document
+  *    frequencies for scoring are computed from the candidate postings
+  *    themselves (the broadcast semi-filter keeps every posting of each
+  *    query token, so the post-filter count IS the exact df) — no
+  *    vocabulary-wide aggregate at query time.
+  *  - Corpus constants (N, avgdl) live in a one-row stats frame merged
+  *    associatively on append; they cross-join (broadcast) into scoring.
+  *  - Stopword-class tokens (df ~ N) dominate posting volume while
+  *    contributing near-zero idf; `maxDfFraction` drops them before the
+  *    candidate join — the first, simplest member of the impact-pruning
+  *    family (block-max/WAND being the full treatment).
+  *  - Top-k uses window `row_number` + `rn <= k`, which Spark 3.5+
+  *    compiles to WindowGroupLimit: each map task keeps only its local
+  *    top-k before the per-query shuffle, so a query never gathers more
+  *    than k * shufflePartitions rows to one task.
+  *
+  * Tokenization is the engine-wide whitespace tokenizer over lowercased
+  * text ([[TextFunctions.tokens]]) so oracle SQL agrees exactly.
+  *
+  * The reference has no retrieval operator (its closest shape is keyed
+  * lookup joins, summingbird-core/.../Producer.scala leftJoin); BM25 here
+  * follows Robertson et al.'s Okapi formulation with the Lucene-style
+  * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf, which is non-negative for
+  * every df <= N.
+  */
+object Retrieval {
+
+  /** Inverted index: `postings` = (token, `idCol`, tf, dl) — one row per
+    * distinct (document, token); `stats` = ONE row (n_docs, total_dl),
+    * covering ALL indexed docs including token-less ones (they produce no
+    * postings but still shift N and avgdl).
+    */
+  final case class Bm25Index(postings: DataFrame, stats: DataFrame, idCol: String)
+
+  private def lowTokens(text: Column): Column = TextFunctions.tokens(lower(text))
+
+  /** Build the index in one pass: explode tokens, count per (doc, token),
+    * carry dl on every posting. `stats` aggregates the pre-explode frame
+    * so empty documents count toward N / avgdl.
+    */
+  def buildIndex(docs: DataFrame, textCol: String, idCol: String): Bm25Index = {
+    val withToks = docs.select(col(idCol), lowTokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")))
+    val postings = withToks
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("token"))
+      .groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("tf"), first(col("__dl")).as("dl"))
+    val stats = withToks.agg(
+      count(lit(1)).as("n_docs"), sum(col("__dl")).as("total_dl"))
+    Bm25Index(postings, stats, idCol)
+  }
+
+  /** Append a (disjoint-id) batch without touching existing postings:
+    * postings union, stats merged associatively — the incremental path a
+    * daily-ingest corpus needs. Identical to a full rebuild on the union
+    * (per-doc rows are independent; N and total_dl are sums).
+    */
+  def appendToIndex(index: Bm25Index, newDocs: DataFrame, textCol: String): Bm25Index = {
+    val add = buildIndex(newDocs, textCol, index.idCol)
+    val stats = index.stats.unionByName(add.stats)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
+    Bm25Index(index.postings.unionByName(add.postings), stats, index.idCol)
+  }
+
+  /** BM25 scores for every (query, document) pair sharing at least one
+    * surviving token. `queries` is a small frame (`qIdCol`, `qTextCol`).
+    * Returns (`qIdCol`, `idCol`, "score") with score rounded to 6dp.
+    *
+    * `maxDfFraction` < 1.0 drops query tokens whose df exceeds that
+    * fraction of N before scoring (stopword pruning — recall trade
+    * documented above); 1.0 scores exactly.
+    */
+  def bm25FromIndex(index: Bm25Index, queries: DataFrame, qTextCol: String,
+      qIdCol: String, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFraction: Double = 1.0): DataFrame = {
+    val qTok = queries
+      .select(col(qIdCol), explode(array_distinct(lowTokens(col(qTextCol)))).as("token"))
+    // corpus-sized side reduced FIRST: broadcast the query tokens into the
+    // postings scan; everything downstream is candidate-sized
+    val cand = index.postings.join(
+      broadcast(qTok.select(col("token")).distinct()), Seq("token"), "left_semi")
+    // exact df per query token from the candidates themselves
+    val dfT = cand.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = index.stats.select(col("n_docs"),
+      (col("total_dl").cast("double") /
+        when(col("n_docs") > 0, col("n_docs")).otherwise(lit(1L))).as("avgdl"))
+    val idCol = index.idCol
+    val scored = broadcast(qTok)
+      .join(cand, Seq("token"))
+      .join(broadcast(dfT), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .where(col("df") <= lit(maxDfFraction) * col("n_docs"))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("__part", col("__idf") *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(round(sum(col("__part")), 6).as("score"))
+    scored
+  }
+
+  /** Persist the index partitioned by token hash-bucket (`tb = pmod(
+    * xxhash64(token), tokenBuckets)`): a query-time read prunes statically
+    * to the query tokens' buckets — the postings analogue of
+    * `BatchStore`'s key-clustered snapshots. Stats land beside it.
+    */
+  def writeIndex(index: Bm25Index, path: String, tokenBuckets: Int): Unit = {
+    require(tokenBuckets >= 1, s"tokenBuckets must be >= 1, got $tokenBuckets")
+    index.postings
+      .withColumn("tb", pmod(xxhash64(col("token")), lit(tokenBuckets)).cast("int"))
+      .write.partitionBy("tb").mode("overwrite").parquet(s"$path/postings")
+    index.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Full (unpruned) read of a stored index. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String): Bm25Index =
+    Bm25Index(spark.read.parquet(s"$path/postings").drop("tb"),
+      spark.read.parquet(s"$path/stats"), idCol)
+
+  /** Score queries against a STORED index reading only the query tokens'
+    * buckets: the distinct query tokens (bounded — `maxQueryTokens` caps
+    * them loudly, the same enforced-bounded-query-table contract as the
+    * ANN join search) turn into a static `tb IN (...)` partition filter
+    * plus a `token IN (...)` pushed filter, so the scan touches a handful
+    * of the index's files no matter how large the corpus vocabulary is.
+    * Exactness is unaffected: the pruned read keeps EVERY posting of each
+    * query token, so candidate-derived dfs are identical to a full read.
+    */
+  def bm25FromStored(spark: org.apache.spark.sql.SparkSession, path: String,
+      tokenBuckets: Int, queries: DataFrame, qTextCol: String, qIdCol: String,
+      idCol: String, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFraction: Double = 1.0, maxQueryTokens: Int = 10000): DataFrame = {
+    val toks = queries
+      .select(explode(array_distinct(lowTokens(col(qTextCol)))).as("token"))
+      .distinct().as(spark.implicits.newStringEncoder)
+      .take(maxQueryTokens + 1)
+    require(toks.length <= maxQueryTokens,
+      s"query set exceeds $maxQueryTokens distinct tokens — a query TABLE this " +
+        "large should score against the in-memory index (bm25FromIndex), not " +
+        "point-prune a stored one")
+    val buckets = toks.map(t => {
+      // same hash the writer used: xxhash64 over the UTF-8 token bytes
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t),
+        org.apache.spark.sql.types.StringType, 42L)
+      val m = h % tokenBuckets
+      (if (m < 0) m + tokenBuckets else m).toInt
+    }).distinct
+    val postings = spark.read.parquet(s"$path/postings")
+      .where(col("tb").isin(buckets.map(Integer.valueOf).toSeq: _*))
+      .where(col("token").isin(toks.toSeq: _*))
+      .drop("tb")
+    val idx = Bm25Index(postings, spark.read.parquet(s"$path/stats"), idCol)
+    bm25FromIndex(idx, queries, qTextCol, qIdCol, k1, b, maxDfFraction)
+  }
+
+  /** One-shot convenience: build + score. */
+  def bm25Scores(docs: DataFrame, queries: DataFrame, textCol: String,
+      idCol: String, qTextCol: String, qIdCol: String,
+      k1: Double = 1.2, b: Double = 0.75, maxDfFraction: Double = 1.0): DataFrame =
+    bm25FromIndex(buildIndex(docs, textCol, idCol), queries, qTextCol, qIdCol,
+      k1, b, maxDfFraction)
+
+  /** Top-k per query by (score desc, id asc) — deterministic: the rank key
+    * is the 6dp-rounded score, so an oracle computing the same rounded
+    * score ranks identically. The `rn <= k` filter directly over the
+    * window compiles to WindowGroupLimit (partial top-k before the
+    * per-query shuffle).
+    */
+  def bm25TopK(index: Bm25Index, queries: DataFrame, qTextCol: String,
+      qIdCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFraction: Double = 1.0): DataFrame = {
+    val scored = bm25FromIndex(index, queries, qTextCol, qIdCol, k1, b, maxDfFraction)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("score").desc, col(index.idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

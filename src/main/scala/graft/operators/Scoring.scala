@@ -91,4 +91,32 @@ object Scoring {
       .groupBy(col(idCol))
       .agg(coalesce(avg(coalesce(col("logp"), lit(unkLogp))), lit(unkLogp))
         .as("surprisal"))
+
+  /** Per-group quality gate: keep the best `frac` of each group's rows by
+    * (`score` desc, `tieKey` asc) — "top 30% by quality per language",
+    * the rank cut a curated release applies after scoring. Rank-based,
+    * not threshold-based, deliberately: a percentile-threshold gate
+    * inherits float-interpolation ambiguity exactly at the cut boundary,
+    * while a rank cut is integer-exact, deterministic, and keeps
+    * ceil(frac·n) rows per group by construction.
+    *
+    * Adds `rankOut` (the row's 1-based rank within its group). Scale: one
+    * count aggregation broadcast back + one window PARTITIONED by group —
+    * cost bounded by the largest group, the same contract as sessionize;
+    * if one group dominates the corpus, pre-split by a salted subkey and
+    * take per-split top-frac first (the [[Sampling.quota]] oversample
+    * trick applies unchanged).
+    */
+  def topFractionByScore(df: DataFrame, group: Column, score: Column,
+      tieKey: Column, frac: Double, rankOut: String = "rank"): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
+    val withG = df.withColumn("__g", group)
+    val counts = withG.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(score.desc, tieKey.asc)
+    withG.join(broadcast(counts), "__g")
+      .withColumn(rankOut, row_number().over(w))
+      .where(col(rankOut) <= ceil(lit(frac) * col("__n")))
+      .drop("__g", "__n")
+  }
 }

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** BM25 retrieval laws: hand-computed scores on a tiny corpus, index
+  * append ≡ rebuild, df-pruning semantics, top-k determinism, and the
+  * N/avgdl contract for token-less documents.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def docs = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "spark merge window"),
+      (2L, "spark spark join"),
+      (3L, "window sort window merge window"),
+      (4L, ""), // token-less: no postings, still counts in N / avgdl
+      (5L, "join batch")
+    ).toDF("doc_id", "text")
+  }
+
+  private def q(rows: (Int, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("query_id", "qtext")
+  }
+
+  test("bm25 matches a hand-computed score exactly (one term, one doc)") {
+    // corpus: N=5, total_dl = 3+3+5+0+2 = 13, avgdl = 2.6
+    // token "sort": df=1, only doc 3 (tf=1, dl=5)
+    // idf = ln(1 + (5 - 1 + 0.5)/(1 + 0.5)) = ln(4)
+    // tfpart = 1*2.2 / (1 + 1.2*(0.25 + 0.75*5/2.6))
+    val n = 5.0; val avgdl = 13.0 / 5.0
+    val idf = math.log(1 + (n - 1 + 0.5) / 1.5)
+    val expected = BigDecimal(idf * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 5 / avgdl)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = Retrieval.bm25Scores(docs, q(0 -> "sort"), "text", "doc_id",
+      "qtext", "query_id").collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 3L)
+    assert(out.head.getDouble(2) == expected)
+  }
+
+  test("multi-term scores sum per (query, doc); no shared token -> no row") {
+    val out = Retrieval.bm25Scores(docs, q(0 -> "spark join", 1 -> "zzz"),
+      "text", "doc_id", "qtext", "query_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // query 0 hits docs 1 (spark), 2 (spark+join), 5 (join) — never 3, 4
+    assert(out.keySet == Set(0 -> 1L, 0 -> 2L, 0 -> 5L))
+    // doc 2 carries both terms: strictly larger than its single-term parts
+    val single = Retrieval.bm25Scores(docs, q(0 -> "spark"), "text", "doc_id",
+      "qtext", "query_id").collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out(0 -> 2L) > single(2L))
+  }
+
+  test("duplicate query tokens count once (array_distinct before explode)") {
+    val once = Retrieval.bm25Scores(docs, q(0 -> "spark"), "text", "doc_id",
+      "qtext", "query_id").collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    val twice = Retrieval.bm25Scores(docs, q(0 -> "spark spark"), "text", "doc_id",
+      "qtext", "query_id").collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(once == twice)
+  }
+
+  test("appendToIndex == full rebuild (postings, stats, and scores)") {
+    val a = docs.where(col("doc_id") <= 2)
+    val b = docs.where(col("doc_id") > 2)
+    val incr = Retrieval.appendToIndex(Retrieval.buildIndex(a, "text", "doc_id"), b, "text")
+    val full = Retrieval.buildIndex(docs, "text", "doc_id")
+    assert(incr.postings.exceptAll(full.postings).isEmpty &&
+      full.postings.exceptAll(incr.postings).isEmpty)
+    assert(incr.stats.collect().toSeq == full.stats.collect().toSeq)
+    val queries = q(0 -> "spark window", 1 -> "join sort batch")
+    val si = Retrieval.bm25FromIndex(incr, queries, "qtext", "query_id")
+    val sf = Retrieval.bm25FromIndex(full, queries, "qtext", "query_id")
+    assert(si.exceptAll(sf).isEmpty && sf.exceptAll(si).isEmpty)
+  }
+
+  test("maxDfFraction drops only high-df tokens; surviving scores unchanged") {
+    // "window" df=2/5=0.4, "sort" df=1/5=0.2 -> cap 0.3 keeps only "sort"
+    val all = Retrieval.bm25Scores(docs, q(0 -> "window sort"), "text", "doc_id",
+      "qtext", "query_id").collect().map(r => r.getLong(1)).toSet
+    val pruned = Retrieval.bm25Scores(docs, q(0 -> "window sort"), "text", "doc_id",
+      "qtext", "query_id", maxDfFraction = 0.3)
+    val prunedRows = pruned.collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(all == Set(1L, 3L))      // window: docs 1,3; sort: doc 3
+    assert(prunedRows.keySet == Set(3L)) // only sort survives the cap
+    val sortOnly = Retrieval.bm25Scores(docs, q(0 -> "sort"), "text", "doc_id",
+      "qtext", "query_id").collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(prunedRows == sortOnly)  // pruning never changes surviving terms' math
+  }
+
+  test("bm25TopK: k bounds rows per query, rank dense from 1, id tie-break") {
+    val idx = Retrieval.buildIndex(docs, "text", "doc_id")
+    val out = Retrieval.bm25TopK(idx, q(0 -> "spark join window"), "qtext",
+      "query_id", k = 2).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getInt(3)).sorted.toSeq == Seq(1, 2))
+    // determinism across runs
+    val again = Retrieval.bm25TopK(idx, q(0 -> "spark join window"), "qtext",
+      "query_id", k = 2).collect()
+    assert(out.map(r => (r.getLong(1), r.getInt(3))).toSet ==
+      again.map(r => (r.getLong(1), r.getInt(3))).toSet)
+  }
+
+  test("stored bucketed index: pruned read scores EXACTLY like the in-memory index") {
+    val idx = Retrieval.buildIndex(docs, "text", "doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+    Retrieval.writeIndex(idx, dir, tokenBuckets = 8)
+    val queries = q(0 -> "spark window", 1 -> "join sort batch", 2 -> "zzz")
+    val mem = Retrieval.bm25FromIndex(idx, queries, "qtext", "query_id")
+    val stored = Retrieval.bm25FromStored(spark, dir, tokenBuckets = 8,
+      queries, "qtext", "query_id", "doc_id")
+    assert(mem.exceptAll(stored).isEmpty && stored.exceptAll(mem).isEmpty)
+    // the loud cap: a query set larger than maxQueryTokens must refuse
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25FromStored(spark, dir, 8, queries, "qtext", "query_id",
+        "doc_id", maxQueryTokens = 2)
+    }
+    assert(e.getMessage.contains("distinct tokens"), e.getMessage)
+  }
+
+  test("stats count token-less docs (N=5, avgdl=2.6) — not just posting docs") {
+    val idx = Retrieval.buildIndex(docs, "text", "doc_id")
+    val st = idx.stats.collect().head
+    assert(st.getLong(0) == 5L && st.getLong(1) == 13L)
+    // postings only cover the 4 docs with tokens
+    assert(idx.postings.select("doc_id").distinct().count() == 4L)
+  }
+}

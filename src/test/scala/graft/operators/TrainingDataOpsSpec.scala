@@ -543,4 +543,26 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(tight(1L) == "real content one")
     assert(tight(5L) == "")
   }
+
+  test("topFractionByScore: ceil(frac*n) rows per group, best first, id tie-break") {
+    // group a: n=5 -> ceil(0.3*5)=2 kept; group b: n=3 -> ceil(0.3*3)=1;
+    // group c: n=1 -> 1 (a singleton always survives)
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 50L), (3L, "a", 30L), (4L, "a", 50L), (5L, "a", 20L),
+      (6L, "b", 5L), (7L, "b", 9L), (8L, "b", 7L),
+      (9L, "c", 1L)).toDF("doc_id", "grp", "score")
+    val got = Scoring.topFractionByScore(docs, col("grp"), col("score"),
+      col("doc_id"), 0.3)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    // a: scores 50(id2),50(id4) -> tie to smaller id first
+    assert(got == Map(2L -> 1, 4L -> 2, 7L -> 1, 9L -> 1))
+    // frac = 1.0 keeps everything
+    assert(Scoring.topFractionByScore(docs, col("grp"), col("score"),
+      col("doc_id"), 1.0).count() == 9L)
+    // rank column is dense per group starting at 1
+    val ranks = Scoring.topFractionByScore(docs, col("grp"), col("score"),
+      col("doc_id"), 0.5).collect()
+      .groupBy(_.getString(1)).map { case (g, rs) => g -> rs.map(_.getInt(3)).sorted.toSeq }
+    assert(ranks("a") == Seq(1, 2, 3) && ranks("b") == Seq(1, 2) && ranks("c") == Seq(1))
+  }
 }

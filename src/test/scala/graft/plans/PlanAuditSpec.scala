@@ -423,4 +423,63 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan(df)
     assert(p.contains("*("), p)
   }
+
+  test("bm25: query side broadcasts against postings; topK compiles to WindowGroupLimit") {
+    val s = spark; import s.implicits._
+    import graft.operators.Retrieval
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val queries = Seq(0 -> "spark merge window", 1 -> "batch join").toDF("query_id", "qtext")
+    val idx = Retrieval.buildIndex(docs, "text", "doc_id")
+    // scoring: the corpus-sized postings frame must meet the query tokens
+    // through BROADCAST joins only — a shuffled join here would shuffle
+    // the whole posting list volume per query batch
+    val scored = Retrieval.bm25FromIndex(idx, queries, "qtext", "query_id")
+    val pScored = plan(scored)
+    assert(pScored.contains("BroadcastHashJoin"), pScored)
+    val shuffledJoins = scored.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shuffledJoins.isEmpty,
+      s"bm25 scoring shuffled a join:\n${shuffledJoins.mkString("\n")}")
+    // top-k: rn <= k over the window must compile to WindowGroupLimit so
+    // each map task keeps only its local top-k before the per-query shuffle
+    val pTop = plan(Retrieval.bm25TopK(idx, queries, "qtext", "query_id", k = 3))
+    assert(pTop.contains("WindowGroupLimit"), pTop)
+  }
+
+  test("stored bm25 index: query scan prunes to the query tokens' buckets + pushes token IN") {
+    val s = spark; import s.implicits._
+    import graft.operators.Retrieval
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val idx = Retrieval.buildIndex(docs, "text", "doc_id")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_prune").toString
+    // one file per bucket so numFiles counts bucket dirs exactly
+    Retrieval.writeIndex(
+      idx.copy(postings = idx.postings.repartition(1)), tmp, tokenBuckets = 16)
+    val nDirs = new java.io.File(s"$tmp/postings").listFiles()
+      .count(_.getName.startsWith("tb="))
+    assert(nDirs > 4, s"corpus vocabulary only filled $nDirs of 16 buckets")
+    val queries = Seq(0 -> "spark window").toDF("query_id", "qtext")
+    val scored = Retrieval.bm25FromStored(spark, tmp, tokenBuckets = 16,
+      queries, "qtext", "query_id", "doc_id")
+    scored.count() // materialize so scan metrics fill
+    // AQE hides scans behind AdaptiveSparkPlanExec/QueryStageExec leaf
+    // boundaries — descend through them explicitly
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => allScans(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(scored.queryExecution.executedPlan)
+    val postScan = scans.find(_.output.exists(_.name == "token")).get
+    // 2 query tokens -> at most 2 of the filled bucket dirs are read
+    assert(postScan.metrics("numFiles").value <= 2,
+      s"pruned read touched ${postScan.metrics("numFiles").value} files of $nDirs buckets")
+    assert(postScan.toString.contains("In(token"), postScan.toString)
+  }
 }
