@@ -1408,6 +1408,56 @@ object SparkEntry {
       Retrieval.bm25FromIndex(idx, bm25Queries(s), "qtext", "query_id")
     }),
 
+    "q_bm25_stored" -> ((s, dir) => {
+      // the serving path: index persisted token-bucketed, queries answered
+      // from a PRUNED read (static tb partition filter + pushed token IN) —
+      // exactness unaffected, so the row shares q_bm25's oracle verbatim
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_store_").toString
+      try {
+        val idx = Retrieval.buildIndex(
+          t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id")
+        Retrieval.writeIndex(idx, tmp, tokenBuckets = 16)
+        // materialize before the finally reclaims the index files
+        Retrieval.bm25FromStored(s, tmp, tokenBuckets = 16,
+          bm25Queries(s), "qtext", "query_id", "doc_id").localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
+    "q_streaming_bm25" -> ((s, dir) => {
+      // streaming index maintenance: the corpus arrives in 3 doc_id-sliced
+      // micro-batches, each appended to the STORED index inside
+      // foreachBatch (new posting files + stats roll-forward only — the
+      // index stays serveable between batches); the final index must score
+      // identically to a full batch rebuild, so this row also shares
+      // q_bm25's oracle verbatim
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = docsDs(s, dir).collect()
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_stream_").toString
+      try {
+        // bootstrap: an EMPTY index ((0,0) stats, no postings) to ingest into
+        Retrieval.writeIndex(Retrieval.buildIndex(
+          t(s, dir, "documents").select("doc_id", "text").limit(0),
+          "text", "doc_id"), tmp, tokenBuckets = 16)
+        val writer = graft.streaming.StreamingIO.fanout(
+          ms.toDS().toDF("doc_id", "text"))(Seq(
+          (b, _) => Retrieval.appendToStored(s, tmp, 16, b, "text", "doc_id")))
+        withStreamingGateConf(s, 4) {
+          val q = writer.start()
+          try {
+            (0 until 3).foreach { i =>
+              ms.addData(docs.iterator.filter(_.doc_id % 3 == i)
+                .map(d => (d.doc_id, d.text)).toSeq)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
+        Retrieval.bm25FromStored(s, tmp, tokenBuckets = 16,
+          bm25Queries(s), "qtext", "query_id", "doc_id").localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
     "q_minhash_cands" -> ((s, dir) =>
       // the VERIFIED candidate stage: banding proposes, exact shingle
       // jaccard disposes. Oracling the raw candidate set would assert
@@ -2746,9 +2796,12 @@ object SparkEntry {
 
     "q_bm25" -> bm25OracleScored,
 
-    // the incremental index MUST score identically to the full rebuild —
-    // the row shares the full-rebuild oracle verbatim
+    // the incremental index, the pruned stored read, and the streaming
+    // ingest MUST all score identically to the full rebuild — these rows
+    // share the full-rebuild oracle verbatim
     "q_bm25_incr" -> bm25OracleScored,
+    "q_bm25_stored" -> bm25OracleScored,
+    "q_streaming_bm25" -> bm25OracleScored,
 
     "q_bm25_topk" ->
       (bm25OracleBase +

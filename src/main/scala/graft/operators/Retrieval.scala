@@ -69,8 +69,10 @@ object Retrieval {
       .select(col(idCol), col("__dl"), explode(col("__toks")).as("token"))
       .groupBy(col("token"), col(idCol))
       .agg(count(lit(1)).as("tf"), first(col("__dl")).as("dl"))
-    val stats = withToks.agg(
-      count(lit(1)).as("n_docs"), sum(col("__dl")).as("total_dl"))
+    // coalesce: sum over ZERO rows is null, and an empty index must write
+    // (0, 0) stats so the streaming-ingest bootstrap can roll them forward
+    val stats = withToks.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("__dl")), lit(0L)).as("total_dl"))
     Bm25Index(postings, stats, idCol)
   }
 
@@ -129,12 +131,37 @@ object Retrieval {
     * to the query tokens' buckets — the postings analogue of
     * `BatchStore`'s key-clustered snapshots. Stats land beside it.
     */
+  private def withBucket(postings: DataFrame, tokenBuckets: Int): DataFrame =
+    postings.withColumn("tb",
+      pmod(xxhash64(col("token")), lit(tokenBuckets)).cast("int"))
+
   def writeIndex(index: Bm25Index, path: String, tokenBuckets: Int): Unit = {
     require(tokenBuckets >= 1, s"tokenBuckets must be >= 1, got $tokenBuckets")
-    index.postings
-      .withColumn("tb", pmod(xxhash64(col("token")), lit(tokenBuckets)).cast("int"))
+    withBucket(index.postings, tokenBuckets)
       .write.partitionBy("tb").mode("overwrite").parquet(s"$path/postings")
     index.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Ingest a (disjoint-id) batch into a STORED index: the batch's
+    * postings land as NEW files in their token buckets (existing files
+    * untouched — append is per-doc-independent, same contract as
+    * [[appendToIndex]]), and the one-row stats roll forward. This is the
+    * streaming maintenance path: call it from `foreachBatch` and the
+    * index stays serveable between micro-batches.
+    */
+  def appendToStored(spark: org.apache.spark.sql.SparkSession, path: String,
+      tokenBuckets: Int, newDocs: DataFrame, textCol: String, idCol: String): Unit = {
+    val add = buildIndex(newDocs, textCol, idCol)
+    withBucket(add.postings, tokenBuckets)
+      .write.partitionBy("tb").mode("append").parquet(s"$path/postings")
+    // read-merge-overwrite of ONE row; materialize before the overwrite so
+    // the write never reads the file it replaces
+    val merged = spark.read.parquet(s"$path/stats").unionByName(add.stats)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
+      .collect().head
+    import spark.implicits._
+    Seq((merged.getLong(0), merged.getLong(1))).toDF("n_docs", "total_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
   /** Full (unpruned) read of a stored index. */

@@ -123,6 +123,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("distinct tokens"), e.getMessage)
   }
 
+  test("appendToStored: 3 micro-batch appends score EXACTLY like one writeIndex") {
+    val s = spark; import s.implicits._
+    val dirIncr = java.nio.file.Files.createTempDirectory("graft_bm25_app").toString
+    val dirFull = java.nio.file.Files.createTempDirectory("graft_bm25_ful").toString
+    // bootstrap empty, then ingest in 3 disjoint slices
+    Retrieval.writeIndex(Retrieval.buildIndex(docs.limit(0), "text", "doc_id"),
+      dirIncr, tokenBuckets = 4)
+    (0 until 3).foreach { i =>
+      Retrieval.appendToStored(spark, dirIncr, 4,
+        docs.where(col("doc_id") % 3 === i), "text", "doc_id")
+    }
+    Retrieval.writeIndex(Retrieval.buildIndex(docs, "text", "doc_id"),
+      dirFull, tokenBuckets = 4)
+    val queries = q(0 -> "spark window", 1 -> "join sort batch")
+    val a = Retrieval.bm25FromStored(spark, dirIncr, 4, queries, "qtext",
+      "query_id", "doc_id")
+    val b = Retrieval.bm25FromStored(spark, dirFull, 4, queries, "qtext",
+      "query_id", "doc_id")
+    assert(a.collect().nonEmpty)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // stats rolled forward through all three appends
+    val st = spark.read.parquet(s"$dirIncr/stats").collect().head
+    assert(st.getLong(0) == 5L && st.getLong(1) == 13L)
+  }
+
   test("stats count token-less docs (N=5, avgdl=2.6) — not just posting docs") {
     val idx = Retrieval.buildIndex(docs, "text", "doc_id")
     val st = idx.stats.collect().head
