@@ -1904,6 +1904,29 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TF.fingerprintMd5(col("text")).as("fp"))),
 
+    "q_bpe" -> ((s, dir) => {
+      // corpus-fitted BPE tokenizer: ONE wordFreq aggregation over the
+      // corpus, merges trained driver-side from the frequency dictionary
+      // (the Sennrich split of labor — the only corpus-sized job is the
+      // word count), then distributed encode. The token stream itself is
+      // engine-specific, so the row oracles what SQL can see (n_words)
+      // plus Spark-computed invariants pinned TRUE: the word-level
+      // roundtrip (tokens concatenate back to the lowercased words) and
+      // the n_words <= n_bpe <= n_nonspace_chars bounds.
+      import graft.functions.Bpe
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val merges = Bpe.trainMerges(Bpe.wordFreq(docs, "text"), numMerges = 200)
+      val enc = Bpe.encodeUdf(merges)
+      val toks = enc(col("text"))
+      val words = TF.tokens(lower(col("text")))
+      val decoded = trim(regexp_replace(array_join(toks, ""), Bpe.EndOfWord, " "))
+      docs.select(col("doc_id"),
+        size(words).as("n_words"),
+        (decoded === array_join(words, " ")).as("roundtrip_ok"),
+        (size(toks) >= size(words) && size(toks).cast("long") <=
+          length(regexp_replace(lower(col("text")), "\\s+", ""))).as("bounds_ok"))
+    }),
+
     "q_quality_gate" -> ((s, dir) =>
       // per-language rank cut: keep the top 30% by text length per lang —
       // the deterministic rank-based quality gate (integer-exact cut, no
@@ -3303,6 +3326,12 @@ object SparkEntry {
 
     "q_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_bpe" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n_words,
+        |  TRUE AS roundtrip_ok, TRUE AS bounds_ok
         |FROM documents""".stripMargin,
 
     "q_quality_gate" ->

@@ -164,6 +164,33 @@ object Retrieval {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Compact a stored index in place: streaming ingest leaves one file
+    * set per micro-batch in every touched bucket, and point-read latency
+    * degrades with file count (each pruned read opens every file of its
+    * buckets). Rewrites postings one-file-per-bucket via a scratch dir +
+    * atomic-enough rename (write scratch, swap dirs) — scores unchanged,
+    * stats untouched. Run it on the maintenance cadence, like the
+    * BatchStore retention sweep.
+    */
+  def compactStored(spark: org.apache.spark.sql.SparkSession, path: String,
+      tokenBuckets: Int): Unit = {
+    val postings = spark.read.parquet(s"$path/postings").drop("tb")
+    val scratch = s"$path/postings_compact_tmp"
+    withBucket(postings, tokenBuckets)
+      .repartition(col("tb")).sortWithinPartitions(col("token"), col("doc_id"))
+      .write.partitionBy("tb").mode("overwrite").parquet(scratch)
+    val fs = new java.io.File(s"$path/postings")
+    val old = new java.io.File(s"$path/postings_old_tmp")
+    graft.batch.BatchState.deleteDir(old.toString)
+    if (!fs.renameTo(old))
+      throw new IllegalStateException(s"compactStored: could not stage $fs for swap")
+    if (!new java.io.File(scratch).renameTo(fs)) {
+      old.renameTo(fs) // roll back
+      throw new IllegalStateException(s"compactStored: could not swap $scratch into place")
+    }
+    graft.batch.BatchState.deleteDir(old.toString)
+  }
+
   /** Full (unpruned) read of a stored index. */
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String): Bm25Index =

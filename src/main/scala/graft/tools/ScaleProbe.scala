@@ -191,7 +191,31 @@ object ScaleProbe {
         graft.operators.Sessionize.sessionize(spark.read.parquet(p),
           "user_id", "ts_ms", gapMs = 1800000L)
           .agg(sum(col("n_events")), sum(col("session_seq")))
-          .collect().head.getLong(0))
+          .collect().head.getLong(0)),
+      // round-11: BM25 build+score — posting volume and per-token df both
+      // grow linearly in corpus size with a FIXED query set, so cost must
+      // track corpus volume (the index shuffle dominates; candidates are
+      // df-proportional)
+      "bm25" -> { p =>
+        import graft.operators.Retrieval
+        val queries = spark.createDataFrame(Seq(
+          (0, "spark window merge"), (1, "customer filter join"),
+          (2, "batch stream data"), (3, "hash join order sort")))
+          .toDF("query_id", "qtext")
+        Retrieval.bm25Scores(spark.read.parquet(p), queries, "text", "doc_id",
+          "qtext", "query_id")
+          .agg(sum(col("score"))).collect().head.getDouble(0).toLong
+      },
+      // round-11: canonical election — pair gen + components + one max_by
+      // agg; must track verified-pair volume exactly like dedup_cc (the
+      // election adds a corpus-linear agg, never a window)
+      "dedup_canonical" -> { p =>
+        val d = spark.read.parquet(p).withColumn("score", length(col("text")))
+        val pairs = Dedup.minhashVerifiedPairs(d, "text", "doc_id",
+          w = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        Dedup.canonicalByScore(d, pairs, "doc_id", "score")
+          .agg(sum(col("canon_id"))).collect().head.getLong(0)
+      }
     )
     val selected = ops.filter { case (n, _) => opsArg.forall(_.contains(n)) }
     selected.toSeq.sortBy(_._1).foreach { case (name, f) =>

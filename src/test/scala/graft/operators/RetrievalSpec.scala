@@ -148,6 +148,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(st.getLong(0) == 5L && st.getLong(1) == 13L)
   }
 
+  test("compactStored: one file per bucket afterwards, scores identical") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_cmp").toString
+    Retrieval.writeIndex(Retrieval.buildIndex(docs.limit(0), "text", "doc_id"),
+      dir, tokenBuckets = 4)
+    (0 until 3).foreach { i =>
+      Retrieval.appendToStored(spark, dir, 4,
+        docs.where(col("doc_id") % 3 === i), "text", "doc_id")
+    }
+    val queries = q(0 -> "spark window", 1 -> "join sort batch")
+    val before = Retrieval.bm25FromStored(spark, dir, 4, queries, "qtext",
+      "query_id", "doc_id").collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    def filesPerBucket: Map[String, Int] =
+      new java.io.File(s"$dir/postings").listFiles().filter(_.getName.startsWith("tb="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(filesPerBucket.values.exists(_ > 1),
+      s"append fixture never fragmented: $filesPerBucket")
+    Retrieval.compactStored(spark, dir, tokenBuckets = 4)
+    assert(filesPerBucket.values.forall(_ == 1), filesPerBucket.toString)
+    val after = Retrieval.bm25FromStored(spark, dir, 4, queries, "qtext",
+      "query_id", "doc_id").collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after == before)
+  }
+
   test("stats count token-less docs (N=5, avgdl=2.6) — not just posting docs") {
     val idx = Retrieval.buildIndex(docs, "text", "doc_id")
     val st = idx.stats.collect().head
