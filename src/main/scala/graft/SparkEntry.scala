@@ -1904,6 +1904,18 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TF.fingerprintMd5(col("text")).as("fp"))),
 
+    "q_corpus_diff" -> ((s, dir) => {
+      // snapshot diff between two corpus versions: old = ids not %7,
+      // new = ids not %5 with %11 texts mutated — added/removed/changed/
+      // same per id, digests (not text) through the one full-outer shuffle
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val oldV = base.where(col("doc_id") % 7 =!= 0)
+      val newV = base.where(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      operators.CorpusDiff.diff(oldV, newV, "doc_id", "text")
+    }),
+
     "q_bpe" -> ((s, dir) => {
       // corpus-fitted BPE tokenizer: ONE wordFreq aggregation over the
       // corpus, merges trained driver-side from the frequency dictionary
@@ -3327,6 +3339,20 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH oldv AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |newv AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN md5(o.text) IS DISTINCT FROM md5(n.text) THEN 'changed'
+        |       ELSE 'same' END AS status
+        |FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id""".stripMargin,
 
     "q_bpe" ->
       """SELECT doc_id,

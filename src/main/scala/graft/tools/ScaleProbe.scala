@@ -1,5 +1,7 @@
 package graft.tools
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -205,6 +207,29 @@ object ScaleProbe {
         Retrieval.bm25Scores(spark.read.parquet(p), queries, "text", "doc_id",
           "qtext", "query_id")
           .agg(sum(col("score"))).collect().head.getDouble(0).toLong
+      },
+      // round-11: the SERVING side of retrieval — index built+persisted
+      // once per corpus (untimed prep, cached by path), then the timed
+      // work is only the pruned point read + scoring. Latency must be
+      // df-proportional (query-token posting volume), NOT corpus-
+      // proportional: the bucket prune pays for itself here
+      "bm25_stored" -> {
+        val prepared = mutable.Set.empty[String]
+        p => {
+          import graft.operators.Retrieval
+          val idxPath = s"$p.bm25idx"
+          if (!prepared(p)) {
+            Retrieval.writeIndex(Retrieval.buildIndex(
+              spark.read.parquet(p), "text", "doc_id"), idxPath, tokenBuckets = 64)
+            prepared += p
+          }
+          val queries = spark.createDataFrame(Seq(
+            (0, "spark window merge"), (1, "customer filter join")))
+            .toDF("query_id", "qtext")
+          Retrieval.bm25FromStored(spark, idxPath, 64, queries, "qtext",
+            "query_id", "doc_id")
+            .agg(sum(col("score"))).collect().head.getDouble(0).toLong
+        }
       },
       // round-11: canonical election — pair gen + components + one max_by
       // agg; must track verified-pair volume exactly like dedup_cc (the
