@@ -61,4 +61,22 @@ object ConnectedComponentsProps extends Properties("ConnectedComponents") {
         (Prop.?=(starMap, expected) :| "star == model") &&
         (Prop.?=(mlMap, expected) :| "min-label == model")
     }
+
+  property("canonicalByScore == model argmax(score, -id) per component, all nodes") =
+    Prop.forAll(genEdges) { edges =>
+      val s = spark; import s.implicits._
+      val m = model(edges)
+      val nodes = (edges.flatMap(e => List(e._1, e._2)).toSet ++ (0L to 5L)).toList
+      // deterministic pseudo-random scores with deliberate collisions
+      val docs = nodes.map(n => (n, (n * 7 % 5).toInt)).toDF("doc_id", "score")
+      val scores = nodes.map(n => n -> (n * 7 % 5).toInt).toMap
+      val got = Dedup.canonicalByScore(docs, edges.toDF("id_a", "id_b"),
+        "doc_id", "score").as[(Long, Long)].collect().toMap
+      val comps = nodes.groupBy(n => m.getOrElse(n, n))
+      val expected = nodes.map { n =>
+        val members = comps(m.getOrElse(n, n))
+        n -> members.minBy(x => (-scores(x), x))
+      }.toMap
+      Prop.?=(got, expected) :| "canonical == model winner"
+    }
 }
