@@ -1948,6 +1948,16 @@ object SparkEntry {
         col("lang"), length(col("text")), col("doc_id"), 0.3)
         .select("doc_id", "lang", "rank")),
 
+    "q_quality_gate_salted" -> ((s, dir) =>
+      // the hot-group form: per-salt candidate election + exact ranking
+      // over the candidate union (declarative shortfall rescue). Result —
+      // ranks included — is IDENTICAL to the plain cut by construction,
+      // so this row shares q_quality_gate's oracle verbatim
+      Scoring.topFractionByScoreSalted(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+        col("lang"), length(col("text")), col("doc_id"), 0.3, salts = 8)
+        .select("doc_id", "lang", "rank")),
+
     // no SQL oracle (engine-specific shingle hashes) — rows-only check;
     // the winnowing guarantees are law-checked in ApproxOpsSpec
     "q_winnow" -> ((s, dir) => {
@@ -2169,6 +2179,15 @@ object SparkEntry {
       |  FROM q),
       |dfq AS (SELECT tok, count(*) AS df FROM post
       |  WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY tok)""".stripMargin
+
+  private val qualityGateOracle: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, lang,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY length(text) DESC, doc_id ASC) AS INTEGER) AS rank,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT doc_id, lang, rank FROM ranked WHERE rank <= ceil(0.3 * n)""".stripMargin
 
   private val bm25OracleScored: String = bm25OracleBase +
     """
@@ -3360,14 +3379,9 @@ object SparkEntry {
         |  TRUE AS roundtrip_ok, TRUE AS bounds_ok
         |FROM documents""".stripMargin,
 
-    "q_quality_gate" ->
-      """WITH ranked AS (
-        |  SELECT doc_id, lang,
-        |    CAST(row_number() OVER (PARTITION BY lang
-        |      ORDER BY length(text) DESC, doc_id ASC) AS INTEGER) AS rank,
-        |    count(*) OVER (PARTITION BY lang) AS n
-        |  FROM documents)
-        |SELECT doc_id, lang, rank FROM ranked WHERE rank <= ceil(0.3 * n)""".stripMargin,
+    "q_quality_gate" -> qualityGateOracle,
+    // the salted/rescued form must equal the plain cut exactly
+    "q_quality_gate_salted" -> qualityGateOracle,
 
     "q_multimodal" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,

@@ -119,4 +119,63 @@ object Scoring {
       .where(col(rankOut) <= ceil(lit(frac) * col("__n")))
       .drop("__g", "__n")
   }
+
+  /** [[topFractionByScore]] for the regime where one group carries a
+    * data-sized share of the corpus: the plain form's per-group window
+    * funnels that whole group through one task's sort. Here each group
+    * first elects per-SALT candidates (`salts` hash shards, each keeping
+    * its top ceil(oversample·K/salts) rows where K = ceil(frac·n)), and
+    * the exact ranking window runs over the candidate union only —
+    * ~oversample·K rows per group instead of n.
+    *
+    * Exactness is declarative, not probabilistic (the [[Sampling.quota]]
+    * pattern): a salt that contributed its FULL cap to the winners while
+    * holding more rows than the cap could be hiding better rows behind
+    * the cut — any group with such a salt falls back to the exact
+    * full-group ranking (one anti-join + re-rank of only those groups;
+    * empty on every healthy run). If every salt contributed under its
+    * cap, each salt's best non-elected candidate proves every
+    * non-candidate ranks below all winners, so the result — ranks
+    * included — is IDENTICAL to the plain form by construction.
+    *
+    * `saltOf` exposes the salt assignment for tests; the default hashes
+    * the tie key.
+    */
+  def topFractionByScoreSalted(df: DataFrame, group: Column, score: Column,
+      tieKey: Column, frac: Double, salts: Int = 16, oversample: Double = 2.0,
+      rankOut: String = "rank",
+      saltOf: Option[Column => Column] = None): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
+    require(salts >= 1 && oversample > 1.0, "need salts >= 1 and oversample > 1")
+    val saltFn = saltOf.getOrElse((c: Column) => pmod(xxhash64(c), lit(salts)))
+    val outCols = df.columns.toIndexedSeq.map(col) :+ col(rankOut)
+    val withG = df.withColumn("__g", group)
+    val counts = withG.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val withK = withG.join(broadcast(counts), "__g")
+      .withColumn("__K", ceil(lit(frac) * col("__n")))
+      .withColumn("__cap", ceil(lit(oversample) * col("__K") / lit(salts)))
+      .withColumn("__salt", saltFn(tieKey))
+    val saltW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g"), col("__salt")).orderBy(score.desc, tieKey.asc)
+    val gW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(score.desc, tieKey.asc)
+    val cands = withK.withColumn("__srn", row_number().over(saltW))
+      .where(col("__srn") <= col("__cap"))
+    val elected = cands.withColumn(rankOut, row_number().over(gW))
+      .where(col(rankOut) <= col("__K"))
+    // shortfall detection: (group, salt) pairs whose winner contribution
+    // hit the cap with rows left uninspected behind it
+    val saltCounts = withK.groupBy(col("__g"), col("__salt"))
+      .agg(count(lit(1)).as("__m"))
+    val short = elected.groupBy(col("__g"), col("__salt"))
+      .agg(count(lit(1)).as("__w"), first(col("__cap")).as("__c"))
+      .join(saltCounts, Seq("__g", "__salt"))
+      .where(col("__w") >= col("__c") && col("__m") > col("__c"))
+      .select(col("__g")).distinct()
+    val healthy = elected.join(broadcast(short), Seq("__g"), "left_anti")
+    val rescued = withK.join(broadcast(short), "__g")
+      .withColumn(rankOut, row_number().over(gW))
+      .where(col(rankOut) <= col("__K"))
+    healthy.select(outCols: _*).unionByName(rescued.select(outCols: _*))
+  }
 }

@@ -565,4 +565,43 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       .groupBy(_.getString(1)).map { case (g, rs) => g -> rs.map(_.getInt(3)).sorted.toSeq }
     assert(ranks("a") == Seq(1, 2, 3) && ranks("b") == Seq(1, 2) && ranks("c") == Seq(1))
   }
+
+  test("topFractionByScoreSalted == plain form, any salt count, ranks included") {
+    val docs = Seq.tabulate(200) { i =>
+      (i.toLong, if (i % 3 == 0) "big" else s"g${i % 5}", (i * 37 % 23).toLong)
+    }.toDF("doc_id", "grp", "score")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "grp", "score", "rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    val plain = canon(Scoring.topFractionByScore(docs, col("grp"), col("score"),
+      col("doc_id"), 0.3))
+    for (salts <- Seq(1, 4, 16)) {
+      val salted = canon(Scoring.topFractionByScoreSalted(docs, col("grp"),
+        col("score"), col("doc_id"), 0.3, salts = salts))
+      assert(salted == plain, s"salts=$salts")
+    }
+  }
+
+  test("topFractionByScoreSalted: adversarial winner-packed salt triggers the exact rescue") {
+    // group "x": 40 rows; all top scores land in salt 0 under id % 4 —
+    // the salt-0 candidate cap is hit with better rows left behind it, so
+    // skipping the rescue would return wrong winners. Equality with the
+    // plain form proves the shortfall path fired and repaired the cut.
+    val rows = Seq.tabulate(40) { i =>
+      val salt0 = i % 4 == 0
+      (i.toLong, "x", if (salt0) 1000L + i else i.toLong)
+    }
+    val docs = rows.toDF("doc_id", "grp", "score")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val plain = canon(Scoring.topFractionByScore(docs, col("grp"), col("score"),
+      col("doc_id"), 0.2))
+    // K = 8 winners, all in salt 0 (10 rows there); cap = ceil(1.25*8/4)=3
+    // per salt -> salt 0 contributes its full cap with 7 rows behind it
+    val salted = canon(Scoring.topFractionByScoreSalted(docs, col("grp"),
+      col("score"), col("doc_id"), 0.2, salts = 4, oversample = 1.25,
+      saltOf = Some(c => pmod(c, lit(4)))))
+    assert(salted == plain)
+  }
 }
