@@ -384,6 +384,14 @@ object SparkEntry {
       graft.operators.Sessionize.sessionize(eventsDF(s, dir),
         "user_id", "ts_ms", gapMs = 1800000L)),
 
+    "q_sessionize_presplit" -> ((s, dir) =>
+      // hot-entity form: level-1 windows partition by (user, time-chunk)
+      // so one bot user's history sorts in parallel across chunks; level 2
+      // re-islands the sub-sessions — identical output by associativity,
+      // so this row shares q_sessionize's oracle verbatim
+      graft.operators.Sessionize.sessionizePreSplit(eventsDF(s, dir),
+        "user_id", "ts_ms", gapMs = 1800000L, chunkMs = 86400000L)),
+
     "q_sliding_window" -> ((s, dir) =>
       // round 10: SLIDING event-time windows (7-day window, 1-day slide —
       // rolling weekly activity per user), completing the time-window
@@ -2180,6 +2188,23 @@ object SparkEntry {
       |dfq AS (SELECT tok, count(*) AS df FROM post
       |  WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY tok)""".stripMargin
 
+  private val sessionizeOracle: String =
+    """WITH m AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+      |      THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))),
+      |s AS (
+      |  SELECT user_id, ts_ms,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |  FROM m)
+      |SELECT user_id, session_seq, min(ts_ms) AS session_start,
+      |  max(ts_ms) AS session_end, count(*) AS n_events
+      |FROM s GROUP BY 1, 2""".stripMargin
+
   private val qualityGateOracle: String =
     """WITH ranked AS (
       |  SELECT doc_id, lang,
@@ -2384,22 +2409,9 @@ object SparkEntry {
     // gaps-and-islands with the half-open gap convention (diff >= gap
     // starts a new session); CAST the running sum (DuckDB window sum of
     // BIGINT is HUGEINT)
-    "q_sessionize" ->
-      """WITH m AS (
-        |  SELECT user_id, epoch_ms(ts) AS ts_ms,
-        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
-        |         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
-        |      THEN 1 ELSE 0 END AS is_new
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))),
-        |s AS (
-        |  SELECT user_id, ts_ms,
-        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-        |  FROM m)
-        |SELECT user_id, session_seq, min(ts_ms) AS session_start,
-        |  max(ts_ms) AS session_end, count(*) AS n_events
-        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" -> sessionizeOracle,
+    // the hot-key chunked form must emit IDENTICAL sessions
+    "q_sessionize_presplit" -> sessionizeOracle,
 
     // each event covers the 7 day-aligned windows ending at-or-after it;
     // the lateral series reproduces Spark's window() explode exactly
