@@ -194,6 +194,26 @@ object ScaleProbe {
           "user_id", "ts_ms", gapMs = 1800000L)
           .agg(sum(col("n_events")), sum(col("session_seq")))
           .collect().head.getLong(0)),
+      // round-11: hot-key sessionization — half the corpus collapses onto
+      // ONE user, the regime the pre-split form exists for. The plain arm
+      // funnels that key through one task's sort; the presplit arm spreads
+      // it across (key, day-chunk) windows. Compare the two arms' absolute
+      // times at the same factor (their own 1x->Nx ratios both track
+      // volume; the plain arm's constant is the single-task sort).
+      "sessionize_skew" -> (p =>
+        graft.operators.Sessionize.sessionize(
+          spark.read.parquet(p).withColumn("user_id",
+            when(col("user_id") % 2 === 0, 0L).otherwise(col("user_id"))),
+          "user_id", "ts_ms", gapMs = 1800000L)
+          .agg(sum(col("n_events")), sum(col("session_seq")))
+          .collect().head.getLong(0)),
+      "sessionize_skew_presplit" -> (p =>
+        graft.operators.Sessionize.sessionizePreSplit(
+          spark.read.parquet(p).withColumn("user_id",
+            when(col("user_id") % 2 === 0, 0L).otherwise(col("user_id"))),
+          "user_id", "ts_ms", gapMs = 1800000L, chunkMs = 86400000L)
+          .agg(sum(col("n_events")), sum(col("session_seq")))
+          .collect().head.getLong(0)),
       // round-11: BM25 build+score — posting volume and per-token df both
       // grow linearly in corpus size with a FIXED query set, so cost must
       // track corpus volume (the index shuffle dominates; candidates are
@@ -245,7 +265,8 @@ object ScaleProbe {
     val selected = ops.filter { case (n, _) => opsArg.forall(_.contains(n)) }
     selected.toSeq.sortBy(_._1).foreach { case (name, f) =>
       val (d1, dp) = (name match {
-        case "heavy_hitters" | "moments_bloom_quantile" | "sessionize" => (ev1, evN)
+        case "heavy_hitters" | "moments_bloom_quantile" | "sessionize"
+           | "sessionize_skew" | "sessionize_skew_presplit" => (ev1, evN)
         case "ann_pq" | "ann_ivfpq" | "semdedup" | "semdedup_scaledk"
            | "semdedup_hier" => (emb1, embN)
         case _ => (docs1, docsN)
