@@ -9,7 +9,7 @@ import graft.api.{ExternalService, GraftSink, GraftStream, KeyedGraftStream}
 import graft.batch.BatchStore
 import graft.client.ClientStore
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{AsofJoin, BatchServices, Dedup, LoopJoin, Packing, PretrainPipeline, Retrieval, RowIndex, Sampling, Scoring, Similarity}
+import graft.operators.{AsofJoin, BatchServices, Dedup, LoopJoin, Packing, PretrainPipeline, Retrieval, RowIndex, Sampling, Scoring, Sharding, Similarity}
 import graft.time.{BatchID, Batcher, Timestamp}
 
 /** Typed rows for the API-parity queries (encoders derive at use sites). */
@@ -2084,6 +2084,57 @@ object SparkEntry {
         Sampling.splitCol(col("event_id"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))),
 
+    "q_epoch_shuffle" -> ((s, dir) =>
+      // deterministic epoch permutation: every doc's 0-based position in
+      // the seed-7 md5 order, assigned by the distributed prefix-sum (a
+      // balanced range shuffle, never one unpartitioned row_number window)
+      Sharding.epochShuffle(t(s, dir, "documents").select("doc_id"),
+          col("doc_id"), seed = 7L)
+        .select(col("doc_id"), col("pos"))),
+
+    "q_shard_assign" -> ((s, dir) =>
+      // data-parallel trainer sharding: round-robin stripe the seed-3
+      // epoch permutation across 8 ranks — shard sizes differ by <= 1 and
+      // each rank's in-shard order is a uniform sample of the global one
+      Sharding.shardAssign(t(s, dir, "documents").select("doc_id"),
+          col("doc_id"), worldSize = 8, seed = 3L)
+        .select(col("doc_id"), col("shard"), col("ord"))),
+
+    "q_nb_classifier" -> ((s, dir) => {
+      // fastText-style learned quality gate: closed-form multinomial
+      // Naive-Bayes (one token-count aggregation = the whole training
+      // run) fit on the even-id half labeled by length > 300, scoring
+      // the odd-id half; model probes are broadcast, like q_lm_score
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val model = Scoring.naiveBayesTrain(base.where(col("doc_id") % 2 === 0),
+        "text", length(col("text")) > 300)
+      Scoring.naiveBayesScore(base.where(col("doc_id") % 2 === 1),
+          model, "text", "doc_id")
+        .select(col("doc_id"), round(col("score"), 6).as("score"), col("pred"))
+    }),
+
+    "q_nb_incr" -> ((s, dir) => {
+      // incremental retrain ≡ full retrain, EXACTLY: NB state is integer
+      // count tables (a sumByKey value), so merging the 0-mod-4 and
+      // 2-mod-4 quarters' counts is bit-identical to training on the even
+      // half — this row scores through the merged model and shares
+      // q_nb_classifier's oracle verbatim
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val y = length(col("text")) > 300
+      val a = base.where(col("doc_id") % 4 === 0)
+      val b = base.where(col("doc_id") % 4 === 2)
+      val counts = Scoring.mergeNaiveBayesCounts(
+        Scoring.naiveBayesCounts(a, "text", y),
+        Scoring.naiveBayesCounts(b, "text", y))
+      val docCounts = a.unionByName(b).agg(
+        sum(when(y, 1L).otherwise(0L)).as("d_pos"),
+        sum(when(!y, 1L).otherwise(0L)).as("d_neg"))
+      val model = Scoring.naiveBayesFromCounts(counts, docCounts)
+      Scoring.naiveBayesScore(base.where(col("doc_id") % 2 === 1),
+          model, "text", "doc_id")
+        .select(col("doc_id"), round(col("score"), 6).as("score"), col("pred"))
+    }),
+
     "q_multimodal" -> ((s, dir) => {
       // opaque-binary media pipeline: documents' utf-8 bytes play the media
       // content; features flow through the real mapPartitions batch
@@ -2223,6 +2274,45 @@ object SparkEntry {
       |FROM qt JOIN post ON qt.tok = post.tok
       |  JOIN dfq ON qt.tok = dfq.tok CROSS JOIN stats
       |GROUP BY qt.query_id, post.doc_id""".stripMargin
+
+  /** Shared by q_nb_classifier and q_nb_incr (merged integer counts ≡
+    * full-retrain counts, so both rows produce identical doubles). The
+    * arithmetic mirrors Scoring.naiveBayes* literally: every ln runs on
+    * the same IEEE division both engines compute; score rounds to 6dp.
+    */
+  private val nbClassifierOracle: String =
+    """WITH lab AS (SELECT doc_id, lower(text) AS t, length(text) > 300 AS y
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |tok AS (SELECT y, unnest(
+      |    list_filter(string_split_regex(t, '\s+'), x -> len(x) > 0)) AS token
+      |  FROM lab),
+      |pt AS (SELECT token,
+      |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+      |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS c_neg
+      |  FROM tok GROUP BY 1),
+      |tot AS (SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg, count(*) AS v
+      |  FROM pt),
+      |dc AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS d_pos,
+      |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS d_neg FROM lab),
+      |consts AS (SELECT
+      |    ln(CAST(d_pos AS DOUBLE)) - ln(CAST(d_neg AS DOUBLE)) AS prior,
+      |    ln(CAST(n_neg + v AS DOUBLE)) - ln(CAST(n_pos + v AS DOUBLE)) AS unk_llr
+      |  FROM dc, tot),
+      |llr AS (SELECT token,
+      |    ln(CAST(c_pos + 1 AS DOUBLE) / CAST(n_pos + v AS DOUBLE)) -
+      |    ln(CAST(c_neg + 1 AS DOUBLE) / CAST(n_neg + v AS DOUBLE)) AS llr
+      |  FROM pt, tot),
+      |dt AS (SELECT doc_id, unnest(
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |ts AS (SELECT d.doc_id, sum(coalesce(l.llr, c.unk_llr)) AS s
+      |  FROM dt d LEFT JOIN llr l ON d.token = l.token CROSS JOIN consts c
+      |  GROUP BY 1)
+      |SELECT d.doc_id,
+      |  round((SELECT prior FROM consts) + coalesce(ts.s, 0), 6) AS score,
+      |  ((SELECT prior FROM consts) + coalesce(ts.s, 0)) > 0 AS pred
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+      |LEFT JOIN ts ON d.doc_id = ts.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_source" ->
@@ -3236,6 +3326,24 @@ object SparkEntry {
         |  CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)
         |    / 4294967296.0 AS u
         |FROM events)""".stripMargin,
+
+    "q_epoch_shuffle" ->
+      """SELECT doc_id, row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id) - 1 AS pos
+        |FROM documents""".stripMargin,
+
+    "q_shard_assign" ->
+      """WITH p AS (SELECT doc_id, row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':3'), doc_id) - 1 AS pos
+        |  FROM documents)
+        |SELECT doc_id, CAST(pos % 8 AS INT) AS shard, pos // 8 AS ord
+        |FROM p""".stripMargin,
+
+    "q_nb_classifier" -> nbClassifierOracle,
+
+    // merged-counts model ≡ full-retrain model bit-for-bit (integer count
+    // semigroup), so the incremental row shares the oracle verbatim
+    "q_nb_incr" -> nbClassifierOracle,
 
     "q_dedup_embedding" ->
       """SELECT e.vec_id FROM embeddings e WHERE NOT EXISTS (

@@ -178,4 +178,99 @@ object Scoring {
       .where(col(rankOut) <= col("__K"))
     healthy.select(outCols: _*).unionByName(rescued.select(outCols: _*))
   }
+
+  /** A trained multinomial Naive-Bayes text classifier: `tokenLlr` is the
+    * vocabulary-sized (token, llr) table (llr = ln P(token|pos) −
+    * ln P(token|neg), Laplace-smoothed), `consts` is ONE row
+    * (prior, unk_llr). Both stay lazy DataFrames: training is pure
+    * aggregation, so the model composes into a single plan with scoring
+    * and nothing is collected to the driver.
+    */
+  final case class NaiveBayesModel(tokenLlr: DataFrame, consts: DataFrame)
+
+  /** Per-(token, class) Laplace-count state of a Naive-Bayes trainer —
+    * the MERGEABLE form: counts are plain sums, so two corpora's count
+    * tables combine by key-wise addition (the engine's sumByKey shape)
+    * and incremental retraining is exact, not approximate. Schema:
+    * (token, c_pos, c_neg).
+    */
+  def naiveBayesCounts(labeled: DataFrame, textCol: String,
+      label: Column): DataFrame =
+    labeled
+      .select(label.cast("boolean").as("__y"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("c_neg"))
+
+  /** Key-wise sum of two [[naiveBayesCounts]] tables — adding a day's
+    * labeled data to a stored model state is one outer-join-free union +
+    * re-aggregate, the same roll-forward contract as the batch Summer.
+    */
+  def mergeNaiveBayesCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("token"))
+      .agg(sum(col("c_pos")).as("c_pos"), sum(col("c_neg")).as("c_neg"))
+
+  /** Finalize a counts table + document-class counts into a scoring model.
+    * `docClassCounts` must be one row (d_pos, d_neg) — it is sums too, so
+    * it merges across corpora the same way the token counts do. Both
+    * classes must be non-empty (a one-class "classifier" is a constant).
+    */
+  def naiveBayesFromCounts(counts: DataFrame,
+      docClassCounts: DataFrame): NaiveBayesModel = {
+    val totals = counts.agg(sum(col("c_pos")).as("n_pos"),
+      sum(col("c_neg")).as("n_neg"), count(lit(1)).as("v"))
+    val consts = totals.crossJoin(docClassCounts).select(
+      (log(col("d_pos").cast("double")) - log(col("d_neg").cast("double")))
+        .as("prior"),
+      (log((col("n_neg") + col("v")).cast("double")) -
+        log((col("n_pos") + col("v")).cast("double"))).as("unk_llr"),
+      col("n_pos"), col("n_neg"), col("v"))
+    val tokenLlr = counts
+      .crossJoin(broadcast(consts.select(col("n_pos"), col("n_neg"), col("v"))))
+      .select(col("token"),
+        (log((col("c_pos") + lit(1L)).cast("double") /
+            (col("n_pos") + col("v")).cast("double")) -
+          log((col("c_neg") + lit(1L)).cast("double") /
+            (col("n_neg") + col("v")).cast("double"))).as("llr"))
+    NaiveBayesModel(tokenLlr, consts.select(col("prior"), col("unk_llr")))
+  }
+
+  /** Train a multinomial Naive-Bayes quality classifier — the
+    * fastText-style learned filter (a GPT-3/CCNet-lineage quality gate
+    * trains a linear text classifier on a trusted-vs-crawl split and
+    * keeps high-scoring documents; NB is that linear scorer with
+    * closed-form training). `label` marks the positive class.
+    *
+    * 100 TB shape: training IS one token-count hash aggregation (plus a
+    * 1-row doc count) — embarrassingly scalable, no iteration, no driver
+    * state; the model is a vocabulary-sized broadcast table.
+    */
+  def naiveBayesTrain(labeled: DataFrame, textCol: String,
+      label: Column): NaiveBayesModel = {
+    val docCounts = labeled.agg(
+      sum(when(label.cast("boolean"), 1L).otherwise(0L)).as("d_pos"),
+      sum(when(!label.cast("boolean"), 1L).otherwise(0L)).as("d_neg"))
+    naiveBayesFromCounts(naiveBayesCounts(labeled, textCol, label), docCounts)
+  }
+
+  /** Score documents under a [[NaiveBayesModel]]: per-doc log-odds =
+    * prior + Σ llr(token) (unseen tokens cost `unk_llr`), `pred` =
+    * log-odds > 0. Same plan shape as [[surprisal]]: explode → broadcast
+    * probe → hash re-aggregate on the id; documents with no tokens score
+    * exactly the prior.
+    */
+  def naiveBayesScore(docs: DataFrame, model: NaiveBayesModel,
+      textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        explode_outer(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .join(broadcast(model.tokenLlr), Seq("token"), "left")
+      .crossJoin(broadcast(model.consts))
+      .groupBy(col(idCol))
+      .agg((first(col("prior")) +
+        coalesce(sum(when(col("token").isNotNull,
+          coalesce(col("llr"), col("unk_llr"))).otherwise(lit(0.0))), lit(0.0)))
+        .as("score"))
+      .select(col(idCol), col("score"), (col("score") > lit(0.0)).as("pred"))
 }

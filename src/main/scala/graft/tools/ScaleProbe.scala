@@ -260,6 +260,28 @@ object ScaleProbe {
           w = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
         Dedup.canonicalByScore(d, pairs, "doc_id", "score")
           .agg(sum(col("canon_id"))).collect().head.getLong(0)
+      },
+      // round-11 second half: epoch shuffle + trainer sharding — ONE
+      // balanced range shuffle on the md5 key plus the broadcast offsets
+      // join; growth must track the sort (~n log n), no window funnels
+      "epoch_shard" -> { p =>
+        import graft.operators.Sharding
+        Sharding.shardAssign(spark.read.parquet(p).select("doc_id"),
+            col("doc_id"), worldSize = 64, seed = 7L)
+          .agg(sum(col("ord") * (col("shard") + 1)))
+          .collect().head.getLong(0)
+      },
+      // round-11 second half: NB classifier — training is one token-count
+      // hash agg over the corpus, scoring is explode + broadcast probe;
+      // both sides linear in token volume, model stays vocabulary-sized
+      "nb_classifier" -> { p =>
+        import graft.operators.Scoring
+        val d = spark.read.parquet(p)
+        val m = Scoring.naiveBayesTrain(d.where(col("doc_id") % 2 === 0),
+          "text", length(col("text")) > 300)
+        Scoring.naiveBayesScore(d.where(col("doc_id") % 2 =!= 0), m,
+            "text", "doc_id")
+          .agg(sum(col("score"))).collect().head.getDouble(0).toLong
       }
     )
     val selected = ops.filter { case (n, _) => opsArg.forall(_.contains(n)) }

@@ -196,6 +196,41 @@ class PlanAuditSpec extends AnyFunSuite {
       s"data-sized unpartitioned window:\n${windows.mkString("\n")}")
   }
 
+  test("shardAssign: no unpartitioned data window; striping is projection-only over the prefix sum") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
+    val df = graft.operators.Sharding.shardAssign(docs, col("doc_id"),
+      worldSize = 8, seed = 3L)
+    val p = plan(df)
+    // same contract as withRowIndex: the only global window runs over
+    // per-partition COUNTS (__n), never over data rows
+    val unpartitioned = p.linesIterator.filter(_.contains("Window ["))
+      .filterNot(_.contains("__pid")).toSeq
+    assert(unpartitioned.forall(_.contains("__n")),
+      s"data-sized unpartitioned window:\n${unpartitioned.mkString("\n")}")
+    // shard/ord are arithmetic on pos — no extra exchange beyond the
+    // prefix-sum machinery (offsets broadcast, range shuffle is upstream
+    // of the checkpoint)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("naive-bayes: model probes broadcast; training is hash aggregation, no windows") {
+    import graft.operators.Scoring
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val m = Scoring.naiveBayesTrain(docs.where(col("doc_id") % 2 === 0),
+      "text", length(col("text")) > 300)
+    val scored = Scoring.naiveBayesScore(docs.where(col("doc_id") % 2 =!= 0),
+      m, "text", "doc_id")
+    val p = plan(scored)
+    // the vocabulary table and the 1-row consts frame must both arrive
+    // broadcast — a sort-merge join would shuffle the exploded corpus
+    // against a model table that fits in memory by construction
+    assert(!p.contains("SortMergeJoin"),
+      s"NB scoring shuffled a model join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window ["), "NB has no business running a window")
+  }
+
   test("packSequences: data-sized window partitioned; boilerplate/shared-ngram shuffles carry hashes, not text") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val pk = plan(graft.operators.Packing.packSequences(
