@@ -2135,6 +2135,72 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 6).as("score"), col("pred"))
     }),
 
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      // crawl-format interchange: corpus → JSON-lines gzip parts →
+      // schema-supplied FAILFAST read-back (inference is a banned extra
+      // full pass at scale — sources/JsonLines.scala); the result must
+      // equal the original parquet corpus, which is exactly the oracle
+      val base = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+      try {
+        sources.JsonLines.write(base, tmp, codec = Some("gzip"))
+        sources.JsonLines.read(s, tmp, base.schema).localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
+    "q_streaming_nb" -> ((s, dir) => {
+      // online classifier maintenance: the labeled (even-id) half arrives
+      // in 3 micro-batches; foreachBatch merges each batch's token counts
+      // into the stored model state (mergeNaiveBayesCounts roll-forward —
+      // the model is re-finalizable and serveable after every batch).
+      // Integer counts sum exactly, so the final state ≡ full retraining
+      // and this row shares q_nb_classifier's oracle verbatim.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val y = length(col("text")) > 300
+      val train = docsDs(s, dir).collect().filter(_.doc_id % 2 == 0)
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val tmp = java.nio.file.Files.createTempDirectory("graft_nb_stream_").toString
+      try {
+        Scoring.naiveBayesCounts(base.limit(0), "text", y)
+          .write.parquet(s"$tmp/counts_v0")
+        Seq((0L, 0L)).toDF("d_pos", "d_neg").write.parquet(s"$tmp/dc_v0")
+        @volatile var ver = 0
+        val writer = graft.streaming.StreamingIO.fanout(
+          ms.toDS().toDF("doc_id", "text"))(Seq(
+          (b, _) => {
+            val bc = Scoring.naiveBayesCounts(b, "text", y)
+            Scoring.mergeNaiveBayesCounts(
+                s.read.parquet(s"$tmp/counts_v$ver"), bc)
+              .write.parquet(s"$tmp/counts_v${ver + 1}")
+            s.read.parquet(s"$tmp/dc_v$ver").unionByName(
+                b.agg(sum(when(y, 1L).otherwise(0L)).as("d_pos"),
+                  sum(when(!y, 1L).otherwise(0L)).as("d_neg")))
+              .agg(sum(col("d_pos")).as("d_pos"), sum(col("d_neg")).as("d_neg"))
+              .write.parquet(s"$tmp/dc_v${ver + 1}")
+            ver += 1
+          }))
+        withStreamingGateConf(s, 4) {
+          val q = writer.start()
+          try {
+            (0 until 3).foreach { i =>
+              ms.addData(train.iterator.filter(_.doc_id % 3 == i)
+                .map(d => (d.doc_id, d.text)).toSeq)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
+        val model = Scoring.naiveBayesFromCounts(
+          s.read.parquet(s"$tmp/counts_v$ver"),
+          s.read.parquet(s"$tmp/dc_v$ver"))
+        Scoring.naiveBayesScore(base.where(col("doc_id") % 2 === 1),
+            model, "text", "doc_id")
+          .select(col("doc_id"), round(col("score"), 6).as("score"), col("pred"))
+          .localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
     "q_multimodal" -> ((s, dir) => {
       // opaque-binary media pipeline: documents' utf-8 bytes play the media
       // content; features flow through the real mapPartitions batch
@@ -3344,6 +3410,12 @@ object SparkEntry {
     // merged-counts model ≡ full-retrain model bit-for-bit (integer count
     // semigroup), so the incremental row shares the oracle verbatim
     "q_nb_incr" -> nbClassifierOracle,
+
+    // 3-micro-batch streamed counts sum to the same integers, same model
+    "q_streaming_nb" -> nbClassifierOracle,
+
+    "q_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source FROM documents",
 
     "q_dedup_embedding" ->
       """SELECT e.vec_id FROM embeddings e WHERE NOT EXISTS (
