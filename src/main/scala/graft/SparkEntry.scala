@@ -2135,6 +2135,28 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 6).as("score"), col("pred"))
     }),
 
+    "q_embed_quant" -> ((s, dir) =>
+      // int8 embedding storage (rung one below PQ): exact per-vector
+      // symmetric scale, 4x smaller serving footprint, error <= scale/254
+      // per element; codes integer-exact across engines, so fully oracled
+      t(s, dir, "embeddings").select(col("vec_id"),
+        VF.int8Quantize(col("embedding")).as("codes"),
+        round(VF.int8Scale(col("embedding")), 6).as("scale"))),
+
+    "q_shard_export" -> ((s, dir) => {
+      // the persisted form of q_shard_assign: one ord-sorted directory
+      // per trainer rank (the layout a dataloader consumes with no
+      // further shuffle), read back and re-asserted against the SAME
+      // oracle as the in-memory assignment
+      val tmp = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+      try {
+        Sharding.writeShards(t(s, dir, "documents").select("doc_id"),
+          col("doc_id"), worldSize = 8, seed = 3L, tmp)
+        s.read.parquet(tmp).select(col("doc_id"), col("shard"), col("ord"))
+          .localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
     "q_jsonl_roundtrip" -> ((s, dir) => {
       // crawl-format interchange: corpus → JSON-lines gzip parts →
       // schema-supplied FAILFAST read-back (inference is a banned extra
@@ -3413,6 +3435,27 @@ object SparkEntry {
 
     // 3-micro-batch streamed counts sum to the same integers, same model
     "q_streaming_nb" -> nbClassifierOracle,
+
+    "q_embed_quant" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |    CAST(list_aggregate(list_transform(embedding,
+        |      y -> abs(CAST(y AS DOUBLE))), 'max') AS DOUBLE) AS m
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CASE WHEN m > 0 THEN list_transform(embedding,
+        |      y -> CAST(round(CAST(y AS DOUBLE) * 127.0 / m) AS TINYINT))
+        |    ELSE list_transform(embedding, y -> CAST(0 AS TINYINT)) END AS codes,
+        |  round(m, 6) AS scale
+        |FROM m""".stripMargin,
+
+    // the on-disk shard layout reads back to exactly the seed-3/W=8
+    // assignment, so the export row shares q_shard_assign's oracle
+    "q_shard_export" ->
+      """WITH p AS (SELECT doc_id, row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':3'), doc_id) - 1 AS pos
+        |  FROM documents)
+        |SELECT doc_id, CAST(pos % 8 AS INT) AS shard, pos // 8 AS ord
+        |FROM p""".stripMargin,
 
     "q_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source FROM documents",

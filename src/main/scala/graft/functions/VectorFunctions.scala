@@ -67,6 +67,35 @@ object VectorFunctions {
     }
   }
 
+  /** Symmetric int8 scalar quantization — the embedding-storage op that
+    * cuts a serving index's memory 4x vs float32 (the standard first rung
+    * below PQ: exact per-vector scale, no codebook to train). `codes` are
+    * round(x · 127 / maxabs) as TINYINT, `scale` is maxabs — so dequant
+    * is codes · scale / 127 and the per-element error is ≤ scale/254.
+    * All arithmetic is double-precision and engine-portable (the oracle
+    * replays it literally); a zero vector quantizes to all-zero codes.
+    */
+  def int8Scale(v: Column): Column =
+    array_max(transform(v, x => abs(x.cast("double"))))
+
+  def int8Quantize(v: Column): Column = {
+    val m = int8Scale(v)
+    when(m > 0,
+      transform(v, x => round(x.cast("double") * lit(127.0) / m).cast("byte")))
+      .otherwise(transform(v, _ => lit(0).cast("byte")))
+  }
+
+  def int8Dequantize(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast("double") * scale / lit(127.0))
+
+  /** Approximate dot product straight on int8 codes (the ADC trick at
+    * rung one): integer-ish accumulation, one final rescale by
+    * scaleA · scaleB / 127².
+    */
+  def int8Dot(a: Column, scaleA: Column, b: Column, scaleB: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x) * scaleA * scaleB / lit(16129.0)
+
   /** Deterministic unit hyperplanes from splitmix64 — engine-portable. */
   def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
     var state = seed

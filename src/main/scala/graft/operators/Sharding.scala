@@ -60,4 +60,24 @@ object Sharding {
       .withColumn(ordCol, expr(s"__pos DIV $worldSize"))
       .drop("__pos")
   }
+
+  /** Materialize the epoch's trainer shards as files: one
+    * `shard=<k>/` directory per rank, rows inside each part file sorted
+    * by read order — the layout a streaming dataloader consumes with
+    * zero further shuffling (rank k lists its directory, reads parts in
+    * order, and its stream IS the epoch slice).
+    *
+    * Layout work is one hash repartition on the shard id (all of a
+    * rank's rows land in one task — with `worldSize` output tasks this
+    * is the minimum possible movement; hash collisions co-locate two
+    * ranks in a task, and `partitionBy` still splits them into their own
+    * directories) + a per-task sort. No global sort: the epoch position
+    * was already assigned by the balanced prefix sum.
+    */
+  def writeShards(df: DataFrame, key: Column, worldSize: Int, seed: Long,
+      path: String): Unit =
+    shardAssign(df, key, worldSize, seed)
+      .repartition(worldSize, col("shard"))
+      .sortWithinPartitions(col("shard"), col("ord"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

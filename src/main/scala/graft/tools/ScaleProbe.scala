@@ -271,6 +271,26 @@ object ScaleProbe {
           .agg(sum(col("ord") * (col("shard") + 1)))
           .collect().head.getLong(0)
       },
+      // round-11 third phase: the persisted shard layout — assignment +
+      // one hash repartition + per-task sort + partitioned write + read
+      // back; must track the epoch_shard sort plus linear write volume
+      "shard_export" -> { p =>
+        import graft.operators.Sharding
+        val out = s"$p.shards"
+        Sharding.writeShards(spark.read.parquet(p).select("doc_id"),
+          col("doc_id"), worldSize = 64, seed = 7L, out)
+        spark.read.parquet(out).agg(sum(col("ord")))
+          .collect().head.getLong(0)
+      },
+      // round-11 third phase: int8 embedding quantization — element-wise
+      // codegen'd transform, zero shuffle; must be flat-linear
+      "embed_quant" -> { p =>
+        import graft.functions.{VectorFunctions => VFn}
+        spark.read.parquet(p).select(
+            VFn.int8Quantize(col("embedding")).as("codes"))
+          .agg(sum(element_at(col("codes"), 1).cast("long")))
+          .collect().head.getLong(0)
+      },
       // round-11 second half: NB classifier — training is one token-count
       // hash agg over the corpus, scoring is explode + broadcast probe;
       // both sides linear in token volume, model stays vocabulary-sized
@@ -290,7 +310,7 @@ object ScaleProbe {
         case "heavy_hitters" | "moments_bloom_quantile" | "sessionize"
            | "sessionize_skew" | "sessionize_skew_presplit" => (ev1, evN)
         case "ann_pq" | "ann_ivfpq" | "semdedup" | "semdedup_scaledk"
-           | "semdedup_hier" => (emb1, embN)
+           | "semdedup_hier" | "embed_quant" => (emb1, embN)
         case _ => (docs1, docsN)
       })
       val t1 = time(f(d1))

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.functions.{VectorFunctions => VF}
+
+/** Laws for symmetric int8 embedding quantization: codes bounded, the
+  * reconstruction error obeys the half-step bound, zero vectors are
+  * all-zero, and the codes-space dot approximates the true dot.
+  */
+class Int8QuantSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(0.5f, -1.0f, 0.25f, 0.125f)),
+    (2L, Array(3.0f, 2.0f, -3.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector
+    (4L, Array(1e-8f, -1e-8f, 5e-9f, 0.0f)) // tiny but nonzero
+  ).toDF("vec_id", "embedding")
+
+  test("codes are in [-127, 127], extreme element hits ±127, zero vector is all zeros") {
+    val got = vecs.select(col("vec_id"),
+      VF.int8Quantize(col("embedding")).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    got.values.flatten.foreach(c => assert(c >= -127 && c <= 127))
+    assert(got(1L) == Seq[Byte](64, -127, 32, 16)) // 0.5/1.0*127 = 63.5 -> 64
+    assert(got(2L).head == 127.toByte && got(2L)(2) == -127.toByte)
+    assert(got(3L) == Seq[Byte](0, 0, 0, 0))
+  }
+
+  test("dequantization error is within half a quantization step per element") {
+    val checked = vecs.select(col("embedding"),
+      VF.int8Dequantize(VF.int8Quantize(col("embedding")),
+        VF.int8Scale(col("embedding"))).as("deq"),
+      VF.int8Scale(col("embedding")).as("m"))
+    checked.collect().foreach { r =>
+      val orig = r.getSeq[Float](0)
+      val deq = r.getSeq[Double](1)
+      val m = r.getDouble(2)
+      orig.zip(deq).foreach { case (o, d) =>
+        assert(math.abs(o.toDouble - d) <= m / 254.0 + 1e-12,
+          s"error ${math.abs(o - d)} > half-step ${m / 254.0}")
+      }
+    }
+  }
+
+  test("int8Dot approximates the true dot within the quantization error budget") {
+    val pairs = vecs.where(col("vec_id") === 1L)
+      .crossJoin(vecs.where(col("vec_id") === 2L)
+        .select(col("embedding").as("emb2")))
+    val r = pairs.select(
+      VF.dot(col("embedding"), col("emb2")).as("true_dot"),
+      VF.int8Dot(
+        VF.int8Quantize(col("embedding")), VF.int8Scale(col("embedding")),
+        VF.int8Quantize(col("emb2")), VF.int8Scale(col("emb2"))).as("approx"))
+      .collect().head
+    // per-element error <= (|a|·eb + |b|·ea + ea·eb), summed; generous 2%
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) <=
+      0.02 * math.max(1.0, math.abs(r.getDouble(0))),
+      s"true ${r.getDouble(0)} vs approx ${r.getDouble(1)}")
+  }
+}

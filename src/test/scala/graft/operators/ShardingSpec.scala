@@ -62,6 +62,29 @@ class ShardingSpec extends AnyFunSuite {
     }
   }
 
+  test("writeShards lays out one ord-sorted directory per rank, union = input") {
+    val w = 4
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Sharding.writeShards(ids.toDF("id"), col("id"), w, seed = 5L, tmp)
+    val dirs = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(dirs.map(_.getName).toSet == (0 until w).map(i => s"shard=$i").toSet)
+    val expect = Sharding.shardAssign(ids.toDF("id"), col("id"), w, seed = 5L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._2)
+    dirs.foreach { d =>
+      val shard = d.getName.stripPrefix("shard=").toInt
+      // one part file per rank: the dataloader's sequential-read contract
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${d.getName}: ${parts.length} part files")
+      val rows = spark.read.parquet(d.getAbsolutePath)
+        .select("id", "ord").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq,
+        s"${d.getName} not ord-sorted on disk")
+      assert(rows.toSet == expect(shard).map(t => (t._1, t._3)).toSet)
+    }
+  }
+
   test("shardAssign rejects a non-positive world size") {
     intercept[IllegalArgumentException] {
       Sharding.shardAssign(ids.toDF("id"), col("id"), 0, seed = 1L)
