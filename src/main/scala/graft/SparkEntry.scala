@@ -1689,6 +1689,25 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10)
     }),
 
+    "q_ann_int8" -> ((s, dir) => {
+      // two-stage int8 serving read (codes-only scan + exact re-rank of
+      // oversample*k candidates), q_ann_lsh-style invariant oracle:
+      // corpus size is the SQL check; recall@10 vs the exact brute
+      // top-10 (computed in-row) and the k contract are pinned TRUE
+      val e = t(s, dir, "embeddings")
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10)
+        .select(col("vec_id"))
+      val approx = Similarity.int8TopK(e, "embedding", "vec_id", q, 10)
+        .localCheckpoint(true)
+      val hit = approx.join(exact, "vec_id").agg(count(lit(1)).as("hits"))
+      val kc = approx.agg(count(lit(1)).as("kc"))
+      e.agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(broadcast(hit)).crossJoin(broadcast(kc))
+        .select(col("n_vecs"),
+          (col("hits") >= 9).as("recall_ok"), (col("kc") === 10).as("k_ok"))
+    }),
+
     "q_ann_lsh" -> ((s, dir) => {
       // LSH ANN with a self-hit invariant oracle: each query vector IS a
       // table row, so it lands in its own bucket (multi-probe includes the
@@ -2133,6 +2152,54 @@ object SparkEntry {
       Scoring.naiveBayesScore(base.where(col("doc_id") % 2 === 1),
           model, "text", "doc_id")
         .select(col("doc_id"), round(col("score"), 6).as("score"), col("pred"))
+    }),
+
+    "q_corpus_stats" -> ((s, dir) =>
+      // the monitoring surface every pipeline reports: per-(lang, source)
+      // doc/char/token volumes — one hash aggregation, fully SQL-oracled
+      t(s, dir, "documents").groupBy("lang", "source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))),
+
+    "q_export_pipeline" -> ((s, dir) => {
+      // the END-TO-END tokenized export: corpus-fitted BPE encode →
+      // doc-boundary packing into 512-token sequences → 8-rank striping
+      // of the sequences. Every stage is oracled on its own elsewhere
+      // (q_bpe, q_pack_docwise, q_shard_assign); this row oracles the
+      // COMPOSITION: n_docs is SQL-exact, and the export invariants —
+      // every doc packed exactly once, multi-doc sequences within
+      // budget, rank loads within 1, per-rank orders contiguous — are
+      // Spark-computed booleans pinned TRUE (the q_semdedup_hier
+      // invariant-row pattern).
+      import graft.functions.Bpe
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val merges = Bpe.trainMerges(Bpe.wordFreq(docs, "text"), numMerges = 200)
+      val enc = Bpe.encodeUdf(merges)
+      val withToks = docs.select(col("doc_id"),
+        size(enc(col("text"))).cast("long").as("n_bpe"))
+      val packed = Packing.packDocwise(withToks, "doc_id", col("n_bpe"),
+        512L, Seq(col("doc_id")), groupBudget = 4096L).localCheckpoint(true)
+      val seqs = packed.groupBy("seq_id").agg(
+        sum(col("n_bpe")).as("seq_tokens"), count(lit(1)).as("docs_in_seq"))
+      val sharded = Sharding.shardAssign(seqs, col("seq_id"),
+        worldSize = 8, seed = 11L).localCheckpoint(true)
+      val perRank = sharded.groupBy("shard").agg(
+        count(lit(1)).as("n_seqs"),
+        (max(col("ord")) === count(lit(1)) - 1).as("contig"))
+      val rankStats = perRank.agg(
+        (max(col("n_seqs")) - min(col("n_seqs")) <= 1).as("ranks_balanced"),
+        min(col("contig")).as("ords_contiguous"))
+      val packStats = sharded.agg(
+        sum(col("docs_in_seq")).as("docs_packed"),
+        max(when(col("docs_in_seq") >= 2, col("seq_tokens"))
+          .otherwise(lit(0L))).as("max_multi_seq"))
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(packStats)).crossJoin(broadcast(rankStats))
+        .select(col("n_docs"),
+          (col("docs_packed") === col("n_docs")).as("packed_all"),
+          (col("max_multi_seq") <= 512L).as("budget_ok"),
+          col("ranks_balanced"), col("ords_contiguous"))
     }),
 
     "q_embed_quant" -> ((s, dir) =>
@@ -3436,6 +3503,21 @@ object SparkEntry {
     // 3-micro-batch streamed counts sum to the same integers, same model
     "q_streaming_nb" -> nbClassifierOracle,
 
+    "q_corpus_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // composition row: corpus size is the SQL-exact check; the packing/
+    // sharding invariants are Spark-computed TRUE booleans (established
+    // q_semdedup_hier pattern — each stage is fully oracled on its own)
+    "q_export_pipeline" ->
+      """SELECT count(*) AS n_docs, TRUE AS packed_all, TRUE AS budget_ok,
+        |  TRUE AS ranks_balanced, TRUE AS ords_contiguous
+        |FROM documents""".stripMargin,
+
     "q_embed_quant" ->
       """WITH m AS (SELECT vec_id, embedding,
         |    CAST(list_aggregate(list_transform(embedding,
@@ -3508,6 +3590,12 @@ object SparkEntry {
     "q_ann_lsh" ->
       """SELECT vec_id AS q_id, TRUE AS self_found, TRUE AS k_ok
         |FROM embeddings WHERE vec_id < 3""".stripMargin,
+
+    // int8 preselect + exact re-rank: corpus size is the SQL check;
+    // recall@10 vs brute and the k contract are Spark-computed in-row
+    "q_ann_int8" ->
+      """SELECT count(*) AS n_vecs, TRUE AS recall_ok, TRUE AS k_ok
+        |FROM embeddings""".stripMargin,
 
     // planted script/profile extremes have pinned guesses; the corpus row
     // asserts closed-label-set containment over every real document

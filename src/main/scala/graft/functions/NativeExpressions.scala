@@ -120,6 +120,7 @@ object NativeExpressions {
     case ArrayType(org.apache.spark.sql.types.DoubleType, _)  => Some(VectorImpl.TDouble)
     case ArrayType(org.apache.spark.sql.types.IntegerType, _) => Some(VectorImpl.TInt)
     case ArrayType(LongType, _)                               => Some(VectorImpl.TLong)
+    case ArrayType(org.apache.spark.sql.types.ByteType, _)    => Some(VectorImpl.TByte)
     case _                                                    => None
   }
 

@@ -89,10 +89,18 @@ object VectorFunctions {
     transform(codes, c => c.cast("double") * scale / lit(127.0))
 
   /** Approximate dot product straight on int8 codes (the ADC trick at
-    * rung one): integer-ish accumulation, one final rescale by
-    * scaleA · scaleB / 127².
+    * rung one): the native byte-array dot kernel (codes are integers, so
+    * the accumulation is exact and order-independent in double), one
+    * final rescale by scaleA · scaleB / 127².
     */
   def int8Dot(a: Column, scaleA: Column, b: Column, scaleB: Column): Column =
+    NativeExpressions.dotProduct(a, b) * scaleA * scaleB / lit(16129.0)
+
+  /** Reference HOF formulation of [[int8Dot]] (equality law's ground
+    * truth, same fold).
+    */
+  private[graft] def int8DotHof(a: Column, scaleA: Column, b: Column,
+      scaleB: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x) * scaleA * scaleB / lit(16129.0)
 

@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   * (where zip_with pads with null), nullifies the whole sum.
   *
   * Element types are dispatched by a small int tag resolved once at plan
-  * time (0=float, 1=double, 2=int, 3=long) so the inner loop is a direct
+  * time (0=float, 1=double, 2=int, 3=long, 4=byte) so the inner loop is a direct
   * primitive read, not a DataType match per element.
   */
 object VectorImpl {
@@ -21,12 +21,14 @@ object VectorImpl {
   final val TDouble = 1
   final val TInt = 2
   final val TLong = 3
+  final val TByte = 4 // int8 quantization codes
 
   @inline private def get(a: ArrayData, i: Int, t: Int): Double = t match {
     case TFloat  => a.getFloat(i).toDouble
     case TDouble => a.getDouble(i)
     case TInt    => a.getInt(i).toDouble
     case TLong   => a.getLong(i).toDouble
+    case TByte   => a.getByte(i).toDouble
   }
 
   def dot(a: ArrayData, ta: Int, b: ArrayData, tb: Int): java.lang.Double = {

@@ -43,6 +43,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Two-stage int8 serving read: the whole corpus is scanned as int8
+    * CODES (4x smaller than float32 — the memory the serving shard
+    * actually saves), scored by the native codes-space dot against the
+    * quantized query, and only the top `oversample`·k candidates pay the
+    * exact float cosine re-rank. Both sides L2-normalize before
+    * quantization so the codes dot ranks by cosine.
+    *
+    * Like [[lshTopK]], exactness is NOT guaranteed (a true top-k member
+    * whose quantization error exceeds its margin to rank oversample·k can
+    * be preselected out) — recall vs [[bruteForceTopK]] is law- and
+    * gate-checked. Plan shape: scan → project(codes dot) →
+    * TakeOrderedAndProject(oversample·k) → re-rank of a driver-bounded
+    * candidate set; no shuffle of vectors.
+    */
+  def int8TopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Array[Double], k: Int, oversample: Int = 5): DataFrame = {
+    require(k > 0 && oversample >= 1, s"need k > 0, oversample >= 1")
+    val qCol = array(query.toIndexedSeq.map(lit(_)): _*)
+    val qn = VectorFunctions.l2Normalize(qCol)
+    val normed = df.select(col(idCol), col(vecCol),
+      VectorFunctions.l2Normalize(col(vecCol)).as("__nv"))
+    val withCodes = normed.select(col(idCol), col(vecCol),
+      VectorFunctions.int8Quantize(col("__nv")).as("__c"),
+      VectorFunctions.int8Scale(col("__nv")).as("__m"))
+    val cands = withCodes
+      .withColumn("__approx", VectorFunctions.int8Dot(col("__c"), col("__m"),
+        VectorFunctions.int8Quantize(qn), VectorFunctions.int8Scale(qn)))
+      .orderBy(col("__approx").desc, col(idCol))
+      .limit(oversample * k)
+    cands.select(col(idCol),
+        round(VectorFunctions.cosine(col(vecCol), qCol), 6).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact per-query top-k for a query table (broadcast). */
   def bruteForceTopKJoin(df: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, qVecCol: String, qIdCol: String, k: Int): DataFrame = {

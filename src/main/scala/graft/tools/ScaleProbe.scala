@@ -291,6 +291,15 @@ object ScaleProbe {
           .agg(sum(element_at(col("codes"), 1).cast("long")))
           .collect().head.getLong(0)
       },
+      // round-11 third phase: two-stage int8 serving read — codes-only
+      // corpus scan + bounded exact re-rank; must stay a linear scan with
+      // no shuffle growth
+      "ann_int8" -> { p =>
+        import graft.operators.Similarity
+        val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+        Similarity.int8TopK(spark.read.parquet(p), "embedding", "vec_id", q, 10)
+          .agg(sum(col("vec_id"))).collect().head.getLong(0)
+      },
       // round-11 second half: NB classifier — training is one token-count
       // hash agg over the corpus, scoring is explode + broadcast probe;
       // both sides linear in token volume, model stays vocabulary-sized
@@ -310,7 +319,7 @@ object ScaleProbe {
         case "heavy_hitters" | "moments_bloom_quantile" | "sessionize"
            | "sessionize_skew" | "sessionize_skew_presplit" => (ev1, evN)
         case "ann_pq" | "ann_ivfpq" | "semdedup" | "semdedup_scaledk"
-           | "semdedup_hier" | "embed_quant" => (emb1, embN)
+           | "semdedup_hier" | "embed_quant" | "ann_int8" => (emb1, embN)
         case _ => (docs1, docsN)
       })
       val t1 = time(f(d1))

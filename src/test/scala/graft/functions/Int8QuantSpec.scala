@@ -47,6 +47,36 @@ class Int8QuantSpec extends AnyFunSuite {
     }
   }
 
+  test("native byte-array dot kernel is bit-identical to the HOF fold") {
+    val pairs = vecs.crossJoin(vecs.select(col("embedding").as("emb2")))
+      .select(VF.int8Quantize(col("embedding")).as("a"),
+        VF.int8Scale(col("embedding")).as("sa"),
+        VF.int8Quantize(col("emb2")).as("b"),
+        VF.int8Scale(col("emb2")).as("sb"))
+    val diffs = pairs.select(
+      (VF.int8Dot(col("a"), col("sa"), col("b"), col("sb")) -
+        VF.int8DotHof(col("a"), col("sa"), col("b"), col("sb"))).as("d"))
+      .collect().map(_.getDouble(0))
+    assert(diffs.forall(_ == 0.0), diffs.mkString(","))
+  }
+
+  test("int8TopK recalls the exact brute top-k on a synthetic corpus") {
+    import graft.operators.Similarity
+    // deterministic smooth vectors: dim 16, 300 rows
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(0.1 * i + d).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = Array.tabulate(16)(d => math.cos(0.05 + d))
+    val exact = Similarity.bruteForceTopK(df, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.int8TopK(df, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.size == 10)
+    assert((approx & exact).size >= 9,
+      s"recall ${(approx & exact).size}/10: approx=$approx exact=$exact")
+  }
+
   test("int8Dot approximates the true dot within the quantization error budget") {
     val pairs = vecs.where(col("vec_id") === 1L)
       .crossJoin(vecs.where(col("vec_id") === 2L)
