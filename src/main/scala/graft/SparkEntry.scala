@@ -2224,6 +2224,32 @@ object SparkEntry {
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
+    "q_langid_trained" -> ((s, dir) => {
+      // TRAINED language ID (the learned counterpart of q_langid's n-gram
+      // heuristic): multi-class Naive-Bayes fit on the even-id half's lang
+      // labels, argmax prediction for the odd half — training is one
+      // (token, class) aggregation, the model broadcasts, and the oracle
+      // replays the identical ln arithmetic and tie-break
+      val base = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val model = Scoring.naiveBayesMultiTrain(
+        base.where(col("doc_id") % 2 === 0), "text", col("lang"))
+      Scoring.naiveBayesMultiPredict(base.where(col("doc_id") % 2 === 1),
+          model, "text", "doc_id")
+        .select(col("doc_id"), col("cls").as("pred_lang"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    "q_csv_roundtrip" -> ((s, dir) => {
+      // delimited-text interchange: corpus → headerless gzip CSV parts →
+      // schema-supplied FAILFAST read-back ≡ the original parquet corpus
+      val base = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      try {
+        sources.CsvLines.write(base, tmp, codec = Some("gzip"))
+        sources.CsvLines.read(s, tmp, base.schema).localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
     "q_jsonl_roundtrip" -> ((s, dir) => {
       // crawl-format interchange: corpus → JSON-lines gzip parts →
       // schema-supplied FAILFAST read-back (inference is a banned extra
@@ -3541,6 +3567,47 @@ object SparkEntry {
 
     "q_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source FROM documents",
+
+    "q_csv_roundtrip" ->
+      "SELECT doc_id, text, lang, source FROM documents",
+
+    // mirrors Scoring.naiveBayesMulti* literally: same Laplace lns, same
+    // coalesce(sum) empty-doc handling, same (score desc, cls asc) argmax
+    "q_langid_trained" ->
+      """WITH lab AS (SELECT lang AS cls, lower(text) AS t
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tok AS (SELECT cls, unnest(
+        |    list_filter(string_split_regex(t, '\s+'), x -> len(x) > 0)) AS token
+        |  FROM lab),
+        |ptc AS (SELECT token, cls, count(*) AS c FROM tok GROUP BY 1, 2),
+        |nc AS (SELECT cls, sum(c) AS n FROM ptc GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS v FROM ptc),
+        |dcl AS (SELECT cls, count(*) AS d FROM lab GROUP BY 1),
+        |dt AS (SELECT count(*) AS dt FROM lab),
+        |cls AS (SELECT nc.cls,
+        |    ln(CAST(dcl.d AS DOUBLE)) - ln(CAST(dt.dt AS DOUBLE)) AS prior,
+        |    ln(1.0 / CAST(nc.n + v.v AS DOUBLE)) AS unk
+        |  FROM nc JOIN dcl ON nc.cls = dcl.cls, v, dt),
+        |lp AS (SELECT ptc.token, ptc.cls,
+        |    ln(CAST(ptc.c + 1 AS DOUBLE) / CAST(nc.n + v.v AS DOUBLE)) AS logp
+        |  FROM ptc JOIN nc ON ptc.cls = nc.cls, v),
+        |docs2 AS (SELECT doc_id, lower(text) AS t
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |dtok AS (SELECT doc_id, unnest(
+        |    list_filter(string_split_regex(t, '\s+'), x -> len(x) > 0)) AS token
+        |  FROM docs2),
+        |base AS (SELECT d.doc_id, t.token FROM docs2 d
+        |  LEFT JOIN dtok t ON d.doc_id = t.doc_id),
+        |scored AS (SELECT b.doc_id, c.cls,
+        |    min(c.prior) + coalesce(sum(CASE WHEN b.token IS NOT NULL
+        |      THEN coalesce(lp.logp, c.unk) ELSE 0 END), 0) AS score
+        |  FROM base b CROSS JOIN cls c
+        |  LEFT JOIN lp ON lp.token = b.token AND lp.cls = c.cls
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, cls AS pred_lang, round(score, 6) AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, cls) AS rn FROM scored)
+        |WHERE rn = 1""".stripMargin,
 
     "q_dedup_embedding" ->
       """SELECT e.vec_id FROM embeddings e WHERE NOT EXISTS (

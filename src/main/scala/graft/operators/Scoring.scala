@@ -254,6 +254,69 @@ object Scoring {
     naiveBayesFromCounts(naiveBayesCounts(labeled, textCol, label), docCounts)
   }
 
+  /** A trained MULTI-CLASS multinomial Naive-Bayes classifier:
+    * `tokenLogp` is (token, cls, logp) — ln of the Laplace-smoothed
+    * in-class token probability — and `classes` is one row per class
+    * (cls, prior, unk): ln class prior and the ln-probability a token
+    * unseen in that class costs. The trained-language-ID shape: classes
+    * are languages, training is still pure aggregation.
+    */
+  final case class NaiveBayesMultiModel(tokenLogp: DataFrame, classes: DataFrame)
+
+  /** Train a multi-class NB classifier from `classCol` labels — the
+    * trained counterpart of the n-gram-heuristic language ID (and the
+    * general "route documents to K buckets by example" learner). One
+    * (token, class) count aggregation is the whole training run; the
+    * model is (vocab × observed-classes)-sized and broadcasts.
+    */
+  def naiveBayesMultiTrain(labeled: DataFrame, textCol: String,
+      classCol: Column): NaiveBayesMultiModel = {
+    val lab = labeled.select(classCol.cast("string").as("cls"),
+      lower(col(textCol)).as("__t"))
+    val tok = lab.select(col("cls"),
+      explode(TextFunctions.tokens(col("__t"))).as("token"))
+    val ptc = tok.groupBy(col("token"), col("cls")).agg(count(lit(1)).as("c"))
+    val nc = ptc.groupBy(col("cls")).agg(sum(col("c")).as("n"))
+    val v = ptc.agg(countDistinct(col("token")).as("v"))
+    val dcl = lab.groupBy(col("cls")).agg(count(lit(1)).as("d"))
+    val dt = lab.agg(count(lit(1)).as("dt"))
+    val classes = nc.join(dcl, "cls")
+      .crossJoin(broadcast(v)).crossJoin(broadcast(dt))
+      .select(col("cls"),
+        (log(col("d").cast("double")) - log(col("dt").cast("double")))
+          .as("prior"),
+        log(lit(1.0) / (col("n") + col("v")).cast("double")).as("unk"))
+    val tokenLogp = ptc.join(nc, "cls").crossJoin(broadcast(v))
+      .select(col("token"), col("cls"),
+        log((col("c") + lit(1L)).cast("double") /
+          (col("n") + col("v")).cast("double")).as("logp"))
+    NaiveBayesMultiModel(tokenLogp, classes)
+  }
+
+  /** Predict the argmax class per document (ties break to the
+    * lexicographically smallest class — deterministic). Plan: explode →
+    * small crossJoin with the class row set → broadcast (token, class)
+    * probe → one hash aggregation per (doc, class) → a per-doc window
+    * over |classes| rows. Documents with no tokens score each class its
+    * prior.
+    */
+  def naiveBayesMultiPredict(docs: DataFrame, model: NaiveBayesMultiModel,
+      textCol: String, idCol: String): DataFrame = {
+    val dtok = docs.select(col(idCol),
+      explode_outer(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+    val scored = dtok.crossJoin(broadcast(model.classes))
+      .join(broadcast(model.tokenLogp), Seq("token", "cls"), "left")
+      .groupBy(col(idCol), col("cls"))
+      .agg((first(col("prior")) +
+        coalesce(sum(when(col("token").isNotNull,
+          coalesce(col("logp"), col("unk"))).otherwise(lit(0.0))), lit(0.0)))
+        .as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("cls").asc)
+    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col(idCol), col("cls"), col("score"))
+  }
+
   /** Score documents under a [[NaiveBayesModel]]: per-doc log-odds =
     * prior + Σ llr(token) (unseen tokens cost `unk_llr`), `pred` =
     * log-odds > 0. Same plan shape as [[surprisal]]: explode → broadcast

@@ -54,6 +54,34 @@ class NaiveBayesSpec extends AnyFunSuite {
     assert(got(13L)._1 == 0.0, "empty doc scores exactly the (zero) prior")
   }
 
+  test("multi-class: model matches hand-computed Laplace table; argmax separates and tie-breaks") {
+    val lab = Seq(
+      (1L, "hund hund katze", "de"),
+      (2L, "hund haus", "de"),
+      (3L, "dog dog cat", "en"),
+      (4L, "dog house", "en")).toDF("doc_id", "text", "lang")
+    val m = Scoring.naiveBayesMultiTrain(lab, "text", col("lang"))
+    // de: hund 3, katze 1, haus 1 (n=5); en: dog 3, cat 1, house 1 (n=5)
+    // vocab v = 6 (distinct tokens overall)
+    val classes = m.classes.collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(classes("de")._1 == math.log(2.0) - math.log(4.0))
+    assert(classes("de")._2 == math.log(1.0 / 11.0))
+    val lp = m.tokenLogp.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(lp(("hund", "de")) == math.log(4.0 / 11.0))
+    assert(lp.get(("hund", "en")).isEmpty, "unseen-in-class pairs stay absent (unk at scoring)")
+    val pred = Scoring.naiveBayesMultiPredict(
+      Seq((10L, "hund katze"), (11L, "dog cat"), (12L, ""), (13L, "zzz unseen"))
+        .toDF("doc_id", "text"), m, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred(10L) == "de" && pred(11L) == "en")
+    // empty doc: equal priors -> lexicographically smallest class wins
+    assert(pred(12L) == "de")
+    // all-unseen doc: equal unk costs and priors -> same deterministic tie
+    assert(pred(13L) == "de")
+  }
+
   test("merged quarter counts are bit-identical to full retraining") {
     val a = labeled.where(col("doc_id") <= 2)
     val b = labeled.where(col("doc_id") > 2)
