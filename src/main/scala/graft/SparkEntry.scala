@@ -2224,6 +2224,25 @@ object SparkEntry {
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
+    "q_nb_stored" -> ((s, dir) => {
+      // the model SERVING story: train once, persist the model (two
+      // parquet tables), score from the stored form in a plan that never
+      // sees the training corpus. Doubles round-trip parquet bit-exactly,
+      // so this row shares q_nb_classifier's oracle verbatim — the same
+      // stored ≡ memory contract as q_bm25_stored.
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val model = Scoring.naiveBayesTrain(base.where(col("doc_id") % 2 === 0),
+        "text", length(col("text")) > 300)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_nb_store_").toString
+      try {
+        Scoring.saveNaiveBayes(model, tmp)
+        Scoring.naiveBayesScore(base.where(col("doc_id") % 2 === 1),
+            Scoring.loadNaiveBayes(s, tmp), "text", "doc_id")
+          .select(col("doc_id"), round(col("score"), 6).as("score"), col("pred"))
+          .localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
     "q_langid_trained" -> ((s, dir) => {
       // TRAINED language ID (the learned counterpart of q_langid's n-gram
       // heuristic): multi-class Naive-Bayes fit on the even-id half's lang
@@ -3528,6 +3547,9 @@ object SparkEntry {
 
     // 3-micro-batch streamed counts sum to the same integers, same model
     "q_streaming_nb" -> nbClassifierOracle,
+
+    // parquet round-trips the model doubles bit-exactly: stored ≡ memory
+    "q_nb_stored" -> nbClassifierOracle,
 
     "q_corpus_stats" ->
       """SELECT lang, source, count(*) AS n_docs,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -253,6 +253,21 @@ object Scoring {
       sum(when(!label.cast("boolean"), 1L).otherwise(0L)).as("d_neg"))
     naiveBayesFromCounts(naiveBayesCounts(labeled, textCol, label), docCounts)
   }
+
+  /** Persist a trained model as two parquet tables (token_llr + consts)
+    * — the serving artifact: a scorer process loads it without seeing
+    * the training corpus, and doubles round-trip parquet bit-exactly,
+    * so the stored model scores identically to the in-memory one
+    * (law-pinned and gate-pinned via q_nb_stored's shared oracle).
+    */
+  def saveNaiveBayes(model: NaiveBayesModel, path: String): Unit = {
+    model.tokenLlr.write.mode("overwrite").parquet(s"$path/token_llr")
+    model.consts.write.mode("overwrite").parquet(s"$path/consts")
+  }
+
+  def loadNaiveBayes(spark: SparkSession, path: String): NaiveBayesModel =
+    NaiveBayesModel(spark.read.parquet(s"$path/token_llr"),
+      spark.read.parquet(s"$path/consts"))
 
   /** A trained MULTI-CLASS multinomial Naive-Bayes classifier:
     * `tokenLogp` is (token, cls, logp) — ln of the Laplace-smoothed

@@ -300,6 +300,18 @@ object ScaleProbe {
         Similarity.int8TopK(spark.read.parquet(p), "embedding", "vec_id", q, 10)
           .agg(sum(col("vec_id"))).collect().head.getLong(0)
       },
+      // round-11 third phase: multi-class NB (trained langid shape) —
+      // pseudo-labels from doc_id so the arm runs on any corpus; the
+      // per-doc argmax window spans |classes| rows, never data
+      "nb_multiclass" -> { p =>
+        import graft.operators.Scoring
+        val d = spark.read.parquet(p)
+        val m = Scoring.naiveBayesMultiTrain(d.where(col("doc_id") % 2 === 0),
+          "text", (col("doc_id") % 4).cast("string"))
+        Scoring.naiveBayesMultiPredict(d.where(col("doc_id") % 2 =!= 0), m,
+            "text", "doc_id")
+          .agg(sum(col("score"))).collect().head.getDouble(0).toLong
+      },
       // round-11 second half: NB classifier — training is one token-count
       // hash agg over the corpus, scoring is explode + broadcast probe;
       // both sides linear in token volume, model stays vocabulary-sized

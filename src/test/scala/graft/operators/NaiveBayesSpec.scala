@@ -82,6 +82,20 @@ class NaiveBayesSpec extends AnyFunSuite {
     assert(pred(13L) == "de")
   }
 
+  test("a stored model scores bit-identically to the in-memory one") {
+    val m = Scoring.naiveBayesTrain(labeled, "text", col("y"))
+    val tmp = java.nio.file.Files.createTempDirectory("nb_store").toString
+    Scoring.saveNaiveBayes(m, tmp)
+    val stored = Scoring.loadNaiveBayes(spark, tmp)
+    val docs = Seq((10L, "good clean text"), (11L, "spam unseen"), (12L, ""))
+      .toDF("doc_id", "text")
+    val a = Scoring.naiveBayesScore(docs, m, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Scoring.naiveBayesScore(docs, stored, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b, s"stored model diverged: $a vs $b")
+  }
+
   test("merged quarter counts are bit-identical to full retraining") {
     val a = labeled.where(col("doc_id") <= 2)
     val b = labeled.where(col("doc_id") > 2)
