@@ -2224,6 +2224,23 @@ object SparkEntry {
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
+    "q_lm_score_backoff" -> ((s, dir) => {
+      // stupid-backoff trigram LM (Brants et al. 2007): one n-gram order
+      // beyond q_lm_score_bigram, with the standard 0.4 backoff cascade
+      // trigram -> bigram -> unigram -> unk; same train/score split
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      Scoring.backoffSurprisal(base.where(col("doc_id") % 2 === 1),
+          base.where(col("doc_id") % 2 === 0), "text", "doc_id")
+        .select(col("doc_id"), round(col("surprisal"), 6).as("surprisal"))
+    }),
+
+    "q_chunk" -> ((s, dir) =>
+      // RAG-ingestion chunking: 32-token windows, 8-token overlap —
+      // columnar slice/explode at scan speed, fully SQL-oracled (the
+      // oracle replays the identical window math and joins)
+      graft.operators.Chunking.chunk(t(s, dir, "documents"),
+        "text", "doc_id", chunkSize = 32, overlap = 8)),
+
     "q_nb_stored" -> ((s, dir) => {
       // the model SERVING story: train once, persist the model (two
       // parquet tables), score from the stored form in a plan that never
@@ -3550,6 +3567,58 @@ object SparkEntry {
 
     // parquet round-trips the model doubles bit-exactly: stored ≡ memory
     "q_nb_stored" -> nbClassifierOracle,
+
+    "q_lm_score_backoff" ->
+      """WITH ct AS (SELECT list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tg AS (SELECT g.p2 AS p2, g.p1 AS p1, g.w AS w, count(*) AS c3 FROM (
+        |    SELECT unnest(list_transform(range(1, len(t) - 1),
+        |      i -> {'p2': t[i], 'p1': t[i+1], 'w': t[i+2]})) AS g
+        |    FROM ct WHERE len(t) >= 3) GROUP BY 1, 2, 3),
+        |bg AS (SELECT bgp.prev AS prev, bgp.token AS token, count(*) AS c2 FROM (
+        |    SELECT unnest(list_transform(range(1, len(t)),
+        |      i -> {'prev': t[i], 'token': t[i+1]})) AS bgp
+        |    FROM ct WHERE len(t) >= 2) GROUP BY 1, 2),
+        |c1t AS (SELECT token, count(*) AS c1 FROM (
+        |    SELECT unnest(t) AS token FROM ct) GROUP BY 1),
+        |tot AS (SELECT sum(c1) AS N FROM c1t),
+        |dpos AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> {'p2': t[i], 'p1': t[i+1], 'w': t[i+2]})) AS g
+        |  FROM (SELECT doc_id, list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |    FROM documents WHERE doc_id % 2 = 1) WHERE len(t) >= 3),
+        |sp AS (SELECT d.doc_id,
+        |    CASE WHEN tg.c3 IS NOT NULL THEN -log2(tg.c3 / CAST(bctx.c2 AS DOUBLE))
+        |      WHEN b2.c2 IS NOT NULL THEN -log2(0.4 * (b2.c2 / CAST(cc.c1 AS DOUBLE)))
+        |      WHEN cw.c1 IS NOT NULL THEN -log2(0.16 * (cw.c1 / CAST(tot.N AS DOUBLE)))
+        |      ELSE 24.0 END AS surp
+        |  FROM dpos d
+        |  LEFT JOIN tg ON d.g.p2 = tg.p2 AND d.g.p1 = tg.p1 AND d.g.w = tg.w
+        |  LEFT JOIN bg bctx ON d.g.p2 = bctx.prev AND d.g.p1 = bctx.token
+        |  LEFT JOIN bg b2 ON d.g.p1 = b2.prev AND d.g.w = b2.token
+        |  LEFT JOIN c1t cc ON d.g.p1 = cc.token
+        |  LEFT JOIN c1t cw ON d.g.w = cw.token
+        |  CROSS JOIN tot)
+        |SELECT doc.doc_id, round(coalesce(s.m, 24.0), 6) AS surprisal
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) doc
+        |LEFT JOIN (SELECT doc_id, avg(surp) AS m FROM sp GROUP BY 1) s
+        |  ON doc.doc_id = s.doc_id""".stripMargin,
+
+    "q_chunk" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, t, len(t) AS n,
+        |    CASE WHEN len(t) = 0 THEN 0 WHEN len(t) <= 32 THEN 1
+        |      ELSE (len(t) - 32 + 24 - 1) // 24 + 1 END AS nc
+        |  FROM d)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |  CAST(len(list_slice(t, i * 24 + 1, least(i * 24 + 32, n))) AS INT)
+        |    AS n_tokens,
+        |  array_to_string(list_slice(t, i * 24 + 1, least(i * 24 + 32, n)), ' ')
+        |    AS chunk_text
+        |FROM c, unnest(range(nc)) AS u(i)""".stripMargin,
 
     "q_corpus_stats" ->
       """SELECT lang, source, count(*) AS n_docs,

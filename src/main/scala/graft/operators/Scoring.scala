@@ -77,6 +77,74 @@ object Scoring {
       .otherwise(array().cast("array<struct<prev:string,token:string>>"))
   }
 
+  /** Stupid-backoff trigram LM scoring (Brants et al., EMNLP 2007 — the
+    * web-scale LM that deliberately skips normalization): S(w | p2 p1) =
+    * c3/c2ctx if the trigram was seen, else 0.4 · c2/c1ctx, else
+    * 0.4² · c1/N, else a fixed unk cost. One n-gram order beyond
+    * [[bigramLm]] and the standard poor-man's KenLM for CCNet-style
+    * filtering.
+    *
+    * Scale note: the trigram table is POSITIONS-sized, not
+    * vocabulary-sized — unlike the unigram/bigram tables it must not be
+    * forced broadcast; the probe join is left to the planner (broadcast
+    * at gate scale, shuffled hash at corpus scale — the join key
+    * (p2, p1, w) is the shuffle key either way).
+    */
+  def backoffSurprisal(docs: DataFrame, corpus: DataFrame, textCol: String,
+      idCol: String, unkLogp: Double = 24.0): DataFrame = {
+    val tg = corpus.select(explode(trigrams(col(textCol))).as("g"))
+      .groupBy(col("g.p2").as("p2"), col("g.p1").as("p1"),
+        col("g.w").as("w"))
+      .agg(count(lit(1)).as("c3"))
+    val bg = corpus.select(explode(bigrams(col(textCol))).as("bg"))
+      .groupBy(col("bg.prev").as("prev"), col("bg.token").as("token"))
+      .agg(count(lit(1)).as("c2"))
+    val uni = corpus
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c1"))
+    val total = uni.agg(sum(col("c1")).as("__N"))
+    val pos = docs.select(col(idCol), explode(trigrams(col(textCol))).as("g"))
+      .select(col(idCol), col("g.p2").as("p2"), col("g.p1").as("p1"),
+        col("g.w").as("w"))
+    val scoredPos = pos
+      .join(tg, Seq("p2", "p1", "w"), "left")
+      .join(bg.select(col("prev").as("p2"), col("token").as("p1"),
+        col("c2").as("cb_ctx")), Seq("p2", "p1"), "left")
+      .join(broadcast(bg.select(col("prev").as("p1"), col("token").as("w"),
+        col("c2").as("cb"))), Seq("p1", "w"), "left")
+      .join(broadcast(uni.select(col("token").as("p1"), col("c1").as("c1_ctx"))),
+        Seq("p1"), "left")
+      .join(broadcast(uni.select(col("token").as("w"), col("c1").as("c1w"))),
+        Seq("w"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__s",
+        when(col("c3").isNotNull,
+          col("c3").cast("double") / col("cb_ctx").cast("double"))
+        .when(col("cb").isNotNull,
+          lit(0.4) * (col("cb").cast("double") / col("c1_ctx").cast("double")))
+        .when(col("c1w").isNotNull,
+          lit(0.16) * (col("c1w").cast("double") / col("__N").cast("double"))))
+      .withColumn("__surp",
+        when(col("__s").isNotNull, -log2(col("__s"))).otherwise(lit(unkLogp)))
+    docs.select(col(idCol))
+      .join(scoredPos.groupBy(col(idCol)).agg(avg(col("__surp")).as("surprisal")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("surprisal"), lit(unkLogp)).as("surprisal"))
+  }
+
+  /** array<struct<p2,p1,w>> of in-document token trigrams; empty under
+    * three tokens.
+    */
+  private def trigrams(text: Column): Column = {
+    val toks = TextFunctions.tokens(lower(text))
+    when(size(toks) >= 3,
+      arrays_zip(
+        slice(toks, lit(1), size(toks) - 2).as("p2"),
+        slice(toks, lit(2), size(toks) - 2).as("p1"),
+        slice(toks, lit(3), size(toks) - 2).as("w")))
+      .otherwise(array().cast("array<struct<p2:string,p1:string,w:string>>"))
+  }
+
   /** Mean per-token surprisal of each document under `lm` ((token, logp)).
     * Out-of-vocabulary tokens cost `unkLogp` bits (choose >= the table's
     * max — unseen should never score cheaper than rare). Lower = closer to
