@@ -2103,6 +2103,21 @@ object SparkEntry {
         Sampling.splitCol(col("event_id"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))),
 
+    "q_fold_assign" -> ((s, dir) =>
+      // deterministic 5-fold assignment from the portable key-uniform
+      t(s, dir, "documents").select(col("doc_id"),
+        Sampling.foldCol(col("doc_id"), 5).as("fold"))),
+
+    "q_sample_weighted" -> ((s, dir) =>
+      // Efraimidis-Spirakis weighted draw without replacement: 200 docs
+      // preferring longer text, exactly reproducible (the oracle replays
+      // the identical u^(1/w) keys)
+      Sampling.weightedSample(
+        t(s, dir, "documents").select(col("doc_id"),
+          length(col("text")).cast("long").as("w")),
+        col("doc_id"), col("w"), k = 200)
+        .select(col("doc_id"), col("w"))),
+
     "q_epoch_shuffle" -> ((s, dir) =>
       // deterministic epoch permutation: every doc's 0-based position in
       // the seed-7 md5 order, assigned by the distributed prefix-sum (a
@@ -3543,6 +3558,21 @@ object SparkEntry {
         |  CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)
         |    / 4294967296.0 AS u
         |FROM events)""".stripMargin,
+
+    "q_fold_assign" ->
+      """SELECT doc_id, CAST(floor(
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |    / 4294967296.0 * 5) AS INT) AS fold
+        |FROM documents""".stripMargin,
+
+    "q_sample_weighted" ->
+      """SELECT doc_id, w FROM (
+        |  SELECT doc_id, w, row_number() OVER (ORDER BY
+        |      pow(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |        / 4294967296.0, 1.0 / CAST(w AS DOUBLE)) DESC,
+        |      doc_id ASC) AS rn
+        |  FROM (SELECT doc_id, length(text) AS w FROM documents WHERE length(text) > 0))
+        |WHERE rn <= 200""".stripMargin,
 
     "q_epoch_shuffle" ->
       """SELECT doc_id, row_number() OVER (

@@ -138,4 +138,37 @@ object Sampling {
       .where(uniformCol(key) < col("__rate"))
       .drop("__s", "__rate")
   }
+
+  /** Deterministic k-fold assignment (cross-validation / eval splits):
+    * fold = floor(u · k) from the same portable key-uniform — every row
+    * gets exactly one fold in [0, k), folds are ~equal-sized, and
+    * membership survives re-runs, re-shards and engines like
+    * [[splitCol]]. DuckDB: `CAST(floor(u * k) AS INT)`.
+    */
+  def foldCol(key: Column, k: Int): Column = {
+    require(k > 0, s"k must be positive, got $k")
+    floor(uniformCol(key) * lit(k)).cast("int")
+  }
+
+  /** Weighted sampling WITHOUT replacement, deterministically — the
+    * Efraimidis–Spirakis (IPL 2006) exponential-key scheme: each row's
+    * order key is u^(1/w) (u the portable key-uniform, w its weight);
+    * the k largest keys are EXACTLY a weighted draw without replacement.
+    * The quality-weighted downsample ("keep 1M docs, preferring higher
+    * scores") with the same reproducibility contract as everything else
+    * here. Rows with w <= 0 can never be drawn and are excluded.
+    *
+    * Scale: the order key is a narrow projection; top-k is
+    * TakeOrderedAndProject (k rows leave each partition) — no global
+    * sort, no shuffle of the payload.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.where(weight > 0)
+      .withColumn("__wk", pow(uniformCol(key), lit(1.0) / weight.cast("double")))
+      .orderBy(col("__wk").desc, key.asc)
+      .limit(k)
+      .drop("__wk")
+  }
 }

@@ -300,6 +300,34 @@ object ScaleProbe {
         Similarity.int8TopK(spark.read.parquet(p), "embedding", "vec_id", q, 10)
           .agg(sum(col("vec_id"))).collect().head.getLong(0)
       },
+      // round-11 third phase: token-window chunking — columnar
+      // slice/explode, must be flat-linear in token volume
+      "chunk" -> { p =>
+        import graft.operators.Chunking
+        Chunking.chunk(spark.read.parquet(p), "text", "doc_id", 32, 8)
+          .agg(sum(col("n_tokens").cast("long")))
+          .collect().head.getLong(0)
+      },
+      // round-11 third phase: stupid-backoff trigram scoring — the
+      // trigram probe join is the cost driver; growth tracks position
+      // volume (both the table build and the probe are linear scans)
+      "lm_backoff" -> { p =>
+        import graft.operators.Scoring
+        val d = spark.read.parquet(p)
+        Scoring.backoffSurprisal(d.where(col("doc_id") % 2 =!= 0),
+            d.where(col("doc_id") % 2 === 0), "text", "doc_id")
+          .agg(sum(col("surprisal"))).collect().head.getDouble(0).toLong
+      },
+      // round-11 third phase: weighted draw without replacement — narrow
+      // key projection + TakeOrdered; flat top-k cost over any corpus
+      "weighted_sample" -> { p =>
+        import graft.operators.Sampling
+        Sampling.weightedSample(
+            spark.read.parquet(p).select(col("doc_id"),
+              length(col("text")).as("w")),
+            col("doc_id"), col("w"), k = 500)
+          .agg(sum(col("doc_id"))).collect().head.getLong(0)
+      },
       // round-11 third phase: multi-class NB (trained langid shape) —
       // pseudo-labels from doc_id so the arm runs on any corpus; the
       // per-doc argmax window spans |classes| rows, never data

@@ -16,6 +16,32 @@ class TrainingDataOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("foldCol: every row gets one fold in [0, k), deterministic and balanced") {
+    val ids = (0L until 1000L).toDF("id")
+    val a = ids.select(col("id"), Sampling.foldCol(col("id"), 5).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = ids.select(col("id"), Sampling.foldCol(col("id"), 5).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b, "fold assignment must be deterministic")
+    assert(a.values.forall(f => f >= 0 && f < 5))
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.size == 5 && sizes.values.forall(s => s > 150 && s < 250),
+      sizes.toMap.toString)
+  }
+
+  test("weightedSample: exact size, deterministic, excludes w<=0, prefers heavy rows") {
+    val rows = (0L until 100L).map(i => (i, if (i == 7L) 1000000.0 else 1.0)) :+
+      (100L, 0.0) :+ (101L, -3.0)
+    val df = rows.toDF("id", "w")
+    val a = Sampling.weightedSample(df, col("id"), col("w"), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedSample(df, col("id"), col("w"), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size == 10)
+    assert(!a.contains(100L) && !a.contains(101L), "non-positive weights can never draw")
+    assert(a.contains(7L), "the million-to-one row must be drawn on this fixed keyspace")
+  }
+
   test("decontaminate flags the doc that copies benchmark text, not the clean one") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
