@@ -2103,6 +2103,33 @@ object SparkEntry {
         Sampling.splitCol(col("event_id"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))),
 
+    "q_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: reciprocal-rank fusion (k0=60) of two
+      // heterogeneous rankers over the same query set — BM25 top-10 and
+      // distinct-token-overlap top-10 — keeping each query's fused
+      // top-5. Both input rankings and the fusion arithmetic replay
+      // exactly in the oracle.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val idx = Retrieval.buildIndex(docs, "text", "doc_id")
+      val lex = Retrieval.bm25TopK(idx, bm25Queries(s), "qtext", "query_id",
+          k = 10).select("query_id", "doc_id", "rank")
+      val qTok = bm25Queries(s).select(col("query_id"),
+        explode(array_distinct(TF.tokens(lower(col("qtext"))))).as("tok"))
+      val dTok = docs.select(col("doc_id"),
+        explode(array_distinct(TF.tokens(lower(col("text"))))).as("tok"))
+      val ovW = Window.partitionBy(col("query_id"))
+        .orderBy(col("ov").desc, col("doc_id").asc)
+      val ov = dTok.join(broadcast(qTok), "tok")
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("ov"))
+        .withColumn("rank", row_number().over(ovW))
+        .where(col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+      Retrieval.rrfFuse(Seq(lex, ov), "query_id", "doc_id", topK = 5)
+        .select(col("query_id"), col("doc_id"),
+          round(col("rrf"), 6).as("rrf"), col("fused_rank"))
+    }),
+
     "q_fold_assign" -> ((s, dir) =>
       // deterministic 5-fold assignment from the portable key-uniform
       t(s, dir, "documents").select(col("doc_id"),
@@ -3558,6 +3585,36 @@ object SparkEntry {
         |  CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)
         |    / 4294967296.0 AS u
         |FROM events)""".stripMargin,
+
+    "q_hybrid_rrf" ->
+      (bm25OracleBase +
+        """,
+        |scored AS (
+        |  SELECT qt.query_id, post.doc_id,
+        |    round(sum(ln(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |      * (post.tf * (1.2 + 1))
+        |      / (post.tf + 1.2 * ((1 - 0.75) + 0.75 * post.dl / stats.avgdl))), 6) AS score
+        |  FROM qt JOIN post ON qt.tok = post.tok
+        |    JOIN dfq ON qt.tok = dfq.tok CROSS JOIN stats
+        |  GROUP BY qt.query_id, post.doc_id),
+        |lex AS (SELECT query_id, doc_id, rank FROM (
+        |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
+        |  WHERE rank <= 10),
+        |ov AS (SELECT query_id, doc_id, rank FROM (
+        |  SELECT qt.query_id, post.doc_id, row_number() OVER (
+        |      PARTITION BY qt.query_id
+        |      ORDER BY count(*) DESC, post.doc_id ASC) AS rank
+        |  FROM qt JOIN post ON qt.tok = post.tok
+        |  GROUP BY qt.query_id, post.doc_id)
+        |  WHERE rank <= 10),
+        |fused AS (SELECT query_id, doc_id, sum(1.0 / (60 + CAST(rank AS DOUBLE))) AS rrf
+        |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM ov)
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, round(rrf, 6) AS rrf, fused_rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS fused_rank FROM fused)
+        |WHERE fused_rank <= 5""".stripMargin),
 
     "q_fold_assign" ->
       """SELECT doc_id, CAST(floor(

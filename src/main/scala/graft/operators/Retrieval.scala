@@ -256,4 +256,30 @@ object Retrieval {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) — the
+    * standard way to combine heterogeneous retrievers (BM25 + dense ANN,
+    * BM25 + overlap, ...): fused(q, d) = Σ_r 1/(k0 + rank_r(q, d)) over
+    * every ranking r that returned d, then keep each query's `topK` by
+    * (fused desc, id asc). Rank-based, so the input scorers need no
+    * calibration against each other; k0 = 60 is the paper's constant.
+    *
+    * Each input frame carries (qIdCol, idCol, rankCol). Scale: the
+    * union/re-aggregate shuffles only (query, doc, contrib) triples of
+    * the ALREADY-top-k'd inputs — candidate-set-sized, never
+    * corpus-sized; the final window spans ≤ Σ k_r rows per query.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], qIdCol: String, idCol: String,
+      rankCol: String = "rank", k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k0 > 0 && topK > 0, s"need k0 > 0 and topK > 0, got $k0/$topK")
+    val contribs = rankings.map(_.select(col(qIdCol), col(idCol),
+      (lit(1.0) / (lit(k0) + col(rankCol).cast("double"))).as("__c")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col(qIdCol), col(idCol)).agg(sum(col("__c")).as("rrf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("rrf").desc, col(idCol).asc)
+    fused.withColumn("fused_rank", row_number().over(w))
+      .where(col("fused_rank") <= topK)
+  }
 }

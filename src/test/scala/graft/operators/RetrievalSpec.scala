@@ -179,4 +179,28 @@ class RetrievalSpec extends AnyFunSuite {
     // postings only cover the 4 docs with tokens
     assert(idx.postings.select("doc_id").distinct().count() == 4L)
   }
+
+  test("rrfFuse matches the hand-computed Cormack formula, single-list docs included") {
+    val s = spark; import s.implicits._
+    val a = Seq((0, 10L, 1), (0, 11L, 2), (0, 12L, 3)).toDF("qid", "id", "rank")
+    val b = Seq((0, 11L, 1), (0, 13L, 2)).toDF("qid", "id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), "qid", "id", topK = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._3)
+    // 11: 1/62 + 1/61 (both lists); 10: 1/61; 13: 1/62; 12: 1/63 (cut)
+    assert(got.map(_._1).toSeq == Seq(11L, 10L, 13L))
+    assert(got(0)._2 == 1.0 / 62 + 1.0 / 61)
+    assert(got(1)._2 == 1.0 / 61 && got(2)._2 == 1.0 / 62)
+    assert(got.map(_._3).toSeq == Seq(1, 2, 3), "fused ranks must be contiguous")
+  }
+
+  test("rrfFuse breaks exact score ties by ascending id") {
+    val s = spark; import s.implicits._
+    val a = Seq((0, 5L, 1), (0, 3L, 2)).toDF("qid", "id", "rank")
+    val b = Seq((0, 3L, 1), (0, 5L, 2)).toDF("qid", "id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), "qid", "id", topK = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).sortBy(_._2)
+    // both score 1/61 + 1/62 -> id 3 first
+    assert(got.toSeq == Seq((3L, 1), (5L, 2)))
+  }
 }
