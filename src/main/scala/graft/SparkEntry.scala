@@ -2103,6 +2103,13 @@ object SparkEntry {
         Sampling.splitCol(col("event_id"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))),
 
+    "q_vocab_coverage" -> ((s, dir) =>
+      // tokenizer sizing: the smallest frequency-ranked vocabulary
+      // covering 80% of the corpus token mass — cumulative mass via the
+      // distributed prefix sum, never a vocabulary-wide window
+      graft.functions.Bpe.vocabCoverage(
+        graft.functions.Bpe.wordFreq(t(s, dir, "documents"), "text"), 0.8)),
+
     "q_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: reciprocal-rank fusion (k0=60) of two
       // heterogeneous rankers over the same query set — BM25 top-10 and
@@ -3585,6 +3592,17 @@ object SparkEntry {
         |  CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)
         |    / 4294967296.0 AS u
         |FROM events)""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH f AS (SELECT word, count(*) AS n FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS word
+        |    FROM documents) GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM f),
+        |c AS (SELECT word, n, coalesce(sum(n) OVER (ORDER BY n DESC, word ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM f)
+        |SELECT word, n FROM c, t
+        |WHERE CAST(bef AS DOUBLE) < 0.8 * CAST(total AS DOUBLE)""".stripMargin,
 
     "q_hybrid_rrf" ->
       (bm25OracleBase +

@@ -46,6 +46,32 @@ object Bpe {
     docs.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
 
+  /** The smallest frequency-ranked vocabulary covering `coverage` of the
+    * corpus token mass ("pick a vocab that covers 99.5% of tokens") —
+    * the tokenizer-sizing decision input. A row survives iff the mass of
+    * all STRICTLY higher-ranked words (count desc, word asc) is still
+    * under coverage·total, so the crossing word is included and the
+    * result is the minimal covering prefix.
+    *
+    * Scale: the cumulative mass comes from the distributed prefix sum
+    * ([[graft.operators.Packing.withPrefixSum]]) over the descending
+    * frequency order — a balanced range shuffle, NOT an unpartitioned
+    * vocabulary-wide window (web-scale vocabularies are hundreds of
+    * millions of rows).
+    */
+  def vocabCoverage(freq: DataFrame, coverage: Double): DataFrame = {
+    require(coverage > 0.0 && coverage <= 1.0,
+      s"coverage must be in (0, 1], got $coverage")
+    val total = freq.agg(sum(col("n")).as("__total"))
+    graft.operators.Packing.withPrefixSum(
+        freq.select(col("word"), col("n")), col("n"), "__before",
+        Seq(col("n").desc, col("word").asc))
+      .crossJoin(broadcast(total))
+      .where(col("__before").cast("double") <
+        lit(coverage) * col("__total").cast("double"))
+      .select(col("word"), col("n"))
+  }
+
   /** Train `numMerges` merges from a word-frequency table (driver-side,
     * deterministic). `maxWords` bounds the dictionary: the top words by
     * (n desc, word asc) — one bounded sort job, never a full collect of

@@ -89,4 +89,18 @@ class BpeSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 3L, "b" -> 2L))
   }
+
+  test("vocabCoverage keeps the minimal covering prefix, crossing word included") {
+    val s = spark; import s.implicits._
+    // a:5 b:3 c:1 d:1, total 10
+    val freq = Seq(("a", 5L), ("b", 3L), ("c", 1L), ("d", 1L)).toDF("word", "n")
+    def words(cov: Double) =
+      Bpe.vocabCoverage(freq, cov).collect().map(_.getString(0)).toSet
+    // before(b)=5 < 8 keeps b; before(c)=8 is NOT < 8 -> cut after b
+    assert(words(0.8) == Set("a", "b"))
+    // raising the target past the crossing admits c (tie c<d by word asc),
+    // but not d (before(d)=9 >= 8.1)
+    assert(words(0.81) == Set("a", "b", "c"))
+    assert(words(1.0) == Set("a", "b", "c", "d"))
+  }
 }
