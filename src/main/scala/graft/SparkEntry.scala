@@ -2211,6 +2211,54 @@ object SparkEntry {
         sum(length(col("text")).cast("long")).as("n_chars"),
         sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))),
 
+    "q_streaming_corpus_stats" -> ((s, dir) => {
+      // live ingest monitoring: the per-(lang, source) volume report
+      // rolls forward as the corpus streams in 3 micro-batches
+      // (foreachBatch merges each batch's aggregate into stored state —
+      // counts are sums, the Summer contract). The final state equals
+      // the batch aggregation exactly, so this row shares
+      // q_corpus_stats' oracle verbatim.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      def statsOf(df: DataFrame): DataFrame =
+        df.groupBy("lang", "source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      def mergeStats(a: DataFrame, b: DataFrame): DataFrame =
+        a.unionByName(b).groupBy("lang", "source").agg(
+          sum(col("n_docs")).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+          sum(col("n_tokens")).as("n_tokens"))
+      val base = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      val rows = base.as[(Long, String, String, String)].collect()
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String, String)]
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cstats_").toString
+      try {
+        statsOf(base.limit(0)).write.parquet(s"$tmp/v0")
+        @volatile var ver = 0
+        val writer = graft.streaming.StreamingIO.fanout(
+          ms.toDS().toDF("doc_id", "text", "lang", "source"))(Seq(
+          (b, _) => {
+            mergeStats(s.read.parquet(s"$tmp/v$ver"), statsOf(b))
+              .write.parquet(s"$tmp/v${ver + 1}")
+            ver += 1
+          }))
+        withStreamingGateConf(s, 4) {
+          val q = writer.start()
+          try {
+            (0 until 3).foreach { i =>
+              ms.addData(rows.filter(_._1 % 3 == i).toSeq)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
+        s.read.parquet(s"$tmp/v$ver")
+          .select("lang", "source", "n_docs", "n_chars", "n_tokens")
+          .localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
     "q_export_pipeline" -> ((s, dir) => {
       // the END-TO-END tokenized export: corpus-fitted BPE encode →
       // doc-boundary packing into 512-token sequences → 8-rank striping
@@ -2579,6 +2627,16 @@ object SparkEntry {
       |  ((SELECT prior FROM consts) + coalesce(ts.s, 0)) > 0 AS pred
       |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
       |LEFT JOIN ts ON d.doc_id = ts.doc_id""".stripMargin
+
+  /** Shared by q_corpus_stats and q_streaming_corpus_stats (the streamed
+    * roll-forward sums the same integers).
+    */
+  private val corpusStatsOracle: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+      |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+      |    x -> len(x) > 0))) AS BIGINT) AS n_tokens
+      |FROM documents GROUP BY 1, 2""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_source" ->
@@ -3725,12 +3783,11 @@ object SparkEntry {
         |    AS chunk_text
         |FROM c, unnest(range(nc)) AS u(i)""".stripMargin,
 
-    "q_corpus_stats" ->
-      """SELECT lang, source, count(*) AS n_docs,
-        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
-        |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
-        |    x -> len(x) > 0))) AS BIGINT) AS n_tokens
-        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_corpus_stats" -> corpusStatsOracle,
+
+    // per-batch aggregates merge by key-wise integer sums, so the
+    // streamed state equals the batch aggregation exactly
+    "q_streaming_corpus_stats" -> corpusStatsOracle,
 
     // composition row: corpus size is the SQL-exact check; the packing/
     // sharding invariants are Spark-computed TRUE booleans (established
