@@ -2302,9 +2302,14 @@ object SparkEntry {
     "q_embed_quant" -> ((s, dir) =>
       // int8 embedding storage (rung one below PQ): exact per-vector
       // symmetric scale, 4x smaller serving footprint, error <= scale/254
-      // per element; codes integer-exact across engines, so fully oracled
+      // per element; codes integer-exact across engines. The driver's
+      // checker cannot sort array-typed cells, so the compared surface is
+      // a canonical digest of the codes (comma-joined decimal int8s ->
+      // md5), built with the byte-identical expression in the oracle.
       t(s, dir, "embeddings").select(col("vec_id"),
-        VF.int8Quantize(col("embedding")).as("codes"),
+        md5(concat_ws(",",
+          transform(VF.int8Quantize(col("embedding")),
+            c => c.cast("string")))).as("codes_digest"),
         round(VF.int8Scale(col("embedding")), 6).as("scale"))),
 
     "q_shard_export" -> ((s, dir) => {
@@ -3801,13 +3806,17 @@ object SparkEntry {
       """WITH m AS (SELECT vec_id, embedding,
         |    CAST(list_aggregate(list_transform(embedding,
         |      y -> abs(CAST(y AS DOUBLE))), 'max') AS DOUBLE) AS m
-        |  FROM embeddings)
-        |SELECT vec_id,
+        |  FROM embeddings),
+        |c AS (SELECT vec_id, m,
         |  CASE WHEN m > 0 THEN list_transform(embedding,
         |      y -> CAST(round(CAST(y AS DOUBLE) * 127.0 / m) AS TINYINT))
-        |    ELSE list_transform(embedding, y -> CAST(0 AS TINYINT)) END AS codes,
+        |    ELSE list_transform(embedding, y -> CAST(0 AS TINYINT)) END AS codes
+        |  FROM m)
+        |SELECT vec_id,
+        |  md5(array_to_string(list_transform(codes,
+        |    x -> CAST(x AS VARCHAR)), ',')) AS codes_digest,
         |  round(m, 6) AS scale
-        |FROM m""".stripMargin,
+        |FROM c""".stripMargin,
 
     // the on-disk shard layout reads back to exactly the seed-3/W=8
     // assignment, so the export row shares q_shard_assign's oracle

@@ -185,6 +185,16 @@ final class BatchStore[K, V](
           .repartition(n, col("kb"))
           .sortWithinPartitions(col("kb"), col("key"))
           .write.mode("overwrite").partitionBy("kb").parquet(snapshotDir(b))
+        // materialize every declared bucket dir, including keyless ones
+        // (parquet writes no dir for an empty partition): the point-read
+        // guard keys on dir EXISTENCE, so a legitimately empty bucket must
+        // be distinguishable from a dir lost after commit. Runs before the
+        // commit below — a crash here leaves an uncommitted snapshot, never
+        // a committed one with holes.
+        (0 until n).foreach { i =>
+          val d = new java.io.File(s"${snapshotDir(b)}/kb=$i")
+          if (!d.exists()) d.mkdirs()
+        }
       case None =>
         kv.write.mode("overwrite").parquet(snapshotDir(b))
     }

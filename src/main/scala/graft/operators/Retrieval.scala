@@ -135,67 +135,159 @@ object Retrieval {
     postings.withColumn("tb",
       pmod(xxhash64(col("token")), lit(tokenBuckets)).cast("int"))
 
-  def writeIndex(index: Bm25Index, path: String, tokenBuckets: Int): Unit = {
-    require(tokenBuckets >= 1, s"tokenBuckets must be >= 1, got $tokenBuckets")
-    withBucket(index.postings, tokenBuckets)
-      .write.partitionBy("tb").mode("overwrite").parquet(s"$path/postings")
-    index.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  /* Stored layout — log-structured segments under a commit log (the
+   * BatchStore pattern, reference summingbird-batch VersionedBatchStore
+   * semantics: write everything into a NEW version, flip a tiny commit
+   * marker last, readers resolve only committed versions):
+   *
+   *   path/_graft_state.json      commit log: committed segment ids
+   *   path/seg=N/postings/tb=.../ this segment's postings, token-bucketed
+   *   path/seg=N/stats/           ONE row: this segment's (n_docs, total_dl)
+   *                               DELTA; readers sum deltas across segments
+   *
+   * Every mutation (bootstrap write, micro-batch append, compaction) lands
+   * in a fresh `seg=N` directory and becomes visible only via an atomic
+   * commit-log rename, so it is object-store-safe (no directory renames of
+   * data — object stores fake renames as copy+delete) and crash-consistent:
+   * a writer dying mid-segment leaves an UNCOMMITTED dir that readers never
+   * resolve and the next writer of that id overwrites. Postings and stats
+   * can never tear apart — they sit in the same segment and commit together.
+   *
+   * Writer exclusivity: mutations assume ONE writer at a time (the
+   * streaming path serializes appends through foreachBatch; compaction runs
+   * on the maintenance cadence of the same owner). Concurrent readers are
+   * safe against appends (old state stays resolvable); compaction deletes
+   * superseded segments immediately after commit, so a reader mid-scan
+   * across a compaction can lose files on a local FS — on an object store
+   * the standard mitigation is a deletion grace period.
+   */
+  private def segDir(path: String, id: Long) = s"$path/seg=$id"
+
+  private def committedSegs(path: String): List[Long] =
+    graft.batch.BatchState.read(path).committed.sorted
+
+  /** A segment written from an empty batch has no posting files at all
+    * (only a write marker) — readers must skip it or parquet schema
+    * inference fails. Local-FS listing; `FileSystem.listStatus` on a
+    * cluster, same note as [[graft.batch.BatchState.deleteDir]].
+    */
+  private def hasParquetFiles(dir: java.io.File): Boolean = {
+    val kids = Option(dir.listFiles()).getOrElse(Array.empty)
+    kids.exists(f => f.isFile && f.getName.endsWith(".parquet")) ||
+      kids.exists(f => f.isDirectory && hasParquetFiles(f))
   }
 
-  /** Ingest a (disjoint-id) batch into a STORED index: the batch's
-    * postings land as NEW files in their token buckets (existing files
-    * untouched — append is per-doc-independent, same contract as
-    * [[appendToIndex]]), and the one-row stats roll forward. This is the
-    * streaming maintenance path: call it from `foreachBatch` and the
-    * index stays serveable between micro-batches.
+  /** Union of the committed segments' postings, each root read separately
+    * (one shared root would make Spark infer `seg=` itself as a partition
+    * column and conflict across roots), `tb` partition column retained so
+    * callers can prune before dropping it. None ⇔ the index has never
+    * indexed a posting-bearing document.
+    */
+  private def readPostings(spark: org.apache.spark.sql.SparkSession,
+      path: String, segs: List[Long]): Option[DataFrame] = {
+    val live = segs.filter(id =>
+      hasParquetFiles(new java.io.File(s"${segDir(path, id)}/postings")))
+    if (live.isEmpty) None
+    else Some(live.map(id => spark.read.parquet(s"${segDir(path, id)}/postings"))
+      .reduce(_ unionByName _))
+  }
+
+  /** Delete every `seg=*` dir not in the commit log: uncommitted partials
+    * from a crashed writer and segments superseded by a compaction.
+    */
+  private def sweepUncommitted(path: String): Unit = {
+    val live = committedSegs(path).map(id => s"seg=$id").toSet
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("seg=") &&
+        !live.contains(f.getName))
+      .foreach(f => graft.batch.BatchState.deleteDir(f.toString))
+  }
+
+  private def writeSegment(index: Bm25Index, path: String, id: Long,
+      tokenBuckets: Int): Unit = {
+    withBucket(index.postings, tokenBuckets)
+      .write.partitionBy("tb").mode("overwrite")
+      .parquet(s"${segDir(path, id)}/postings")
+    index.stats.coalesce(1).write.mode("overwrite")
+      .parquet(s"${segDir(path, id)}/stats")
+  }
+
+  /** Bootstrap (or fully replace) a stored index: one segment holding the
+    * whole index, committed as the ONLY live segment; prior segments swept.
+    */
+  def writeIndex(index: Bm25Index, path: String, tokenBuckets: Int): Unit = {
+    require(tokenBuckets >= 1, s"tokenBuckets must be >= 1, got $tokenBuckets")
+    val id = committedSegs(path).lastOption.getOrElse(0L) + 1
+    writeSegment(index, path, id, tokenBuckets)
+    graft.batch.BatchState.write(path, graft.batch.BatchState(List(id)))
+    sweepUncommitted(path)
+  }
+
+  /** Ingest a (disjoint-id) batch into a STORED index as a NEW committed
+    * segment (existing segments untouched — append is per-doc-independent,
+    * same contract as [[appendToIndex]]); the segment's one-row stats delta
+    * rolls N / total_dl forward at read time. This is the streaming
+    * maintenance path: call it from `foreachBatch` and the index stays
+    * serveable between micro-batches; a crash before the commit-log flip
+    * leaves the index exactly as it was.
     */
   def appendToStored(spark: org.apache.spark.sql.SparkSession, path: String,
       tokenBuckets: Int, newDocs: DataFrame, textCol: String, idCol: String): Unit = {
-    val add = buildIndex(newDocs, textCol, idCol)
-    withBucket(add.postings, tokenBuckets)
-      .write.partitionBy("tb").mode("append").parquet(s"$path/postings")
-    // read-merge-overwrite of ONE row; materialize before the overwrite so
-    // the write never reads the file it replaces
-    val merged = spark.read.parquet(s"$path/stats").unionByName(add.stats)
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
-      .collect().head
-    import spark.implicits._
-    Seq((merged.getLong(0), merged.getLong(1))).toDF("n_docs", "total_dl")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    val committed = committedSegs(path)
+    require(committed.nonEmpty,
+      s"appendToStored: no committed index at $path — bootstrap with writeIndex first")
+    val id = committed.last + 1
+    writeSegment(buildIndex(newDocs, textCol, idCol), path, id, tokenBuckets)
+    graft.batch.BatchState.commit(path, graft.time.BatchID(id))
   }
 
-  /** Compact a stored index in place: streaming ingest leaves one file
-    * set per micro-batch in every touched bucket, and point-read latency
-    * degrades with file count (each pruned read opens every file of its
-    * buckets). Rewrites postings one-file-per-bucket via a scratch dir +
-    * atomic-enough rename (write scratch, swap dirs) — scores unchanged,
-    * stats untouched. Run it on the maintenance cadence, like the
-    * BatchStore retention sweep.
+  /** Compact a stored index: streaming ingest leaves one segment per
+    * micro-batch, and point-read latency degrades with file count (each
+    * pruned read opens every file of its buckets in every segment).
+    * Rewrites all committed segments into ONE new segment (one file per
+    * bucket, token-sorted for row-group pruning) with the summed stats,
+    * then atomically re-points the commit log at it and sweeps the
+    * superseded segments — scores unchanged. Run it on the maintenance
+    * cadence, like the BatchStore retention sweep.
     */
   def compactStored(spark: org.apache.spark.sql.SparkSession, path: String,
       tokenBuckets: Int): Unit = {
-    val postings = spark.read.parquet(s"$path/postings").drop("tb")
-    val scratch = s"$path/postings_compact_tmp"
-    withBucket(postings, tokenBuckets)
-      .repartition(col("tb")).sortWithinPartitions(col("token"), col("doc_id"))
-      .write.partitionBy("tb").mode("overwrite").parquet(scratch)
-    val fs = new java.io.File(s"$path/postings")
-    val old = new java.io.File(s"$path/postings_old_tmp")
-    graft.batch.BatchState.deleteDir(old.toString)
-    if (!fs.renameTo(old))
-      throw new IllegalStateException(s"compactStored: could not stage $fs for swap")
-    if (!new java.io.File(scratch).renameTo(fs)) {
-      old.renameTo(fs) // roll back
-      throw new IllegalStateException(s"compactStored: could not swap $scratch into place")
-    }
-    graft.batch.BatchState.deleteDir(old.toString)
+    val idx = readIndex(spark, path, idCol = "doc_id")
+    val id = committedSegs(path).last + 1
+    withBucket(idx.postings, tokenBuckets)
+      .repartition(col("tb")).sortWithinPartitions("token")
+      .write.partitionBy("tb").mode("overwrite")
+      .parquet(s"${segDir(path, id)}/postings")
+    idx.stats.coalesce(1).write.mode("overwrite")
+      .parquet(s"${segDir(path, id)}/stats")
+    graft.batch.BatchState.write(path, graft.batch.BatchState(List(id)))
+    sweepUncommitted(path)
   }
 
-  /** Full (unpruned) read of a stored index. */
+  /** Full (unpruned) read of a stored index: postings unioned across the
+    * committed segments, stats deltas summed into the one-row total.
+    */
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      idCol: String): Bm25Index =
-    Bm25Index(spark.read.parquet(s"$path/postings").drop("tb"),
-      spark.read.parquet(s"$path/stats"), idCol)
+      idCol: String): Bm25Index = {
+    val segs = committedSegs(path)
+    require(segs.nonEmpty, s"readIndex: no committed index at $path")
+    val postings = readPostings(spark, path, segs)
+      .map(_.drop("tb"))
+      .getOrElse {
+        // never-indexed corpus: canonical empty postings frame (long ids —
+        // the engine-wide id convention)
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("token", StringType),
+            StructField(idCol, LongType), StructField("tf", LongType),
+            StructField("dl", IntegerType))))
+      }
+    val stats = segs.map(id => spark.read.parquet(s"${segDir(path, id)}/stats"))
+      .reduce(_ unionByName _)
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("total_dl")), lit(0L)).as("total_dl"))
+    Bm25Index(postings, stats, idCol)
+  }
 
   /** Score queries against a STORED index reading only the query tokens'
     * buckets: the distinct query tokens (bounded — `maxQueryTokens` caps
@@ -226,11 +318,15 @@ object Retrieval {
       val m = h % tokenBuckets
       (if (m < 0) m + tokenBuckets else m).toInt
     }).distinct
-    val postings = spark.read.parquet(s"$path/postings")
-      .where(col("tb").isin(buckets.map(Integer.valueOf).toSeq: _*))
-      .where(col("token").isin(toks.toSeq: _*))
-      .drop("tb")
-    val idx = Bm25Index(postings, spark.read.parquet(s"$path/stats"), idCol)
+    val full = readIndex(spark, path, idCol)
+    // prune each segment's read independently (static tb partition filter +
+    // pushed token IN), then union the candidate-sized remainders
+    val postings = readPostings(spark, path, committedSegs(path))
+      .map(_.where(col("tb").isin(buckets.map(Integer.valueOf).toSeq: _*))
+        .where(col("token").isin(toks.toSeq: _*))
+        .drop("tb"))
+      .getOrElse(full.postings)
+    val idx = Bm25Index(postings, full.stats, idCol)
     bm25FromIndex(idx, queries, qTextCol, qIdCol, k1, b, maxDfFraction)
   }
 

@@ -143,8 +143,9 @@ class RetrievalSpec extends AnyFunSuite {
       "query_id", "doc_id")
     assert(a.collect().nonEmpty)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
-    // stats rolled forward through all three appends
-    val st = spark.read.parquet(s"$dirIncr/stats").collect().head
+    // stats rolled forward through all three appends (per-segment deltas
+    // summed at read)
+    val st = Retrieval.readIndex(spark, dirIncr, "doc_id").stats.collect().head
     assert(st.getLong(0) == 5L && st.getLong(1) == 13L)
   }
 
@@ -160,16 +161,101 @@ class RetrievalSpec extends AnyFunSuite {
     val queries = q(0 -> "spark window", 1 -> "join sort batch")
     val before = Retrieval.bm25FromStored(spark, dir, 4, queries, "qtext",
       "query_id", "doc_id").collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
-    def filesPerBucket: Map[String, Int] =
-      new java.io.File(s"$dir/postings").listFiles().filter(_.getName.startsWith("tb="))
-        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
-    assert(filesPerBucket.values.exists(_ > 1),
+    // files per bucket ACROSS committed segments — fragmentation is
+    // one file set per micro-batch segment
+    def filesPerBucket: Map[String, Int] = {
+      val segs = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("seg="))
+      segs.flatMap { s =>
+        Option(new java.io.File(s, "postings").listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("tb="))
+          .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    }
+    assert(filesPerBucket.values.exists(_ > 1) || filesPerBucket.size > 1,
       s"append fixture never fragmented: $filesPerBucket")
     Retrieval.compactStored(spark, dir, tokenBuckets = 4)
+    // superseded segments swept: exactly ONE live segment, one file/bucket
+    val liveSegs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg="))
+    assert(liveSegs.length == 1, liveSegs.map(_.getName).mkString(","))
     assert(filesPerBucket.values.forall(_ == 1), filesPerBucket.toString)
     val after = Retrieval.bm25FromStored(spark, dir, 4, queries, "qtext",
       "query_id", "doc_id").collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
     assert(after == before)
+  }
+
+  test("crash window: an uncommitted segment is invisible to readers and " +
+      "the next append overwrites its id") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_crash").toString
+    Retrieval.writeIndex(Retrieval.buildIndex(
+      docs.where(col("doc_id") <= 3), "text", "doc_id"), dir, tokenBuckets = 4)
+    val queries = q(0 -> "spark window", 1 -> "join sort batch")
+    def score() = Retrieval.bm25FromStored(spark, dir, 4, queries, "qtext",
+      "query_id", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    val healthy = score()
+    // simulate a writer that died mid-append: segment data written (with
+    // WRONG poisoned content so reading it would be detectable), commit
+    // log never flipped
+    val orphanId = 2L
+    val poisoned = Retrieval.buildIndex(
+      Seq((99L, "spark spark spark window join")).toDF("doc_id", "text"),
+      "text", "doc_id")
+    import org.apache.spark.sql.functions.{col => c, pmod, xxhash64, lit}
+    poisoned.postings
+      .withColumn("tb", pmod(xxhash64(c("token")), lit(4)).cast("int"))
+      .write.partitionBy("tb").mode("overwrite").parquet(s"$dir/seg=$orphanId/postings")
+    poisoned.stats.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/seg=$orphanId/stats")
+    // readers resolve only the commit log: scores and stats unchanged
+    assert(score() == healthy, "uncommitted segment leaked into scoring")
+    val st0 = Retrieval.readIndex(spark, dir, "doc_id").stats.collect().head
+    assert(st0.getLong(0) == 3L, s"uncommitted stats leaked: $st0")
+    // recovery: the NEXT append claims the same segment id, overwrites the
+    // torn data, and commits — the poisoned rows can never surface
+    Retrieval.appendToStored(spark, dir, 4,
+      docs.where(col("doc_id") > 3), "text", "doc_id")
+    val full = Retrieval.bm25FromStored(spark, dir, 4, queries, "qtext",
+      "query_id", "doc_id")
+    val rebuilt = Retrieval.bm25FromIndex(
+      Retrieval.buildIndex(docs, "text", "doc_id"), queries, "qtext", "query_id")
+    assert(full.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(full).isEmpty)
+    assert(!full.collect().exists(_.getLong(1) == 99L))
+    graft.batch.BatchState.deleteDir(dir)
+  }
+
+  test("crash window: compaction that dies before the commit-log flip " +
+      "leaves the index exactly as it was; rerun converges") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_crash2").toString
+    Retrieval.writeIndex(Retrieval.buildIndex(docs.limit(0), "text", "doc_id"),
+      dir, tokenBuckets = 4)
+    (0 until 3).foreach { i =>
+      Retrieval.appendToStored(spark, dir, 4,
+        docs.where(col("doc_id") % 3 === i), "text", "doc_id")
+    }
+    val queries = q(0 -> "spark window", 1 -> "join sort batch")
+    def score() = Retrieval.bm25FromStored(spark, dir, 4, queries, "qtext",
+      "query_id", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = score()
+    // simulate: compacted segment fully written, state file never flipped
+    // (= compactStored dying on its second-to-last line)
+    val idx = Retrieval.readIndex(spark, dir, "doc_id")
+    import org.apache.spark.sql.functions.{col => c, pmod, xxhash64, lit}
+    idx.postings.withColumn("tb", pmod(xxhash64(c("token")), lit(4)).cast("int"))
+      .write.partitionBy("tb").mode("overwrite").parquet(s"$dir/seg=5/postings")
+    idx.stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/seg=5/stats")
+    assert(score() == before, "half-finished compaction changed scores")
+    // rerun completes: one live segment, scores still identical
+    Retrieval.compactStored(spark, dir, tokenBuckets = 4)
+    assert(score() == before)
+    val live = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg="))
+    assert(live.length == 1, live.map(_.getName).mkString(","))
+    graft.batch.BatchState.deleteDir(dir)
   }
 
   test("stats count token-less docs (N=5, avgdl=2.6) — not just posting docs") {

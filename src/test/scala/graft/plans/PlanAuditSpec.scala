@@ -93,6 +93,36 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.batch.BatchState.deleteDir(tmp)
   }
 
+  test("clustered store: a legitimately EMPTY bucket serves point reads " +
+      "(empty dir materialized at write ≠ a dir lost after commit)") {
+    val s = spark; import s.implicits._
+    import graft.batch.BatchStore
+    import graft.time.BatchID
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store_empty").toString
+    val store = new BatchStore[Long, Long](tmp, keyBuckets = Some(8))
+    // ONE key: 7 of 8 buckets hold no rows (the sf0.001 shape that
+    // false-positived the corruption guard in round 12's local audit)
+    store.writeSnapshot(BatchID(1), Seq((137L, 274L)).toDS())
+    val dirs = new java.io.File(s"$tmp/batch_id=1").listFiles()
+      .filter(_.getName.startsWith("kb=")).map(_.getName).toSet
+    assert(dirs == (0 until 8).map(i => s"kb=$i").toSet, dirs.toString)
+    // present key found; a key routing to an empty bucket reads EMPTY, not loud
+    assert(store.readLastForKey(spark, 137L).get._2.collect().toSeq ==
+      Seq((137L, 274L)))
+    val kb137 = spark.range(1).select(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(
+          org.apache.spark.sql.functions.lit(137L)),
+        org.apache.spark.sql.functions.lit(8))).head().getInt(0)
+    val other = (1L to 100L).find(k => spark.range(1).select(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(
+          org.apache.spark.sql.functions.lit(k)),
+        org.apache.spark.sql.functions.lit(8))).head().getInt(0) != kb137).get
+    assert(store.readLastForKey(spark, other).get._2.collect().isEmpty)
+    graft.batch.BatchState.deleteDir(tmp)
+  }
+
   test("uniqueKeyed service join broadcasts the dimension side") {
     import graft.operators.BatchServices
     val ev = spark.read.parquet(s"$dir/events.parquet")
@@ -492,7 +522,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // one file per bucket so numFiles counts bucket dirs exactly
     Retrieval.writeIndex(
       idx.copy(postings = idx.postings.repartition(1)), tmp, tokenBuckets = 16)
-    val nDirs = new java.io.File(s"$tmp/postings").listFiles()
+    val segDir = new java.io.File(tmp).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg=")).head
+    val nDirs = new java.io.File(segDir, "postings").listFiles()
       .count(_.getName.startsWith("tb="))
     assert(nDirs > 4, s"corpus vocabulary only filled $nDirs of 16 buckets")
     val queries = Seq(0 -> "spark window").toDF("query_id", "qtext")
