@@ -1708,6 +1708,37 @@ object SparkEntry {
           (col("hits") >= 9).as("recall_ok"), (col("kc") === 10).as("k_ok"))
     }),
 
+    "q_ann_int8_stored" -> ((s, dir) => {
+      // the SPLIT serving form of q_ann_int8: codes materialized ONCE
+      // (int8WriteIndex — the 4x-smaller stored index), per-query work is
+      // a codes-only scan + broadcast join back to floats for the exact
+      // re-rank of oversample*k candidates. Must return EXACTLY the
+      // in-memory int8TopK rows (same quantization, re-rank, tie-break),
+      // pinned as same_as_mem alongside q_ann_int8's invariants.
+      val e = t(s, dir, "embeddings")
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_int8_idx_").toString
+      try {
+        Similarity.int8WriteIndex(e, "embedding", "vec_id", tmp)
+        val stored = Similarity.int8TopKStored(s, tmp, e, "embedding",
+          "vec_id", q, 10).localCheckpoint(true)
+        val mem = Similarity.int8TopK(e, "embedding", "vec_id", q, 10)
+        val nDiff = stored.exceptAll(mem).unionByName(mem.exceptAll(stored))
+          .agg(count(lit(1)).as("nd"))
+        val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10)
+          .select(col("vec_id"))
+        val hit = stored.join(exact, "vec_id").agg(count(lit(1)).as("hits"))
+        val kc = stored.agg(count(lit(1)).as("kc"))
+        e.agg(count(lit(1)).as("n_vecs"))
+          .crossJoin(broadcast(hit)).crossJoin(broadcast(kc))
+          .crossJoin(broadcast(nDiff))
+          .select(col("n_vecs"),
+            (col("hits") >= 9).as("recall_ok"), (col("kc") === 10).as("k_ok"),
+            (col("nd") === 0).as("same_as_mem"))
+          .localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
     "q_ann_lsh" -> ((s, dir) => {
       // LSH ANN with a self-hit invariant oracle: each query vector IS a
       // table row, so it lands in its own bucket (multi-probe includes the
@@ -2135,6 +2166,43 @@ object SparkEntry {
       Retrieval.rrfFuse(Seq(lex, ov), "query_id", "doc_id", topK = 5)
         .select(col("query_id"), col("doc_id"),
           round(col("rrf"), 6).as("rrf"), col("fused_rank"))
+    }),
+
+    "q_hybrid_stored" -> ((s, dir) => {
+      // the SERVING-path composition of q_hybrid_rrf: both rankers are
+      // answered from the STORED token-bucketed index (one pruned
+      // candidate-postings read feeds BM25 scoring AND the overlap
+      // counts), then fused with the same RRF arithmetic — closing the
+      // retrieval-serving lifecycle, and sharing q_hybrid_rrf's oracle
+      // verbatim because the stored path is exact.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hybrid_idx_").toString
+      try {
+        Retrieval.writeIndex(Retrieval.buildIndex(docs, "text", "doc_id"),
+          tmp, tokenBuckets = 16)
+        val scored = Retrieval.bm25FromStored(s, tmp, 16,
+          bm25Queries(s), "qtext", "query_id", "doc_id")
+        val lexW = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        val lex = scored.withColumn("rank", row_number().over(lexW))
+          .where(col("rank") <= 10).select("query_id", "doc_id", "rank")
+        val qTok = bm25Queries(s).select(col("query_id"),
+          explode(array_distinct(TF.tokens(lower(col("qtext"))))).as("token"))
+        val post = Retrieval.storedQueryPostings(s, tmp, 16,
+          bm25Queries(s), "qtext")
+        val ovW = Window.partitionBy(col("query_id"))
+          .orderBy(col("ov").desc, col("doc_id").asc)
+        val ov = post.join(broadcast(qTok), "token")
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(count(lit(1)).as("ov"))
+          .withColumn("rank", row_number().over(ovW))
+          .where(col("rank") <= 10)
+          .select("query_id", "doc_id", "rank")
+        Retrieval.rrfFuse(Seq(lex, ov), "query_id", "doc_id", topK = 5)
+          .select(col("query_id"), col("doc_id"),
+            round(col("rrf"), 6).as("rrf"), col("fused_rank"))
+          .localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
     "q_fold_assign" -> ((s, dir) =>
@@ -2593,6 +2661,40 @@ object SparkEntry {
       |FROM qt JOIN post ON qt.tok = post.tok
       |  JOIN dfq ON qt.tok = dfq.tok CROSS JOIN stats
       |GROUP BY qt.query_id, post.doc_id""".stripMargin
+
+  /** Shared by q_hybrid_rrf (in-memory rankers) and q_hybrid_stored (the
+    * stored serving path — exact, so the fused output is identical):
+    * BM25 top-10 + token-overlap top-10 per query, RRF-fused (k0=60),
+    * fused top-5 per query.
+    */
+  private val hybridRrfOracle: String = bm25OracleBase +
+    """,
+      |scored AS (
+      |  SELECT qt.query_id, post.doc_id,
+      |    round(sum(ln(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+      |      * (post.tf * (1.2 + 1))
+      |      / (post.tf + 1.2 * ((1 - 0.75) + 0.75 * post.dl / stats.avgdl))), 6) AS score
+      |  FROM qt JOIN post ON qt.tok = post.tok
+      |    JOIN dfq ON qt.tok = dfq.tok CROSS JOIN stats
+      |  GROUP BY qt.query_id, post.doc_id),
+      |lex AS (SELECT query_id, doc_id, rank FROM (
+      |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
+      |  WHERE rank <= 10),
+      |ov AS (SELECT query_id, doc_id, rank FROM (
+      |  SELECT qt.query_id, post.doc_id, row_number() OVER (
+      |      PARTITION BY qt.query_id
+      |      ORDER BY count(*) DESC, post.doc_id ASC) AS rank
+      |  FROM qt JOIN post ON qt.tok = post.tok
+      |  GROUP BY qt.query_id, post.doc_id)
+      |  WHERE rank <= 10),
+      |fused AS (SELECT query_id, doc_id, sum(1.0 / (60 + CAST(rank AS DOUBLE))) AS rrf
+      |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM ov)
+      |  GROUP BY 1, 2)
+      |SELECT query_id, doc_id, round(rrf, 6) AS rrf, fused_rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS fused_rank FROM fused)
+      |WHERE fused_rank <= 5""".stripMargin
 
   /** Shared by q_nb_classifier and q_nb_incr (merged integer counts ≡
     * full-retrain counts, so both rows produce identical doubles). The
@@ -3667,35 +3769,11 @@ object SparkEntry {
         |SELECT word, n FROM c, t
         |WHERE CAST(bef AS DOUBLE) < 0.8 * CAST(total AS DOUBLE)""".stripMargin,
 
-    "q_hybrid_rrf" ->
-      (bm25OracleBase +
-        """,
-        |scored AS (
-        |  SELECT qt.query_id, post.doc_id,
-        |    round(sum(ln(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
-        |      * (post.tf * (1.2 + 1))
-        |      / (post.tf + 1.2 * ((1 - 0.75) + 0.75 * post.dl / stats.avgdl))), 6) AS score
-        |  FROM qt JOIN post ON qt.tok = post.tok
-        |    JOIN dfq ON qt.tok = dfq.tok CROSS JOIN stats
-        |  GROUP BY qt.query_id, post.doc_id),
-        |lex AS (SELECT query_id, doc_id, rank FROM (
-        |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
-        |  WHERE rank <= 10),
-        |ov AS (SELECT query_id, doc_id, rank FROM (
-        |  SELECT qt.query_id, post.doc_id, row_number() OVER (
-        |      PARTITION BY qt.query_id
-        |      ORDER BY count(*) DESC, post.doc_id ASC) AS rank
-        |  FROM qt JOIN post ON qt.tok = post.tok
-        |  GROUP BY qt.query_id, post.doc_id)
-        |  WHERE rank <= 10),
-        |fused AS (SELECT query_id, doc_id, sum(1.0 / (60 + CAST(rank AS DOUBLE))) AS rrf
-        |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM ov)
-        |  GROUP BY 1, 2)
-        |SELECT query_id, doc_id, round(rrf, 6) AS rrf, fused_rank FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS fused_rank FROM fused)
-        |WHERE fused_rank <= 5""".stripMargin),
+    "q_hybrid_rrf" -> hybridRrfOracle,
+
+    // the stored serving composition is exact, so it shares q_hybrid_rrf's
+    // oracle verbatim (same rankers, same fusion arithmetic)
+    "q_hybrid_stored" -> hybridRrfOracle,
 
     "q_fold_assign" ->
       """SELECT doc_id, CAST(floor(
@@ -3924,6 +4002,13 @@ object SparkEntry {
     // recall@10 vs brute and the k contract are Spark-computed in-row
     "q_ann_int8" ->
       """SELECT count(*) AS n_vecs, TRUE AS recall_ok, TRUE AS k_ok
+        |FROM embeddings""".stripMargin,
+
+    // the stored serving split returns EXACTLY the in-memory int8 rows
+    // (same quantization + re-rank), so same_as_mem is a hard TRUE pin
+    "q_ann_int8_stored" ->
+      """SELECT count(*) AS n_vecs, TRUE AS recall_ok, TRUE AS k_ok,
+        |  TRUE AS same_as_mem
         |FROM embeddings""".stripMargin,
 
     // planted script/profile extremes have pinned guesses; the corpus row

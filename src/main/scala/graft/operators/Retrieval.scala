@@ -298,10 +298,17 @@ object Retrieval {
     * Exactness is unaffected: the pruned read keeps EVERY posting of each
     * query token, so candidate-derived dfs are identical to a full read.
     */
-  def bm25FromStored(spark: org.apache.spark.sql.SparkSession, path: String,
-      tokenBuckets: Int, queries: DataFrame, qTextCol: String, qIdCol: String,
-      idCol: String, k1: Double = 1.2, b: Double = 0.75,
-      maxDfFraction: Double = 1.0, maxQueryTokens: Int = 10000): DataFrame = {
+  /** The candidate postings a stored-index query touches: distinct query
+    * tokens (driver-resolved, `maxQueryTokens`-capped loudly) become a
+    * static `tb IN (...)` partition filter plus a pushed `token IN (...)`
+    * per segment — the pruned, candidate-sized read every stored serving
+    * path (BM25 scoring, overlap counting, hybrid fusion) starts from.
+    * Returns (token, doc-id, tf, dl) rows, ALL postings of each query
+    * token, so candidate-derived dfs are exact.
+    */
+  def storedQueryPostings(spark: org.apache.spark.sql.SparkSession,
+      path: String, tokenBuckets: Int, queries: DataFrame, qTextCol: String,
+      maxQueryTokens: Int = 10000): DataFrame = {
     val toks = queries
       .select(explode(array_distinct(lowTokens(col(qTextCol)))).as("token"))
       .distinct().as(spark.implicits.newStringEncoder)
@@ -318,14 +325,22 @@ object Retrieval {
       val m = h % tokenBuckets
       (if (m < 0) m + tokenBuckets else m).toInt
     }).distinct
-    val full = readIndex(spark, path, idCol)
     // prune each segment's read independently (static tb partition filter +
     // pushed token IN), then union the candidate-sized remainders
-    val postings = readPostings(spark, path, committedSegs(path))
+    readPostings(spark, path, committedSegs(path))
       .map(_.where(col("tb").isin(buckets.map(Integer.valueOf).toSeq: _*))
         .where(col("token").isin(toks.toSeq: _*))
         .drop("tb"))
-      .getOrElse(full.postings)
+      .getOrElse(readIndex(spark, path, "doc_id").postings)
+  }
+
+  def bm25FromStored(spark: org.apache.spark.sql.SparkSession, path: String,
+      tokenBuckets: Int, queries: DataFrame, qTextCol: String, qIdCol: String,
+      idCol: String, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFraction: Double = 1.0, maxQueryTokens: Int = 10000): DataFrame = {
+    val full = readIndex(spark, path, idCol)
+    val postings = storedQueryPostings(spark, path, tokenBuckets, queries,
+      qTextCol, maxQueryTokens)
     val idx = Bm25Index(postings, full.stats, idCol)
     bm25FromIndex(idx, queries, qTextCol, qIdCol, k1, b, maxDfFraction)
   }

@@ -110,8 +110,11 @@ object Scoring {
       .join(tg, Seq("p2", "p1", "w"), "left")
       .join(bg.select(col("prev").as("p2"), col("token").as("p1"),
         col("c2").as("cb_ctx")), Seq("p2", "p1"), "left")
-      .join(broadcast(bg.select(col("prev").as("p1"), col("token").as("w"),
-        col("c2").as("cb"))), Seq("p1", "w"), "left")
+      // bigram tables grow ~linearly with corpus positions, not vocabulary
+      // — like the trigram probe above, both bigram joins are left to the
+      // planner (broadcast at gate scale, shuffled hash at corpus scale)
+      .join(bg.select(col("prev").as("p1"), col("token").as("w"),
+        col("c2").as("cb")), Seq("p1", "w"), "left")
       .join(broadcast(uni.select(col("token").as("p1"), col("c1").as("c1_ctx"))),
         Seq("p1"), "left")
       .join(broadcast(uni.select(col("token").as("w"), col("c1").as("c1w"))),
@@ -286,9 +289,22 @@ object Scoring {
     */
   def naiveBayesFromCounts(counts: DataFrame,
       docClassCounts: DataFrame): NaiveBayesModel = {
+    // a degenerate one-class split would silently produce ln(0) = -Inf
+    // priors and NaN scores downstream — fail loudly instead. The guard
+    // lives IN the plan (raise_error on the one-row frame), so the model
+    // stays a lazy composable DataFrame and the check costs nothing extra.
+    val guarded = docClassCounts.select(
+      when(col("d_pos") > 0 && col("d_neg") > 0, col("d_pos"))
+        .otherwise(raise_error(concat(
+          lit("naiveBayesFromCounts needs BOTH classes non-empty, got d_pos="),
+          col("d_pos").cast("string"), lit(" d_neg="),
+          col("d_neg").cast("string"),
+          lit(" — a one-class training split is a constant, not a classifier"))))
+        .as("d_pos"),
+      col("d_neg"))
     val totals = counts.agg(sum(col("c_pos")).as("n_pos"),
       sum(col("c_neg")).as("n_neg"), count(lit(1)).as("v"))
-    val consts = totals.crossJoin(docClassCounts).select(
+    val consts = totals.crossJoin(guarded).select(
       (log(col("d_pos").cast("double")) - log(col("d_neg").cast("double")))
         .as("prior"),
       (log((col("n_neg") + col("v")).cast("double")) -

@@ -78,6 +78,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** PREPARE step of the int8 serving split: materialize the codes-only
+    * index ONCE — (idCol, codes, scale) of the L2-normalized vectors,
+    * ~4x smaller than the float corpus. [[int8TopKStored]] then scans
+    * ONLY this table per query; [[int8TopK]] (the one-shot form)
+    * re-quantizes inline per call and never realizes the footprint win.
+    */
+  def int8WriteIndex(df: DataFrame, vecCol: String, idCol: String,
+      path: String): Unit =
+    df.select(col(idCol), VectorFunctions.l2Normalize(col(vecCol)).as("__nv"))
+      .select(col(idCol),
+        VectorFunctions.int8Quantize(col("__nv")).as("codes"),
+        VectorFunctions.int8Scale(col("__nv")).as("scale"))
+      .write.mode("overwrite").parquet(path)
+
+  /** QUERY step: codes-only scan of a stored [[int8WriteIndex]] table
+    * ranks by the quantized dot, then ONLY the top oversample·k
+    * candidates join back to the float corpus (broadcast — the candidate
+    * set is driver-bounded) for the exact cosine re-rank. Identical
+    * results to [[int8TopK]] (same quantization, same re-rank, same id
+    * tie-break); the difference is purely the serving plan: per-query
+    * work is one 4x-smaller scan + a k-row broadcast join, with no
+    * re-quantization of the corpus.
+    */
+  def int8TopKStored(spark: SparkSession, path: String, floats: DataFrame,
+      vecCol: String, idCol: String, query: Array[Double], k: Int,
+      oversample: Int = 5): DataFrame = {
+    require(k > 0 && oversample >= 1, s"need k > 0, oversample >= 1")
+    val qCol = array(query.toIndexedSeq.map(lit(_)): _*)
+    val qn = VectorFunctions.l2Normalize(qCol)
+    val cands = spark.read.parquet(path)
+      .withColumn("__approx", VectorFunctions.int8Dot(col("codes"), col("scale"),
+        VectorFunctions.int8Quantize(qn), VectorFunctions.int8Scale(qn)))
+      .orderBy(col("__approx").desc, col(idCol))
+      .limit(oversample * k)
+      .select(col(idCol))
+    floats.join(broadcast(cands), Seq(idCol))
+      .select(col(idCol),
+        round(VectorFunctions.cosine(col(vecCol), qCol), 6).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact per-query top-k for a query table (broadcast). */
   def bruteForceTopKJoin(df: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, qVecCol: String, qIdCol: String, k: Int): DataFrame = {

@@ -113,4 +113,15 @@ class NaiveBayesSpec extends AnyFunSuite {
     assert(mm.tokenLlr.except(mf.tokenLlr).isEmpty &&
       mf.tokenLlr.except(mm.tokenLlr).isEmpty)
   }
+
+  test("a one-class training split fails loudly, not with -Inf priors") {
+    val s = spark; import s.implicits._
+    val oneClass = labeled.where(col("y"))
+    val m = Scoring.naiveBayesTrain(oneClass, "text", col("y"))
+    val e = intercept[Exception] { m.consts.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("non-empty")),
+      s"wanted the loud one-class message, got: ${msgs(e).mkString(" | ")}")
+  }
 }
