@@ -789,6 +789,67 @@ object SparkEntry {
         .toDF("n_planted", "planted_all_paired", "stream_eq_batch")
     }),
 
+    "q_streaming_minhash_horizon" -> ((s, dir) => {
+      // the BOUNDED-STATE regime of q_streaming_minhash (endless-crawl
+      // shape): band-bucket state remembers only ids inside the event-time
+      // watermark horizon. In-horizon planted copies must still pair
+      // across micro-batches; after the watermark passes the horizon, the
+      // old corpus's buckets are reclaimed (state tracks the horizon's
+      // arrival volume, not corpus size — the scale contract) and a late
+      // copy emits nothing (the batch backstop's job). All three pinned.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = docsDs(s, dir).collect().filter(_.text != null).sortBy(_.doc_id)
+      val maxId = docs.iterator.map(_.doc_id).max
+      val planted = docs.filter(_.doc_id % 10 == 0)
+        .map(d => (maxId + 1 + d.doc_id, d.text)).toSeq
+      def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, String)]
+      val out = graft.streaming.StreamingDedup.minhashCandidatesWithinHorizon(
+        ms.toDS().toDF("doc_id", "ts", "text"), "text", "doc_id", "ts",
+        "10 minutes", maxBucket = 8192)
+      val view = "q_streaming_minhash_horizon_sink"
+      s.catalog.dropTempView(view)
+      var lateStateRows = 0L
+      withStreamingGateConf(s, 4) {
+        val q = out.writeStream.format("memory").queryName(view)
+          .outputMode("append").start()
+        try {
+          val half = docs.length / 2
+          ms.addData(docs.take(half).map(d => (d.doc_id, t(100), d.text)).toSeq)
+          q.processAllAvailable()
+          ms.addData(docs.drop(half).map(d => (d.doc_id, t(200), d.text)).toSeq)
+          q.processAllAvailable()
+          // planted copies at t=300 — inside the 10-minute horizon
+          ms.addData(planted.map(p => (p._1, t(300), p._2)))
+          q.processAllAvailable()
+          // advance the watermark far past the horizon, then feed a late
+          // byte-copy of the smallest doc: its source's bucket state has
+          // aged out, so it must emit NO pair
+          ms.addData((maxId * 4 + 1, t(100000), "watermark advancing filler text"))
+          q.processAllAvailable()
+          ms.addData((maxId * 4 + 2, t(100001), docs.head.text))
+          q.processAllAvailable()
+          lateStateRows = q.lastProgress.stateOperators(0).numRowsTotal
+        } finally q.stop()
+      }
+      val streamed = s.table(view)
+        .select(col("_1").as("id_a"), col("_2").as("id_b")).distinct()
+        .localCheckpoint(true)
+      val pairedPlanted = streamed.where(col("id_b") > maxId)
+        .where(col("id_b") <= maxId * 2 + 1)
+        .select("id_b").distinct().count()
+      val latePaired = streamed.where(col("id_b") === maxId * 4 + 2).count()
+      // bounded: only the two past-horizon docs' buckets may remain (each
+      // at most 16 bands) — the whole pre-horizon corpus's buckets are gone
+      Seq((planted.length.toLong,
+          pairedPlanted == planted.length.toLong,
+          latePaired == 0L,
+          lateStateRows <= 34L))
+        .toDF("n_planted", "planted_all_paired", "late_unpaired", "state_bounded")
+    }),
+
     "q_streaming_loop_join" -> ((s, dir) => {
       // streaming loop join (state-dependent store, flatMapGroupsWithState):
       // events arrive in 4 event-id-quartile micro-batches, so arrival
@@ -3032,6 +3093,14 @@ object SparkEntry {
     "q_streaming_minhash" ->
       """SELECT count(*) AS n_planted, TRUE AS planted_all_paired,
         |  TRUE AS stream_eq_batch
+        |FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0""".stripMargin,
+
+    // bounded-state regime: in-horizon planted copies pair, the late copy
+    // does not, and post-horizon state is reclaimed down to the two
+    // live documents' buckets
+    "q_streaming_minhash_horizon" ->
+      """SELECT count(*) AS n_planted, TRUE AS planted_all_paired,
+        |  TRUE AS late_unpaired, TRUE AS state_bounded
         |FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0""".stripMargin,
 
     "q_streaming_loop_join" ->

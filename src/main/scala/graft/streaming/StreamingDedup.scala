@@ -75,6 +75,123 @@ object StreamingDedup {
     * star exactly; under adversarial arrival orders it is a union of
     * stars — still linear and transitively equivalent.
     */
+  /** Bounded-state form of [[minhashCandidates]] — the endless-crawl
+    * regime, completing the exact/exactWithinHorizon pairing for near-dup:
+    * band-bucket state remembers only ids whose event time is inside the
+    * watermark `horizon`, so state tracks the horizon's arrival volume
+    * instead of the whole corpus (the one state shape in the engine that
+    * otherwise grows with corpus size). Eviction is two-tier:
+    * per-arrival, a probed bucket drops remembered entries older than the
+    * current watermark; idle buckets are reclaimed WHOLE by event-time
+    * timeout when the watermark passes their newest entry. A duplicate
+    * arriving later than the horizon emits no pair here — the periodic
+    * batch backstop ([[graft.operators.Dedup.minhashVerifiedPairs]] over
+    * the accumulated corpus) catches it, the same lambda split as
+    * [[exactWithinHorizon]]. State stores (id, eventMillis) pairs —
+    * still never text or signatures.
+    *
+    * Blank documents keep the single-min-id star key; the remembered
+    * minimum also ages out past the horizon.
+    */
+  def minhashCandidatesWithinHorizon(ds: DataFrame, textCol: String,
+      idCol: String, eventTimeCol: String, horizon: String,
+      w: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      maxBucket: Int = 256): Dataset[(Long, Long)] = {
+    val numHashes = bands * rowsPerBand
+    // the event-time column itself must survive into the stateful
+    // operator's input (an expression over it would strip the watermark
+    // metadata and fail the event-time-timeout analysis check) — the
+    // plain alias keeps it
+    val base = ds.withWatermark(eventTimeCol, horizon)
+      .select(col(idCol).cast("long").as("__id"),
+        col(eventTimeCol).as("__ts"),
+        Dedup.shingleCol(col(textCol), w).as("__shg"))
+    val sig = base.where(size(col("__shg")) > 0).select(col("__id"),
+      col("__ts"), Dedup.minhashSignature(col("__shg"), numHashes).as("__sig"))
+    val blank = base.where(size(col("__shg")) === 0)
+      .select(col("__id"), col("__ts"), lit(-1).as("__band"), lit(0).as("__bandhash"))
+    val banded = sig.select(col("__id"), col("__ts"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+        .as(Seq("__band", "__bandhash")))
+      .union(blank)
+    implicit val rowEnc: Encoder[(Long, java.sql.Timestamp, Int, Int)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+        Encoders.scalaInt, Encoders.scalaInt)
+    implicit val keyEnc: Encoder[(Int, Int)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt)
+    implicit val pairEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    // state: interleaved [id0, ts0, id1, ts1, ...] — native long array
+    implicit val stateEnc: Encoder[Array[Long]] = GraftEncoders.longArray
+    banded.as[(Long, java.sql.Timestamp, Int, Int)]
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[Array[Long], (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((band, _), rows, state) =>
+          // batch invocations have no watermark (withWatermark is a no-op
+          // there): 0 disables eviction, matching the unbounded operator
+          val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L)
+          val priorAll = state.getOption.getOrElse(Array.empty[Long])
+          // evict remembered entries the watermark has passed
+          val prior = priorAll.grouped(2).filter(_.apply(1) >= wm).toArray
+          if (state.hasTimedOut) {
+            // idle bucket, every entry aged out with it (the timeout was
+            // set past the newest entry)
+            if (prior.isEmpty) state.remove()
+            else state.update(prior.flatten)
+            Iterator.empty
+          } else {
+            val newRows = rows.map(r => (r._1, r._2.getTime)).toArray
+              .groupBy(_._1).map { case (id, ts) => (id, ts.map(_._2).max) }
+              .toArray.sortBy(_._1)
+            val out = Seq.newBuilder[(Long, Long)]
+            val updated: Array[Array[Long]] =
+              if (band == -1) {
+                // blank star: remember the min id inside the horizon only
+                var cur: Option[(Long, Long)] =
+                  prior.headOption.map(e => (e(0), e(1)))
+                newRows.foreach { case (id, ts) =>
+                  cur match {
+                    case Some((mid, mts)) if mid != id =>
+                      out += ((math.min(mid, id), math.max(mid, id)))
+                      cur = Some(if (id < mid) (id, ts) else (mid, math.max(mts, ts)))
+                    case Some((mid, mts)) if mid == id =>
+                      cur = Some((mid, math.max(mts, ts)))
+                    case _ => cur = Some((id, ts))
+                  }
+                }
+                cur.toArray.map { case (i, t) => Array(i, t) }
+              } else {
+                val priorIds = prior.map(_.apply(0)).toSet
+                val bucket = scala.collection.mutable.ArrayBuffer.from(prior)
+                newRows.foreach { case (id, ts) =>
+                  if (!priorIds.contains(id)) {
+                    bucket.foreach { p =>
+                      if (p(0) != id)
+                        out += ((math.min(p(0), id), math.max(p(0), id)))
+                    }
+                    if (bucket.length < maxBucket) bucket += Array(id, ts)
+                  }
+                }
+                bucket.toArray
+              }
+            if (updated.isEmpty) state.remove()
+            else {
+              state.update(updated.flatten)
+              // reclaim the whole bucket when the watermark passes its
+              // newest remembered arrival (+horizon is already baked into
+              // the watermark definition). Batch runs have no watermark —
+              // timeouts never fire there and some Spark versions refuse
+              // the call, hence the Try.
+              val newest = updated.iterator.map(_.apply(1)).max
+              scala.util.Try(state.setTimeoutTimestamp(math.max(newest, wm) + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   def minhashCandidates(ds: DataFrame, textCol: String, idCol: String,
       w: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       maxBucket: Int = 256): Dataset[(Long, Long)] = {

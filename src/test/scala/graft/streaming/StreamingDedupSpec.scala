@@ -128,6 +128,57 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(streamed == batchPairs)
   }
 
+  test("horizon minhash: in-horizon copies pair across micro-batches; " +
+      "past-horizon state is reclaimed and late copies emit nothing") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val cands = StreamingDedup.minhashCandidatesWithinHorizon(
+      ms.toDS().toDF("id", "ts", "text"), "text", "id", "ts", "30 seconds")
+    val q = cands.writeStream.format("memory").queryName("smh_wm")
+      .outputMode("append").start()
+    try {
+      // batch 1: two sources at t=100 (away from epoch 0 — a ts equal to
+      // the initial watermark is dropped as late, a test artifact only)
+      ms.addData((1L, t(100), nearDupDocs(0)._2), (3L, t(100), nearDupDocs(2)._2))
+      q.processAllAvailable()
+      // batch 2 (t=110, inside horizon): near-dups pair across the state
+      ms.addData((2L, t(110), nearDupDocs(1)._2), (4L, t(110), nearDupDocs(3)._2))
+      q.processAllAvailable()
+      val inHorizon = spark.table("smh_wm").as[(Long, Long)].collect().toSet
+      assert(inHorizon.contains((1L, 2L)) && inHorizon.contains((3L, 4L)),
+        s"in-horizon near-dups must pair, got $inHorizon")
+      // advance the watermark far past the horizon (t=1100), then feed a
+      // byte-copy of doc 1: its source's state aged out -> NO new pair
+      ms.addData((50L, t(1100), "watermark advancing filler document text"))
+      q.processAllAvailable()
+      ms.addData((51L, t(1101), nearDupDocs(0)._2))
+      q.processAllAvailable()
+      val after = spark.table("smh_wm").as[(Long, Long)].collect().toSet
+      assert(!after.exists(p => p._2 == 51L),
+        s"late copy must not pair against evicted state, got $after")
+      // state is bounded: every pre-horizon bucket was reclaimed — the
+      // state store holds only rows from the filler/late docs
+      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows <= 2L * 16L + 2L,
+        s"state rows $stateRows not bounded by the horizon's arrivals")
+    } finally q.stop()
+  }
+
+  test("horizon minhash batch invocation (no watermark) == unbounded candidates") {
+    val s = spark; import s.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val withTs = nearDupDocs.zipWithIndex
+      .map { case ((id, tx), i) => (id, t(i.toLong), tx) }
+      .toDF("id", "ts", "text")
+    val horizon = StreamingDedup.minhashCandidatesWithinHorizon(
+      withTs, "text", "id", "ts", "30 seconds").collect().toSet
+    val unbounded = StreamingDedup.minhashCandidates(
+      nearDupDocs.toDF("id", "text"), "text", "id").collect().toSet
+    assert(horizon == unbounded)
+  }
+
   test("streaming minhash maxBucket caps state but keeps pairing against remembered ids") {
     val s = spark; import s.implicits._
     // 4 byte-identical docs in one shot with maxBucket = 2: every band
