@@ -1464,6 +1464,17 @@ object SparkEntry {
       Retrieval.bm25TopK(idx, bm25Queries(s), "qtext", "query_id", k = 3)
     }),
 
+    "q_bm25_topk_pruned" -> ((s, dir) => {
+      // WAND-lite (max-score) impact pruning: per-token ub/minc bounds
+      // derive a sound k-th-score floor θ, docs reachable only through
+      // the sub-θ token prefix are never scored — identical output to
+      // q_bm25_topk (shared oracle) with the stopword-class aggregation
+      // volume skipped
+      val idx = Retrieval.buildIndex(
+        t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id")
+      Retrieval.bm25TopKPruned(idx, bm25Queries(s), "qtext", "query_id", k = 3)
+    }),
+
     "q_bm25_incr" -> ((s, dir) => {
       // daily-ingest shape: index built on 2/3 of the corpus, the rest
       // appended WITHOUT touching existing postings (stats merged
@@ -2723,6 +2734,24 @@ object SparkEntry {
       |  JOIN dfq ON qt.tok = dfq.tok CROSS JOIN stats
       |GROUP BY qt.query_id, post.doc_id""".stripMargin
 
+  /** Shared by q_bm25_topk and q_bm25_topk_pruned (WAND-lite pruning is
+    * exact): per-query top-3 by (6dp-rounded score desc, doc_id asc).
+    */
+  private val bm25TopKOracle: String = bm25OracleBase +
+    """,
+      |scored AS (
+      |  SELECT qt.query_id, post.doc_id,
+      |    round(sum(ln(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+      |      * (post.tf * (1.2 + 1))
+      |      / (post.tf + 1.2 * ((1 - 0.75) + 0.75 * post.dl / stats.avgdl))), 6) AS score
+      |  FROM qt JOIN post ON qt.tok = post.tok
+      |    JOIN dfq ON qt.tok = dfq.tok CROSS JOIN stats
+      |  GROUP BY qt.query_id, post.doc_id)
+      |SELECT query_id, doc_id, score, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM scored)
+      |WHERE rank <= 3""".stripMargin
+
   /** Shared by q_hybrid_rrf (in-memory rankers) and q_hybrid_stored (the
     * stored serving path — exact, so the fused output is identical):
     * BM25 top-10 + token-overlap top-10 per query, RRF-fused (k0=60),
@@ -3459,21 +3488,11 @@ object SparkEntry {
     "q_bm25_stored" -> bm25OracleScored,
     "q_streaming_bm25" -> bm25OracleScored,
 
-    "q_bm25_topk" ->
-      (bm25OracleBase +
-        """,
-        |scored AS (
-        |  SELECT qt.query_id, post.doc_id,
-        |    round(sum(ln(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
-        |      * (post.tf * (1.2 + 1))
-        |      / (post.tf + 1.2 * ((1 - 0.75) + 0.75 * post.dl / stats.avgdl))), 6) AS score
-        |  FROM qt JOIN post ON qt.tok = post.tok
-        |    JOIN dfq ON qt.tok = dfq.tok CROSS JOIN stats
-        |  GROUP BY qt.query_id, post.doc_id)
-        |SELECT query_id, doc_id, score, rank FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM scored)
-        |WHERE rank <= 3""".stripMargin),
+    "q_bm25_topk" -> bm25TopKOracle,
+
+    // WAND-lite pruning is exact (docs that cannot reach or tie into the
+    // top k are never scored), so the pruned row shares the oracle verbatim
+    "q_bm25_topk_pruned" -> bm25TopKOracle,
 
     // blank docs (empty shingle sets) follow the STAR contract: one
     // (min blank id, other blank id, 1.0) row per extra blank — linear,

@@ -368,6 +368,103 @@ object Retrieval {
       .where(col("rank") <= k)
   }
 
+  /** WAND-lite (max-score) impact-pruned top-k — identical results to
+    * [[bm25TopK]], but candidate docs whose score provably cannot reach
+    * the k-th rank are never scored or aggregated. The pruning math
+    * (Turtle–Flood max-score; Broder et al. WAND, CIKM'03) runs entirely
+    * on vocabulary-sized per-token summaries:
+    *
+    *  - per query token: an upper bound `ub` on any single posting's
+    *    contribution (idf · tf-part at the token's max tf and min dl) and
+    *    a lower bound `minc` (tf = 1, the token's max dl);
+    *  - θ (a sound lower bound on the true k-th score): any token with
+    *    df ≥ k guarantees ≥ k docs scoring ≥ its `minc`, so θ is the max
+    *    such `minc` (no θ ⇒ no pruning — fewer than k matches may exist);
+    *  - non-essential tokens: the largest ub-ascending prefix whose
+    *    cumulative ub stays under θ (minus a 6dp-rounding guard): a doc
+    *    containing ONLY those tokens tops out below θ and can neither
+    *    enter nor tie into the top k. Docs with at least one essential
+    *    posting are scored EXACTLY (all their postings, so totals match
+    *    the unpruned operator bit-for-bit).
+    *
+    * At corpus scale the skipped work is the per-doc score aggregation of
+    * stopword-class posting lists — the volume-dominant part of a short
+    * query against a web corpus. Exactness is law-checked (pruned ≡
+    * unpruned on adversarial tie corpora) and gate-checked (shares
+    * q_bm25_topk's oracle).
+    */
+  def bm25TopKPruned(index: Bm25Index, queries: DataFrame, qTextCol: String,
+      qIdCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFraction: Double = 1.0): DataFrame =
+    bm25TopKPrunedDiag(index, queries, qTextCol, qIdCol, k, k1, b,
+      maxDfFraction)._1
+
+  /** [[bm25TopKPruned]] plus its surviving-candidate frame
+    * (`qIdCol`, idCol) — the docs that actually reach score aggregation —
+    * so scale probes can report the pruning ratio against the unpruned
+    * candidate count without re-deriving the internals.
+    */
+  private[graft] def bm25TopKPrunedDiag(index: Bm25Index, queries: DataFrame,
+      qTextCol: String, qIdCol: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75, maxDfFraction: Double = 1.0): (DataFrame, DataFrame) = {
+    require(k > 0, s"need k > 0, got $k")
+    val idCol = index.idCol
+    val qTok = queries
+      .select(col(qIdCol), explode(array_distinct(lowTokens(col(qTextCol)))).as("token"))
+    val cand = index.postings.join(
+      broadcast(qTok.select(col("token")).distinct()), Seq("token"), "left_semi")
+    // vocabulary-sized summaries of the candidate postings: exact df plus
+    // the extremes the bounds need
+    val summ = cand.groupBy(col("token")).agg(count(lit(1)).as("df"),
+      max(col("tf")).as("__max_tf"), min(col("dl")).as("__min_dl"),
+      max(col("dl")).as("__max_dl"))
+    val stats = index.stats.select(col("n_docs"),
+      (col("total_dl").cast("double") /
+        when(col("n_docs") > 0, col("n_docs")).otherwise(lit(1L))).as("avgdl"))
+    def tfPart(tf: Column, dl: Column): Column =
+      (tf.cast("double") * lit(k1 + 1.0)) /
+        (tf.cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) * dl / col("avgdl")))
+    val perQT = broadcast(qTok)
+      .join(broadcast(summ), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .where(col("df") <= lit(maxDfFraction) * col("n_docs"))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("__ub", col("__idf") * tfPart(col("__max_tf"), col("__min_dl")))
+      .withColumn("__minc", col("__idf") * tfPart(lit(1L), col("__max_dl")))
+    // θ per query, minus the 6dp-rounding guard (scores rank by their
+    // ROUNDED value downstream; the margin keeps a pruned doc from
+    // rounding up into a tie with the k-th)
+    val theta = perQT.groupBy(col(qIdCol))
+      .agg((max(when(col("df") >= k, col("__minc"))) - lit(1e-6)).as("__theta"))
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("__ub").asc, col("token").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val essential = perQT.join(broadcast(theta), Seq(qIdCol))
+      .withColumn("__cum", sum(col("__ub")).over(cumW))
+      .where(col("__theta").isNull || col("__cum") >= col("__theta"))
+      .select(col(qIdCol), col("token"))
+    // candidate docs: at least one essential posting; then score ALL their
+    // postings so totals are exact
+    val candDocs = broadcast(essential)
+      .join(cand.select(col("token"), col(idCol)), Seq("token"))
+      .select(col(qIdCol), col(idCol)).distinct()
+    // perQT carries the surviving (maxDfFraction-filtered) tokens and
+    // their idf — scoring joins against it so pruned and unpruned agree
+    // on exactly which tokens score
+    val scored = broadcast(perQT.select(col(qIdCol), col("token"), col("__idf")))
+      .join(cand, Seq("token"))
+      .join(candDocs, Seq(qIdCol, idCol), "left_semi")
+      .crossJoin(broadcast(stats))
+      .withColumn("__part", col("__idf") * tfPart(col("tf"), col("dl")))
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(round(sum(col("__part")), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("score").desc, col(idCol).asc)
+    (scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k), candDocs)
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) — the
     * standard way to combine heterogeneous retrievers (BM25 + dense ANN,
     * BM25 + overlap, ...): fused(q, d) = Σ_r 1/(k0 + rank_r(q, d)) over

@@ -251,6 +251,80 @@ object ScaleProbe {
             .agg(sum(col("score"))).collect().head.getDouble(0).toLong
         }
       },
+      // round-12: WAND-lite top-k vs plain top-k over the SAME prebuilt
+      // index (untimed prep, cached by path — serving-shape timing, like
+      // bm25_stored): the pruned op's scoring volume must stay top-k-
+      // shaped as the corpus grows. The pruned run also prints its
+      // candidate reduction: scored (q,doc) groups pruned vs plain.
+      "bm25_topk" -> {
+        val cache = mutable.Map.empty[String, graft.operators.Retrieval.Bm25Index]
+        p => {
+          import graft.operators.Retrieval
+          val idx = cache.getOrElseUpdate(p, {
+            val i = Retrieval.buildIndex(spark.read.parquet(p), "text", "doc_id")
+            Retrieval.Bm25Index(i.postings.localCheckpoint(true),
+              i.stats.localCheckpoint(true), i.idCol)
+          })
+          val queries = spark.createDataFrame(Seq(
+            (0, "spark window merge"), (1, "customer filter join"),
+            (2, "the and of data"), (3, "hash join order sort")))
+            .toDF("query_id", "qtext")
+          Retrieval.bm25TopK(idx, queries, "qtext", "query_id", k = 10)
+            .agg(sum(col("score"))).collect().head.getDouble(0).toLong
+        }
+      },
+      "bm25_topk_pruned" -> {
+        val cache = mutable.Map.empty[String, graft.operators.Retrieval.Bm25Index]
+        val printed = mutable.Set.empty[String]
+        p => {
+          import graft.operators.Retrieval
+          val idx = cache.getOrElseUpdate(p, {
+            val i = Retrieval.buildIndex(spark.read.parquet(p), "text", "doc_id")
+            Retrieval.Bm25Index(i.postings.localCheckpoint(true),
+              i.stats.localCheckpoint(true), i.idCol)
+          })
+          val queries = spark.createDataFrame(Seq(
+            (0, "spark window merge"), (1, "customer filter join"),
+            (2, "the and of data"), (3, "hash join order sort")))
+            .toDF("query_id", "qtext")
+          if (!printed(p)) {
+            printed += p
+            val (_, candDocs) = Retrieval.bm25TopKPrunedDiag(idx, queries,
+              "qtext", "query_id", k = 10)
+            val plainGroups = Retrieval.bm25FromIndex(idx, queries,
+              "qtext", "query_id").count()
+            // the synthetic corpus has near-uniform df (every token in
+            // ~85% of docs — no Zipf head/tail), so max-score legitimately
+            // finds nothing to prune there and candidate sets are corpus-
+            // sized for ANY engine. The Zipf variant (stopword-dominated
+            // docs, one genuinely rare term each) shows the reduction a
+            // real corpus gets on the rare+stopword query shape WAND
+            // targets: the stopword posting lists are provably
+            // non-essential, so only the rare terms' docs reach scoring.
+            val n = spark.read.parquet(p).count()
+            // rare-term df = 50 at every scale (θ needs df >= k to anchor)
+            val mod = math.max(1L, n / 50)
+            val skew = spark.range(n).select(col("id").as("doc_id"),
+              concat(lit("the of and to in a the of and the "),
+                lit("term"), pmod(col("id"), lit(mod))).as("text"))
+            val skIdx = Retrieval.buildIndex(skew, "text", "doc_id")
+            val skQ = spark.createDataFrame(Seq(
+              (0, "the of term7"), (1, "a to term13"),
+              (2, "in and term21 term22"), (3, "the term5 of and")))
+              .toDF("query_id", "qtext")
+            val (_, skCand) = Retrieval.bm25TopKPrunedDiag(skIdx, skQ,
+              "qtext", "query_id", k = 10)
+            val skPlain = Retrieval.bm25FromIndex(skIdx, skQ,
+              "qtext", "query_id").count()
+            println(f"PROBE-AUX bm25_topk_pruned $p: scored groups " +
+              f"${candDocs.count()} of $plainGroups unpruned (uniform-df " +
+              f"corpus: nothing prunable), ${skCand.count()} of $skPlain " +
+              f"(zipf rare+stopword)")
+          }
+          Retrieval.bm25TopKPruned(idx, queries, "qtext", "query_id", k = 10)
+            .agg(sum(col("score"))).collect().head.getDouble(0).toLong
+        }
+      },
       // round-11: canonical election — pair gen + components + one max_by
       // agg; must track verified-pair volume exactly like dedup_cc (the
       // election adds a corpus-linear agg, never a window)

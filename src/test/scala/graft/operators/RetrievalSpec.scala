@@ -106,6 +106,43 @@ class RetrievalSpec extends AnyFunSuite {
       again.map(r => (r.getLong(1), r.getInt(3))).toSet)
   }
 
+  test("bm25TopKPruned ≡ bm25TopK across query shapes (multi-term, " +
+      "stopword-heavy, no-match, k > matches)") {
+    val idx = Retrieval.buildIndex(docs, "text", "doc_id")
+    val queries = q(0 -> "spark join window", 1 -> "window", 2 -> "zzz",
+      3 -> "spark spark", 4 -> "spark merge window sort join batch")
+    for (k <- Seq(1, 2, 3, 10)) {
+      val plain = Retrieval.bm25TopK(idx, queries, "qtext", "query_id", k)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val pruned = Retrieval.bm25TopKPruned(idx, queries, "qtext", "query_id", k)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(pruned == plain, s"k=$k mismatch:\nplain  $plain\npruned $pruned")
+    }
+    // maxDfFraction interacts identically
+    val pf = Retrieval.bm25TopKPruned(idx, queries, "qtext", "query_id", 2,
+      maxDfFraction = 0.3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val bf = Retrieval.bm25TopK(idx, queries, "qtext", "query_id", 2,
+      maxDfFraction = 0.3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(pf == bf)
+  }
+
+  test("bm25TopKPruned ≡ bm25TopK under exact score ties at the k boundary") {
+    val s = spark; import s.implicits._
+    // many byte-identical docs: every score equal, ranking is pure id
+    // tie-break — pruning must not change which ids win
+    val same = (1L to 8L).map(i => (i, "common words shared by every doc"))
+      .toDF("doc_id", "text")
+    val idx = Retrieval.buildIndex(same, "text", "doc_id")
+    val queries = q(0 -> "common shared words")
+    val plain = Retrieval.bm25TopK(idx, queries, "qtext", "query_id", 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+    val pruned = Retrieval.bm25TopKPruned(idx, queries, "qtext", "query_id", 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+    assert(pruned == plain && plain == Set((1L, 1), (2L, 2), (3L, 3)))
+  }
+
   test("stored bucketed index: pruned read scores EXACTLY like the in-memory index") {
     val idx = Retrieval.buildIndex(docs, "text", "doc_id")
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
