@@ -2023,6 +2023,21 @@ object SparkEntry {
         TF.tokenCount(col("text")).as("n_tokens"),
         TF.subwordCount(col("text")).as("n_subwords"))),
 
+    "q_mixture_tokens" -> ((s, dir) =>
+      // the pretraining mixture table (GPT-3/Pile/LLaMA recipe): each
+      // source gets a token share of the budget; src1 truncates at its
+      // 3000-token target, src2/src3 are scarcer and wrap into repeat
+      // epochs under the cap. One membership inequality covers all
+      // regimes (Sampling.mixtureByTokens); the oracle replays the
+      // identical prefix-sum + epoch arithmetic
+      Sampling.mixtureByTokens(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          TF.tokenCount(col("text")).as("n_tokens")),
+        col("source"), col("doc_id"), col("n_tokens"),
+        Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.25),
+        tokenBudget = 6000, maxRepeat = 3)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("epoch"))),
+
     "q_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TF.charCount(col("text")).as("n_chars"),
@@ -4161,6 +4176,28 @@ object SparkEntry {
         |  len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens,
         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subwords
         |FROM documents""".stripMargin,
+
+    // replays mixtureByTokens literally: same portable uniform, same
+    // (u, doc_id-as-string) order, same exclusive per-domain prefix sum,
+    // same epoch inequality e*T_d + excum < budget*w/Σw (Σw = 1.0 exact)
+    "q_mixture_tokens" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |      / 4294967296.0 AS u
+        |  FROM documents WHERE source IN ('src1', 'src2', 'src3')),
+        |w(source, wt) AS (VALUES ('src1', 0.5), ('src2', 0.25), ('src3', 0.25)),
+        |c AS (SELECT d.doc_id, d.source, d.n_tokens,
+        |    CAST(6000 AS DOUBLE) * wt / 1.0 AS target,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY d.source
+        |      ORDER BY u, CAST(doc_id AS VARCHAR)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excum,
+        |    sum(n_tokens) OVER (PARTITION BY d.source) AS dtot
+        |  FROM d JOIN w ON d.source = w.source)
+        |SELECT doc_id, source, n_tokens, CAST(e.e AS INT) AS epoch
+        |FROM c CROSS JOIN (SELECT unnest(range(3)) AS e) e
+        |WHERE CAST(e AS DOUBLE) * CAST(dtot AS DOUBLE)
+        |  + CAST(excum AS DOUBLE) < target""".stripMargin,
 
     "q_quality" ->
       """SELECT doc_id, length(text) AS n_chars,

@@ -171,4 +171,75 @@ object Sampling {
       .limit(k)
       .drop("__wk")
   }
+
+  /** Domain-weighted corpus composition to a TOKEN budget with
+    * deterministic upsampling — the mixture table every pretraining run
+    * is built from (the GPT-3 / Pile / LLaMA recipe: each source gets a
+    * token share, scarce high-quality sources repeat for multiple epochs,
+    * the crawl is truncated): domain d's target is
+    * `tokenBudget · w_d / Σw`; within d, documents are taken in the
+    * portable hash order ([[uniformCol]], key tie-break) until the
+    * running token count reaches the target, wrapping into repeat epochs
+    * (capped at `maxRepeat`) when the domain is smaller than its share.
+    *
+    * One membership rule covers truncation, exact fit, and upsampling: a
+    * (document, epoch) pair survives iff
+    * `epoch · T_d + exclusiveCumTokens(doc) < target_d` — so raising the
+    * budget only ever ADDS pairs (monotone, law-pinned), membership is a
+    * pure function of the data (re-runs/re-shards/engines agree
+    * row-for-row), and each selected domain overshoots its target by
+    * less than one document.
+    *
+    * Output: the input row + `epoch` (0-based). Unlisted domains drop.
+    *
+    * Scale shape: the running count is the shared distributed prefix sum
+    * ([[Packing.withPrefixSum]]) over a range shuffle on (domain, u, key)
+    * — balanced by sampling, NEVER a per-domain window (a web-crawl
+    * domain at 100 TB is not a window partition); per-domain start
+    * offsets and totals are domain-count-sized broadcasts, and the epoch
+    * fan-out explodes a `sequence` capped at `maxRepeat` (selection
+    * filters it back down before anything widens).
+    */
+  def mixtureByTokens(df: DataFrame, domain: Column, key: Column,
+      tokens: Column, weights: Map[String, Double], tokenBudget: Long,
+      maxRepeat: Int = 1): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be > 0, got $tokenBudget")
+    require(maxRepeat >= 1, s"maxRepeat must be >= 1, got $maxRepeat")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixture weights must be positive")
+    val sumW = weights.values.sum
+    // target_d as the SAME double expression the oracle spells:
+    // budget * w / Σw, one multiply then one divide
+    val targetCol = weights.foldLeft(lit(Double.NaN)) { case (acc, (s, w)) =>
+      when(col("__dom") === lit(s),
+        lit(tokenBudget.toDouble) * lit(w) / lit(sumW)).otherwise(acc)
+    }
+    val base = df
+      .withColumn("__dom", domain.cast("string"))
+      .where(weights.keys.foldLeft(lit(false))((acc, s) =>
+        acc || col("__dom") === lit(s)))
+      .withColumn("__tok", tokens.cast("long"))
+      .withColumn("__u", uniformCol(key))
+      .withColumn("__key", key.cast("string"))
+    // global exclusive prefix sum in (domain, u, key) order; per-domain
+    // exclusive cum = global minus the domain's start offset
+    val cum = Packing.withPrefixSum(base, col("__tok"), "__gcum",
+      Seq(col("__dom"), col("__u"), col("__key")))
+    val domTotals = base.groupBy(col("__dom"))
+      .agg(sum(col("__tok")).as("__dtot"))
+      .withColumn("__dstart", coalesce(
+        sum(col("__dtot")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("__dom"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__dom"), col("__dtot"), col("__dstart"))
+    cum.join(broadcast(domTotals), "__dom")
+      .withColumn("__excum", col("__gcum") - col("__dstart"))
+      .withColumn("__target", targetCol)
+      .select(col("*"), explode(sequence(lit(0), lit(maxRepeat - 1))).as("epoch"))
+      .where(col("epoch").cast("double") * col("__dtot").cast("double") +
+        col("__excum").cast("double") < col("__target"))
+      .drop("__dom", "__tok", "__u", "__key", "__gcum", "__dtot",
+        "__dstart", "__excum", "__target")
+  }
 }

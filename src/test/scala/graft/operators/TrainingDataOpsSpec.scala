@@ -461,6 +461,68 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(aIds == expect)
   }
 
+  test("mixtureByTokens: targets hit within one doc, scarce domain repeats " +
+      "whole epochs, cap binds, membership is the hash prefix") {
+    // a: plentiful (truncated); b: scarce (upsampled ~2.5 epochs);
+    // c: tiny, cap binds (3 full epochs < target); d: unlisted -> dropped
+    val rows = spark.range(0, 260).select(col("id"),
+      when(col("id") < 200, "a").when(col("id") < 220, "b")
+        .when(col("id") < 225, "c").otherwise("d").as("s"),
+      (col("id") % 7 + 3).as("tok"))
+    def run(budget: Long, maxRepeat: Int) = Sampling.mixtureByTokens(
+      rows, col("s"), col("id"), col("tok"),
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), budget, maxRepeat)
+    val got = run(1000, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(!got.exists(_._2 == "d"))
+    val model = rows.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val u = (id: Long) => {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16).toDouble / 4294967296.0
+    }
+    def modelSel(budget: Long, maxRepeat: Int) = {
+      val byDom = model.filter(t => Set("a", "b", "c")(t._2))
+        .groupBy(_._2).map { case (d, rs) =>
+          d -> rs.sortBy(t => (u(t._1), t._1.toString))
+        }
+      val sumW = 1.0
+      val w = Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+      byDom.flatMap { case (d, rs) =>
+        val target = budget.toDouble * w(d) / sumW
+        val tot = rs.map(_._3).sum
+        for {
+          e <- 0 until maxRepeat
+          (r, ex) <- rs.zip(rs.scanLeft(0L)(_ + _._3).init)
+          if e.toDouble * tot + ex < target
+        } yield (r._1, d, r._3, e)
+      }.toSet
+    }
+    assert(got.toSet == modelSel(1000, 3), "spark != scanLeft model")
+    // per-domain token accounting: target hit within one doc, or capped
+    // at exactly maxRepeat full epochs
+    val perDom = got.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val totals = model.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val maxTok = 9L
+    assert(perDom("a") >= 500 - maxTok && perDom("a") < 500 + maxTok)
+    assert(perDom("b") >= 300 - maxTok && perDom("b") < 300 + maxTok)
+    assert(got.filter(_._2 == "b").map(_._4).toSet == Set(0, 1, 2),
+      "b must span full epochs 0,1 plus a partial epoch 2")
+    // c: target 200 > 3 * T_c -> the cap binds: exactly 3 FULL epochs
+    assert(totals("c") * 3 < 200, "fixture must make the cap bind")
+    assert(perDom("c") == totals("c") * 3)
+    assert(got.filter(_._2 == "c").map(_._4).toSet == Set(0, 1, 2))
+    // monotone in budget: raising it only adds (doc, epoch) pairs
+    val small = run(400, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(small.subsetOf(got.toSet))
+    // deterministic across runs
+    val again = run(1000, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(again == got.toSet)
+  }
+
   test("packSequences matches the scanLeft model, any input layout") {
     val tokens = Seq.tabulate(200)(i => (i.toLong, (i * 37 % 90 + 1).toLong))
     // model: exclusive prefix sum in id order -> (seq, offset)
