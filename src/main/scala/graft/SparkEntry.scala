@@ -335,6 +335,26 @@ object SparkEntry {
         .ds.select(col("_2._1").as("user_id"), col("_2._2").as("segment"))
     }),
 
+    "q_range_join" -> ((s, dir) => {
+      // point-in-interval join, the containment complement of the as-of:
+      // every click landing inside a same-user purchase's 1-hour window.
+      // The naive non-equi spelling nested-loops; RangeJoin bucketizes
+      // time (W = the window length, so each interval explodes to <= 2
+      // buckets) into an EQUI join + residual filter — plan-audited in
+      // RangeJoinSpec. The oracle is the naive non-equi join itself.
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      val ev = eventsDF(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("puser"),
+          col("ts").as("ps"), (col("ts") + lit(hourNs)).as("pe"))
+      operators.RangeJoin.pointInInterval(clicks, col("ts"),
+          purchases, col("ps"), col("pe"), bucketWidth = hourNs,
+          equiKeys = Seq(col("user_id") -> col("puser")))
+        .select(col("click_id"), col("purchase_id"), col("user_id"))
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       // purchases enriched with the user's most recent signup event at-or-
       // before the purchase time (DuckDB-ASOF `>=` semantics)
@@ -2926,6 +2946,14 @@ object SparkEntry {
     "q_lookup" ->
       """SELECT e.user_id, c.c_mktsegment AS segment
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+
+    // the oracle IS the naive non-equi join the operator rewrites away
+    "q_range_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ON c.user_id = p.user_id AND c.ts >= p.ts
+        |  AND c.ts < p.ts + INTERVAL 1 HOUR""".stripMargin,
 
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id, r.signup_id

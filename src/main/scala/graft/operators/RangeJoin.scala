@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join — "which intervals contain this
+  * point": sessions × events, validity windows × observations, promo
+  * windows × clicks. Spark has no native range-join operator: the naive
+  * `a.join(b, a("p") >= b("s") && a("p") < b("e"))` plans as a broadcast
+  * nested loop (or a cartesian product), both of which are quadratic
+  * scans — a scale killer the moment neither side is tiny.
+  *
+  * This is the standard bucketization rewrite (the same trick behind
+  * Databricks' range-join optimization and interval-join support in
+  * stream processors, e.g. Flink's interval join — re-expressed on plain
+  * DataFrame ops, no extension needed): pick a `bucketWidth` W in the
+  * point's units,
+  *
+  *   - each point lands in bucket `floor(p / W)` (exactly one),
+  *   - each interval [s, e) explodes to the buckets it overlaps,
+  *     `floor(s/W) .. floor((e-1)/W)`,
+  *   - the join is EQUI on bucket (plus any caller equi-keys, e.g. the
+  *     user id), planned as a shuffled hash / sort-merge join, with the
+  *     true containment `s <= p < e` as a residual post-join filter.
+  *
+  * Each matching (point, interval) pair meets in exactly ONE bucket (the
+  * point's), so no dedup pass is needed. Cost: the interval side grows by
+  * its mean span in buckets — choose W near the TYPICAL interval length
+  * so most intervals explode to 1-2 rows; a pathologically long interval
+  * costs span/W rows, never a cross product. Empty intervals (e <= s)
+  * match nothing and are dropped before the explode.
+  *
+  * The reference has no interval operator (its joins are keyed lookups
+  * and the time-ordered as-of, summingbird Service.scala leftJoin /
+  * loopJoin); this covers the complementary containment shape.
+  */
+object RangeJoin {
+
+  /** Inner point-in-interval join. `points`/`intervals` column sets must
+    * be disjoint (alias upstream if not). `equiKeys` adds equality
+    * predicates (pointKey === intervalKey) into the bucket join key —
+    * the usual "same user AND inside the window" shape.
+    *
+    * @param pt     point column on `points` (integral units: epoch
+    *               millis/nanos, offsets, ...)
+    * @param start  inclusive interval start on `intervals`
+    * @param end    EXCLUSIVE interval end on `intervals`
+    * @param bucketWidth bucket size in the same units; choose ~ the
+    *               typical interval length
+    */
+  def pointInInterval(points: DataFrame, pt: Column,
+      intervals: DataFrame, start: Column, end: Column,
+      bucketWidth: Long, equiKeys: Seq[(Column, Column)] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"points and intervals share columns ${overlap.mkString(", ")} — alias them apart")
+    val w = lit(bucketWidth)
+    val p = points.withColumn("__rjb", floor(pt.cast("long") / w))
+    val i = intervals
+      .where(end.cast("long") > start.cast("long"))
+      .withColumn("__rjb", explode(sequence(
+        floor(start.cast("long") / w), floor((end.cast("long") - 1) / w))))
+    val joinCond = equiKeys.foldLeft(p("__rjb") === i("__rjb")) {
+      case (acc, (pk, ik)) => acc && pk === ik
+    }
+    p.join(i, joinCond)
+      .where(start.cast("long") <= pt.cast("long") &&
+        pt.cast("long") < end.cast("long"))
+      .drop("__rjb")
+  }
+
+  /** Left variant: every point appears at least once; points inside no
+    * interval carry nulls on the interval side. Same plan shape — the
+    * unmatched remainder is recovered with one anti-join on the SAME
+    * bucketed equi keys (never a second range scan).
+    */
+  def pointInIntervalLeft(points: DataFrame, pt: Column,
+      intervals: DataFrame, start: Column, end: Column,
+      bucketWidth: Long, equiKeys: Seq[(Column, Column)] = Nil): DataFrame = {
+    val inner = pointInInterval(points, pt, intervals, start, end,
+      bucketWidth, equiKeys)
+    val matchedKeys = inner.select(points.columns.map(col).toIndexedSeq: _*)
+    val unmatched = points.join(matchedKeys,
+        points.columns.toSeq, "left_anti")
+    val nulls = intervals.columns.foldLeft(unmatched) {
+      case (df, c) => df.withColumn(c,
+        lit(null).cast(intervals.schema(c).dataType))
+    }
+    inner.unionByName(nulls)
+  }
+}
