@@ -355,6 +355,27 @@ object SparkEntry {
         .select(col("click_id"), col("purchase_id"), col("user_id"))
     }),
 
+    "q_interval_overlap" -> ((s, dir) => {
+      // interval × interval overlap (the second range-join shape): each
+      // purchase's 1-hour window against each same-user click's 30-minute
+      // window. Bucketized equi-join; the first-shared-bucket filter
+      // emits each overlapping pair exactly once — oracled by the naive
+      // non-equi overlap join
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      val halfNs = hourNs / 2
+      val ev = eventsDF(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("ps"), (col("ts") + lit(hourNs)).as("pe"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cuser"),
+          col("ts").as("cs"), (col("ts") + lit(halfNs)).as("ce"))
+      operators.RangeJoin.intervalOverlap(purchases, col("ps"), col("pe"),
+          clicks, col("cs"), col("ce"), bucketWidth = hourNs,
+          equiKeys = Seq(col("user_id") -> col("cuser")))
+        .select(col("purchase_id"), col("click_id"), col("user_id"))
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       // purchases enriched with the user's most recent signup event at-or-
       // before the purchase time (DuckDB-ASOF `>=` semantics)
@@ -1524,12 +1545,13 @@ object SparkEntry {
     }),
 
     "q_streaming_bm25" -> ((s, dir) => {
-      // streaming index maintenance: the corpus arrives in 3 doc_id-sliced
-      // micro-batches, each appended to the STORED index inside
-      // foreachBatch (new posting files + stats roll-forward only — the
-      // index stays serveable between batches); the final index must score
-      // identically to a full batch rebuild, so this row also shares
-      // q_bm25's oracle verbatim
+      // the FULL stored-index maintenance lifecycle: the corpus arrives in
+      // 3 doc_id-sliced micro-batches, each committed as a new index
+      // segment inside foreachBatch (the index stays serveable between
+      // batches), then the maintenance-cadence COMPACTION folds the
+      // segments into one (atomic commit-log flip), and scoring runs off
+      // the compacted index. Every stage is exact, so this row still
+      // shares q_bm25's oracle verbatim
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val docs = docsDs(s, dir).collect()
@@ -1553,6 +1575,7 @@ object SparkEntry {
             }
           } finally q.stop()
         }
+        Retrieval.compactStored(s, tmp, tokenBuckets = 16)
         Retrieval.bm25FromStored(s, tmp, tokenBuckets = 16,
           bm25Queries(s), "qtext", "query_id", "doc_id").localCheckpoint(true)
       } finally graft.batch.BatchState.deleteDir(tmp)
@@ -2953,6 +2976,15 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |ON c.user_id = p.user_id AND c.ts >= p.ts
+        |  AND c.ts < p.ts + INTERVAL 1 HOUR""".stripMargin,
+
+    // naive non-equi overlap join: [p, p+1h) and [c, c+30m) intersect
+    "q_interval_overlap" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ON p.user_id = c.user_id
+        |  AND p.ts < c.ts + INTERVAL 30 MINUTE
         |  AND c.ts < p.ts + INTERVAL 1 HOUR""".stripMargin,
 
     "q_asof_join" ->

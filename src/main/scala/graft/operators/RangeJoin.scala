@@ -32,7 +32,11 @@ import org.apache.spark.sql.functions._
   *
   * The reference has no interval operator (its joins are keyed lookups
   * and the time-ordered as-of, summingbird Service.scala leftJoin /
-  * loopJoin); this covers the complementary containment shape.
+  * loopJoin); this covers the complementary containment shape. The
+  * STREAMING form of the same containment is
+  * [[graft.streaming.StreamingJoin.leftJoinBuffered]] — Structured
+  * Streaming's native event-time range condition plays the bucket
+  * rewrite's role there (state-store pruning by watermark).
   */
 object RangeJoin {
 
@@ -67,6 +71,40 @@ object RangeJoin {
     p.join(i, joinCond)
       .where(start.cast("long") <= pt.cast("long") &&
         pt.cast("long") < end.cast("long"))
+      .drop("__rjb")
+  }
+
+  /** Interval-overlap join — "which intervals intersect": [s1,e1) and
+    * [s2,e2) overlap iff `s1 < e2 && s2 < e1`. Same bucketization as
+    * [[pointInInterval]], with the classic one-bucket-per-pair trick: an
+    * overlapping pair shares every bucket in the intersection, so emit it
+    * only in the FIRST bucket both cover — `max(floor(s1/W), floor(s2/W))`
+    * — making the equi-join + filter emit each pair exactly once with no
+    * dedup pass. Cost stays (span/W) rows per interval per side.
+    */
+  def intervalOverlap(left: DataFrame, lStart: Column, lEnd: Column,
+      right: DataFrame, rStart: Column, rEnd: Column,
+      bucketWidth: Long, equiKeys: Seq[(Column, Column)] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    val overlapCols = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlapCols.isEmpty,
+      s"left and right share columns ${overlapCols.mkString(", ")} — alias them apart")
+    val w = lit(bucketWidth)
+    def exploded(df: DataFrame, s: Column, e: Column): DataFrame = df
+      .where(e.cast("long") > s.cast("long"))
+      .withColumn("__rjb", explode(sequence(
+        floor(s.cast("long") / w), floor((e.cast("long") - 1) / w))))
+    val l = exploded(left, lStart, lEnd)
+    val r = exploded(right, rStart, rEnd)
+    val joinCond = equiKeys.foldLeft(l("__rjb") === r("__rjb")) {
+      case (acc, (lk, rk)) => acc && lk === rk
+    }
+    l.join(r, joinCond)
+      .where(lStart.cast("long") < rEnd.cast("long") &&
+        rStart.cast("long") < lEnd.cast("long"))
+      // first shared bucket: each overlapping pair is emitted exactly once
+      .where(l("__rjb") === greatest(
+        floor(lStart.cast("long") / w), floor(rStart.cast("long") / w)))
       .drop("__rjb")
   }
 

@@ -74,6 +74,48 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got.count() == inner + 1) // only point 5 is unmatched
   }
 
+  private lazy val ivs2 = {
+    val s = spark; import s.implicits._
+    // [0,10) touches [10,25) (no overlap); [20,30) overlaps [10,25);
+    // [5,995) long interval overlaps most; [40,41) tiny
+    Seq((10L, 5L, 0L, 10L), (20L, 5L, 20L, 30L), (30L, 6L, 5L, 995L),
+      (40L, 5L, 40L, 41L)).toDF("jid", "juser", "s2", "e2")
+  }
+
+  test("intervalOverlap equals the naive overlap join, exactly once per pair") {
+    def naiveOv(withKeys: Boolean) = {
+      // empty intervals overlap nothing (the naive < conditions alone
+      // would vacuously match them against containing intervals)
+      val cond0 = ivs("s") < ivs2("e2") && ivs2("s2") < ivs("e") &&
+        ivs("e") > ivs("s") && ivs2("e2") > ivs2("s2")
+      val cond = if (withKeys) cond0 && ivs("iuser") === ivs2("juser") else cond0
+      ivs.join(ivs2, cond).select(col("iid"), col("jid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    for (w <- Seq(1L, 7L, 16L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(ivs, col("s"), col("e"),
+        ivs2, col("s2"), col("e2"), bucketWidth = w)
+        .select(col("iid"), col("jid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSet == naiveOv(withKeys = false), s"W=$w")
+      assert(got.length == got.toSet.size,
+        s"W=$w emitted a pair more than once: ${got.mkString(",")}")
+    }
+    // half-open: [0,10) and [10,25) touch but do NOT overlap
+    val got16 = RangeJoin.intervalOverlap(ivs, col("s"), col("e"),
+      ivs2, col("s2"), col("e2"), bucketWidth = 16)
+      .select(col("iid"), col("jid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got16.contains((100L, 10L)))
+    // keys restrict
+    val keyed = RangeJoin.intervalOverlap(ivs, col("s"), col("e"),
+      ivs2, col("s2"), col("e2"), bucketWidth = 16,
+      equiKeys = Seq(col("iuser") -> col("juser")))
+      .select(col("iid"), col("jid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keyed == naiveOv(withKeys = true))
+  }
+
   test("plans as an equi join + residual filter — no nested loop, no cartesian") {
     val joined = RangeJoin.pointInInterval(pts, col("p"), ivs, col("s"), col("e"),
       bucketWidth = 16, equiKeys = Seq(col("puser") -> col("iuser")))
