@@ -1854,6 +1854,58 @@ object SparkEntry {
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
+    "q_streaming_ann" -> ((s, dir) => {
+      // streaming ANN index maintenance — the embedding-side counterpart
+      // of q_streaming_bm25's lifecycle: vectors arrive in 3 vec_id-sliced
+      // micro-batches, each committed as a new codes segment inside
+      // foreachBatch (int8AppendToStored; the index stays serveable
+      // between batches), compaction folds the segments, and the served
+      // top-k must EXACTLY equal the one-shot in-memory int8TopK —
+      // pinned alongside q_ann_int8's recall/k invariants
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val e = t(s, dir, "embeddings")
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val rows = e.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ann_stream_").toString
+      try {
+        Similarity.int8WriteIndex(e.select("vec_id", "embedding").limit(0),
+          "embedding", "vec_id", tmp)
+        val writer = graft.streaming.StreamingIO.fanout(
+          ms.toDS().toDF("vec_id", "embedding"))(Seq(
+          (b, _) => Similarity.int8AppendToStored(s, tmp, b, "embedding", "vec_id")))
+        withStreamingGateConf(s, 4) {
+          val sq = writer.start()
+          try {
+            (0 until 3).foreach { i =>
+              ms.addData(rows.iterator.filter(_._1 % 3 == i).toSeq)
+              sq.processAllAvailable()
+            }
+          } finally sq.stop()
+        }
+        Similarity.int8CompactStored(s, tmp)
+        val stored = Similarity.int8TopKStored(s, tmp, e, "embedding",
+          "vec_id", q, 10).localCheckpoint(true)
+        val mem = Similarity.int8TopK(e, "embedding", "vec_id", q, 10)
+        val nDiff = stored.exceptAll(mem).unionByName(mem.exceptAll(stored))
+          .agg(count(lit(1)).as("nd"))
+        val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10)
+          .select(col("vec_id"))
+        val hit = stored.join(exact, "vec_id").agg(count(lit(1)).as("hits"))
+        val kc = stored.agg(count(lit(1)).as("kc"))
+        e.agg(count(lit(1)).as("n_vecs"))
+          .crossJoin(broadcast(hit)).crossJoin(broadcast(kc))
+          .crossJoin(broadcast(nDiff))
+          .select(col("n_vecs"),
+            (col("hits") >= 9).as("recall_ok"), (col("kc") === 10).as("k_ok"),
+            (col("nd") === 0).as("same_as_mem"))
+          .localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
     "q_ann_lsh" -> ((s, dir) => {
       // LSH ANN with a self-hit invariant oracle: each query vector IS a
       // table row, so it lands in its own bucket (multi-probe includes the
@@ -4170,6 +4222,13 @@ object SparkEntry {
     // the stored serving split returns EXACTLY the in-memory int8 rows
     // (same quantization + re-rank), so same_as_mem is a hard TRUE pin
     "q_ann_int8_stored" ->
+      """SELECT count(*) AS n_vecs, TRUE AS recall_ok, TRUE AS k_ok,
+        |  TRUE AS same_as_mem
+        |FROM embeddings""".stripMargin,
+
+    // streaming ingest + compaction are exact (per-vector rows are
+    // independent), so the lifecycle row pins the same four invariants
+    "q_streaming_ann" ->
       """SELECT count(*) AS n_vecs, TRUE AS recall_ok, TRUE AS k_ok,
         |  TRUE AS same_as_mem
         |FROM embeddings""".stripMargin,

@@ -135,47 +135,26 @@ object Retrieval {
     postings.withColumn("tb",
       pmod(xxhash64(col("token")), lit(tokenBuckets)).cast("int"))
 
-  /* Stored layout — log-structured segments under a commit log (the
-   * BatchStore pattern, reference summingbird-batch VersionedBatchStore
-   * semantics: write everything into a NEW version, flip a tiny commit
-   * marker last, readers resolve only committed versions):
+  /* Stored layout — log-structured segments under the shared commit log
+   * ([[graft.batch.SegmentedStore]]: crash-consistency, writer
+   * exclusivity, and sweep semantics documented there):
    *
    *   path/_graft_state.json      commit log: committed segment ids
    *   path/seg=N/postings/tb=.../ this segment's postings, token-bucketed
    *   path/seg=N/stats/           ONE row: this segment's (n_docs, total_dl)
    *                               DELTA; readers sum deltas across segments
    *
-   * Every mutation (bootstrap write, micro-batch append, compaction) lands
-   * in a fresh `seg=N` directory and becomes visible only via an atomic
-   * commit-log rename, so it is object-store-safe (no directory renames of
-   * data — object stores fake renames as copy+delete) and crash-consistent:
-   * a writer dying mid-segment leaves an UNCOMMITTED dir that readers never
-   * resolve and the next writer of that id overwrites. Postings and stats
-   * can never tear apart — they sit in the same segment and commit together.
-   *
-   * Writer exclusivity: mutations assume ONE writer at a time (the
-   * streaming path serializes appends through foreachBatch; compaction runs
-   * on the maintenance cadence of the same owner). Concurrent readers are
-   * safe against appends (old state stays resolvable); compaction deletes
-   * superseded segments immediately after commit, so a reader mid-scan
-   * across a compaction can lose files on a local FS — on an object store
-   * the standard mitigation is a deletion grace period.
+   * Postings and stats sit in the same segment, so they can never tear
+   * apart — they commit together on the log flip.
    */
-  private def segDir(path: String, id: Long) = s"$path/seg=$id"
+  private def segDir(path: String, id: Long) =
+    graft.batch.SegmentedStore.segDir(path, id)
 
   private def committedSegs(path: String): List[Long] =
-    graft.batch.BatchState.read(path).committed.sorted
+    graft.batch.SegmentedStore.committedSegs(path)
 
-  /** A segment written from an empty batch has no posting files at all
-    * (only a write marker) — readers must skip it or parquet schema
-    * inference fails. Local-FS listing; `FileSystem.listStatus` on a
-    * cluster, same note as [[graft.batch.BatchState.deleteDir]].
-    */
-  private def hasParquetFiles(dir: java.io.File): Boolean = {
-    val kids = Option(dir.listFiles()).getOrElse(Array.empty)
-    kids.exists(f => f.isFile && f.getName.endsWith(".parquet")) ||
-      kids.exists(f => f.isDirectory && hasParquetFiles(f))
-  }
+  private def hasParquetFiles(dir: java.io.File): Boolean =
+    graft.batch.SegmentedStore.hasParquetFiles(dir)
 
   /** Union of the committed segments' postings, each root read separately
     * (one shared root would make Spark infer `seg=` itself as a partition
@@ -192,17 +171,6 @@ object Retrieval {
       .reduce(_ unionByName _))
   }
 
-  /** Delete every `seg=*` dir not in the commit log: uncommitted partials
-    * from a crashed writer and segments superseded by a compaction.
-    */
-  private def sweepUncommitted(path: String): Unit = {
-    val live = committedSegs(path).map(id => s"seg=$id").toSet
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("seg=") &&
-        !live.contains(f.getName))
-      .foreach(f => graft.batch.BatchState.deleteDir(f.toString))
-  }
-
   private def writeSegment(index: Bm25Index, path: String, id: Long,
       tokenBuckets: Int): Unit = {
     withBucket(index.postings, tokenBuckets)
@@ -217,10 +185,9 @@ object Retrieval {
     */
   def writeIndex(index: Bm25Index, path: String, tokenBuckets: Int): Unit = {
     require(tokenBuckets >= 1, s"tokenBuckets must be >= 1, got $tokenBuckets")
-    val id = committedSegs(path).lastOption.getOrElse(0L) + 1
+    val id = graft.batch.SegmentedStore.nextId(path)
     writeSegment(index, path, id, tokenBuckets)
-    graft.batch.BatchState.write(path, graft.batch.BatchState(List(id)))
-    sweepUncommitted(path)
+    graft.batch.SegmentedStore.commitReplaceAll(path, id)
   }
 
   /** Ingest a (disjoint-id) batch into a STORED index as a NEW committed
@@ -238,7 +205,7 @@ object Retrieval {
       s"appendToStored: no committed index at $path — bootstrap with writeIndex first")
     val id = committed.last + 1
     writeSegment(buildIndex(newDocs, textCol, idCol), path, id, tokenBuckets)
-    graft.batch.BatchState.commit(path, graft.time.BatchID(id))
+    graft.batch.SegmentedStore.commitAppend(path, id)
   }
 
   /** Compact a stored index: streaming ingest leaves one segment per
@@ -260,8 +227,7 @@ object Retrieval {
       .parquet(s"${segDir(path, id)}/postings")
     idx.stats.coalesce(1).write.mode("overwrite")
       .parquet(s"${segDir(path, id)}/stats")
-    graft.batch.BatchState.write(path, graft.batch.BatchState(List(id)))
-    sweepUncommitted(path)
+    graft.batch.SegmentedStore.commitReplaceAll(path, id)
   }
 
   /** Full (unpruned) read of a stored index: postings unioned across the

@@ -79,18 +79,75 @@ object Similarity {
   }
 
   /** PREPARE step of the int8 serving split: materialize the codes-only
-    * index ONCE — (idCol, codes, scale) of the L2-normalized vectors,
-    * ~4x smaller than the float corpus. [[int8TopKStored]] then scans
-    * ONLY this table per query; [[int8TopK]] (the one-shot form)
-    * re-quantizes inline per call and never realizes the footprint win.
+    * index — (idCol, codes, scale) of the L2-normalized vectors, ~4x
+    * smaller than the float corpus. [[int8TopKStored]] then scans ONLY
+    * this table per query; [[int8TopK]] (the one-shot form) re-quantizes
+    * inline per call and never realizes the footprint win.
+    *
+    * Stored layout: log-structured segments under the shared commit log
+    * ([[graft.batch.SegmentedStore]] — same crash-consistency contract as
+    * the stored BM25 index): `path/seg=N/codes`. [[int8WriteIndex]]
+    * bootstraps/replaces; [[int8AppendToStored]] is the per-micro-batch
+    * maintenance path (per-vector rows are independent, so append ≡
+    * rebuild on the union); [[int8CompactStored]] folds segments back to
+    * one on the maintenance cadence.
     */
   def int8WriteIndex(df: DataFrame, vecCol: String, idCol: String,
-      path: String): Unit =
+      path: String): Unit = {
+    val id = graft.batch.SegmentedStore.nextId(path)
+    int8Codes(df, vecCol, idCol)
+      .write.mode("overwrite")
+      .parquet(s"${graft.batch.SegmentedStore.segDir(path, id)}/codes")
+    graft.batch.SegmentedStore.commitReplaceAll(path, id)
+  }
+
+  private def int8Codes(df: DataFrame, vecCol: String, idCol: String): DataFrame =
     df.select(col(idCol), VectorFunctions.l2Normalize(col(vecCol)).as("__nv"))
       .select(col(idCol),
         VectorFunctions.int8Quantize(col("__nv")).as("codes"),
         VectorFunctions.int8Scale(col("__nv")).as("scale"))
-      .write.mode("overwrite").parquet(path)
+
+  /** Ingest a (disjoint-id) vector batch into a STORED codes index as a
+    * NEW committed segment — the streaming maintenance path (call from
+    * `foreachBatch`); the index stays serveable between micro-batches and
+    * a crash before the commit-log flip leaves it exactly as it was.
+    */
+  def int8AppendToStored(spark: SparkSession, path: String,
+      newVecs: DataFrame, vecCol: String, idCol: String): Unit = {
+    val committed = graft.batch.SegmentedStore.committedSegs(path)
+    require(committed.nonEmpty,
+      s"int8AppendToStored: no committed index at $path — bootstrap with int8WriteIndex")
+    val id = committed.last + 1
+    int8Codes(newVecs, vecCol, idCol)
+      .write.mode("overwrite")
+      .parquet(s"${graft.batch.SegmentedStore.segDir(path, id)}/codes")
+    graft.batch.SegmentedStore.commitAppend(path, id)
+  }
+
+  /** Fold all committed segments into one (point-read latency degrades
+    * with file count), atomically re-point the commit log, sweep.
+    */
+  def int8CompactStored(spark: SparkSession, path: String): Unit = {
+    val all = readInt8Index(spark, path)
+    val id = graft.batch.SegmentedStore.committedSegs(path).last + 1
+    all.write.mode("overwrite")
+      .parquet(s"${graft.batch.SegmentedStore.segDir(path, id)}/codes")
+    graft.batch.SegmentedStore.commitReplaceAll(path, id)
+  }
+
+  /** Union of the committed segments' codes (each root read separately,
+    * empty bootstrap segments skipped).
+    */
+  def readInt8Index(spark: SparkSession, path: String): DataFrame = {
+    val segs = graft.batch.SegmentedStore.committedSegs(path)
+    require(segs.nonEmpty, s"readInt8Index: no committed index at $path")
+    val live = segs.filter(id => graft.batch.SegmentedStore.hasParquetFiles(
+      new java.io.File(s"${graft.batch.SegmentedStore.segDir(path, id)}/codes")))
+    require(live.nonEmpty, s"readInt8Index: index at $path holds no vectors")
+    live.map(id => spark.read.parquet(
+        s"${graft.batch.SegmentedStore.segDir(path, id)}/codes"))
+      .reduce(_ unionByName _)
+  }
 
   /** QUERY step: codes-only scan of a stored [[int8WriteIndex]] table
     * ranks by the quantized dot, then ONLY the top oversample·k
@@ -107,7 +164,7 @@ object Similarity {
     require(k > 0 && oversample >= 1, s"need k > 0, oversample >= 1")
     val qCol = array(query.toIndexedSeq.map(lit(_)): _*)
     val qn = VectorFunctions.l2Normalize(qCol)
-    val cands = spark.read.parquet(path)
+    val cands = readInt8Index(spark, path)
       .withColumn("__approx", VectorFunctions.int8Dot(col("codes"), col("scale"),
         VectorFunctions.int8Quantize(qn), VectorFunctions.int8Scale(qn)))
       .orderBy(col("__approx").desc, col(idCol))

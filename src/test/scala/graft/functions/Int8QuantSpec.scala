@@ -77,6 +77,47 @@ class Int8QuantSpec extends AnyFunSuite {
       s"recall ${(approx & exact).size}/10: approx=$approx exact=$exact")
   }
 
+  test("stored int8 index: append ≡ rebuild, compaction preserves results, " +
+      "uncommitted segment invisible, stored query ≡ one-shot") {
+    import graft.operators.Similarity
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(0.1 * i + d).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = Array.tabulate(16)(d => math.cos(0.05 + d))
+    val mem = Similarity.int8TopK(df, "embedding", "vec_id", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+
+    // incremental build: bootstrap one third, append the other two
+    val dir = java.nio.file.Files.createTempDirectory("graft_int8_seg").toString
+    Similarity.int8WriteIndex(df.where(col("vec_id") % 3 === 0),
+      "embedding", "vec_id", dir)
+    (1 until 3).foreach { i =>
+      Similarity.int8AppendToStored(spark, dir,
+        df.where(col("vec_id") % 3 === i), "embedding", "vec_id")
+    }
+    def stored() = Similarity.int8TopKStored(spark, dir, df, "embedding",
+      "vec_id", q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(stored() == mem, "incrementally built stored index != one-shot")
+
+    // a poisoned UNCOMMITTED segment never surfaces
+    val orphan = Seq((9999L, Array.fill(16)(1.0f))).toDF("vec_id", "embedding")
+    orphan.select(col("vec_id"),
+        graft.functions.VectorFunctions.int8Quantize(col("embedding")).as("codes"),
+        lit(1.0).as("scale"))
+      .write.mode("overwrite").parquet(s"$dir/seg=99/codes")
+    assert(stored() == mem, "uncommitted segment leaked into serving")
+    graft.batch.BatchState.deleteDir(s"$dir/seg=99")
+
+    // compaction: one live segment afterwards, results identical
+    Similarity.int8CompactStored(spark, dir)
+    val live = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg="))
+    assert(live.length == 1, live.map(_.getName).mkString(","))
+    assert(stored() == mem, "compaction changed results")
+    graft.batch.BatchState.deleteDir(dir)
+  }
+
   test("int8Dot approximates the true dot within the quantization error budget") {
     val pairs = vecs.where(col("vec_id") === 1L)
       .crossJoin(vecs.where(col("vec_id") === 2L)
