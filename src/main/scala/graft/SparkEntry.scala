@@ -2362,16 +2362,21 @@ object SparkEntry {
       try {
         Retrieval.writeIndex(Retrieval.buildIndex(docs, "text", "doc_id"),
           tmp, tokenBuckets = 16)
-        val scored = Retrieval.bm25FromStored(s, tmp, 16,
-          bm25Queries(s), "qtext", "query_id", "doc_id")
+        // ONE pruned candidate-postings read feeds BOTH rankers:
+        // materialize it (candidate-sized), rebuild a Bm25Index around it
+        // for BM25 scoring, and count token overlaps from the same rows
+        val post = Retrieval.storedQueryPostings(s, tmp, 16,
+          bm25Queries(s), "qtext").localCheckpoint(true)
+        val stats = Retrieval.readIndex(s, tmp, "doc_id").stats
+        val scored = Retrieval.bm25FromIndex(
+          Retrieval.Bm25Index(post, stats, "doc_id"),
+          bm25Queries(s), "qtext", "query_id")
         val lexW = Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("doc_id").asc)
         val lex = scored.withColumn("rank", row_number().over(lexW))
           .where(col("rank") <= 10).select("query_id", "doc_id", "rank")
         val qTok = bm25Queries(s).select(col("query_id"),
           explode(array_distinct(TF.tokens(lower(col("qtext"))))).as("token"))
-        val post = Retrieval.storedQueryPostings(s, tmp, 16,
-          bm25Queries(s), "qtext")
         val ovW = Window.partitionBy(col("query_id"))
           .orderBy(col("ov").desc, col("doc_id").asc)
         val ov = post.join(broadcast(qTok), "token")

@@ -119,8 +119,12 @@ object RangeJoin {
     val inner = pointInInterval(points, pt, intervals, start, end,
       bucketWidth, equiKeys)
     val matchedKeys = inner.select(points.columns.map(col).toIndexedSeq: _*)
-    val unmatched = points.join(matchedKeys,
-        points.columns.toSeq, "left_anti")
+    // NULL-SAFE anti-join: plain column-name equality is null-unsafe, so a
+    // matched point carrying a null payload column would ALSO surface as a
+    // spurious null-padded "unmatched" row
+    val m = matchedKeys.toDF(points.columns.map(c => s"__m_$c").toIndexedSeq: _*)
+    val antiCond = points.columns.map(c => points(c) <=> m(s"__m_$c")).reduce(_ && _)
+    val unmatched = points.join(m, antiCond, "left_anti")
     val nulls = intervals.columns.foldLeft(unmatched) {
       case (df, c) => df.withColumn(c,
         lit(null).cast(intervals.schema(c).dataType))

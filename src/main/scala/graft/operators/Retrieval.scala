@@ -237,17 +237,26 @@ object Retrieval {
       idCol: String): Bm25Index = {
     val segs = committedSegs(path)
     require(segs.nonEmpty, s"readIndex: no committed index at $path")
+    readIndexSegs(spark, path, segs, idCol)
+  }
+
+  /** Never-indexed corpus: canonical empty postings frame (long ids —
+    * the engine-wide id convention).
+    */
+  private def emptyPostings(spark: org.apache.spark.sql.SparkSession,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("token", StringType),
+        StructField(idCol, LongType), StructField("tf", LongType),
+        StructField("dl", IntegerType))))
+  }
+
+  private def readIndexSegs(spark: org.apache.spark.sql.SparkSession,
+      path: String, segs: List[Long], idCol: String): Bm25Index = {
     val postings = readPostings(spark, path, segs)
       .map(_.drop("tb"))
-      .getOrElse {
-        // never-indexed corpus: canonical empty postings frame (long ids —
-        // the engine-wide id convention)
-        import org.apache.spark.sql.types._
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("token", StringType),
-            StructField(idCol, LongType), StructField("tf", LongType),
-            StructField("dl", IntegerType))))
-      }
+      .getOrElse(emptyPostings(spark, idCol))
     val stats = segs.map(id => spark.read.parquet(s"${segDir(path, id)}/stats"))
       .reduce(_ unionByName _)
       .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
@@ -274,7 +283,13 @@ object Retrieval {
     */
   def storedQueryPostings(spark: org.apache.spark.sql.SparkSession,
       path: String, tokenBuckets: Int, queries: DataFrame, qTextCol: String,
-      maxQueryTokens: Int = 10000): DataFrame = {
+      maxQueryTokens: Int = 10000, idCol: String = "doc_id"): DataFrame =
+    storedQueryPostingsSegs(spark, path, committedSegs(path), tokenBuckets,
+      queries, qTextCol, maxQueryTokens, idCol)
+
+  private def storedQueryPostingsSegs(spark: org.apache.spark.sql.SparkSession,
+      path: String, segs: List[Long], tokenBuckets: Int, queries: DataFrame,
+      qTextCol: String, maxQueryTokens: Int, idCol: String): DataFrame = {
     val toks = queries
       .select(explode(array_distinct(lowTokens(col(qTextCol)))).as("token"))
       .distinct().as(spark.implicits.newStringEncoder)
@@ -293,20 +308,26 @@ object Retrieval {
     }).distinct
     // prune each segment's read independently (static tb partition filter +
     // pushed token IN), then union the candidate-sized remainders
-    readPostings(spark, path, committedSegs(path))
+    readPostings(spark, path, segs)
       .map(_.where(col("tb").isin(buckets.map(Integer.valueOf).toSeq: _*))
         .where(col("token").isin(toks.toSeq: _*))
         .drop("tb"))
-      .getOrElse(readIndex(spark, path, "doc_id").postings)
+      .getOrElse(emptyPostings(spark, idCol))
   }
 
   def bm25FromStored(spark: org.apache.spark.sql.SparkSession, path: String,
       tokenBuckets: Int, queries: DataFrame, qTextCol: String, qIdCol: String,
       idCol: String, k1: Double = 1.2, b: Double = 0.75,
       maxDfFraction: Double = 1.0, maxQueryTokens: Int = 10000): DataFrame = {
-    val full = readIndex(spark, path, idCol)
-    val postings = storedQueryPostings(spark, path, tokenBuckets, queries,
-      qTextCol, maxQueryTokens)
+    // ONE commit-log resolution shared by the stats and postings reads —
+    // two independent resolutions could tear across a concurrent append
+    // (stats over segments 1..N, postings over 1..N+1), a state matching
+    // no committed snapshot
+    val segs = committedSegs(path)
+    require(segs.nonEmpty, s"bm25FromStored: no committed index at $path")
+    val full = readIndexSegs(spark, path, segs, idCol)
+    val postings = storedQueryPostingsSegs(spark, path, segs, tokenBuckets,
+      queries, qTextCol, maxQueryTokens, idCol)
     val idx = Bm25Index(postings, full.stats, idCol)
     bm25FromIndex(idx, queries, qTextCol, qIdCol, k1, b, maxDfFraction)
   }
@@ -417,12 +438,17 @@ object Retrieval {
       .select(col(qIdCol), col(idCol)).distinct()
     // perQT carries the surviving (maxDfFraction-filtered) tokens and
     // their idf — scoring joins against it so pruned and unpruned agree
-    // on exactly which tokens score
+    // on exactly which tokens score. The per-posting expression below is
+    // the BYTE-IDENTICAL association bm25FromIndex uses — (idf * num) /
+    // denom, never idf * (num / denom) — so the summed doubles (and
+    // therefore the 6dp rounding and rank tie-breaks) match bit-for-bit.
     val scored = broadcast(perQT.select(col(qIdCol), col("token"), col("__idf")))
       .join(cand, Seq("token"))
       .join(candDocs, Seq(qIdCol, idCol), "left_semi")
       .crossJoin(broadcast(stats))
-      .withColumn("__part", col("__idf") * tfPart(col("tf"), col("dl")))
+      .withColumn("__part", col("__idf") *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy(col(qIdCol), col(idCol))
       .agg(round(sum(col("__part")), 6).as("score"))
     val w = org.apache.spark.sql.expressions.Window

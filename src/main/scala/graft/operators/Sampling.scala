@@ -225,7 +225,10 @@ object Sampling {
     // exclusive cum = global minus the domain's start offset
     val cum = Packing.withPrefixSum(base, col("__tok"), "__gcum",
       Seq(col("__dom"), col("__u"), col("__key")))
-    val domTotals = base.groupBy(col("__dom"))
+    // aggregate totals from the prefix sum's CHECKPOINTED output, not from
+    // `base` — a second pass over base would re-scan the corpus and
+    // re-evaluate the md5 uniform the checkpoint already paid for
+    val domTotals = cum.groupBy(col("__dom"))
       .agg(sum(col("__tok")).as("__dtot"))
       .withColumn("__dstart", coalesce(
         sum(col("__dtot")).over(

@@ -18,6 +18,13 @@ object CsvLines {
     * into each other across a round-trip — fatal ambiguity for corpus
     * text columns where "" (an empty document) and null (no value)
     * mean different things.
+    *
+    * Known plain-path limitation (inherent to any in-band marker): a
+    * string value LITERALLY equal to the sentinel is indistinguishable
+    * from null and reads back as null — the MySQL-dump caveat. The
+    * escaped variants do not have it: [[writeEscaped]] percent-encodes
+    * the backslash, so a literal `\N` value becomes `%5CN` on the wire
+    * and decodes back exactly.
     */
   private val NullSentinel = "\\N"
 
@@ -70,21 +77,24 @@ object CsvLines {
     (good, bad)
   }
 
-  /* Percent-encoding of exactly the record-structure bytes (%, CR, LF)
-   * for the ESCAPED variants: every record becomes one physical line, so
-   * the line-based quarantine scan can never split a record — the failure
-   * mode where a fragment of a quoted multi-line value parses cleanly
-   * (e.g. a text line "7,foo" inside a document) and silently corrupts
-   * the corpus. Literal chained replaces, codegen'd, exactly reversible:
-   * encode % first, decode it last.
+  /* Percent-encoding of the record-structure bytes (%, CR, LF) plus the
+   * backslash (so a value literally equal to the \N null sentinel stays
+   * distinguishable from null) for the ESCAPED variants: every record
+   * becomes one physical line, so the line-based quarantine scan can
+   * never split a record — the failure mode where a fragment of a quoted
+   * multi-line value parses cleanly (e.g. a text line "7,foo" inside a
+   * document) and silently corrupts the corpus. Chained regexp replaces,
+   * codegen'd, exactly reversible: encode % first, decode it last.
    */
   private def encodeLine(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(
-      c, lit("%"), lit("%25")), lit("\r"), lit("%0D")), lit("\n"), lit("%0A"))
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, lit("%"), lit("%25")), lit("\\\\"), lit("%5C")),
+      lit("\r"), lit("%0D")), lit("\n"), lit("%0A"))
 
   private def decodeLine(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(
-      c, lit("%0A"), lit("\n")), lit("%0D"), lit("\r")), lit("%25"), lit("%"))
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, lit("%0A"), lit("\n")), lit("%0D"), lit("\r")),
+      lit("%5C"), lit("\\\\")), lit("%25"), lit("%"))
 
   private def mapStringCols(df: DataFrame, f: Column => Column): DataFrame = {
     val cols = df.schema.fields.map { fd =>

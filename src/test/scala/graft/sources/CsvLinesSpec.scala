@@ -50,13 +50,16 @@ class CsvLinesSpec extends AnyFunSuite {
       (3L, "literal %0A percent-escape"), // must survive double-encoding
       (4L, "cr\rlf\n mix %"),
       (5L, null.asInstanceOf[String]),
-      (6L, "")).toDF("doc_id", "text")
+      (6L, ""),
+      (7L, "\\N"),              // literal null-sentinel VALUE: the escaped
+                                // path must keep it distinct from null
+      (8L, "back\\slash %5C")).toDF("doc_id", "text")
     val tmp = Files.createTempDirectory("csv_esc").toString
     CsvLines.writeEscaped(docs, tmp)
     // every record is ONE physical line — the structural guarantee that
     // makes a line-based quarantine scan safe for this corpus
     val nLines = spark.read.text(tmp).count()
-    assert(nLines == 6L, s"expected 6 physical lines, got $nLines")
+    assert(nLines == 8L, s"expected 8 physical lines, got $nLines")
     val (good, bad) = CsvLines.readEscapedWithQuarantine(spark, tmp, schema)
     assert(bad.count() == 0)
     assert(good.except(docs).isEmpty && docs.except(good).isEmpty)
@@ -64,7 +67,7 @@ class CsvLinesSpec extends AnyFunSuite {
     Files.writeString(Paths.get(s"$tmp/part-zz-corrupt.csv"),
       "not-a-long,oops\n")
     val (g2, b2) = CsvLines.readEscapedWithQuarantine(spark, tmp, schema)
-    assert(g2.count() == 6L)
+    assert(g2.count() == 8L)
     assert(b2.collect().map(_.getString(0)).toSeq == Seq("not-a-long,oops"))
   }
 
