@@ -119,6 +119,29 @@ object SparkEntry {
     bm25QuerySet.toDF("query_id", "qtext")
   }
 
+  /** Shared verification tail of the int8 stored-serving rows
+    * (q_ann_int8_stored, q_streaming_ann): both pin the SAME invariants —
+    * exact equality with the one-shot in-memory int8TopK plus
+    * q_ann_int8's recall/k contract — so the assertion lives once.
+    */
+  private def int8InvariantRow(e: DataFrame, q: Array[Double],
+      stored: DataFrame): DataFrame = {
+    val mem = Similarity.int8TopK(e, "embedding", "vec_id", q, 10)
+    val nDiff = stored.exceptAll(mem).unionByName(mem.exceptAll(stored))
+      .agg(count(lit(1)).as("nd"))
+    val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10)
+      .select(col("vec_id"))
+    val hit = stored.join(exact, "vec_id").agg(count(lit(1)).as("hits"))
+    val kc = stored.agg(count(lit(1)).as("kc"))
+    e.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(hit)).crossJoin(broadcast(kc))
+      .crossJoin(broadcast(nDiff))
+      .select(col("n_vecs"),
+        (col("hits") >= 9).as("recall_ok"), (col("kc") === 10).as("k_ok"),
+        (col("nd") === 0).as("same_as_mem"))
+      .localCheckpoint(true)
+  }
+
   /** Flagship: the reference's canonical wordCount job (summingbird-example
     * ExampleJob.scala:43-50) through the full stack — source → flatMap
     * tokenize → sumByKey(Long semigroup) — on sf0.001.
@@ -1564,7 +1587,8 @@ object SparkEntry {
           "text", "doc_id"), tmp, tokenBuckets = 16)
         val writer = graft.streaming.StreamingIO.fanout(
           ms.toDS().toDF("doc_id", "text"))(Seq(
-          (b, _) => Retrieval.appendToStored(s, tmp, 16, b, "text", "doc_id")))
+          (b, bid) => Retrieval.appendToStored(s, tmp, 16, b, "text",
+            "doc_id", batchId = Some(bid))))
         withStreamingGateConf(s, 4) {
           val q = writer.start()
           try {
@@ -1837,20 +1861,7 @@ object SparkEntry {
         Similarity.int8WriteIndex(e, "embedding", "vec_id", tmp)
         val stored = Similarity.int8TopKStored(s, tmp, e, "embedding",
           "vec_id", q, 10).localCheckpoint(true)
-        val mem = Similarity.int8TopK(e, "embedding", "vec_id", q, 10)
-        val nDiff = stored.exceptAll(mem).unionByName(mem.exceptAll(stored))
-          .agg(count(lit(1)).as("nd"))
-        val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10)
-          .select(col("vec_id"))
-        val hit = stored.join(exact, "vec_id").agg(count(lit(1)).as("hits"))
-        val kc = stored.agg(count(lit(1)).as("kc"))
-        e.agg(count(lit(1)).as("n_vecs"))
-          .crossJoin(broadcast(hit)).crossJoin(broadcast(kc))
-          .crossJoin(broadcast(nDiff))
-          .select(col("n_vecs"),
-            (col("hits") >= 9).as("recall_ok"), (col("kc") === 10).as("k_ok"),
-            (col("nd") === 0).as("same_as_mem"))
-          .localCheckpoint(true)
+        int8InvariantRow(e, q, stored)
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
@@ -1876,7 +1887,8 @@ object SparkEntry {
           "embedding", "vec_id", tmp)
         val writer = graft.streaming.StreamingIO.fanout(
           ms.toDS().toDF("vec_id", "embedding"))(Seq(
-          (b, _) => Similarity.int8AppendToStored(s, tmp, b, "embedding", "vec_id")))
+          (b, bid) => Similarity.int8AppendToStored(s, tmp, b, "embedding",
+            "vec_id", batchId = Some(bid))))
         withStreamingGateConf(s, 4) {
           val sq = writer.start()
           try {
@@ -1889,20 +1901,7 @@ object SparkEntry {
         Similarity.int8CompactStored(s, tmp)
         val stored = Similarity.int8TopKStored(s, tmp, e, "embedding",
           "vec_id", q, 10).localCheckpoint(true)
-        val mem = Similarity.int8TopK(e, "embedding", "vec_id", q, 10)
-        val nDiff = stored.exceptAll(mem).unionByName(mem.exceptAll(stored))
-          .agg(count(lit(1)).as("nd"))
-        val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10)
-          .select(col("vec_id"))
-        val hit = stored.join(exact, "vec_id").agg(count(lit(1)).as("hits"))
-        val kc = stored.agg(count(lit(1)).as("kc"))
-        e.agg(count(lit(1)).as("n_vecs"))
-          .crossJoin(broadcast(hit)).crossJoin(broadcast(kc))
-          .crossJoin(broadcast(nDiff))
-          .select(col("n_vecs"),
-            (col("hits") >= 9).as("recall_ok"), (col("kc") === 10).as("k_ok"),
-            (col("nd") === 0).as("same_as_mem"))
-          .localCheckpoint(true)
+        int8InvariantRow(e, q, stored)
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 

@@ -31,10 +31,38 @@ object SegmentedStore {
   def committedSegs(path: String): List[Long] =
     BatchState.read(path).committed.sorted
 
-  /** The id the NEXT mutation should write into: one past the newest
-    * committed segment (crashed writers' orphan dirs get overwritten).
+  /* Segment-id namespace: ORDINAL mutations (bootstrap, non-replayed
+   * append, compaction) take ODD ids; streaming micro-batch appends take
+   * the EVEN id `2 * (batchId + 1)` — a pure function of the Structured
+   * Streaming batch id, which is what makes replayed batches IDEMPOTENT:
+   * an at-least-once re-delivery after a post-commit crash maps to an
+   * already-committed id and is skipped instead of double-appended. The
+   * two ranges can never collide. Re-pointing a NEW streaming checkpoint
+   * (batch ids restart at 0) at an existing index requires a compaction
+   * first — it folds every segment into one odd id and sweeps the evens
+   * for reuse.
+   */
+
+  /** The id the next ORDINAL mutation should write into: the first odd id
+    * past the newest committed segment (crashed writers' orphan dirs get
+    * overwritten).
     */
-  def nextId(path: String): Long = committedSegs(path).lastOption.getOrElse(0L) + 1
+  def nextId(path: String): Long = {
+    val n = committedSegs(path).lastOption.getOrElse(0L) + 1
+    if (n % 2 == 0) n + 1 else n
+  }
+
+  /** The deterministic segment id of streaming micro-batch `batchId`. */
+  def batchSegId(batchId: Long): Long = {
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    2L * (batchId + 1)
+  }
+
+  /** Whether streaming batch `batchId` is already committed — the replay
+    * guard an at-least-once foreachBatch sink checks before appending.
+    */
+  def batchApplied(path: String, batchId: Long): Boolean =
+    committedSegs(path).contains(batchSegId(batchId))
 
   /** Commit `id` as an ADDITIONAL live segment (the append shape). */
   def commitAppend(path: String, id: Long): Unit =

@@ -198,14 +198,28 @@ object Retrieval {
     * serveable between micro-batches; a crash before the commit-log flip
     * leaves the index exactly as it was.
     */
+  /** @param batchId pass the foreachBatch micro-batch id to make the
+    *   append IDEMPOTENT under at-least-once replay: the segment id
+    *   becomes a pure function of the batch id
+    *   ([[graft.batch.SegmentedStore.batchSegId]]), so a re-delivered
+    *   batch whose commit already landed is skipped instead of
+    *   double-appended. None = ordinal (non-replayed) append.
+    */
   def appendToStored(spark: org.apache.spark.sql.SparkSession, path: String,
-      tokenBuckets: Int, newDocs: DataFrame, textCol: String, idCol: String): Unit = {
+      tokenBuckets: Int, newDocs: DataFrame, textCol: String, idCol: String,
+      batchId: Option[Long] = None): Unit = {
     val committed = committedSegs(path)
     require(committed.nonEmpty,
       s"appendToStored: no committed index at $path — bootstrap with writeIndex first")
-    val id = committed.last + 1
-    writeSegment(buildIndex(newDocs, textCol, idCol), path, id, tokenBuckets)
-    graft.batch.SegmentedStore.commitAppend(path, id)
+    batchId match {
+      case Some(b) if graft.batch.SegmentedStore.batchApplied(path, b) =>
+        () // replayed micro-batch: its segment is already committed
+      case _ =>
+        val id = batchId.map(graft.batch.SegmentedStore.batchSegId)
+          .getOrElse(graft.batch.SegmentedStore.nextId(path))
+        writeSegment(buildIndex(newDocs, textCol, idCol), path, id, tokenBuckets)
+        graft.batch.SegmentedStore.commitAppend(path, id)
+    }
   }
 
   /** Compact a stored index: streaming ingest leaves one segment per
@@ -220,7 +234,7 @@ object Retrieval {
   def compactStored(spark: org.apache.spark.sql.SparkSession, path: String,
       tokenBuckets: Int): Unit = {
     val idx = readIndex(spark, path, idCol = "doc_id")
-    val id = committedSegs(path).last + 1
+    val id = graft.batch.SegmentedStore.nextId(path)
     withBucket(idx.postings, tokenBuckets)
       .repartition(col("tb")).sortWithinPartitions("token")
       .write.partitionBy("tb").mode("overwrite")
@@ -283,9 +297,14 @@ object Retrieval {
     */
   def storedQueryPostings(spark: org.apache.spark.sql.SparkSession,
       path: String, tokenBuckets: Int, queries: DataFrame, qTextCol: String,
-      maxQueryTokens: Int = 10000, idCol: String = "doc_id"): DataFrame =
-    storedQueryPostingsSegs(spark, path, committedSegs(path), tokenBuckets,
+      maxQueryTokens: Int = 10000, idCol: String = "doc_id"): DataFrame = {
+    // loud on a mistyped / never-bootstrapped path — an empty-frame return
+    // there would silently score zero hits for every query
+    val segs = committedSegs(path)
+    require(segs.nonEmpty, s"storedQueryPostings: no committed index at $path")
+    storedQueryPostingsSegs(spark, path, segs, tokenBuckets,
       queries, qTextCol, maxQueryTokens, idCol)
+  }
 
   private def storedQueryPostingsSegs(spark: org.apache.spark.sql.SparkSession,
       path: String, segs: List[Long], tokenBuckets: Int, queries: DataFrame,

@@ -113,15 +113,23 @@ object Similarity {
     * a crash before the commit-log flip leaves it exactly as it was.
     */
   def int8AppendToStored(spark: SparkSession, path: String,
-      newVecs: DataFrame, vecCol: String, idCol: String): Unit = {
+      newVecs: DataFrame, vecCol: String, idCol: String,
+      batchId: Option[Long] = None): Unit = {
     val committed = graft.batch.SegmentedStore.committedSegs(path)
     require(committed.nonEmpty,
       s"int8AppendToStored: no committed index at $path — bootstrap with int8WriteIndex")
-    val id = committed.last + 1
-    int8Codes(newVecs, vecCol, idCol)
-      .write.mode("overwrite")
-      .parquet(s"${graft.batch.SegmentedStore.segDir(path, id)}/codes")
-    graft.batch.SegmentedStore.commitAppend(path, id)
+    // batchId makes the append idempotent under at-least-once replay —
+    // same contract as Retrieval.appendToStored
+    batchId match {
+      case Some(b) if graft.batch.SegmentedStore.batchApplied(path, b) => ()
+      case _ =>
+        val id = batchId.map(graft.batch.SegmentedStore.batchSegId)
+          .getOrElse(graft.batch.SegmentedStore.nextId(path))
+        int8Codes(newVecs, vecCol, idCol)
+          .write.mode("overwrite")
+          .parquet(s"${graft.batch.SegmentedStore.segDir(path, id)}/codes")
+        graft.batch.SegmentedStore.commitAppend(path, id)
+    }
   }
 
   /** Fold all committed segments into one (point-read latency degrades
@@ -129,22 +137,30 @@ object Similarity {
     */
   def int8CompactStored(spark: SparkSession, path: String): Unit = {
     val all = readInt8Index(spark, path)
-    val id = graft.batch.SegmentedStore.committedSegs(path).last + 1
+    val id = graft.batch.SegmentedStore.nextId(path)
     all.write.mode("overwrite")
       .parquet(s"${graft.batch.SegmentedStore.segDir(path, id)}/codes")
     graft.batch.SegmentedStore.commitReplaceAll(path, id)
   }
 
   /** Union of the committed segments' codes (each root read separately,
-    * empty bootstrap segments skipped).
+    * empty bootstrap segments skipped). A bootstrapped-but-empty index —
+    * the bootstrap-to-first-batch window of a streaming ingest — reads as
+    * the canonical EMPTY codes frame, so serving and compaction stay
+    * alive between micro-batches (the same contract as the BM25 path).
     */
   def readInt8Index(spark: SparkSession, path: String): DataFrame = {
     val segs = graft.batch.SegmentedStore.committedSegs(path)
     require(segs.nonEmpty, s"readInt8Index: no committed index at $path")
     val live = segs.filter(id => graft.batch.SegmentedStore.hasParquetFiles(
       new java.io.File(s"${graft.batch.SegmentedStore.segDir(path, id)}/codes")))
-    require(live.nonEmpty, s"readInt8Index: index at $path holds no vectors")
-    live.map(id => spark.read.parquet(
+    if (live.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("codes", ArrayType(ByteType)),
+          StructField("scale", DoubleType))))
+    } else live.map(id => spark.read.parquet(
         s"${graft.batch.SegmentedStore.segDir(path, id)}/codes"))
       .reduce(_ unionByName _)
   }

@@ -109,6 +109,22 @@ class Int8QuantSpec extends AnyFunSuite {
     assert(stored() == mem, "uncommitted segment leaked into serving")
     graft.batch.BatchState.deleteDir(s"$dir/seg=99")
 
+    // batch-id-keyed replay is idempotent: re-delivering an already-
+    // committed micro-batch neither duplicates vectors nor changes results
+    val dirR = java.nio.file.Files.createTempDirectory("graft_int8_replay").toString
+    Similarity.int8WriteIndex(df.limit(0), "embedding", "vec_id", dirR)
+    (Seq(0, 1, 1, 2): Seq[Int]).foreach { b =>
+      Similarity.int8AppendToStored(spark, dirR,
+        df.where(col("vec_id") % 3 === b), "embedding", "vec_id",
+        batchId = Some(b.toLong))
+    }
+    val nRows = Similarity.readInt8Index(spark, dirR).count()
+    assert(nRows == 300L, s"replay double-appended: $nRows rows")
+    val replayed = Similarity.int8TopKStored(spark, dirR, df, "embedding",
+      "vec_id", q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(replayed == mem)
+    graft.batch.BatchState.deleteDir(dirR)
+
     // compaction: one live segment afterwards, results identical
     Similarity.int8CompactStored(spark, dir)
     val live = new java.io.File(dir).listFiles()

@@ -222,6 +222,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("batch-id-keyed appends are IDEMPOTENT under at-least-once replay") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_replay").toString
+    Retrieval.writeIndex(Retrieval.buildIndex(docs.limit(0), "text", "doc_id"),
+      dir, tokenBuckets = 4)
+    // batches 0..2, with batch 1 RE-DELIVERED (post-commit crash replay)
+    (Seq(0, 1, 1, 2): Seq[Int]).foreach { b =>
+      Retrieval.appendToStored(spark, dir, 4,
+        docs.where(col("doc_id") % 3 === b), "text", "doc_id",
+        batchId = Some(b.toLong))
+    }
+    val queries = q(0 -> "spark window", 1 -> "join sort batch")
+    val a = Retrieval.bm25FromStored(spark, dir, 4, queries, "qtext",
+      "query_id", "doc_id")
+    val full = Retrieval.bm25FromIndex(
+      Retrieval.buildIndex(docs, "text", "doc_id"), queries, "qtext", "query_id")
+    assert(a.exceptAll(full).isEmpty && full.exceptAll(a).isEmpty,
+      "replayed batch double-appended")
+    // stats did not double-count either
+    val st = Retrieval.readIndex(spark, dir, "doc_id").stats.collect().head
+    assert(st.getLong(0) == 5L && st.getLong(1) == 13L)
+    graft.batch.BatchState.deleteDir(dir)
+  }
+
   test("crash window: an uncommitted segment is invisible to readers and " +
       "the next append overwrites its id") {
     val s = spark; import s.implicits._
@@ -235,8 +259,10 @@ class RetrievalSpec extends AnyFunSuite {
     val healthy = score()
     // simulate a writer that died mid-append: segment data written (with
     // WRONG poisoned content so reading it would be detectable), commit
-    // log never flipped
-    val orphanId = 2L
+    // log never flipped. 3 = the next ORDINAL segment id after the
+    // bootstrap's seg=1 (ordinal mutations take odd ids; evens belong to
+    // batch-id-keyed streaming appends)
+    val orphanId = 3L
     val poisoned = Retrieval.buildIndex(
       Seq((99L, "spark spark spark window join")).toDF("doc_id", "text"),
       "text", "doc_id")
@@ -279,12 +305,13 @@ class RetrievalSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
     val before = score()
     // simulate: compacted segment fully written, state file never flipped
-    // (= compactStored dying on its second-to-last line)
+    // (= compactStored dying on its second-to-last line). seg=9 is the
+    // id the compaction will claim (next odd after the appends' 3,5,7)
     val idx = Retrieval.readIndex(spark, dir, "doc_id")
     import org.apache.spark.sql.functions.{col => c, pmod, xxhash64, lit}
     idx.postings.withColumn("tb", pmod(xxhash64(c("token")), lit(4)).cast("int"))
-      .write.partitionBy("tb").mode("overwrite").parquet(s"$dir/seg=5/postings")
-    idx.stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/seg=5/stats")
+      .write.partitionBy("tb").mode("overwrite").parquet(s"$dir/seg=9/postings")
+    idx.stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/seg=9/stats")
     assert(score() == before, "half-finished compaction changed scores")
     // rerun completes: one live segment, scores still identical
     Retrieval.compactStored(spark, dir, tokenBuckets = 4)
