@@ -123,10 +123,10 @@ final class BatchStore[K, V](
           // wrong kb= directory for most keys and silently serve
           // empty/partial point reads (the same silent-fragmentation
           // class resolveNbrs guards against for ANN shards)
-          val onDisk = new java.io.File(snapshotDir(b)).listFiles()
-          val kbOnDisk = (if (onDisk == null) Array.empty[java.io.File] else onDisk)
-            .flatMap(f => scala.util.Try(f.getName.stripPrefix("kb=").toInt).toOption
-              .filter(_ => f.getName.startsWith("kb=")))
+          val kbOnDisk = StoreFs.listStatus(snapshotDir(b))
+            .map(_.getPath.getName)
+            .flatMap(name => scala.util.Try(name.stripPrefix("kb=").toInt).toOption
+              .filter(_ => name.startsWith("kb=")))
             .toSet
           // distinguish the two loud-failure classes: a snapshot written
           // with a DIFFERENT bucket count is a contiguous kb=0..m-1 range
@@ -192,8 +192,8 @@ final class BatchStore[K, V](
         // commit below — a crash here leaves an uncommitted snapshot, never
         // a committed one with holes.
         (0 until n).foreach { i =>
-          val d = new java.io.File(s"${snapshotDir(b)}/kb=$i")
-          if (!d.exists()) d.mkdirs()
+          val d = s"${snapshotDir(b)}/kb=$i"
+          if (!StoreFs.exists(d)) StoreFs.mkdirs(d)
         }
       case None =>
         kv.write.mode("overwrite").parquet(snapshotDir(b))
@@ -210,10 +210,11 @@ final class BatchStore[K, V](
     * deleted snapshot.
     */
   private def prune(): Unit = if (versionsToKeep != Int.MaxValue) {
-    val committed = state.committed.sorted
+    val st = state
+    val committed = st.committed.sorted
     val drop = committed.dropRight(versionsToKeep)
     if (drop.nonEmpty) {
-      BatchState.write(path, BatchState(committed.takeRight(versionsToKeep)))
+      BatchState.write(path, st.copy(committed = committed.takeRight(versionsToKeep)))
       drop.foreach { id => BatchState.deleteDir(snapshotDir(BatchID(id))) }
     }
   }
@@ -302,51 +303,56 @@ final class BatchStore[K, V](
 
 /** JSON commit log for a BatchStore directory. Tiny driver-side file —
   * intentionally not a Spark job (matches the reference's HDFSState).
+  *
+  * @param maxAppliedStreamBatch high-water mark of streaming micro-batch
+  *        ids applied to a [[SegmentedStore]]-backed index (-1 = none).
+  *        SURVIVES compaction, which is the point: a compaction folds the
+  *        even streaming segment ids out of `committed`, so without this
+  *        mark a micro-batch whose segment was committed and then
+  *        compacted — but whose streaming checkpoint offset commit never
+  *        landed (crash between the foreachBatch return and the
+  *        checkpoint write) — would replay on restart, fail the
+  *        segment-membership replay guard, and be appended a second time.
+  *        Plain BatchStore snapshots leave it at -1.
   */
-final case class BatchState(committed: List[Long]) {
+final case class BatchState(committed: List[Long],
+    maxAppliedStreamBatch: Long = -1L) {
   def lastCommitted(beforeOrAt: BatchID): Option[BatchID] =
     committed.filter(_ <= beforeOrAt.id).sorted.lastOption.map(BatchID(_))
 }
 object BatchState {
-  private def stateFile(path: String) = new java.io.File(s"$path/_graft_state.json")
+  private def stateFile(path: String) = s"$path/_graft_state.json"
 
   def read(path: String): BatchState = {
     val f = stateFile(path)
-    if (!f.exists()) BatchState(Nil)
+    if (!StoreFs.exists(f)) BatchState(Nil)
     else {
-      val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      // minimal parse of {"committed":[1,2,3]}
-      val nums = "-?\\d+".r.findAllIn(s.dropWhile(_ != '[')).map(_.toLong).toList
-      BatchState(nums)
+      val s = new String(StoreFs.readBytes(f), "UTF-8")
+      // minimal parse of {"committed":[1,2,3],"maxAppliedBatch":N}
+      // (second field optional — pre-r13 logs carry only the array)
+      val arr = s.dropWhile(_ != '[').takeWhile(_ != ']')
+      val nums = "-?\\d+".r.findAllIn(arr).map(_.toLong).toList
+      val mark = "\"maxAppliedBatch\"\\s*:\\s*(-?\\d+)".r
+        .findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(-1L)
+      BatchState(nums, mark)
     }
   }
 
-  def commit(path: String, b: BatchID): Unit =
-    write(path, BatchState((b.id :: read(path).committed).distinct.sorted))
-
-  /** Atomic overwrite of the commit log (write-to-temp + rename). */
-  def write(path: String, st: BatchState): Unit = {
-    val f = stateFile(path)
-    f.getParentFile.mkdirs()
-    val tmp = new java.io.File(f.getParent, s"._graft_state.${System.nanoTime}.tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      st.committed.mkString("{\"committed\":[", ",", "]}").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, f.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  def commit(path: String, b: BatchID): Unit = {
+    val st = read(path)
+    write(path, st.copy(committed = (b.id :: st.committed).distinct.sorted))
   }
 
-  /** Recursive local-FS delete of a pruned snapshot dir. (On a cluster this
-    * is a `FileSystem.delete(path, recursive = true)` — the local form keeps
-    * the library free of a Hadoop conf dependency in tests.)
+  /** Atomic overwrite of the commit log (write-to-temp + rename; see
+    * [[StoreFs.writeAtomic]] for the per-filesystem atomicity notes).
     */
-  def deleteDir(dir: String): Unit = {
-    val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p)) {
-      val walk = java.nio.file.Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walk.close()
-    }
-  }
+  def write(path: String, st: BatchState): Unit =
+    StoreFs.writeAtomic(stateFile(path),
+      (st.committed.mkString("{\"committed\":[", ",", "]") +
+        s",\"maxAppliedBatch\":${st.maxAppliedStreamBatch}}").getBytes("UTF-8"))
+
+  /** Recursive delete of a pruned snapshot / swept segment dir, on
+    * whatever filesystem the store lives on.
+    */
+  def deleteDir(dir: String): Unit = StoreFs.deleteRecursive(dir)
 }

@@ -18,11 +18,20 @@ package graft.batch
   *
   * Writer exclusivity: mutations assume ONE writer at a time (streaming
   * paths serialize through foreachBatch; compaction runs on the same
-  * owner's maintenance cadence). Readers are safe against appends;
-  * compaction sweeps superseded segments immediately after its commit,
-  * so a reader mid-scan across a compaction can lose files on a local
-  * FS — on an object store the standard mitigation is a deletion grace
-  * period.
+  * owner's maintenance cadence). The contract is ENFORCED best-effort by
+  * [[withWriterLock]] — a lease file under the store root that turns a
+  * second concurrent mutator into a loud error instead of a silent
+  * commit-log race (create-if-absent is atomic on HDFS; object stores
+  * get best-effort semantics, documented there).
+  *
+  * Readers are safe against appends. Against compaction, the sweep is
+  * age-gatable: `sweepGraceMs = 0` (the default) deletes superseded
+  * segments immediately after the commit-log flip — correct when no
+  * reader scans across a maintenance window; a positive grace TOMBSTONES
+  * superseded segments instead and only deletes them once the tombstone
+  * is older than the grace, so a reader that resolved the pre-compaction
+  * segment list finishes its scan (size the grace above the longest
+  * reader's runtime — the standard object-store deletion grace).
   */
 object SegmentedStore {
 
@@ -39,8 +48,11 @@ object SegmentedStore {
    * already-committed id and is skipped instead of double-appended. The
    * two ranges can never collide. Re-pointing a NEW streaming checkpoint
    * (batch ids restart at 0) at an existing index requires a compaction
-   * first — it folds every segment into one odd id and sweeps the evens
-   * for reuse.
+   * (folds every segment into one odd id, sweeping the evens for reuse)
+   * AND an explicit [[resetStreamingReplayGuard]] — the applied-batch
+   * high-water mark deliberately survives compaction, so without the
+   * reset the fresh checkpoint's restarted batch ids would read as
+   * already-applied replays and be skipped.
    */
 
   /** The id the next ORDINAL mutation should write into: the first odd id
@@ -58,44 +70,135 @@ object SegmentedStore {
     2L * (batchId + 1)
   }
 
-  /** Whether streaming batch `batchId` is already committed — the replay
+  /** Whether streaming batch `batchId` is already applied — the replay
     * guard an at-least-once foreachBatch sink checks before appending.
+    * TWO sources of truth, because compaction folds the even streaming
+    * segment ids out of the commit log: segment-id membership catches a
+    * replay before any compaction; the `maxAppliedBatch` high-water mark
+    * (raised atomically with each streaming commit, carried forward by
+    * [[commitReplaceAll]]) catches a replay whose segment has since been
+    * compacted away — without it, a crash between the foreachBatch
+    * return and the checkpoint offset commit, followed by a compaction,
+    * would double-append the replayed batch.
     */
-  def batchApplied(path: String, batchId: Long): Boolean =
-    committedSegs(path).contains(batchSegId(batchId))
-
-  /** Commit `id` as an ADDITIONAL live segment (the append shape). */
-  def commitAppend(path: String, id: Long): Unit =
-    BatchState.commit(path, graft.time.BatchID(id))
-
-  /** Commit `id` as the ONLY live segment (bootstrap / compaction), then
-    * sweep every other `seg=` dir.
-    */
-  def commitReplaceAll(path: String, id: Long): Unit = {
-    BatchState.write(path, BatchState(List(id)))
-    sweepUncommitted(path)
+  def batchApplied(path: String, batchId: Long): Boolean = {
+    val st = BatchState.read(path)
+    st.committed.contains(batchSegId(batchId)) ||
+      batchId <= st.maxAppliedStreamBatch
   }
 
-  /** Delete every `seg=*` dir not in the commit log: uncommitted partials
-    * from a crashed writer and segments superseded by a compaction.
+  /** Commit `id` as an ADDITIONAL live segment (the append shape). */
+  def commitAppend(path: String, id: Long): Unit = {
+    StoreFs.deleteRecursive(s"${segDir(path, id)}/$TombstoneName")
+    BatchState.commit(path, graft.time.BatchID(id))
+  }
+
+  /** Commit streaming micro-batch `batchId`'s segment AND raise the
+    * applied-batch high-water mark in the SAME atomic commit-log flip —
+    * the two must never tear apart, or a replay window reopens.
     */
-  def sweepUncommitted(path: String): Unit = {
+  def commitStreamingAppend(path: String, batchId: Long): Unit = {
+    StoreFs.deleteRecursive(s"${segDir(path, batchSegId(batchId))}/$TombstoneName")
+    val st = BatchState.read(path)
+    BatchState.write(path, BatchState(
+      (batchSegId(batchId) :: st.committed).distinct.sorted,
+      math.max(st.maxAppliedStreamBatch, batchId)))
+  }
+
+  /** Forget the applied-batch high-water mark — ONLY for deliberately
+    * re-pointing a NEW streaming checkpoint (batch ids restart at 0) at
+    * this index, after a compaction, with the old stream stopped. Never
+    * call it for the same checkpoint: it reopens the replay window the
+    * mark exists to close.
+    */
+  def resetStreamingReplayGuard(path: String): Unit = {
+    val st = BatchState.read(path)
+    BatchState.write(path, st.copy(maxAppliedStreamBatch = -1L))
+  }
+
+  /** Commit `id` as the ONLY live segment (bootstrap / compaction), then
+    * sweep every other `seg=` dir (age-gated when `sweepGraceMs > 0`).
+    * The applied-batch high-water mark is carried forward — compaction
+    * must not erase replay-guard evidence.
+    */
+  def commitReplaceAll(path: String, id: Long, sweepGraceMs: Long = 0L): Unit = {
+    val st = BatchState.read(path)
+    // a reused id (crashed writer's orphan, or a segment cycling back
+    // through tombstoned-then-rewritten) must not inherit a stale
+    // tombstone — it would cut the NEXT grace window short
+    StoreFs.deleteRecursive(s"${segDir(path, id)}/$TombstoneName")
+    BatchState.write(path, BatchState(List(id), st.maxAppliedStreamBatch))
+    sweepUncommitted(path, sweepGraceMs)
+  }
+
+  private val TombstoneName = "_graft_tombstone"
+
+  /** Sweep every `seg=*` dir not in the commit log: uncommitted partials
+    * from a crashed writer and segments superseded by a compaction.
+    *
+    * `sweepGraceMs = 0`: delete immediately (test/local default — no
+    * concurrent readers). `sweepGraceMs > 0`: two-phase — a dead segment
+    * is first TOMBSTONED (a marker file; its data stays readable for any
+    * in-flight scan that resolved the old segment list), and deleted only
+    * by a later sweep that finds the tombstone older than the grace.
+    * Sweeps run on every maintenance call, so tombstones age out on the
+    * compaction cadence.
+    */
+  def sweepUncommitted(path: String, sweepGraceMs: Long = 0L): Unit = {
     val live = committedSegs(path).map(id => s"seg=$id").toSet
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("seg=") &&
-        !live.contains(f.getName))
-      .foreach(f => BatchState.deleteDir(f.toString))
+    val now = System.currentTimeMillis()
+    StoreFs.listStatus(path)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg=") &&
+        !live.contains(s.getPath.getName))
+      .foreach { s =>
+        val dir = s.getPath.toString
+        if (sweepGraceMs <= 0L) StoreFs.deleteRecursive(dir)
+        else {
+          val tomb = s"$dir/$TombstoneName"
+          val marked = StoreFs.modificationTime(tomb)
+          if (marked == 0L)
+            StoreFs.writeAtomic(tomb, now.toString.getBytes("UTF-8"))
+          else if (now - marked > sweepGraceMs)
+            StoreFs.deleteRecursive(dir)
+        }
+      }
+  }
+
+  private val WriterLockName = "_graft_writer.lock"
+
+  /** Best-effort single-writer lease: run `body` (a mutation — payload
+    * write + commit) holding `path/_graft_writer.lock`. A second
+    * concurrent mutator fails LOUDLY instead of racing the commit log —
+    * the enforcement of the writer-exclusivity contract above. The lease
+    * self-expires: a lock older than `leaseTimeoutMs` (a writer that died
+    * without releasing) is broken and re-acquired. Atomicity is the
+    * filesystem's create-if-absent — exact on HDFS/local, best-effort on
+    * object stores without conditional writes (two simultaneous acquirers
+    * in the same millisecond could both proceed there; the lease is a
+    * guard rail for operational mistakes — two maintenance jobs, a
+    * re-deployed streaming query next to its zombie — not a distributed
+    * lock service).
+    */
+  def withWriterLock[A](path: String, leaseTimeoutMs: Long = 600000L)(body: => A): A = {
+    require(leaseTimeoutMs > 0, s"leaseTimeoutMs must be > 0, got $leaseTimeoutMs")
+    val lock = s"$path/$WriterLockName"
+    val now = System.currentTimeMillis()
+    val held = StoreFs.modificationTime(lock)
+    if (held > 0L && now - held <= leaseTimeoutMs)
+      throw new IllegalStateException(
+        s"SegmentedStore($path): another writer holds $lock " +
+        s"(age ${now - held} ms, lease $leaseTimeoutMs ms). Mutations require a " +
+        "single writer; if the owner is dead the lease expires on its own")
+    if (held > 0L) StoreFs.deleteRecursive(lock) // stale: break the dead lease
+    StoreFs.createExclusive(lock,
+      s"""{"pid":"${java.lang.ProcessHandle.current().pid()}","acquiredMs":$now}"""
+        .getBytes("UTF-8"))
+    try body finally StoreFs.deleteRecursive(lock)
   }
 
   /** Whether `dir` holds at least one parquet file — a segment written
     * from an empty batch has none (only a write marker) and readers must
-    * skip it or schema inference fails. Local-FS listing;
-    * `FileSystem.listStatus` on a cluster, same note as
-    * [[BatchState.deleteDir]].
+    * skip it or schema inference fails.
     */
-  def hasParquetFiles(dir: java.io.File): Boolean = {
-    val kids = Option(dir.listFiles()).getOrElse(Array.empty)
-    kids.exists(f => f.isFile && f.getName.endsWith(".parquet")) ||
-      kids.exists(f => f.isDirectory && hasParquetFiles(f))
-  }
+  def hasParquetFiles(dir: String): Boolean = StoreFs.hasParquetFiles(dir)
 }

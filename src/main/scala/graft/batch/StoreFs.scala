@@ -1,0 +1,132 @@
+package graft.batch
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, Options, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Driver-side filesystem operations for store maintenance (commit logs,
+  * segment sweeps, snapshot retention, clustered-layout listing), on the
+  * Hadoop `FileSystem` API so the SAME code runs on the local FS in tests
+  * and on HDFS / S3A / GCS on a cluster — the reference's equivalent layer
+  * is HDFS-native (summingbird-scalding/.../store/VersionedBatchStore
+  * .scala:62-143, summingbird-batch-hadoop HDFSState.scala).
+  *
+  * Path resolution follows Hadoop semantics: a bare `/data/store` resolves
+  * against `fs.defaultFS` (the local FS in tests, the cluster FS in a real
+  * deployment); a qualified `hdfs://…` or `s3a://…` URI selects its scheme
+  * explicitly. The Hadoop `Configuration` comes from the active
+  * `SparkSession` when one exists (so `spark.hadoop.*` settings — S3A
+  * credentials, endpoint overrides — apply to maintenance too), falling
+  * back to a default `Configuration` for session-less callers.
+  *
+  * Everything here is small-metadata work (a commit log of a few hundred
+  * bytes, a directory listing of at most a few thousand entries) —
+  * intentionally driver-side, never a Spark job.
+  */
+object StoreFs {
+
+  /** Hadoop conf of the active Spark session (carries `spark.hadoop.*`
+    * overrides), or a plain default when no session is active.
+    */
+  def hadoopConf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+
+  def exists(path: String): Boolean = {
+    val p = new Path(path)
+    fsOf(p).exists(p)
+  }
+
+  def mkdirs(path: String): Unit = {
+    val p = new Path(path)
+    fsOf(p).mkdirs(p)
+    ()
+  }
+
+  /** Directory listing; empty when the path does not exist (the common
+    * "store not bootstrapped yet" case must not throw).
+    */
+  def listStatus(path: String): Array[FileStatus] = {
+    val p = new Path(path)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) Array.empty else fs.listStatus(p)
+  }
+
+  def readBytes(path: String): Array[Byte] = {
+    val p = new Path(path)
+    val fs = fsOf(p)
+    val in = fs.open(p)
+    try {
+      val len = fs.getFileStatus(p).getLen
+      require(len <= Int.MaxValue, s"$path is too large for a state file ($len bytes)")
+      val buf = new Array[Byte](len.toInt)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+  }
+
+  /** Atomic overwrite: write a temp file in the target's directory, then
+    * `FileContext.rename(OVERWRITE)` — a single-object atomic flip on
+    * HDFS and the local FS. On S3A the rename is copy+delete (not atomic
+    * but still all-or-nothing per object: readers see the old or the new
+    * commit log, never a torn write, because the copy materializes only
+    * on completion).
+    */
+  def writeAtomic(path: String, bytes: Array[Byte]): Unit = {
+    val dst = new Path(path)
+    val fs = fsOf(dst)
+    fs.mkdirs(dst.getParent)
+    val tmp = new Path(dst.getParent, s".${dst.getName}.${System.nanoTime}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    FileContext.getFileContext(dst.toUri, hadoopConf)
+      .rename(tmp, dst, Options.Rename.OVERWRITE)
+  }
+
+  /** Create `path` with `bytes` ONLY if it does not already exist —
+    * `FileSystem.create(overwrite = false)`, the atomic create-if-absent
+    * primitive lock files are built on (exact on HDFS and the local FS;
+    * object stores without conditional writes give best-effort
+    * semantics). Throws if the file already exists.
+    */
+  def createExclusive(path: String, bytes: Array[Byte]): Unit = {
+    val p = new Path(path)
+    val fs = fsOf(p)
+    val out = fs.create(p, false)
+    try out.write(bytes) finally out.close()
+  }
+
+  def deleteRecursive(path: String): Unit = {
+    val p = new Path(path)
+    val fs = fsOf(p)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+
+  /** Modification time of `path` in epoch millis; 0 when absent. Used by
+    * age-gated sweeps (deletion grace periods).
+    */
+  def modificationTime(path: String): Long = {
+    val p = new Path(path)
+    val fs = fsOf(p)
+    if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
+  }
+
+  /** Whether `path` holds at least one parquet file anywhere below it — a
+    * segment written from an empty batch has none (only write markers)
+    * and readers must skip it or schema inference fails.
+    */
+  def hasParquetFiles(path: String): Boolean = {
+    val p = new Path(path)
+    val fs = fsOf(p)
+    def go(d: Path): Boolean = {
+      val kids = fs.listStatus(d)
+      kids.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")) ||
+        kids.exists(s => s.isDirectory && go(s.getPath))
+    }
+    fs.exists(p) && go(p)
+  }
+}

@@ -153,7 +153,7 @@ object Retrieval {
   private def committedSegs(path: String): List[Long] =
     graft.batch.SegmentedStore.committedSegs(path)
 
-  private def hasParquetFiles(dir: java.io.File): Boolean =
+  private def hasParquetFiles(dir: String): Boolean =
     graft.batch.SegmentedStore.hasParquetFiles(dir)
 
   /** Union of the committed segments' postings, each root read separately
@@ -165,7 +165,7 @@ object Retrieval {
   private def readPostings(spark: org.apache.spark.sql.SparkSession,
       path: String, segs: List[Long]): Option[DataFrame] = {
     val live = segs.filter(id =>
-      hasParquetFiles(new java.io.File(s"${segDir(path, id)}/postings")))
+      hasParquetFiles(s"${segDir(path, id)}/postings"))
     if (live.isEmpty) None
     else Some(live.map(id => spark.read.parquet(s"${segDir(path, id)}/postings"))
       .reduce(_ unionByName _))
@@ -185,9 +185,11 @@ object Retrieval {
     */
   def writeIndex(index: Bm25Index, path: String, tokenBuckets: Int): Unit = {
     require(tokenBuckets >= 1, s"tokenBuckets must be >= 1, got $tokenBuckets")
-    val id = graft.batch.SegmentedStore.nextId(path)
-    writeSegment(index, path, id, tokenBuckets)
-    graft.batch.SegmentedStore.commitReplaceAll(path, id)
+    graft.batch.SegmentedStore.withWriterLock(path) {
+      val id = graft.batch.SegmentedStore.nextId(path)
+      writeSegment(index, path, id, tokenBuckets)
+      graft.batch.SegmentedStore.commitReplaceAll(path, id)
+    }
   }
 
   /** Ingest a (disjoint-id) batch into a STORED index as a NEW committed
@@ -211,14 +213,21 @@ object Retrieval {
     val committed = committedSegs(path)
     require(committed.nonEmpty,
       s"appendToStored: no committed index at $path — bootstrap with writeIndex first")
-    batchId match {
-      case Some(b) if graft.batch.SegmentedStore.batchApplied(path, b) =>
-        () // replayed micro-batch: its segment is already committed
-      case _ =>
-        val id = batchId.map(graft.batch.SegmentedStore.batchSegId)
-          .getOrElse(graft.batch.SegmentedStore.nextId(path))
-        writeSegment(buildIndex(newDocs, textCol, idCol), path, id, tokenBuckets)
-        graft.batch.SegmentedStore.commitAppend(path, id)
+    graft.batch.SegmentedStore.withWriterLock(path) {
+      batchId match {
+        case Some(b) if graft.batch.SegmentedStore.batchApplied(path, b) =>
+          () // replayed micro-batch: its segment is already committed
+        case _ =>
+          val id = batchId.map(graft.batch.SegmentedStore.batchSegId)
+            .getOrElse(graft.batch.SegmentedStore.nextId(path))
+          writeSegment(buildIndex(newDocs, textCol, idCol), path, id, tokenBuckets)
+          batchId match {
+            // streaming: raise the applied-batch high-water mark in the
+            // same atomic flip, so the replay guard survives compaction
+            case Some(b) => graft.batch.SegmentedStore.commitStreamingAppend(path, b)
+            case None    => graft.batch.SegmentedStore.commitAppend(path, id)
+          }
+      }
     }
   }
 
@@ -231,18 +240,24 @@ object Retrieval {
     * superseded segments — scores unchanged. Run it on the maintenance
     * cadence, like the BatchStore retention sweep.
     */
+  /** @param sweepGraceMs 0 = delete superseded segments immediately;
+    *   > 0 = tombstone them and let a later sweep delete after the grace,
+    *   so readers mid-scan across this compaction keep their files
+    *   ([[graft.batch.SegmentedStore.sweepUncommitted]]).
+    */
   def compactStored(spark: org.apache.spark.sql.SparkSession, path: String,
-      tokenBuckets: Int): Unit = {
-    val idx = readIndex(spark, path, idCol = "doc_id")
-    val id = graft.batch.SegmentedStore.nextId(path)
-    withBucket(idx.postings, tokenBuckets)
-      .repartition(col("tb")).sortWithinPartitions("token")
-      .write.partitionBy("tb").mode("overwrite")
-      .parquet(s"${segDir(path, id)}/postings")
-    idx.stats.coalesce(1).write.mode("overwrite")
-      .parquet(s"${segDir(path, id)}/stats")
-    graft.batch.SegmentedStore.commitReplaceAll(path, id)
-  }
+      tokenBuckets: Int, sweepGraceMs: Long = 0L): Unit =
+    graft.batch.SegmentedStore.withWriterLock(path) {
+      val idx = readIndex(spark, path, idCol = "doc_id")
+      val id = graft.batch.SegmentedStore.nextId(path)
+      withBucket(idx.postings, tokenBuckets)
+        .repartition(col("tb")).sortWithinPartitions("token")
+        .write.partitionBy("tb").mode("overwrite")
+        .parquet(s"${segDir(path, id)}/postings")
+      idx.stats.coalesce(1).write.mode("overwrite")
+        .parquet(s"${segDir(path, id)}/stats")
+      graft.batch.SegmentedStore.commitReplaceAll(path, id, sweepGraceMs)
+    }
 
   /** Full (unpruned) read of a stored index: postings unioned across the
     * committed segments, stats deltas summed into the one-row total.

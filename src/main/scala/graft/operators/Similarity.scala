@@ -93,13 +93,14 @@ object Similarity {
     * one on the maintenance cadence.
     */
   def int8WriteIndex(df: DataFrame, vecCol: String, idCol: String,
-      path: String): Unit = {
-    val id = graft.batch.SegmentedStore.nextId(path)
-    int8Codes(df, vecCol, idCol)
-      .write.mode("overwrite")
-      .parquet(s"${graft.batch.SegmentedStore.segDir(path, id)}/codes")
-    graft.batch.SegmentedStore.commitReplaceAll(path, id)
-  }
+      path: String): Unit =
+    graft.batch.SegmentedStore.withWriterLock(path) {
+      val id = graft.batch.SegmentedStore.nextId(path)
+      int8Codes(df, vecCol, idCol)
+        .write.mode("overwrite")
+        .parquet(s"${graft.batch.SegmentedStore.segDir(path, id)}/codes")
+      graft.batch.SegmentedStore.commitReplaceAll(path, id)
+    }
 
   private def int8Codes(df: DataFrame, vecCol: String, idCol: String): DataFrame =
     df.select(col(idCol), VectorFunctions.l2Normalize(col(vecCol)).as("__nv"))
@@ -120,28 +121,42 @@ object Similarity {
       s"int8AppendToStored: no committed index at $path — bootstrap with int8WriteIndex")
     // batchId makes the append idempotent under at-least-once replay —
     // same contract as Retrieval.appendToStored
-    batchId match {
-      case Some(b) if graft.batch.SegmentedStore.batchApplied(path, b) => ()
-      case _ =>
-        val id = batchId.map(graft.batch.SegmentedStore.batchSegId)
-          .getOrElse(graft.batch.SegmentedStore.nextId(path))
-        int8Codes(newVecs, vecCol, idCol)
-          .write.mode("overwrite")
-          .parquet(s"${graft.batch.SegmentedStore.segDir(path, id)}/codes")
-        graft.batch.SegmentedStore.commitAppend(path, id)
+    graft.batch.SegmentedStore.withWriterLock(path) {
+      batchId match {
+        case Some(b) if graft.batch.SegmentedStore.batchApplied(path, b) => ()
+        case _ =>
+          val id = batchId.map(graft.batch.SegmentedStore.batchSegId)
+            .getOrElse(graft.batch.SegmentedStore.nextId(path))
+          int8Codes(newVecs, vecCol, idCol)
+            .write.mode("overwrite")
+            .parquet(s"${graft.batch.SegmentedStore.segDir(path, id)}/codes")
+          batchId match {
+            // streaming: raise the applied-batch high-water mark in the
+            // same atomic flip, so the replay guard survives compaction
+            case Some(b) => graft.batch.SegmentedStore.commitStreamingAppend(path, b)
+            case None    => graft.batch.SegmentedStore.commitAppend(path, id)
+          }
+      }
     }
   }
 
   /** Fold all committed segments into one (point-read latency degrades
     * with file count), atomically re-point the commit log, sweep.
+    *
+    * @param sweepGraceMs 0 = delete superseded segments immediately;
+    *   > 0 = tombstone-then-delete after the grace, keeping readers
+    *   mid-scan across this compaction safe
+    *   ([[graft.batch.SegmentedStore.sweepUncommitted]]).
     */
-  def int8CompactStored(spark: SparkSession, path: String): Unit = {
-    val all = readInt8Index(spark, path)
-    val id = graft.batch.SegmentedStore.nextId(path)
-    all.write.mode("overwrite")
-      .parquet(s"${graft.batch.SegmentedStore.segDir(path, id)}/codes")
-    graft.batch.SegmentedStore.commitReplaceAll(path, id)
-  }
+  def int8CompactStored(spark: SparkSession, path: String,
+      sweepGraceMs: Long = 0L): Unit =
+    graft.batch.SegmentedStore.withWriterLock(path) {
+      val all = readInt8Index(spark, path)
+      val id = graft.batch.SegmentedStore.nextId(path)
+      all.write.mode("overwrite")
+        .parquet(s"${graft.batch.SegmentedStore.segDir(path, id)}/codes")
+      graft.batch.SegmentedStore.commitReplaceAll(path, id, sweepGraceMs)
+    }
 
   /** Union of the committed segments' codes (each root read separately,
     * empty bootstrap segments skipped). A bootstrapped-but-empty index —
@@ -149,15 +164,22 @@ object Similarity {
     * the canonical EMPTY codes frame, so serving and compaction stay
     * alive between micro-batches (the same contract as the BM25 path).
     */
-  def readInt8Index(spark: SparkSession, path: String): DataFrame = {
+  /** @param idCol names the id field of the canonical EMPTY frame served
+    *   during the bootstrap-to-first-batch window — it must match the
+    *   idCol the index was bootstrapped with, or the caller's
+    *   `select(idCol)` would fail on an empty index (same
+    *   parameterization as Retrieval.emptyPostings).
+    */
+  def readInt8Index(spark: SparkSession, path: String,
+      idCol: String = "vec_id"): DataFrame = {
     val segs = graft.batch.SegmentedStore.committedSegs(path)
     require(segs.nonEmpty, s"readInt8Index: no committed index at $path")
     val live = segs.filter(id => graft.batch.SegmentedStore.hasParquetFiles(
-      new java.io.File(s"${graft.batch.SegmentedStore.segDir(path, id)}/codes")))
+      s"${graft.batch.SegmentedStore.segDir(path, id)}/codes"))
     if (live.isEmpty) {
       import org.apache.spark.sql.types._
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("vec_id", LongType),
+        StructType(Seq(StructField(idCol, LongType),
           StructField("codes", ArrayType(ByteType)),
           StructField("scale", DoubleType))))
     } else live.map(id => spark.read.parquet(
@@ -180,7 +202,7 @@ object Similarity {
     require(k > 0 && oversample >= 1, s"need k > 0, oversample >= 1")
     val qCol = array(query.toIndexedSeq.map(lit(_)): _*)
     val qn = VectorFunctions.l2Normalize(qCol)
-    val cands = readInt8Index(spark, path)
+    val cands = readInt8Index(spark, path, idCol)
       .withColumn("__approx", VectorFunctions.int8Dot(col("codes"), col("scale"),
         VectorFunctions.int8Quantize(qn), VectorFunctions.int8Scale(qn)))
       .orderBy(col("__approx").desc, col(idCol))

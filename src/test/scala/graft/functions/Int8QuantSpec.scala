@@ -123,7 +123,26 @@ class Int8QuantSpec extends AnyFunSuite {
     val replayed = Similarity.int8TopKStored(spark, dirR, df, "embedding",
       "vec_id", q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(replayed == mem)
+    // the replay guard survives compaction (the applied-batch high-water
+    // mark): a batch replayed AFTER its segment was folded is still a no-op
+    Similarity.int8CompactStored(spark, dirR)
+    Similarity.int8AppendToStored(spark, dirR,
+      df.where(col("vec_id") % 3 === 1), "embedding", "vec_id",
+      batchId = Some(1L))
+    assert(Similarity.readInt8Index(spark, dirR).count() == 300L,
+      "post-compaction replay double-appended")
     graft.batch.BatchState.deleteDir(dirR)
+
+    // serveable-while-empty holds for a NON-default id column: the
+    // canonical empty frame must name its id field from the caller's
+    // idCol, or select(idCol) throws during the bootstrap window
+    val dirE = java.nio.file.Files.createTempDirectory("graft_int8_idcol").toString
+    val dfD = df.withColumnRenamed("vec_id", "doc_id")
+    Similarity.int8WriteIndex(dfD.limit(0), "embedding", "doc_id", dirE)
+    val emptyTopK = Similarity.int8TopKStored(spark, dirE, dfD, "embedding",
+      "doc_id", q, 10).collect()
+    assert(emptyTopK.isEmpty, "empty bootstrap window must serve an empty top-k")
+    graft.batch.BatchState.deleteDir(dirE)
 
     // compaction: one live segment afterwards, results identical
     Similarity.int8CompactStored(spark, dir)

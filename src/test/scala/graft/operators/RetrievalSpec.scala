@@ -246,6 +246,87 @@ class RetrievalSpec extends AnyFunSuite {
     graft.batch.BatchState.deleteDir(dir)
   }
 
+  test("deletion grace: a reader holding the pre-compaction segment list " +
+      "still completes after the compaction commits") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_grace").toString
+    Retrieval.writeIndex(Retrieval.buildIndex(docs.limit(0), "text", "doc_id"),
+      dir, tokenBuckets = 4)
+    (0 to 2).foreach { b =>
+      Retrieval.appendToStored(spark, dir, 4,
+        docs.where(col("doc_id") % 3 === b), "text", "doc_id",
+        batchId = Some(b.toLong))
+    }
+    val queries = q(0 -> "spark window", 1 -> "join sort batch")
+    // reader resolves the PRE-compaction segment list (file listing is
+    // pinned at plan time) but has not executed yet
+    val preCompactionPlan = Retrieval.bm25FromStored(spark, dir, 4, queries,
+      "qtext", "query_id", "doc_id")
+    val expected = Retrieval.bm25FromIndex(
+      Retrieval.buildIndex(docs, "text", "doc_id"), queries, "qtext", "query_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    Retrieval.compactStored(spark, dir, tokenBuckets = 4,
+      sweepGraceMs = 3600000L)
+    // mid-scan execution AFTER the compaction commit: the superseded
+    // segments are tombstoned, not deleted, so the old plan completes
+    val got = preCompactionPlan.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, "pre-compaction reader lost files or results")
+    // new readers resolve the compacted segment only, same results
+    val fresh = Retrieval.bm25FromStored(spark, dir, 4, queries, "qtext",
+      "query_id", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fresh == expected)
+    // tombstones age out on the sweep cadence
+    val tombed = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && new java.io.File(f, "_graft_tombstone").exists())
+    assert(tombed.nonEmpty, "superseded segments were not tombstoned")
+    tombed.foreach(f => assert(new java.io.File(f, "_graft_tombstone")
+      .setLastModified(System.currentTimeMillis() - 7200000L)))
+    graft.batch.SegmentedStore.sweepUncommitted(dir, 3600000L)
+    val live = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg="))
+    assert(live.length == 1, s"expired segments survived: ${live.map(_.getName).mkString(",")}")
+    graft.batch.BatchState.deleteDir(dir)
+  }
+
+  test("replay guard SURVIVES compaction: a batch whose segment was folded " +
+      "away is still skipped on replay") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_replay_c").toString
+    Retrieval.writeIndex(Retrieval.buildIndex(docs.limit(0), "text", "doc_id"),
+      dir, tokenBuckets = 4)
+    (0 to 2).foreach { b =>
+      Retrieval.appendToStored(spark, dir, 4,
+        docs.where(col("doc_id") % 3 === b), "text", "doc_id",
+        batchId = Some(b.toLong))
+    }
+    // compaction folds the even streaming segment ids out of the commit
+    // log — the exact window the segment-membership guard alone misses
+    Retrieval.compactStored(spark, dir, tokenBuckets = 4)
+    assert((0 to 2).forall(b => graft.batch.SegmentedStore.batchApplied(dir, b.toLong)),
+      "high-water mark lost across compaction")
+    // crash-between-foreachBatch-return-and-checkpoint-commit replay,
+    // arriving only after the compaction ran: must be a no-op
+    Retrieval.appendToStored(spark, dir, 4,
+      docs.where(col("doc_id") % 3 === 1), "text", "doc_id",
+      batchId = Some(1L))
+    val queries = q(0 -> "spark window", 1 -> "join sort batch")
+    val a = Retrieval.bm25FromStored(spark, dir, 4, queries, "qtext",
+      "query_id", "doc_id")
+    val full = Retrieval.bm25FromIndex(
+      Retrieval.buildIndex(docs, "text", "doc_id"), queries, "qtext", "query_id")
+    assert(a.exceptAll(full).isEmpty && full.exceptAll(a).isEmpty,
+      "post-compaction replay double-appended")
+    val st = Retrieval.readIndex(spark, dir, "doc_id").stats.collect().head
+    assert(st.getLong(0) == 5L && st.getLong(1) == 13L, "stats double-counted")
+    // re-pointing a NEW checkpoint (ids restart at 0) needs the explicit
+    // reset — and only the reset — to accept batches again
+    graft.batch.SegmentedStore.resetStreamingReplayGuard(dir)
+    assert(!graft.batch.SegmentedStore.batchApplied(dir, 0L))
+    graft.batch.BatchState.deleteDir(dir)
+  }
+
   test("crash window: an uncommitted segment is invisible to readers and " +
       "the next append overwrites its id") {
     val s = spark; import s.implicits._
