@@ -97,6 +97,26 @@ object Bench {
       val minOk = if (okTimes.nonEmpty) Some(okTimes.min) else None
       name -> (times.head._1, minOk, times.forall(_._2))
     }
+    // WAND pruning evidence travels with every round's bench artifact
+    // (r12 advice): surviving candidate (query, doc) groups under the
+    // pruned top-k vs the full scored-candidate count, on the same
+    // documents + queries as q_bm25_topk_pruned. UNTIMED — runs after the
+    // query loop and is excluded from totals.
+    val wandJson = try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val idx = operators.Retrieval.buildIndex(docs, "text", "doc_id")
+      val qdf = SparkEntry.bm25Queries(spark)
+      val (_, survivors) = operators.Retrieval.bm25TopKPrunedDiag(
+        idx, qdf, "qtext", "query_id", k = 3)
+      val scored = survivors.count()
+      val candidates = operators.Retrieval.bm25FromIndex(
+        idx, qdf, "qtext", "query_id").count()
+      val ratio = if (candidates > 0) scored.toDouble / candidates else 1.0
+      f"""{"scored_groups":$scored,"candidate_groups":$candidates,"ratio":$ratio%.4f}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] wand diag skipped: $e"); "null"
+    }
     def jnum(v: Option[Double]): String = v.fold("null")(_.toString)
     val qs = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -114,7 +134,7 @@ object Bench {
       case c if c < ' ' => ' '
       case c => c
     }.take(160)
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"n_queries":${results.size},"contract":"$contractJs","queries":$qs,"queries_min":$qsMin,"failed":$failedArr,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"n_queries":${results.size},"contract":"$contractJs","wand":$wandJson,"queries":$qs,"queries_min":$qsMin,"failed":$failedArr,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
@@ -135,7 +155,7 @@ object Bench {
       .take(12)
       .map { case (k, (first, min, _)) => "\"" + k + "\":" + jnum(min.orElse(Some(first))) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"n_queries":${results.size},"contract":"$contractJs","failed":$failedArr,"slowest_min":$slowest,"full":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"n_queries":${results.size},"contract":"$contractJs","wand":$wandJson,"failed":$failedArr,"slowest_min":$slowest,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

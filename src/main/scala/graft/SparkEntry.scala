@@ -114,7 +114,7 @@ object SparkEntry {
     4 -> "query group agg",
     5 -> "vector scan dup table")
 
-  private def bm25Queries(s: SparkSession): DataFrame = {
+  private[graft] def bm25Queries(s: SparkSession): DataFrame = {
     import s.implicits._
     bm25QuerySet.toDF("query_id", "qtext")
   }
@@ -373,6 +373,25 @@ object SparkEntry {
         .select(col("event_id").as("purchase_id"), col("user_id").as("puser"),
           col("ts").as("ps"), (col("ts") + lit(hourNs)).as("pe"))
       operators.RangeJoin.pointInInterval(clicks, col("ts"),
+          purchases, col("ps"), col("pe"), bucketWidth = hourNs,
+          equiKeys = Seq(col("user_id") -> col("puser")))
+        .select(col("click_id"), col("purchase_id"), col("user_id"))
+    }),
+
+    "q_range_join_left" -> ((s, dir) => {
+      // LEFT point-in-interval: every click survives; clicks inside no
+      // same-user purchase window carry a null purchase_id. The unmatched
+      // remainder is recovered with a null-safe (<=>) anti-join on the
+      // same bucketed keys — never a second range scan. Oracle: the naive
+      // non-equi LEFT join.
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      val ev = eventsDF(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("puser"),
+          col("ts").as("ps"), (col("ts") + lit(hourNs)).as("pe"))
+      operators.RangeJoin.pointInIntervalLeft(clicks, col("ts"),
           purchases, col("ps"), col("pe"), bucketWidth = hourNs,
           equiKeys = Seq(col("user_id") -> col("puser")))
         .select(col("click_id"), col("purchase_id"), col("user_id"))
@@ -3031,6 +3050,14 @@ object SparkEntry {
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ON c.user_id = p.user_id AND c.ts >= p.ts
+        |  AND c.ts < p.ts + INTERVAL 1 HOUR""".stripMargin,
+
+    // naive non-equi LEFT join: unmatched clicks keep a NULL purchase_id
+    "q_range_join_left" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |ON c.user_id = p.user_id AND c.ts >= p.ts
         |  AND c.ts < p.ts + INTERVAL 1 HOUR""".stripMargin,
 

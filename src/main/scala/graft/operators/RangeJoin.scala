@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
   * its mean span in buckets — choose W near the TYPICAL interval length
   * so most intervals explode to 1-2 rows; a pathologically long interval
   * costs span/W rows, never a cross product. Empty intervals (e <= s)
-  * match nothing and are dropped before the explode.
+  * match nothing and are dropped before the explode; an interval wider
+  * than `maxSpanBuckets` buckets (a corrupt sentinel end, or a W far
+  * below the data's scale) raises a runtime error naming the span
+  * instead of materializing an executor-killing sequence array.
   *
   * The reference has no interval operator (its joins are keyed lookups
   * and the time-ordered as-of, summingbird Service.scala leftJoin /
@@ -39,6 +42,34 @@ import org.apache.spark.sql.functions._
   * rewrite's role there (state-store pruning by watermark).
   */
 object RangeJoin {
+
+  /** Default ceiling on buckets-per-interval (2^20): far above any sanely
+    * configured span/W, low enough that a corrupt sentinel interval
+    * (e.g. `end = Long.MaxValue`) fails with a clear message instead of
+    * materializing a multi-billion-element `sequence` array that OOMs
+    * the executor.
+    */
+  val DefaultMaxSpanBuckets: Long = 1L << 20
+
+  /** Interval → covered-buckets explode, span-guarded: an interval
+    * spanning more than `maxSpanBuckets` buckets raises a runtime error
+    * naming the offending span (executor-side `raise_error`, so the scan
+    * that first touches the bad row fails loudly).
+    */
+  private def spanGuardedBuckets(s: Column, e: Column, w: Column,
+      maxSpanBuckets: Long): Column = {
+    val lo = floor(s.cast("long") / w)
+    val hi = floor((e.cast("long") - 1) / w)
+    val span = hi - lo + 1
+    explode(
+      when(span <= lit(maxSpanBuckets), sequence(lo, hi))
+        .otherwise(raise_error(concat_ws("",
+          lit("RangeJoin: interval ["), s.cast("long").cast("string"),
+          lit(", "), e.cast("long").cast("string"),
+          lit(") spans "), span.cast("string"),
+          lit(s" buckets > maxSpanBuckets=$maxSpanBuckets — corrupt/sentinel " +
+            "interval or bucketWidth far below the interval scale")))))
+  }
 
   /** Inner point-in-interval join. `points`/`intervals` column sets must
     * be disjoint (alias upstream if not). `equiKeys` adds equality
@@ -54,8 +85,10 @@ object RangeJoin {
     */
   def pointInInterval(points: DataFrame, pt: Column,
       intervals: DataFrame, start: Column, end: Column,
-      bucketWidth: Long, equiKeys: Seq[(Column, Column)] = Nil): DataFrame = {
+      bucketWidth: Long, equiKeys: Seq[(Column, Column)] = Nil,
+      maxSpanBuckets: Long = DefaultMaxSpanBuckets): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    require(maxSpanBuckets > 0, s"maxSpanBuckets must be > 0, got $maxSpanBuckets")
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty,
       s"points and intervals share columns ${overlap.mkString(", ")} — alias them apart")
@@ -63,8 +96,7 @@ object RangeJoin {
     val p = points.withColumn("__rjb", floor(pt.cast("long") / w))
     val i = intervals
       .where(end.cast("long") > start.cast("long"))
-      .withColumn("__rjb", explode(sequence(
-        floor(start.cast("long") / w), floor((end.cast("long") - 1) / w))))
+      .withColumn("__rjb", spanGuardedBuckets(start, end, w, maxSpanBuckets))
     val joinCond = equiKeys.foldLeft(p("__rjb") === i("__rjb")) {
       case (acc, (pk, ik)) => acc && pk === ik
     }
@@ -84,16 +116,17 @@ object RangeJoin {
     */
   def intervalOverlap(left: DataFrame, lStart: Column, lEnd: Column,
       right: DataFrame, rStart: Column, rEnd: Column,
-      bucketWidth: Long, equiKeys: Seq[(Column, Column)] = Nil): DataFrame = {
+      bucketWidth: Long, equiKeys: Seq[(Column, Column)] = Nil,
+      maxSpanBuckets: Long = DefaultMaxSpanBuckets): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    require(maxSpanBuckets > 0, s"maxSpanBuckets must be > 0, got $maxSpanBuckets")
     val overlapCols = left.columns.toSet.intersect(right.columns.toSet)
     require(overlapCols.isEmpty,
       s"left and right share columns ${overlapCols.mkString(", ")} — alias them apart")
     val w = lit(bucketWidth)
     def exploded(df: DataFrame, s: Column, e: Column): DataFrame = df
       .where(e.cast("long") > s.cast("long"))
-      .withColumn("__rjb", explode(sequence(
-        floor(s.cast("long") / w), floor((e.cast("long") - 1) / w))))
+      .withColumn("__rjb", spanGuardedBuckets(s, e, w, maxSpanBuckets))
     val l = exploded(left, lStart, lEnd)
     val r = exploded(right, rStart, rEnd)
     val joinCond = equiKeys.foldLeft(l("__rjb") === r("__rjb")) {
@@ -115,9 +148,10 @@ object RangeJoin {
     */
   def pointInIntervalLeft(points: DataFrame, pt: Column,
       intervals: DataFrame, start: Column, end: Column,
-      bucketWidth: Long, equiKeys: Seq[(Column, Column)] = Nil): DataFrame = {
+      bucketWidth: Long, equiKeys: Seq[(Column, Column)] = Nil,
+      maxSpanBuckets: Long = DefaultMaxSpanBuckets): DataFrame = {
     val inner = pointInInterval(points, pt, intervals, start, end,
-      bucketWidth, equiKeys)
+      bucketWidth, equiKeys, maxSpanBuckets)
     val matchedKeys = inner.select(points.columns.map(col).toIndexedSeq: _*)
     // NULL-SAFE anti-join: plain column-name equality is null-unsafe, so a
     // matched point carrying a null payload column would ALSO surface as a

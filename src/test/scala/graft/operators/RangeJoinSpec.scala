@@ -52,6 +52,28 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!got.exists(_._2 == 300L), "empty interval [50,50) matches nothing")
   }
 
+  test("a corrupt sentinel interval fails loudly at maxSpanBuckets, not as " +
+      "an executor-side sequence allocation") {
+    val s = spark; import s.implicits._
+    // end = Long.MaxValue at W=16 would be a ~5.8e17-element sequence
+    val poisoned = ivs.unionByName(
+      Seq((500L, 5L, 0L, Long.MaxValue)).toDF("iid", "iuser", "s", "e"))
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, col("p"), poisoned, col("s"), col("e"),
+        bucketWidth = 16).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("maxSpanBuckets")),
+      s"wrong failure: ${msgs(ex).mkString(" | ")}")
+    // sane intervals still pass under an explicit tight cap that the
+    // widest real interval ([0,1000) at W=16 → 63 buckets) fits inside
+    val got = RangeJoin.pointInInterval(pts, col("p"), ivs, col("s"), col("e"),
+      bucketWidth = 16, maxSpanBuckets = 64L).select(col("pid"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive(withKeys = false))
+  }
+
   test("equiKeys restrict matches to same-key pairs") {
     val got = RangeJoin.pointInInterval(pts, col("p"), ivs, col("s"), col("e"),
       bucketWidth = 16, equiKeys = Seq(col("puser") -> col("iuser")))
