@@ -102,7 +102,7 @@ object Bench {
     // pruned top-k vs the full scored-candidate count, on the same
     // documents + queries as q_bm25_topk_pruned. UNTIMED — runs after the
     // query loop and is excluded from totals.
-    val wandJson = try {
+    val wandJson = if (only.isDefined) "null" else try {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "text")
       val idx = operators.Retrieval.buildIndex(docs, "text", "doc_id")

@@ -34,6 +34,15 @@ import graft.time.BatchID
   *        before that boundary fails fast instead of silently serving an
   *        empty store — catching a mis-pointed path or a request for history
   *        that never existed.
+  * @param retentionGraceMs deletion grace for the retention sweep: 0
+  *        (default) deletes pruned snapshot dirs immediately after the
+  *        commit-log rewrite; a positive grace TOMBSTONES them instead
+  *        ([[StoreFs.sweepDir]]) and deletes only on a later prune that
+  *        finds the tombstone older than the grace — so a reader that
+  *        resolved an older snapshot (readLast at a historical batch)
+  *        finishes its scan across a concurrent retention sweep. Size it
+  *        above the longest reader's runtime, as with
+  *        [[SegmentedStore.sweepUncommitted]].
   * @param keyBuckets key-clustered snapshot layout for the SERVING path
   *        (the reference's ClientStore is a storehaus point-read,
   *        summingbird-client ClientStore.scala:123-173 — a get must not
@@ -51,11 +60,13 @@ final class BatchStore[K, V](
     val path: String,
     val versionsToKeep: Int = Int.MaxValue,
     val firstNonZero: Option[BatchID] = None,
-    val keyBuckets: Option[Int] = None)(
+    val keyBuckets: Option[Int] = None,
+    val retentionGraceMs: Long = 0L)(
     implicit kEnc: Encoder[K], vEnc: Encoder[V]) extends Serializable {
 
   require(versionsToKeep >= 1, s"versionsToKeep must be >= 1, got $versionsToKeep")
   keyBuckets.foreach(n => require(n >= 1, s"keyBuckets must be >= 1, got $n"))
+  require(retentionGraceMs >= 0, s"retentionGraceMs must be >= 0, got $retentionGraceMs")
 
   private implicit def kvEnc: Encoder[(K, V)] = Encoders.tuple(kEnc, vEnc)
 
@@ -176,7 +187,10 @@ final class BatchStore[K, V](
     * (exactly one file per `kb=` directory), rows key-sorted within each
     * file so parquet row-group stats are disjoint key ranges.
     */
-  def writeSnapshot(b: BatchID, snapshot: Dataset[(K, V)]): Unit = {
+  def writeSnapshot(b: BatchID, snapshot: Dataset[(K, V)]): Unit =
+    // single-writer lease (same contract as SegmentedStore mutations): two
+    // drivers pointed at one store race the commit log; fail loudly instead
+    WriterLease.withLock(path) {
     import functions.{col, hash, lit, pmod}
     val kv = snapshot.toDF("key", "value")
     keyBuckets match {
@@ -205,18 +219,24 @@ final class BatchStore[K, V](
   /** Retention (reference VersionedBatchStore.scala:105 `succeedVersion` →
     * `cleanup`): drop all but the newest [[versionsToKeep]] committed
     * snapshots. Crash-safe ordering — the pruned ids leave the commit log
-    * FIRST (atomic state rewrite), then their dirs are deleted, so a crash
+    * FIRST (atomic state rewrite), then their dirs are swept, so a crash
     * mid-prune can orphan a dir but never leave the log pointing at a
-    * deleted snapshot.
+    * deleted snapshot. The sweep covers every `batch_id=` dir no longer
+    * in the commit log — this pass's drops plus any tombstoned survivors
+    * of earlier graced prunes (and crashed writers' uncommitted orphans)
+    * — each through [[StoreFs.sweepDir]] under [[retentionGraceMs]].
     */
   private def prune(): Unit = if (versionsToKeep != Int.MaxValue) {
     val st = state
     val committed = st.committed.sorted
     val drop = committed.dropRight(versionsToKeep)
-    if (drop.nonEmpty) {
+    if (drop.nonEmpty)
       BatchState.write(path, st.copy(committed = committed.takeRight(versionsToKeep)))
-      drop.foreach { id => BatchState.deleteDir(snapshotDir(BatchID(id))) }
-    }
+    val live = BatchState.read(path).committed.map(id => s"batch_id=$id").toSet
+    StoreFs.listStatus(path)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id=") &&
+        !live.contains(s.getPath.getName))
+      .foreach(s => StoreFs.sweepDir(s.getPath.toString, retentionGraceMs))
   }
 
   /** The incremental merge — reference `BatchedStore.mergeBatched`

@@ -89,7 +89,7 @@ object SegmentedStore {
 
   /** Commit `id` as an ADDITIONAL live segment (the append shape). */
   def commitAppend(path: String, id: Long): Unit = {
-    StoreFs.deleteRecursive(s"${segDir(path, id)}/$TombstoneName")
+    StoreFs.clearTombstone(segDir(path, id))
     BatchState.commit(path, graft.time.BatchID(id))
   }
 
@@ -98,7 +98,7 @@ object SegmentedStore {
     * the two must never tear apart, or a replay window reopens.
     */
   def commitStreamingAppend(path: String, batchId: Long): Unit = {
-    StoreFs.deleteRecursive(s"${segDir(path, batchSegId(batchId))}/$TombstoneName")
+    StoreFs.clearTombstone(segDir(path, batchSegId(batchId)))
     val st = BatchState.read(path)
     BatchState.write(path, BatchState(
       (batchSegId(batchId) :: st.committed).distinct.sorted,
@@ -126,75 +126,35 @@ object SegmentedStore {
     // a reused id (crashed writer's orphan, or a segment cycling back
     // through tombstoned-then-rewritten) must not inherit a stale
     // tombstone — it would cut the NEXT grace window short
-    StoreFs.deleteRecursive(s"${segDir(path, id)}/$TombstoneName")
+    StoreFs.clearTombstone(segDir(path, id))
     BatchState.write(path, BatchState(List(id), st.maxAppliedStreamBatch))
     sweepUncommitted(path, sweepGraceMs)
   }
-
-  private val TombstoneName = "_graft_tombstone"
 
   /** Sweep every `seg=*` dir not in the commit log: uncommitted partials
     * from a crashed writer and segments superseded by a compaction.
     *
     * `sweepGraceMs = 0`: delete immediately (test/local default — no
-    * concurrent readers). `sweepGraceMs > 0`: two-phase — a dead segment
-    * is first TOMBSTONED (a marker file; its data stays readable for any
-    * in-flight scan that resolved the old segment list), and deleted only
-    * by a later sweep that finds the tombstone older than the grace.
-    * Sweeps run on every maintenance call, so tombstones age out on the
-    * compaction cadence.
+    * concurrent readers). `sweepGraceMs > 0`: two-phase via
+    * [[StoreFs.sweepDir]] — a dead segment is first TOMBSTONED (its data
+    * stays readable for any in-flight scan that resolved the old segment
+    * list), and deleted only by a later sweep that finds the tombstone
+    * older than the grace. Sweeps run on every maintenance call, so
+    * tombstones age out on the compaction cadence.
     */
   def sweepUncommitted(path: String, sweepGraceMs: Long = 0L): Unit = {
     val live = committedSegs(path).map(id => s"seg=$id").toSet
-    val now = System.currentTimeMillis()
     StoreFs.listStatus(path)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg=") &&
         !live.contains(s.getPath.getName))
-      .foreach { s =>
-        val dir = s.getPath.toString
-        if (sweepGraceMs <= 0L) StoreFs.deleteRecursive(dir)
-        else {
-          val tomb = s"$dir/$TombstoneName"
-          val marked = StoreFs.modificationTime(tomb)
-          if (marked == 0L)
-            StoreFs.writeAtomic(tomb, now.toString.getBytes("UTF-8"))
-          else if (now - marked > sweepGraceMs)
-            StoreFs.deleteRecursive(dir)
-        }
-      }
+      .foreach(s => StoreFs.sweepDir(s.getPath.toString, sweepGraceMs))
   }
 
-  private val WriterLockName = "_graft_writer.lock"
-
-  /** Best-effort single-writer lease: run `body` (a mutation — payload
-    * write + commit) holding `path/_graft_writer.lock`. A second
-    * concurrent mutator fails LOUDLY instead of racing the commit log —
-    * the enforcement of the writer-exclusivity contract above. The lease
-    * self-expires: a lock older than `leaseTimeoutMs` (a writer that died
-    * without releasing) is broken and re-acquired. Atomicity is the
-    * filesystem's create-if-absent — exact on HDFS/local, best-effort on
-    * object stores without conditional writes (two simultaneous acquirers
-    * in the same millisecond could both proceed there; the lease is a
-    * guard rail for operational mistakes — two maintenance jobs, a
-    * re-deployed streaming query next to its zombie — not a distributed
-    * lock service).
+  /** Run `body` (a mutation — payload write + commit) holding the store's
+    * single-writer lease; see [[WriterLease.withLock]] for semantics.
     */
-  def withWriterLock[A](path: String, leaseTimeoutMs: Long = 600000L)(body: => A): A = {
-    require(leaseTimeoutMs > 0, s"leaseTimeoutMs must be > 0, got $leaseTimeoutMs")
-    val lock = s"$path/$WriterLockName"
-    val now = System.currentTimeMillis()
-    val held = StoreFs.modificationTime(lock)
-    if (held > 0L && now - held <= leaseTimeoutMs)
-      throw new IllegalStateException(
-        s"SegmentedStore($path): another writer holds $lock " +
-        s"(age ${now - held} ms, lease $leaseTimeoutMs ms). Mutations require a " +
-        "single writer; if the owner is dead the lease expires on its own")
-    if (held > 0L) StoreFs.deleteRecursive(lock) // stale: break the dead lease
-    StoreFs.createExclusive(lock,
-      s"""{"pid":"${java.lang.ProcessHandle.current().pid()}","acquiredMs":$now}"""
-        .getBytes("UTF-8"))
-    try body finally StoreFs.deleteRecursive(lock)
-  }
+  def withWriterLock[A](path: String, leaseTimeoutMs: Long = 600000L)(body: => A): A =
+    WriterLease.withLock(path, leaseTimeoutMs)(body)
 
   /** Whether `dir` holds at least one parquet file — a segment written
     * from an empty batch has none (only a write marker) and readers must

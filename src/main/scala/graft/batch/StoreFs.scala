@@ -115,6 +115,35 @@ object StoreFs {
     if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
   }
 
+  /** Marker file name used by [[sweepDir]]'s two-phase delete. */
+  val TombstoneName = "_graft_tombstone"
+
+  /** Delete a DEAD directory (superseded snapshot / swept segment),
+    * optionally behind a deletion grace: `graceMs <= 0` deletes
+    * immediately; a positive grace TOMBSTONES the directory on the first
+    * call (its data stays readable for any in-flight scan that resolved
+    * the old listing) and deletes it only on a later call that finds the
+    * tombstone older than the grace. Callers invoke this on their
+    * maintenance cadence, so tombstones age out on that cadence.
+    */
+  def sweepDir(dir: String, graceMs: Long,
+      now: Long = System.currentTimeMillis()): Unit = {
+    if (graceMs <= 0L) deleteRecursive(dir)
+    else {
+      val tomb = s"$dir/$TombstoneName"
+      val marked = modificationTime(tomb)
+      if (marked == 0L) writeAtomic(tomb, now.toString.getBytes("UTF-8"))
+      else if (now - marked > graceMs) deleteRecursive(dir)
+    }
+  }
+
+  /** Remove a stale tombstone from a directory being (re-)committed live
+    * — a resurrected id must not inherit the old marker, or its next
+    * grace window would be cut short.
+    */
+  def clearTombstone(dir: String): Unit =
+    deleteRecursive(s"$dir/$TombstoneName")
+
   /** Whether `path` holds at least one parquet file anywhere below it — a
     * segment written from an empty batch has none (only write markers)
     * and readers must skip it or schema inference fails.

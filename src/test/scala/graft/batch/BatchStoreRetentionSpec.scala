@@ -46,6 +46,57 @@ class BatchStoreRetentionSpec extends AnyFunSuite {
     assert(snapshotDirs(dir) == Set("batch_id=1", "batch_id=2", "batch_id=3"))
   }
 
+  test("retentionGraceMs: a reader holding a pruned snapshot completes across " +
+      "the sweep; tombstones age out on the prune cadence") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_retention_grace_").toString
+    val store = new BatchStore[String, Long](dir, versionsToKeep = 2,
+      retentionGraceMs = 3600000L)
+    (1L to 2L).foreach { b =>
+      store.merge(spark, Seq(("k", b, b)).toDS(), BatchID(b)).count()
+    }
+    // reader pins the OLDEST snapshot's file listing before the next merges
+    // prune it out of the commit log
+    val oldReader = store.readLast(spark, BatchID(1)).get._2
+    (3L to 4L).foreach { b =>
+      store.merge(spark, Seq(("k", b, b)).toDS(), BatchID(b)).count()
+    }
+    assert(store.state.committed == List(3L, 4L))
+    // graced: the pruned dirs are tombstoned, not deleted — the old reader
+    // still completes with the pre-prune contents
+    assert(oldReader.collect().toMap == Map("k" -> 1L),
+      "reader lost its snapshot inside the grace window")
+    assert(snapshotDirs(dir) == Set("batch_id=1", "batch_id=2", "batch_id=3", "batch_id=4"))
+    // age the tombstones past the grace; the next prune-triggering merge sweeps
+    for (b <- Seq(1L, 2L)) {
+      val tomb = new java.io.File(s"$dir/batch_id=$b/_graft_tombstone")
+      assert(tomb.exists(), s"batch_id=$b not tombstoned")
+      assert(tomb.setLastModified(System.currentTimeMillis() - 7200000L))
+    }
+    store.merge(spark, Seq(("k", 5L, 5L)).toDS(), BatchID(5)).count()
+    // 1 and 2 aged out and are deleted; 3 was dropped by THIS prune and
+    // enters its own grace window (tombstoned, still on disk)
+    assert(snapshotDirs(dir) == Set("batch_id=3", "batch_id=4", "batch_id=5"),
+      "expired snapshots survived (or in-grace snapshot deleted) in the post-grace sweep")
+    assert(new java.io.File(s"$dir/batch_id=3/_graft_tombstone").exists())
+    assert(store.readLast(spark).get._2.collect().toMap == Map("k" -> 15L))
+  }
+
+  test("writeSnapshot holds the single-writer lease: a concurrent mutator fails loudly") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_store_lease_").toString
+    val store = new BatchStore[String, Long](dir)
+    WriterLease.withLock(dir) {
+      val ex = intercept[IllegalStateException] {
+        store.merge(spark, Seq(("k", 1L, 1L)).toDS(), BatchID(1)).count()
+      }
+      assert(ex.getMessage.contains("_graft_writer.lock"))
+    }
+    // lease released: the same merge now commits
+    store.merge(spark, Seq(("k", 1L, 1L)).toDS(), BatchID(1)).count()
+    assert(store.readLast(spark).get._2.collect().toMap == Map("k" -> 1L))
+  }
+
   test("merge leaves no cache entry behind (r6 verdict: persist must be released)") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft_cache_").toString
