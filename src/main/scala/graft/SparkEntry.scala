@@ -1586,6 +1586,24 @@ object SparkEntry {
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
+    "q_bm25_delete" -> ((s, dir) => {
+      // the takedown / right-to-be-forgotten maintenance path: bootstrap a
+      // stored index over the full corpus, DELETE doc_id % 7 == 3 (a
+      // delete-set segment + negative stats delta on one atomic commit),
+      // then serve — must equal DuckDB's BM25 over the RETAINED corpus
+      // exactly, including the N/avgdl shift and df-derived idf changes
+      val docsDf = t(s, dir, "documents").select("doc_id", "text")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_del_").toString
+      try {
+        Retrieval.writeIndex(Retrieval.buildIndex(docsDf, "text", "doc_id"),
+          tmp, tokenBuckets = 16)
+        Retrieval.deleteFromStored(s, tmp,
+          docsDf.where(col("doc_id") % 7 === 3).select("doc_id"))
+        Retrieval.bm25FromStored(s, tmp, tokenBuckets = 16,
+          bm25Queries(s), "qtext", "query_id", "doc_id").localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
     "q_streaming_bm25" -> ((s, dir) => {
       // the FULL stored-index maintenance lifecycle: the corpus arrives in
       // 3 doc_id-sliced micro-batches, each committed as a new index
@@ -1881,6 +1899,26 @@ object SparkEntry {
         val stored = Similarity.int8TopKStored(s, tmp, e, "embedding",
           "vec_id", q, 10).localCheckpoint(true)
         int8InvariantRow(e, q, stored)
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
+    "q_ann_delete" -> ((s, dir) => {
+      // takedown on the ANN side: bootstrap the stored codes index over
+      // all embeddings, DELETE vec_id % 5 == 2 (a delete-set segment the
+      // reads anti-join), serve — invariants computed against the
+      // RETAINED corpus, with same_as_mem pinning exact equality to the
+      // in-memory int8TopK over that corpus
+      val e = t(s, dir, "embeddings")
+      val kept = e.where(col("vec_id") % 5 =!= 2)
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ann_del_").toString
+      try {
+        Similarity.int8WriteIndex(e, "embedding", "vec_id", tmp)
+        Similarity.int8DeleteFromStored(s, tmp,
+          e.where(col("vec_id") % 5 === 2).select("vec_id"))
+        val stored = Similarity.int8TopKStored(s, tmp, kept, "embedding",
+          "vec_id", q, 10).localCheckpoint(true)
+        int8InvariantRow(kept, q, stored)
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
@@ -2812,24 +2850,31 @@ object SparkEntry {
     * IEEE operations; only the final few-term sum reorders, which 6dp
     * rounding absorbs.
     */
-  private val bm25OracleBase: String =
+  /** The shared BM25 oracle CTE block, with the corpus restricted by
+    * `docWhere` — "TRUE" for the full-corpus rows, a retained-set
+    * predicate for the takedown row (q_bm25_delete), whose oracle IS the
+    * rebuilt-without-the-documents computation.
+    */
+  private def bm25OracleBaseFor(docWhere: String): String =
     "WITH q(query_id, qtext) AS (VALUES " +
       bm25QuerySet.map { case (i, t) => "(" + i + ", '" + t + "')" }.mkString(", ") +
       ")," +
-    """
+    s"""
       |d AS (SELECT doc_id,
-      |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
-      |  FROM documents),
+      |  list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents WHERE $docWhere),
       |stats AS (SELECT count(*) AS n_docs,
       |  CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM d),
       |post AS (SELECT doc_id, tok, count(*) AS tf, any_value(dl) AS dl FROM (
       |  SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM d)
       |  GROUP BY doc_id, tok),
       |qt AS (SELECT query_id, unnest(list_distinct(
-      |  list_filter(string_split_regex(lower(qtext), '\s+'), x -> len(x) > 0))) AS tok
+      |  list_filter(string_split_regex(lower(qtext), '\\s+'), x -> len(x) > 0))) AS tok
       |  FROM q),
       |dfq AS (SELECT tok, count(*) AS df FROM post
       |  WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY tok)""".stripMargin
+
+  private val bm25OracleBase: String = bm25OracleBaseFor("TRUE")
 
   private val sessionizeOracle: String =
     """WITH m AS (
@@ -2857,7 +2902,7 @@ object SparkEntry {
       |  FROM documents)
       |SELECT doc_id, lang, rank FROM ranked WHERE rank <= ceil(0.3 * n)""".stripMargin
 
-  private val bm25OracleScored: String = bm25OracleBase +
+  private val bm25ScoredSuffix: String =
     """
       |SELECT qt.query_id, post.doc_id,
       |  round(sum(ln(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
@@ -2866,6 +2911,8 @@ object SparkEntry {
       |FROM qt JOIN post ON qt.tok = post.tok
       |  JOIN dfq ON qt.tok = dfq.tok CROSS JOIN stats
       |GROUP BY qt.query_id, post.doc_id""".stripMargin
+
+  private val bm25OracleScored: String = bm25OracleBase + bm25ScoredSuffix
 
   /** Shared by q_bm25_topk and q_bm25_topk_pruned (WAND-lite pruning is
     * exact): per-query top-3 by (6dp-rounded score desc, doc_id asc).
@@ -3639,6 +3686,10 @@ object SparkEntry {
 
     "q_bm25" -> bm25OracleScored,
 
+    // takedown: the oracle IS the rebuild-without-the-deleted-docs
+    // computation — N/avgdl shift and df-derived idf changes included
+    "q_bm25_delete" -> (bm25OracleBaseFor("doc_id % 7 <> 3") + bm25ScoredSuffix),
+
     // the incremental index, the pruned stored read, and the streaming
     // ingest MUST all score identically to the full rebuild — these rows
     // share the full-rebuild oracle verbatim
@@ -4256,6 +4307,13 @@ object SparkEntry {
       """SELECT count(*) AS n_vecs, TRUE AS recall_ok, TRUE AS k_ok,
         |  TRUE AS same_as_mem
         |FROM embeddings""".stripMargin,
+
+    // takedown: invariants computed against the RETAINED corpus;
+    // same_as_mem pins exact equality to the in-memory int8TopK over it
+    "q_ann_delete" ->
+      """SELECT count(*) AS n_vecs, TRUE AS recall_ok, TRUE AS k_ok,
+        |  TRUE AS same_as_mem
+        |FROM embeddings WHERE vec_id % 5 <> 2""".stripMargin,
 
     // streaming ingest + compaction are exact (per-vector rows are
     // independent), so the lifecycle row pins the same four invariants

@@ -143,9 +143,13 @@ object Retrieval {
    *   path/seg=N/postings/tb=.../ this segment's postings, token-bucketed
    *   path/seg=N/stats/           ONE row: this segment's (n_docs, total_dl)
    *                               DELTA; readers sum deltas across segments
+   *   path/seg=N/deletes/         a [[deleteFromStored]] segment's delete
+   *                               set (one id column); readers anti-join
+   *                               the union of delete sets out of postings
    *
    * Postings and stats sit in the same segment, so they can never tear
-   * apart — they commit together on the log flip.
+   * apart — they commit together on the log flip; a delete segment's set
+   * and its negative stats delta likewise.
    */
   private def segDir(path: String, id: Long) =
     graft.batch.SegmentedStore.segDir(path, id)
@@ -285,6 +289,7 @@ object Retrieval {
       path: String, segs: List[Long], idCol: String): Bm25Index = {
     val postings = readPostings(spark, path, segs)
       .map(_.drop("tb"))
+      .map(minusDeleted(spark, path, segs, _, idCol))
       .getOrElse(emptyPostings(spark, idCol))
     val stats = segs.map(id => spark.read.parquet(s"${segDir(path, id)}/stats"))
       .reduce(_ unionByName _)
@@ -292,6 +297,77 @@ object Retrieval {
         coalesce(sum(col("total_dl")), lit(0L)).as("total_dl"))
     Bm25Index(postings, stats, idCol)
   }
+
+  /** Union of the committed segments' delete sets (one id column, named
+    * `idCol` for the caller) — None when no segment carries deletions.
+    */
+  private def readDeletes(spark: org.apache.spark.sql.SparkSession,
+      path: String, segs: List[Long], idCol: String): Option[DataFrame] = {
+    val live = segs.filter(id => hasParquetFiles(s"${segDir(path, id)}/deletes"))
+    if (live.isEmpty) None
+    else Some(live.map(id => spark.read.parquet(s"${segDir(path, id)}/deletes"))
+      .reduce(_ unionByName _).toDF(idCol).distinct())
+  }
+
+  /** Filter deleted documents out of a postings frame: one anti-join
+    * against the (takedown-sized) delete-set union — the planner
+    * broadcasts it when small, shuffles when a mass revocation isn't.
+    */
+  private def minusDeleted(spark: org.apache.spark.sql.SparkSession,
+      path: String, segs: List[Long], postings: DataFrame,
+      idCol: String): DataFrame =
+    readDeletes(spark, path, segs, idCol)
+      .fold(postings)(d => postings.join(d, Seq(idCol), "left_anti"))
+
+  /** Remove documents from a STORED index — the takedown /
+    * right-to-be-forgotten maintenance path a training corpus needs
+    * (license revocations, opt-outs). Writes ONE new segment holding the
+    * delete set (`seg=N/deletes`) plus the NEGATIVE stats delta of the
+    * removed docs, committed on the same atomic log flip — so N and
+    * avgdl correct exactly, candidate-derived dfs correct exactly (the
+    * read-side anti-join removes the docs' postings), and scores equal a
+    * rebuild without the documents bit-for-bit. Physical removal happens
+    * at the next [[compactStored]], which folds live postings and sweeps
+    * the delete sets.
+    *
+    * `ids` is restricted to currently-LIVE indexed docs before anything
+    * is written (semi-join against the delete-filtered index), which
+    * makes the operation idempotent (re-deleting is a no-op) and makes
+    * deleting never-indexed ids a no-op rather than a stats corruption.
+    * Token-less documents leave no postings and cannot be matched here:
+    * their N contribution stays (avgdl is unaffected — they carry dl 0).
+    * Re-adding a previously deleted id via [[appendToStored]] requires a
+    * compaction first — until the delete set is physically folded, the
+    * read-side anti-join would suppress the re-added doc.
+    */
+  def deleteFromStored(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, idCol: String = "doc_id"): Unit =
+    graft.batch.SegmentedStore.withWriterLock(path) {
+      val segs = committedSegs(path)
+      require(segs.nonEmpty, s"deleteFromStored: no committed index at $path")
+      val idx = readIndexSegs(spark, path, segs, idCol)
+      val victims = idx.postings
+        .join(ids.toDF(idCol).distinct(), Seq(idCol), "left_semi")
+        .select(col(idCol), col("dl")).distinct()
+        .persist()
+      try {
+        // nothing live matched (re-delete / never-indexed): leave the
+        // commit log untouched rather than committing an empty segment
+        if (victims.limit(1).count() > 0) {
+          val id = graft.batch.SegmentedStore.nextId(path)
+          victims.select(col(idCol)).write.mode("overwrite")
+            .parquet(s"${segDir(path, id)}/deletes")
+          victims.agg((-count(lit(1))).as("n_docs"),
+              (-coalesce(sum(col("dl")), lit(0L))).as("total_dl"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"${segDir(path, id)}/stats")
+          graft.batch.SegmentedStore.commitAppend(path, id)
+        }
+      } finally {
+        victims.unpersist()
+        ()
+      }
+    }
 
   /** Score queries against a STORED index reading only the query tokens'
     * buckets: the distinct query tokens (bounded — `maxQueryTokens` caps
@@ -341,11 +417,14 @@ object Retrieval {
       (if (m < 0) m + tokenBuckets else m).toInt
     }).distinct
     // prune each segment's read independently (static tb partition filter +
-    // pushed token IN), then union the candidate-sized remainders
+    // pushed token IN), then union the candidate-sized remainders; deleted
+    // docs anti-join out of the candidate-sized frame (exact dfs either way
+    // — every LIVE posting of each query token survives)
     readPostings(spark, path, segs)
       .map(_.where(col("tb").isin(buckets.map(Integer.valueOf).toSeq: _*))
         .where(col("token").isin(toks.toSeq: _*))
         .drop("tb"))
+      .map(minusDeleted(spark, path, segs, _, idCol))
       .getOrElse(emptyPostings(spark, idCol))
   }
 

@@ -182,10 +182,60 @@ object Similarity {
         StructType(Seq(StructField(idCol, LongType),
           StructField("codes", ArrayType(ByteType)),
           StructField("scale", DoubleType))))
-    } else live.map(id => spark.read.parquet(
-        s"${graft.batch.SegmentedStore.segDir(path, id)}/codes"))
-      .reduce(_ unionByName _)
+    } else {
+      val codes = live.map(id => spark.read.parquet(
+          s"${graft.batch.SegmentedStore.segDir(path, id)}/codes"))
+        .reduce(_ unionByName _)
+      readInt8Deletes(spark, path, segs, idCol)
+        .fold(codes)(d => codes.join(d, Seq(idCol), "left_anti"))
+    }
   }
+
+  /** Union of the committed segments' delete sets, None when no segment
+    * carries deletions (same read shape as the BM25 side).
+    */
+  private def readInt8Deletes(spark: SparkSession, path: String,
+      segs: List[Long], idCol: String): Option[DataFrame] = {
+    val live = segs.filter(id => graft.batch.SegmentedStore.hasParquetFiles(
+      s"${graft.batch.SegmentedStore.segDir(path, id)}/deletes"))
+    if (live.isEmpty) None
+    else Some(live.map(id => spark.read.parquet(
+        s"${graft.batch.SegmentedStore.segDir(path, id)}/deletes"))
+      .reduce(_ unionByName _).toDF(idCol).distinct())
+  }
+
+  /** Remove vectors from a STORED codes index — the takedown maintenance
+    * path, mirroring [[graft.operators.Retrieval.deleteFromStored]]:
+    * writes one segment holding the delete set, committed on the atomic
+    * log flip; reads anti-join it out, so serving equals an index built
+    * without the vectors; the next [[int8CompactStored]] folds the
+    * removal physically and sweeps the delete sets. Restricted to
+    * currently-live ids (idempotent; never-indexed ids are a no-op).
+    * Re-adding a deleted id via [[int8AppendToStored]] requires a
+    * compaction first — until then the anti-join suppresses it.
+    */
+  def int8DeleteFromStored(spark: SparkSession, path: String,
+      ids: DataFrame, idCol: String = "vec_id"): Unit =
+    graft.batch.SegmentedStore.withWriterLock(path) {
+      val segs = graft.batch.SegmentedStore.committedSegs(path)
+      require(segs.nonEmpty, s"int8DeleteFromStored: no committed index at $path")
+      val victims = readInt8Index(spark, path, idCol)
+        .join(ids.toDF(idCol).distinct(), Seq(idCol), "left_semi")
+        .select(col(idCol)).distinct()
+        .persist()
+      try {
+        // nothing live matched: leave the commit log untouched
+        if (victims.limit(1).count() > 0) {
+          val id = graft.batch.SegmentedStore.nextId(path)
+          victims.write.mode("overwrite")
+            .parquet(s"${graft.batch.SegmentedStore.segDir(path, id)}/deletes")
+          graft.batch.SegmentedStore.commitAppend(path, id)
+        }
+      } finally {
+        victims.unpersist()
+        ()
+      }
+    }
 
   /** QUERY step: codes-only scan of a stored [[int8WriteIndex]] table
     * ranks by the quantized dot, then ONLY the top oversample·k

@@ -144,6 +144,30 @@ class Int8QuantSpec extends AnyFunSuite {
     assert(emptyTopK.isEmpty, "empty bootstrap window must serve an empty top-k")
     graft.batch.BatchState.deleteDir(dirE)
 
+    // takedown deletes: serving equals an index built without the vectors;
+    // idempotent + never-indexed ids leave the commit log untouched;
+    // compaction folds the removal physically
+    val dirD = java.nio.file.Files.createTempDirectory("graft_int8_del").toString
+    Similarity.int8WriteIndex(df, "embedding", "vec_id", dirD)
+    val delIds = (0 until 300 by 3).map(_.toLong)
+    Similarity.int8DeleteFromStored(spark, dirD,
+      delIds.toDF("vec_id"))
+    val expectDel = Similarity.int8TopK(df.where(col("vec_id") % 3 =!= 0),
+        "embedding", "vec_id", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    def storedDel() = Similarity.int8TopKStored(spark, dirD, df, "embedding",
+      "vec_id", q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(storedDel() == expectDel, "delete != rebuild-without")
+    val segsD = graft.batch.SegmentedStore.committedSegs(dirD)
+    Similarity.int8DeleteFromStored(spark, dirD, Seq(0L, 99999L).toDF("vec_id"))
+    assert(graft.batch.SegmentedStore.committedSegs(dirD) == segsD,
+      "no-op delete committed a segment")
+    Similarity.int8CompactStored(spark, dirD)
+    assert(Similarity.readInt8Index(spark, dirD).count() == 200L,
+      "deleted codes survived compaction")
+    assert(storedDel() == expectDel, "compaction changed post-delete serving")
+    graft.batch.BatchState.deleteDir(dirD)
+
     // compaction: one live segment afterwards, results identical
     Similarity.int8CompactStored(spark, dir)
     val live = new java.io.File(dir).listFiles()

@@ -246,6 +246,60 @@ class RetrievalSpec extends AnyFunSuite {
     graft.batch.BatchState.deleteDir(dir)
   }
 
+  test("deleteFromStored: delete equals rebuild-without bit-for-bit, is " +
+      "idempotent, no-ops on never-indexed ids, and compaction folds it " +
+      "physically") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_del").toString
+    Retrieval.writeIndex(Retrieval.buildIndex(docs, "text", "doc_id"),
+      dir, tokenBuckets = 4)
+    val queries = q(0 -> "spark window", 1 -> "join sort batch")
+    def stored() = Retrieval.bm25FromStored(spark, dir, 4, queries, "qtext",
+      "query_id", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    // scores against the index REBUILT WITHOUT docs 2 and 3 — the delete
+    // must reproduce this exactly, including the N/avgdl shift and the
+    // df-derived idf changes, not just drop rows from the output
+    val expected = Retrieval.bm25FromIndex(
+      Retrieval.buildIndex(docs.where(!col("doc_id").isin(2L, 3L)), "text", "doc_id"),
+      queries, "qtext", "query_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    Retrieval.deleteFromStored(spark, dir, Seq(2L, 3L).toDF("doc_id"))
+    assert(stored() == expected, "delete != rebuild-without")
+    val st = Retrieval.readIndex(spark, dir, "doc_id").stats.collect().head
+    assert(st.getLong(0) == 3L && st.getLong(1) == 5L,
+      s"stats not corrected: (${st.getLong(0)}, ${st.getLong(1)})")
+    // idempotent: re-deleting leaves the commit log untouched
+    val segsBefore = graft.batch.SegmentedStore.committedSegs(dir)
+    Retrieval.deleteFromStored(spark, dir, Seq(2L).toDF("doc_id"))
+    // never-indexed id: a no-op too
+    Retrieval.deleteFromStored(spark, dir, Seq(999L).toDF("doc_id"))
+    assert(graft.batch.SegmentedStore.committedSegs(dir) == segsBefore,
+      "no-op deletes committed segments")
+    assert(stored() == expected)
+    // compaction folds the removal physically: postings rows gone, delete
+    // sets swept, one live segment, scores unchanged
+    Retrieval.compactStored(spark, dir, tokenBuckets = 4)
+    val live = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg="))
+    assert(live.length == 1)
+    assert(!new java.io.File(live.head, "deletes").exists(),
+      "compaction carried a delete set forward")
+    val postIds = Retrieval.readIndex(spark, dir, "doc_id").postings
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(postIds == Set(1L, 5L), s"deleted postings survived compaction: $postIds")
+    assert(stored() == expected)
+    // after the physical fold, a deleted id can be re-added
+    Retrieval.appendToStored(spark, dir, 4,
+      docs.where(col("doc_id") === 2L), "text", "doc_id")
+    val back = Retrieval.bm25FromIndex(
+      Retrieval.buildIndex(docs.where(col("doc_id") =!= 3L), "text", "doc_id"),
+      queries, "qtext", "query_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stored() == back, "re-added doc after compaction does not serve")
+    graft.batch.BatchState.deleteDir(dir)
+  }
+
   test("deletion grace: a reader holding the pre-compaction segment list " +
       "still completes after the compaction commits") {
     val s = spark; import s.implicits._
