@@ -1586,6 +1586,21 @@ object SparkEntry {
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
+    "q_bm25_topk_stored" -> ((s, dir) => {
+      // the end-to-end stored SERVING path: scan pruned to the query
+      // tokens' buckets (tb IN + pushed token IN), WAND-pruned scoring,
+      // WindowGroupLimit top-k — exact, shares q_bm25_topk's oracle
+      val docsDf = t(s, dir, "documents").select("doc_id", "text")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_tks_").toString
+      try {
+        Retrieval.writeIndex(Retrieval.buildIndex(docsDf, "text", "doc_id"),
+          tmp, tokenBuckets = 16)
+        Retrieval.bm25TopKFromStored(s, tmp, tokenBuckets = 16,
+          bm25Queries(s), "qtext", "query_id", "doc_id", k = 3)
+          .localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
     "q_bm25_delete" -> ((s, dir) => {
       // the takedown / right-to-be-forgotten maintenance path: bootstrap a
       // stored index over the full corpus, DELETE doc_id % 7 == 3 (a
@@ -3690,6 +3705,7 @@ object SparkEntry {
     // computation — N/avgdl shift and df-derived idf changes included
     "q_bm25_delete" -> (bm25OracleBaseFor("doc_id % 7 <> 3") + bm25ScoredSuffix),
 
+
     // the incremental index, the pruned stored read, and the streaming
     // ingest MUST all score identically to the full rebuild — these rows
     // share the full-rebuild oracle verbatim
@@ -3702,6 +3718,10 @@ object SparkEntry {
     // WAND-lite pruning is exact (docs that cannot reach or tie into the
     // top k are never scored), so the pruned row shares the oracle verbatim
     "q_bm25_topk_pruned" -> bm25TopKOracle,
+
+    // stored serving (pruned read + WAND pruning) is exact, so the row
+    // shares the top-k oracle verbatim
+    "q_bm25_topk_stored" -> bm25TopKOracle,
 
     // blank docs (empty shingle sets) follow the STAR contract: one
     // (min blank id, other blank id, 1.0) row per extra blank — linear,

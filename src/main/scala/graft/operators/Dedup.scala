@@ -207,6 +207,19 @@ object Dedup {
       .where(col("n_overlap") >= minOverlap)
   }
 
+  /** The retained corpus after decontamination — [[decontaminate]]'s
+    * flagged documents anti-joined out, i.e. the frame a training run
+    * actually consumes. Same broadcast shape; the anti-join's right side
+    * is contamination-sized.
+    */
+  def removeContaminated(docs: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 8, minOverlap: Int = 1,
+      broadcastBenchmark: Boolean = true): DataFrame =
+    docs.join(
+      decontaminate(docs, benchmark, textCol, idCol, n, minOverlap,
+        broadcastBenchmark).select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Cross-document duplicated-n-gram statistics (the corpus-level
     * complement of the WITHIN-document repetition metrics in
     * [[graft.operators.Scoring]]): for each document, how many of its

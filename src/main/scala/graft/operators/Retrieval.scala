@@ -570,6 +570,33 @@ object Retrieval {
       .where(col("rank") <= k), candDocs)
   }
 
+  /** Top-k straight off a STORED index — the end-to-end serving path for
+    * a corpus-scale index: the scan prunes to the query tokens' buckets
+    * (`tb IN` + pushed `token IN`, [[storedQueryPostings]]), WAND-lite
+    * pruning then skips score aggregation for docs that provably cannot
+    * reach the k-th rank, and the final rank compiles to
+    * WindowGroupLimit. Exact: the pruned read keeps every LIVE posting
+    * of each query token, so the per-token summaries, θ, dfs and scores
+    * are identical to [[bm25TopK]] over the same logical index —
+    * including after [[deleteFromStored]] (the anti-join applies before
+    * the summaries). Shares q_bm25_topk's oracle.
+    */
+  def bm25TopKFromStored(spark: org.apache.spark.sql.SparkSession,
+      path: String, tokenBuckets: Int, queries: DataFrame, qTextCol: String,
+      qIdCol: String, idCol: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75, maxDfFraction: Double = 1.0,
+      maxQueryTokens: Int = 10000): DataFrame = {
+    // one commit-log resolution shared by stats and postings (the same
+    // torn-read note as bm25FromStored)
+    val segs = committedSegs(path)
+    require(segs.nonEmpty, s"bm25TopKFromStored: no committed index at $path")
+    val full = readIndexSegs(spark, path, segs, idCol)
+    val postings = storedQueryPostingsSegs(spark, path, segs, tokenBuckets,
+      queries, qTextCol, maxQueryTokens, idCol)
+    bm25TopKPruned(Bm25Index(postings, full.stats, idCol), queries,
+      qTextCol, qIdCol, k, k1, b, maxDfFraction)
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) — the
     * standard way to combine heterogeneous retrievers (BM25 + dense ANN,
     * BM25 + overlap, ...): fused(q, d) = Σ_r 1/(k0 + rank_r(q, d)) over

@@ -246,6 +246,29 @@ class RetrievalSpec extends AnyFunSuite {
     graft.batch.BatchState.deleteDir(dir)
   }
 
+  test("bm25TopKFromStored: pruned-read + WAND-pruned top-k equals the " +
+      "in-memory top-k bit-for-bit, including after deletes") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_tks").toString
+    Retrieval.writeIndex(Retrieval.buildIndex(docs, "text", "doc_id"),
+      dir, tokenBuckets = 4)
+    val queries = q(0 -> "spark window", 1 -> "join sort batch")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(asSet(Retrieval.bm25TopKFromStored(spark, dir, 4, queries,
+        "qtext", "query_id", "doc_id", k = 2)) ==
+      asSet(Retrieval.bm25TopK(Retrieval.buildIndex(docs, "text", "doc_id"),
+        queries, "qtext", "query_id", k = 2)))
+    // deletes apply before the summaries: θ, dfs and scores all shift
+    Retrieval.deleteFromStored(spark, dir, Seq(2L).toDF("doc_id"))
+    assert(asSet(Retrieval.bm25TopKFromStored(spark, dir, 4, queries,
+        "qtext", "query_id", "doc_id", k = 2)) ==
+      asSet(Retrieval.bm25TopK(
+        Retrieval.buildIndex(docs.where(col("doc_id") =!= 2L), "text", "doc_id"),
+        queries, "qtext", "query_id", k = 2)))
+    graft.batch.BatchState.deleteDir(dir)
+  }
+
   test("deleteFromStored: delete equals rebuild-without bit-for-bit, is " +
       "idempotent, no-ops on never-indexed ids, and compaction folds it " +
       "physically") {

@@ -63,6 +63,13 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(loose.keySet == Set(1L, 3L))
     assert(loose(3L) == 1L)
+    // the removal form is exactly the complement of the flags
+    val kept = Dedup.removeContaminated(docs, bench, "text", "doc_id",
+      n = 3, minOverlap = 1).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+    val keptStrict = Dedup.removeContaminated(docs, bench, "text", "doc_id",
+      n = 3, minOverlap = 2).select("doc_id").as[Long].collect().toSet
+    assert(keptStrict == Set(2L, 3L))
   }
 
   test("repetition metrics on multi-line planted docs") {
