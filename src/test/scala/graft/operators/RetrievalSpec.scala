@@ -323,6 +323,30 @@ class RetrievalSpec extends AnyFunSuite {
     graft.batch.BatchState.deleteDir(dir)
   }
 
+  test("deletes interleave with streaming appends: delete → append → serve " +
+      "equals the rebuilt retained corpus") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_del_i").toString
+    Retrieval.writeIndex(Retrieval.buildIndex(docs.limit(0), "text", "doc_id"),
+      dir, tokenBuckets = 4)
+    Retrieval.appendToStored(spark, dir, 4,
+      docs.where(col("doc_id") <= 3), "text", "doc_id", batchId = Some(0L))
+    // takedown lands BETWEEN micro-batches — the live-maintenance ordering
+    Retrieval.deleteFromStored(spark, dir, Seq(2L).toDF("doc_id"))
+    Retrieval.appendToStored(spark, dir, 4,
+      docs.where(col("doc_id") > 3), "text", "doc_id", batchId = Some(1L))
+    val queries = q(0 -> "spark window", 1 -> "join sort batch")
+    val got = Retrieval.bm25FromStored(spark, dir, 4, queries, "qtext",
+      "query_id", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = Retrieval.bm25FromIndex(
+      Retrieval.buildIndex(docs.where(col("doc_id") =!= 2L), "text", "doc_id"),
+      queries, "qtext", "query_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, "interleaved delete+append diverged from rebuild")
+    graft.batch.BatchState.deleteDir(dir)
+  }
+
   test("deletion grace: a reader holding the pre-compaction segment list " +
       "still completes after the compaction commits") {
     val s = spark; import s.implicits._

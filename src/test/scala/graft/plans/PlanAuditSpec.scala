@@ -162,6 +162,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"text in exchange:\n${exchanges.mkString("\n")}")
   }
 
+  test("stored-index delete anti-join plans as BROADCAST (takedown-sized), " +
+      "adding no shuffle to the serving read") {
+    val s = spark; import s.implicits._
+    import graft.operators.Retrieval
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_del_plan_").toString
+    try {
+      Retrieval.writeIndex(Retrieval.buildIndex(docs, "text", "doc_id"),
+        tmp, tokenBuckets = 4)
+      Retrieval.deleteFromStored(spark, tmp,
+        docs.where(col("doc_id") % 13 === 0).select("doc_id"))
+      val queries = Seq((0, "spark window data")).toDF("query_id", "qtext")
+      val p = plan(Retrieval.bm25FromStored(spark, tmp, 4, queries,
+        "qtext", "query_id", "doc_id"))
+      val anti = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+      assert(anti.nonEmpty, s"no delete anti-join in plan:\n${p.take(800)}")
+      assert(anti.forall(_.contains("Broadcast")),
+        s"delete anti-join shuffled instead of broadcast:\n${anti.mkString("\n")}")
+    } finally graft.batch.BatchState.deleteDir(tmp)
+  }
+
   test("removeDuplicatedSpans: no ranking window (hot-gram-safe aggregate); exchanges carry no text") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(Dedup.removeDuplicatedSpans(docs, "text", "doc_id", k = 8))
