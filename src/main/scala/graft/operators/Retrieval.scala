@@ -263,6 +263,20 @@ object Retrieval {
       graft.batch.SegmentedStore.commitReplaceAll(path, id, sweepGraceMs)
     }
 
+  /** Compact only when fragmentation crosses `maxSegments` — the
+    * self-scheduling form of [[compactStored]] a streaming ingest can
+    * call after every micro-batch: below the threshold it costs one
+    * commit-log read and does nothing. Returns whether a compaction ran.
+    */
+  def compactIfFragmented(spark: org.apache.spark.sql.SparkSession,
+      path: String, tokenBuckets: Int, maxSegments: Int = 8,
+      sweepGraceMs: Long = 0L): Boolean = {
+    require(maxSegments >= 1, s"maxSegments must be >= 1, got $maxSegments")
+    val fragmented = committedSegs(path).length > maxSegments
+    if (fragmented) compactStored(spark, path, tokenBuckets, sweepGraceMs)
+    fragmented
+  }
+
   /** Full (unpruned) read of a stored index: postings unioned across the
     * committed segments, stats deltas summed into the one-row total.
     */

@@ -158,6 +158,19 @@ object Similarity {
       graft.batch.SegmentedStore.commitReplaceAll(path, id, sweepGraceMs)
     }
 
+  /** Compact only when fragmentation crosses `maxSegments` — the
+    * self-scheduling form of [[int8CompactStored]] (same contract as
+    * Retrieval.compactIfFragmented). Returns whether a compaction ran.
+    */
+  def int8CompactIfFragmented(spark: SparkSession, path: String,
+      maxSegments: Int = 8, sweepGraceMs: Long = 0L): Boolean = {
+    require(maxSegments >= 1, s"maxSegments must be >= 1, got $maxSegments")
+    val fragmented =
+      graft.batch.SegmentedStore.committedSegs(path).length > maxSegments
+    if (fragmented) int8CompactStored(spark, path, sweepGraceMs)
+    fragmented
+  }
+
   /** Union of the committed segments' codes (each root read separately,
     * empty bootstrap segments skipped). A bootstrapped-but-empty index —
     * the bootstrap-to-first-batch window of a streaming ingest — reads as

@@ -168,6 +168,11 @@ class Int8QuantSpec extends AnyFunSuite {
     assert(storedDel() == expectDel, "compaction changed post-delete serving")
     graft.batch.BatchState.deleteDir(dirD)
 
+    // self-scheduling compaction: no-op below the threshold, folds above
+    assert(!Similarity.int8CompactIfFragmented(spark, dir, maxSegments = 8))
+    assert(Similarity.int8CompactIfFragmented(spark, dir, maxSegments = 2))
+    assert(stored() == mem, "threshold compaction changed results")
+
     // compaction: one live segment afterwards, results identical
     Similarity.int8CompactStored(spark, dir)
     val live = new java.io.File(dir).listFiles()

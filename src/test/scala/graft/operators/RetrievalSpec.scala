@@ -323,6 +323,60 @@ class RetrievalSpec extends AnyFunSuite {
     graft.batch.BatchState.deleteDir(dir)
   }
 
+  test("compactIfFragmented: no-op below the threshold, compacts above it") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_frag").toString
+    Retrieval.writeIndex(Retrieval.buildIndex(docs.limit(0), "text", "doc_id"),
+      dir, tokenBuckets = 4)
+    (0 to 2).foreach { b =>
+      Retrieval.appendToStored(spark, dir, 4,
+        docs.where(col("doc_id") % 3 === b), "text", "doc_id",
+        batchId = Some(b.toLong))
+    }
+    val segs = graft.batch.SegmentedStore.committedSegs(dir)
+    assert(segs.length == 4) // bootstrap + 3 appends
+    assert(!Retrieval.compactIfFragmented(spark, dir, 4, maxSegments = 8))
+    assert(graft.batch.SegmentedStore.committedSegs(dir) == segs,
+      "below-threshold call mutated the store")
+    assert(Retrieval.compactIfFragmented(spark, dir, 4, maxSegments = 3))
+    assert(graft.batch.SegmentedStore.committedSegs(dir).length == 1)
+    graft.batch.BatchState.deleteDir(dir)
+  }
+
+  test("streaming takedown feed: deleteFromStored in foreachBatch converges, " +
+      "and a re-delivered revocation batch is a natural no-op") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_del_s").toString
+    Retrieval.writeIndex(Retrieval.buildIndex(docs, "text", "doc_id"),
+      dir, tokenBuckets = 4)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val writer = ms.toDS().toDF("doc_id").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Retrieval.deleteFromStored(spark, dir, b)
+      }
+    val query = writer.start()
+    try {
+      ms.addData(2L); query.processAllAvailable()
+      ms.addData(3L); query.processAllAvailable()
+    } finally query.stop()
+    // at-least-once re-delivery of the first revocation: already-deleted
+    // ids fail the live-set semi-join, so nothing is written or committed
+    val segsBefore = graft.batch.SegmentedStore.committedSegs(dir)
+    Retrieval.deleteFromStored(spark, dir, Seq(2L).toDF("doc_id"))
+    assert(graft.batch.SegmentedStore.committedSegs(dir) == segsBefore)
+    val queries = q(0 -> "spark window", 1 -> "join sort batch")
+    val got = Retrieval.bm25FromStored(spark, dir, 4, queries, "qtext",
+      "query_id", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = Retrieval.bm25FromIndex(
+      Retrieval.buildIndex(docs.where(!col("doc_id").isin(2L, 3L)), "text", "doc_id"),
+      queries, "qtext", "query_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, "streaming takedown feed diverged from rebuild")
+    graft.batch.BatchState.deleteDir(dir)
+  }
+
   test("deletes interleave with streaming appends: delete → append → serve " +
       "equals the rebuilt retained corpus") {
     val s = spark; import s.implicits._
