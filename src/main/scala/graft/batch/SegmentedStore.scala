@@ -150,6 +150,45 @@ object SegmentedStore {
       .foreach(s => StoreFs.sweepDir(s.getPath.toString, sweepGraceMs))
   }
 
+  /* Delete-segment coverage: segment IDS alone cannot order a delete
+   * against streaming appends — even ids are pinned by batch id while
+   * odd ids follow the commit log, so two takedowns landing between
+   * micro-batches take ids that LEAPFROG the next even id (bootstrap 1,
+   * batches 0,1 → 2,4; delete → 5; delete → 7; batch 2 → 6 < 7). A
+   * delete must therefore record WHICH segments it applies to: exactly
+   * the segments committed when its victim set was computed. Readers
+   * apply each delete set only to rows from its covered segments, which
+   * is also what makes append-after-delete correct with no compaction —
+   * a re-appended id lands in a segment no earlier delete covers.
+   */
+
+  /** Coverage-marker file name inside a delete segment's `deletes/` dir
+    * (underscore-prefixed: parquet readers ignore it, and it commits
+    * atomically with the segment on the log flip).
+    */
+  val DeleteCoversName = "_graft_covers.json"
+
+  /** Record the committed-segment set delete segment `id` applies to.
+    * Call AFTER the delete-set parquet write (an `overwrite` parquet
+    * write clears the directory first) and before the commit.
+    */
+  def writeDeleteCovers(path: String, id: Long, covers: Seq[Long]): Unit =
+    StoreFs.writeAtomic(s"${segDir(path, id)}/deletes/$DeleteCoversName",
+      covers.mkString("{\"covers\":[", ",", "]}").getBytes("UTF-8"))
+
+  /** The covered-segment set of delete segment `id`; None for a delete
+    * written before coverage markers existed — readers fall back to
+    * covering every other committed segment (the pre-marker semantics,
+    * under which re-adding a deleted id needs a compaction first).
+    */
+  def readDeleteCovers(path: String, id: Long): Option[List[Long]] = {
+    val f = s"${segDir(path, id)}/deletes/$DeleteCoversName"
+    if (!StoreFs.exists(f)) None
+    else Some("-?\\d+".r
+      .findAllIn(new String(StoreFs.readBytes(f), "UTF-8"))
+      .map(_.toLong).toList)
+  }
+
   /** Run `body` (a mutation — payload write + commit) holding the store's
     * single-writer lease; see [[WriterLease.withLock]] for semantics.
     */

@@ -144,8 +144,12 @@ object Retrieval {
    *   path/seg=N/stats/           ONE row: this segment's (n_docs, total_dl)
    *                               DELTA; readers sum deltas across segments
    *   path/seg=N/deletes/         a [[deleteFromStored]] segment's delete
-   *                               set (one id column); readers anti-join
-   *                               the union of delete sets out of postings
+   *                               set (one id column) plus its coverage
+   *                               marker (the committed segments it
+   *                               applies to); readers anti-join each
+   *                               delete set out of its COVERED segments'
+   *                               postings only, so re-appends after a
+   *                               takedown serve without a compaction
    *
    * Postings and stats sit in the same segment, so they can never tear
    * apart — they commit together on the log flip; a delete segment's set
@@ -163,15 +167,18 @@ object Retrieval {
   /** Union of the committed segments' postings, each root read separately
     * (one shared root would make Spark infer `seg=` itself as a partition
     * column and conflict across roots), `tb` partition column retained so
-    * callers can prune before dropping it. None ⇔ the index has never
-    * indexed a posting-bearing document.
+    * callers can prune before dropping it, plus a `__seg` provenance
+    * column (the source segment id — the delete anti-join applies each
+    * delete set only to the segments it covers; [[minusDeleted]] drops
+    * it). None ⇔ the index has never indexed a posting-bearing document.
     */
   private def readPostings(spark: org.apache.spark.sql.SparkSession,
       path: String, segs: List[Long]): Option[DataFrame] = {
     val live = segs.filter(id =>
       hasParquetFiles(s"${segDir(path, id)}/postings"))
     if (live.isEmpty) None
-    else Some(live.map(id => spark.read.parquet(s"${segDir(path, id)}/postings"))
+    else Some(live.map(id => spark.read.parquet(s"${segDir(path, id)}/postings")
+        .withColumn("__seg", lit(id)))
       .reduce(_ unionByName _))
   }
 
@@ -312,26 +319,44 @@ object Retrieval {
     Bm25Index(postings, stats, idCol)
   }
 
-  /** Union of the committed segments' delete sets (one id column, named
-    * `idCol` for the caller) — None when no segment carries deletions.
+  /** Union of the committed segments' delete sets, each row carrying its
+    * delete's covered-segment array (`__covers` — the segments committed
+    * when that delete was computed, [[graft.batch.SegmentedStore
+    * .readDeleteCovers]]; pre-marker deletes fall back to covering every
+    * other committed segment). None when no segment carries deletions.
     */
   private def readDeletes(spark: org.apache.spark.sql.SparkSession,
       path: String, segs: List[Long], idCol: String): Option[DataFrame] = {
     val live = segs.filter(id => hasParquetFiles(s"${segDir(path, id)}/deletes"))
     if (live.isEmpty) None
-    else Some(live.map(id => spark.read.parquet(s"${segDir(path, id)}/deletes"))
-      .reduce(_ unionByName _).toDF(idCol).distinct())
+    else Some(live.map { id =>
+      val covers = graft.batch.SegmentedStore.readDeleteCovers(path, id)
+        .getOrElse(segs.filter(_ != id))
+      spark.read.parquet(s"${segDir(path, id)}/deletes").toDF(idCol)
+        .distinct().withColumn("__covers", typedLit(covers))
+    }.reduce(_ unionByName _))
   }
 
-  /** Filter deleted documents out of a postings frame: one anti-join
-    * against the (takedown-sized) delete-set union — the planner
-    * broadcasts it when small, shuffles when a mass revocation isn't.
+  /** Filter deleted documents out of a postings frame (which carries the
+    * `__seg` provenance column, dropped here): one anti-join against the
+    * (takedown-sized) delete-set union, matching a posting only when its
+    * source segment is COVERED by the delete — a doc re-appended after a
+    * takedown lands in a segment no earlier delete covers, so it serves
+    * with no compaction required. The planner broadcasts the delete side
+    * when small, shuffles when a mass revocation isn't.
     */
   private def minusDeleted(spark: org.apache.spark.sql.SparkSession,
       path: String, segs: List[Long], postings: DataFrame,
       idCol: String): DataFrame =
-    readDeletes(spark, path, segs, idCol)
-      .fold(postings)(d => postings.join(d, Seq(idCol), "left_anti"))
+    readDeletes(spark, path, segs, idCol) match {
+      case None => postings.drop("__seg")
+      case Some(d) =>
+        postings.alias("__p").join(d.alias("__d"),
+          col(s"__p.$idCol") === col(s"__d.$idCol") &&
+            array_contains(col("__d.__covers"), col("__p.__seg")),
+          "left_anti")
+          .drop("__seg")
+    }
 
   /** Remove documents from a STORED index — the takedown /
     * right-to-be-forgotten maintenance path a training corpus needs
@@ -350,9 +375,15 @@ object Retrieval {
     * deleting never-indexed ids a no-op rather than a stats corruption.
     * Token-less documents leave no postings and cannot be matched here:
     * their N contribution stays (avgdl is unaffected — they carry dl 0).
-    * Re-adding a previously deleted id via [[appendToStored]] requires a
-    * compaction first — until the delete set is physically folded, the
-    * read-side anti-join would suppress the re-added doc.
+    *
+    * The segment also records its COVERAGE — the committed-segment set
+    * the victim set was computed against ([[graft.batch.SegmentedStore
+    * .writeDeleteCovers]]) — and readers apply the delete only to those
+    * segments. So a previously deleted id re-appended via
+    * [[appendToStored]] serves again immediately (its new segment is
+    * covered by no earlier delete), with no compaction required; and
+    * takedowns landing between micro-batches can never suppress a LATER
+    * streaming append whose pinned even segment id happens to be smaller.
     */
   def deleteFromStored(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: DataFrame, idCol: String = "doc_id"): Unit =
@@ -371,6 +402,9 @@ object Retrieval {
           val id = graft.batch.SegmentedStore.nextId(path)
           victims.select(col(idCol)).write.mode("overwrite")
             .parquet(s"${segDir(path, id)}/deletes")
+          // covers marker AFTER the parquet overwrite (which clears the
+          // dir); commits atomically with the segment on the log flip
+          graft.batch.SegmentedStore.writeDeleteCovers(path, id, segs)
           victims.agg((-count(lit(1))).as("n_docs"),
               (-coalesce(sum(col("dl")), lit(0L))).as("total_dl"))
             .coalesce(1).write.mode("overwrite")

@@ -196,25 +196,42 @@ object Similarity {
           StructField("codes", ArrayType(ByteType)),
           StructField("scale", DoubleType))))
     } else {
+      // __seg provenance: the delete anti-join applies each delete set
+      // only to the segments it covers (dropped before returning)
       val codes = live.map(id => spark.read.parquet(
-          s"${graft.batch.SegmentedStore.segDir(path, id)}/codes"))
+          s"${graft.batch.SegmentedStore.segDir(path, id)}/codes")
+          .withColumn("__seg", lit(id)))
         .reduce(_ unionByName _)
-      readInt8Deletes(spark, path, segs, idCol)
-        .fold(codes)(d => codes.join(d, Seq(idCol), "left_anti"))
+      readInt8Deletes(spark, path, segs, idCol) match {
+        case None => codes.drop("__seg")
+        case Some(d) =>
+          codes.alias("__p").join(d.alias("__d"),
+            col(s"__p.$idCol") === col(s"__d.$idCol") &&
+              array_contains(col("__d.__covers"), col("__p.__seg")),
+            "left_anti")
+            .drop("__seg")
+      }
     }
   }
 
-  /** Union of the committed segments' delete sets, None when no segment
-    * carries deletions (same read shape as the BM25 side).
+  /** Union of the committed segments' delete sets, each row carrying its
+    * delete's covered-segment array (`__covers`); None when no segment
+    * carries deletions (same read shape as the BM25 side — commit-order
+    * coverage semantics documented at
+    * [[graft.batch.SegmentedStore.writeDeleteCovers]]).
     */
   private def readInt8Deletes(spark: SparkSession, path: String,
       segs: List[Long], idCol: String): Option[DataFrame] = {
     val live = segs.filter(id => graft.batch.SegmentedStore.hasParquetFiles(
       s"${graft.batch.SegmentedStore.segDir(path, id)}/deletes"))
     if (live.isEmpty) None
-    else Some(live.map(id => spark.read.parquet(
-        s"${graft.batch.SegmentedStore.segDir(path, id)}/deletes"))
-      .reduce(_ unionByName _).toDF(idCol).distinct())
+    else Some(live.map { id =>
+      val covers = graft.batch.SegmentedStore.readDeleteCovers(path, id)
+        .getOrElse(segs.filter(_ != id))
+      spark.read.parquet(
+          s"${graft.batch.SegmentedStore.segDir(path, id)}/deletes")
+        .toDF(idCol).distinct().withColumn("__covers", typedLit(covers))
+    }.reduce(_ unionByName _))
   }
 
   /** Remove vectors from a STORED codes index — the takedown maintenance
@@ -224,8 +241,11 @@ object Similarity {
     * without the vectors; the next [[int8CompactStored]] folds the
     * removal physically and sweeps the delete sets. Restricted to
     * currently-live ids (idempotent; never-indexed ids are a no-op).
-    * Re-adding a deleted id via [[int8AppendToStored]] requires a
-    * compaction first — until then the anti-join suppresses it.
+    * The segment records its COVERAGE — the committed segments the
+    * victim set was computed against — and readers apply it to those
+    * segments only, so a deleted id re-appended via
+    * [[int8AppendToStored]] serves again immediately, no compaction
+    * required (same contract as Retrieval.deleteFromStored).
     */
   def int8DeleteFromStored(spark: SparkSession, path: String,
       ids: DataFrame, idCol: String = "vec_id"): Unit =
@@ -242,6 +262,9 @@ object Similarity {
           val id = graft.batch.SegmentedStore.nextId(path)
           victims.write.mode("overwrite")
             .parquet(s"${graft.batch.SegmentedStore.segDir(path, id)}/deletes")
+          // covers marker AFTER the parquet overwrite; commits with the
+          // segment on the log flip
+          graft.batch.SegmentedStore.writeDeleteCovers(path, id, segs)
           graft.batch.SegmentedStore.commitAppend(path, id)
         }
       } finally {

@@ -168,6 +168,34 @@ class Int8QuantSpec extends AnyFunSuite {
     assert(storedDel() == expectDel, "compaction changed post-delete serving")
     graft.batch.BatchState.deleteDir(dirD)
 
+    // delete then re-append the same ids: commit-time coverage means the
+    // re-added vectors serve again with NO compaction in between
+    val dirA = java.nio.file.Files.createTempDirectory("graft_int8_readd").toString
+    Similarity.int8WriteIndex(df, "embedding", "vec_id", dirA)
+    Similarity.int8DeleteFromStored(spark, dirA,
+      delIds.toDF("vec_id"))
+    Similarity.int8AppendToStored(spark, dirA,
+      df.where(col("vec_id") % 3 === 0), "embedding", "vec_id")
+    assert(Similarity.readInt8Index(spark, dirA).count() == 300L,
+      "re-added vectors suppressed without a compaction")
+    val reAdded = Similarity.int8TopKStored(spark, dirA, df, "embedding",
+      "vec_id", q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(reAdded == mem, "re-added index != full index")
+    // and a LATER streaming append whose pinned even segment id is smaller
+    // than the delete's id is untouched by it (commit-time coverage):
+    // committed now [1,3,5]; delete → seg 7; batch 2 → seg 6 < 7
+    Similarity.int8DeleteFromStored(spark, dirA, Seq(5L).toDF("vec_id"))
+    Similarity.int8AppendToStored(spark, dirA,
+      Seq((5L, Array.tabulate(16)(d => math.sin(0.5 + d).toFloat)))
+        .toDF("vec_id", "embedding"), "embedding", "vec_id",
+      batchId = Some(2L))
+    assert(graft.batch.SegmentedStore.committedSegs(dirA).contains(6L) &&
+      graft.batch.SegmentedStore.committedSegs(dirA).contains(7L),
+      "test no longer exercises the id leapfrog")
+    assert(Similarity.readInt8Index(spark, dirA).count() == 300L,
+      "delete leapfrogged a later streaming append")
+    graft.batch.BatchState.deleteDir(dirA)
+
     // self-scheduling compaction: no-op below the threshold, folds above
     assert(!Similarity.int8CompactIfFragmented(spark, dir, maxSegments = 8))
     assert(Similarity.int8CompactIfFragmented(spark, dir, maxSegments = 2))

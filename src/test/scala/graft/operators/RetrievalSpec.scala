@@ -323,6 +323,79 @@ class RetrievalSpec extends AnyFunSuite {
     graft.batch.BatchState.deleteDir(dir)
   }
 
+  test("delete then re-append the same id serves again with NO compaction " +
+      "(delete coverage is the committed-segment set at delete time)") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_readd").toString
+    Retrieval.writeIndex(Retrieval.buildIndex(docs, "text", "doc_id"),
+      dir, tokenBuckets = 4)
+    val queries = q(0 -> "spark window", 1 -> "join sort batch")
+    def stored() = Retrieval.bm25FromStored(spark, dir, 4, queries, "qtext",
+      "query_id", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    def rebuilt(d: org.apache.spark.sql.DataFrame) = Retrieval.bm25FromIndex(
+      Retrieval.buildIndex(d, "text", "doc_id"), queries, "qtext", "query_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    Retrieval.deleteFromStored(spark, dir, Seq(2L).toDF("doc_id"))
+    assert(stored() == rebuilt(docs.where(col("doc_id") =!= 2L)))
+    // re-append the SAME id, deliberately before any compaction: the
+    // delete's coverage excludes the new segment, so the doc serves
+    Retrieval.appendToStored(spark, dir, 4,
+      docs.where(col("doc_id") === 2L), "text", "doc_id")
+    assert(stored() == rebuilt(docs),
+      "re-added doc suppressed without a compaction")
+    // stats rolled all the way back: N=5, total_dl=13
+    val st = Retrieval.readIndex(spark, dir, "doc_id").stats.collect().head
+    assert(st.getLong(0) == 5L && st.getLong(1) == 13L)
+    // top-k serving path agrees too
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(asSet(Retrieval.bm25TopKFromStored(spark, dir, 4, queries,
+        "qtext", "query_id", "doc_id", k = 2)) ==
+      asSet(Retrieval.bm25TopK(Retrieval.buildIndex(docs, "text", "doc_id"),
+        queries, "qtext", "query_id", k = 2)))
+    // and the re-added doc is deletable AGAIN (the second delete covers
+    // the re-add's segment)
+    Retrieval.deleteFromStored(spark, dir, Seq(2L).toDF("doc_id"))
+    assert(stored() == rebuilt(docs.where(col("doc_id") =!= 2L)))
+    graft.batch.BatchState.deleteDir(dir)
+  }
+
+  test("two takedowns between micro-batches cannot leapfrog the NEXT " +
+      "streaming append (coverage is commit-time, not segment-id order)") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_leap").toString
+    // bootstrap (seg 1) + batch 0 (seg 2): docs 1..3
+    Retrieval.writeIndex(Retrieval.buildIndex(docs.limit(0), "text", "doc_id"),
+      dir, tokenBuckets = 4)
+    Retrieval.appendToStored(spark, dir, 4,
+      docs.where(col("doc_id") <= 3), "text", "doc_id", batchId = Some(0L))
+    // two takedowns land between micro-batches: segs 3 and 5
+    Retrieval.deleteFromStored(spark, dir, Seq(2L).toDF("doc_id"))
+    Retrieval.deleteFromStored(spark, dir, Seq(3L).toDF("doc_id"))
+    // batch 1's PINNED even segment id is 4 — smaller than the second
+    // delete's id 5. It re-adds doc 3 (deleted above) plus docs 4, 5:
+    // under id-ordered deletes, seg 5's delete of doc 3 would wrongly
+    // suppress this append's doc 3
+    Retrieval.appendToStored(spark, dir, 4,
+      docs.where(col("doc_id") >= 3), "text", "doc_id", batchId = Some(1L))
+    assert(graft.batch.SegmentedStore.committedSegs(dir) ==
+      List(1L, 2L, 3L, 4L, 5L), "test no longer exercises the id leapfrog")
+    val queries = q(0 -> "spark window", 1 -> "join sort batch")
+    val got = Retrieval.bm25FromStored(spark, dir, 4, queries, "qtext",
+      "query_id", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = Retrieval.bm25FromIndex(
+      Retrieval.buildIndex(docs.where(col("doc_id") =!= 2L), "text", "doc_id"),
+      queries, "qtext", "query_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, "delete leapfrogged a later streaming append")
+    // stats: live docs {1,3,4,5} → N=4, total_dl = 3+5+0+2 = 10
+    val st = Retrieval.readIndex(spark, dir, "doc_id").stats.collect().head
+    assert(st.getLong(0) == 4L && st.getLong(1) == 10L)
+    graft.batch.BatchState.deleteDir(dir)
+  }
+
   test("compactIfFragmented: no-op below the threshold, compacts above it") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25_frag").toString
