@@ -365,11 +365,17 @@ object BatchState {
 
   /** Atomic overwrite of the commit log (write-to-temp + rename; see
     * [[StoreFs.writeAtomic]] for the per-filesystem atomicity notes).
+    * Every commit flip funnels through here, so this is where a writer
+    * holding a [[WriterLease]] re-verifies ownership: a zombie whose
+    * lease was broken and re-acquired aborts loudly instead of racing
+    * the live writer's log.
     */
-  def write(path: String, st: BatchState): Unit =
+  def write(path: String, st: BatchState): Unit = {
+    WriterLease.verifyHeldForCommit(path)
     StoreFs.writeAtomic(stateFile(path),
       (st.committed.mkString("{\"committed\":[", ",", "]") +
         s",\"maxAppliedBatch\":${st.maxAppliedStreamBatch}}").getBytes("UTF-8"))
+  }
 
   /** Recursive delete of a pruned snapshot / swept segment dir, on
     * whatever filesystem the store lives on.

@@ -22,6 +22,27 @@ import org.apache.spark.sql.SparkSession
   * Everything here is small-metadata work (a commit log of a few hundred
   * bytes, a directory listing of at most a few thousand entries) —
   * intentionally driver-side, never a Spark job.
+  *
+  * Per-filesystem guarantees of the two primitives store consistency
+  * rests on (the lease layers on top are in [[WriterLease]]):
+  *
+  * {{{
+  * scheme       writeAtomic (commit-log flip)       createExclusive (lease)
+  * -----------  ----------------------------------  -------------------------------
+  * file / hdfs  atomic rename — EXACT               create(overwrite=false) — EXACT
+  * s3a ≥ 3.4.1  copy+delete: not atomic, but each   conditional PUT If-None-Match
+  *              reader sees old-or-new, never torn  (fs.s3a.create.conditional
+  *              (object visibility is all-or-none)  .enabled, default on) — EXACT
+  * older s3a /  same old-or-new object visibility   BEST-EFFORT: same-instant
+  * gcs          (copy materializes on completion)   creators can both "succeed";
+  *                                                  caught by the lease read-back
+  *                                                  + commit-time re-verify
+  * }}}
+  *
+  * On every scheme the flip is a SINGLE object, so "atomic" vs "old-or-
+  * new object visibility" is a latency difference, not a torn-write
+  * risk; the one behavior that genuinely varies is lease exclusivity,
+  * which [[WriterLease]] backstops with read-back verification.
   */
 object StoreFs {
 

@@ -1,39 +1,110 @@
 package graft.batch
 
-/** Best-effort single-writer lease over a store directory — the
-  * enforcement of the one-writer-at-a-time contract both store layouts
-  * share ([[SegmentedStore]] mutations, [[BatchStore]] snapshot commits;
+/** Single-writer lease over a store directory — the enforcement of the
+  * one-writer-at-a-time contract both store layouts share
+  * ([[SegmentedStore]] mutations, [[BatchStore]] snapshot commits;
   * reference semantics: one batch job owns a VersionedBatchStore's
   * version lifecycle, summingbird-batch-hadoop HDFSState).
   *
   * A second concurrent mutator fails LOUDLY instead of racing the commit
   * log. The lease self-expires: a lock older than `leaseTimeoutMs` (a
   * writer that died without releasing) is broken and re-acquired.
-  * Atomicity is the filesystem's create-if-absent — exact on HDFS/local,
-  * best-effort on object stores without conditional writes (two
-  * simultaneous acquirers in the same millisecond could both proceed
-  * there; the lease is a guard rail for operational mistakes — two
-  * maintenance jobs, a re-deployed streaming query next to its zombie —
-  * not a distributed lock service).
+  *
+  * Exactness is layered, because filesystems differ in what their
+  * create-if-absent actually guarantees:
+  *
+  *  1. '''create-if-absent''' ([[StoreFs.createExclusive]]): atomic and
+  *     exact on HDFS and the local FS; on S3A it maps to a conditional
+  *     PUT (`If-None-Match: *`) on Hadoop ≥ 3.4.1 with
+  *     `fs.s3a.create.conditional.enabled` (the default there), making
+  *     it exact too; on older S3A / GCS connectors it is best-effort
+  *     (two same-instant creators can both "succeed").
+  *  2. '''acquisition read-back''': after the create, the lock is read
+  *     back and must carry exactly this acquirer's unique token — on a
+  *     non-exclusive-create FS, a same-instant second acquirer that
+  *     silently overwrote the file turns into a loud loss for one side.
+  *  3. '''commit-time re-verify''' ([[verifyHeldForCommit]], called by
+  *     `BatchState.write` — the single choke point every commit-log
+  *     flip goes through): immediately before the flip, the lease must
+  *     still be this writer's. A zombie writer whose lease was broken
+  *     (timeout) and re-acquired by a live one aborts at its flip
+  *     instead of clobbering the log. Uncommitted data a zombie wrote
+  *     stays invisible (segments/snapshots surface only via the log).
+  *  4. '''owner-checked release''': the lock is deleted on exit only if
+  *     it still carries this writer's token — releasing a lock that a
+  *     racer now owns would silently hand out a third lease.
+  *
+  * Residual window on FSes WITHOUT exclusive create: both acquirers
+  * read back their own write before the other's lands AND both reach
+  * their commit flip inside the same verify-to-rename instant. True
+  * closure there needs the FS's own conditional write (layer 1), which
+  * S3A now has; the layers above shrink the window from "any overlap of
+  * two mutations" to "same-instant interleaving twice in a row".
   */
 object WriterLease {
 
   val LockName = "_graft_writer.lock"
 
+  // store-root -> this thread's lease token while a withLock body runs.
+  // Driver-side mutations run (and commit) on the acquiring thread, so a
+  // ThreadLocal map keys the re-verification without changing any
+  // commit-helper signature.
+  private val held = new ThreadLocal[Map[String, String]] {
+    override def initialValue(): Map[String, String] = Map.empty
+  }
+
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def readLock(lock: String): Option[String] =
+    if (!StoreFs.exists(lock)) None
+    else scala.util.Try(new String(StoreFs.readBytes(lock), "UTF-8")).toOption
+
   def withLock[A](path: String, leaseTimeoutMs: Long = 600000L)(body: => A): A = {
     require(leaseTimeoutMs > 0, s"leaseTimeoutMs must be > 0, got $leaseTimeoutMs")
     val lock = s"$path/$LockName"
     val now = System.currentTimeMillis()
-    val held = StoreFs.modificationTime(lock)
-    if (held > 0L && now - held <= leaseTimeoutMs)
+    val heldMs = StoreFs.modificationTime(lock)
+    if (heldMs > 0L && now - heldMs <= leaseTimeoutMs)
       throw new IllegalStateException(
         s"WriterLease($path): another writer holds $lock " +
-        s"(age ${now - held} ms, lease $leaseTimeoutMs ms). Mutations require a " +
+        s"(age ${now - heldMs} ms, lease $leaseTimeoutMs ms). Mutations require a " +
         "single writer; if the owner is dead the lease expires on its own")
-    if (held > 0L) StoreFs.deleteRecursive(lock) // stale: break the dead lease
-    StoreFs.createExclusive(lock,
-      s"""{"pid":"${java.lang.ProcessHandle.current().pid()}","acquiredMs":$now}"""
-        .getBytes("UTF-8"))
-    try body finally StoreFs.deleteRecursive(lock)
+    if (heldMs > 0L) StoreFs.deleteRecursive(lock) // stale: break the dead lease
+    val token =
+      s"""{"pid":"${java.lang.ProcessHandle.current().pid()}","acquiredMs":$now,""" +
+        s""""token":"${System.nanoTime()}-${seq.incrementAndGet()}"}"""
+    StoreFs.createExclusive(lock, token.getBytes("UTF-8"))
+    // acquisition read-back (layer 2): on an FS whose create-if-absent is
+    // not exclusive, a same-instant acquirer may have overwritten us
+    if (!readLock(lock).contains(token))
+      throw new IllegalStateException(
+        s"WriterLease($path): lost the acquisition race for $lock — another " +
+        "writer's lease landed over this one (non-exclusive-create filesystem)")
+    held.set(held.get + (path -> token))
+    try body
+    finally {
+      held.set(held.get - path)
+      // owner-checked release (layer 4): never delete a racer's lease
+      if (readLock(lock).contains(token)) StoreFs.deleteRecursive(lock)
+    }
   }
+
+  /** Re-verify, immediately before a commit-log flip for `path`, that the
+    * lease this thread acquired is still the one on disk — a zombie whose
+    * lease timed out and was re-acquired aborts its commit loudly here
+    * instead of racing the live writer's log. No-op when the flip runs
+    * outside any [[withLock]] (read-only helpers, replay-guard resets in
+    * tests): the lease is an enforcement layer, not a required calling
+    * convention for every state write.
+    */
+  def verifyHeldForCommit(path: String): Unit =
+    held.get.get(path).foreach { token =>
+      val lock = s"$path/$LockName"
+      if (!readLock(lock).contains(token))
+        throw new IllegalStateException(
+          s"WriterLease($path): lease lost before commit — $lock no longer " +
+          "carries this writer's token (lease expired and was re-acquired, " +
+          "or a racer on a non-exclusive-create filesystem overwrote it). " +
+          "Aborting the commit-log flip; uncommitted data stays invisible")
+    }
 }
