@@ -1223,6 +1223,41 @@ object SparkEntry {
           col("_3._1").as("prior"), col("_3._2").as("delta"))
     }),
 
+    "q_store_delete" -> ((s, dir) => {
+      // round 14: key-deletion maintenance on the serving store
+      // (BatchStore.deleteKeys — the takedown path a lambda deployment
+      // needs against the KV store, not just the indexes): merge ALL
+      // events, revoke a deterministic user slice (user_id % 5 == 2),
+      // then the served snapshot must equal a recompute over the
+      // RETAINED events — and a ClientStore point-get of a revoked key
+      // must return None (asserted in-row; the delete rewrote every
+      // retained version as a new generation behind one atomic flip).
+      import s.implicits._
+      val daily = Batcher.ofDays(1)
+      val deltas = eventStream(s, dir).asKeyedCols[Long, Long](col("_2.user_id"), lit(1L))
+        .sumDeltasPerBatch(daily)(Semigroup.longSemigroup)
+        .persist()
+      val tmp = java.nio.file.Files.createTempDirectory("graft_store_").toString
+      try {
+        val store = new BatchStore[Long, Long](tmp)
+        store.merge(s, deltas, BatchID(19800L))(Semigroup.longSemigroup).count()
+        val victims = eventsDF(s, dir).select(col("user_id")).distinct()
+          .where(col("user_id") % 5 === 2).as[Long].collect()
+        store.deleteKeys(s, victims.toSeq)
+        // end-to-end serving check: a revoked key point-reads as None
+        // (no online deltas — the store is the only source)
+        require(victims.isEmpty || withPinnedShufflePartitions(s, 4) {
+          graft.client.ClientStore.get(s, store,
+            s.emptyDataset[(Long, Long, Long)], victims.head)(
+            Semigroup.longSemigroup, implicitly, implicitly).isEmpty
+        }, "q_store_delete: ClientStore.get served a revoked key")
+        store.readLast(s).get._2.toDF("user_id", "cnt")
+      } finally {
+        deltas.unpersist()
+        ()
+      }
+    }),
+
     "q_client_get" -> ((s, dir) => {
       // round 10: the point-serving read end-to-end through the
       // KEY-CLUSTERED snapshot layout (BatchStore keyBuckets →
@@ -3220,6 +3255,11 @@ object SparkEntry {
 
     "q_lambda_merged" ->
       "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id",
+
+    // takedown on the serving store: all-time counts over the RETAINED keys
+    "q_store_delete" ->
+      """SELECT user_id, count(*) AS cnt FROM events
+        |WHERE user_id % 5 <> 2 GROUP BY user_id""".stripMargin,
 
     // 6 point gets through the clustered serving layout == all-data counts
     "q_client_get" ->

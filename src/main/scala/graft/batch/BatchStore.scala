@@ -81,18 +81,25 @@ final class BatchStore[K, V](
     * snapshot as a raw DataFrame (both read paths filter/select over it).
     */
   private def lastSnapshotRaw(spark: SparkSession,
-      beforeOrAt: BatchID): Option[(BatchID, org.apache.spark.sql.DataFrame)] = {
+      beforeOrAt: BatchID): Option[(BatchID, String, org.apache.spark.sql.DataFrame)] = {
     firstNonZero.foreach { fnz =>
       if (beforeOrAt.id < fnz.id - 1)
         throw new IllegalStateException(
           s"BatchStore($path) declares firstNonZero=${fnz.id}: reading through batch " +
           s"${beforeOrAt.id} is before the store existed (mis-pointed path or bad request)")
     }
-    state.lastCommitted(beforeOrAt).map(b => (b, spark.read.parquet(snapshotDir(b))))
+    // ONE commit-log resolution per read: the snapshot dir (batch id AND
+    // generation) comes from a single state read, so a concurrent
+    // deleteKeys generation flip can never tear a read across two states
+    val st = state
+    st.lastCommitted(beforeOrAt).map { b =>
+      val dir = snapshotDirAt(b, st.genOf(b.id))
+      (b, dir, spark.read.parquet(dir))
+    }
   }
 
   def readLast(spark: SparkSession, beforeOrAt: BatchID = BatchID(Long.MaxValue)): Option[(BatchID, Dataset[(K, V)])] =
-    lastSnapshotRaw(spark, beforeOrAt).map { case (b, raw) =>
+    lastSnapshotRaw(spark, beforeOrAt).map { case (b, _, raw) =>
       // snapshots are written as (key, value); select by name (a clustered
       // snapshot also carries the kb partition column) and rename back to
       // the tuple encoder's (_1, _2) field names
@@ -125,7 +132,7 @@ final class BatchStore[K, V](
       beforeOrAt: BatchID = BatchID(Long.MaxValue)): Option[(BatchID, Dataset[(K, V)])] = {
     import functions.{col, hash, lit, pmod}
     require(keys.nonEmpty, "readLastForKeys needs at least one key")
-    lastSnapshotRaw(spark, beforeOrAt).map { case (b, raw) =>
+    lastSnapshotRaw(spark, beforeOrAt).map { case (b, snapDir, raw) =>
       val keyLits = scala.util.Try(keys.map(lit)).toOption
       val pruned = (keyBuckets, keyLits) match {
         case (Some(n), Some(ls)) if raw.columns.contains("kb") =>
@@ -134,7 +141,7 @@ final class BatchStore[K, V](
           // wrong kb= directory for most keys and silently serve
           // empty/partial point reads (the same silent-fragmentation
           // class resolveNbrs guards against for ANN shards)
-          val kbOnDisk = StoreFs.listStatus(snapshotDir(b))
+          val kbOnDisk = StoreFs.listStatus(snapDir)
             .map(_.getPath.getName)
             .flatMap(name => scala.util.Try(name.stripPrefix("kb=").toInt).toOption
               .filter(_ => name.startsWith("kb=")))
@@ -179,18 +186,24 @@ final class BatchStore[K, V](
     }
   }
 
-  def snapshotDir(b: BatchID): String = s"$path/batch_id=${b.id}"
-
-  /** Overwrite-commit the snapshot for batch `b` (reference `writeLast`,
-    * VersionedBatchStore.scala:62-143). With [[keyBuckets]] set, the
-    * snapshot lands key-clustered: one shuffle into `n` bucket tasks
-    * (exactly one file per `kb=` directory), rows key-sorted within each
-    * file so parquet row-group stats are disjoint key ranges.
+  /** Batch `b`'s LIVE snapshot dir — `batch_id=b` at generation 0,
+    * `batch_id=b.gN` after N maintenance rewrites ([[deleteKeys]]).
     */
-  def writeSnapshot(b: BatchID, snapshot: Dataset[(K, V)]): Unit =
-    // single-writer lease (same contract as SegmentedStore mutations): two
-    // drivers pointed at one store race the commit log; fail loudly instead
-    WriterLease.withLock(path) {
+  def snapshotDir(b: BatchID): String = snapshotDirAt(b, state.genOf(b.id))
+
+  private def snapshotDirAt(b: BatchID, gen: Long): String =
+    s"$path/${batchDirName(b.id, gen)}"
+
+  private def batchDirName(id: Long, gen: Long): String =
+    if (gen <= 0) s"batch_id=$id" else s"batch_id=$id.g$gen"
+
+  /** The physical snapshot write shape, shared by [[writeSnapshot]] and
+    * [[deleteKeys]]: with [[keyBuckets]] set, key-clustered — one shuffle
+    * into `n` bucket tasks (exactly one file per `kb=` directory), rows
+    * key-sorted within each file so parquet row-group stats are disjoint
+    * key ranges; flat parquet otherwise.
+    */
+  private def writeSnapshotData(dir: String, snapshot: Dataset[(K, V)]): Unit = {
     import functions.{col, hash, lit, pmod}
     val kv = snapshot.toDF("key", "value")
     keyBuckets match {
@@ -198,23 +211,85 @@ final class BatchStore[K, V](
         kv.withColumn("kb", pmod(hash(col("key")), lit(n)))
           .repartition(n, col("kb"))
           .sortWithinPartitions(col("kb"), col("key"))
-          .write.mode("overwrite").partitionBy("kb").parquet(snapshotDir(b))
+          .write.mode("overwrite").partitionBy("kb").parquet(dir)
         // materialize every declared bucket dir, including keyless ones
         // (parquet writes no dir for an empty partition): the point-read
         // guard keys on dir EXISTENCE, so a legitimately empty bucket must
         // be distinguishable from a dir lost after commit. Runs before the
-        // commit below — a crash here leaves an uncommitted snapshot, never
+        // commit — a crash here leaves an uncommitted snapshot, never
         // a committed one with holes.
         (0 until n).foreach { i =>
-          val d = s"${snapshotDir(b)}/kb=$i"
+          val d = s"$dir/kb=$i"
           if (!StoreFs.exists(d)) StoreFs.mkdirs(d)
         }
       case None =>
-        kv.write.mode("overwrite").parquet(snapshotDir(b))
+        kv.write.mode("overwrite").parquet(dir)
     }
-    BatchState.commit(path, b)
-    prune()
   }
+
+  /** Overwrite-commit the snapshot for batch `b` (reference `writeLast`,
+    * VersionedBatchStore.scala:62-143), at the batch's CURRENT generation
+    * (re-running a batch overwrites in place, the pre-generation
+    * behavior).
+    */
+  def writeSnapshot(b: BatchID, snapshot: Dataset[(K, V)]): Unit =
+    // single-writer lease (same contract as SegmentedStore mutations): two
+    // drivers pointed at one store race the commit log; fail loudly instead
+    WriterLease.withLock(path) {
+      writeSnapshotData(snapshotDirAt(b, state.genOf(b.id)), snapshot)
+      BatchState.commit(path, b)
+      prune()
+    }
+
+  /** Key-deletion maintenance — the takedown / right-to-be-forgotten path
+    * for the SERVING store (the index analogue is
+    * [[graft.operators.Retrieval.deleteFromStored]]; the reference's
+    * VersionedBatchStore has no delete — a real lambda deployment gets
+    * revocation requests against the KV store too). Rewrites EVERY
+    * retained snapshot without the keys, each as a NEW GENERATION of the
+    * same batch id (content changes, batch coverage doesn't — consuming a
+    * time-derived batch id would corrupt merge semantics), then re-points
+    * the store in ONE atomic commit-log flip: a crash mid-rewrite leaves
+    * only uncommitted generation dirs (swept later), never a store where
+    * some versions served the key and some didn't. Superseded generations
+    * sweep behind [[retentionGraceMs]], like retention.
+    *
+    * All retained versions are rewritten — not just the newest — because
+    * a historical `readLast(beforeOrAt)` must not serve the revoked key
+    * either. Deltas merged AFTER the delete re-introduce a key's new
+    * events by design: a takedown removes accumulated state, not the
+    * key's future.
+    */
+  def deleteKeys(spark: SparkSession, keys: Seq[K]): Unit =
+    WriterLease.withLock(path) {
+      require(keys.nonEmpty, "deleteKeys needs at least one key")
+      val st = state
+      require(st.committed.nonEmpty,
+        s"deleteKeys(BatchStore($path)): nothing committed yet")
+      val keySet = keys.toSet
+      // no-op guard (idempotence, same contract as the index deletes):
+      // snapshots are cumulative, so the NEWEST version is the membership
+      // authority — none of the keys there ⇒ none anywhere; leave the
+      // store untouched instead of rewriting every version
+      val newest = st.committed.max
+      val anyMatch = spark.read
+        .parquet(snapshotDirAt(BatchID(newest), st.genOf(newest)))
+        .select(functions.col("key").as("_1"), functions.col("value").as("_2"))
+        .as[(K, V)].filter(r => keySet(r._1)).limit(1).count() > 0
+      if (anyMatch) {
+        val bumped = st.committed.map { id =>
+          val gen = st.genOf(id)
+          val cur = spark.read.parquet(snapshotDirAt(BatchID(id), gen))
+            .select(functions.col("key").as("_1"), functions.col("value").as("_2"))
+            .as[(K, V)]
+            .filter(r => !keySet(r._1))
+          writeSnapshotData(snapshotDirAt(BatchID(id), gen + 1), cur)
+          id -> (gen + 1)
+        }
+        BatchState.write(path, st.copy(gens = st.gens ++ bumped))
+        sweepDeadSnapshotDirs()
+      }
+    }
 
   /** Retention (reference VersionedBatchStore.scala:105 `succeedVersion` →
     * `cleanup`): drop all but the newest [[versionsToKeep]] committed
@@ -230,9 +305,23 @@ final class BatchStore[K, V](
     val st = state
     val committed = st.committed.sorted
     val drop = committed.dropRight(versionsToKeep)
-    if (drop.nonEmpty)
-      BatchState.write(path, st.copy(committed = committed.takeRight(versionsToKeep)))
-    val live = BatchState.read(path).committed.map(id => s"batch_id=$id").toSet
+    if (drop.nonEmpty) {
+      val keep = committed.takeRight(versionsToKeep)
+      // drop pruned ids' generation entries too — state hygiene
+      BatchState.write(path, st.copy(committed = keep,
+        gens = st.gens.view.filterKeys(keep.toSet).toMap))
+    }
+    sweepDeadSnapshotDirs()
+  }
+
+  /** Sweep every `batch_id=` dir that is not a committed id at its LIVE
+    * generation: retention drops, superseded [[deleteKeys]] generations,
+    * and crashed writers' uncommitted orphans — each through
+    * [[StoreFs.sweepDir]] under [[retentionGraceMs]].
+    */
+  private def sweepDeadSnapshotDirs(): Unit = {
+    val st = BatchState.read(path)
+    val live = st.committed.map(id => batchDirName(id, st.genOf(id))).toSet
     StoreFs.listStatus(path)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id=") &&
         !live.contains(s.getPath.getName))
@@ -335,10 +424,22 @@ final class BatchStore[K, V](
   *        segment-membership replay guard, and be appended a second time.
   *        Plain BatchStore snapshots leave it at -1.
   */
+/** @param gens snapshot GENERATION per batch id (absent = 0): batch `b`'s
+  *        live directory is `batch_id=b` at generation 0 and
+  *        `batch_id=b.gN` after N maintenance rewrites ([[BatchStore
+  *        .deleteKeys]]). A rewrite changes a snapshot's CONTENT without
+  *        changing its batch coverage, so it must not consume a batch id
+  *        (ids are time-derived via Batcher) — instead the new data lands
+  *        in a fresh generation dir and ONE atomic log flip re-points the
+  *        store, exactly the write-new-then-flip discipline snapshots and
+  *        segments already use.
+  */
 final case class BatchState(committed: List[Long],
-    maxAppliedStreamBatch: Long = -1L) {
+    maxAppliedStreamBatch: Long = -1L,
+    gens: Map[Long, Long] = Map.empty) {
   def lastCommitted(beforeOrAt: BatchID): Option[BatchID] =
     committed.filter(_ <= beforeOrAt.id).sorted.lastOption.map(BatchID(_))
+  def genOf(id: Long): Long = gens.getOrElse(id, 0L)
 }
 object BatchState {
   private def stateFile(path: String) = s"$path/_graft_state.json"
@@ -348,13 +449,18 @@ object BatchState {
     if (!StoreFs.exists(f)) BatchState(Nil)
     else {
       val s = new String(StoreFs.readBytes(f), "UTF-8")
-      // minimal parse of {"committed":[1,2,3],"maxAppliedBatch":N}
-      // (second field optional — pre-r13 logs carry only the array)
+      // minimal parse of {"committed":[1,2,3],"maxAppliedBatch":N,
+      // "gens":{"5":1}} (trailing fields optional — pre-r13 logs carry
+      // only the array, pre-r14 no gens)
       val arr = s.dropWhile(_ != '[').takeWhile(_ != ']')
       val nums = "-?\\d+".r.findAllIn(arr).map(_.toLong).toList
       val mark = "\"maxAppliedBatch\"\\s*:\\s*(-?\\d+)".r
         .findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(-1L)
-      BatchState(nums, mark)
+      val gens = "\"gens\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(s)
+        .map(m => "\"(-?\\d+)\"\\s*:\\s*(-?\\d+)".r.findAllMatchIn(m.group(1))
+          .map(g => g.group(1).toLong -> g.group(2).toLong).toMap)
+        .getOrElse(Map.empty[Long, Long])
+      BatchState(nums, mark, gens)
     }
   }
 
@@ -372,9 +478,15 @@ object BatchState {
     */
   def write(path: String, st: BatchState): Unit = {
     WriterLease.verifyHeldForCommit(path)
+    val gensJs =
+      if (st.gens.isEmpty) ""
+      else st.gens.toList.sorted
+        .map { case (id, g) => s""""$id":$g""" }
+        .mkString(",\"gens\":{", ",", "}")
     StoreFs.writeAtomic(stateFile(path),
       (st.committed.mkString("{\"committed\":[", ",", "]") +
-        s",\"maxAppliedBatch\":${st.maxAppliedStreamBatch}}").getBytes("UTF-8"))
+        s",\"maxAppliedBatch\":${st.maxAppliedStreamBatch}$gensJs}")
+        .getBytes("UTF-8"))
   }
 
   /** Recursive delete of a pruned snapshot / swept segment dir, on

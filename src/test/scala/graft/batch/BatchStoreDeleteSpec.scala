@@ -1,0 +1,134 @@
+package graft.batch
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.algebra.Semigroup
+import graft.time.BatchID
+
+/** [[BatchStore.deleteKeys]] laws: the takedown path for the serving
+  * store. Delete ≡ recompute-over-retained-events on EVERY retained
+  * version (not just the newest), generations flip atomically in the
+  * commit log, superseded generation dirs sweep (graced like retention),
+  * the clustered point-read layout survives the rewrite, and a
+  * post-delete merge re-introduces only the key's NEW deltas.
+  */
+class BatchStoreDeleteSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private implicit def sg: Semigroup[Long] = Semigroup.longSemigroup
+
+  private def dirsOf(path: String): Set[String] =
+    new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName).toSet
+
+  test("deleteKeys: every retained version serves the store minus the keys; " +
+      "generations flip in one commit; superseded dirs are swept") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_store_delk").toString
+    val store = new BatchStore[String, Long](dir)
+    // two merged versions: through batch 1 (a=1, b=1), through batch 2
+    // (a=2, b=1, c=5)
+    store.merge(spark, Seq(("a", 1L, 1L), ("b", 1L, 1L)).toDS(), BatchID(1)).count()
+    store.merge(spark, Seq(("a", 2L, 1L), ("c", 2L, 5L)).toDS(), BatchID(2)).count()
+
+    store.deleteKeys(spark, Seq("a", "zzz")) // absent key: harmless
+
+    // newest version: recompute over retained events
+    assert(store.readLast(spark).get._2.collect().toMap ==
+      Map("b" -> 1L, "c" -> 5L))
+    // HISTORICAL version must not serve the revoked key either
+    assert(store.readLast(spark, BatchID(1)).get._2.collect().toMap ==
+      Map("b" -> 1L))
+    // one atomic flip: both batches at generation 1, old dirs swept
+    val st = BatchState.read(dir)
+    assert(st.committed == List(1L, 2L) && st.gens == Map(1L -> 1L, 2L -> 1L), st)
+    assert(dirsOf(dir) == Set("batch_id=1.g1", "batch_id=2.g1"), dirsOf(dir))
+
+    // a second delete bumps generations again (rewrite-of-rewrite)
+    store.deleteKeys(spark, Seq("c"))
+    assert(store.readLast(spark).get._2.collect().toMap == Map("b" -> 1L))
+    assert(BatchState.read(dir).gens == Map(1L -> 2L, 2L -> 2L))
+    assert(dirsOf(dir) == Set("batch_id=1.g2", "batch_id=2.g2"))
+
+    // post-delete merge: the deleted key's NEW deltas fold from an empty
+    // prior (takedown removes accumulated state, not the key's future)
+    val out = store.merge(spark, Seq(("a", 3L, 7L)).toDS(), BatchID(3))
+      .collect().map(r => (r._1, r._3)).toMap
+    assert(out("a") == (None -> 7L), out)
+    assert(store.readLast(spark).get._2.collect().toMap ==
+      Map("a" -> 7L, "b" -> 1L))
+    BatchState.deleteDir(dir)
+  }
+
+  test("deleteKeys on a key-clustered store: layout preserved, point reads " +
+      "prune, ClientStore.get of a deleted key returns None") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_store_delkc").toString
+    val store = new BatchStore[Long, Long](dir, keyBuckets = Some(4))
+    store.merge(spark,
+      (1L to 20L).map(k => (k, 1L, k * 10L)).toDS(), BatchID(1)).count()
+    store.deleteKeys(spark, Seq(7L, 13L))
+    // every kb= bucket dir exists in the new generation (the point-read
+    // hole guard must keep passing)
+    val gen1 = s"$dir/batch_id=1.g1"
+    assert((0 until 4).forall(i => new java.io.File(s"$gen1/kb=$i").isDirectory))
+    // pruned point read of a surviving key
+    assert(store.readLastForKey(spark, 8L).get._2.collect().toMap == Map(8L -> 80L))
+    // deleted key: snapshot row gone
+    assert(store.readLastForKey(spark, 7L).get._2.collect().isEmpty)
+    // end-to-end serving: no online deltas -> None; with a post-delete
+    // online delta the key serves ONLY the new delta
+    val noDeltas = spark.emptyDataset[(Long, Long, Long)]
+    assert(graft.client.ClientStore.get(spark, store, noDeltas, 7L).isEmpty)
+    assert(graft.client.ClientStore.get(spark, store, noDeltas, 8L).contains(80L))
+    val newDeltas = Seq((7L, 2L, 3L)).toDS()
+    assert(graft.client.ClientStore.get(spark, store, newDeltas, 7L).contains(3L))
+    BatchState.deleteDir(dir)
+  }
+
+  test("deleteKeys respects the retention grace: superseded generations " +
+      "tombstone first, delete only after the grace") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_store_delkg").toString
+    val store = new BatchStore[String, Long](dir, retentionGraceMs = 3600000L)
+    store.merge(spark, Seq(("a", 1L, 1L), ("b", 1L, 2L)).toDS(), BatchID(1)).count()
+    store.deleteKeys(spark, Seq("a"))
+    // old generation tombstoned, still on disk for in-flight readers
+    assert(dirsOf(dir) == Set("batch_id=1", "batch_id=1.g1"))
+    assert(new java.io.File(s"$dir/batch_id=1/${StoreFs.TombstoneName}").exists())
+    assert(store.readLast(spark).get._2.collect().toMap == Map("b" -> 2L))
+    // age the tombstone past the grace; the next maintenance sweep deletes
+    assert(new java.io.File(s"$dir/batch_id=1/${StoreFs.TombstoneName}")
+      .setLastModified(System.currentTimeMillis() - 7200000L))
+    store.deleteKeys(spark, Seq("b"))
+    assert(!dirsOf(dir).contains("batch_id=1"), dirsOf(dir))
+    assert(store.readLast(spark).get._2.collect().isEmpty)
+    BatchState.deleteDir(dir)
+  }
+
+  test("deleteKeys of never-present keys is a pure no-op: no rewrite, no " +
+      "generation bump, no commit-log change") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_store_delkn").toString
+    val store = new BatchStore[String, Long](dir)
+    store.merge(spark, Seq(("a", 1L, 1L)).toDS(), BatchID(1)).count()
+    val before = BatchState.read(dir)
+    store.deleteKeys(spark, Seq("ghost"))
+    assert(BatchState.read(dir) == before, "no-op delete mutated the log")
+    assert(dirsOf(dir) == Set("batch_id=1"), dirsOf(dir))
+    BatchState.deleteDir(dir)
+  }
+
+  test("deleteKeys refuses an empty key set and an empty store") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_store_delke").toString
+    val store = new BatchStore[String, Long](dir)
+    intercept[IllegalArgumentException](store.deleteKeys(spark, Seq("a")))
+    store.merge(spark, Seq(("a", 1L, 1L)).toDS(), BatchID(1)).count()
+    intercept[IllegalArgumentException](store.deleteKeys(spark, Nil))
+    BatchState.deleteDir(dir)
+  }
+}
