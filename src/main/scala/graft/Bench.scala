@@ -103,17 +103,30 @@ object Bench {
     // documents + queries as q_bm25_topk_pruned. UNTIMED — runs after the
     // query loop and is excluded from totals.
     val wandJson = if (only.isDefined) "null" else try {
+      import org.apache.spark.sql.functions.col
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "text")
       val idx = operators.Retrieval.buildIndex(docs, "text", "doc_id")
       val qdf = SparkEntry.bm25Queries(spark)
       val (_, survivors) = operators.Retrieval.bm25TopKPrunedDiag(
         idx, qdf, "qtext", "query_id", k = 3)
-      val scored = survivors.count()
-      val candidates = operators.Retrieval.bm25FromIndex(
-        idx, qdf, "qtext", "query_id").count()
+      // per-query scored/candidate groups (r13 verdict #7): the aggregate
+      // ratio mixes query shapes — stopword-heavy queries prune hard,
+      // all-rare-term queries not at all; the per-query map shows which
+      val perQScored = survivors.groupBy(col("query_id")).count()
+        .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+      val perQCand = operators.Retrieval.bm25FromIndex(
+          idx, qdf, "qtext", "query_id").groupBy(col("query_id")).count()
+        .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+      val scored = perQScored.values.sum
+      val candidates = perQCand.values.sum
       val ratio = if (candidates > 0) scored.toDouble / candidates else 1.0
-      f"""{"scored_groups":$scored,"candidate_groups":$candidates,"ratio":$ratio%.4f}"""
+      val perQ = perQCand.toSeq.sortBy(_._1).map { case (q, c) =>
+        val sc = perQScored.getOrElse(q, 0L)
+        val r = if (c > 0) sc.toDouble / c else 1.0
+        f""""$q":{"scored":$sc,"candidates":$c,"ratio":$r%.4f}"""
+      }.mkString("{", ",", "}")
+      f"""{"scored_groups":$scored,"candidate_groups":$candidates,"ratio":$ratio%.4f,"per_query":$perQ}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] wand diag skipped: $e"); "null"
     }

@@ -477,7 +477,7 @@ object ScaleProbe {
     val hdfsProvider = "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
     val rocksProvider = graft.SparkEntry.RocksDBProvider
     def streamProbe(name: String, parts: Int, p: String,
-        provider: String, extra: Map[String, String] = Map.empty): (Double, Long, Long) = {
+        provider: String, extra: Map[String, String] = Map.empty): (Double, Long, Long, Long, Long) = {
       import spark.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val saved = spark.conf.get("spark.sql.shuffle.partitions")
@@ -563,13 +563,67 @@ object ScaleProbe {
                 .map(d => (maxId + 1 + d._1, d._2)).toSeq)
               q.processAllAvailable()
             })
+          case "streaming_minhash" | "streaming_minhash_horizon" =>
+            // the two regimes of the streaming MinHash-LSH candidate
+            // machine, gate-row shapes (two corpus halves + 10% planted
+            // copies): UNBOUNDED state tracks the corpus; the HORIZON form
+            // holds only in-horizon (id, eventMillis) pairs and reclaims
+            // buckets once the watermark passes — the decade probe reports
+            // peak state rows/bytes beside wall, so the boundedness claim
+            // is MEASURED per scale, not just law-asserted at gate scale
+            // (r13 verdict #5)
+            val docs = spark.read.parquet(p)
+              .select(col("doc_id"), col("text"))
+              .where(col("text").isNotNull)
+              .as[(Long, String)].collect().sortBy(_._1)
+            val maxId = docs.iterator.map(_._1).max
+            val planted = docs.filter(_._1 % 10 == 0)
+              .map(d => (maxId + 1 + d._1, d._2)).toSeq
+            val half = docs.length / 2
+            if (name == "streaming_minhash") {
+              val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+              val out = graft.streaming.StreamingDedup.minhashCandidates(
+                ms.toDS().toDF("doc_id", "text"), "text", "doc_id",
+                maxBucket = 8192)
+              val q = out.writeStream.format("noop").outputMode("append").start()
+              (q, () => {
+                ms.addData(docs.take(half).toSeq); q.processAllAvailable()
+                ms.addData(docs.drop(half).toSeq); q.processAllAvailable()
+                ms.addData(planted); q.processAllAvailable()
+              })
+            } else {
+              def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+              val ms = org.apache.spark.sql.execution.streaming.runtime
+                .MemoryStream[(Long, java.sql.Timestamp, String)]
+              val out = graft.streaming.StreamingDedup.minhashCandidatesWithinHorizon(
+                ms.toDS().toDF("doc_id", "ts", "text"), "text", "doc_id", "ts",
+                "10 minutes", maxBucket = 8192)
+              val q = out.writeStream.format("noop").outputMode("append").start()
+              (q, () => {
+                ms.addData(docs.take(half).map(d => (d._1, t(100), d._2)).toSeq)
+                q.processAllAvailable()
+                ms.addData(docs.drop(half).map(d => (d._1, t(200), d._2)).toSeq)
+                q.processAllAvailable()
+                ms.addData(planted.map(pl => (pl._1, t(300), pl._2)))
+                q.processAllAvailable()
+                // advance the watermark past the horizon: eviction work is
+                // part of the bounded form's honest wall cost, and the
+                // PEAK state across triggers is what the probe reports
+                ms.addData((maxId * 4 + 1, t(100000), "watermark advancing filler text"))
+                q.processAllAvailable()
+              })
+            }
           case other => sys.error(s"unknown stream probe $other")
         }
         try {
           feed()
           // PEAK state across the run's micro-batches (the last trigger can
           // be post-watermark-eviction — e.g. the join's flush sentinel —
-          // which would under-report the working-set the state store carried)
+          // which would under-report the working-set the state store
+          // carried) PLUS the FINAL trigger's state: for horizon-bounded
+          // machines the final number is the boundedness measurement (what
+          // survives the watermark), while unbounded machines end where
+          // they peaked
           val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
           val stateRows =
             if (progs.isEmpty) -1L
@@ -577,7 +631,13 @@ object ScaleProbe {
           val stateMem =
             if (progs.isEmpty) -1L
             else progs.map(_.stateOperators.map(_.memoryUsedBytes).sum).max
-          (0.0, stateRows, stateMem)
+          val finalRows =
+            if (progs.isEmpty) -1L
+            else progs.last.stateOperators.map(_.numRowsTotal).sum
+          val finalMem =
+            if (progs.isEmpty) -1L
+            else progs.last.stateOperators.map(_.memoryUsedBytes).sum
+          (0.0, stateRows, stateMem, finalRows, finalMem)
         } finally q.stop()
       } finally {
         spark.conf.set("spark.sql.shuffle.partitions", saved)
@@ -592,10 +652,10 @@ object ScaleProbe {
       }
     }
     def timedStreamProbe(name: String, parts: Int, p: String,
-        provider: String, extra: Map[String, String] = Map.empty): (Double, Long, Long) = {
+        provider: String, extra: Map[String, String] = Map.empty): (Double, Long, Long, Long, Long) = {
       val t0 = System.nanoTime()
-      val (_, rows, mem) = streamProbe(name, parts, p, provider, extra)
-      ((System.nanoTime() - t0) / 1e9, rows, mem)
+      val (_, rows, mem, fRows, fMem) = streamProbe(name, parts, p, provider, extra)
+      ((System.nanoTime() - t0) / 1e9, rows, mem, fRows, fMem)
     }
     val streamNames = Seq("streaming_sum", "streaming_join", "streaming_dedup")
       .filter(n => opsArg.forall(_.contains(n)))
@@ -606,13 +666,31 @@ object ScaleProbe {
       for (name <- streamNames; parts <- Seq(4, 32);
            (provLabel, prov) <- Seq(("hdfs", hdfsProvider), ("rocksdb", rocksProvider))) {
         val (p1, pN) = if (name == "streaming_dedup") (docs1, docsN) else (ev1, evN)
-        val (t1, r1, m1) = timedStreamProbe(name, parts, p1, prov)
-        val (tN, rN, mN) = timedStreamProbe(name, parts, pN, prov)
+        val (t1, r1, m1, _, _) = timedStreamProbe(name, parts, p1, prov)
+        val (tN, rN, mN, _, _) = timedStreamProbe(name, parts, pN, prov)
         println(f"PROBE $name%-16s parts=$parts%-3d store=$provLabel%-8s " +
           f"1x=${t1}%.2fs ${factor}x=${tN}%.2fs ratio=${tN / t1}%.2f " +
           f"stateRows=${r1}->${rN} stateMB=${m1 / 1e6}%.1f->${mN / 1e6}%.1f")
       }
     }
+    // round-14: the minhash decade probe — both regimes at the gate's
+    // streaming conf (4 state partitions, RocksDB), reporting peak state
+    // rows/bytes beside wall so the horizon form's boundedness is a
+    // measured number at every scale
+    val minhashNames = Seq("streaming_minhash", "streaming_minhash_horizon")
+      .filter(n => opsArg.forall(_.contains(n)))
+    if (minhashNames.nonEmpty) {
+      streamProbe("streaming_minhash", 4, docs1, rocksProvider) // warm
+      minhashNames.foreach { name =>
+        val (t1, r1, m1, f1, fm1) = timedStreamProbe(name, 4, docs1, rocksProvider)
+        val (tN, rN, mN, fN, fmN) = timedStreamProbe(name, 4, docsN, rocksProvider)
+        println(f"PROBE $name%-26s parts=4 store=rocksdb " +
+          f"1x=${t1}%.2fs ${factor}x=${tN}%.2fs ratio=${tN / t1}%.2f " +
+          f"peakRows=${r1}->${rN} peakMB=${m1 / 1e6}%.2f->${mN / 1e6}%.2f " +
+          f"finalRows=${f1}->${fN} finalMB=${fm1 / 1e6}%.2f->${fmN / 1e6}%.2f")
+      }
+    }
+
     // round-10: RocksDB HARD memory cap — boundedMemoryUsage pins the
     // memtable + block cache under maxMemoryUsageMB across ALL state store
     // instances on the executor; the probe shows the biggest-state machine
@@ -624,8 +702,8 @@ object ScaleProbe {
         "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage" -> "true",
         "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB" -> "64")
       streamProbe("streaming_sum", 4, ev1, rocksProvider, cap) // warm
-      val (t1, r1, m1) = timedStreamProbe("streaming_sum", 4, ev1, rocksProvider, cap)
-      val (tN, rN, mN) = timedStreamProbe("streaming_sum", 4, evN, rocksProvider, cap)
+      val (t1, r1, m1, _, _) = timedStreamProbe("streaming_sum", 4, ev1, rocksProvider, cap)
+      val (tN, rN, mN, _, _) = timedStreamProbe("streaming_sum", 4, evN, rocksProvider, cap)
       println(f"PROBE rocksdb_bounded cap=64MB 1x=${t1}%.2fs ${factor}x=${tN}%.2fs " +
         f"stateRows=${r1}->${rN} stateMB=${m1 / 1e6}%.1f->${mN / 1e6}%.1f")
     }
