@@ -122,6 +122,35 @@ class BatchStoreDeleteSpec extends AnyFunSuite {
     BatchState.deleteDir(dir)
   }
 
+  test("streaming takedown feed: deleteKeys in foreachBatch converges, and " +
+      "a re-delivered revocation batch is a natural no-op") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dir = Files.createTempDirectory("graft_store_delks").toString
+    val store = new BatchStore[Long, Long](dir)
+    store.merge(spark,
+      (1L to 10L).map(k => (k, 1L, k)).toDS(), BatchID(1)).count()
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val writer = ms.toDS().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Long], _: Long) =>
+        val keys = b.collect().toSeq // takedown-sized by contract
+        if (keys.nonEmpty) store.deleteKeys(spark, keys)
+      }
+    val query = writer.start()
+    try {
+      ms.addData(3L); query.processAllAvailable()
+      ms.addData(7L); query.processAllAvailable()
+    } finally query.stop()
+    // at-least-once re-delivery of the first revocation: already-deleted
+    // keys fail the membership check, so nothing is rewritten
+    val before = BatchState.read(dir)
+    store.deleteKeys(spark, Seq(3L))
+    assert(BatchState.read(dir) == before, "re-delivered revocation mutated the log")
+    assert(store.readLast(spark).get._2.collect().toMap ==
+      (1L to 10L).filterNot(k => k == 3L || k == 7L).map(k => k -> k).toMap)
+    BatchState.deleteDir(dir)
+  }
+
   test("deleteKeys refuses an empty key set and an empty store") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft_store_delke").toString
