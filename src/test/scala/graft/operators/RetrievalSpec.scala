@@ -361,6 +361,41 @@ class RetrievalSpec extends AnyFunSuite {
     graft.batch.BatchState.deleteDir(dir)
   }
 
+  test("legacy delete segments (no coverage marker) keep the pre-r14 " +
+      "semantics: re-add suppressed until a compaction folds the delete") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_legacy").toString
+    Retrieval.writeIndex(Retrieval.buildIndex(docs, "text", "doc_id"),
+      dir, tokenBuckets = 4)
+    Retrieval.deleteFromStored(spark, dir, Seq(2L).toDF("doc_id"))
+    // simulate an r13-written store: strip the coverage marker
+    val delSeg = graft.batch.SegmentedStore.committedSegs(dir)
+      .find(id => new java.io.File(
+        s"${graft.batch.SegmentedStore.segDir(dir, id)}/deletes").isDirectory).get
+    graft.batch.StoreFs.deleteRecursive(
+      s"${graft.batch.SegmentedStore.segDir(dir, delSeg)}/deletes/" +
+        graft.batch.SegmentedStore.DeleteCoversName)
+    Retrieval.appendToStored(spark, dir, 4,
+      docs.where(col("doc_id") === 2L), "text", "doc_id")
+    val queries = q(0 -> "spark window", 1 -> "join sort batch")
+    def stored() = Retrieval.bm25FromStored(spark, dir, 4, queries, "qtext",
+      "query_id", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    // marker-less delete covers EVERYTHING, including the re-add — but
+    // the stats DID roll forward (+1 doc), so compare postings only: no
+    // doc-2 rows may appear
+    assert(!stored().exists(_._2 == 2L),
+      "legacy delete failed to suppress a pre-compaction re-add")
+    // the documented legacy recovery: compaction folds the delete, after
+    // which a fresh append serves
+    Retrieval.compactStored(spark, dir, tokenBuckets = 4)
+    Retrieval.appendToStored(spark, dir, 4,
+      docs.where(col("doc_id") === 2L)
+        .withColumn("doc_id", col("doc_id") + 100L), "text", "doc_id")
+    assert(stored().exists(_._2 == 102L))
+    graft.batch.BatchState.deleteDir(dir)
+  }
+
   test("two takedowns between micro-batches cannot leapfrog the NEXT " +
       "streaming append (coverage is commit-time, not segment-id order)") {
     val s = spark; import s.implicits._
