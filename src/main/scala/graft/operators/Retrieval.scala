@@ -523,11 +523,20 @@ object Retrieval {
     * on vocabulary-sized per-token summaries:
     *
     *  - per query token: an upper bound `ub` on any single posting's
-    *    contribution (idf · tf-part at the token's max tf and min dl) and
-    *    a lower bound `minc` (tf = 1, the token's max dl);
-    *  - θ (a sound lower bound on the true k-th score): any token with
-    *    df ≥ k guarantees ≥ k docs scoring ≥ its `minc`, so θ is the max
-    *    such `minc` (no θ ⇒ no pruning — fewer than k matches may exist);
+    *    contribution (idf · tf-part at the token's max tf and min dl);
+    *  - θ (a sound lower bound on the true k-th score): for each scoring
+    *    token, its k-th LARGEST single-posting contribution — the k docs
+    *    holding those postings are distinct and each totals at least its
+    *    own posting's contribution, so ≥ k docs score ≥ that value; θ is
+    *    the max over the query's tokens (no token with ≥ k postings ⇒ no
+    *    θ ⇒ no pruning — fewer than k matches may exist). The k-th
+    *    contribution per token is a rank-k window over the token's
+    *    postings, which compiles to WindowGroupLimit (map-side partial
+    *    top-k before the exchange — a stopword's billion postings reduce
+    *    to k rows per input partition). This bound strictly dominates the
+    *    earlier worst-case form (tf = 1 at the corpus max dl), which
+    *    collapsed to θ ≈ 0 — no pruning at all — as soon as organic
+    *    corpus growth lifted rare tokens' max-tf upper bounds;
     *  - non-essential tokens: the largest ub-ascending prefix whose
     *    cumulative ub stays under θ (minus a 6dp-rounding guard): a doc
     *    containing ONLY those tokens tops out below θ and can neither
@@ -562,10 +571,9 @@ object Retrieval {
     val cand = index.postings.join(
       broadcast(qTok.select(col("token")).distinct()), Seq("token"), "left_semi")
     // vocabulary-sized summaries of the candidate postings: exact df plus
-    // the extremes the bounds need
+    // the extremes the upper bound needs
     val summ = cand.groupBy(col("token")).agg(count(lit(1)).as("df"),
-      max(col("tf")).as("__max_tf"), min(col("dl")).as("__min_dl"),
-      max(col("dl")).as("__max_dl"))
+      max(col("tf")).as("__max_tf"), min(col("dl")).as("__min_dl"))
     val stats = index.stats.select(col("n_docs"),
       (col("total_dl").cast("double") /
         when(col("n_docs") > 0, col("n_docs")).otherwise(lit(1L))).as("avgdl"))
@@ -579,12 +587,30 @@ object Retrieval {
       .withColumn("__idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .withColumn("__ub", col("__idf") * tfPart(col("__max_tf"), col("__min_dl")))
-      .withColumn("__minc", col("__idf") * tfPart(lit(1L), col("__max_dl")))
     // θ per query, minus the 6dp-rounding guard (scores rank by their
     // ROUNDED value downstream; the margin keeps a pruned doc from
-    // rounding up into a tie with the k-th)
-    val theta = perQT.groupBy(col(qIdCol))
-      .agg((max(when(col("df") >= k, col("__minc"))) - lit(1e-6)).as("__theta"))
+    // rounding up into a tie with the k-th). Per token the bound is the
+    // k-th largest actual posting contribution: rank-k window →
+    // WindowGroupLimit, so each input partition ships at most k rows per
+    // token to the exchange. Only perQT's (maxDfFraction-surviving)
+    // tokens contribute — a non-scoring token's postings prove nothing
+    // about scores that exclude it. The per-posting expression is the
+    // same (idf * num) / denom association the scorer uses, and a doc's
+    // summed double total can never land below its own largest
+    // nonnegative term, so the 1e-6 margin is the only slack needed.
+    val wTok = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("__c").desc)
+    val kthC = cand
+      .join(broadcast(perQT.select(col("token"), col("__idf")).distinct()),
+        Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__c", col("__idf") * tfPart(col("tf"), col("dl")))
+      .withColumn("__rn", row_number().over(wTok))
+      .where(col("__rn") === k)
+      .select(col("token"), col("__c").as("__kth"))
+    val theta = perQT.join(broadcast(kthC), Seq("token"), "left")
+      .groupBy(col(qIdCol))
+      .agg((max(col("__kth")) - lit(1e-6)).as("__theta"))
     val cumW = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qIdCol)).orderBy(col("__ub").asc, col("token").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -143,6 +143,75 @@ class RetrievalSpec extends AnyFunSuite {
     assert(pruned == plain && plain == Set((1L, 1), (2L, 2), (3L, 3)))
   }
 
+  test("θ from k-th posting contributions keeps pruning in the outlier-dl " +
+      "regime that zeroed the worst-case bound") {
+    val s = spark; import s.implicits._
+    // the organic-growth shape that collapsed the old θ (tf=1 at the
+    // corpus max dl): one giant doc carrying a single "rare" stretches
+    // the token's max dl to 500, so the worst-case bound idf·tfPart(1,
+    // max_dl) ≈ 0 — below every token's upper bound, pruning OFF. The
+    // k-th-contribution θ reads rare's three real tf=3 postings instead
+    // and still dwarfs the mid-frequency "the" prefix.
+    val mid = (1L to 30L).map(i =>
+      (i, if (i <= 2) s"the the w$i" else s"the w$i x$i"))
+    val other = (31L to 55L).map(i => (i, s"c$i d$i e$i"))
+    val rare = (56L to 60L).map(i =>
+      (i, s"rare rare rare p$i q$i r$i s$i t$i u$i v$i"))
+    val giant = Seq((61L, Array.fill(499)("filler").mkString(" ") + " rare"))
+    val corpus = (mid ++ other ++ rare ++ giant).toDF("doc_id", "text")
+    val idx = Retrieval.buildIndex(corpus, "text", "doc_id")
+    val queries = q(0 -> "the rare")
+    val k = 3
+    val plain = Retrieval.bm25TopK(idx, queries, "qtext", "query_id", k)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val (prunedDf, survivors) = Retrieval.bm25TopKPrunedDiag(
+      idx, queries, "qtext", "query_id", k)
+    val pruned = prunedDf
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(pruned == plain)
+    // and pruning actually FIRED: rare's k-th contribution sets a θ the
+    // "the" prefix cannot reach, so its 30 postings are never aggregated
+    // — only rare's 6 docs survive to scoring
+    val nSurv = survivors.count()
+    val nCand = Retrieval.bm25FromIndex(idx, queries, "qtext", "query_id")
+      .count()
+    assert(nCand >= 36L, s"corpus wiring changed? candidates=$nCand")
+    assert(nSurv < nCand / 2,
+      s"expected real pruning, got $nSurv of $nCand candidates")
+  }
+
+  test("bm25TopKPruned ≡ bm25TopK on seeded random Zipf-ish corpora") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = ("the" +: "of" +: (1 to 40).map(i => s"w$i")).toArray
+    for (trial <- 0 until 3) {
+      val corpus = (1L to 60L).map { i =>
+        val dl = 1 + rnd.nextInt(30)
+        val words = Array.fill(dl) {
+          // Zipf-ish: first vocab entries drawn far more often
+          vocab(math.min(vocab.length - 1,
+            (math.pow(rnd.nextDouble(), 3) * vocab.length).toInt))
+        }
+        (i, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      val idx = Retrieval.buildIndex(corpus, "text", "doc_id")
+      val queries = q(0 -> "the w3 w17", 1 -> "of the", 2 -> "w29 w31 w40",
+        3 -> "the the w1", 4 -> "absentword")
+      for (k <- Seq(1, 4, 9)) {
+        val plain = Retrieval.bm25TopK(idx, queries, "qtext", "query_id", k)
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .toSet
+        val pruned = Retrieval
+          .bm25TopKPruned(idx, queries, "qtext", "query_id", k)
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .toSet
+        assert(pruned == plain, s"trial=$trial k=$k")
+      }
+    }
+  }
+
   test("stored bucketed index: pruned read scores EXACTLY like the in-memory index") {
     val idx = Retrieval.buildIndex(docs, "text", "doc_id")
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
