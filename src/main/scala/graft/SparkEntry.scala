@@ -1258,6 +1258,52 @@ object SparkEntry {
       }
     }),
 
+    "q_backfill" -> ((s, dir) => {
+      // round 14: historical recompute (BatchStore.backfill — the lambda
+      // architecture's human-fault-tolerance move): the middle batch
+      // range merges CORRUPTED (every event double-counted), poisoning
+      // its snapshot and the one after it; backfill from the corruption
+      // point with the corrected master-dataset deltas rewrites exactly
+      // those two snapshots as new generations behind one atomic flip —
+      // the earlier snapshot stays at generation 0 untouched. Output is
+      // BOTH rewritten snapshots (history must be corrected, not just
+      // the newest), oracled against a DuckDB recompute at each batch.
+      import s.implicits._
+      val daily = Batcher.ofDays(1)
+      val (b1, b2, b3) = (19736L, 19768L, 19800L)
+      val events = eventStream(s, dir)
+      val correct = events.asKeyedCols[Long, Long](col("_2.user_id"), lit(1L))
+        .sumDeltasPerBatch(daily)(Semigroup.longSemigroup)
+        .persist()
+      val corrupt = events.asKeyedCols[Long, Long](col("_2.user_id"), lit(2L))
+        .sumDeltasPerBatch(daily)(Semigroup.longSemigroup)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_store_").toString
+      try {
+        val store = new BatchStore[Long, Long](tmp)
+        store.merge(s, correct, BatchID(b1))(Semigroup.longSemigroup).count()
+        store.merge(s, corrupt, BatchID(b2))(Semigroup.longSemigroup).count()
+        store.merge(s, correct, BatchID(b3))(Semigroup.longSemigroup).count()
+        val poisoned = store.readLast(s).get._2.map(_._2).reduce(_ + _)
+        store.backfill(s, correct, BatchID(b1 + 1))(Semigroup.longSemigroup)
+        // the corruption was real and the fix rewrote ONLY the poisoned
+        // range: (b1] untouched at generation 0, (b1, b3] re-pointed
+        val healed = store.readLast(s).get._2.map(_._2).reduce(_ + _)
+        require(healed < poisoned,
+          s"q_backfill: expected the corrupt store to overcount ($healed vs $poisoned)")
+        val gens = store.state.gens
+        require(gens == Map(b2 -> 1L, b3 -> 1L),
+          s"q_backfill: unexpected generation map $gens")
+        store.readLast(s, BatchID(b2)).get._2.toDF("user_id", "cnt")
+          .withColumn("batch_id", lit(b2))
+          .union(store.readLast(s, BatchID(b3)).get._2.toDF("user_id", "cnt")
+            .withColumn("batch_id", lit(b3)))
+          .select(col("user_id"), col("batch_id"), col("cnt"))
+      } finally {
+        correct.unpersist()
+        ()
+      }
+    }),
+
     "q_client_get" -> ((s, dir) => {
       // round 10: the point-serving read end-to-end through the
       // KEY-CLUSTERED snapshot layout (BatchStore keyBuckets →
@@ -3260,6 +3306,17 @@ object SparkEntry {
     "q_store_delete" ->
       """SELECT user_id, count(*) AS cnt FROM events
         |WHERE user_id % 5 <> 2 GROUP BY user_id""".stripMargin,
+
+    // historical recompute: after the backfill, the two rewritten
+    // snapshots must equal a per-batch recompute over the master dataset
+    "q_backfill" ->
+      """SELECT user_id, CAST(19768 AS BIGINT) AS batch_id, count(*) AS cnt
+        |FROM events
+        |WHERE CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) <= 19768
+        |GROUP BY user_id
+        |UNION ALL
+        |SELECT user_id, CAST(19800 AS BIGINT) AS batch_id, count(*) AS cnt
+        |FROM events GROUP BY user_id""".stripMargin,
 
     // 6 point gets through the clustered serving layout == all-data counts
     "q_client_get" ->

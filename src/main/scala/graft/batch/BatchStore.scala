@@ -291,6 +291,126 @@ final class BatchStore[K, V](
       }
     }
 
+  /** Historical recompute — the lambda architecture's human-fault-tolerance
+    * move (recompute bad derived state from the master dataset; the batch
+    * layer in the reference exists for exactly this — VersionedBatchStore's
+    * versioning, VersionedBatchStore.scala:62-143, is what makes a re-run
+    * safe to serve). A merge that ran with buggy logic or corrupt input for
+    * some batch poisons EVERY snapshot at or after it (snapshots are
+    * cumulative); `backfill` rewrites each retained snapshot with id >=
+    * `from` from CORRECTED deltas, leaving earlier snapshots untouched.
+    *
+    * `deltas` is the corrected per-(K, batch) summed delta stream (same
+    * shape [[merge]] consumes — produce it with `sumDeltasPerBatch` over the
+    * re-derived events) and must cover exactly `(priorBatch, maxCommitted]`
+    * where priorBatch is the newest RETAINED snapshot strictly below `from`
+    * (rows outside that span are filtered out, same convention as [[merge]]).
+    * When no snapshot below `from` is retained the fold starts empty — i.e.
+    * the deltas must then cover the store's whole history: backfilling
+    * further back than retention kept a base requires the master dataset,
+    * which is the honest lambda contract.
+    *
+    * Each rewritten snapshot lands as a NEW GENERATION of its batch id
+    * (content changes, batch coverage doesn't — exactly [[deleteKeys]]'
+    * discipline) and the store re-points in ONE atomic commit-log flip, so
+    * a crash mid-backfill leaves only uncommitted generation dirs (swept
+    * later), never a store serving half-corrected history. Superseded
+    * generations sweep behind [[retentionGraceMs]].
+    *
+    * Interplay with [[deleteKeys]], stated loudly: backfill REPLAYS the
+    * deltas it is given. If a key was revoked and the corrected delta
+    * stream still contains it, the rewritten snapshots serve it again —
+    * a takedown must be applied to the master dataset (or re-applied after
+    * the backfill), which is the real-world GDPR contract for
+    * recompute-from-master architectures.
+    *
+    * One shuffle total: prior snapshot ++ corrected deltas → per-key
+    * batch-ordered fold ([[graft.plans.SortedGroups.perKeyTimeSorted]])
+    * emitting one row per (key, target snapshot boundary); per-target
+    * writes filter the persisted scan. Shuffled bytes ≈ |distinct keys| ×
+    * |retained targets|, never |events|.
+    */
+  def backfill(spark: SparkSession, deltas: Dataset[(K, Long, V)], from: BatchID)(
+      implicit sg: Semigroup[V]): Unit = WriterLease.withLock(path) {
+    val st = state
+    require(st.committed.nonEmpty,
+      s"backfill(BatchStore($path)): nothing committed yet")
+    firstNonZero.foreach { fnz =>
+      require(from.id >= fnz.id,
+        s"backfill(BatchStore($path)) from batch ${from.id}: the store declares " +
+        s"firstNonZero=${fnz.id} — there is no history before it to recompute")
+    }
+    val targets = st.committed.filter(_ >= from.id).sorted
+    require(targets.nonEmpty,
+      s"backfill(BatchStore($path)) from batch ${from.id}: newest committed " +
+      s"snapshot is ${st.committed.max} — nothing at or after `from` to rewrite")
+    val maxTarget = targets.last
+
+    // the fold's base: newest retained snapshot strictly below `from`
+    // (None ⇒ fold from empty; deltas must cover the whole history)
+    val prior: Option[(BatchID, Dataset[(K, V)])] = readLast(spark, from.prev)
+    val priorBatch = prior.map(_._1.id)
+      .orElse(firstNonZero.map(_.id - 1))
+      .getOrElse(Long.MinValue)
+
+    implicit val vbEnc: Encoder[(V, Boolean)] =
+      Encoders.tuple(vEnc, Encoders.scalaBoolean)
+    implicit val rowEnc: Encoder[(Long, K, (V, Boolean))] =
+      Encoders.tuple(Encoders.scalaLong, kEnc, vbEnc)
+    implicit val outEnc: Encoder[(K, Long, V)] =
+      Encoders.tuple(kEnc, Encoders.scalaLong, vEnc)
+
+    val deltaRows: Dataset[(Long, K, (V, Boolean))] =
+      deltas.filter(r => r._2 > priorBatch && r._2 <= maxTarget)
+        .map(r => (r._2, r._1, (r._3, false)))
+    val allRows = prior match {
+      case Some((b, snap)) =>
+        snap.map { case (k, v) => (b.id, k, (v, true)) }.union(deltaRows)
+      case None => deltaRows
+    }
+
+    // per key: fold deltas in batch order, emitting the running value at
+    // each target boundary it has reached (a key absent by a boundary
+    // emits nothing there — snapshots only hold keys seen)
+    val targetArr = targets.toArray
+    val scanned: Dataset[(K, Long, V)] =
+      SortedGroups.perKeyTimeSorted(allRows) { (k: K, it: Iterator[(Long, (V, Boolean))]) =>
+        var running: Option[V] = None
+        var ti = 0
+        val flushed = scala.collection.mutable.ArrayBuffer.empty[(K, Long, V)]
+        it.foreach { case (batch, (v, isSnap)) =>
+          if (isSnap) running = Some(v)
+          else {
+            while (ti < targetArr.length && targetArr(ti) < batch) {
+              running.foreach(r => flushed += ((k, targetArr(ti), r)))
+              ti += 1
+            }
+            running = Some(running.fold(v)(p => sg.plus(p, v)))
+          }
+        }
+        while (ti < targetArr.length) {
+          running.foreach(r => flushed += ((k, targetArr(ti), r)))
+          ti += 1
+        }
+        flushed.iterator
+      }()
+
+    val persisted = scanned.persist()
+    try {
+      val bumped = targets.map { id =>
+        val gen = st.genOf(id) + 1
+        writeSnapshotData(snapshotDirAt(BatchID(id), gen),
+          persisted.filter(_._2 == id).map(r => (r._1, r._3)))
+        id -> gen
+      }
+      BatchState.write(path, st.copy(gens = st.gens ++ bumped))
+      sweepDeadSnapshotDirs()
+    } finally {
+      persisted.unpersist()
+      ()
+    }
+  }
+
   /** Retention (reference VersionedBatchStore.scala:105 `succeedVersion` →
     * `cleanup`): drop all but the newest [[versionsToKeep]] committed
     * snapshots. Crash-safe ordering — the pruned ids leave the commit log

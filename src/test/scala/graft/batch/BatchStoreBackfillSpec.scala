@@ -1,0 +1,198 @@
+package graft.batch
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.algebra.Semigroup
+import graft.time.BatchID
+
+/** [[BatchStore.backfill]] laws: historical recompute from corrected
+  * deltas — the lambda architecture's human-fault-tolerance move. A
+  * backfilled store serves, at EVERY retained batch, exactly what a fresh
+  * store merged with the corrected deltas throughout would serve;
+  * snapshots before `from` stay byte-untouched at generation 0; the
+  * rewrite is one atomic generation flip with superseded dirs swept
+  * (graced like retention); deltas outside the replay span are ignored;
+  * non-commutative values fold in batch order; the clustered point-read
+  * layout survives; and the documented [[BatchStore.deleteKeys]]
+  * interplay (backfill replays whatever the master dataset says) holds.
+  */
+class BatchStoreBackfillSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private implicit def sg: Semigroup[Long] = Semigroup.longSemigroup
+
+  private def dirsOf(path: String): Set[String] =
+    new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName).toSet
+
+  // corrected per-(key, batch) deltas used across tests:
+  //   b1: a=1, b=1   b2: a=2, c=5   b3: b=3
+  private def corrected: Seq[(String, Long, Long)] =
+    Seq(("a", 1L, 1L), ("b", 1L, 1L), ("a", 2L, 2L), ("c", 2L, 5L), ("b", 3L, 3L))
+
+  test("backfill ≡ fresh store merged with corrected deltas, at every " +
+      "retained batch; earlier snapshots untouched; one generation flip") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_store_bf").toString
+    val store = new BatchStore[String, Long](dir)
+    // batch 1 merged correct; batch 2 ran CORRUPTED (double-counted + a
+    // ghost key that should never have existed); batch 3 correct
+    store.merge(spark, Seq(("a", 1L, 1L), ("b", 1L, 1L)).toDS(), BatchID(1)).count()
+    store.merge(spark, Seq(("a", 2L, 4L), ("c", 2L, 10L), ("ghost", 2L, 9L)).toDS(),
+      BatchID(2)).count()
+    store.merge(spark, Seq(("b", 3L, 3L)).toDS(), BatchID(3)).count()
+    assert(store.readLast(spark).get._2.collect().toMap ==
+      Map("a" -> 5L, "b" -> 4L, "c" -> 10L, "ghost" -> 9L))
+
+    store.backfill(spark, corrected.toDS(), BatchID(2))
+
+    // the oracle: a fresh store merged correct throughout
+    val oracleDir = Files.createTempDirectory("graft_store_bfo").toString
+    val oracle = new BatchStore[String, Long](oracleDir)
+    oracle.merge(spark, Seq(("a", 1L, 1L), ("b", 1L, 1L)).toDS(), BatchID(1)).count()
+    oracle.merge(spark, Seq(("a", 2L, 2L), ("c", 2L, 5L)).toDS(), BatchID(2)).count()
+    oracle.merge(spark, Seq(("b", 3L, 3L)).toDS(), BatchID(3)).count()
+    for (b <- 1L to 3L)
+      assert(store.readLast(spark, BatchID(b)).get._2.collect().toMap ==
+        oracle.readLast(spark, BatchID(b)).get._2.collect().toMap, s"batch $b")
+    // the ghost key is gone from history, not just the newest snapshot
+    assert(!store.readLast(spark, BatchID(2)).get._2.collect().toMap.contains("ghost"))
+
+    // untouched base + one atomic flip: batch 1 still generation 0,
+    // batches 2..3 at generation 1, superseded dirs swept
+    val st = BatchState.read(dir)
+    assert(st.committed == List(1L, 2L, 3L) && st.gens == Map(2L -> 1L, 3L -> 1L), st)
+    assert(dirsOf(dir) == Set("batch_id=1", "batch_id=2.g1", "batch_id=3.g1"), dirsOf(dir))
+
+    // a post-backfill merge folds from the corrected snapshot
+    val out = store.merge(spark, Seq(("a", 4L, 1L)).toDS(), BatchID(4))
+      .collect().map(r => (r._1, r._3)).toMap
+    assert(out("a") == (Some(3L) -> 1L), out)
+    BatchState.deleteDir(dir)
+    BatchState.deleteDir(oracleDir)
+  }
+
+  test("deltas outside (priorBatch, maxCommitted] are ignored: a poison row " +
+      "at or below the retained base does not double-fold") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_store_bfp").toString
+    val store = new BatchStore[String, Long](dir)
+    store.merge(spark, Seq(("a", 1L, 1L)).toDS(), BatchID(1)).count()
+    store.merge(spark, Seq(("a", 2L, 100L)).toDS(), BatchID(2)).count()
+    // corrected stream carries batch-1 history too (master-dataset replays
+    // often do) plus a row beyond the last committed batch — both ignored:
+    // batch 1's value comes from the retained base snapshot
+    store.backfill(spark,
+      Seq(("a", 1L, 777L), ("a", 2L, 2L), ("a", 9L, 999L)).toDS(), BatchID(2))
+    assert(store.readLast(spark).get._2.collect().toMap == Map("a" -> 3L))
+    assert(store.readLast(spark, BatchID(1)).get._2.collect().toMap == Map("a" -> 1L))
+    BatchState.deleteDir(dir)
+  }
+
+  test("no retained base below `from`: the fold starts empty and the deltas " +
+      "must cover the whole history (versionsToKeep=1 store)") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_store_bfr").toString
+    val store = new BatchStore[String, Long](dir, versionsToKeep = 1)
+    store.merge(spark, Seq(("a", 1L, 1L), ("b", 1L, 1L)).toDS(), BatchID(1)).count()
+    store.merge(spark, Seq(("a", 2L, 4L)).toDS(), BatchID(2)).count() // corrupt
+    store.merge(spark, Seq(("b", 3L, 3L)).toDS(), BatchID(3)).count()
+    assert(BatchState.read(dir).committed == List(3L)) // retention kept only b3
+    // `from` predates retention: only b3 is rewritable, and the corrected
+    // stream must replay from the very beginning
+    store.backfill(spark, corrected.toDS(), BatchID(2))
+    assert(store.readLast(spark).get._2.collect().toMap ==
+      Map("a" -> 3L, "b" -> 4L, "c" -> 5L))
+    BatchState.deleteDir(dir)
+  }
+
+  test("non-commutative values fold in batch order") {
+    val s = spark; import s.implicits._
+    implicit val cat: Semigroup[String] =
+      Semigroup.from(commutative = false)((a: String, b: String) => a + b)
+    val dir = Files.createTempDirectory("graft_store_bfn").toString
+    val store = new BatchStore[String, String](dir)
+    store.merge(spark, Seq(("k", 1L, "x")).toDS(), BatchID(1)).count()
+    store.merge(spark, Seq(("k", 2L, "??"), ("k", 3L, "!!")).toDS(), BatchID(3)).count()
+    store.backfill(spark,
+      Seq(("k", 2L, "b"), ("k", 3L, "c")).toDS(), BatchID(2))
+    assert(store.readLast(spark).get._2.collect().toMap == Map("k" -> "xbc"))
+    assert(store.readLast(spark, BatchID(1)).get._2.collect().toMap == Map("k" -> "x"))
+    BatchState.deleteDir(dir)
+  }
+
+  test("key-clustered store: layout preserved, point reads serve the " +
+      "corrected value through the pruned path") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_store_bfc").toString
+    val store = new BatchStore[Long, Long](dir, keyBuckets = Some(4))
+    store.merge(spark, (1L to 20L).map(i => (i, 1L, 1L)).toDS(), BatchID(1)).count()
+    store.merge(spark, (1L to 20L).map(i => (i, 2L, 100L)).toDS(), BatchID(2)).count()
+    store.backfill(spark,
+      ((1L to 20L).map(i => (i, 1L, 1L)) ++ (1L to 20L).map(i => (i, 2L, 2L))).toDS(),
+      BatchID(2))
+    // every kb= bucket dir present at the new generation; point read prunes
+    val st = BatchState.read(dir)
+    assert(st.gens == Map(2L -> 1L), st)
+    val snap2 = s"$dir/batch_id=2.g1"
+    assert((0 until 4).forall(i => new java.io.File(s"$snap2/kb=$i").isDirectory))
+    val got = store.readLastForKey(spark, 7L).get._2.collect().toMap
+    assert(got == Map(7L -> 3L), got)
+    BatchState.deleteDir(dir)
+  }
+
+  test("retention grace: superseded generations tombstone instead of " +
+      "deleting, and a later sweep past the grace removes them") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_store_bfg").toString
+    val store = new BatchStore[String, Long](dir, retentionGraceMs = 3600L * 1000L)
+    store.merge(spark, Seq(("a", 1L, 5L)).toDS(), BatchID(1)).count()
+    store.backfill(spark, Seq(("a", 1L, 1L)).toDS(), BatchID(1))
+    // the superseded generation-0 dir survives (tombstoned) inside the grace
+    assert(dirsOf(dir) == Set("batch_id=1", "batch_id=1.g1"), dirsOf(dir))
+    assert(store.readLast(spark).get._2.collect().toMap == Map("a" -> 1L))
+    BatchState.deleteDir(dir)
+  }
+
+  test("guards: empty store, `from` beyond the newest commit, `from` before " +
+      "firstNonZero — all refuse loudly") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_store_bfe").toString
+    val store = new BatchStore[String, Long](dir)
+    intercept[IllegalArgumentException](
+      store.backfill(spark, corrected.toDS(), BatchID(1)))
+    store.merge(spark, Seq(("a", 1L, 1L)).toDS(), BatchID(1)).count()
+    intercept[IllegalArgumentException](
+      store.backfill(spark, corrected.toDS(), BatchID(2)))
+    val bounded = new BatchStore[String, Long](
+      Files.createTempDirectory("graft_store_bfe2").toString,
+      firstNonZero = Some(BatchID(5)))
+    bounded.merge(spark, Seq(("a", 5L, 1L)).toDS(), BatchID(5)).count()
+    intercept[IllegalArgumentException](
+      bounded.backfill(spark, corrected.toDS(), BatchID(3)))
+    BatchState.deleteDir(dir)
+    BatchState.deleteDir(bounded.path)
+  }
+
+  test("deleteKeys interplay (documented): backfill replays the master " +
+      "dataset — an uncleansed delta stream resurrects a revoked key") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_store_bfd").toString
+    val store = new BatchStore[String, Long](dir)
+    store.merge(spark, Seq(("a", 1L, 1L), ("b", 1L, 1L)).toDS(), BatchID(1)).count()
+    store.deleteKeys(spark, Seq("a"))
+    assert(store.readLast(spark).get._2.collect().toMap == Map("b" -> 1L))
+    // uncleansed replay: the takedown must live in the master dataset
+    store.backfill(spark, Seq(("a", 1L, 1L), ("b", 1L, 1L)).toDS(), BatchID(1))
+    assert(store.readLast(spark).get._2.collect().toMap ==
+      Map("a" -> 1L, "b" -> 1L))
+    // cleansed replay: the key stays gone and generations keep bumping
+    store.backfill(spark, Seq(("b", 1L, 1L)).toDS(), BatchID(1))
+    assert(store.readLast(spark).get._2.collect().toMap == Map("b" -> 1L))
+    assert(BatchState.read(dir).gens == Map(1L -> 3L))
+    BatchState.deleteDir(dir)
+  }
+}
