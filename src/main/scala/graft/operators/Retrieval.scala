@@ -523,20 +523,28 @@ object Retrieval {
     * on vocabulary-sized per-token summaries:
     *
     *  - per query token: an upper bound `ub` on any single posting's
-    *    contribution (idf · tf-part at the token's max tf and min dl);
+    *    contribution — the token's LARGEST actual posting contribution
+    *    (a doc's contribution from a token IS one of that token's
+    *    postings, so the max over real postings bounds it). NOT the
+    *    worst-case combination idf · tfPart(max tf, min dl), which pairs
+    *    the max tf and the min dl from DIFFERENT docs: one high-tf long
+    *    doc plus one tiny doc inflates that fictional bound far above any
+    *    real posting, marks the stopword essential, and organically
+    *    degrades pruning as the corpus grows;
     *  - θ (a sound lower bound on the true k-th score): for each scoring
     *    token, its k-th LARGEST single-posting contribution — the k docs
     *    holding those postings are distinct and each totals at least its
     *    own posting's contribution, so ≥ k docs score ≥ that value; θ is
     *    the max over the query's tokens (no token with ≥ k postings ⇒ no
-    *    θ ⇒ no pruning — fewer than k matches may exist). The k-th
-    *    contribution per token is a rank-k window over the token's
-    *    postings, which compiles to WindowGroupLimit (map-side partial
-    *    top-k before the exchange — a stopword's billion postings reduce
-    *    to k rows per input partition). This bound strictly dominates the
-    *    earlier worst-case form (tf = 1 at the corpus max dl), which
-    *    collapsed to θ ≈ 0 — no pruning at all — as soon as organic
-    *    corpus growth lifted rare tokens' max-tf upper bounds;
+    *    θ ⇒ no pruning — fewer than k matches may exist). Both bounds
+    *    come off ONE rank-k window over each token's actual postings,
+    *    which compiles to WindowGroupLimit (map-side partial top-k
+    *    before the exchange — a stopword's billion postings reduce to k
+    *    rows per input partition): ub is the window's rank-1 value, θ's
+    *    ingredient its rank-k value. Each strictly dominates the earlier
+    *    worst-case forms (tf = 1 at the corpus max dl collapsed θ ≈ 0;
+    *    max-tf/min-dl inflated ub), both of which DEGRADED with organic
+    *    corpus growth — exactly backwards for the 100 TB target;
     *  - non-essential tokens: the largest ub-ascending prefix whose
     *    cumulative ub stays under θ (minus a 6dp-rounding guard): a doc
     *    containing ONLY those tokens tops out below θ and can neither
@@ -570,45 +578,52 @@ object Retrieval {
       .select(col(qIdCol), explode(array_distinct(lowTokens(col(qTextCol)))).as("token"))
     val cand = index.postings.join(
       broadcast(qTok.select(col("token")).distinct()), Seq("token"), "left_semi")
-    // vocabulary-sized summaries of the candidate postings: exact df plus
-    // the extremes the upper bound needs
-    val summ = cand.groupBy(col("token")).agg(count(lit(1)).as("df"),
-      max(col("tf")).as("__max_tf"), min(col("dl")).as("__min_dl"))
+    // vocabulary-sized summary of the candidate postings: exact df (for
+    // idf and the maxDfFraction gate)
+    val summ = cand.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val stats = index.stats.select(col("n_docs"),
       (col("total_dl").cast("double") /
         when(col("n_docs") > 0, col("n_docs")).otherwise(lit(1L))).as("avgdl"))
     def tfPart(tf: Column, dl: Column): Column =
       (tf.cast("double") * lit(k1 + 1.0)) /
         (tf.cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) * dl / col("avgdl")))
-    val perQT = broadcast(qTok)
+    val perQTBase = broadcast(qTok)
       .join(broadcast(summ), Seq("token"))
       .crossJoin(broadcast(stats))
       .where(col("df") <= lit(maxDfFraction) * col("n_docs"))
       .withColumn("__idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("__ub", col("__idf") * tfPart(col("__max_tf"), col("__min_dl")))
-    // θ per query, minus the 6dp-rounding guard (scores rank by their
-    // ROUNDED value downstream; the margin keeps a pruned doc from
-    // rounding up into a tie with the k-th). Per token the bound is the
-    // k-th largest actual posting contribution: rank-k window →
-    // WindowGroupLimit, so each input partition ships at most k rows per
-    // token to the exchange. Only perQT's (maxDfFraction-surviving)
-    // tokens contribute — a non-scoring token's postings prove nothing
-    // about scores that exclude it. The per-posting expression is the
-    // same (idf * num) / denom association the scorer uses, and a doc's
-    // summed double total can never land below its own largest
-    // nonnegative term, so the 1e-6 margin is the only slack needed.
+    // Both pruning bounds off ONE rank-k window over each scoring token's
+    // actual posting contributions (rank-k → WindowGroupLimit: map-side
+    // partial top-k, so each input partition ships at most k rows per
+    // token to the exchange, never a stopword's list): `__ub` is the
+    // rank-1 value (the tightest sound single-posting bound — a doc's
+    // contribution from a token IS one of its postings) and `__kth` the
+    // rank-k value when the token has ≥ k postings (k distinct docs each
+    // total at least their own posting, so the k-th score is ≥ it).
+    // Only perQTBase's (maxDfFraction-surviving) tokens contribute — a
+    // non-scoring token's postings prove nothing about scores that
+    // exclude it. The per-posting expression is the same (idf * num) /
+    // denom association the scorer uses, and a doc's summed double total
+    // can never land below its own largest nonnegative term, so the
+    // 1e-6 rounding-guard margin on θ is the only slack needed.
     val wTok = org.apache.spark.sql.expressions.Window
       .partitionBy(col("token")).orderBy(col("__c").desc)
-    val kthC = cand
-      .join(broadcast(perQT.select(col("token"), col("__idf")).distinct()),
+    val tokBounds = cand
+      .join(broadcast(perQTBase.select(col("token"), col("__idf")).distinct()),
         Seq("token"))
       .crossJoin(broadcast(stats))
       .withColumn("__c", col("__idf") * tfPart(col("tf"), col("dl")))
       .withColumn("__rn", row_number().over(wTok))
-      .where(col("__rn") === k)
-      .select(col("token"), col("__c").as("__kth"))
-    val theta = perQT.join(broadcast(kthC), Seq("token"), "left")
+      .where(col("__rn") <= k)
+      .groupBy(col("token"))
+      .agg(max(col("__c")).as("__ub"),
+        when(count(lit(1)) === k, min(col("__c"))).as("__kth"))
+    val perQT = perQTBase.join(broadcast(tokBounds), Seq("token"))
+    // θ per query, minus the 6dp-rounding guard (scores rank by their
+    // ROUNDED value downstream; the margin keeps a pruned doc from
+    // rounding up into a tie with the k-th)
+    val theta = perQT
       .groupBy(col(qIdCol))
       .agg((max(col("__kth")) - lit(1e-6)).as("__theta"))
     val cumW = org.apache.spark.sql.expressions.Window

@@ -180,6 +180,46 @@ class RetrievalSpec extends AnyFunSuite {
       s"expected real pruning, got $nSurv of $nCand candidates")
   }
 
+  test("ub from the max ACTUAL posting contribution keeps pruning when a " +
+      "high-tf long doc plus a tiny doc inflate the worst-case combo") {
+    val s = spark; import s.implicits._
+    // the organic-growth shape that killed the ub side: "the" carries
+    // max tf = 60 (in a 400-token doc, where the real contribution is
+    // modest) and min dl = 2 (a tiny doc where tf = 1). The fictional
+    // bound idf·tfPart(60, 2) pairs them into a contribution NO real
+    // posting has — it crosses θ (from rare's postings), marks "the"
+    // essential, and scores its whole list. The rank-1
+    // actual-contribution ub stays under θ, so "the" is non-essential
+    // and only rare's 6 docs reach score aggregation.
+    val mid = (1L to 6L).map(i => (i, s"the w$i x$i"))
+    val tiny = Seq((7L, "the y1"))
+    val longTheDoc = Seq((8L,
+      (Array.fill(60)("the") ++ (1 to 340).map(j => s"z$j")).mkString(" ")))
+    val other = (9L to 38L).map(i => (i, s"c$i d$i e$i"))
+    val rare = (39L to 44L).map(i =>
+      (i, s"rare rare rare p$i q$i r$i s$i t$i u$i v$i"))
+    val corpus = (mid ++ tiny ++ longTheDoc ++ other ++ rare)
+      .toDF("doc_id", "text")
+    val idx = Retrieval.buildIndex(corpus, "text", "doc_id")
+    val queries = q(0 -> "the rare")
+    val k = 3
+    val plain = Retrieval.bm25TopK(idx, queries, "qtext", "query_id", k)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val (prunedDf, survivors) = Retrieval.bm25TopKPrunedDiag(
+      idx, queries, "qtext", "query_id", k)
+    val pruned = prunedDf
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(pruned == plain)
+    val nSurv = survivors.count()
+    val nCand = Retrieval.bm25FromIndex(idx, queries, "qtext", "query_id")
+      .count()
+    // candidates = the 8 "the" docs + the 6 rare docs; only rare's docs
+    // survive to aggregation (the worst-case combo would have kept all 14)
+    assert(nCand == 14L, s"corpus wiring changed? candidates=$nCand")
+    assert(nSurv == 6L,
+      s"expected only rare's docs to survive, got $nSurv of $nCand")
+  }
+
   test("bm25TopKPruned ≡ bm25TopK on seeded random Zipf-ish corpora") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(42)
