@@ -1700,6 +1700,32 @@ object SparkEntry {
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
+    "q_bm25_replace" -> ((s, dir) => {
+      // round 14: ATOMIC correction of a poisoned ingest
+      // (Retrieval.replaceInStored): bootstrap the stored index from a
+      // corpus whose doc_id % 7 == 3 slice was mangled at ingest (junk
+      // token noise), then upsert the TRUE slice back — corrected
+      // postings, the victim delete-set with its coverage marker, and
+      // the exact (N, total_dl) stats delta publish on ONE commit-log
+      // flip — and serve. Must equal DuckDB's BM25 over the true corpus
+      // verbatim (q_bm25's oracle shared): no trace of the poisoned
+      // texts in N, avgdl, dfs, or scores.
+      val docsDf = t(s, dir, "documents").select("doc_id", "text")
+      val mangled = docsDf.withColumn("text",
+        when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit(" zzjunk zzjunk zznoise zzjunk")))
+          .otherwise(col("text")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_rep_").toString
+      try {
+        Retrieval.writeIndex(Retrieval.buildIndex(mangled, "text", "doc_id"),
+          tmp, tokenBuckets = 16)
+        Retrieval.replaceInStored(s, tmp, tokenBuckets = 16,
+          docsDf.where(col("doc_id") % 7 === 3), "text", "doc_id")
+        Retrieval.bm25FromStored(s, tmp, tokenBuckets = 16,
+          bm25Queries(s), "qtext", "query_id", "doc_id").localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
     "q_streaming_bm25" -> ((s, dir) => {
       // the FULL stored-index maintenance lifecycle: the corpus arrives in
       // 3 doc_id-sliced micro-batches, each committed as a new index
@@ -2015,6 +2041,30 @@ object SparkEntry {
         val stored = Similarity.int8TopKStored(s, tmp, kept, "embedding",
           "vec_id", q, 10).localCheckpoint(true)
         int8InvariantRow(kept, q, stored)
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
+    "q_ann_replace" -> ((s, dir) => {
+      // round 14: atomic upsert correction on the ANN side
+      // (Similarity.int8ReplaceInStored): bootstrap the stored codes
+      // index from embeddings whose vec_id % 5 == 2 slice arrived
+      // NEGATED at ingest, upsert the true slice back (corrected codes
+      // + victim delete-set on one commit-log flip), serve — the four
+      // invariants computed against the TRUE corpus, with same_as_mem
+      // pinning exact equality to the in-memory int8TopK over it
+      val e = t(s, dir, "embeddings")
+      val mangled = e.withColumn("embedding",
+        when(col("vec_id") % 5 === 2,
+          transform(col("embedding"), x => -x)).otherwise(col("embedding")))
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ann_rep_").toString
+      try {
+        Similarity.int8WriteIndex(mangled, "embedding", "vec_id", tmp)
+        Similarity.int8ReplaceInStored(s, tmp,
+          e.where(col("vec_id") % 5 === 2), "embedding", "vec_id")
+        val stored = Similarity.int8TopKStored(s, tmp, e, "embedding",
+          "vec_id", q, 10).localCheckpoint(true)
+        int8InvariantRow(e, q, stored)
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
@@ -3802,6 +3852,10 @@ object SparkEntry {
     // computation — N/avgdl shift and df-derived idf changes included
     "q_bm25_delete" -> (bm25OracleBaseFor("doc_id % 7 <> 3") + bm25ScoredSuffix),
 
+    // atomic replace of a poisoned slice: serving equals BM25 over the
+    // TRUE corpus verbatim — q_bm25's oracle shared
+    "q_bm25_replace" -> bm25OracleScored,
+
 
     // the incremental index, the pruned stored read, and the streaming
     // ingest MUST all score identically to the full rebuild — these rows
@@ -4431,6 +4485,12 @@ object SparkEntry {
       """SELECT count(*) AS n_vecs, TRUE AS recall_ok, TRUE AS k_ok,
         |  TRUE AS same_as_mem
         |FROM embeddings WHERE vec_id % 5 <> 2""".stripMargin,
+
+    // atomic upsert correction: invariants against the FULL true corpus
+    "q_ann_replace" ->
+      """SELECT count(*) AS n_vecs, TRUE AS recall_ok, TRUE AS k_ok,
+        |  TRUE AS same_as_mem
+        |FROM embeddings""".stripMargin,
 
     // streaming ingest + compaction are exact (per-vector rows are
     // independent), so the lifecycle row pins the same four invariants

@@ -184,6 +184,12 @@ object Retrieval {
 
   private def writeSegment(index: Bm25Index, path: String, id: Long,
       tokenBuckets: Int): Unit = {
+    // CLEAR the whole segment dir first: `nextId` reuses a crashed
+    // writer's uncommitted id, and parquet overwrite only clears the
+    // subdirs THIS mutation writes — without the pre-clear, an orphan
+    // `deletes/` left by a crashed takedown would ride this segment's
+    // commit into the log and silently suppress live documents
+    graft.batch.StoreFs.deleteRecursive(segDir(path, id))
     withBucket(index.postings, tokenBuckets)
       .write.partitionBy("tb").mode("overwrite")
       .parquet(s"${segDir(path, id)}/postings")
@@ -261,6 +267,9 @@ object Retrieval {
     graft.batch.SegmentedStore.withWriterLock(path) {
       val idx = readIndex(spark, path, idCol = "doc_id")
       val id = graft.batch.SegmentedStore.nextId(path)
+      // pre-clear the (new, uncommitted) target id — a crashed writer's
+      // orphan subdirs must not ride this commit (see writeSegment)
+      graft.batch.StoreFs.deleteRecursive(segDir(path, id))
       withBucket(idx.postings, tokenBuckets)
         .repartition(col("tb")).sortWithinPartitions("token")
         .write.partitionBy("tb").mode("overwrite")
@@ -400,6 +409,9 @@ object Retrieval {
         // commit log untouched rather than committing an empty segment
         if (victims.limit(1).count() > 0) {
           val id = graft.batch.SegmentedStore.nextId(path)
+          // pre-clear: an orphan postings/ dir from a crashed append at
+          // this reused id must not ride the takedown's commit
+          graft.batch.StoreFs.deleteRecursive(segDir(path, id))
           victims.select(col(idCol)).write.mode("overwrite")
             .parquet(s"${segDir(path, id)}/deletes")
           // covers marker AFTER the parquet overwrite (which clears the
@@ -411,6 +423,76 @@ object Retrieval {
             .parquet(s"${segDir(path, id)}/stats")
           graft.batch.SegmentedStore.commitAppend(path, id)
         }
+      } finally {
+        victims.unpersist()
+        ()
+      }
+    }
+
+  /** ATOMIC upsert of a document batch into a STORED index — the
+    * correction path for a poisoned ingest: docs whose ids are live are
+    * REPLACED (their old postings suppressed), new ids are appended, in
+    * ONE commit-log flip. The composition delete-then-append does the
+    * same logically but commits twice, exposing a window where the docs
+    * are gone; a reader resolves the log once per scan, so with
+    * `replaceInStored` it sees the old content or the corrected content,
+    * never the gap.
+    *
+    * One new segment carries all three parts, atomic together on the
+    * flip: the corrected postings (bucketed like any segment), the
+    * victim delete-set with its COVERAGE marker (the committed segments
+    * at replace time — which never includes this segment, so the
+    * corrected postings are not self-suppressed; later appends of the
+    * same ids are untouched, the delete/re-add ordering contract), and
+    * ONE stats row summing the corrected docs' positive (n, total_dl)
+    * delta with the replaced docs' negative delta — N and avgdl are
+    * exact on both sides of the flip. Physical removal of the old
+    * postings folds at the next [[compactStored]], like a takedown.
+    *
+    * Docs that should not exist at all after the correction are
+    * [[deleteFromStored]]'s job — replace is an upsert, not a diff.
+    * `docs` must carry distinct ids (the appendToStored contract).
+    * Ordinal-only: a streaming at-least-once ingest should use
+    * [[appendToStored]] with its replay-guarded batch ids.
+    */
+  def replaceInStored(spark: org.apache.spark.sql.SparkSession, path: String,
+      tokenBuckets: Int, docs: DataFrame, textCol: String,
+      idCol: String): Unit =
+    graft.batch.SegmentedStore.withWriterLock(path) {
+      val segs = committedSegs(path)
+      require(segs.nonEmpty,
+        s"replaceInStored: no committed index at $path — bootstrap with writeIndex first")
+      val idx = readIndexSegs(spark, path, segs, idCol)
+      val newIdx = buildIndex(docs, textCol, idCol)
+      // victims = LIVE docs the batch replaces (delete-filtered read, so
+      // re-replacing after an earlier takedown never double-subtracts)
+      val victims = idx.postings
+        .join(docs.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+        .select(col(idCol), col("dl")).distinct()
+        .persist()
+      try {
+        val id = graft.batch.SegmentedStore.nextId(path)
+        // pre-clear the reused id (see writeSegment), then write every
+        // part of the segment; the commit-log flip publishes them together
+        graft.batch.StoreFs.deleteRecursive(segDir(path, id))
+        withBucket(newIdx.postings, tokenBuckets)
+          .write.partitionBy("tb").mode("overwrite")
+          .parquet(s"${segDir(path, id)}/postings")
+        if (victims.limit(1).count() > 0) {
+          victims.select(col(idCol)).write.mode("overwrite")
+            .parquet(s"${segDir(path, id)}/deletes")
+          // covers marker AFTER the parquet overwrite (it lives inside
+          // the deletes dir); commits atomically with the segment
+          graft.batch.SegmentedStore.writeDeleteCovers(path, id, segs)
+        }
+        newIdx.stats
+          .unionByName(victims.agg((-count(lit(1))).as("n_docs"),
+            (-coalesce(sum(col("dl")), lit(0L))).as("total_dl")))
+          .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+            coalesce(sum(col("total_dl")), lit(0L)).as("total_dl"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"${segDir(path, id)}/stats")
+        graft.batch.SegmentedStore.commitAppend(path, id)
       } finally {
         victims.unpersist()
         ()

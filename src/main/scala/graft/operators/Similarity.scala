@@ -96,11 +96,24 @@ object Similarity {
       path: String): Unit =
     graft.batch.SegmentedStore.withWriterLock(path) {
       val id = graft.batch.SegmentedStore.nextId(path)
-      int8Codes(df, vecCol, idCol)
-        .write.mode("overwrite")
-        .parquet(s"${graft.batch.SegmentedStore.segDir(path, id)}/codes")
+      writeCodesSegment(int8Codes(df, vecCol, idCol), path, id)
       graft.batch.SegmentedStore.commitReplaceAll(path, id)
     }
+
+  /** The one codes-segment write shape: CLEAR the whole segment dir
+    * first — `nextId`/`batchSegId` reuse a crashed writer's uncommitted
+    * id, and parquet overwrite only clears the `codes/` subdir, so
+    * without the pre-clear an orphan `deletes/` left by a crashed
+    * takedown would ride this segment's commit into the log and
+    * silently suppress live vectors (mirrors Retrieval.writeSegment).
+    */
+  private def writeCodesSegment(codes: DataFrame, path: String,
+      id: Long): Unit = {
+    graft.batch.StoreFs.deleteRecursive(
+      graft.batch.SegmentedStore.segDir(path, id))
+    codes.write.mode("overwrite")
+      .parquet(s"${graft.batch.SegmentedStore.segDir(path, id)}/codes")
+  }
 
   private def int8Codes(df: DataFrame, vecCol: String, idCol: String): DataFrame =
     df.select(col(idCol), VectorFunctions.l2Normalize(col(vecCol)).as("__nv"))
@@ -127,9 +140,7 @@ object Similarity {
         case _ =>
           val id = batchId.map(graft.batch.SegmentedStore.batchSegId)
             .getOrElse(graft.batch.SegmentedStore.nextId(path))
-          int8Codes(newVecs, vecCol, idCol)
-            .write.mode("overwrite")
-            .parquet(s"${graft.batch.SegmentedStore.segDir(path, id)}/codes")
+          writeCodesSegment(int8Codes(newVecs, vecCol, idCol), path, id)
           batchId match {
             // streaming: raise the applied-batch high-water mark in the
             // same atomic flip, so the replay guard survives compaction
@@ -153,8 +164,7 @@ object Similarity {
     graft.batch.SegmentedStore.withWriterLock(path) {
       val all = readInt8Index(spark, path)
       val id = graft.batch.SegmentedStore.nextId(path)
-      all.write.mode("overwrite")
-        .parquet(s"${graft.batch.SegmentedStore.segDir(path, id)}/codes")
+      writeCodesSegment(all, path, id)
       graft.batch.SegmentedStore.commitReplaceAll(path, id, sweepGraceMs)
     }
 
@@ -260,6 +270,10 @@ object Similarity {
         // nothing live matched: leave the commit log untouched
         if (victims.limit(1).count() > 0) {
           val id = graft.batch.SegmentedStore.nextId(path)
+          // pre-clear: an orphan codes/ dir from a crashed append at
+          // this reused id must not ride the takedown's commit
+          graft.batch.StoreFs.deleteRecursive(
+            graft.batch.SegmentedStore.segDir(path, id))
           victims.write.mode("overwrite")
             .parquet(s"${graft.batch.SegmentedStore.segDir(path, id)}/deletes")
           // covers marker AFTER the parquet overwrite; commits with the
@@ -267,6 +281,50 @@ object Similarity {
           graft.batch.SegmentedStore.writeDeleteCovers(path, id, segs)
           graft.batch.SegmentedStore.commitAppend(path, id)
         }
+      } finally {
+        victims.unpersist()
+        ()
+      }
+    }
+
+  /** ATOMIC upsert of a vector batch into a STORED codes index — the
+    * correction path for a poisoned ingest, mirroring
+    * [[graft.operators.Retrieval.replaceInStored]]: vectors whose ids
+    * are live are REPLACED, new ids appended, in ONE commit-log flip
+    * (delete-then-append commits twice and exposes a window where the
+    * ids are gone; readers resolving the log once see old or corrected,
+    * never the gap). One new segment carries the corrected codes AND the
+    * victim delete-set with its coverage marker (the committed segments
+    * at replace time — never this segment, so the corrected codes are
+    * not self-suppressed and later appends of the same ids are
+    * untouched). Physical removal folds at the next
+    * [[int8CompactStored]]. Removals that aren't upserts are
+    * [[int8DeleteFromStored]]'s job; `newVecs` carries distinct ids;
+    * ordinal-only (streaming ingest uses the replay-guarded
+    * [[int8AppendToStored]]).
+    */
+  def int8ReplaceInStored(spark: SparkSession, path: String,
+      newVecs: DataFrame, vecCol: String, idCol: String): Unit =
+    graft.batch.SegmentedStore.withWriterLock(path) {
+      val segs = graft.batch.SegmentedStore.committedSegs(path)
+      require(segs.nonEmpty,
+        s"int8ReplaceInStored: no committed index at $path — bootstrap with int8WriteIndex")
+      val victims = readInt8Index(spark, path, idCol)
+        .join(newVecs.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+        .select(col(idCol)).distinct()
+        .persist()
+      try {
+        val id = graft.batch.SegmentedStore.nextId(path)
+        // pre-clear the reused id, write both parts, publish on one flip
+        writeCodesSegment(int8Codes(newVecs, vecCol, idCol), path, id)
+        if (victims.limit(1).count() > 0) {
+          victims.write.mode("overwrite")
+            .parquet(s"${graft.batch.SegmentedStore.segDir(path, id)}/deletes")
+          // covers marker AFTER the parquet overwrite (it lives inside
+          // the deletes dir); commits atomically with the segment
+          graft.batch.SegmentedStore.writeDeleteCovers(path, id, segs)
+        }
+        graft.batch.SegmentedStore.commitAppend(path, id)
       } finally {
         victims.unpersist()
         ()

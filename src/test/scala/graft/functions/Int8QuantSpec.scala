@@ -210,6 +210,58 @@ class Int8QuantSpec extends AnyFunSuite {
     graft.batch.BatchState.deleteDir(dir)
   }
 
+  test("int8ReplaceInStored: atomic upsert equals a rebuild over the " +
+      "corrected corpus; crashed takedown's orphan deletes dir cannot " +
+      "ride a later append") {
+    import graft.operators.Similarity
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(0.1 * i + d).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = Array.tabulate(16)(d => math.cos(0.05 + d))
+    // poisoned ingest: the vec_id % 5 == 2 slice arrived negated
+    val poisoned = df.withColumn("embedding",
+      when(col("vec_id") % 5 === 2,
+        transform(col("embedding"), x => -x)).otherwise(col("embedding")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_int8_rep").toString
+    Similarity.int8WriteIndex(poisoned, "embedding", "vec_id", dir)
+    // correction batch: the true slice plus one brand-new vector (upsert)
+    val extra = Seq((1000L,
+      Array.tabulate(16)(d => math.sin(7.0 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val correction = df.where(col("vec_id") % 5 === 2).unionByName(extra)
+    val before = graft.batch.SegmentedStore.committedSegs(dir).length
+    Similarity.int8ReplaceInStored(spark, dir, correction, "embedding", "vec_id")
+    assert(graft.batch.SegmentedStore.committedSegs(dir).length == before + 1,
+      "replace must publish on exactly one commit")
+    val full = df.unionByName(extra)
+    val expect = Similarity.int8TopK(full, "embedding", "vec_id", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    def served() = Similarity.int8TopKStored(spark, dir, full, "embedding",
+      "vec_id", q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(served() == expect, "replace != rebuild over the corrected corpus")
+    assert(Similarity.readInt8Index(spark, dir).count() == 301L,
+      "replace changed the live vector count")
+    Similarity.int8CompactStored(spark, dir)
+    assert(Similarity.readInt8Index(spark, dir).count() == 301L &&
+      served() == expect, "compaction changed post-replace serving")
+    graft.batch.BatchState.deleteDir(dir)
+
+    // crash window: deletes dir + covers marker written at the next
+    // ordinal id with NO commit; the next append reuses the id and its
+    // pre-clear must drop the orphan instead of publishing it
+    val dirC = java.nio.file.Files.createTempDirectory("graft_int8_orph").toString
+    Similarity.int8WriteIndex(df, "embedding", "vec_id", dirC) // seg=1
+    val orphanId = graft.batch.SegmentedStore.nextId(dirC)
+    (0 until 300 by 3).map(_.toLong).toDF("vec_id").write.mode("overwrite")
+      .parquet(s"$dirC/seg=$orphanId/deletes")
+    graft.batch.SegmentedStore.writeDeleteCovers(dirC, orphanId, List(1L))
+    Similarity.int8AppendToStored(spark, dirC, extra, "embedding", "vec_id")
+    assert(Similarity.readInt8Index(spark, dirC).count() == 301L,
+      "crashed takedown's orphan delete set resurrected")
+    graft.batch.BatchState.deleteDir(dirC)
+  }
+
   test("int8Dot approximates the true dot within the quantization error budget") {
     val pairs = vecs.where(col("vec_id") === 1L)
       .crossJoin(vecs.where(col("vec_id") === 2L)

@@ -269,6 +269,71 @@ class RetrievalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("distinct tokens"), e.getMessage)
   }
 
+  test("replaceInStored: atomic upsert equals a rebuild over the corrected " +
+      "corpus, exactly one new committed segment, compaction preserves it") {
+    val s = spark; import s.implicits._
+    val truth = ((1L to 40L).map(i => (i, s"alpha beta w$i x$i")) ++
+      (41L to 46L).map(i => (i, s"rare gamma y$i"))).toSeq
+    // poisoned ingest: the doc_id % 7 == 3 slice picked up junk tokens
+    val poisoned = truth.map { case (id, t) =>
+      (id, if (id % 7 == 3) t + " zzjunk zzjunk zznoise" else t)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_rep").toString
+    Retrieval.writeIndex(
+      Retrieval.buildIndex(poisoned.toDF("doc_id", "text"), "text", "doc_id"),
+      dir, tokenBuckets = 8)
+    // the correction batch: the true slice plus one brand-new doc (upsert)
+    val correction = (truth.filter(_._1 % 7 == 3) :+
+      ((100L, "delta epsilon rare"))).toDF("doc_id", "text")
+    val before = graft.batch.SegmentedStore.committedSegs(dir).length
+    Retrieval.replaceInStored(spark, dir, tokenBuckets = 8,
+      correction, "text", "doc_id")
+    assert(graft.batch.SegmentedStore.committedSegs(dir).length == before + 1,
+      "replace must publish on exactly one commit")
+    val corrected = (truth :+ ((100L, "delta epsilon rare")))
+      .toDF("doc_id", "text")
+    val queries = q(0 -> "alpha rare", 1 -> "zzjunk", 2 -> "delta w3")
+    val expect = Retrieval.bm25FromIndex(
+      Retrieval.buildIndex(corrected, "text", "doc_id"),
+      queries, "qtext", "query_id")
+    def served() = Retrieval.bm25FromStored(spark, dir, tokenBuckets = 8,
+      queries, "qtext", "query_id", "doc_id")
+    assert(expect.exceptAll(served()).isEmpty && served().exceptAll(expect).isEmpty,
+      "replace != rebuild over the corrected corpus")
+    // no trace of the poisoned tokens (zzjunk scored zero rows)
+    assert(served().where(col("query_id") === 1).count() == 0,
+      "poisoned tokens survived the replace")
+    // physical fold preserves the correction
+    Retrieval.compactStored(spark, dir, tokenBuckets = 8)
+    assert(expect.exceptAll(served()).isEmpty && served().exceptAll(expect).isEmpty,
+      "compaction changed post-replace serving")
+    graft.batch.BatchState.deleteDir(dir)
+  }
+
+  test("crash window: a takedown that died after writing its deletes dir " +
+      "cannot ride a later append's commit at the reused segment id") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_orph").toString
+    Retrieval.writeIndex(Retrieval.buildIndex(docs, "text", "doc_id"),
+      dir, tokenBuckets = 8) // seg=1
+    // simulate the crashed takedown: deletes parquet + covers marker
+    // written at the NEXT ordinal id, no commit
+    val orphanId = graft.batch.SegmentedStore.nextId(dir)
+    Seq(1L, 2L, 3L).toDF("doc_id").write.mode("overwrite")
+      .parquet(s"$dir/seg=$orphanId/deletes")
+    graft.batch.SegmentedStore.writeDeleteCovers(dir, orphanId, List(1L))
+    // the next append reuses the id; its pre-clear must drop the orphan
+    Retrieval.appendToStored(spark, dir, tokenBuckets = 8,
+      Seq((10L, "fresh doc")).toDF("doc_id", "text"), "text", "doc_id")
+    val queries = q(0 -> "spark window join")
+    val got = Retrieval.bm25FromStored(spark, dir, tokenBuckets = 8,
+      queries, "qtext", "query_id", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(Set(1L, 2L, 3L).subsetOf(got),
+      s"crashed takedown's orphan delete set resurrected: served only $got")
+    graft.batch.BatchState.deleteDir(dir)
+  }
+
   test("appendToStored: 3 micro-batch appends score EXACTLY like one writeIndex") {
     val s = spark; import s.implicits._
     val dirIncr = java.nio.file.Files.createTempDirectory("graft_bm25_app").toString
