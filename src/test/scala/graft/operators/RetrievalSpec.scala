@@ -659,6 +659,53 @@ class RetrievalSpec extends AnyFunSuite {
     graft.batch.BatchState.deleteDir(dir)
   }
 
+  test("streaming correction feed: replaceInStored in foreachBatch " +
+      "converges, and a re-delivered correction batch is content-idempotent") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_rep_s").toString
+    // poisoned bootstrap: docs 2 and 3 mangled at ingest
+    val mangled = docs.withColumn("text",
+      when(col("doc_id").isin(2L, 3L),
+        concat(col("text"), lit(" zzjunk"))).otherwise(col("text")))
+    Retrieval.writeIndex(Retrieval.buildIndex(mangled, "text", "doc_id"),
+      dir, tokenBuckets = 4)
+    val truth = docs.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val writer = ms.toDS().toDF("doc_id").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = b.select("doc_id").as[Long].collect()
+        if (ids.nonEmpty) {
+          val corrections = ids.toSeq.map(id => (id, truth(id)))
+            .toDF("doc_id", "text")
+          Retrieval.replaceInStored(spark, dir, tokenBuckets = 4,
+            corrections, "text", "doc_id")
+        }
+      }
+    val query = writer.start()
+    try {
+      ms.addData(2L); query.processAllAvailable()
+      ms.addData(3L); query.processAllAvailable()
+    } finally query.stop()
+    val queries = q(0 -> "spark window", 1 -> "join sort batch", 2 -> "zzjunk")
+    def served() = Retrieval.bm25FromStored(spark, dir, 4, queries, "qtext",
+      "query_id", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = Retrieval.bm25FromIndex(
+      Retrieval.buildIndex(docs, "text", "doc_id"),
+      queries, "qtext", "query_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served() == expected, "streaming correction feed diverged from truth")
+    // replace is ordinal (no replay guard by design — corrections are
+    // maintenance, not the ingest path): a re-delivered correction
+    // commits a NEW segment but the served content is unchanged
+    Retrieval.replaceInStored(spark, dir, tokenBuckets = 4,
+      Seq((2L, truth(2L))).toDF("doc_id", "text"), "text", "doc_id")
+    assert(served() == expected,
+      "re-delivered correction changed the served content")
+    graft.batch.BatchState.deleteDir(dir)
+  }
+
   test("deletes interleave with streaming appends: delete → append → serve " +
       "equals the rebuilt retained corpus") {
     val s = spark; import s.implicits._
