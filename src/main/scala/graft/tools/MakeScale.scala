@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   *
   * - `organic`: keeps the base tables as-is and SYNTHESIZES the remaining
   *   (N-1)x rows as new independent samples from the same distribution
-  *   family — documents as fresh draws from the base corpus vocabulary,
+  *   family — documents as fresh draws from the base corpus vocabulary AT
+  *   ITS OBSERVED TOKEN FREQUENCIES (per-token document-frequency
+  *   fractions stay scale-invariant — see Organic.docs),
   *   embeddings as fresh unit vectors around the same 10 label centroids,
   *   events as fresh (user, ts, type, value) draws over an N-x user space
   *   and the base time range. Every draw is a pure hash of the row id

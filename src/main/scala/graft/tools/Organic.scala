@@ -17,26 +17,46 @@ object Organic {
   private def pick(arr: Array[String], h: org.apache.spark.sql.Column) =
     element_at(array(arr.map(lit): _*), (pmod(h, lit(arr.length)) + 1).cast("int"))
 
-  /** Fresh documents drawn from the base corpus vocabulary; lang/source
-    * sampled from the base's observed values; 8..100 words to match the
-    * base generator's 47..558-char envelope.
+  /** Fresh documents drawn from the base corpus vocabulary AT THE BASE'S
+    * OBSERVED TOKEN FREQUENCIES; lang/source sampled from the base's
+    * observed values; 8..100 words to match the base generator's
+    * 47..558-char envelope.
+    *
+    * Frequency preservation is the point (round-14 fix): a uniform draw
+    * over the vocabulary makes EVERY token common as the corpus grows —
+    * a token at 5% document frequency in the base lands in
+    * ~1-(1-1/|V|)^len ≈ 70% of synthetic docs — which silently reshapes
+    * the corpus the scale ratios claim to measure (df-dependent
+    * operators like BM25/WAND, langid, n-gram stats all see a different
+    * distribution at 10x than at 1x). Sampling tokens proportionally to
+    * their observed counts keeps per-token document-frequency FRACTIONS
+    * scale-invariant, which is what "fresh samples from the same
+    * distribution family" must mean for text.
     */
   def docs(spark: SparkSession, base: DataFrame, factor: Int): DataFrame = {
     val n0 = base.count()
     // driver-side sample bounded even against a real-text corpus: the most
     // frequent 4096 tokens are plenty to synthesize in-distribution filler
-    val vocab = base.select(explode(split(col("text"), "\\s+")).as("w"))
+    val vocabCounts = base.select(explode(split(col("text"), "\\s+")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("__n"))
       .orderBy(col("__n").desc, col("w")).limit(4096)
-      .collect().map(_.getString(0)).sorted
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // frequency-preserving sampler: expand tokens into slots proportional
+    // to their share of the sampled-vocab mass (~8192 slots ⇒ shares kept
+    // to ~0.01%; every sampled token keeps ≥ 1 slot so none vanish); a
+    // uniform hashed pick over slots IS a weighted pick over tokens
+    val mass = vocabCounts.map(_._2).sum.toDouble
+    val slots: Array[String] = vocabCounts.flatMap { case (w, n) =>
+      Array.fill(math.max(1L, math.round(n / mass * 8192)).toInt)(w)
+    }
     val langs = base.select(col("lang")).distinct().collect().map(_.getString(0)).sorted
     val srcs = base.select(col("source")).distinct().collect().map(_.getString(0)).sorted
     val fresh = spark.range(n0, n0 * factor).toDF("doc_id")
       .withColumn("__len", pmod(xxhash64(col("doc_id"), lit("len")), lit(93)) + 8)
       .withColumn("text", array_join(transform(
         sequence(lit(0), col("__len") - 1),
-        i => pick(vocab, xxhash64(col("doc_id"), i, lit("w")))), " "))
+        i => pick(slots, xxhash64(col("doc_id"), i, lit("w")))), " "))
       .withColumn("lang", pick(langs, xxhash64(col("doc_id"), lit("lang"))))
       .withColumn("source", pick(srcs, xxhash64(col("doc_id"), lit("src"))))
       .withColumn("n_chars", length(col("text")).cast("long"))
