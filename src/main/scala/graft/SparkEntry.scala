@@ -2196,6 +2196,31 @@ object SparkEntry {
           max(col("vec_id") === -1L).as("needle_found"))
     }),
 
+    "q_nsw_delete" -> ((s, dir) => {
+      // round 14: takedown on the GRAPH-ANN serving form
+      // (nswDeleteFromBuilt — HNSW-style tombstones: a deleted node is
+      // never RETURNED but still routes as a waypoint, so connectivity
+      // is preserved; physical fold = the maintenance-cadence rebuild).
+      // TWO exact copies of the query are planted and one revoked: the
+      // served top-k must surface the retained copy at cosine 1.0,
+      // never the revoked one nor any of the revoked id slice, with k
+      // rows — through the persisted adjacency round-trip.
+      import s.implicits._
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val needles = Seq((-1L, q.toSeq), (-2L, q.toSeq)).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast(e0.schema("embedding").dataType))
+      val index = Similarity.nswBuild(e0.union(needles), "embedding", "vec_id")
+        .localCheckpoint(true)
+      val marked = Similarity.nswDeleteFromBuilt(index,
+        e0.where(col("vec_id") % 97 === 0).select("vec_id")
+          .union(Seq(-1L).toDF("vec_id")), "vec_id")
+      Similarity.nswSearchBuilt(marked, "embedding", "vec_id", q, k = 10)
+        .agg(count(lit(1)).as("k"),
+          max(col("vec_id") === -2L && col("nsw_sim") === 1.0).as("retained_needle"),
+          max(col("vec_id") === -1L || col("vec_id") % 97 === 0).as("served_deleted"))
+    }),
+
     "q_ann_hnsw" -> ((s, dir) => {
       // round 10: REAL hierarchical NSW (full HNSW per shard — id-hash
       // level assignment, greedy descent through the upper layers, beam
@@ -4522,6 +4547,12 @@ object SparkEntry {
     "q_ann_nsw_coded" ->
       """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_ids,
         |  TRUE AS needle_found""".stripMargin,
+
+    // graph takedown: the retained needle serves at 1.0, the revoked one
+    // and the revoked slice never surface
+    "q_nsw_delete" ->
+      """SELECT CAST(10 AS BIGINT) AS k, TRUE AS retained_needle,
+        |  FALSE AS served_deleted""".stripMargin,
 
     // hierarchical form: the needle surfaces through the persisted
     // multi-layer index (greedy upper-layer descent + layer-0 beam)

@@ -910,17 +910,30 @@ object Similarity {
     */
   private def nswSearchLocal(vecs: Array[Array[Double]], norms: Array[Double],
       adj: Array[scala.collection.mutable.ArrayBuffer[Int]], entries: Array[Int],
-      q: Array[Double], ef: Int, bound: Int): Array[(Int, Double)] = {
+      q: Array[Double], ef: Int, bound: Int,
+      eligible: Int => Boolean = _ => true): Array[(Int, Double)] = {
     val qNorm = math.sqrt(q.map(x => x * x).sum)
-    nswSearchLocalBy(i => simTo(vecs, norms, i, q, qNorm), adj, entries, ef, bound)
+    nswSearchLocalBy(i => simTo(vecs, norms, i, q, qNorm), adj, entries, ef,
+      bound, eligible)
   }
 
   /** [[nswSearchLocal]] generalized over the node-scoring function —
     * true cosine for raw-vector shards, ADC lookups for codes-only shards.
+    *
+    * `eligible` gates the RESULT heap only (tombstoned nodes under
+    * [[nswDeleteFromBuilt]]): an ineligible node is still visited,
+    * scored, and expanded — it keeps its role as a routing waypoint, so
+    * connectivity through deleted nodes is preserved — it just can never
+    * be returned. With the default (all eligible) the control flow is
+    * exactly the classic search: every enqueued candidate is also a
+    * result, so the termination read of `res.head` is always defined; in
+    * the gated form the cutoff simply stays off until `ef` ELIGIBLE
+    * results exist.
     */
   private def nswSearchLocalBy(score: Int => Double,
       adj: Array[scala.collection.mutable.ArrayBuffer[Int]], entries: Array[Int],
-      ef: Int, bound: Int): Array[(Int, Double)] = {
+      ef: Int, bound: Int,
+      eligible: Int => Boolean = _ => true): Array[(Int, Double)] = {
     // max-heap on (sim, smaller-index-wins)
     val better = Ordering.by[(Int, Double), (Double, Int)] { case (i, s) => (s, -i) }
     val cand = scala.collection.mutable.PriorityQueue.empty[(Int, Double)](better)
@@ -930,14 +943,16 @@ object Similarity {
       if (entry < bound && !visited.get(entry)) {
         visited.set(entry)
         val es = score(entry)
-        cand.enqueue((entry, es)); res.enqueue((entry, es))
-        if (res.size > ef) res.dequeue()
+        cand.enqueue((entry, es))
+        if (eligible(entry)) {
+          res.enqueue((entry, es))
+          if (res.size > ef) res.dequeue()
+        }
       }
     }
     while (cand.nonEmpty) {
       val (c, cs) = cand.dequeue()
-      val (wi, ws) = res.head
-      if (res.size >= ef && better.lt((c, cs), (wi, ws))) {
+      if (res.size >= ef && better.lt((c, cs), res.head)) {
         cand.clear() // best remaining candidate can't improve the result set
       } else {
         val ns = adj(c)
@@ -948,8 +963,11 @@ object Similarity {
             visited.set(n)
             val s = score(n)
             if (res.size < ef || better.gt((n, s), (res.head._1, res.head._2))) {
-              cand.enqueue((n, s)); res.enqueue((n, s))
-              if (res.size > ef) res.dequeue()
+              cand.enqueue((n, s))
+              if (eligible(n)) {
+                res.enqueue((n, s))
+                if (res.size > ef) res.dequeue()
+              }
             }
           }
           t += 1
@@ -1185,9 +1203,11 @@ object Similarity {
     }
     val nrmTab = books.map(_.map(cent => cent.map(x => x * x).sum))
     val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val delCol = (if (coded.columns.contains("nsw_deleted")) col("nsw_deleted")
+      else lit(false)).cast("boolean").as("__del")
     coded.select(col(idCol).cast("long"), col("pq_code").cast("array<int>"),
-        col("nbr_ids").cast("array<long>"))
-      .as[(Long, Seq[Int], Seq[Long])]
+        col("nbr_ids").cast("array<long>"), delCol)
+      .as[(Long, Seq[Int], Seq[Long], Boolean)]
       .repartition(nParts, col(idCol))
       .mapPartitions { it =>
         val rows = it.toArray.sortBy(_._1)
@@ -1196,6 +1216,7 @@ object Similarity {
           val idx = rows.iterator.map(_._1).zipWithIndex.toMap
           val codes = rows.map(_._2.toArray)
           val adj = rows.map(r => resolveNbrs(r._1, r._3, idx))
+          val alive = rows.map(r => !r._4)
           def adcScore(i: Int): Double = {
             val code = codes(i)
             var d = 0.0; var n2 = 0.0
@@ -1208,7 +1229,7 @@ object Similarity {
             if (denom > 1e-12) d / denom else 0.0
           }
           nswSearchLocalBy(adcScore, adj, nswEntries(rows.length, entryCount),
-              math.max(efSearch, kk), rows.length)
+              math.max(efSearch, kk), rows.length, i => alive(i))
             .take(kk).iterator.map { case (i, s) => (rows(i)._1, s) }
         }
       }
@@ -1231,9 +1252,11 @@ object Similarity {
     import session.implicits._
     val q = query
     val kk = k
+    val delCol = (if (index.columns.contains("nsw_deleted")) col("nsw_deleted")
+      else lit(false)).cast("boolean").as("__del")
     index.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"),
-        col("nbr_ids").cast("array<long>"))
-      .as[(Long, Seq[Double], Seq[Long])]
+        col("nbr_ids").cast("array<long>"), delCol)
+      .as[(Long, Seq[Double], Seq[Long], Boolean)]
       .repartition(nParts, col(idCol))
       .mapPartitions { it =>
         val rows = it.toArray.sortBy(_._1)
@@ -1243,8 +1266,9 @@ object Similarity {
           val vecs = rows.map(_._2.toArray)
           val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
           val adj = rows.map(r => resolveNbrs(r._1, r._3, idx))
+          val alive = rows.map(r => !r._4)
           nswSearchLocal(vecs, norms, adj, nswEntries(vecs.length, entryCount),
-              q, math.max(efSearch, kk), vecs.length)
+              q, math.max(efSearch, kk), vecs.length, i => alive(i))
             .take(kk).iterator.map { case (i, s) => (rows(i)._1, s) }
         }
       }
@@ -1252,6 +1276,41 @@ object Similarity {
       .select(col(idCol), round(col("__s"), 6).as("nsw_sim"))
       .orderBy(col("nsw_sim").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Takedown for the persisted GRAPH indexes — HNSW-style tombstones:
+    * marks `ids` deleted in an [[nswBuild]] adjacency frame (or an
+    * [[nswEncodeIndex]] codes frame — the mark is a plain column join on
+    * `idCol`). A tombstoned node is never RETURNED by
+    * [[nswSearchBuilt]] / [[nswSearchCoded]] but is still traversed as a
+    * routing waypoint, so graph connectivity through deleted nodes is
+    * preserved — naively filtering rows would sever paths (and fails
+    * loudly at [[resolveNbrs]], by design). Marks compose: re-deleting
+    * ORs into an existing `nsw_deleted` column; never-indexed ids are a
+    * harmless no-op (left join finds nothing).
+    *
+    * Physical fold and re-add, stated honestly: a node cannot be
+    * atomically swapped out of a graph the way a posting or a code row
+    * can ([[graft.operators.Retrieval.replaceInStored]] /
+    * [[int8ReplaceInStored]]), so the physical removal — and any re-add
+    * of a previously deleted id ([[nswInsertAgainst]] refuses duplicate
+    * ids) — is the maintenance-cadence REBUILD: `nswBuild` over the
+    * retained rows (`index.where(!col("nsw_deleted"))`), exactly the
+    * compaction contract the segmented stores run on. The exact int8
+    * serving path carries takedowns/replaces atomically; the graph tier
+    * trades that for sub-linear search, which is the standard HNSW
+    * deployment trade.
+    */
+  def nswDeleteFromBuilt(index: DataFrame, ids: DataFrame,
+      idCol: String = "vec_id"): DataFrame = {
+    val base = if (index.columns.contains("nsw_deleted")) index
+      else index.withColumn("nsw_deleted", lit(false))
+    val marks = ids.toDF(idCol).select(col(idCol).cast("long")).distinct()
+      .withColumn("__nsw_mark", lit(true))
+    base.join(marks, Seq(idCol), "left")
+      .withColumn("nsw_deleted",
+        col("nsw_deleted") || coalesce(col("__nsw_mark"), lit(false)))
+      .drop("__nsw_mark")
   }
 
   /** Incremental index maintenance — insert a batch of NEW vectors into a

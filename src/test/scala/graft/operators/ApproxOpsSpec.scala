@@ -222,6 +222,62 @@ class ApproxOpsSpec extends AnyFunSuite {
       s"expected the nParts-contract error, got: ${messages(e)}")
   }
 
+  test("NSW tombstone delete: never returned, still routing, exhaustive-beam " +
+      "equality vs retained brute, marks compose, coded form honors them") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(29)
+    val q = Array.fill(dim)(rnd.nextGaussian())
+    val df = (vecs :+ ((300L, q.clone()))).toDF("vec_id", "embedding")
+    val index = Similarity.nswBuild(df, "embedding", "vec_id",
+      nParts = 4, m = 4, efConstruction = 32).localCheckpoint(true)
+    val victims = Seq(300L, 0L, 5L)
+    // never-indexed 99999 is a harmless no-op
+    val marked = Similarity.nswDeleteFromBuilt(index,
+      (victims :+ 99999L).toDF("vec_id"), "vec_id").localCheckpoint(true)
+    val exact = Similarity.bruteForceTopK(
+      df.where(!col("vec_id").isin(victims: _*)), "embedding", "vec_id", q, 10)
+      .as[(Long, Double)].collect()
+    // exhaustive beam (ef >= corpus): the tombstoned planted 1-NN routes
+    // but never surfaces, and the served ids equal the exact top-k over
+    // the retained rows
+    val n = df.count().toInt
+    val got = Similarity.nswSearchBuilt(marked, "embedding", "vec_id", q,
+      k = 10, nParts = 4, efSearch = n).as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq == exact.map(_._1).toSeq,
+      s"got=${got.toSeq} exact=${exact.toSeq}")
+    // serving ef: still k rows, no victim, recall vs retained holds
+    val small = Similarity.nswSearchBuilt(marked, "embedding", "vec_id", q,
+      k = 10, nParts = 4, efSearch = 32).as[(Long, Double)].collect()
+    assert(small.length == 10)
+    assert(small.map(_._1).toSet.intersect(victims.toSet).isEmpty,
+      s"deleted id served: ${small.toSeq}")
+    val recall = small.map(_._1).toSet.intersect(exact.map(_._1).toSet).size / 10.0
+    assert(recall >= 0.6, s"post-delete recall $recall")
+    // marks compose: a second delete ORs into the first
+    val marked2 = Similarity.nswDeleteFromBuilt(marked,
+      Seq(1L).toDF("vec_id"), "vec_id")
+    val after2 = Similarity.nswSearchBuilt(marked2, "embedding", "vec_id", q,
+      k = 10, nParts = 4, efSearch = n).as[(Long, Double)].collect()
+    assert(after2.map(_._1).toSet.intersect(Set(300L, 0L, 5L, 1L)).isEmpty)
+    // physical fold = rebuild over retained rows; serves the same ids
+    val folded = Similarity.nswBuild(
+      marked.where(!col("nsw_deleted")).select("vec_id", "embedding"),
+      "embedding", "vec_id", nParts = 4, m = 4, efConstruction = 32)
+    val foldGot = Similarity.nswSearchBuilt(folded, "embedding", "vec_id", q,
+      k = 10, nParts = 4, efSearch = n).as[(Long, Double)].collect()
+    assert(foldGot.map(_._1).toSeq == exact.map(_._1).toSeq)
+    // codes-only serving honors the same marks (plain column join)
+    val books = Similarity.pqCodebooks(df, "embedding", "vec_id", dim, m = 4, c = 8)
+    val coded = Similarity.nswEncodeIndex(index, "embedding", "vec_id", books)
+    val codedMarked = Similarity.nswDeleteFromBuilt(coded,
+      victims.toDF("vec_id"), "vec_id")
+    val codedHits = Similarity.nswSearchCoded(codedMarked, "vec_id", books, q,
+      k = 10, nParts = 4, efSearch = 32).as[(Long, Double)].collect()
+    assert(codedHits.nonEmpty &&
+      codedHits.map(_._1).toSet.intersect(victims.toSet).isEmpty,
+      s"coded form served a deleted id: ${codedHits.toSeq}")
+  }
+
   test("NSW multi-entry seeding: recall vs brute >= 0.6 holds at a 10x-larger shard, same efSearch") {
     val s = spark; import s.implicits._
     // 10x the base fixture in ONE shard — the regime where a single fixed
