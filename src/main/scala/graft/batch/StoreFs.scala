@@ -30,9 +30,13 @@ import org.apache.spark.sql.SparkSession
   * scheme       writeAtomic (commit-log flip)       createExclusive (lease)
   * -----------  ----------------------------------  -------------------------------
   * file / hdfs  atomic rename — EXACT               create(overwrite=false) — EXACT
-  * s3a ≥ 3.4.1  copy+delete: not atomic, but each   conditional PUT If-None-Match
-  *              reader sees old-or-new, never torn  (fs.s3a.create.conditional
-  *              (object visibility is all-or-none)  .enabled, default on) — EXACT
+  * s3a ≥ 3.4.1  copy+delete: old-or-new, never      conditional PUT If-None-Match
+  *              torn; AND the flip upgrades to a    (fs.s3a.create.conditional
+  *              conditional PUT (If-Match on the    .enabled, default on) — EXACT
+  *              read etag) once a [[CasBackend]]
+  *              is installed — two same-instant
+  *              flips then resolve EXACTLY: one
+  *              wins, one loses loudly
   * older s3a /  same old-or-new object visibility   BEST-EFFORT: same-instant
   * gcs          (copy materializes on completion)   creators can both "succeed";
   *                                                  caught by the lease read-back
@@ -41,10 +45,38 @@ import org.apache.spark.sql.SparkSession
   *
   * On every scheme the flip is a SINGLE object, so "atomic" vs "old-or-
   * new object visibility" is a latency difference, not a torn-write
-  * risk; the one behavior that genuinely varies is lease exclusivity,
-  * which [[WriterLease]] backstops with read-back verification.
+  * risk; the behaviors that genuinely vary are lease exclusivity (backstopped
+  * by [[WriterLease]]'s read-back + re-verify layers) and flip contention,
+  * closed exactly where the store offers conditional writes (the
+  * [[CasBackend]] hook, law-pinned in StoreFsSpec against a mock CAS store).
   */
 object StoreFs {
+
+  /** Conditional single-object overwrite — the compare-and-swap shape
+    * object stores expose as a conditional PUT (S3 `If-Match` on the read
+    * ETag / `If-None-Match: *`; available through S3A on Hadoop ≥ 3.4.1).
+    * `expected` is the content the caller READ before computing `bytes`
+    * (None = the object must not exist yet); the write lands only if the
+    * object still matches, so two same-instant commit-log flips resolve
+    * exactly: one wins, one returns false and fails loudly upstream.
+    */
+  trait CasBackend {
+    def compareAndSwap(path: String, expected: Option[Array[Byte]],
+        bytes: Array[Byte]): Boolean
+  }
+
+  /** Deployment hook: install the filesystem's conditional-write
+    * implementation (an S3A etag-conditional PUT adapter in production;
+    * an in-memory mock in the law suite). With none installed the flip
+    * stays [[writeAtomic]]'s rename — atomic single-object on HDFS/local,
+    * old-or-new on object stores, backstopped by the [[WriterLease]]
+    * layers. The backend is engine-global: one driver mutates a store at
+    * a time (the lease enforces it), so a single hook suffices.
+    */
+  @volatile private var casBackend: Option[CasBackend] = None
+  def installCasBackend(b: CasBackend): Unit = { casBackend = Some(b) }
+  def clearCasBackend(): Unit = { casBackend = None }
+  def currentCasBackend: Option[CasBackend] = casBackend
 
   /** Hadoop conf of the active Spark session (carries `spark.hadoop.*`
     * overrides), or a plain default when no session is active.
@@ -105,6 +137,27 @@ object StoreFs {
     try out.write(bytes) finally out.close()
     FileContext.getFileContext(dst.toUri, hadoopConf)
       .rename(tmp, dst, Options.Rename.OVERWRITE)
+  }
+
+  /** Atomically move `src` to `dst` (dst must not exist). Returns false
+    * when the source is already gone — the caller lost a rename race
+    * (exactly one of N same-instant renamers of one file wins on an
+    * atomic-rename FS). Used by [[WriterLease]]'s stale-lease break: a
+    * rename either moves the WHOLE old lock or fails, so two breakers
+    * can never both believe they cleared the way (delete+create could
+    * interleave so both read their own fresh lock back). On object
+    * stores rename is copy+delete (non-atomic) — same best-effort
+    * caveat as [[createExclusive]], backstopped by the lease layers.
+    */
+  def renameExclusive(src: String, dst: String): Boolean = {
+    val s = new Path(src)
+    val d = new Path(dst)
+    try {
+      FileContext.getFileContext(s.toUri, hadoopConf).rename(s, d)
+      true
+    } catch {
+      case _: java.io.FileNotFoundException => false
+    }
   }
 
   /** Create `path` with `bytes` ONLY if it does not already exist —

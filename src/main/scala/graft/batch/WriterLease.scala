@@ -8,7 +8,11 @@ package graft.batch
   *
   * A second concurrent mutator fails LOUDLY instead of racing the commit
   * log. The lease self-expires: a lock older than `leaseTimeoutMs` (a
-  * writer that died without releasing) is broken and re-acquired.
+  * writer that died without releasing) is broken and re-acquired — the
+  * break is an atomic RENAME ([[breakStale]]), so on atomic-rename
+  * filesystems exactly one of N same-instant breakers wins and the rest
+  * fail loudly (delete+create would reopen the very race the lease
+  * closes).
   *
   * Exactness is layered, because filesystems differ in what their
   * create-if-absent actually guarantees:
@@ -59,6 +63,39 @@ object WriterLease {
     if (!StoreFs.exists(lock)) None
     else scala.util.Try(new String(StoreFs.readBytes(lock), "UTF-8")).toOption
 
+  /** Break a lease observed stale at mtime `observedMs` by ATOMIC RENAME
+    * to a unique grave name — never delete+create, whose TOCTOU lets two
+    * breakers interleave (A deletes+creates; B deletes A's FRESH lock and
+    * creates its own) so both pass the acquisition read-back even on an
+    * exact-create filesystem. A rename moves the whole file or fails:
+    *
+    *  - rename fails (source gone): another breaker won — fail loudly.
+    *  - rename wins but the grave's mtime differs from the staleness
+    *    observation: the file moved was a racer's FRESH lease acquired
+    *    between our staleness read and our rename (rename preserves
+    *    mtime, so same-file ⇔ same mtime). Restore it and fail loudly;
+    *    if the restore itself races, the racer aborts loudly at its
+    *    commit-time re-verify — exact-or-loud, never silent.
+    *
+    * Object stores fake rename as copy+delete, so two same-instant
+    * breakers can both "win" there — the non-exclusive-create residual
+    * class, caught by the read-back + commit re-verify layers as before.
+    */
+  private[batch] def breakStale(path: String, lock: String, observedMs: Long): Unit = {
+    val grave = s"$lock.broken.${System.nanoTime()}-${seq.incrementAndGet()}"
+    if (!StoreFs.renameExclusive(lock, grave))
+      throw new IllegalStateException(
+        s"WriterLease($path): lost the stale-lease break race for $lock — " +
+        "another writer broke and re-acquired it first")
+    if (StoreFs.modificationTime(grave) != observedMs) {
+      StoreFs.renameExclusive(grave, lock)
+      throw new IllegalStateException(
+        s"WriterLease($path): the lease at $lock was re-acquired between this " +
+        "writer's staleness observation and its break — another writer holds it now")
+    }
+    StoreFs.deleteRecursive(grave)
+  }
+
   def withLock[A](path: String, leaseTimeoutMs: Long = 600000L)(body: => A): A = {
     require(leaseTimeoutMs > 0, s"leaseTimeoutMs must be > 0, got $leaseTimeoutMs")
     val lock = s"$path/$LockName"
@@ -69,7 +106,7 @@ object WriterLease {
         s"WriterLease($path): another writer holds $lock " +
         s"(age ${now - heldMs} ms, lease $leaseTimeoutMs ms). Mutations require a " +
         "single writer; if the owner is dead the lease expires on its own")
-    if (heldMs > 0L) StoreFs.deleteRecursive(lock) // stale: break the dead lease
+    if (heldMs > 0L) breakStale(path, lock, heldMs) // stale: break the dead lease
     val token =
       s"""{"pid":"${java.lang.ProcessHandle.current().pid()}","acquiredMs":$now,""" +
         s""""token":"${System.nanoTime()}-${seq.incrementAndGet()}"}"""

@@ -45,7 +45,16 @@ object Organic {
     // frequency-preserving sampler: expand tokens into slots proportional
     // to their share of the sampled-vocab mass (~8192 slots ⇒ shares kept
     // to ~0.01%; every sampled token keeps ≥ 1 slot so none vanish); a
-    // uniform hashed pick over slots IS a weighted pick over tokens
+    // uniform hashed pick over slots IS a weighted pick over tokens.
+    // Fidelity bound, stated honestly: the preservation is ABSOLUTE
+    // (per-token df fractions held to ~1/8192 ≈ 0.012% of mass), not
+    // RELATIVE — a tail token whose true share is far below 1/8192 is
+    // oversampled by a large relative factor via the 1-slot floor, and
+    // tokens beyond rank 4096 vanish entirely. Rare-token-sensitive
+    // scale ratios (the WAND θ floor above all) therefore read the tail
+    // as slightly denser than a true resample would; the common-token
+    // mass, which dominates every df-dependent operator's cost, is
+    // faithful to the bound above.
     val mass = vocabCounts.map(_._2).sum.toDouble
     val slots: Array[String] = vocabCounts.flatMap { case (w, n) =>
       Array.fill(math.max(1L, math.round(n / mass * 8192)).toInt)(w)

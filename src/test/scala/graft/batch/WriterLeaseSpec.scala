@@ -110,6 +110,77 @@ class WriterLeaseSpec extends AnyFunSuite {
     StoreFs.deleteRecursive(dir)
   }
 
+  // ---- stale-lease break exactness (round 15: the break is an atomic
+  // rename, closing the delete+create TOCTOU where two breakers could
+  // interleave so both passed the acquisition read-back) ----
+
+  private def agedLock(dir: String, ageMs: Long): (String, Long) = {
+    val lock = s"$dir/${WriterLease.LockName}"
+    StoreFs.createExclusive(lock, """{"pid":"dead"}""".getBytes("UTF-8"))
+    val mtime = System.currentTimeMillis() - ageMs
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(lock.stripPrefix("file:")),
+      java.nio.file.attribute.FileTime.fromMillis(mtime))
+    (lock, StoreFs.modificationTime(lock))
+  }
+
+  test("breakStale: breaking the lock actually observed succeeds and removes it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_break_ok").toString
+    val (lock, observed) = agedLock(dir, 10_000_000L)
+    WriterLease.breakStale(dir, lock, observed)
+    assert(!StoreFs.exists(lock), "stale lock not removed")
+    StoreFs.deleteRecursive(dir)
+  }
+
+  test("breakStale: a racer's FRESH lease acquired between observation and " +
+      "break is restored, and this breaker fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_break_fresh").toString
+    val (lock, observed) = agedLock(dir, 10_000_000L)
+    // the racer breaks + re-acquires first: the lock at the path is now a
+    // FRESH lease with a different mtime
+    StoreFs.deleteRecursive(lock)
+    StoreFs.createExclusive(lock, """{"pid":"racer"}""".getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException](
+      WriterLease.breakStale(dir, lock, observed))
+    assert(ex.getMessage.contains("re-acquired between"), ex.getMessage)
+    assert(new String(StoreFs.readBytes(lock), "UTF-8").contains("racer"),
+      "the racer's fresh lease was not restored")
+    StoreFs.deleteRecursive(dir)
+  }
+
+  test("breakStale: a lock already renamed away (another breaker won) fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_break_gone").toString
+    val lock = s"$dir/${WriterLease.LockName}"
+    StoreFs.mkdirs(dir)
+    val ex = intercept[IllegalStateException](
+      WriterLease.breakStale(dir, lock, 12345L))
+    assert(ex.getMessage.contains("lost the stale-lease break race"), ex.getMessage)
+    StoreFs.deleteRecursive(dir)
+  }
+
+  test("concurrent acquirers over a stale lease: bodies never overlap " +
+      "(exact-create FS; losers fail loudly)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_break_race").toString
+    agedLock(dir, 10_000_000L)
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val overlapped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 4).map { _ =>
+      new Thread(() =>
+        try WriterLease.withLock(dir, leaseTimeoutMs = 1000L) {
+          if (active.incrementAndGet() != 1) overlapped.set(true)
+          ran.incrementAndGet()
+          Thread.sleep(30)
+          active.decrementAndGet()
+          ()
+        } catch { case _: IllegalStateException | _: java.io.IOException => () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(ran.get() >= 1, "no acquirer ever won the stale break")
+    assert(!overlapped.get(), "two lease bodies ran concurrently")
+    StoreFs.deleteRecursive(dir)
+  }
+
   test("a zombie whose lease expired and was re-acquired aborts at its flip " +
       "on ANY filesystem (commit-time re-verify, local FS here)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lease_zombie").toString
