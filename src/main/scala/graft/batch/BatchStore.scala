@@ -259,37 +259,116 @@ final class BatchStore[K, V](
     * either. Deltas merged AFTER the delete re-introduce a key's new
     * events by design: a takedown removes accumulated state, not the
     * key's future.
+    *
+    * Two forms: this `Seq[K]` sugar for takedown-sized requests, and the
+    * `Dataset[K]` overload for mass revocation (anti-join rewrite, no
+    * driver materialization of the key set).
     */
-  def deleteKeys(spark: SparkSession, keys: Seq[K]): Unit =
+  def deleteKeys(spark: SparkSession, keys: Seq[K]): Unit = {
+    require(keys.nonEmpty, "deleteKeys needs at least one key")
+    deleteKeys(spark.createDataset(keys)(kEnc))
+  }
+
+  /** [[deleteKeys]] with the victim set as a DATASET — the mass-revocation
+    * form: a 10⁶-key revocation must rewrite via a codegen'd LEFT-ANTI
+    * JOIN per retained snapshot (Catalyst broadcasts or shuffles the key
+    * side as its size dictates), never via a driver-materialized key set.
+    * The `Seq[K]` overload is sugar over this one (takedown-sized
+    * requests). The plan the rewrite runs is pinned join-shaped — no
+    * LocalRelation of a collected key set — in BatchStoreDeleteSpec.
+    */
+  def deleteKeys(keys: Dataset[K]): Unit =
     WriterLease.withLock(path) {
-      require(keys.nonEmpty, "deleteKeys needs at least one key")
+      val spark = keys.sparkSession
       val st = state
       require(st.committed.nonEmpty,
         s"deleteKeys(BatchStore($path)): nothing committed yet")
-      val keySet = keys.toSet
-      // no-op guard (idempotence, same contract as the index deletes):
-      // snapshots are cumulative, so the NEWEST version is the membership
-      // authority — none of the keys there ⇒ none anywhere; leave the
-      // store untouched instead of rewriting every version
-      val newest = st.committed.max
-      val anyMatch = spark.read
-        .parquet(snapshotDirAt(BatchID(newest), st.genOf(newest)))
-        .select(functions.col("key").as("_1"), functions.col("value").as("_2"))
-        .as[(K, V)].filter(r => keySet(r._1)).limit(1).count() > 0
-      if (anyMatch) {
-        val bumped = st.committed.map { id =>
-          val gen = st.genOf(id)
-          val cur = spark.read.parquet(snapshotDirAt(BatchID(id), gen))
-            .select(functions.col("key").as("_1"), functions.col("value").as("_2"))
-            .as[(K, V)]
-            .filter(r => !keySet(r._1))
-          writeSnapshotData(snapshotDirAt(BatchID(id), gen + 1), cur)
-          id -> (gen + 1)
+      // the victim frame in the snapshot's key-column shape, deduped and
+      // persisted: read once per retained version plus the guard probes
+      val keyDf = keyFrame(keys).persist()
+      try {
+        require(keyDf.limit(1).count() > 0, "deleteKeys needs at least one key")
+        // no-op guard (idempotence, same contract as the index deletes),
+        // across ALL retained versions newest-first: merge-maintained
+        // stores are cumulative and hit on the first probe, but
+        // writeSnapshot is a public API that can commit arbitrary
+        // per-batch content — a key present only in an older retained
+        // version must still trigger the rewrite, not silently no-op
+        val anyMatch = st.committed.sorted.reverse.exists { id =>
+          spark.read.parquet(snapshotDirAt(BatchID(id), st.genOf(id)))
+            .join(keyDf, Seq("key"), "left_semi").limit(1).count() > 0
         }
-        BatchState.write(path, st.copy(gens = st.gens ++ bumped))
-        sweepDeadSnapshotDirs()
+        if (anyMatch) {
+          val bumped = st.committed.map { id =>
+            val gen = st.genOf(id)
+            val cur = antiJoinKeys(
+              spark.read.parquet(snapshotDirAt(BatchID(id), gen)), keyDf)
+              .select(functions.col("key").as("_1"),
+                functions.col("value").as("_2")).as[(K, V)]
+            writeSnapshotData(snapshotDirAt(BatchID(id), gen + 1), cur)
+            id -> (gen + 1)
+          }
+          // durable revocation record ([[backfill]]'s resurrection guard):
+          // the victims' xxhash64 digests land as a parquet side-file,
+          // committed in the SAME atomic log flip as the generation bump —
+          // a crash can never leave snapshots rewritten but the takedown
+          // unrecorded (or vice versa). Digests already recorded by an
+          // earlier delete are not re-written (re-delivered revocations
+          // stay no-ops in state).
+          val newDigests = keyDf
+            .select(functions.xxhash64(functions.col("key")).as("kd"))
+            .distinct()
+          val fresh = readRevokedDigests(spark, st) match {
+            case Some(old) => newDigests.join(old, Seq("kd"), "left_anti")
+            case None      => newDigests
+          }
+          val revIds =
+            if (fresh.limit(1).count() == 0) st.revokedIds
+            else {
+              val revId = st.revokedIds.maxOption.getOrElse(0L) + 1
+              fresh.write.mode("overwrite").parquet(revokedDir(revId))
+              revId :: st.revokedIds
+            }
+          BatchState.write(path,
+            st.copy(gens = st.gens ++ bumped, revokedIds = revIds))
+          sweepDeadSnapshotDirs()
+        }
+      } finally {
+        keyDf.unpersist()
+        ()
       }
     }
+
+  /** The victim set in the snapshot's `key`-column shape (kEnc's tuple
+    * field serialization — a struct for product keys, flat otherwise),
+    * deduped. Package-visible so the delete-plan law can audit exactly
+    * the frame [[deleteKeys]] joins with.
+    */
+  private[batch] def keyFrame(keys: Dataset[K]): org.apache.spark.sql.DataFrame = {
+    implicit val kbE: Encoder[(K, Boolean)] =
+      Encoders.tuple(kEnc, Encoders.scalaBoolean)
+    keys.distinct().map(k => (k, true)).toDF("key", "__t").select("key")
+  }
+
+  /** The one rewrite shape of the Dataset-scale delete: snapshot rows
+    * minus the victim frame, as a left-anti join on the key column.
+    * Package-visible for the plan-audit law (no LocalRelation of keys).
+    */
+  private[batch] def antiJoinKeys(snapshot: org.apache.spark.sql.DataFrame,
+      keyDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    snapshot.select(functions.col("key"), functions.col("value"))
+      .join(keyDf, Seq("key"), "left_anti")
+
+  private def revokedDir(id: Long): String = s"$path/_graft_revoked/rev=$id"
+
+  /** Union of the committed revocation-digest sets (column `kd`); None
+    * when no takedown was ever recorded.
+    */
+  private def readRevokedDigests(spark: SparkSession,
+      st: BatchState): Option[org.apache.spark.sql.DataFrame] =
+    if (st.revokedIds.isEmpty) None
+    else Some(st.revokedIds.map(id => spark.read.parquet(revokedDir(id)))
+      .reduce(_ unionByName _))
 
   /** Historical recompute — the lambda architecture's human-fault-tolerance
     * move (recompute bad derived state from the master dataset; the batch
@@ -317,12 +396,19 @@ final class BatchStore[K, V](
     * later), never a store serving half-corrected history. Superseded
     * generations sweep behind [[retentionGraceMs]].
     *
-    * Interplay with [[deleteKeys]], stated loudly: backfill REPLAYS the
-    * deltas it is given. If a key was revoked and the corrected delta
-    * stream still contains it, the rewritten snapshots serve it again —
-    * a takedown must be applied to the master dataset (or re-applied after
-    * the backfill), which is the real-world GDPR contract for
-    * recompute-from-master architectures.
+    * Interplay with [[deleteKeys]], ENFORCED (round 15): backfill REPLAYS
+    * the deltas it is given, and a corrected delta stream that still
+    * contains a revoked key would silently resurrect it. Every effective
+    * deleteKeys therefore records its victims' xxhash64 digests
+    * (committed atomically with the generation flip), and backfill
+    * RE-APPLIES them by default: delta rows whose key digest matches a
+    * recorded revocation are dropped before the fold. The 64-bit digest
+    * makes this a (1 - ~n²/2⁶⁵) guarantee — a collision drops an innocent
+    * key's recomputed history, never serves a revoked one; deployments
+    * where that tail matters apply takedowns to the master dataset and
+    * pass `allowResurrect = true`, the explicit escape hatch that skips
+    * the guard (deliberate re-admission is a product decision, not a
+    * default).
     *
     * One shuffle total: prior snapshot ++ corrected deltas → per-key
     * batch-ordered fold ([[graft.plans.SortedGroups.perKeyTimeSorted]])
@@ -330,7 +416,8 @@ final class BatchStore[K, V](
     * writes filter the persisted scan. Shuffled bytes ≈ |distinct keys| ×
     * |retained targets|, never |events|.
     */
-  def backfill(spark: SparkSession, deltas: Dataset[(K, Long, V)], from: BatchID)(
+  def backfill(spark: SparkSession, deltas: Dataset[(K, Long, V)],
+      from: BatchID, allowResurrect: Boolean = false)(
       implicit sg: Semigroup[V]): Unit = WriterLease.withLock(path) {
     val st = state
     require(st.committed.nonEmpty,
@@ -360,8 +447,21 @@ final class BatchStore[K, V](
     implicit val outEnc: Encoder[(K, Long, V)] =
       Encoders.tuple(kEnc, Encoders.scalaLong, vEnc)
 
+    // resurrection guard: re-apply recorded takedowns to the delta stream
+    // (anti-join on the key digest against the tiny revocation parquets —
+    // broadcast by Catalyst) unless the caller explicitly opts out
+    val guarded: Dataset[(K, Long, V)] = readRevokedDigests(spark, st) match {
+      case Some(rev) if !allowResurrect =>
+        deltas.toDF("_1", "_2", "_3")
+          .withColumn("__kd", functions.xxhash64(functions.col("_1")))
+          .join(rev.withColumnRenamed("kd", "__kd"), Seq("__kd"), "left_anti")
+          .drop("__kd")
+          .as[(K, Long, V)]
+      case _ => deltas
+    }
+
     val deltaRows: Dataset[(Long, K, (V, Boolean))] =
-      deltas.filter(r => r._2 > priorBatch && r._2 <= maxTarget)
+      guarded.filter(r => r._2 > priorBatch && r._2 <= maxTarget)
         .map(r => (r._2, r._1, (r._3, false)))
     val allRows = prior match {
       case Some((b, snap)) =>
@@ -445,6 +545,13 @@ final class BatchStore[K, V](
     StoreFs.listStatus(path)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id=") &&
         !live.contains(s.getPath.getName))
+      .foreach(s => StoreFs.sweepDir(s.getPath.toString, retentionGraceMs))
+    // orphan revocation-digest dirs (a crashed deleteKeys wrote the
+    // parquet but never flipped the log) — committed ones are permanent
+    val liveRev = st.revokedIds.map(id => s"rev=$id").toSet
+    StoreFs.listStatus(s"$path/_graft_revoked")
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("rev=") &&
+        !liveRev.contains(s.getPath.getName))
       .foreach(s => StoreFs.sweepDir(s.getPath.toString, retentionGraceMs))
   }
 
@@ -554,9 +661,18 @@ final class BatchStore[K, V](
   *        store, exactly the write-new-then-flip discipline snapshots and
   *        segments already use.
   */
+/** @param revokedIds committed revocation-digest sets (dirs
+  *        `_graft_revoked/rev=N` of xxhash64 key digests, one per
+  *        effective [[BatchStore.deleteKeys]] call): the durable record
+  *        that a takedown happened, which [[BatchStore.backfill]] uses to
+  *        keep recomputed history from silently resurrecting revoked keys.
+  *        Digests, not keys — the commit log must stay generic over K and
+  *        tiny; the parquet side-files scale to mass revocations.
+  */
 final case class BatchState(committed: List[Long],
     maxAppliedStreamBatch: Long = -1L,
-    gens: Map[Long, Long] = Map.empty) {
+    gens: Map[Long, Long] = Map.empty,
+    revokedIds: List[Long] = Nil) {
   def lastCommitted(beforeOrAt: BatchID): Option[BatchID] =
     committed.filter(_ <= beforeOrAt.id).sorted.lastOption.map(BatchID(_))
   def genOf(id: Long): Long = gens.getOrElse(id, 0L)
@@ -564,11 +680,24 @@ final case class BatchState(committed: List[Long],
 object BatchState {
   private def stateFile(path: String) = s"$path/_graft_state.json"
 
+  // Per-thread record of the commit log bytes LAST READ for each store
+  // path — the "etag" a conditional flip compares against when a
+  // [[StoreFs.CasBackend]] is installed (driver-side mutations read and
+  // flip on one thread, same keying discipline as WriterLease.held).
+  // None = the log did not exist at read time.
+  private val lastRead = new ThreadLocal[Map[String, Option[Array[Byte]]]] {
+    override def initialValue(): Map[String, Option[Array[Byte]]] = Map.empty
+  }
+
   def read(path: String): BatchState = {
     val f = stateFile(path)
-    if (!StoreFs.exists(f)) BatchState(Nil)
-    else {
-      val s = new String(StoreFs.readBytes(f), "UTF-8")
+    if (!StoreFs.exists(f)) {
+      lastRead.set(lastRead.get + (path -> None))
+      BatchState(Nil)
+    } else {
+      val bytes = StoreFs.readBytes(f)
+      lastRead.set(lastRead.get + (path -> Some(bytes)))
+      val s = new String(bytes, "UTF-8")
       // minimal parse of {"committed":[1,2,3],"maxAppliedBatch":N,
       // "gens":{"5":1}} (trailing fields optional — pre-r13 logs carry
       // only the array, pre-r14 no gens)
@@ -580,7 +709,10 @@ object BatchState {
         .map(m => "\"(-?\\d+)\"\\s*:\\s*(-?\\d+)".r.findAllMatchIn(m.group(1))
           .map(g => g.group(1).toLong -> g.group(2).toLong).toMap)
         .getOrElse(Map.empty[Long, Long])
-      BatchState(nums, mark, gens)
+      val revoked = "\"revoked\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(s)
+        .map(m => "-?\\d+".r.findAllIn(m.group(1)).map(_.toLong).toList)
+        .getOrElse(Nil)
+      BatchState(nums, mark, gens, revoked)
     }
   }
 
@@ -603,10 +735,33 @@ object BatchState {
       else st.gens.toList.sorted
         .map { case (id, g) => s""""$id":$g""" }
         .mkString(",\"gens\":{", ",", "}")
-    StoreFs.writeAtomic(stateFile(path),
-      (st.committed.mkString("{\"committed\":[", ",", "]") +
-        s",\"maxAppliedBatch\":${st.maxAppliedStreamBatch}$gensJs}")
-        .getBytes("UTF-8"))
+    val revJs =
+      if (st.revokedIds.isEmpty) ""
+      else st.revokedIds.sorted.mkString(",\"revoked\":[", ",", "]")
+    val bytes = (st.committed.mkString("{\"committed\":[", ",", "]") +
+      s",\"maxAppliedBatch\":${st.maxAppliedStreamBatch}$gensJs$revJs}")
+      .getBytes("UTF-8")
+    val f = stateFile(path)
+    StoreFs.currentCasBackend match {
+      case None => StoreFs.writeAtomic(f, bytes)
+      case Some(cas) =>
+        // conditional flip (If-Match on the content this thread last
+        // read): two same-instant flips resolve exactly — the loser
+        // aborts loudly here instead of clobbering the winner's log.
+        // A writer that never read (fresh bootstrap on another thread)
+        // compares against a read-now snapshot: the window shrinks to
+        // the backend's own atomicity, which is the point of having one.
+        val expected = lastRead.get.getOrElse(path, {
+          val cur = if (StoreFs.exists(f)) Some(StoreFs.readBytes(f)) else None
+          cur
+        })
+        if (!cas.compareAndSwap(f, expected, bytes))
+          throw new IllegalStateException(
+            s"BatchState($path): conditional commit-log flip lost — the log " +
+            "changed after this writer read it (a same-instant racer won). " +
+            "Aborting; uncommitted data stays invisible")
+    }
+    lastRead.set(lastRead.get + (path -> Some(bytes)))
   }
 
   /** Recursive delete of a pruned snapshot / swept segment dir, on

@@ -16,8 +16,9 @@ import graft.time.BatchID
   * rewrite is one atomic generation flip with superseded dirs swept
   * (graced like retention); deltas outside the replay span are ignored;
   * non-commutative values fold in batch order; the clustered point-read
-  * layout survives; and the documented [[BatchStore.deleteKeys]]
-  * interplay (backfill replays whatever the master dataset says) holds.
+  * layout survives; and the ENFORCED [[BatchStore.deleteKeys]] interplay
+  * holds: recorded takedowns are re-applied to dirty delta streams by
+  * default, with `allowResurrect = true` as the explicit escape hatch.
   */
 class BatchStoreBackfillSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -177,22 +178,56 @@ class BatchStoreBackfillSpec extends AnyFunSuite {
     BatchState.deleteDir(bounded.path)
   }
 
-  test("deleteKeys interplay (documented): backfill replays the master " +
-      "dataset — an uncleansed delta stream resurrects a revoked key") {
+  test("deleteKeys interplay (ENFORCED, round 15): backfill with an " +
+      "uncleansed delta stream RE-APPLIES recorded takedowns by default; " +
+      "allowResurrect=true is the explicit escape hatch") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft_store_bfd").toString
     val store = new BatchStore[String, Long](dir)
     store.merge(spark, Seq(("a", 1L, 1L), ("b", 1L, 1L)).toDS(), BatchID(1)).count()
+    store.merge(spark, Seq(("a", 2L, 2L), ("b", 2L, 5L)).toDS(), BatchID(2)).count()
     store.deleteKeys(spark, Seq("a"))
-    assert(store.readLast(spark).get._2.collect().toMap == Map("b" -> 1L))
-    // uncleansed replay: the takedown must live in the master dataset
-    store.backfill(spark, Seq(("a", 1L, 1L), ("b", 1L, 1L)).toDS(), BatchID(1))
+    assert(store.readLast(spark).get._2.collect().toMap == Map("b" -> 6L))
+    assert(BatchState.read(dir).revokedIds == List(1L))
+    // DIRTY replay (the corrected stream still carries the revoked key):
+    // the guard drops a's deltas — a stays absent from EVERY rewritten
+    // version while b's correction lands
+    store.backfill(spark,
+      Seq(("a", 1L, 1L), ("b", 1L, 1L), ("a", 2L, 2L), ("b", 2L, 7L)).toDS(),
+      BatchID(1))
+    assert(store.readLast(spark).get._2.collect().toMap == Map("b" -> 8L))
+    assert(store.readLast(spark, BatchID(1)).get._2.collect().toMap ==
+      Map("b" -> 1L))
+    // the explicit escape hatch deliberately re-admits the revoked key
+    store.backfill(spark,
+      Seq(("a", 1L, 1L), ("b", 1L, 1L), ("a", 2L, 2L), ("b", 2L, 7L)).toDS(),
+      BatchID(1), allowResurrect = true)
     assert(store.readLast(spark).get._2.collect().toMap ==
-      Map("a" -> 1L, "b" -> 1L))
-    // cleansed replay: the key stays gone and generations keep bumping
-    store.backfill(spark, Seq(("b", 1L, 1L)).toDS(), BatchID(1))
-    assert(store.readLast(spark).get._2.collect().toMap == Map("b" -> 1L))
-    assert(BatchState.read(dir).gens == Map(1L -> 3L))
+      Map("a" -> 3L, "b" -> 8L))
+    BatchState.deleteDir(dir)
+  }
+
+  test("revocation record: re-delivered takedowns add no digest sets; a " +
+      "later delete of fresh keys appends one; the record survives " +
+      "generation rewrites") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_store_bfr").toString
+    val store = new BatchStore[String, Long](dir)
+    store.merge(spark,
+      Seq(("a", 1L, 1L), ("b", 1L, 1L), ("c", 1L, 1L)).toDS(), BatchID(1)).count()
+    store.deleteKeys(spark, Seq("a"))
+    assert(BatchState.read(dir).revokedIds == List(1L))
+    // re-delivery: membership guard no-ops, no new digest set
+    store.deleteKeys(spark, Seq("a"))
+    assert(BatchState.read(dir).revokedIds == List(1L))
+    // fresh victim (plus an already-revoked one): ONE new set with only
+    // the fresh digests
+    store.deleteKeys(spark, Seq("a", "b"))
+    assert(BatchState.read(dir).revokedIds.sorted == List(1L, 2L))
+    // both takedowns guard a dirty backfill
+    store.backfill(spark,
+      Seq(("a", 1L, 1L), ("b", 1L, 1L), ("c", 1L, 9L)).toDS(), BatchID(1))
+    assert(store.readLast(spark).get._2.collect().toMap == Map("c" -> 9L))
     BatchState.deleteDir(dir)
   }
 }

@@ -151,6 +151,63 @@ class BatchStoreDeleteSpec extends AnyFunSuite {
     BatchState.deleteDir(dir)
   }
 
+  // ---- round 15: Dataset-scale deleteKeys (mass revocation) ----
+
+  test("deleteKeys(Dataset): a 100k-key revocation rewrites via anti-join " +
+      "with no driver materialization, and revoked point-reads return None") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_store_delkd").toString
+    val store = new BatchStore[Long, Long](dir, keyBuckets = Some(4))
+    store.merge(spark,
+      (1L to 1000L).map(k => (k, 1L, k)).toDS(), BatchID(1)).count()
+    // the victim set never exists driver-side: a lazy range-derived Dataset
+    val victims = s.range(1L, 200000L).filter(org.apache.spark.sql.functions
+      .col("id") % 3 === 0).as[Long]
+    store.deleteKeys(victims)
+    assert(BatchState.read(dir).gens == Map(1L -> 1L))
+    val served = store.readLast(spark).get._2.collect().toMap
+    assert(served == (1L to 1000L).filterNot(_ % 3 == 0).map(k => k -> k).toMap)
+    assert(store.readLastForKey(spark, 9L).get._2.collect().isEmpty)
+    assert(store.readLastForKey(spark, 10L).get._2.collect().toMap == Map(10L -> 10L))
+    BatchState.deleteDir(dir)
+  }
+
+  test("deleteKeys(Dataset) plan law: the rewrite is a join against the key " +
+      "frame — no LocalRelation/LocalTableScan of a collected key set") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_store_delkp").toString
+    val store = new BatchStore[Long, Long](dir)
+    store.merge(spark, Seq((1L, 1L, 10L), (2L, 1L, 20L)).toDS(), BatchID(1)).count()
+    val victims = s.range(0L, 100000L).as[Long]
+    val plan = store.antiJoinKeys(
+        s.read.parquet(store.snapshotDir(BatchID(1))), store.keyFrame(victims))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Join") && plan.toLowerCase.contains("leftanti"), plan)
+    assert(!plan.contains("LocalTableScan") && !plan.contains("LocalRelation"),
+      s"key set materialized driver-side:\n$plan")
+    assert(plan.contains("Range"), s"key side should scan the lazy range:\n$plan")
+    BatchState.deleteDir(dir)
+  }
+
+  test("deleteKeys no-op guard probes ALL retained versions: a key present " +
+      "only in an OLDER snapshot (non-cumulative writeSnapshot store) still " +
+      "triggers the rewrite") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_store_delko").toString
+    val store = new BatchStore[String, Long](dir)
+    // writeSnapshot is a public API: arbitrary per-batch content, NOT
+    // cumulative — "old" exists only in batch 1
+    store.writeSnapshot(BatchID(1), Seq(("old", 1L), ("b", 2L)).toDS())
+    store.writeSnapshot(BatchID(2), Seq(("b", 3L)).toDS())
+    store.deleteKeys(spark, Seq("old"))
+    // the rewrite ran (generations bumped) and the HISTORICAL read no
+    // longer serves the revoked key
+    assert(BatchState.read(dir).gens == Map(1L -> 1L, 2L -> 1L))
+    assert(store.readLast(spark, BatchID(1)).get._2.collect().toMap ==
+      Map("b" -> 2L))
+    BatchState.deleteDir(dir)
+  }
+
   test("deleteKeys refuses an empty key set and an empty store") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft_store_delke").toString

@@ -73,4 +73,85 @@ class StoreFsSpec extends AnyFunSuite {
     BatchState.deleteDir(dir)
     assert(!StoreFs.exists(dir))
   }
+
+  // ---- conditional commit-log flip (round 15): where the store offers a
+  // conditional PUT (S3A If-Match on Hadoop >= 3.4.1), the flip upgrades
+  // to compare-and-swap against the content this writer read — the last
+  // lease residual (two writers reaching their flips inside the same
+  // verify-to-rename instant) closes exactly. Mocked here with an
+  // in-memory CAS store that writes through to the local FS. ----
+
+  /** S3-conditional-PUT semantics mock: one atomic compare-and-swap per
+    * path, write-through to the real FS so readers keep working.
+    */
+  private class MockCas extends StoreFs.CasBackend {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    override def compareAndSwap(path: String, expected: Option[Array[Byte]],
+        bytes: Array[Byte]): Boolean = synchronized {
+      attempts.incrementAndGet()
+      val cur = if (StoreFs.exists(path)) Some(StoreFs.readBytes(path)) else None
+      val ok = (cur, expected) match {
+        case (None, None)       => true
+        case (Some(a), Some(b)) => java.util.Arrays.equals(a, b)
+        case _                  => false
+      }
+      if (ok) StoreFs.writeAtomic(path, bytes)
+      ok
+    }
+  }
+
+  test("conditional flip: two same-instant commit-log flips resolve " +
+      "exactly — one wins, one loses loudly; the log is never torn") {
+    val dir = tmpDir()
+    BatchState.commit(dir, graft.time.BatchID(1))
+    val cas = new MockCas
+    StoreFs.installCasBackend(cas)
+    try {
+      val readBarrier = new java.util.concurrent.CountDownLatch(2)
+      val firstWrote = new java.util.concurrent.CountDownLatch(1)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      // writer A: read, wait until both have read, flip first
+      val a = new Thread(() => {
+        val st = BatchState.read(dir)
+        readBarrier.countDown(); readBarrier.await()
+        try BatchState.write(dir, st.copy(committed = (2L :: st.committed).sorted))
+        catch { case t: Throwable => errors.add(t) }
+        firstWrote.countDown()
+      })
+      // writer B: read at the same instant, flip strictly after A
+      val b = new Thread(() => {
+        val st = BatchState.read(dir)
+        readBarrier.countDown(); readBarrier.await(); firstWrote.await()
+        try BatchState.write(dir, st.copy(committed = (3L :: st.committed).sorted))
+        catch { case t: Throwable => errors.add(t) }
+      })
+      a.start(); b.start(); a.join(); b.join()
+      assert(errors.size == 1, s"expected exactly one loud loser, got: $errors")
+      assert(errors.peek().isInstanceOf[IllegalStateException])
+      assert(errors.peek().getMessage.contains("conditional commit-log flip lost"))
+      // the winner's flip landed whole; the loser changed nothing
+      assert(BatchState.read(dir).committed == List(1L, 2L))
+      assert(cas.attempts.get() == 2)
+    } finally {
+      StoreFs.clearCasBackend()
+      BatchState.deleteDir(dir)
+    }
+  }
+
+  test("conditional flip: an uncontended read-modify-write chain keeps " +
+      "working (each write refreshes the expected content)") {
+    val dir = tmpDir()
+    StoreFs.installCasBackend(new MockCas)
+    try {
+      BatchState.commit(dir, graft.time.BatchID(1))
+      BatchState.commit(dir, graft.time.BatchID(2))
+      val st = BatchState.read(dir)
+      BatchState.write(dir, st.copy(gens = Map(1L -> 1L)))
+      assert(BatchState.read(dir) ==
+        BatchState(List(1L, 2L), -1L, Map(1L -> 1L)))
+    } finally {
+      StoreFs.clearCasBackend()
+      BatchState.deleteDir(dir)
+    }
+  }
 }
