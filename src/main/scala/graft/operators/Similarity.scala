@@ -1299,7 +1299,11 @@ object Similarity {
     * compaction contract the segmented stores run on. The exact int8
     * serving path carries takedowns/replaces atomically; the graph tier
     * trades that for sub-linear search, which is the standard HNSW
-    * deployment trade.
+    * deployment trade. The PERSISTED form of this whole discipline is
+    * the stored tier ([[nswWriteIndex]] / [[nswDeleteFromStored]] /
+    * [[nswAppendToStored]] / [[nswCompactStored]]): there a takedown is
+    * one tiny mark-segment write behind an atomic flip, applied at
+    * [[readNswIndex]] load through this very function.
     */
   def nswDeleteFromBuilt(index: DataFrame, ids: DataFrame,
       idCol: String = "vec_id"): DataFrame = {
@@ -1312,6 +1316,175 @@ object Similarity {
         col("nsw_deleted") || coalesce(col("__nsw_mark"), lit(false)))
       .drop("__nsw_mark")
   }
+
+  // ---- stored graph-ANN tier (round 15): the nswBuild adjacency frame
+  // under the SAME log-structured segment layout as the codes/postings
+  // indexes, so a graph TAKEDOWN is one tiny mark-segment write + one
+  // atomic flip instead of a caller-managed index rewrite. Layout:
+  //
+  //   path/_graft_state.json    commit log (SegmentedStore)
+  //   path/seg=N/graph          the adjacency payload — exactly ONE live
+  //                             (every graph mutation rewrites the whole
+  //                             interlinked structure: bootstrap, append,
+  //                             compaction are all commitReplaceAll)
+  //   path/seg=M/marks          one tombstone id-set per takedown —
+  //                             appended (commitAppend), OR-composed at
+  //                             read into `nsw_deleted`
+  //
+  // No coverage markers are needed (unlike the postings/codes deletes):
+  // marks only ever coexist with the one graph they were computed
+  // against, because every graph rewrite CARRIES the live mark set into
+  // its own segment and sweeps the old mark segments — and a re-add of a
+  // deleted id cannot slip past a stale mark, since nswInsertAgainst
+  // refuses ids still present in the graph (waypoints included); re-adds
+  // go through compaction, which folds marks physically. --------------
+
+  /** Bootstrap / replace a stored graph index with a [[nswBuild]] (or
+    * [[nswEncodeIndex]]) frame — everything previously committed,
+    * including marks, is superseded on the one atomic flip.
+    */
+  def nswWriteIndex(index: DataFrame, path: String): Unit =
+    graft.batch.SegmentedStore.withWriterLock(path) {
+      val id = graft.batch.SegmentedStore.nextId(path)
+      writeGraphSegment(index, path, id, marks = None)
+      graft.batch.SegmentedStore.commitReplaceAll(path, id)
+    }
+
+  /** The one graph-segment write shape: CLEAR the whole reused segment
+    * dir first (a crashed takedown's orphan `marks/` must never ride a
+    * later rewrite's commit — same pre-clear discipline as
+    * [[writeCodesSegment]]), then the payload and, for rewrites that
+    * carry takedowns forward, the live mark set.
+    */
+  private def writeGraphSegment(index: DataFrame, path: String, id: Long,
+      marks: Option[DataFrame]): Unit = {
+    val segDir = graft.batch.SegmentedStore.segDir(path, id)
+    graft.batch.StoreFs.deleteRecursive(segDir)
+    index.write.mode("overwrite").parquet(s"$segDir/graph")
+    marks.foreach(_.write.mode("overwrite").parquet(s"$segDir/marks"))
+  }
+
+  /** Load a stored graph index with every committed takedown applied:
+    * the graph payload with all mark segments OR-folded into
+    * `nsw_deleted` (via [[nswDeleteFromBuilt]] — the same column the
+    * in-memory form uses), ready for [[nswSearchBuilt]] /
+    * [[nswSearchCoded]] / [[nswInsertAgainst]].
+    */
+  def readNswIndex(spark: SparkSession, path: String,
+      idCol: String = "vec_id"): DataFrame = {
+    val segs = graft.batch.SegmentedStore.committedSegs(path)
+    require(segs.nonEmpty, s"readNswIndex: no committed index at $path")
+    val graphSegs = segs.filter(id => graft.batch.SegmentedStore.hasParquetFiles(
+      s"${graft.batch.SegmentedStore.segDir(path, id)}/graph"))
+    require(graphSegs.nonEmpty,
+      s"readNswIndex: no graph payload committed at $path — bootstrap with nswWriteIndex")
+    val g = graphSegs.map(id => spark.read.parquet(
+        s"${graft.batch.SegmentedStore.segDir(path, id)}/graph"))
+      .reduce(_ unionByName _)
+    readNswMarks(spark, path, segs, idCol) match {
+      case None        => g
+      case Some(marks) => nswDeleteFromBuilt(g, marks, idCol)
+    }
+  }
+
+  /** Union of the committed mark segments' tombstone ids; None when no
+    * takedown is live.
+    */
+  private def readNswMarks(spark: SparkSession, path: String,
+      segs: List[Long], idCol: String): Option[DataFrame] = {
+    val live = segs.filter(id => graft.batch.SegmentedStore.hasParquetFiles(
+      s"${graft.batch.SegmentedStore.segDir(path, id)}/marks"))
+    if (live.isEmpty) None
+    else Some(live.map(id => spark.read.parquet(
+        s"${graft.batch.SegmentedStore.segDir(path, id)}/marks"))
+      .reduce(_ unionByName _).toDF(idCol).distinct())
+  }
+
+  /** Takedown on a STORED graph index: ONE tiny segment holding the
+    * victim ids, committed on one atomic log flip — never an index-sized
+    * rewrite (the exact discipline the postings/codes stores use).
+    * Victims restrict to currently-live, not-yet-marked ids (idempotent:
+    * a re-delivered takedown and never-indexed ids are no-ops that leave
+    * the commit log untouched). Physical fold and re-add remain
+    * [[nswCompactStored]]'s job, as documented at [[nswDeleteFromBuilt]].
+    */
+  def nswDeleteFromStored(spark: SparkSession, path: String,
+      ids: DataFrame, idCol: String = "vec_id"): Unit =
+    graft.batch.SegmentedStore.withWriterLock(path) {
+      val cur = readNswIndex(spark, path, idCol)
+      val alive = if (cur.columns.contains("nsw_deleted"))
+        cur.where(!col("nsw_deleted")) else cur
+      val victims = alive.select(col(idCol))
+        .join(ids.toDF(idCol).select(col(idCol).cast("long")).distinct(),
+          Seq(idCol), "left_semi")
+        .distinct().persist()
+      try {
+        if (victims.limit(1).count() > 0) {
+          val id = graft.batch.SegmentedStore.nextId(path)
+          graft.batch.StoreFs.deleteRecursive(
+            graft.batch.SegmentedStore.segDir(path, id))
+          victims.write.mode("overwrite").parquet(
+            s"${graft.batch.SegmentedStore.segDir(path, id)}/marks")
+          graft.batch.SegmentedStore.commitAppend(path, id)
+        }
+      } finally {
+        victims.unpersist()
+        ()
+      }
+    }
+
+  /** Insert NEW vectors into a stored RAW-VECTOR graph index
+    * ([[nswInsertAgainst]] through the store): the graph is rewritten —
+    * an insert relinks existing nodes, so unlike the codes index there is
+    * no append-only segment form — but live takedown marks are CARRIED
+    * into the new segment and the whole mutation is one atomic flip
+    * (old-or-new, marks never lost). Deleted nodes keep routing as
+    * waypoints through the rewrite; re-adding a deleted id still requires
+    * a compaction first (the insert refuses ids present in the graph).
+    */
+  def nswAppendToStored(spark: SparkSession, path: String,
+      newRows: DataFrame, vecCol: String, idCol: String, nParts: Int = 4,
+      m: Int = 8, efConstruction: Int = 64): Unit =
+    graft.batch.SegmentedStore.withWriterLock(path) {
+      val segs = graft.batch.SegmentedStore.committedSegs(path)
+      require(segs.nonEmpty,
+        s"nswAppendToStored: no committed index at $path — bootstrap with nswWriteIndex")
+      val cur = readNswIndex(spark, path, idCol)
+      require(cur.columns.contains(vecCol),
+        s"nswAppendToStored: stored index at $path has no '$vecCol' column — " +
+        "codes-only indexes cannot be inserted into (rebuild from the float corpus)")
+      val marks = readNswMarks(spark, path, segs, idCol)
+      val grown = nswInsertAgainst(
+        cur.select(col(idCol), col(vecCol), col("nbr_ids")), newRows,
+        vecCol, idCol, nParts, m, efConstruction)
+      val id = graft.batch.SegmentedStore.nextId(path)
+      writeGraphSegment(grown, path, id, marks)
+      graft.batch.SegmentedStore.commitReplaceAll(path, id)
+    }
+
+  /** Fold takedowns physically: REBUILD the graph over the retained rows
+    * (the maintenance-cadence compaction [[nswDeleteFromBuilt]]
+    * documents), sweep the mark segments, one atomic flip. After a
+    * compaction a previously-deleted id can re-enter via
+    * [[nswAppendToStored]]. Raw-vector indexes only (a rebuild needs the
+    * vectors).
+    */
+  def nswCompactStored(spark: SparkSession, path: String, vecCol: String,
+      idCol: String = "vec_id", nParts: Int = 4, m: Int = 8,
+      efConstruction: Int = 64, sweepGraceMs: Long = 0L): Unit =
+    graft.batch.SegmentedStore.withWriterLock(path) {
+      val cur = readNswIndex(spark, path, idCol)
+      require(cur.columns.contains(vecCol),
+        s"nswCompactStored: stored index at $path has no '$vecCol' column — " +
+        "codes-only indexes rebuild from the float corpus instead")
+      val retained = (if (cur.columns.contains("nsw_deleted"))
+        cur.where(!col("nsw_deleted")) else cur)
+        .select(col(idCol), col(vecCol))
+      val rebuilt = nswBuild(retained, vecCol, idCol, nParts, m, efConstruction)
+      val id = graft.batch.SegmentedStore.nextId(path)
+      writeGraphSegment(rebuilt, path, id, marks = None)
+      graft.batch.SegmentedStore.commitReplaceAll(path, id, sweepGraceMs)
+    }
 
   /** Incremental index maintenance — insert a batch of NEW vectors into a
     * persisted [[nswBuild]] index without rebuilding the shard graphs: the

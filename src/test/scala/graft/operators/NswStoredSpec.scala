@@ -1,0 +1,205 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.batch.{BatchState, SegmentedStore}
+
+/** Stored graph-ANN tier laws (round 15): the [[Similarity.nswBuild]]
+  * adjacency frame under the segmented commit-log layout, where a
+  * takedown is one tiny mark-segment write behind an atomic flip —
+  * never an index-sized rewrite — applied at [[Similarity.readNswIndex]]
+  * load as an OR-join into `nsw_deleted`:
+  *
+  *  - write → read round-trips search exactly;
+  *  - a stored takedown gates results while tombstoned nodes keep
+  *    routing (the in-memory [[Similarity.nswDeleteFromBuilt]] contract);
+  *  - marks COMPOSE by OR across segments;
+  *  - marks SURVIVE an append (graph rewrite carries them forward on the
+  *    same atomic flip);
+  *  - compaction folds marks physically and re-opens re-add;
+  *  - no-op takedowns (never-indexed / already-marked ids) leave the
+  *    commit log untouched.
+  */
+class NswStoredSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val dim = 16
+  private def vecs: Seq[(Long, Array[Double])] = {
+    val rnd = new scala.util.Random(11)
+    Seq.tabulate(120)(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+  }
+  // the query IS vector 7 — an exact copy planted as id 500
+  private def query: Array[Double] = vecs(7)._2
+  private def withNeedle: Seq[(Long, Array[Double])] =
+    vecs :+ (500L -> query.clone())
+
+  private def topIds(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("vec_id").collect().map(_.getLong(0)).toSeq
+
+  test("nswWriteIndex → readNswIndex round-trips the search exactly") {
+    val s = spark; import s.implicits._
+    val df = withNeedle.toDF("vec_id", "embedding")
+    val index = Similarity.nswBuild(df, "embedding", "vec_id", nParts = 2)
+    val dir = Files.createTempDirectory("graft_nsw_store").toString
+    try {
+      Similarity.nswWriteIndex(index, dir)
+      val mem = topIds(Similarity.nswSearchBuilt(index, "embedding", "vec_id",
+        query, k = 10, nParts = 2))
+      val stored = topIds(Similarity.nswSearchBuilt(
+        Similarity.readNswIndex(spark, dir), "embedding", "vec_id",
+        query, k = 10, nParts = 2))
+      assert(stored == mem)
+      assert(stored.take(2).toSet == Set(7L, 500L), stored)
+    } finally BatchState.deleteDir(dir)
+  }
+
+  test("stored takedown: one tiny mark segment; retained copy serves, " +
+      "revoked ids never surface; deleted nodes still route") {
+    val s = spark; import s.implicits._
+    val df = withNeedle.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_nsw_del").toString
+    try {
+      Similarity.nswWriteIndex(
+        Similarity.nswBuild(df, "embedding", "vec_id", nParts = 2), dir)
+      val before = SegmentedStore.committedSegs(dir)
+      Similarity.nswDeleteFromStored(spark, dir,
+        Seq(7L, 9L, 23L).toDF("vec_id"))
+      val segs = SegmentedStore.committedSegs(dir)
+      assert(segs.size == before.size + 1, s"$before -> $segs")
+      // the graph payload was NOT rewritten (the whole point)
+      assert(!graft.batch.StoreFs.exists(
+        s"${SegmentedStore.segDir(dir, segs.max)}/graph"))
+      val got = topIds(Similarity.nswSearchBuilt(
+        Similarity.readNswIndex(spark, dir), "embedding", "vec_id",
+        query, k = 10, nParts = 2))
+      assert(got.head == 500L, got)       // the retained exact copy
+      assert(!got.exists(Set(7L, 9L, 23L)), got)
+      assert(got.size == 10, got)         // routing intact: full k served
+    } finally BatchState.deleteDir(dir)
+  }
+
+  test("marks compose by OR across segments (two takedowns, both apply)") {
+    val s = spark; import s.implicits._
+    val df = withNeedle.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_nsw_del2").toString
+    try {
+      Similarity.nswWriteIndex(
+        Similarity.nswBuild(df, "embedding", "vec_id", nParts = 2), dir)
+      Similarity.nswDeleteFromStored(spark, dir, Seq(7L).toDF("vec_id"))
+      Similarity.nswDeleteFromStored(spark, dir, Seq(500L).toDF("vec_id"))
+      val got = topIds(Similarity.nswSearchBuilt(
+        Similarity.readNswIndex(spark, dir), "embedding", "vec_id",
+        query, k = 10, nParts = 2))
+      assert(!got.exists(Set(7L, 500L)), got)
+      assert(got.size == 10, got)
+    } finally BatchState.deleteDir(dir)
+  }
+
+  test("no-op takedowns (never-indexed or already-marked ids) leave the " +
+      "commit log untouched") {
+    val s = spark; import s.implicits._
+    val df = vecs.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_nsw_noop").toString
+    try {
+      Similarity.nswWriteIndex(
+        Similarity.nswBuild(df, "embedding", "vec_id", nParts = 2), dir)
+      Similarity.nswDeleteFromStored(spark, dir, Seq(3L).toDF("vec_id"))
+      val st = BatchState.read(dir)
+      Similarity.nswDeleteFromStored(spark, dir, Seq(3L).toDF("vec_id"))
+      Similarity.nswDeleteFromStored(spark, dir, Seq(99999L).toDF("vec_id"))
+      assert(BatchState.read(dir) == st, "no-op takedown mutated the log")
+    } finally BatchState.deleteDir(dir)
+  }
+
+  test("marks survive an append: the graph rewrite carries the live mark " +
+      "set on the same flip, and the new rows are searchable") {
+    val s = spark; import s.implicits._
+    val df = vecs.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_nsw_app").toString
+    try {
+      Similarity.nswWriteIndex(
+        Similarity.nswBuild(df, "embedding", "vec_id", nParts = 2), dir)
+      Similarity.nswDeleteFromStored(spark, dir, Seq(7L).toDF("vec_id"))
+      // append the exact-copy needle as a NEW id (append-only ingest)
+      Similarity.nswAppendToStored(spark, dir,
+        Seq((500L, query.toSeq)).toDF("vec_id", "embedding"),
+        "embedding", "vec_id", nParts = 2)
+      // one live segment again (replaceAll), mark segments folded into it
+      assert(SegmentedStore.committedSegs(dir).size == 1)
+      val got = topIds(Similarity.nswSearchBuilt(
+        Similarity.readNswIndex(spark, dir), "embedding", "vec_id",
+        query, k = 10, nParts = 2))
+      assert(got.head == 500L, got)   // the appended needle serves
+      assert(!got.contains(7L), got)  // the takedown survived the rewrite
+      // a deleted id cannot silently re-enter via append
+      intercept[org.apache.spark.SparkException](
+        Similarity.nswAppendToStored(spark, dir,
+          Seq((7L, query.toSeq)).toDF("vec_id", "embedding"),
+          "embedding", "vec_id", nParts = 2))
+    } finally BatchState.deleteDir(dir)
+  }
+
+  test("compaction folds marks physically and re-opens re-add") {
+    val s = spark; import s.implicits._
+    val df = withNeedle.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_nsw_cmp").toString
+    try {
+      Similarity.nswWriteIndex(
+        Similarity.nswBuild(df, "embedding", "vec_id", nParts = 2), dir)
+      Similarity.nswDeleteFromStored(spark, dir, Seq(7L).toDF("vec_id"))
+      Similarity.nswCompactStored(spark, dir, "embedding", "vec_id", nParts = 2)
+      val idx = Similarity.readNswIndex(spark, dir)
+      assert(!idx.columns.contains("nsw_deleted") ||
+        idx.where(col("nsw_deleted")).isEmpty, "marks not folded")
+      assert(idx.count() == withNeedle.size - 1)
+      // physical fold == a fresh build over the retained rows
+      val want = topIds(Similarity.nswSearchBuilt(
+        Similarity.nswBuild(vecs.filterNot(_._1 == 7L)
+            .:+(500L -> query).toDF("vec_id", "embedding"),
+          "embedding", "vec_id", nParts = 2),
+        "embedding", "vec_id", query, k = 10, nParts = 2))
+      val got = topIds(Similarity.nswSearchBuilt(idx, "embedding", "vec_id",
+        query, k = 10, nParts = 2))
+      assert(got == want)
+      // the id is re-addable now
+      Similarity.nswAppendToStored(spark, dir,
+        Seq((7000L, vecs(7)._2.toSeq)).toDF("vec_id", "embedding"),
+        "embedding", "vec_id", nParts = 2)
+      val after = topIds(Similarity.nswSearchBuilt(
+        Similarity.readNswIndex(spark, dir), "embedding", "vec_id",
+        query, k = 10, nParts = 2))
+      assert(after.contains(7000L), after)
+    } finally BatchState.deleteDir(dir)
+  }
+
+  test("codes-only stored index: takedown marks apply through " +
+      "nswSearchCoded; append/compact refuse loudly (no vectors to relink)") {
+    val s = spark; import s.implicits._
+    val df = withNeedle.toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(df, "embedding", "vec_id",
+      dim = dim, m = 4, c = 8)
+    val coded = Similarity.nswEncodeIndex(
+      Similarity.nswBuild(df, "embedding", "vec_id", nParts = 2),
+      "embedding", "vec_id", books)
+    val dir = Files.createTempDirectory("graft_nsw_coded").toString
+    try {
+      Similarity.nswWriteIndex(coded, dir)
+      Similarity.nswDeleteFromStored(spark, dir, Seq(7L).toDF("vec_id"))
+      val got = topIds(Similarity.nswSearchCoded(
+        Similarity.readNswIndex(spark, dir), "vec_id", books, query,
+        k = 10, nParts = 2))
+      assert(got.contains(500L) && !got.contains(7L), got)
+      intercept[IllegalArgumentException](
+        Similarity.nswAppendToStored(spark, dir,
+          Seq((600L, query.toSeq)).toDF("vec_id", "embedding"),
+          "embedding", "vec_id", nParts = 2))
+      intercept[IllegalArgumentException](
+        Similarity.nswCompactStored(spark, dir, "embedding", "vec_id",
+          nParts = 2))
+    } finally BatchState.deleteDir(dir)
+  }
+}
