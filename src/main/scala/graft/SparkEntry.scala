@@ -1243,7 +1243,9 @@ object SparkEntry {
         store.merge(s, deltas, BatchID(19800L))(Semigroup.longSemigroup).count()
         val victims = eventsDF(s, dir).select(col("user_id")).distinct()
           .where(col("user_id") % 5 === 2).as[Long].collect()
-        store.deleteKeys(s, victims.toSeq)
+        // a dataset slice with no user_id % 5 == 2 degrades to the
+        // no-victims case cleanly (deleteKeys requires a non-empty set)
+        if (victims.nonEmpty) store.deleteKeys(s, victims.toSeq)
         // end-to-end serving check: a revoked key point-reads as None
         // (no online deltas — the store is the only source)
         require(victims.isEmpty || withPinnedShufflePartitions(s, 4) {
@@ -1300,6 +1302,41 @@ object SparkEntry {
           .select(col("user_id"), col("batch_id"), col("cnt"))
       } finally {
         correct.unpersist()
+        ()
+      }
+    }),
+
+    "q_backfill_guard" -> ((s, dir) => {
+      // round 15: the deleteKeys × backfill COMPOSITION, enforced — merge
+      // all events, revoke the user_id % 7 == 3 slice (Dataset-scale
+      // takedown: anti-join rewrite, victims never collected), then
+      // backfill the whole history with DIRTY deltas (the master stream
+      // still carrying the revoked users): the recorded revocation
+      // digests must be re-applied, so the rewritten snapshot serves the
+      // retained users' recomputed counts and NEVER a revoked key
+      // (absence also asserted in-row — a silent resurrection would be
+      // invisible to a rows-only check).
+      import s.implicits._
+      val daily = Batcher.ofDays(1)
+      val deltas = eventStream(s, dir).asKeyedCols[Long, Long](col("_2.user_id"), lit(1L))
+        .sumDeltasPerBatch(daily)(Semigroup.longSemigroup)
+        .persist()
+      val tmp = java.nio.file.Files.createTempDirectory("graft_store_").toString
+      try {
+        val store = new BatchStore[Long, Long](tmp)
+        store.merge(s, deltas, BatchID(19800L))(Semigroup.longSemigroup).count()
+        val victims = eventsDF(s, dir).select(col("user_id")).distinct()
+          .where(col("user_id") % 7 === 3).as[Long]
+        if (victims.limit(1).count() > 0) store.deleteKeys(victims)
+        // dirty replay: `deltas` is the UNCLEANSED master stream
+        store.backfill(s, deltas, BatchID(19800L))(Semigroup.longSemigroup)
+        val served = store.readLast(s).get._2.toDF("user_id", "cnt")
+          .localCheckpoint(true)
+        require(served.where(col("user_id") % 7 === 3).limit(1).count() == 0,
+          "q_backfill_guard: a dirty backfill resurrected a revoked key")
+        served
+      } finally {
+        deltas.unpersist()
         ()
       }
     }),
@@ -2219,6 +2256,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("k"),
           max(col("vec_id") === -2L && col("nsw_sim") === 1.0).as("retained_needle"),
           max(col("vec_id") === -1L || col("vec_id") % 97 === 0).as("served_deleted"))
+    }),
+
+    "q_nsw_delete_stored" -> ((s, dir) => {
+      // round 15: takedown on the PERSISTED graph index (nswWriteIndex →
+      // nswDeleteFromStored → readNswIndex): the takedown is one tiny
+      // mark segment behind an atomic flip — the graph payload is never
+      // rewritten — and the reload OR-folds the marks into nsw_deleted,
+      // so the served top-k obeys exactly q_nsw_delete's invariants:
+      // retained copy at cosine 1.0, revoked needle and revoked slice
+      // never surface, k rows (tombstoned nodes still route).
+      import s.implicits._
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val needles = Seq((-1L, q.toSeq), (-2L, q.toSeq)).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast(e0.schema("embedding").dataType))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_nsw_idx_").toString
+      try {
+        Similarity.nswWriteIndex(
+          Similarity.nswBuild(e0.union(needles), "embedding", "vec_id"), tmp)
+        Similarity.nswDeleteFromStored(s, tmp,
+          e0.where(col("vec_id") % 97 === 0).select("vec_id")
+            .union(Seq(-1L).toDF("vec_id")))
+        // the takedown never rewrote the graph payload: one graph segment
+        // plus one marks-only segment
+        val segs = graft.batch.SegmentedStore.committedSegs(tmp)
+        require(segs.size == 2 && !graft.batch.StoreFs.exists(
+          s"${graft.batch.SegmentedStore.segDir(tmp, segs.max)}/graph"),
+          s"q_nsw_delete_stored: takedown was not a marks-only segment ($segs)")
+        Similarity.nswSearchBuilt(Similarity.readNswIndex(s, tmp),
+            "embedding", "vec_id", q, k = 10)
+          .agg(count(lit(1)).as("k"),
+            max(col("vec_id") === -2L && col("nsw_sim") === 1.0).as("retained_needle"),
+            max(col("vec_id") === -1L || col("vec_id") % 97 === 0).as("served_deleted"))
+          .localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
     "q_ann_hnsw" -> ((s, dir) => {
@@ -3393,6 +3465,13 @@ object SparkEntry {
         |SELECT user_id, CAST(19800 AS BIGINT) AS batch_id, count(*) AS cnt
         |FROM events GROUP BY user_id""".stripMargin,
 
+    // takedown × recompute composition: a dirty backfill re-applies the
+    // recorded revocations, so the served store is a recompute over the
+    // retained users only
+    "q_backfill_guard" ->
+      """SELECT user_id, count(*) AS cnt FROM events
+        |WHERE user_id % 7 <> 3 GROUP BY user_id""".stripMargin,
+
     // 6 point gets through the clustered serving layout == all-data counts
     "q_client_get" ->
       """SELECT user_id, count(*) AS cnt FROM events
@@ -4551,6 +4630,12 @@ object SparkEntry {
     // graph takedown: the retained needle serves at 1.0, the revoked one
     // and the revoked slice never surface
     "q_nsw_delete" ->
+      """SELECT CAST(10 AS BIGINT) AS k, TRUE AS retained_needle,
+        |  FALSE AS served_deleted""".stripMargin,
+
+    // stored-graph takedown: one marks-only segment (asserted in-row),
+    // reload serves the retained needle, never the revoked slice
+    "q_nsw_delete_stored" ->
       """SELECT CAST(10 AS BIGINT) AS k, TRUE AS retained_needle,
         |  FALSE AS served_deleted""".stripMargin,
 
