@@ -648,6 +648,31 @@ object ScaleProbe {
                 q.processAllAvailable()
               })
             }
+          case "streaming_sessionize" =>
+            // q_streaming_sessionize shape: native session_window over the
+            // 10% user slice, two ascending-ts halves + a flush sentinel —
+            // state is one MERGING session per open (user, session), so
+            // final state after the flush is the boundedness measurement
+            val evs = spark.read.parquet(p)
+              .where(col("user_id") % 10 === 0)
+              .select(col("user_id"), col("ts_ms")).as[(Long, Long)].collect()
+            val minTs = evs.iterator.map(_._2).min
+            val maxTs = evs.iterator.map(_._2).max
+            val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+            val out = graft.operators.Sessionize.sessionizeStreaming(
+              ms.toDS().toDF("user_id", "__ms")
+                .withColumn("ts", timestamp_millis(col("__ms"))),
+              "user_id", "ts", gapMs = 1800000L)
+            val q = out.writeStream.format("noop").outputMode("append").start()
+            (q, () => {
+              val mid = minTs + (maxTs - minTs) / 2 + 1
+              Seq((minTs, mid), (mid, maxTs + 1)).foreach { case (lo, hi) =>
+                ms.addData(evs.iterator.filter(e => e._2 >= lo && e._2 < hi).toSeq)
+                q.processAllAvailable()
+              }
+              ms.addData(Seq((-1L, maxTs + 48L * 3600000L)))
+              q.processAllAvailable()
+            })
           case other => sys.error(s"unknown stream probe $other")
         }
         try {
@@ -708,17 +733,29 @@ object ScaleProbe {
           f"stateRows=${r1}->${rN} stateMB=${m1 / 1e6}%.1f->${mN / 1e6}%.1f")
       }
     }
-    // round-14: the minhash decade probe — both regimes at the gate's
-    // streaming conf (4 state partitions, RocksDB), reporting peak state
-    // rows/bytes beside wall so the horizon form's boundedness is a
-    // measured number at every scale
-    val minhashNames = Seq("streaming_minhash", "streaming_minhash_horizon")
+    // round-14 (minhash) + round-15 (all four machines, r14 verdict #8):
+    // the streaming-state decade probe at the gate's streaming conf
+    // (4 state partitions, RocksDB), reporting PEAK and FINAL state
+    // rows/bytes beside wall — one artifact, final-state curves for every
+    // state machine, so each one's boundedness story is a measured number
+    // at every scale (sum: keyed (user, day) rows that stay until the TTL;
+    // dedup: one row per distinct digest — unbounded by design, the
+    // documented trade; sessionize: merging sessions that EVICT on the
+    // watermark — final ≈ the flush sentinel's session; minhash: both
+    // regimes as before)
+    val decadeNames = Seq("streaming_minhash", "streaming_minhash_horizon",
+        "streaming_sum", "streaming_dedup", "streaming_sessionize")
       .filter(n => opsArg.forall(_.contains(n)))
-    if (minhashNames.nonEmpty) {
-      streamProbe("streaming_minhash", 4, docs1, rocksProvider) // warm
-      minhashNames.foreach { name =>
-        val (t1, r1, m1, f1, fm1) = timedStreamProbe(name, 4, docs1, rocksProvider)
-        val (tN, rN, mN, fN, fmN) = timedStreamProbe(name, 4, docsN, rocksProvider)
+    if (decadeNames.nonEmpty) {
+      def decadeInputs(name: String): (String, String) =
+        if (name.contains("minhash") || name == "streaming_dedup") (docs1, docsN)
+        else (ev1, evN)
+      streamProbe(decadeNames.head, 4, decadeInputs(decadeNames.head)._1,
+        rocksProvider) // warm
+      decadeNames.foreach { name =>
+        val (p1, pN) = decadeInputs(name)
+        val (t1, r1, m1, f1, fm1) = timedStreamProbe(name, 4, p1, rocksProvider)
+        val (tN, rN, mN, fN, fmN) = timedStreamProbe(name, 4, pN, rocksProvider)
         println(f"PROBE $name%-26s parts=4 store=rocksdb " +
           f"1x=${t1}%.2fs ${factor}x=${tN}%.2fs ratio=${tN / t1}%.2f " +
           f"peakRows=${r1}->${rN} peakMB=${m1 / 1e6}%.2f->${mN / 1e6}%.2f " +
