@@ -85,7 +85,16 @@ object Bench {
       else try {
         val s = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(refPath)), "UTF-8")
-        "\"queries_min\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(s)
+        // the reference is only meaningful at ITS OWN data scale: a run
+        // over a different directory (an organic 10x/100x gate) would
+        // read every scale effect as a stall — disable instead
+        val refSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(s)
+          .map(_.group(1)).getOrElse("")
+        if (refSf != sfDir) {
+          System.err.println(s"[bench] stall reference $refPath is for " +
+            s"'$refSf', this run is '$sfDir' — stall flagging disabled")
+          Map.empty
+        } else "\"queries_min\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(s)
           .map(m => "\"([^\"]+)\"\\s*:\\s*([0-9.Ee+-]+)".r
             .findAllMatchIn(m.group(1))
             .map(g => g.group(1) -> g.group(2).toDouble).toMap)
