@@ -743,9 +743,12 @@ object ScaleProbe {
     // documented trade; sessionize: merging sessions that EVICT on the
     // watermark — final ≈ the flush sentinel's session; minhash: both
     // regimes as before)
+    // ops token "decades" selects ALL five arms here and nothing else
+    // (streaming_sum/streaming_dedup by bare name would also trigger the
+    // round-9 multi-partition/provider sweep above)
     val decadeNames = Seq("streaming_minhash", "streaming_minhash_horizon",
         "streaming_sum", "streaming_dedup", "streaming_sessionize")
-      .filter(n => opsArg.forall(_.contains(n)))
+      .filter(n => opsArg.forall(o => o.contains(n) || o.contains("decades")))
     if (decadeNames.nonEmpty) {
       def decadeInputs(name: String): (String, String) =
         if (name.contains("minhash") || name == "streaming_dedup") (docs1, docsN)
