@@ -35,6 +35,17 @@ import graft.time.BatchID
   *        ONE commit-log flip — no delete-then-append serving gap),
   *     7. `compactIfFragmented` — the self-scheduling physical fold.
   *
+  *   Round-15 additions:
+  *     8. `deleteKeys(Dataset[K])` — MASS revocation (anti-join rewrite,
+  *        victims never collected to the driver),
+  *     9. the backfill RESURRECTION GUARD — a dirty master replay cannot
+  *        silently re-serve a revoked key (with `allowResurrect` as the
+  *        explicit escape hatch),
+  *    10. the stored GRAPH-ANN lifecycle
+  *        ([[graft.operators.Similarity]].nsw*Stored) — takedown as one
+  *        tiny mark segment, append carrying marks forward, compaction
+  *        folding them physically.
+  *
   * Run: `sbt "runMain graft.examples.MaintenanceExample"`.
   */
 object MaintenanceExample {
@@ -71,15 +82,29 @@ object MaintenanceExample {
     println("after takedown: " + store.readLast(spark).get._2.collect().sortBy(_._1).toSeq)
 
     // 3. backfill: the night-2 bug is found; recompute from the master
-    //    dataset (carol stays revoked because the corrected deltas were
-    //    cleansed — the documented master-dataset contract)
-    store.backfill(spark, Seq(("alice", 2L, 2L), ("bob", 3L, 5L)).toDS(), BatchID(2))
+    //    dataset — deliberately DIRTY here (carol's deltas still ride
+    //    along): the recorded revocation re-applies, so carol stays gone
+    //    without any cleansing of the replay stream (round 15; pass
+    //    allowResurrect = true to deliberately re-admit her)
+    store.backfill(spark,
+      Seq(("alice", 2L, 2L), ("carol", 2L, 1L), ("bob", 3L, 5L)).toDS(), BatchID(2))
     val healed = store.readLast(spark).get._2.collect().sortBy(_._1).toSeq
     println("after backfill: " + healed)
     require(healed == Seq(("alice", 5L), ("bob", 6L)),
-      s"backfill did not heal the night-2 bug: $healed")
+      s"backfill did not heal the night-2 bug (or resurrected carol): $healed")
     require(store.readLast(spark, BatchID(1)).get._2.collect().toMap ==
       Map("alice" -> 3L, "bob" -> 1L), "backfill touched pre-bug history")
+
+    // 8. mass revocation: a whole id cohort revokes at once — the victim
+    //    set is a (lazy) Dataset, rewritten via anti-join, never collected
+    val bigDir = Files.createTempDirectory("graft_maint_big_").toString
+    val big = new BatchStore[Long, Long](bigDir)
+    big.merge(spark, (1L to 1000L).map(k => (k, 1L, k)).toDS(), BatchID(1)).count()
+    big.deleteKeys(spark.range(0L, 1000000L).filter(col("id") % 2 === 0)
+      .as[Long])
+    require(big.readLast(spark).get._2.count() == 500L,
+      "mass revocation missed rows")
+    println("mass revocation: 1M-key Dataset anti-joined, 500 retained ✓")
 
     // ------------------------------------------------------------------
     // Stored BM25 index: ingest, takedown, atomic correction, compaction
@@ -118,8 +143,37 @@ object MaintenanceExample {
     println("index after ingest → takedown → atomic replace → compaction " +
       "≡ clean rebuild ✓")
 
+    // ------------------------------------------------------------------
+    // Stored graph-ANN index (round 15): takedown = one mark segment;
+    // append carries marks forward; compaction folds them physically
+    // ------------------------------------------------------------------
+    import graft.operators.Similarity
+    val annDir = Files.createTempDirectory("graft_maint_ann_").toString
+    val rnd = new scala.util.Random(3)
+    val corpus = Seq.tabulate(60)(i => (i.toLong, Array.fill(8)(rnd.nextGaussian()).toSeq))
+    val q = corpus(5)._2.toArray
+    Similarity.nswWriteIndex(
+      Similarity.nswBuild(corpus.toDF("vec_id", "embedding"), "embedding", "vec_id",
+        nParts = 2), annDir)
+    Similarity.nswDeleteFromStored(spark, annDir, Seq(5L).toDF("vec_id"))
+    Similarity.nswAppendToStored(spark, annDir,
+      Seq((100L, q.toSeq)).toDF("vec_id", "embedding"), "embedding", "vec_id",
+      nParts = 2)
+    val ids = Similarity.nswSearchBuilt(Similarity.readNswIndex(spark, annDir),
+        "embedding", "vec_id", q, k = 5, nParts = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    require(ids.head == 100L && !ids.contains(5L),
+      s"graph takedown/append broke serving: $ids")
+    Similarity.nswCompactStored(spark, annDir, "embedding", "vec_id", nParts = 2)
+    require(Similarity.readNswIndex(spark, annDir).count() == 60L,
+      "compaction did not fold the tombstone")
+    println("graph index: takedown (one mark segment) → append (marks " +
+      "carried) → compaction (folded) ✓")
+
     graft.batch.BatchState.deleteDir(storeDir)
+    graft.batch.BatchState.deleteDir(bigDir)
     graft.batch.BatchState.deleteDir(idxDir)
+    graft.batch.BatchState.deleteDir(annDir)
     spark.stop()
   }
 }
