@@ -41,9 +41,14 @@ package graft.batch
   * Residual window on FSes WITHOUT exclusive create: both acquirers
   * read back their own write before the other's lands AND both reach
   * their commit flip inside the same verify-to-rename instant. True
-  * closure there needs the FS's own conditional write (layer 1), which
-  * S3A now has; the layers above shrink the window from "any overlap of
-  * two mutations" to "same-instant interleaving twice in a row".
+  * closure there needs the FS's own conditional write — for the lease
+  * that is layer 1 (S3A's conditional create), and for the FLIP itself
+  * it is [[StoreFs.CasBackend]] (round 15): with a conditional-PUT
+  * backend installed, `BatchState.write` compare-and-swaps against the
+  * log content this writer read, so two same-instant flips resolve
+  * exactly. The layers above shrink the window from "any overlap of two
+  * mutations" to "same-instant interleaving twice in a row" even
+  * without one.
   */
 object WriterLease {
 

@@ -99,6 +99,25 @@ class NswStoredSpec extends AnyFunSuite {
     } finally BatchState.deleteDir(dir)
   }
 
+  test("an index persisted WITH in-memory tombstones composes with stored " +
+      "marks: both gate the results") {
+    val s = spark; import s.implicits._
+    val df = withNeedle.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_nsw_mix").toString
+    try {
+      val marked = Similarity.nswDeleteFromBuilt(
+        Similarity.nswBuild(df, "embedding", "vec_id", nParts = 2),
+        Seq(9L).toDF("vec_id"))
+      Similarity.nswWriteIndex(marked, dir)   // nsw_deleted column persists
+      Similarity.nswDeleteFromStored(spark, dir, Seq(23L).toDF("vec_id"))
+      val got = topIds(Similarity.nswSearchBuilt(
+        Similarity.readNswIndex(spark, dir), "embedding", "vec_id",
+        query, k = 10, nParts = 2))
+      assert(!got.exists(Set(9L, 23L)), got)
+      assert(got.size == 10 && got.head == 7L, got)
+    } finally BatchState.deleteDir(dir)
+  }
+
   test("no-op takedowns (never-indexed or already-marked ids) leave the " +
       "commit log untouched") {
     val s = spark; import s.implicits._
