@@ -181,6 +181,56 @@ class WriterLeaseSpec extends AnyFunSuite {
     StoreFs.deleteRecursive(dir)
   }
 
+  test("lease x CAS composition: on a non-exclusive-create FS where BOTH " +
+      "acquirers pass the read-back, the conditional flip still saves the " +
+      "log — the racer loses loudly at CAS even past every lease layer") {
+    val dir = mockPath("graft_lease_cas")
+    val lock = s"$dir/${WriterLease.LockName}"
+    // a CAS backend with S3-conditional-PUT semantics (write-through)
+    StoreFs.installCasBackend(new StoreFs.CasBackend {
+      override def compareAndSwap(path: String, expected: Option[Array[Byte]],
+          bytes: Array[Byte]): Boolean = synchronized {
+        val cur = if (StoreFs.exists(path)) Some(StoreFs.readBytes(path)) else None
+        val ok = (cur, expected) match {
+          case (None, None)       => true
+          case (Some(a), Some(b)) => java.util.Arrays.equals(a, b)
+          case _                  => false
+        }
+        if (ok) StoreFs.writeAtomic(path, bytes)
+        ok
+      }
+    })
+    try {
+      // the racer simulates the documented residual window: it lands its
+      // lease over ours (possible only on graftmock), flips, then its own
+      // overwrite is replaced by OUR original lock content again — so
+      // when we reach our flip, every lease layer reads clean (the lock
+      // carries our token) and ONLY the conditional flip can catch that
+      // the log moved under us
+      val racer = new Thread(() => {
+        BatchState.read(dir)
+        val ours = StoreFs.readBytes(lock)
+        StoreFs.createExclusive(lock, """{"pid":"racer"}""".getBytes("UTF-8"))
+        BatchState.commit(dir, graft.time.BatchID(7))
+        StoreFs.createExclusive(lock, ours) // graftmock: silent overwrite
+      })
+      val ex = intercept[IllegalStateException] {
+        WriterLease.withLock(dir) {
+          val st = BatchState.read(dir)
+          racer.start(); racer.join()
+          BatchState.write(dir, st.copy(committed = List(1L)))
+        }
+      }
+      assert(ex.getMessage.contains("conditional commit-log flip lost"),
+        ex.getMessage)
+      // the racer's commit survives whole; ours never landed
+      assert(BatchState.read(dir).committed == List(7L))
+    } finally {
+      StoreFs.clearCasBackend()
+      StoreFs.deleteRecursive(dir)
+    }
+  }
+
   test("a zombie whose lease expired and was re-acquired aborts at its flip " +
       "on ANY filesystem (commit-time re-verify, local FS here)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lease_zombie").toString
