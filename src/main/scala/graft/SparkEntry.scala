@@ -2293,6 +2293,48 @@ object SparkEntry {
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
+    "q_nsw_lifecycle_stored" -> ((s, dir) => {
+      // round 15: the FULL stored-graph lifecycle in one row — bootstrap
+      // (nswWriteIndex) → takedown (one mark segment; the original
+      // needle revoked) → append (nswAppendToStored: graph rewrite
+      // CARRYING the mark, a fresh exact copy of the query ingested) →
+      // compaction (nswCompactStored: mark folded physically, segments
+      // down to one) → serve. The appended copy must rank first at
+      // cosine 1.0, the revoked original must never surface, and the
+      // compacted index must hold exactly corpus-1+1 rows with no marks
+      // left (asserted in-row).
+      import s.implicits._
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val needle = Seq((-1L, q.toSeq)).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast(e0.schema("embedding").dataType))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_nsw_lc_").toString
+      try {
+        val n0 = e0.count()
+        Similarity.nswWriteIndex(
+          Similarity.nswBuild(e0.union(needle), "embedding", "vec_id"), tmp)
+        Similarity.nswDeleteFromStored(s, tmp, Seq(-1L).toDF("vec_id"))
+        Similarity.nswAppendToStored(s, tmp,
+          needle.select(lit(-2L).as("vec_id"), col("embedding")),
+          "embedding", "vec_id")
+        Similarity.nswCompactStored(s, tmp, "embedding", "vec_id")
+        val segs = graft.batch.SegmentedStore.committedSegs(tmp)
+        require(segs.size == 1,
+          s"q_nsw_lifecycle_stored: compaction left ${segs.size} segments")
+        val idx = Similarity.readNswIndex(s, tmp).localCheckpoint(true)
+        require(!idx.columns.contains("nsw_deleted") ||
+          idx.where(col("nsw_deleted")).limit(1).count() == 0,
+          "q_nsw_lifecycle_stored: compaction left live marks")
+        val nRows = idx.count()
+        require(nRows == n0 + 1,
+          s"q_nsw_lifecycle_stored: expected ${n0 + 1} rows, got $nRows")
+        Similarity.nswSearchBuilt(idx, "embedding", "vec_id", q, k = 10)
+          .agg(count(lit(1)).as("k"),
+            max(col("vec_id") === -2L && col("nsw_sim") === 1.0).as("appended_first"),
+            max(col("vec_id") === -1L).as("served_deleted"))
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
     "q_ann_hnsw" -> ((s, dir) => {
       // round 10: REAL hierarchical NSW (full HNSW per shard — id-hash
       // level assignment, greedy descent through the upper layers, beam
@@ -4637,6 +4679,13 @@ object SparkEntry {
     // reload serves the retained needle, never the revoked slice
     "q_nsw_delete_stored" ->
       """SELECT CAST(10 AS BIGINT) AS k, TRUE AS retained_needle,
+        |  FALSE AS served_deleted""".stripMargin,
+
+    // full stored-graph lifecycle: bootstrap → takedown → append (marks
+    // carried) → compaction (marks folded) → serve; the appended copy
+    // ranks first, the revoked original never surfaces
+    "q_nsw_lifecycle_stored" ->
+      """SELECT CAST(10 AS BIGINT) AS k, TRUE AS appended_first,
         |  FALSE AS served_deleted""".stripMargin,
 
     // hierarchical form: the needle surfaces through the persisted
