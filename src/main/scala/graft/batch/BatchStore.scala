@@ -359,6 +359,31 @@ final class BatchStore[K, V](
     snapshot.select(functions.col("key"), functions.col("value"))
       .join(keyDf, Seq("key"), "left_anti")
 
+  /** Fold the revocation-digest record into ONE parquet dir — the
+    * maintenance-cadence hygiene for a store taking many takedowns (the
+    * record grows one tiny dir per effective [[deleteKeys]] and is read
+    * whole by every [[backfill]]; same fragmentation cadence as index
+    * compaction). One atomic log flip re-points `revokedIds` to the
+    * folded set; the digests themselves are permanent — compaction
+    * changes their layout, never their content (law-pinned: a dirty
+    * backfill is guarded identically before and after). Superseded dirs
+    * sweep behind [[retentionGraceMs]]. No-op below `maxDirs`.
+    */
+  def compactRevoked(spark: SparkSession, maxDirs: Int = 8): Boolean =
+    WriterLease.withLock(path) {
+      require(maxDirs >= 1, s"maxDirs must be >= 1, got $maxDirs")
+      val st = state
+      if (st.revokedIds.size <= maxDirs) false
+      else {
+        val all = readRevokedDigests(spark, st).get.distinct()
+        val revId = st.revokedIds.max + 1
+        all.write.mode("overwrite").parquet(revokedDir(revId))
+        BatchState.write(path, st.copy(revokedIds = List(revId)))
+        sweepDeadSnapshotDirs()
+        true
+      }
+    }
+
   private def revokedDir(id: Long): String = s"$path/_graft_revoked/rev=$id"
 
   /** Union of the committed revocation-digest sets (column `kd`); None

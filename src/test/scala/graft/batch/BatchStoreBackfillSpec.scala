@@ -230,4 +230,33 @@ class BatchStoreBackfillSpec extends AnyFunSuite {
     assert(store.readLast(spark).get._2.collect().toMap == Map("c" -> 9L))
     BatchState.deleteDir(dir)
   }
+
+  test("compactRevoked folds the digest record without changing its " +
+      "content: the guard is identical before and after, later takedowns " +
+      "append fresh dirs, and the fold is a no-op below the threshold") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_store_bfc").toString
+    val store = new BatchStore[String, Long](dir)
+    store.merge(spark,
+      Seq(("a", 1L, 1L), ("b", 1L, 1L), ("c", 1L, 1L), ("d", 1L, 2L)).toDS(),
+      BatchID(1)).count()
+    store.deleteKeys(spark, Seq("a"))
+    store.deleteKeys(spark, Seq("b"))
+    store.deleteKeys(spark, Seq("c"))
+    assert(BatchState.read(dir).revokedIds.sorted == List(1L, 2L, 3L))
+    assert(!store.compactRevoked(spark, maxDirs = 8), "folded below threshold")
+    assert(store.compactRevoked(spark, maxDirs = 2))
+    assert(BatchState.read(dir).revokedIds == List(4L))
+    assert(new java.io.File(s"$dir/_graft_revoked").listFiles()
+      .count(_.getName.startsWith("rev=")) == 1, "superseded rev dirs not swept")
+    // guard identical after the fold: all three takedowns still re-apply
+    store.backfill(spark,
+      Seq(("a", 1L, 5L), ("b", 1L, 5L), ("c", 1L, 5L), ("d", 1L, 7L)).toDS(),
+      BatchID(1))
+    assert(store.readLast(spark).get._2.collect().toMap == Map("d" -> 7L))
+    // a later takedown appends a fresh dir past the folded id
+    store.deleteKeys(spark, Seq("d"))
+    assert(BatchState.read(dir).revokedIds.sorted == List(4L, 5L))
+    BatchState.deleteDir(dir)
+  }
 }

@@ -184,6 +184,43 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally graft.batch.BatchState.deleteDir(tmp)
   }
 
+  test("stored graph-ANN mark fold plans as a BROADCAST join into the " +
+      "graph read (a takedown adds no shuffle to serving)") {
+    val s = spark; import s.implicits._
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nswp_").toString
+    try {
+      Similarity.nswWriteIndex(
+        Similarity.nswBuild(emb, "embedding", "vec_id", nParts = 2), tmp)
+      Similarity.nswDeleteFromStored(spark, tmp,
+        emb.where(col("vec_id") % 13 === 0).select("vec_id"))
+      val p = plan(Similarity.readNswIndex(spark, tmp))
+      val joins = p.linesIterator.filter(_.contains("Join")).toSeq
+      assert(joins.nonEmpty, s"no mark join in plan:\n${p.take(800)}")
+      assert(joins.forall(_.contains("Broadcast")),
+        s"mark fold shuffled instead of broadcast:\n${joins.mkString("\n")}")
+    } finally graft.batch.BatchState.deleteDir(tmp)
+  }
+
+  test("backfill's revocation guard plans as a BROADCAST anti-join on the " +
+      "key digest (the delta stream never shuffles for the guard)") {
+    val s = spark; import s.implicits._
+    // the guard's shape, stated directly: deltas anti-joined against the
+    // tiny recorded-digest frame on xxhash64(key)
+    val deltas = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").as("_1"), lit(1L).as("_2"), lit(1L).as("_3"))
+    val rev = Seq(7L, 13L).toDF("k")
+      .select(xxhash64(col("k")).as("__kd"))
+    val p = plan(deltas.withColumn("__kd", xxhash64(col("_1")))
+      .join(rev, Seq("__kd"), "left_anti").drop("__kd"))
+    val anti = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    assert(anti.nonEmpty, s"no anti-join:\n${p.take(800)}")
+    assert(anti.forall(_.contains("Broadcast")),
+      s"guard anti-join shuffled the deltas:\n${anti.mkString("\n")}")
+  }
+
   test("removeDuplicatedSpans: no ranking window (hot-gram-safe aggregate); exchanges carry no text") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(Dedup.removeDuplicatedSpans(docs, "text", "doc_id", k = 8))
