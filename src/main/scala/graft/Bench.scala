@@ -77,9 +77,13 @@ object Bench {
     // flagged.
     val refMins: Map[String, Double] = {
       val refPath = sys.env.get("SPARK_GRAFT_BENCH_REF").getOrElse {
+        // newest by ROUND NUMBER, not lexicographically (r9 > r15 as a
+        // string; r100 < r99 as a string)
+        val round = """bench_r(\d+)_organic_1x_full\.json""".r
         val cands = Option(new java.io.File("bench").listFiles()).getOrElse(Array.empty)
-          .map(_.getPath).filter(_.matches(""".*bench_r\d+_organic_1x_full\.json"""))
-        if (cands.isEmpty) "" else cands.max
+          .flatMap(f => round.findFirstMatchIn(f.getName)
+            .map(m => m.group(1).toInt -> f.getPath))
+        if (cands.isEmpty) "" else cands.maxBy(_._1)._2
       }
       if (refPath.isEmpty || !new java.io.File(refPath).exists()) Map.empty
       else try {

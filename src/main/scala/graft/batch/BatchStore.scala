@@ -288,7 +288,7 @@ final class BatchStore[K, V](
       val keyDf = keyFrame(keys).persist()
       try {
         require(keyDf.limit(1).count() > 0, "deleteKeys needs at least one key")
-        // no-op guard (idempotence, same contract as the index deletes),
+        // snapshot-rewrite guard (idempotence of the EXPENSIVE half),
         // across ALL retained versions newest-first: merge-maintained
         // stores are cumulative and hit on the first probe, but
         // writeSnapshot is a public API that can commit arbitrary
@@ -298,8 +298,9 @@ final class BatchStore[K, V](
           spark.read.parquet(snapshotDirAt(BatchID(id), st.genOf(id)))
             .join(keyDf, Seq("key"), "left_semi").limit(1).count() > 0
         }
-        if (anyMatch) {
-          val bumped = st.committed.map { id =>
+        val bumped =
+          if (!anyMatch) Map.empty[Long, Long]
+          else st.committed.map { id =>
             val gen = st.genOf(id)
             val cur = antiJoinKeys(
               spark.read.parquet(snapshotDirAt(BatchID(id), gen)), keyDf)
@@ -307,28 +308,41 @@ final class BatchStore[K, V](
                 functions.col("value").as("_2")).as[(K, V)]
             writeSnapshotData(snapshotDirAt(BatchID(id), gen + 1), cur)
             id -> (gen + 1)
+          }.toMap
+        // durable revocation record ([[backfill]]'s resurrection guard):
+        // (digest, cutoff) rows — xxhash64 of each requested key with the
+        // newest committed batch as the revocation's time UPPER BOUND, so
+        // the guard re-applies the takedown only to history ≤ the cutoff
+        // and the key's FUTURE stays unguarded (the deleteKeys contract).
+        // Recorded EVEN when no retained snapshot matched: retention may
+        // have dropped the key's era, but a backfill from the master
+        // dataset could still recompute it — the intent must outlive the
+        // snapshots. Committed in the SAME atomic flip as the generation
+        // bump. A (digest, ub ≤ recorded-ub) pair is already covered
+        // (re-delivered revocations change nothing); a RE-revocation
+        // after re-admission carries a higher cutoff and lands.
+        val cutoff = st.committed.max
+        val newDigests = keyDf
+          .select(functions.xxhash64(functions.col("key")).as("kd"),
+            functions.lit(cutoff).as("ub"))
+          .distinct()
+        val fresh = readRevokedDigests(spark, st) match {
+          case Some(old) =>
+            val covered = old.groupBy(functions.col("kd"))
+              .agg(functions.max(functions.col("ub")).as("__maxub"))
+            newDigests.join(covered,
+              newDigests("kd") === covered("kd") &&
+                newDigests("ub") <= covered("__maxub"), "left_anti")
+          case None => newDigests
+        }
+        val revIds =
+          if (fresh.limit(1).count() == 0) st.revokedIds
+          else {
+            val revId = st.revokedIds.maxOption.getOrElse(0L) + 1
+            fresh.write.mode("overwrite").parquet(revokedDir(revId))
+            revId :: st.revokedIds
           }
-          // durable revocation record ([[backfill]]'s resurrection guard):
-          // the victims' xxhash64 digests land as a parquet side-file,
-          // committed in the SAME atomic log flip as the generation bump —
-          // a crash can never leave snapshots rewritten but the takedown
-          // unrecorded (or vice versa). Digests already recorded by an
-          // earlier delete are not re-written (re-delivered revocations
-          // stay no-ops in state).
-          val newDigests = keyDf
-            .select(functions.xxhash64(functions.col("key")).as("kd"))
-            .distinct()
-          val fresh = readRevokedDigests(spark, st) match {
-            case Some(old) => newDigests.join(old, Seq("kd"), "left_anti")
-            case None      => newDigests
-          }
-          val revIds =
-            if (fresh.limit(1).count() == 0) st.revokedIds
-            else {
-              val revId = st.revokedIds.maxOption.getOrElse(0L) + 1
-              fresh.write.mode("overwrite").parquet(revokedDir(revId))
-              revId :: st.revokedIds
-            }
+        if (anyMatch || revIds != st.revokedIds) {
           BatchState.write(path,
             st.copy(gens = st.gens ++ bumped, revokedIds = revIds))
           sweepDeadSnapshotDirs()
@@ -375,7 +389,11 @@ final class BatchStore[K, V](
       val st = state
       if (st.revokedIds.size <= maxDirs) false
       else {
-        val all = readRevokedDigests(spark, st).get.distinct()
+        // fold to one (digest, max cutoff) row per key — re-revocations
+        // collapse to their newest bound, which is what the guard uses
+        val all = readRevokedDigests(spark, st).get
+          .groupBy(functions.col("kd"))
+          .agg(functions.max(functions.col("ub")).as("ub"))
         val revId = st.revokedIds.max + 1
         all.write.mode("overwrite").parquet(revokedDir(revId))
         BatchState.write(path, st.copy(revokedIds = List(revId)))
@@ -423,17 +441,20 @@ final class BatchStore[K, V](
     *
     * Interplay with [[deleteKeys]], ENFORCED (round 15): backfill REPLAYS
     * the deltas it is given, and a corrected delta stream that still
-    * contains a revoked key would silently resurrect it. Every effective
-    * deleteKeys therefore records its victims' xxhash64 digests
+    * contains a revoked key would silently resurrect it. Every deleteKeys
+    * therefore records its victims' (xxhash64 digest, cutoff batch) pairs
     * (committed atomically with the generation flip), and backfill
     * RE-APPLIES them by default: delta rows whose key digest matches a
-    * recorded revocation are dropped before the fold. The 64-bit digest
+    * recorded revocation AND whose batch is at or below that key's newest
+    * recorded cutoff are dropped before the fold — history the key earned
+    * AFTER its takedown replays untouched ("accumulated state, not the
+    * key's future", the same contract merge honors). The 64-bit digest
     * makes this a (1 - ~n²/2⁶⁵) guarantee — a collision drops an innocent
-    * key's recomputed history, never serves a revoked one; deployments
-    * where that tail matters apply takedowns to the master dataset and
-    * pass `allowResurrect = true`, the explicit escape hatch that skips
-    * the guard (deliberate re-admission is a product decision, not a
-    * default).
+    * key's pre-cutoff recomputed history, never serves a revoked one;
+    * deployments where that tail matters apply takedowns to the master
+    * dataset and pass `allowResurrect = true`, the explicit escape hatch
+    * that skips the guard (deliberate re-admission is a product decision,
+    * not a default).
     *
     * One shuffle total: prior snapshot ++ corrected deltas → per-key
     * batch-ordered fold ([[graft.plans.SortedGroups.perKeyTimeSorted]])
@@ -474,12 +495,20 @@ final class BatchStore[K, V](
 
     // resurrection guard: re-apply recorded takedowns to the delta stream
     // (anti-join on the key digest against the tiny revocation parquets —
-    // broadcast by Catalyst) unless the caller explicitly opts out
+    // broadcast by Catalyst) unless the caller explicitly opts out. TIME-
+    // SCOPED: a revocation guards only history up to its recorded cutoff
+    // batch (max over re-revocations) — deltas a key legitimately earned
+    // AFTER its takedown replay untouched, per the deleteKeys contract
+    // ("accumulated state, not the key's future").
     val guarded: Dataset[(K, Long, V)] = readRevokedDigests(spark, st) match {
       case Some(rev) if !allowResurrect =>
-        deltas.toDF("_1", "_2", "_3")
+        val bounds = rev.groupBy(functions.col("kd"))
+          .agg(functions.max(functions.col("ub")).as("__ub"))
+        val d = deltas.toDF("_1", "_2", "_3")
           .withColumn("__kd", functions.xxhash64(functions.col("_1")))
-          .join(rev.withColumnRenamed("kd", "__kd"), Seq("__kd"), "left_anti")
+        d.join(bounds,
+            d("__kd") === bounds("kd") && d("_2") <= bounds("__ub"),
+            "left_anti")
           .drop("__kd")
           .as[(K, Long, V)]
       case _ => deltas
@@ -687,12 +716,15 @@ final class BatchStore[K, V](
   *        segments already use.
   */
 /** @param revokedIds committed revocation-digest sets (dirs
-  *        `_graft_revoked/rev=N` of xxhash64 key digests, one per
-  *        effective [[BatchStore.deleteKeys]] call): the durable record
-  *        that a takedown happened, which [[BatchStore.backfill]] uses to
-  *        keep recomputed history from silently resurrecting revoked keys.
-  *        Digests, not keys — the commit log must stay generic over K and
-  *        tiny; the parquet side-files scale to mass revocations.
+  *        `_graft_revoked/rev=N` of (xxhash64 key digest, cutoff batch)
+  *        rows, one dir per [[BatchStore.deleteKeys]] call that recorded
+  *        anything new): the durable record that a takedown happened and
+  *        THROUGH WHEN, which [[BatchStore.backfill]] uses to keep
+  *        recomputed history ≤ the cutoff from silently resurrecting
+  *        revoked keys while the key's post-takedown future replays
+  *        untouched. Digests, not keys — the commit log must stay generic
+  *        over K and tiny; the parquet side-files scale to mass
+  *        revocations and fold via [[BatchStore.compactRevoked]].
   */
 final case class BatchState(committed: List[Long],
     maxAppliedStreamBatch: Long = -1L,
@@ -709,19 +741,23 @@ object BatchState {
   // path — the "etag" a conditional flip compares against when a
   // [[StoreFs.CasBackend]] is installed (driver-side mutations read and
   // flip on one thread, same keying discipline as WriterLease.held).
-  // None = the log did not exist at read time.
+  // None = the log did not exist at read time. Recorded ONLY while a
+  // backend is installed: the default rename path never consults it, and
+  // unconditional recording would retain every read store's log bytes
+  // for the thread's lifetime (pure read paths included).
   private val lastRead = new ThreadLocal[Map[String, Option[Array[Byte]]]] {
     override def initialValue(): Map[String, Option[Array[Byte]]] = Map.empty
   }
 
   def read(path: String): BatchState = {
+    val tag = StoreFs.currentCasBackend.nonEmpty
     val f = stateFile(path)
     if (!StoreFs.exists(f)) {
-      lastRead.set(lastRead.get + (path -> None))
+      if (tag) lastRead.set(lastRead.get + (path -> None))
       BatchState(Nil)
     } else {
       val bytes = StoreFs.readBytes(f)
-      lastRead.set(lastRead.get + (path -> Some(bytes)))
+      if (tag) lastRead.set(lastRead.get + (path -> Some(bytes)))
       val s = new String(bytes, "UTF-8")
       // minimal parse of {"committed":[1,2,3],"maxAppliedBatch":N,
       // "gens":{"5":1}} (trailing fields optional — pre-r13 logs carry
@@ -785,8 +821,8 @@ object BatchState {
             s"BatchState($path): conditional commit-log flip lost — the log " +
             "changed after this writer read it (a same-instant racer won). " +
             "Aborting; uncommitted data stays invisible")
+        lastRead.set(lastRead.get + (path -> Some(bytes)))
     }
-    lastRead.set(lastRead.get + (path -> Some(bytes)))
   }
 
   /** Recursive delete of a pruned snapshot / swept segment dir, on

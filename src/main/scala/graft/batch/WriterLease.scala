@@ -93,7 +93,14 @@ object WriterLease {
         s"WriterLease($path): lost the stale-lease break race for $lock — " +
         "another writer broke and re-acquired it first")
     if (StoreFs.modificationTime(grave) != observedMs) {
-      StoreFs.renameExclusive(grave, lock)
+      // best-effort restore of the racer's fresh lease; if a THIRD
+      // acquirer already created a new lock (restore target exists) or
+      // the restore races, delete the grave instead — the displaced
+      // racer aborts loudly at its commit-time re-verify (exact-or-loud)
+      // and no *.broken.* file is ever left behind
+      if (scala.util.Try(StoreFs.renameExclusive(grave, lock)).getOrElse(false))
+        ()
+      else StoreFs.deleteRecursive(grave)
       throw new IllegalStateException(
         s"WriterLease($path): the lease at $lock was re-acquired between this " +
         "writer's staleness observation and its break — another writer holds it now")

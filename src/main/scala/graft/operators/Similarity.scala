@@ -1453,7 +1453,20 @@ object Similarity {
       require(cur.columns.contains(vecCol),
         s"nswAppendToStored: stored index at $path has no '$vecCol' column — " +
         "codes-only indexes cannot be inserted into (rebuild from the float corpus)")
-      val marks = readNswMarks(spark, path, segs, idCol)
+      // the live mark set = mark SEGMENTS ∪ tombstones persisted IN the
+      // graph column (an nswDeleteFromBuilt frame written via
+      // nswWriteIndex) — the rebuilt payload drops the column, so missing
+      // the in-column half would silently resurrect those takedowns
+      val colMarks =
+        if (!cur.columns.contains("nsw_deleted")) None
+        else {
+          val m0 = cur.where(col("nsw_deleted")).select(col(idCol))
+          if (m0.limit(1).count() == 0) None else Some(m0)
+        }
+      val marks = (readNswMarks(spark, path, segs, idCol), colMarks) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b).distinct())
+        case (a, b)             => a.orElse(b)
+      }
       val grown = nswInsertAgainst(
         cur.select(col(idCol), col(vecCol), col("nbr_ids")), newRows,
         vecCol, idCol, nParts, m, efConstruction)

@@ -753,10 +753,12 @@ object ScaleProbe {
       def decadeInputs(name: String): (String, String) =
         if (name.contains("minhash") || name == "streaming_dedup") (docs1, docsN)
         else (ev1, evN)
-      streamProbe(decadeNames.head, 4, decadeInputs(decadeNames.head)._1,
-        rocksProvider) // warm
       decadeNames.foreach { name =>
         val (p1, pN) = decadeInputs(name)
+        // warm THE ARM BEING TIMED: each machine has its own one-time
+        // codegen/state-provider costs, and billing them to t1 would
+        // deflate every published tN/t1 decade ratio
+        streamProbe(name, 4, p1, rocksProvider)
         val (t1, r1, m1, f1, fm1) = timedStreamProbe(name, 4, p1, rocksProvider)
         val (tN, rN, mN, fN, fmN) = timedStreamProbe(name, 4, pN, rocksProvider)
         println(f"PROBE $name%-26s parts=4 store=rocksdb " +

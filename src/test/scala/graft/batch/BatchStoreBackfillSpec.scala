@@ -231,6 +231,37 @@ class BatchStoreBackfillSpec extends AnyFunSuite {
     BatchState.deleteDir(dir)
   }
 
+  test("the revocation guard is TIME-SCOPED: deltas a key earned AFTER its " +
+      "takedown replay untouched through a dirty backfill, and a " +
+      "RE-revocation after re-admission raises the cutoff") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_store_bft").toString
+    val store = new BatchStore[String, Long](dir)
+    store.merge(spark, Seq(("a", 1L, 1L), ("b", 1L, 1L)).toDS(), BatchID(1)).count()
+    store.deleteKeys(spark, Seq("a")) // cutoff = batch 1
+    // the key legitimately re-enters with NEW events (the deleteKeys
+    // contract: accumulated state gone, the future untouched)
+    store.merge(spark, Seq(("a", 2L, 4L)).toDS(), BatchID(2)).count()
+    assert(store.readLast(spark).get._2.collect().toMap ==
+      Map("a" -> 4L, "b" -> 1L))
+    // dirty full-history backfill: a's PRE-cutoff delta drops, its
+    // post-cutoff delta replays — the takedown must not eat the new era
+    store.backfill(spark,
+      Seq(("a", 1L, 1L), ("b", 1L, 1L), ("a", 2L, 4L)).toDS(), BatchID(1))
+    assert(store.readLast(spark, BatchID(1)).get._2.collect().toMap ==
+      Map("b" -> 1L))
+    assert(store.readLast(spark).get._2.collect().toMap ==
+      Map("a" -> 4L, "b" -> 1L))
+    // re-revocation after re-admission: the new cutoff (batch 2) lands
+    // and the SAME dirty backfill now drops both eras
+    store.deleteKeys(spark, Seq("a"))
+    assert(BatchState.read(dir).revokedIds.size == 2, "re-revocation not recorded")
+    store.backfill(spark,
+      Seq(("a", 1L, 1L), ("b", 1L, 1L), ("a", 2L, 4L)).toDS(), BatchID(1))
+    assert(store.readLast(spark).get._2.collect().toMap == Map("b" -> 1L))
+    BatchState.deleteDir(dir)
+  }
+
   test("compactRevoked folds the digest record without changing its " +
       "content: the guard is identical before and after, later takedowns " +
       "append fresh dirs, and the fold is a no-op below the threshold") {

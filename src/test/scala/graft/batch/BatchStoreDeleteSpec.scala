@@ -109,16 +109,26 @@ class BatchStoreDeleteSpec extends AnyFunSuite {
     BatchState.deleteDir(dir)
   }
 
-  test("deleteKeys of never-present keys is a pure no-op: no rewrite, no " +
-      "generation bump, no commit-log change") {
+  test("deleteKeys of never-present keys rewrites NOTHING but still records " +
+      "the revocation intent (a master backfill could recompute an era " +
+      "retention dropped); re-delivery of the same request changes nothing") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft_store_delkn").toString
     val store = new BatchStore[String, Long](dir)
     store.merge(spark, Seq(("a", 1L, 1L)).toDS(), BatchID(1)).count()
-    val before = BatchState.read(dir)
     store.deleteKeys(spark, Seq("ghost"))
-    assert(BatchState.read(dir) == before, "no-op delete mutated the log")
+    val st = BatchState.read(dir)
+    assert(st.gens.isEmpty, "ghost delete bumped a generation")
     assert(dirsOf(dir) == Set("batch_id=1"), dirsOf(dir))
+    assert(st.revokedIds == List(1L), "revocation intent not recorded")
+    // the recorded intent guards a dirty master recompute of the era
+    store.backfill(spark,
+      Seq(("a", 1L, 1L), ("ghost", 1L, 9L)).toDS(), BatchID(1))
+    assert(store.readLast(spark).get._2.collect().toMap == Map("a" -> 1L))
+    // idempotent: the same request (same keys, no newer cutoff) is a no-op
+    val after = BatchState.read(dir)
+    store.deleteKeys(spark, Seq("ghost"))
+    assert(BatchState.read(dir) == after, "re-delivered ghost delete mutated the log")
     BatchState.deleteDir(dir)
   }
 

@@ -115,6 +115,17 @@ class NswStoredSpec extends AnyFunSuite {
         query, k = 10, nParts = 2))
       assert(!got.exists(Set(9L, 23L)), got)
       assert(got.size == 10 && got.head == 7L, got)
+      // an APPEND must carry BOTH mark provenances into its rewrite — the
+      // rebuilt payload drops the nsw_deleted column, so missing the
+      // in-column half would silently resurrect id 9
+      Similarity.nswAppendToStored(spark, dir,
+        Seq((900L, vecs(40)._2.toSeq)).toDF("vec_id", "embedding"),
+        "embedding", "vec_id", nParts = 2)
+      val after = topIds(Similarity.nswSearchBuilt(
+        Similarity.readNswIndex(spark, dir), "embedding", "vec_id",
+        query, k = 30, nParts = 2))
+      assert(!after.exists(Set(9L, 23L)),
+        s"append resurrected a persisted tombstone: $after")
     } finally BatchState.deleteDir(dir)
   }
 
