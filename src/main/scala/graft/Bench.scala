@@ -94,7 +94,12 @@ object Bench {
         // read every scale effect as a stall — disable instead
         val refSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(s)
           .map(_.group(1)).getOrElse("")
-        if (refSf != sfDir) {
+        // normalized path compare: a trailing slash or ./ segment must
+        // not silently disable stall flagging for a same-scale run
+        def norm(p: String): String =
+          try java.nio.file.Paths.get(p).normalize().toString
+          catch { case _: Throwable => p.stripSuffix("/") }
+        if (norm(refSf) != norm(sfDir)) {
           System.err.println(s"[bench] stall reference $refPath is for " +
             s"'$refSf', this run is '$sfDir' — stall flagging disabled")
           Map.empty

@@ -404,14 +404,40 @@ final class BatchStore[K, V](
 
   private def revokedDir(id: Long): String = s"$path/_graft_revoked/rev=$id"
 
-  /** Union of the committed revocation-digest sets (column `kd`); None
-    * when no takedown was ever recorded.
+  /** Union of the committed revocation-digest sets as (kd, ub) rows; None
+    * when no takedown was ever recorded. Digest dirs written before the
+    * cutoff column existed (kd-only) normalize to `ub = Long.MaxValue` —
+    * the pre-cutoff semantics guarded ALL history, so the widest bound
+    * preserves them exactly (same tolerance discipline as
+    * [[BatchState.read]]'s pre-r13/r14 log fields).
     */
   private def readRevokedDigests(spark: SparkSession,
       st: BatchState): Option[org.apache.spark.sql.DataFrame] =
     if (st.revokedIds.isEmpty) None
-    else Some(st.revokedIds.map(id => spark.read.parquet(revokedDir(id)))
-      .reduce(_ unionByName _))
+    else Some(st.revokedIds.map { id =>
+      val d = spark.read.parquet(revokedDir(id))
+      if (d.columns.contains("ub")) d.select(functions.col("kd"), functions.col("ub"))
+      else d.select(functions.col("kd"),
+        functions.lit(Long.MaxValue).as("ub"))
+    }.reduce(_ unionByName _))
+
+  /** The one guard shape [[backfill]] applies to its delta stream: rows
+    * whose key digest matches a recorded revocation at or below that
+    * key's newest cutoff anti-join out. Package-visible so the plan law
+    * audits exactly the query the guard runs (broadcast on the digest
+    * side, no shuffle of the deltas).
+    */
+  private[graft] def guardDeltas(d: org.apache.spark.sql.DataFrame,
+      rev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bounds = rev.groupBy(functions.col("kd"))
+      .agg(functions.max(functions.col("ub")).as("__ub"))
+    val keyed = d.withColumn("__kd",
+      functions.xxhash64(functions.col("_1")))
+    keyed.join(bounds,
+        keyed("__kd") === bounds("kd") && keyed("_2") <= bounds("__ub"),
+        "left_anti")
+      .drop("__kd")
+  }
 
   /** Historical recompute — the lambda architecture's human-fault-tolerance
     * move (recompute bad derived state from the master dataset; the batch
@@ -502,15 +528,7 @@ final class BatchStore[K, V](
     // ("accumulated state, not the key's future").
     val guarded: Dataset[(K, Long, V)] = readRevokedDigests(spark, st) match {
       case Some(rev) if !allowResurrect =>
-        val bounds = rev.groupBy(functions.col("kd"))
-          .agg(functions.max(functions.col("ub")).as("__ub"))
-        val d = deltas.toDF("_1", "_2", "_3")
-          .withColumn("__kd", functions.xxhash64(functions.col("_1")))
-        d.join(bounds,
-            d("__kd") === bounds("kd") && d("_2") <= bounds("__ub"),
-            "left_anti")
-          .drop("__kd")
-          .as[(K, Long, V)]
+        guardDeltas(deltas.toDF("_1", "_2", "_3"), rev).as[(K, Long, V)]
       case _ => deltas
     }
 
@@ -804,7 +822,11 @@ object BatchState {
       .getBytes("UTF-8")
     val f = stateFile(path)
     StoreFs.currentCasBackend match {
-      case None => StoreFs.writeAtomic(f, bytes)
+      case None =>
+        StoreFs.writeAtomic(f, bytes)
+        // evict any tag a previously-installed backend recorded: a later
+        // reinstall must never CAS against bytes this rename superseded
+        lastRead.set(lastRead.get - path)
       case Some(cas) =>
         // conditional flip (If-Match on the content this thread last
         // read): two same-instant flips resolve exactly — the loser

@@ -1453,20 +1453,19 @@ object Similarity {
       require(cur.columns.contains(vecCol),
         s"nswAppendToStored: stored index at $path has no '$vecCol' column — " +
         "codes-only indexes cannot be inserted into (rebuild from the float corpus)")
-      // the live mark set = mark SEGMENTS ∪ tombstones persisted IN the
-      // graph column (an nswDeleteFromBuilt frame written via
-      // nswWriteIndex) — the rebuilt payload drops the column, so missing
-      // the in-column half would silently resurrect those takedowns
-      val colMarks =
+      // the live mark set, read off cur's nsw_deleted column — which
+      // readNswIndex built as mark SEGMENTS OR tombstones persisted
+      // IN-COLUMN (an nswDeleteFromBuilt frame written via nswWriteIndex),
+      // so this single read covers both provenances; the rebuilt payload
+      // drops the column, so skipping this would silently resurrect every
+      // live takedown
+      val marks =
         if (!cur.columns.contains("nsw_deleted")) None
         else {
           val m0 = cur.where(col("nsw_deleted")).select(col(idCol))
-          if (m0.limit(1).count() == 0) None else Some(m0)
+            .localCheckpoint(true)
+          if (m0.isEmpty) None else Some(m0)
         }
-      val marks = (readNswMarks(spark, path, segs, idCol), colMarks) match {
-        case (Some(a), Some(b)) => Some(a.unionByName(b).distinct())
-        case (a, b)             => a.orElse(b)
-      }
       val grown = nswInsertAgainst(
         cur.select(col(idCol), col(vecCol), col("nbr_ids")), newRows,
         vecCol, idCol, nParts, m, efConstruction)

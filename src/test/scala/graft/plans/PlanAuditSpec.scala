@@ -207,18 +207,21 @@ class PlanAuditSpec extends AnyFunSuite {
   test("backfill's revocation guard plans as a BROADCAST anti-join on the " +
       "key digest (the delta stream never shuffles for the guard)") {
     val s = spark; import s.implicits._
-    // the guard's shape, stated directly: deltas anti-joined against the
-    // tiny recorded-digest frame on xxhash64(key)
+    // audit the EXACT query the guard runs (BatchStore.guardDeltas — the
+    // same helper backfill calls), not a hand-built lookalike
+    val store = new graft.batch.BatchStore[Long, Long](
+      java.nio.file.Files.createTempDirectory("graft_guard_plan_").toString)
     val deltas = spark.read.parquet(s"$dir/events.parquet")
       .select(col("user_id").as("_1"), lit(1L).as("_2"), lit(1L).as("_3"))
     val rev = Seq(7L, 13L).toDF("k")
-      .select(xxhash64(col("k")).as("__kd"))
-    val p = plan(deltas.withColumn("__kd", xxhash64(col("_1")))
-      .join(rev, Seq("__kd"), "left_anti").drop("__kd"))
+      .select(xxhash64(col("k")).as("kd"), lit(5L).as("ub"))
+    val p = plan(store.guardDeltas(deltas, rev))
     val anti = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
     assert(anti.nonEmpty, s"no anti-join:\n${p.take(800)}")
     assert(anti.forall(_.contains("Broadcast")),
       s"guard anti-join shuffled the deltas:\n${anti.mkString("\n")}")
+    assert(!p.contains("NestedLoop"),
+      s"guard degraded to a nested-loop join:\n${p.take(800)}")
   }
 
   test("removeDuplicatedSpans: no ranking window (hot-gram-safe aggregate); exchanges carry no text") {
