@@ -447,6 +447,39 @@ object ScaleProbe {
             "text", "doc_id")
           .agg(sum(col("score"))).collect().head.getDouble(0).toLong
       },
+      // round-15: Dataset-scale deleteKeys — the TIMED work is one
+      // mass revocation (digest-set write + one anti-join rewrite of the
+      // retained snapshot; bootstrap untimed, cached per path). Each call
+      // revokes a FRESH user cohort, because the warm call's cohort would
+      // otherwise make the timed call a no-op guard hit. Cost must track
+      // snapshot rows (the anti-join scans the snapshot once), never
+      // |victims| driver-side — the victim set is a lazy Dataset.
+      "store_delete_mass" -> {
+        val stores = mutable.Map.empty[String, graft.batch.BatchStore[Long, Long]]
+        val calls = mutable.Map.empty[String, Int]
+        p => {
+          import graft.batch.BatchStore
+          import graft.time.BatchID
+          implicit val sg: graft.algebra.Semigroup[Long] =
+            graft.algebra.Semigroup.longSemigroup
+          val sess = spark
+          import sess.implicits._
+          val store = stores.getOrElseUpdate(p, {
+            val deltas = spark.read.parquet(p)
+              .select(col("user_id"), lit(1L).as("b"), lit(1L).as("v"))
+              .groupBy(col("user_id"), col("b")).agg(sum(col("v")).as("v"))
+              .select(col("user_id"), col("b"), col("v")).as[(Long, Long, Long)]
+            val st = new BatchStore[Long, Long](java.nio.file.Files
+              .createTempDirectory("graft_probe_delstore_").toString)
+            st.merge(spark, deltas, BatchID(1L)).count()
+            st
+          })
+          val i = calls.getOrElse(p, 0); calls(p) = i + 1
+          store.deleteKeys(spark.read.parquet(p).select(col("user_id"))
+            .where(pmod(col("user_id"), lit(7)) === i).distinct().as[Long])
+          store.readLast(spark).get._2.map(_._1).reduce(math.max)
+        }
+      },
       // round-14: BatchStore.backfill — the TIMED work is the historical
       // recompute only (store bootstrap of three merged versions is
       // untimed, cached per path). The fold's one shuffle carries
@@ -487,7 +520,7 @@ object ScaleProbe {
       val (d1, dp) = (name match {
         case "heavy_hitters" | "moments_bloom_quantile" | "sessionize"
            | "sessionize_skew" | "sessionize_skew_presplit"
-           | "store_backfill" => (ev1, evN)
+           | "store_backfill" | "store_delete_mass" => (ev1, evN)
         case "ann_pq" | "ann_ivfpq" | "semdedup" | "semdedup_scaledk"
            | "semdedup_hier" | "embed_quant" | "ann_int8"
            | "ann_int8_stored" => (emb1, embN)
