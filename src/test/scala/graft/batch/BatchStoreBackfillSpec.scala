@@ -262,6 +262,33 @@ class BatchStoreBackfillSpec extends AnyFunSuite {
     BatchState.deleteDir(dir)
   }
 
+  test("pre-cutoff (kd-only) revocation dirs read as ub = MaxValue — guard " +
+      "ALL history, union with new-format dirs, and migrate through " +
+      "compactRevoked") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val dir = Files.createTempDirectory("graft_store_bfold").toString
+    val store = new BatchStore[String, Long](dir)
+    store.merge(spark,
+      Seq(("a", 1L, 1L), ("b", 1L, 1L), ("c", 1L, 1L)).toDS(), BatchID(1)).count()
+    // fabricate a record the PREVIOUS release wrote: digest only, no ub
+    Seq("a").toDF("k").select(xxhash64(col("k")).as("kd"))
+      .write.parquet(s"$dir/_graft_revoked/rev=1")
+    BatchState.write(dir, BatchState.read(dir).copy(revokedIds = List(1L)))
+    // a new-format takedown lands beside it: mixed schemas must union
+    store.deleteKeys(spark, Seq("b"))
+    assert(BatchState.read(dir).revokedIds.sorted == List(1L, 2L))
+    store.backfill(spark,
+      Seq(("a", 1L, 1L), ("b", 1L, 1L), ("c", 1L, 9L)).toDS(), BatchID(1))
+    assert(store.readLast(spark).get._2.collect().toMap == Map("c" -> 9L))
+    // the fold migrates the old record to (kd, ub) — semantics unchanged
+    assert(store.compactRevoked(spark, maxDirs = 1))
+    store.backfill(spark,
+      Seq(("a", 1L, 1L), ("b", 1L, 1L), ("c", 1L, 9L)).toDS(), BatchID(1))
+    assert(store.readLast(spark).get._2.collect().toMap == Map("c" -> 9L))
+    BatchState.deleteDir(dir)
+  }
+
   test("compactRevoked folds the digest record without changing its " +
       "content: the guard is identical before and after, later takedowns " +
       "append fresh dirs, and the fold is a no-op below the threshold") {
