@@ -1988,9 +1988,14 @@ object SparkEntry {
       val k = 64
       // ONE k-means training shared by the operator and the quality check
       // (each Lloyd pass compiles a k-literal-centroid expression; training
-      // twice would double the row's dominant fixed cost)
+      // twice would double the row's dominant fixed cost). Round 16: Lloyd
+      // trains on a BOUNDED hashed-id sample, driver-local (the
+      // pqCodebooks discipline) — at 100x data the training cost is flat
+      // and the corpus is scanned once (the assignment pass); every
+      // invariant below is computed against THESE centroids, so the gate
+      // is unchanged by where they were refined.
       val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id", k, 2,
-        hierAssign = true)
+        hierAssign = true, trainSample = 16384)
       val hierKept = Dedup.semanticDedup(e, "embedding", "vec_id",
         nClusters = k, threshold = 0.9, hierAssign = true,
         centroids = Some(cents))
@@ -2294,15 +2299,16 @@ object SparkEntry {
     }),
 
     "q_nsw_lifecycle_stored" -> ((s, dir) => {
-      // round 15: the FULL stored-graph lifecycle in one row — bootstrap
-      // (nswWriteIndex) → takedown (one mark segment; the original
-      // needle revoked) → append (nswAppendToStored: graph rewrite
-      // CARRYING the mark, a fresh exact copy of the query ingested) →
-      // compaction (nswCompactStored: mark folded physically, segments
-      // down to one) → serve. The appended copy must rank first at
-      // cosine 1.0, the revoked original must never surface, and the
-      // compacted index must hold exactly corpus-1+1 rows with no marks
-      // left (asserted in-row).
+      // round 15 (delta appends round 16): the FULL stored-graph
+      // lifecycle in one row — bootstrap (nswWriteIndex) → takedown (one
+      // mark segment; the original needle revoked) → append
+      // (nswAppendToStored: one O(|batch|·m) graphdelta segment, a fresh
+      // exact copy of the query ingested; the mark keeps applying
+      // through the read-side fold) → compaction (nswCompactStored:
+      // deltas + marks folded physically, segments down to one) → serve.
+      // The appended copy must rank first at cosine 1.0, the revoked
+      // original must never surface, and the compacted index must hold
+      // exactly corpus-1+1 rows with no marks left (asserted in-row).
       import s.implicits._
       val q = Array.tabulate(64)(i => math.sin(i + 1.0))
       val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -2332,6 +2338,50 @@ object SparkEntry {
           .agg(count(lit(1)).as("k"),
             max(col("vec_id") === -2L && col("nsw_sim") === 1.0).as("appended_first"),
             max(col("vec_id") === -1L).as("served_deleted"))
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
+    "q_nsw_append_stored" -> ((s, dir) => {
+      // round 16: O(batch) stored append — nswWriteIndex over day 1,
+      // then nswAppendToStored of a day-2 batch (needle + noise, ids
+      // above every indexed id). Asserted in-row: the append committed
+      // ONE graphdelta-only segment of ≤ |batch|·(m+1) rows (never an
+      // index-sized rewrite — the round-15 append rewrote the whole
+      // grown graph) and the read-side last-writer-wins reassembly is
+      // IDENTICAL to a full rebuild over both days (append-only ids →
+      // rebuild-identical construction). Output: the q_ann_nsw_incr
+      // search invariants + the equality bit, oracle-pinned TRUE.
+      import s.implicits._
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val vecType = e0.schema("embedding").dataType
+      val base = 1000000000L
+      val day2 = ((base, q.toSeq) +: Seq.tabulate(20)(j =>
+          (base + 1 + j.toLong, Seq.tabulate(64)(i => math.sin(j * 64 + i + 2.0)))))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast(vecType))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_nsw_app_").toString
+      try {
+        Similarity.nswWriteIndex(
+          Similarity.nswBuild(e0, "embedding", "vec_id"), tmp)
+        Similarity.nswAppendToStored(s, tmp, day2, "embedding", "vec_id")
+        val segs = graft.batch.SegmentedStore.committedSegs(tmp)
+        require(segs.size == 2 && !graft.batch.StoreFs.exists(
+          s"${graft.batch.SegmentedStore.segDir(tmp, segs.max)}/graph"),
+          s"q_nsw_append_stored: append was not a delta-only segment ($segs)")
+        val deltaRows = s.read.parquet(
+          s"${graft.batch.SegmentedStore.segDir(tmp, segs.max)}/graphdelta").count()
+        require(deltaRows <= 21L * 9L, // |batch|·(m+1), m = 8
+          s"q_nsw_append_stored: delta not O(|batch|·m): $deltaRows rows")
+        val idx = Similarity.readNswIndex(s, tmp).localCheckpoint(true)
+        val rebuilt = Similarity.nswBuild(e0.unionByName(day2),
+          "embedding", "vec_id").localCheckpoint(true)
+        val eq = idx.except(rebuilt).count() == 0 &&
+          rebuilt.except(idx).count() == 0
+        Similarity.nswSearchBuilt(idx, "embedding", "vec_id", q, k = 10)
+          .agg(count(lit(1)).as("k"), countDistinct(col("vec_id")).as("n_ids"),
+            max(col("vec_id") === base && col("nsw_sim") === 1.0).as("needle_found"))
+          .withColumn("append_eq_rebuild", lit(eq))
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
@@ -4681,12 +4731,19 @@ object SparkEntry {
       """SELECT CAST(10 AS BIGINT) AS k, TRUE AS retained_needle,
         |  FALSE AS served_deleted""".stripMargin,
 
-    // full stored-graph lifecycle: bootstrap → takedown → append (marks
-    // carried) → compaction (marks folded) → serve; the appended copy
-    // ranks first, the revoked original never surfaces
+    // full stored-graph lifecycle: bootstrap → takedown → append (one
+    // delta segment; marks keep applying) → compaction (deltas + marks
+    // folded) → serve; the appended copy ranks first, the revoked
+    // original never surfaces
     "q_nsw_lifecycle_stored" ->
       """SELECT CAST(10 AS BIGINT) AS k, TRUE AS appended_first,
         |  FALSE AS served_deleted""".stripMargin,
+
+    // O(batch) stored append: one graphdelta-only segment ≤ |batch|·(m+1)
+    // rows (asserted in-row), LWW reassembly ≡ full rebuild over both days
+    "q_nsw_append_stored" ->
+      """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_ids,
+        |  TRUE AS needle_found, TRUE AS append_eq_rebuild""".stripMargin,
 
     // hierarchical form: the needle surfaces through the persisted
     // multi-layer index (greedy upper-layer descent + layer-0 beam)

@@ -767,6 +767,16 @@ object BatchState {
     override def initialValue(): Map[String, Option[Array[Byte]]] = Map.empty
   }
 
+  /** Drop this thread's recorded commit-log bytes for `path`. Called by
+    * [[WriterLease.withLock]] on release: the mutation window the tag
+    * existed for is over, so a pooled driver thread touching many stores
+    * does not retain every log it ever read for the thread's lifetime
+    * (pure read paths like `readLast` record a tag too while a backend is
+    * installed — harmless inside a lease, a slow leak without eviction).
+    */
+  private[batch] def forgetRead(path: String): Unit =
+    lastRead.set(lastRead.get - path)
+
   def read(path: String): BatchState = {
     val tag = StoreFs.currentCasBackend.nonEmpty
     val f = stateFile(path)

@@ -133,6 +133,9 @@ object WriterLease {
     try body
     finally {
       held.set(held.get - path)
+      // the conditional-flip tag for this store dies with the lease: a
+      // pooled driver thread must not retain every log it read forever
+      BatchState.forgetRead(path)
       // owner-checked release (layer 4): never delete a racer's lease
       if (readLock(lock).contains(token)) StoreFs.deleteRecursive(lock)
     }

@@ -979,14 +979,18 @@ object Dedup {
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
       nClusters: Int, threshold: Double = 0.95,
       lloydIters: Int = 2, hierAssign: Boolean = false,
-      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+      centroids: Option[Array[Array[Double]]] = None,
+      trainSample: Int = 0): DataFrame = {
     require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
     // callers that already trained centroids (shared with a quality check,
     // an IVF index, or an earlier batch) pass them in — k-means is the
-    // expensive prefix of this operator, not the pair scan
+    // expensive prefix of this operator, not the pair scan. trainSample > 0
+    // bounds that prefix: Lloyd runs driver-local on a hashed-id sample
+    // (Similarity.kmeansCentroids), so the corpus is scanned exactly once
+    // (the assignment pass) — the production setting at large k
     val cents = centroids.getOrElse(
       Similarity.kmeansCentroids(df, vecCol, idCol, nClusters, lloydIters,
-        hierAssign = hierAssign))
+        hierAssign = hierAssign, trainSample = trainSample))
     require(cents.length == nClusters,
       s"provided ${cents.length} centroids but nClusters=$nClusters")
     // hierAssign: the production-k regime — assignment via the multi-probe

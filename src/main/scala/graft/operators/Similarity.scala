@@ -532,8 +532,30 @@ object Similarity {
     */
   def kmeansCentroids(df: DataFrame, vecCol: String, idCol: String,
       nCentroids: Int, lloydIters: Int,
-      hierAssign: Boolean = false): Array[Array[Double]] = {
+      hierAssign: Boolean = false,
+      trainSample: Int = 0): Array[Array[Double]] = {
     require(lloydIters >= 0, s"lloydIters must be >= 0, got $lloydIters")
+    if (trainSample > 0) {
+      // bounded-sample training (round 16 — the pqCodebooks discipline):
+      // ONE TakeOrdered job collects the `trainSample` vectors with the
+      // smallest hashed id, Lloyd runs driver-LOCAL on the sample, and the
+      // corpus is touched again only by the caller's single assignment
+      // pass. The sample is a superset-prefix of the distributed path's
+      // seeds (same (xxhash64(id), id) order), so seeding is identical;
+      // the refined centroids differ from full-corpus Lloyd exactly the
+      // way any sampled k-means does — the standard billion-scale trade
+      // (FAISS trains IVF coarse quantizers on ≤ 256·k samples). At 100×
+      // data this turns lloydIters full-corpus scans into zero.
+      require(trainSample >= nCentroids,
+        s"trainSample $trainSample < nCentroids=$nCentroids")
+      val sample: Array[Array[Double]] = df
+        .select(col(vecCol).cast("array<double>").as("__v"), col(idCol).as("__sid"))
+        .orderBy(xxhash64(col("__sid")), col("__sid"))
+        .limit(trainSample)
+        .collect()
+        .map(_.getSeq[Double](0).toArray)
+      return kmeansLocal(sample, nCentroids, lloydIters)
+    }
     val seeds: Array[Array[Double]] = df
       .select(col(vecCol).cast("array<double>").as("__v"), col(idCol).as("__sid"))
       .orderBy(xxhash64(col("__sid")), col("__sid"))
@@ -564,6 +586,45 @@ object Similarity {
         while (i < dims) { next(r.getInt(0))(i) = m(i); i += 1 }
       }
       next
+    }
+  }
+
+  /** Driver-local spherical Lloyd over an in-memory sample: seeds are the
+    * sample's first `nCentroids` rows (≡ the distributed seeding — the
+    * sample is collected in the same (hash, id) order), assignment is
+    * cosine argmax with ties to the FIRST index (the [[nearestCentroid]]
+    * array_position rule), update is the unnormalized mean, and an empty
+    * centroid keeps its previous position — the exact semantics of the
+    * distributed loop, minus the per-iteration Spark job.
+    */
+  private def kmeansLocal(sample: Array[Array[Double]], nCentroids: Int,
+      iters: Int): Array[Array[Double]] = {
+    val seeds = sample.take(nCentroids).map(_.clone())
+    val dims = seeds.headOption.map(_.length).getOrElse(0)
+    (0 until iters).foldLeft(seeds) { (cents, _) =>
+      val cNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+      val sums = Array.fill(cents.length, dims)(0.0)
+      val counts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        var best = 0
+        var bestS = Double.NegativeInfinity
+        var i = 0
+        while (i < cents.length) {
+          var dot = 0.0
+          var j = 0
+          while (j < dims) { dot += v(j) * cents(i)(j); j += 1 }
+          // |v| is per-row constant under the argmax; guard |c| = 0
+          val s = if (cNorms(i) == 0.0) 0.0 else dot / cNorms(i)
+          if (s > bestS) { bestS = s; best = i }
+          i += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dims) { sums(best)(j) += v(j); j += 1 }
+      }
+      Array.tabulate(cents.length) { i =>
+        if (counts(i) == 0L) cents(i) else sums(i).map(_ / counts(i))
+      }
     }
   }
 
@@ -1317,27 +1378,39 @@ object Similarity {
       .drop("__nsw_mark")
   }
 
-  // ---- stored graph-ANN tier (round 15): the nswBuild adjacency frame
-  // under the SAME log-structured segment layout as the codes/postings
-  // indexes, so a graph TAKEDOWN is one tiny mark-segment write + one
-  // atomic flip instead of a caller-managed index rewrite. Layout:
+  // ---- stored graph-ANN tier (round 15; delta appends round 16): the
+  // nswBuild adjacency frame under the SAME log-structured segment layout
+  // as the codes/postings indexes, so a graph TAKEDOWN is one tiny
+  // mark-segment write + one atomic flip and a graph APPEND is one
+  // O(|batch|·m) delta-segment write — never a caller-managed index
+  // rewrite. Layout:
   //
   //   path/_graft_state.json    commit log (SegmentedStore)
-  //   path/seg=N/graph          the adjacency payload — exactly ONE live
-  //                             (every graph mutation rewrites the whole
-  //                             interlinked structure: bootstrap, append,
-  //                             compaction are all commitReplaceAll)
+  //   path/seg=N/graph          the full adjacency payload — exactly ONE
+  //                             live (bootstrap and compaction are
+  //                             commitReplaceAll)
+  //   path/seg=K/graphdelta     one insert batch's TOUCHED rows (new
+  //                             nodes + relinked neighbors), appended
+  //                             (commitAppend); read-side last-writer-
+  //                             wins per id over (graph ∪ deltas)
+  //                             reassembles the grown graph
   //   path/seg=M/marks          one tombstone id-set per takedown —
   //                             appended (commitAppend), OR-composed at
-  //                             read into `nsw_deleted`
+  //                             read into `nsw_deleted` AFTER the LWW
+  //                             fold (so a delta that relinked a deleted
+  //                             waypoint cannot resurrect it)
   //
   // No coverage markers are needed (unlike the postings/codes deletes):
-  // marks only ever coexist with the one graph they were computed
-  // against, because every graph rewrite CARRIES the live mark set into
-  // its own segment and sweeps the old mark segments — and a re-add of a
-  // deleted id cannot slip past a stale mark, since nswInsertAgainst
-  // refuses ids still present in the graph (waypoints included); re-adds
-  // go through compaction, which folds marks physically. --------------
+  // marks compose with any graph state because the fold is id-keyed and
+  // applied last — and a re-add of a deleted id cannot slip past a stale
+  // mark, since nswInsertAgainst refuses ids still present in the graph
+  // (waypoints included); re-adds go through compaction, which folds
+  // marks physically and sweeps delta + mark segments into one payload.
+  // Invariant the append path maintains: tombstones persisted IN-COLUMN
+  // (an nswDeleteFromBuilt frame written via nswWriteIndex) are mirrored
+  // into a mark segment before the first delta commits, because a delta
+  // row replacing an in-column-marked base row carries no mark of its
+  // own. --------------------------------------------------------------
 
   /** Bootstrap / replace a stored graph index with a [[nswBuild]] (or
     * [[nswEncodeIndex]]) frame — everything previously committed,
@@ -1378,9 +1451,39 @@ object Similarity {
       s"${graft.batch.SegmentedStore.segDir(path, id)}/graph"))
     require(graphSegs.nonEmpty,
       s"readNswIndex: no graph payload committed at $path — bootstrap with nswWriteIndex")
-    val g = graphSegs.map(id => spark.read.parquet(
+    val base = graphSegs.map(id => spark.read.parquet(
         s"${graft.batch.SegmentedStore.segDir(path, id)}/graph"))
       .reduce(_ unionByName _)
+    // delta segments newer than the live payload (commitReplaceAll
+    // supersedes older ones in the log; the filter is defensive):
+    // last-writer-wins per id, newest segment wins. The window runs over
+    // the DELTAS ONLY (O(batches·m) rows); the index-sized base is folded
+    // by a broadcast anti-join on the delta id set — the base never
+    // shuffles, which is what keeps a daily reload O(index scan) at 100 TB.
+    val deltaSegs = segs.filter(id => id > graphSegs.max &&
+      graft.batch.SegmentedStore.hasParquetFiles(
+        s"${graft.batch.SegmentedStore.segDir(path, id)}/graphdelta"))
+    val g =
+      if (deltaSegs.isEmpty) base
+      else {
+        val d = deltaSegs.map(id => spark.read.parquet(
+            s"${graft.batch.SegmentedStore.segDir(path, id)}/graphdelta")
+            .withColumn("__nsw_seg", lit(id)))
+          .reduce(_ unionByName _)
+        val w = Window.partitionBy(col(idCol)).orderBy(col("__nsw_seg").desc)
+        val latest = d.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__nsw_seg", "__rn")
+        val overridden = broadcast(latest.select(col(idCol)))
+        // deltas never carry nsw_deleted: in-column tombstones on the base
+        // are mirrored as mark segments by nswAppendToStored before any
+        // delta commits (layout invariant above), so lit(false) is safe
+        val dAligned =
+          if (base.columns.contains("nsw_deleted"))
+            latest.withColumn("nsw_deleted", lit(false))
+          else latest
+        base.join(overridden, Seq(idCol), "left_anti")
+          .unionByName(dAligned.select(base.columns.map(col).toIndexedSeq: _*))
+      }
     readNswMarks(spark, path, segs, idCol) match {
       case None        => g
       case Some(marks) => nswDeleteFromBuilt(g, marks, idCol)
@@ -1434,13 +1537,25 @@ object Similarity {
     }
 
   /** Insert NEW vectors into a stored RAW-VECTOR graph index
-    * ([[nswInsertAgainst]] through the store): the graph is rewritten —
-    * an insert relinks existing nodes, so unlike the codes index there is
-    * no append-only segment form — but live takedown marks are CARRIED
-    * into the new segment and the whole mutation is one atomic flip
-    * (old-or-new, marks never lost). Deleted nodes keep routing as
-    * waypoints through the rewrite; re-adding a deleted id still requires
-    * a compaction first (the insert refuses ids present in the graph).
+    * ([[nswInsertDelta]] through the store): the segment persisted is
+    * ONLY the rows the insert touched — the new nodes plus the existing
+    * nodes it relinked, at most |batch|·(m+1) rows — committed as
+    * `seg=N/graphdelta` on one atomic log flip (commitAppend). A daily
+    * append is O(|batch|·m) written bytes regardless of index size; the
+    * O(index) rewrite happens only at [[nswCompactStored]]'s maintenance
+    * cadence, which folds deltas + marks back into one payload (the same
+    * read-amplification-vs-write-cost trade the codes/postings segments
+    * law-pin). [[readNswIndex]] reassembles the grown graph by per-id
+    * last-writer-wins, newest segment first.
+    *
+    * Tombstones persisted IN-COLUMN on the base payload (an
+    * [[nswDeleteFromBuilt]] frame written via [[nswWriteIndex]]) are
+    * mirrored into a mark segment inside the SAME commit before the
+    * delta lands — a delta row replacing an in-column-marked waypoint
+    * carries no mark of its own, so without the mirror a relink would
+    * resurrect the takedown. Deleted nodes keep routing as waypoints
+    * through appends; re-adding a deleted id still requires a compaction
+    * first (the insert refuses ids present in the graph).
     */
   def nswAppendToStored(spark: SparkSession, path: String,
       newRows: DataFrame, vecCol: String, idCol: String, nParts: Int = 4,
@@ -1453,25 +1568,31 @@ object Similarity {
       require(cur.columns.contains(vecCol),
         s"nswAppendToStored: stored index at $path has no '$vecCol' column — " +
         "codes-only indexes cannot be inserted into (rebuild from the float corpus)")
-      // the live mark set, read off cur's nsw_deleted column — which
-      // readNswIndex built as mark SEGMENTS OR tombstones persisted
-      // IN-COLUMN (an nswDeleteFromBuilt frame written via nswWriteIndex),
-      // so this single read covers both provenances; the rebuilt payload
-      // drops the column, so skipping this would silently resurrect every
-      // live takedown
-      val marks =
+      // in-column tombstones not yet covered by a mark segment (both
+      // provenances fold into cur's nsw_deleted; subtract what the mark
+      // segments already carry) — mirrored below so read-side LWW can
+      // never resurrect them
+      val unmirrored =
         if (!cur.columns.contains("nsw_deleted")) None
         else {
-          val m0 = cur.where(col("nsw_deleted")).select(col(idCol))
-            .localCheckpoint(true)
+          val all = cur.where(col("nsw_deleted")).select(col(idCol))
+          val m0 = (readNswMarks(spark, path, segs, idCol) match {
+            case None     => all
+            case Some(sm) => all.join(sm, Seq(idCol), "left_anti")
+          }).localCheckpoint(true)
           if (m0.isEmpty) None else Some(m0)
         }
-      val grown = nswInsertAgainst(
+      val delta = nswInsertDelta(
         cur.select(col(idCol), col(vecCol), col("nbr_ids")), newRows,
         vecCol, idCol, nParts, m, efConstruction)
       val id = graft.batch.SegmentedStore.nextId(path)
-      writeGraphSegment(grown, path, id, marks)
-      graft.batch.SegmentedStore.commitReplaceAll(path, id)
+      val segDir = graft.batch.SegmentedStore.segDir(path, id)
+      // pre-clear: a crashed append's orphan payload must never ride a
+      // later writer's commit of the same reused segment id
+      graft.batch.StoreFs.deleteRecursive(segDir)
+      delta.write.mode("overwrite").parquet(s"$segDir/graphdelta")
+      unmirrored.foreach(_.write.mode("overwrite").parquet(s"$segDir/marks"))
+      graft.batch.SegmentedStore.commitAppend(path, id)
     }
 
   /** Fold takedowns physically: REBUILD the graph over the retained rows
@@ -1522,7 +1643,32 @@ object Similarity {
     */
   def nswInsertAgainst(index: DataFrame, newRows: DataFrame, vecCol: String,
       idCol: String, nParts: Int = 4, m: Int = 8,
-      efConstruction: Int = 64): DataFrame = {
+      efConstruction: Int = 64): DataFrame =
+    nswInsertFlagged(index, newRows, vecCol, idCol, nParts, m, efConstruction)
+      .drop("nsw_changed")
+
+  /** [[nswInsertAgainst]] restricted to the rows the insert TOUCHED: the
+    * new nodes plus every existing node whose adjacency list changed (a
+    * new node linked into it, possibly pruning it back to 2m). This is
+    * the O(|batch|·m) frame [[nswAppendToStored]] persists as a delta
+    * segment — each new node links to at most `m` nodes and pruning only
+    * mutates the linked node's own list, so the delta is at most
+    * |batch|·(m+1) rows regardless of index size. Same (id, vec,
+    * nbr_ids) schema as the full frame; read-side last-writer-wins per
+    * id reassembles the grown graph (law: NswStoredSpec).
+    */
+  def nswInsertDelta(index: DataFrame, newRows: DataFrame, vecCol: String,
+      idCol: String, nParts: Int = 4, m: Int = 8,
+      efConstruction: Int = 64): DataFrame =
+    nswInsertFlagged(index, newRows, vecCol, idCol, nParts, m, efConstruction)
+      .where(col("nsw_changed")).drop("nsw_changed")
+
+  /** The one insert-replay body: emits the whole grown graph with a
+    * `nsw_changed` flag — true for new nodes and for existing nodes whose
+    * final adjacency differs from the one they carried in.
+    */
+  private def nswInsertFlagged(index: DataFrame, newRows: DataFrame, vecCol: String,
+      idCol: String, nParts: Int, m: Int, efConstruction: Int): DataFrame = {
     val session = index.sparkSession
     import session.implicits._
     val old = index.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"),
@@ -1559,11 +1705,17 @@ object Similarity {
             i += 1
           }
           rows.indices.iterator.map { j =>
-            (rows(j)._1, rows(j)._2, adj(j).toArray.sorted.map(x => rows(x)._1))
+            val nbrs = adj(j).toArray.sorted.map(x => rows(x)._1)
+            // changed ⇔ new node (j past the existing prefix) or the final
+            // list differs from the carried one; both are canonical-sorted
+            // within a layout but compared order-free to stay layout-proof
+            val changed = j >= existing.length ||
+              !java.util.Arrays.equals(nbrs.sorted, existing(j)._3.toArray.sorted)
+            (rows(j)._1, rows(j)._2, nbrs, changed)
           }
         }
       }
-      .toDF(idCol, vecCol, "nbr_ids")
+      .toDF(idCol, vecCol, "nbr_ids", "nsw_changed")
   }
 
   // ---- hierarchical NSW: full HNSW per shard (Malkov-Yashunin TPAMI'20:

@@ -100,11 +100,13 @@ class StoreFsSpec extends AnyFunSuite {
     }
   }
 
-  test("conditional flip: two same-instant commit-log flips resolve " +
-      "exactly — one wins, one loses loudly; the log is never torn") {
+  /** The same-instant double-flip law, over ANY backend — run below
+    * against both the in-memory mock and the real [[HadoopCasBackend]]
+    * on the local FS (the same `FileSystem` code path HDFS exercises).
+    */
+  private def sameInstantFlipLaw(cas: StoreFs.CasBackend): Unit = {
     val dir = tmpDir()
     BatchState.commit(dir, graft.time.BatchID(1))
-    val cas = new MockCas
     StoreFs.installCasBackend(cas)
     try {
       val readBarrier = new java.util.concurrent.CountDownLatch(2)
@@ -131,17 +133,15 @@ class StoreFsSpec extends AnyFunSuite {
       assert(errors.peek().getMessage.contains("conditional commit-log flip lost"))
       // the winner's flip landed whole; the loser changed nothing
       assert(BatchState.read(dir).committed == List(1L, 2L))
-      assert(cas.attempts.get() == 2)
     } finally {
       StoreFs.clearCasBackend()
       BatchState.deleteDir(dir)
     }
   }
 
-  test("conditional flip: an uncontended read-modify-write chain keeps " +
-      "working (each write refreshes the expected content)") {
+  private def rmwChainLaw(cas: StoreFs.CasBackend): Unit = {
     val dir = tmpDir()
-    StoreFs.installCasBackend(new MockCas)
+    StoreFs.installCasBackend(cas)
     try {
       BatchState.commit(dir, graft.time.BatchID(1))
       BatchState.commit(dir, graft.time.BatchID(2))
@@ -153,5 +153,85 @@ class StoreFsSpec extends AnyFunSuite {
       StoreFs.clearCasBackend()
       BatchState.deleteDir(dir)
     }
+  }
+
+  test("conditional flip (mock CAS): two same-instant commit-log flips " +
+      "resolve exactly — one wins, one loses loudly; the log is never torn") {
+    val cas = new MockCas
+    sameInstantFlipLaw(cas)
+    assert(cas.attempts.get() == 2)
+  }
+
+  test("conditional flip (mock CAS): an uncontended read-modify-write " +
+      "chain keeps working (each write refreshes the expected content)") {
+    rmwChainLaw(new MockCas)
+  }
+
+  // ---- round 16: the REAL filesystem-backed CasBackend — the same laws,
+  // no mock. HadoopCasBackend builds CAS from exclusive-create + atomic
+  // rename, so on the local FS (≡ HDFS semantics) these are exact. ----
+
+  test("conditional flip (HadoopCasBackend): two same-instant flips " +
+      "resolve exactly on the real FS — one wins, one loses loudly") {
+    sameInstantFlipLaw(new HadoopCasBackend())
+  }
+
+  test("conditional flip (HadoopCasBackend): uncontended read-modify-write " +
+      "chain works on the real FS") {
+    rmwChainLaw(new HadoopCasBackend())
+  }
+
+  test("HadoopCasBackend: N threads CAS-incrementing one object — every " +
+      "increment lands exactly once, losers retry from a fresh read") {
+    val dir = tmpDir()
+    val obj = s"$dir/counter"
+    val cas = new HadoopCasBackend()
+    val threads = 4
+    val perThread = 5
+    val pool = (1 to threads).map { _ =>
+      new Thread(() => {
+        var done = 0
+        while (done < perThread) {
+          val cur = if (StoreFs.exists(obj)) Some(StoreFs.readBytes(obj)) else None
+          val n = cur.map(b => new String(b, "UTF-8").toInt).getOrElse(0)
+          if (cas.compareAndSwap(obj, cur, (n + 1).toString.getBytes("UTF-8")))
+            done += 1
+          // a loss re-reads and retries — two winners from the same base
+          // would surface as a LOST increment in the final-count law below
+        }
+      })
+    }
+    pool.foreach(_.start()); pool.foreach(_.join())
+    assert(new String(StoreFs.readBytes(obj), "UTF-8").toInt == threads * perThread)
+    // no lock file left behind after the last release
+    assert(!StoreFs.exists(s"$obj.__cas_lock"))
+    StoreFs.deleteRecursive(dir)
+  }
+
+  test("HadoopCasBackend: a dead holder's lock is broken after the " +
+      "timeout and the CAS proceeds; a live lock is waited out") {
+    val dir = tmpDir()
+    val obj = s"$dir/state"
+    StoreFs.writeAtomic(obj, "v1".getBytes("UTF-8"))
+    // simulate a crashed holder: a lock file whose mtime is past timeout
+    val lock = s"$obj.__cas_lock"
+    StoreFs.createExclusive(lock, "dead-holder".getBytes("UTF-8"))
+    new java.io.File(lock).setLastModified(System.currentTimeMillis() - 120000L)
+    val cas = new HadoopCasBackend(lockTimeoutMs = 1000L, acquireWaitMs = 5000L)
+    assert(cas.compareAndSwap(obj, Some("v1".getBytes("UTF-8")),
+      "v2".getBytes("UTF-8")))
+    assert(new String(StoreFs.readBytes(obj), "UTF-8") == "v2")
+    assert(!StoreFs.exists(lock))
+    // a FRESH (live) lock is not broken: the acquire waits, then aborts
+    // loudly — never a silent false (which would read as "content moved")
+    StoreFs.createExclusive(lock, "live-holder".getBytes("UTF-8"))
+    val impatient = new HadoopCasBackend(lockTimeoutMs = 60000L, acquireWaitMs = 300L)
+    val e = intercept[IllegalStateException] {
+      impatient.compareAndSwap(obj, Some("v2".getBytes("UTF-8")),
+        "v3".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("could not acquire"))
+    assert(new String(StoreFs.readBytes(obj), "UTF-8") == "v2")
+    StoreFs.deleteRecursive(dir)
   }
 }

@@ -517,6 +517,37 @@ class ApproxOpsSpec extends AnyFunSuite {
     assert((all -- hierKept) == Set(200L, 201L, 202L))
   }
 
+  test("sampled k-means training: a whole-corpus sample reproduces the " +
+      "distributed Lloyd exactly; a bounded sample keeps the dedup contract") {
+    val s = spark; import s.implicits._
+    val df = vecs.toDF("vec_id", "embedding")
+    val n = vecs.size
+    // trainSample >= corpus: the driver-local Lloyd sees the same rows in
+    // the same (hash, id) order with the same seed/assign/mean/empty-cell
+    // rules, so the centroids must match the distributed path to fp noise
+    val full = Similarity.kmeansCentroids(df, "embedding", "vec_id",
+      nCentroids = 8, lloydIters = 2)
+    val local = Similarity.kmeansCentroids(df, "embedding", "vec_id",
+      nCentroids = 8, lloydIters = 2, trainSample = n)
+    assert(full.length == local.length)
+    val maxDiff = full.zip(local).map { case (a, b) =>
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+    }.max
+    assert(maxDiff < 1e-9, s"sampled(=all) Lloyd diverged: $maxDiff")
+    // a BOUNDED sample still yields valid centroids: semanticDedup on them
+    // keeps every dedup invariant (exact survivors subset, no invented
+    // drops, planted dups in-cluster and dropped)
+    val all = vecs.map(_._1).toSet
+    val exactKept = Dedup.embeddingNearDupExact(df, "embedding", "vec_id",
+      threshold = 0.95).select("vec_id").as[Long].collect().toSet
+    val kept = Dedup.semanticDedup(df, "embedding", "vec_id",
+      nClusters = 8, threshold = 0.95, trainSample = n / 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exactKept.subsetOf(kept))
+    assert(kept.subsetOf(all))
+    assert((all -- kept) == Set(200L, 201L, 202L))
+  }
+
   test("CMS frequency estimates: never under, within eps*N, merge == bulk") {
     import graft.algebra.CMS
     val rnd = new scala.util.Random(5)

@@ -18,9 +18,11 @@ import graft.batch.{BatchState, SegmentedStore}
   *  - a stored takedown gates results while tombstoned nodes keep
   *    routing (the in-memory [[Similarity.nswDeleteFromBuilt]] contract);
   *  - marks COMPOSE by OR across segments;
-  *  - marks SURVIVE an append (graph rewrite carries them forward on the
-  *    same atomic flip);
-  *  - compaction folds marks physically and re-opens re-add;
+  *  - an APPEND persists only the touched rows as a `graphdelta` segment
+  *    (O(|batch|·m) — round 16), read-side last-writer-wins reassembles
+  *    the grown graph exactly, and marks survive (in-column tombstones
+  *    are mirrored into a mark segment inside the same commit);
+  *  - compaction folds deltas + marks physically and re-opens re-add;
   *  - no-op takedowns (never-indexed / already-marked ids) leave the
   *    commit log untouched.
   */
@@ -145,31 +147,82 @@ class NswStoredSpec extends AnyFunSuite {
     } finally BatchState.deleteDir(dir)
   }
 
-  test("marks survive an append: the graph rewrite carries the live mark " +
-      "set on the same flip, and the new rows are searchable") {
+  test("append is a graphdelta segment of only the touched rows — " +
+      "O(|batch|·m), the base payload untouched; marks survive; the " +
+      "reassembled graph equals the in-memory insert exactly") {
     val s = spark; import s.implicits._
     val df = vecs.toDF("vec_id", "embedding")
     val dir = Files.createTempDirectory("graft_nsw_app").toString
     try {
-      Similarity.nswWriteIndex(
-        Similarity.nswBuild(df, "embedding", "vec_id", nParts = 2), dir)
+      val built = Similarity.nswBuild(df, "embedding", "vec_id", nParts = 2)
+        .localCheckpoint(true)
+      Similarity.nswWriteIndex(built, dir)
       Similarity.nswDeleteFromStored(spark, dir, Seq(7L).toDF("vec_id"))
+      val before = SegmentedStore.committedSegs(dir)
       // append the exact-copy needle as a NEW id (append-only ingest)
-      Similarity.nswAppendToStored(spark, dir,
-        Seq((500L, query.toSeq)).toDF("vec_id", "embedding"),
-        "embedding", "vec_id", nParts = 2)
-      // one live segment again (replaceAll), mark segments folded into it
-      assert(SegmentedStore.committedSegs(dir).size == 1)
+      val batch = Seq((500L, query.toSeq)).toDF("vec_id", "embedding")
+      Similarity.nswAppendToStored(spark, dir, batch,
+        "embedding", "vec_id", nParts = 2, m = 8)
+      // segment shape: ONE new segment, graphdelta-only (the base graph
+      // payload was not rewritten), at most |batch|·(m+1) rows
+      val segs = SegmentedStore.committedSegs(dir)
+      assert(segs.size == before.size + 1, s"$before -> $segs")
+      val newSeg = SegmentedStore.segDir(dir, segs.max)
+      assert(!graft.batch.StoreFs.exists(s"$newSeg/graph"),
+        "append rewrote the graph payload")
+      assert(graft.batch.StoreFs.hasParquetFiles(s"$newSeg/graphdelta"))
+      val deltaRows = spark.read.parquet(s"$newSeg/graphdelta").count()
+      assert(deltaRows <= 1L * (8 + 1),
+        s"delta is not O(|batch|·m): $deltaRows rows for a 1-row batch")
+      // LWW reassembly ≡ the in-memory insert over the same base
+      val mem = Similarity.nswInsertAgainst(built, batch,
+        "embedding", "vec_id", nParts = 2, m = 8)
+      val stored = Similarity.readNswIndex(spark, dir)
+        .where(!col("nsw_deleted"))
+        .select("vec_id", "embedding", "nbr_ids")
+      val memLive = mem.where(col("vec_id") =!= 7L)
+      assert(stored.except(memLive).isEmpty && memLive.except(stored).isEmpty,
+        "reassembled graph differs from the in-memory insert")
       val got = topIds(Similarity.nswSearchBuilt(
         Similarity.readNswIndex(spark, dir), "embedding", "vec_id",
         query, k = 10, nParts = 2))
       assert(got.head == 500L, got)   // the appended needle serves
-      assert(!got.contains(7L), got)  // the takedown survived the rewrite
+      assert(!got.contains(7L), got)  // the takedown survived the append
       // a deleted id cannot silently re-enter via append
       intercept[org.apache.spark.SparkException](
         Similarity.nswAppendToStored(spark, dir,
           Seq((7L, query.toSeq)).toDF("vec_id", "embedding"),
           "embedding", "vec_id", nParts = 2))
+    } finally BatchState.deleteDir(dir)
+  }
+
+  test("successive appends stack as deltas and the newest relink wins; " +
+      "compaction folds them back to one payload") {
+    val s = spark; import s.implicits._
+    val df = vecs.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_nsw_app2").toString
+    try {
+      Similarity.nswWriteIndex(
+        Similarity.nswBuild(df, "embedding", "vec_id", nParts = 2), dir)
+      Similarity.nswAppendToStored(spark, dir,
+        Seq((500L, query.toSeq)).toDF("vec_id", "embedding"),
+        "embedding", "vec_id", nParts = 2)
+      Similarity.nswAppendToStored(spark, dir,
+        Seq((501L, vecs(40)._2.toSeq)).toDF("vec_id", "embedding"),
+        "embedding", "vec_id", nParts = 2)
+      assert(SegmentedStore.committedSegs(dir).size == 3)
+      val idx = Similarity.readNswIndex(spark, dir).localCheckpoint(true)
+      // exactly one row per id after last-writer-wins
+      assert(idx.count() == vecs.size + 2)
+      assert(idx.select("vec_id").distinct().count() == vecs.size + 2)
+      // the appended exact copy serves beside the original
+      val got = topIds(Similarity.nswSearchBuilt(idx, "embedding", "vec_id",
+        query, k = 10, nParts = 2))
+      assert(got.take(2).toSet == Set(7L, 500L), got)
+      // compaction folds deltas physically: one segment, same row count
+      Similarity.nswCompactStored(spark, dir, "embedding", "vec_id", nParts = 2)
+      assert(SegmentedStore.committedSegs(dir).size == 1)
+      assert(Similarity.readNswIndex(spark, dir).count() == vecs.size + 2)
     } finally BatchState.deleteDir(dir)
   }
 
