@@ -782,6 +782,47 @@ object SparkEntry {
         .agg(sum(col("__delta")).as("cnt"))
     }),
 
+    "q_streaming_sum_horizon" -> ((s, dir) => {
+      // round 16: the online Summer with an EVENT-TIME state horizon —
+      // state for a (user, day-batch) dies when the WATERMARK passes its
+      // newest event, so a decades-long replay holds horizon-sized state
+      // (the wall-clock-TTL form holds the full key space under replay;
+      // the decades probe contrasts the two). Events feed in event-TIME
+      // order (4 contiguous chunks), so nothing arrives late and every
+      // delta is emitted; a group whose state was reclaimed mid-stream
+      // re-opens from a None prior — and the per-(key,batch) SUM of
+      // deltas is therefore still exactly the batch totals, the same
+      // oracle as q_streaming_sum. Eviction semantics are law-pinned in
+      // SemigroupAggregatorSpec.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = eventsDF(s, dir).select(col("ts_ms"), col("user_id"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val out = graft.streaming.StreamingSum.sumByKeyWithinHorizon(
+        ms.toDS().map { case (ts, u) => (new java.sql.Timestamp(ts), u, 1L) },
+        Batcher.ofDays(1), "1 hour")(
+        Semigroup.longSemigroup, implicitly, implicitly)
+      val view = "q_streaming_sum_horizon_sink"
+      s.catalog.dropTempView(view)
+      val chunk = math.max(1, (rows.length + 3) / 4)
+      withStreamingGateConf(s, 4) {
+        val q = out.writeStream.format("memory").queryName(view)
+          .outputMode("append").start()
+        try {
+          rows.grouped(chunk).foreach { part =>
+            ms.addData(part.toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      s.table(view)
+        .select(col("_1").as("user_id"), col("_2").as("batch_id"),
+          col("_3._2").as("__delta"))
+        .groupBy(col("user_id"), col("batch_id"))
+        .agg(sum(col("__delta")).as("cnt"))
+    }),
+
     "q_streaming_dedup" -> ((s, dir) => {
       // ingest-time exact dedup with digest state across micro-batches:
       // batch 1 feeds the whole corpus, batch 2 feeds planted byte-copies
@@ -3670,6 +3711,14 @@ object SparkEntry {
     // text with no planted id surviving, and the quartile-fed loop join
     // reproduces the batch running counter exactly
     "q_streaming_sum" ->
+      """SELECT user_id, CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS batch_id,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // watermark-horizon summer: in-order feed → no late drops, and a
+    // reclaimed group re-opens from None — sum of deltas per (key, batch)
+    // is still exactly the batch totals
+    "q_streaming_sum_horizon" ->
       """SELECT user_id, CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS batch_id,
         |  count(*) AS cnt
         |FROM events GROUP BY 1, 2""".stripMargin,

@@ -65,4 +65,70 @@ object StreamingSum {
           }
       }
   }
+
+  /** [[sumByKey]] with an EVENT-TIME state horizon (round 16): state for a
+    * (K, batch) group is reclaimed when the stream's WATERMARK — not the
+    * wall clock — passes the group's newest event time, with `horizon` as
+    * the watermark delay. A replay at 100× input speed therefore holds
+    * state proportional to the horizon's ARRIVAL VOLUME, never the
+    * all-time key space: wall-clock TTL ([[sumByKey]]'s `stateTtl`) is
+    * useless under replay/backfill because a decade of history streams
+    * through in minutes and nothing times out until the job's own clock
+    * advances. Keyed exactly like
+    * [[StreamingDedup.minhashCandidatesWithinHorizon]]: the timeout is
+    * re-armed to the newest event the group has summed, so a batch whose
+    * events the watermark has passed dies with its horizon.
+    *
+    * Same emitted contract as [[sumByKey]] — (K, batch, (state BEFORE this
+    * delta, delta)) — and the same lambda split: an event arriving later
+    * than the horizon re-opens the group from `None` prior (its earlier
+    * state was reclaimed), so downstream deltas still sum to the true
+    * total per (K, batch) while the batch layer remains the authority on
+    * accumulated values, as in the reference (summingbird-online Summer +
+    * batch backstop, SURVEY §2.7). Events are (event-time, K, V) with a
+    * real TIMESTAMP first field — the watermark must ride the column
+    * itself (an expression over it would strip the metadata).
+    */
+  def sumByKeyWithinHorizon[K, V](
+      events: Dataset[(java.sql.Timestamp, K, V)],
+      batcher: Batcher,
+      horizon: String)(
+      implicit sg: Semigroup[V], kEnc: Encoder[K], vEnc: Encoder[V]): Dataset[(K, Long, (Option[V], V))] = {
+
+    implicit val kbEnc: Encoder[(K, Long)] = Encoders.tuple(kEnc, Encoders.scalaLong)
+    implicit val stEnc: Encoder[(V, Long)] = Encoders.tuple(vEnc, Encoders.scalaLong)
+    implicit val outEnc: Encoder[(K, Long, (Option[V], V))] =
+      Encoders.tuple(kEnc, Encoders.scalaLong,
+        graft.plans.GraftEncoders.priorDelta(vEnc))
+
+    events
+      .withWatermark("_1", horizon)
+      .groupByKey(r => (r._2, batcher.batchOf(Timestamp(r._1.getTime)).id))
+      .flatMapGroupsWithState[(V, Long), (K, Long, (Option[V], V))](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((k, batch), rows, state: GroupState[(V, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // event-time order for non-commutative V; the materialized seq
+            // also feeds the newest-event computation below
+            val sorted = rows.toSeq.sortBy(_._1.getTime)
+            sg.sumOption(sorted.iterator.map(_._3)) match {
+              case None => Iterator.empty
+              case Some(delta) =>
+                val prior = state.getOption
+                val newest = math.max(sorted.iterator.map(_._1.getTime).max,
+                  prior.fold(Long.MinValue)(_._2))
+                state.update((prior.fold(delta)(p => sg.plus(p._1, delta)), newest))
+                // reclaim when the watermark (event time − horizon already
+                // baked in) passes the newest event this group has summed.
+                // Batch invocations have no watermark — some Spark versions
+                // refuse the call there, hence the Try (matching the
+                // horizon-dedup machine)
+                val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L)
+                scala.util.Try(state.setTimeoutTimestamp(math.max(newest, wm) + 1))
+                Iterator.single((k, batch, (prior.map(_._1), delta)))
+            }
+          }
+      }
+  }
 }

@@ -576,6 +576,38 @@ object ScaleProbe {
               ms.addData(rows.iterator.filter(_._3 % 4 == i).map(r => (r._1, r._2)).toSeq)
               q.processAllAvailable()
             })
+          case "streaming_sum_horizon" =>
+            // round 16 (r15 verdict #5): the EVENT-TIME-horizon Summer —
+            // state for a (user, day) group dies when the WATERMARK passes
+            // its newest event, so a replay's resident state tracks the
+            // horizon's arrival volume, never the all-time key space (the
+            // wall-clock-TTL form above holds every key under replay — the
+            // documented trade, measured beside this arm). Feed: event-
+            // time-ordered chunks (the replay shape; nothing arrives late)
+            // + a far-future flush sentinel; FINAL state is what survives
+            // the watermark — the boundedness number.
+            val rows = spark.read.parquet(p)
+              .select(col("ts_ms"), col("user_id"))
+              .as[(Long, Long)].collect().sortBy(_._1)
+            val maxTs = rows.iterator.map(_._1).max
+            val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+            val out = graft.streaming.StreamingSum.sumByKeyWithinHorizon(
+              ms.toDS().map { case (ts, u) => (new java.sql.Timestamp(ts), u, 1L) },
+              graft.time.Batcher.ofDays(1), "1 day")(
+              graft.algebra.Semigroup.longSemigroup, implicitly, implicitly)
+            val q = out.writeStream.format("noop").outputMode("append").start()
+            (q, () => {
+              val chunk = math.max(1, (rows.length + 3) / 4)
+              rows.grouped(chunk).foreach { part =>
+                ms.addData(part.toSeq); q.processAllAvailable()
+              }
+              // flush: advance the watermark past every fed event, then one
+              // more trigger so the timers it armed actually fire
+              ms.addData(Seq((maxTs + 30L * 86400000L, -1L)))
+              q.processAllAvailable()
+              ms.addData(Seq((maxTs + 30L * 86400000L + 1L, -1L)))
+              q.processAllAvailable()
+            })
           case "streaming_join" =>
             // q_streaming_join shape: watermarked stream-stream buffered
             // leftJoin over the 10% user slice, two ts-halves + flush
@@ -780,7 +812,8 @@ object ScaleProbe {
     // (streaming_sum/streaming_dedup by bare name would also trigger the
     // round-9 multi-partition/provider sweep above)
     val decadeNames = Seq("streaming_minhash", "streaming_minhash_horizon",
-        "streaming_sum", "streaming_dedup", "streaming_sessionize")
+        "streaming_sum", "streaming_sum_horizon", "streaming_dedup",
+        "streaming_sessionize")
       .filter(n => opsArg.forall(o => o.contains(n) || o.contains("decades")))
     if (decadeNames.nonEmpty) {
       def decadeInputs(name: String): (String, String) =

@@ -80,6 +80,44 @@ class SemigroupAggregatorSpec extends AnyFunSuite {
     assert(rows.exists(r => r._1 == 1L && r._3 == Some(11L) && r._4 == 1L))
   }
 
+  test("sumByKeyWithinHorizon: sums match, state dies when the WATERMARK " +
+      "passes a group's newest event, and a late group re-opens from None") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val out = StreamingSum.sumByKeyWithinHorizon[Long, Long](
+        ms.toDS(), Batcher.unit, "10 seconds")(
+        Semigroup.longSemigroup, implicitly, implicitly)
+      .map { case (k, b, (p, d)) => (k, b, p, d) }
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val q = out.writeStream.format("memory").queryName("ssum_wm")
+      .outputMode("append").start()
+    try {
+      ms.addData((t(1), 1L, 5L), (t(2), 1L, 6L))
+      q.processAllAvailable()
+      ms.addData((t(5), 1L, 1L))                 // in-horizon: prior chains
+      q.processAllAvailable()
+      ms.addData((t(1000), 2L, 7L))              // watermark jumps to ~990s
+      q.processAllAvailable()
+      ms.addData((t(1002), 2L, 1L))              // k=1's timer fires this batch
+      q.processAllAvailable()
+      ms.addData((t(1003), 1L, 3L))              // k=1 re-opens past eviction
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssum_wm")
+      .as[(Long, Long, Option[Long], Long)].collect().toList
+    // deltas still sum to the true totals whatever the state lifecycle —
+    // the lambda contract (batch layer owns accumulated values)
+    val perKey = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(perKey == Map(1L -> 15L, 2L -> 8L))
+    // in-horizon chaining really happened
+    assert(rows.exists(r => r._1 == 1L && r._3 == Some(11L) && r._4 == 1L))
+    // the post-eviction arrival re-opened from None, proving the
+    // watermark-driven reclaim (wall-clock TTL would still hold Some(12))
+    assert(rows.exists(r => r._1 == 1L && r._3 == None && r._4 == 3L),
+      s"expected a None-prior re-open for k=1, got $rows")
+  }
+
   test("RocksDB state store: Summer state survives a query restart (snapshot AND changelog checkpointing)") {
     // the gate queries run on RocksDBStateStoreProvider; this pins the
     // fault-tolerance half of that story — two Trigger.Once runs sharing a
