@@ -76,41 +76,68 @@ object Bench {
     // a judge re-run. New queries have no reference and are never
     // flagged.
     val refMins: Map[String, Double] = {
-      val refPath = sys.env.get("SPARK_GRAFT_BENCH_REF").getOrElse {
-        // newest by ROUND NUMBER, not lexicographically (r9 > r15 as a
-        // string; r100 < r99 as a string)
-        val round = """bench_r(\d+)_organic_1x_full\.json""".r
-        val cands = Option(new java.io.File("bench").listFiles()).getOrElse(Array.empty)
-          .flatMap(f => round.findFirstMatchIn(f.getName)
-            .map(m => m.group(1).toInt -> f.getPath))
-        if (cands.isEmpty) "" else cands.maxBy(_._1)._2
-      }
-      if (refPath.isEmpty || !new java.io.File(refPath).exists()) Map.empty
-      else try {
-        val s = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(refPath)), "UTF-8")
-        // the reference is only meaningful at ITS OWN data scale: a run
-        // over a different directory (an organic 10x/100x gate) would
-        // read every scale effect as a stall — disable instead
-        val refSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(s)
-          .map(_.group(1)).getOrElse("")
-        // normalized path compare: a trailing slash or ./ segment must
-        // not silently disable stall flagging for a same-scale run
-        def norm(p: String): String =
-          try java.nio.file.Paths.get(p).normalize().toString
-          catch { case _: Throwable => p.stripSuffix("/") }
-        if (norm(refSf) != norm(sfDir)) {
-          System.err.println(s"[bench] stall reference $refPath is for " +
-            s"'$refSf', this run is '$sfDir' — stall flagging disabled")
-          Map.empty
-        } else "\"queries_min\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(s)
-          .map(m => "\"([^\"]+)\"\\s*:\\s*([0-9.Ee+-]+)".r
-            .findAllMatchIn(m.group(1))
-            .map(g => g.group(1) -> g.group(2).toDouble).toMap)
-          .getOrElse(Map.empty)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] stall reference unreadable ($refPath): $e")
-        Map.empty
+      // normalized path compare: a trailing slash or ./ segment must
+      // not silently disable stall flagging for a same-scale run
+      def norm(p: String): String =
+        try java.nio.file.Paths.get(p).normalize().toString
+        catch { case _: Throwable => p.stripSuffix("/") }
+      // (recorded sf, per-query minimums) of one artifact, or None
+      def readRef(path: String): Option[(String, Map[String, Double])] =
+        try {
+          val s = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(path)), "UTF-8")
+          val refSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(s)
+            .map(_.group(1)).getOrElse("")
+          "\"queries_min\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(s)
+            .map(m => refSf -> "\"([^\"]+)\"\\s*:\\s*([0-9.Ee+-]+)".r
+              .findAllMatchIn(m.group(1))
+              .map(g => g.group(1) -> g.group(2).toDouble).toMap)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] stall reference unreadable ($path): $e")
+          None
+        }
+      sys.env.get("SPARK_GRAFT_BENCH_REF") match {
+        case Some("") => Map.empty // explicit disable
+        case Some(refPath) =>
+          // explicit override: honored only at ITS OWN data scale — a run
+          // over a different directory would read every scale effect as a
+          // stall, so mismatch disables loudly instead
+          readRef(refPath) match {
+            case Some((refSf, mins)) if norm(refSf) == norm(sfDir) => mins
+            case Some((refSf, _)) =>
+              System.err.println(s"[bench] stall reference $refPath is for " +
+                s"'$refSf', this run is '$sfDir' — stall flagging disabled")
+              Map.empty
+            case None => Map.empty
+          }
+        case None =>
+          // auto-pick PER SF (round 16 — the organic 10x/100x gates are
+          // where the host stalls actually hit, and they previously fell
+          // back to a manual re-measure/merge protocol): scan every
+          // committed bench artifact, keep those whose recorded "sf"
+          // matches THIS run's directory, prefer the canonical
+          // organic-gate artifacts, newest ROUND first (numeric — r9 >
+          // r15 as a string; r100 < r99 as a string).
+          val round = """bench_r(\d+)[._]""".r
+          val canonical = """bench_r\d+_organic_.*(_full|_batchtail)\.json""".r
+          val cands = Option(new java.io.File("bench").listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".json"))
+            .flatMap { f =>
+              round.findFirstMatchIn(f.getName).flatMap { m =>
+                readRef(f.getPath).collect {
+                  case (refSf, mins) if norm(refSf) == norm(sfDir) && mins.nonEmpty =>
+                    (canonical.pattern.matcher(f.getName).matches(),
+                      m.group(1).toInt, f.getName, mins)
+                }
+              }
+            }
+          if (cands.isEmpty) Map.empty
+          else {
+            val best = cands.maxBy { case (canon, r, name, _) => (canon, r, name) }
+            System.err.println(s"[bench] stall reference auto-picked for " +
+              s"'$sfDir': ${best._3} (round ${best._2})")
+            best._4
+          }
       }
     }
     if (refMins.nonEmpty)
@@ -118,8 +145,14 @@ object Bench {
     def stallThreshold(name: String): Option[Double] =
       refMins.get(name).map(r => math.max(3.0 * r, r + 1.0))
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    // per-query build/maintain phase splits (PhaseTimer; lifecycle rows
+    // opt in) — the split of each query's FASTEST successful rep, so the
+    // published attribution matches the published minimum
+    val phaseSplits = scala.collection.mutable.Map.empty[String, Map[String, Double]]
     val results = selected.map { case (name, fn) =>
+      var bestPhases: Option[(Double, Map[String, Double])] = None
       def runOnce(): (Double, Boolean) = {
+        PhaseTimer.drain(name) // never blend a previous rep's phases
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -127,6 +160,9 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: $e"); false
           }
         val elapsed = (System.nanoTime() - t0) / 1e9
+        val phases = PhaseTimer.drain(name)
+        if (ok && phases.nonEmpty && bestPhases.forall(_._1 > elapsed))
+          bestPhases = Some(elapsed -> phases)
         // queries that persist intermediates must not leak cache across the
         // run — teardown happens OUTSIDE the query's timed window
         spark.catalog.clearCache()
@@ -160,6 +196,7 @@ object Bench {
       if (suspectStall) System.err.println(
         f"[bench] $name SUSPECT STALL: min ${minOk.get}%.2f s vs organic-1x " +
         f"reference ${refMins(name)}%.2f s (survived a healing rep)")
+      bestPhases.foreach { case (_, p) => phaseSplits(name) = p }
       name -> (times.head._1, minOk, times.forall(_._2), suspectStall)
     }
     // WAND pruning evidence travels with every round's bench artifact
@@ -217,7 +254,16 @@ object Bench {
       case c if c < ' ' => ' '
       case c => c
     }.take(160)
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"n_queries":${results.size},"contract":"$contractJs","wand":$wandJson,"queries":$qs,"queries_min":$qsMin,"failed":$failedArr,"suspect_stall":$suspectArr,"sf":"$sfDir"}"""
+    // build/maintain attribution for the lifecycle rows (full artifact
+    // only): {"q_x":{"build":sec,"takedown":sec,...},...} — the fastest
+    // successful rep's split, so a 100x reading can see WHICH phase the
+    // wall went to instead of billing the in-row index build to the
+    // maintenance operator
+    val phasesJson = phaseSplits.toSeq.sortBy(_._1).map { case (q, ps) =>
+      "\"" + q + "\":" + ps.toSeq.sortBy(_._1)
+        .map { case (p, t) => f""""$p":$t%.3f""" }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"n_queries":${results.size},"contract":"$contractJs","wand":$wandJson,"queries":$qs,"queries_min":$qsMin,"phases":$phasesJson,"failed":$failedArr,"suspect_stall":$suspectArr,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
     try {
       val p = java.nio.file.Paths.get(outPath)

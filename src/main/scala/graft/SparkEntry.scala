@@ -2118,9 +2118,13 @@ object SparkEntry {
       val q = Array.tabulate(64)(i => math.sin(i + 1.0))
       val tmp = java.nio.file.Files.createTempDirectory("graft_ann_del_").toString
       try {
-        Similarity.int8WriteIndex(e, "embedding", "vec_id", tmp)
-        Similarity.int8DeleteFromStored(s, tmp,
-          e.where(col("vec_id") % 5 === 2).select("vec_id"))
+        PhaseTimer.time("q_ann_delete", "build") {
+          Similarity.int8WriteIndex(e, "embedding", "vec_id", tmp)
+        }
+        PhaseTimer.time("q_ann_delete", "takedown") {
+          Similarity.int8DeleteFromStored(s, tmp,
+            e.where(col("vec_id") % 5 === 2).select("vec_id"))
+        }
         val stored = Similarity.int8TopKStored(s, tmp, kept, "embedding",
           "vec_id", q, 10).localCheckpoint(true)
         int8InvariantRow(kept, q, stored)
@@ -2293,8 +2297,10 @@ object SparkEntry {
       val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val needles = Seq((-1L, q.toSeq), (-2L, q.toSeq)).toDF("vec_id", "embedding")
         .select(col("vec_id"), col("embedding").cast(e0.schema("embedding").dataType))
-      val index = Similarity.nswBuild(e0.union(needles), "embedding", "vec_id")
-        .localCheckpoint(true)
+      val index = PhaseTimer.time("q_nsw_delete", "build") {
+        Similarity.nswBuild(e0.union(needles), "embedding", "vec_id")
+          .localCheckpoint(true)
+      }
       val marked = Similarity.nswDeleteFromBuilt(index,
         e0.where(col("vec_id") % 97 === 0).select("vec_id")
           .union(Seq(-1L).toDF("vec_id")), "vec_id")
@@ -2319,11 +2325,15 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding").cast(e0.schema("embedding").dataType))
       val tmp = java.nio.file.Files.createTempDirectory("graft_nsw_idx_").toString
       try {
-        Similarity.nswWriteIndex(
-          Similarity.nswBuild(e0.union(needles), "embedding", "vec_id"), tmp)
-        Similarity.nswDeleteFromStored(s, tmp,
-          e0.where(col("vec_id") % 97 === 0).select("vec_id")
-            .union(Seq(-1L).toDF("vec_id")))
+        PhaseTimer.time("q_nsw_delete_stored", "build") {
+          Similarity.nswWriteIndex(
+            Similarity.nswBuild(e0.union(needles), "embedding", "vec_id"), tmp)
+        }
+        PhaseTimer.time("q_nsw_delete_stored", "takedown") {
+          Similarity.nswDeleteFromStored(s, tmp,
+            e0.where(col("vec_id") % 97 === 0).select("vec_id")
+              .union(Seq(-1L).toDF("vec_id")))
+        }
         // the takedown never rewrote the graph payload: one graph segment
         // plus one marks-only segment
         val segs = graft.batch.SegmentedStore.committedSegs(tmp)
@@ -2358,13 +2368,21 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft_nsw_lc_").toString
       try {
         val n0 = e0.count()
-        Similarity.nswWriteIndex(
-          Similarity.nswBuild(e0.union(needle), "embedding", "vec_id"), tmp)
-        Similarity.nswDeleteFromStored(s, tmp, Seq(-1L).toDF("vec_id"))
-        Similarity.nswAppendToStored(s, tmp,
-          needle.select(lit(-2L).as("vec_id"), col("embedding")),
-          "embedding", "vec_id")
-        Similarity.nswCompactStored(s, tmp, "embedding", "vec_id")
+        PhaseTimer.time("q_nsw_lifecycle_stored", "build") {
+          Similarity.nswWriteIndex(
+            Similarity.nswBuild(e0.union(needle), "embedding", "vec_id"), tmp)
+        }
+        PhaseTimer.time("q_nsw_lifecycle_stored", "takedown") {
+          Similarity.nswDeleteFromStored(s, tmp, Seq(-1L).toDF("vec_id"))
+        }
+        PhaseTimer.time("q_nsw_lifecycle_stored", "append") {
+          Similarity.nswAppendToStored(s, tmp,
+            needle.select(lit(-2L).as("vec_id"), col("embedding")),
+            "embedding", "vec_id")
+        }
+        PhaseTimer.time("q_nsw_lifecycle_stored", "compact") {
+          Similarity.nswCompactStored(s, tmp, "embedding", "vec_id")
+        }
         val segs = graft.batch.SegmentedStore.committedSegs(tmp)
         require(segs.size == 1,
           s"q_nsw_lifecycle_stored: compaction left ${segs.size} segments")
@@ -2403,9 +2421,13 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding").cast(vecType))
       val tmp = java.nio.file.Files.createTempDirectory("graft_nsw_app_").toString
       try {
-        Similarity.nswWriteIndex(
-          Similarity.nswBuild(e0, "embedding", "vec_id"), tmp)
-        Similarity.nswAppendToStored(s, tmp, day2, "embedding", "vec_id")
+        PhaseTimer.time("q_nsw_append_stored", "build") {
+          Similarity.nswWriteIndex(
+            Similarity.nswBuild(e0, "embedding", "vec_id"), tmp)
+        }
+        PhaseTimer.time("q_nsw_append_stored", "append") {
+          Similarity.nswAppendToStored(s, tmp, day2, "embedding", "vec_id")
+        }
         val segs = graft.batch.SegmentedStore.committedSegs(tmp)
         require(segs.size == 2 && !graft.batch.StoreFs.exists(
           s"${graft.batch.SegmentedStore.segDir(tmp, segs.max)}/graph"),
