@@ -29,9 +29,40 @@ object BatchDriver {
   case object NothingToDo extends Result
   final case class Ran(from: BatchID, to: BatchID) extends Result
 
+  /** Opt-in maintenance cadence for [[runIncremental]] (round 16): the
+    * runbook verbs (MaintenanceExample) composed by hand —
+    * `compactRevoked` on the KV store, `compactIfFragmented` /
+    * `compactStored` on any stored index the pipeline also maintains —
+    * run AUTOMATICALLY after a successful merge commit, so a nightly
+    * driver schedule keeps layouts folded without a separate operations
+    * job. Each verb takes the relevant store's own writer lease (the
+    * same serialization a hand-run has); a maintenance failure
+    * propagates loudly but can never un-commit the merge — the snapshot
+    * flip already happened, and every verb here is itself atomic
+    * (old-or-new) behind its own commit.
+    *
+    * @param revokedMaxDirs fold the store's revocation-digest dirs via
+    *        [[BatchStore.compactRevoked]] once more than this many are
+    *        live (None = off)
+    * @param hooks arbitrary index-maintenance verbs (e.g.
+    *        `Retrieval.compactIfFragmented(_, idxDir, buckets, max)`),
+    *        run in order after the store-side fold
+    */
+  final case class Maintenance(
+      revokedMaxDirs: Option[Int] = None,
+      hooks: Seq[SparkSession => Unit] = Nil) {
+    def isOff: Boolean = revokedMaxDirs.isEmpty && hooks.isEmpty
+  }
+  object Maintenance {
+    val off: Maintenance = Maintenance()
+    /** The runbook default: fold revocation dirs once more than 8 live. */
+    val default: Maintenance = Maintenance(revokedMaxDirs = Some(8))
+  }
+
   /** @param sourcePath  batch-partitioned input (batch_id=N dirs)
     * @param store       target snapshot store
     * @param upTo        inclusive upper bound of the request (e.g. "now")
+    * @param maintenance opt-in post-commit maintenance (see [[Maintenance]])
     * @param deltas      user pipeline: planned input batches -> per-(K,
     *                    batch) Semigroup-summed deltas (typically
     *                    `KeyedGraftStream.sumDeltasPerBatch`)
@@ -40,7 +71,8 @@ object BatchDriver {
       spark: SparkSession,
       sourcePath: String,
       store: BatchStore[K, V],
-      upTo: BatchID)(
+      upTo: BatchID,
+      maintenance: Maintenance = Maintenance.off)(
       deltas: org.apache.spark.sql.DataFrame => Dataset[(K, Long, V)])(
       implicit sg: Semigroup[V], kEnc: Encoder[K], vEnc: Encoder[V]): Result = {
     val firstNeeded = store.state.lastCommitted(upTo)
@@ -52,6 +84,10 @@ object BatchDriver {
       case None => NothingToDo
       case Some(((lo, hi), input)) =>
         store.merge(spark, deltas(input), hi).count() // force + commit
+        // maintenance cadence: after the commit, never inside it — the
+        // merge is durable before any fold starts
+        maintenance.revokedMaxDirs.foreach(store.compactRevoked(spark, _))
+        maintenance.hooks.foreach(_(spark))
         Ran(lo, hi)
     }
   }

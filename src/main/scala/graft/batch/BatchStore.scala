@@ -55,13 +55,24 @@ import graft.time.BatchID
   *        Size n so a bucket ≈ one row group (128 MB) at the store's scale;
   *        None keeps the flat layout (batch-merge-only stores don't pay
   *        the extra shuffle).
+  * @param cumulativeSnapshots declare that every retained snapshot's key
+  *        set is a subset of the newest's — true for stores maintained
+  *        ONLY through [[merge]] / [[deleteKeys]] / [[backfill]] (merge
+  *        folds forward and never drops a key; the other two rewrite all
+  *        retained versions uniformly), false (default) when
+  *        [[writeSnapshot]] commits arbitrary per-batch content. With the
+  *        flag on, [[deleteKeys]]'s no-op guard probes ONLY the newest
+  *        snapshot — a re-delivered or never-present takedown on a store
+  *        with long retention costs one probe instead of a full
+  *        newest-first sweep of every retained version.
   */
 final class BatchStore[K, V](
     val path: String,
     val versionsToKeep: Int = Int.MaxValue,
     val firstNonZero: Option[BatchID] = None,
     val keyBuckets: Option[Int] = None,
-    val retentionGraceMs: Long = 0L)(
+    val retentionGraceMs: Long = 0L,
+    val cumulativeSnapshots: Boolean = false)(
     implicit kEnc: Encoder[K], vEnc: Encoder[V]) extends Serializable {
 
   require(versionsToKeep >= 1, s"versionsToKeep must be >= 1, got $versionsToKeep")
@@ -293,8 +304,14 @@ final class BatchStore[K, V](
         // stores are cumulative and hit on the first probe, but
         // writeSnapshot is a public API that can commit arbitrary
         // per-batch content — a key present only in an older retained
-        // version must still trigger the rewrite, not silently no-op
-        val anyMatch = st.committed.sorted.reverse.exists { id =>
+        // version must still trigger the rewrite, not silently no-op.
+        // A store DECLARED cumulative ([[cumulativeSnapshots]]) probes
+        // only the newest: a re-delivered takedown then costs one probe
+        // regardless of retention depth
+        val probeIds =
+          if (cumulativeSnapshots) List(st.committed.max)
+          else st.committed.sorted.reverse
+        val anyMatch = probeIds.exists { id =>
           spark.read.parquet(snapshotDirAt(BatchID(id), st.genOf(id)))
             .join(keyDf, Seq("key"), "left_semi").limit(1).count() > 0
         }
@@ -390,8 +407,17 @@ final class BatchStore[K, V](
       if (st.revokedIds.size <= maxDirs) false
       else {
         // fold to one (digest, max cutoff) row per key — re-revocations
-        // collapse to their newest bound, which is what the guard uses
-        val all = readRevokedDigests(spark, st).get
+        // collapse to their newest bound, which is what the guard uses.
+        // Legacy kd-only rows MIGRATE here: their open-ended MaxValue
+        // bound is stamped down to the store's max committed batch at
+        // migration time — every batch that existed when (or since) the
+        // legacy takedown was recorded stays guarded, while batches
+        // committed AFTER this compaction replay, restoring the
+        // 'accumulated state, not the key's future' contract that the
+        // MaxValue shim suspends (and letting a later re-revocation
+        // land: a finite bound can be exceeded, MaxValue never)
+        val all = readRevokedDigests(spark, st,
+            legacyUb = st.committed.maxOption.getOrElse(Long.MaxValue)).get
           .groupBy(functions.col("kd"))
           .agg(functions.max(functions.col("ub")).as("ub"))
         val revId = st.revokedIds.max + 1
@@ -406,19 +432,24 @@ final class BatchStore[K, V](
 
   /** Union of the committed revocation-digest sets as (kd, ub) rows; None
     * when no takedown was ever recorded. Digest dirs written before the
-    * cutoff column existed (kd-only) normalize to `ub = Long.MaxValue` —
-    * the pre-cutoff semantics guarded ALL history, so the widest bound
-    * preserves them exactly (same tolerance discipline as
-    * [[BatchState.read]]'s pre-r13/r14 log fields).
+    * cutoff column existed (kd-only) normalize to `legacyUb` —
+    * `Long.MaxValue` by default: the pre-cutoff semantics guarded ALL
+    * history, so the widest bound preserves them exactly (same tolerance
+    * discipline as [[BatchState.read]]'s pre-r13/r14 log fields). The
+    * open bound also guards the key's FUTURE (legacy-revoked keys need
+    * `allowResurrect = true` to ever replay) — [[compactRevoked]] closes
+    * that by migrating kd-only rows to a finite bound, which is the one
+    * caller that passes a different `legacyUb`.
     */
   private def readRevokedDigests(spark: SparkSession,
-      st: BatchState): Option[org.apache.spark.sql.DataFrame] =
+      st: BatchState,
+      legacyUb: Long = Long.MaxValue): Option[org.apache.spark.sql.DataFrame] =
     if (st.revokedIds.isEmpty) None
     else Some(st.revokedIds.map { id =>
       val d = spark.read.parquet(revokedDir(id))
       if (d.columns.contains("ub")) d.select(functions.col("kd"), functions.col("ub"))
       else d.select(functions.col("kd"),
-        functions.lit(Long.MaxValue).as("ub"))
+        functions.lit(legacyUb).as("ub"))
     }.reduce(_ unionByName _))
 
   /** The one guard shape [[backfill]] applies to its delta stream: rows

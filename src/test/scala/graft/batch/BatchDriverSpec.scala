@@ -69,4 +69,76 @@ class BatchDriverSpec extends AnyFunSuite {
     assert(BatchDriver.runIncremental(spark, src, store, BatchID(4))(pipeline)
       == BatchDriver.NothingToDo)
   }
+
+  test("maintenance cadence: one driver run folds a fragmented index and " +
+      "stacked revocation records, semantics unchanged") {
+    val s = spark; import s.implicits._
+    val src = Files.createTempDirectory("graft_drvm_src_").toString
+    val storeDir = Files.createTempDirectory("graft_drvm_store_").toString
+    val store = new BatchStore[String, Long](storeDir)
+
+    // nightly merges, then TEN takedowns — each stacks one revocation-
+    // digest dir (the guard reads their union)
+    writeBatch(src, 0L); writeBatch(src, 1L)
+    assert(BatchDriver.runIncremental(spark, src, store, BatchID(1))(pipeline)
+      == BatchDriver.Ran(BatchID(0), BatchID(1)))
+    (0 until 10).foreach(i => store.deleteKeys(spark, Seq(s"gone$i")))
+    assert(BatchState.read(storeDir).revokedIds.size == 10)
+
+    // a FRAGMENTED stored BM25 index maintained beside the store:
+    // bootstrap + 3 appends = 4 segments
+    import graft.operators.Retrieval
+    val idxDir = Files.createTempDirectory("graft_drvm_idx_").toString
+    Retrieval.writeIndex(Retrieval.buildIndex(
+      Seq((1L, "spark merges windows")).toDF("doc_id", "text"),
+      "text", "doc_id"), idxDir, tokenBuckets = 4)
+    (2L to 4L).foreach { i =>
+      Retrieval.appendToStored(spark, idxDir, 4,
+        Seq((i, s"incremental document number $i about spark")).toDF("doc_id", "text"),
+        "text", "doc_id")
+    }
+    assert(SegmentedStore.committedSegs(idxDir).size == 4)
+
+    // ONE driver run with the maintenance cadence on: merge commits batch
+    // 2, then the revocation dirs fold and the index compacts — no
+    // separate operations job
+    writeBatch(src, 2L)
+    val maint = BatchDriver.Maintenance(
+      revokedMaxDirs = Some(8),
+      hooks = Seq(Retrieval.compactIfFragmented(_, idxDir, tokenBuckets = 4,
+        maxSegments = 2)))
+    assert(BatchDriver.runIncremental(spark, src, store, BatchID(2), maint)(pipeline)
+      == BatchDriver.Ran(BatchID(2), BatchID(2)))
+
+    // folded layouts
+    assert(BatchState.read(storeDir).revokedIds.size == 1,
+      "revocation-digest dirs did not fold")
+    assert(SegmentedStore.committedSegs(idxDir).size == 1,
+      "fragmented index did not compact")
+
+    // semantics unchanged: totals include the new batch, the fold kept
+    // every revocation live (a dirty backfill replay still cannot
+    // resurrect), and the compacted index serves the same corpus
+    assert(store.readLast(spark).get._2.collect().toMap
+      == Map("k0" -> 6L, "k1" -> 6L, "k2" -> 6L))
+    store.backfill(spark,
+      Seq(("gone3", 1L, 99L), ("k0", 1L, 1L)).toDS(), BatchID(1))
+    val healed = store.readLast(spark).get._2.collect().toMap
+    assert(!healed.contains("gone3"), "folded revocation lost its guard")
+    val queries = Seq((0, "spark document")).toDF("query_id", "qtext")
+    val served = Retrieval.bm25FromStored(spark, idxDir, 4, queries,
+      "qtext", "query_id", "doc_id")
+    val truth = Retrieval.bm25FromIndex(
+      Retrieval.buildIndex(
+        (1L to 4L).map(i => (i, if (i == 1) "spark merges windows"
+          else s"incremental document number $i about spark"))
+          .toDF("doc_id", "text"), "text", "doc_id"),
+      queries, "qtext", "query_id")
+    assert(served.exceptAll(truth).isEmpty && truth.exceptAll(served).isEmpty,
+      "compacted index diverged from the clean rebuild")
+
+    BatchState.deleteDir(storeDir)
+    BatchState.deleteDir(idxDir)
+    BatchState.deleteDir(src)
+  }
 }

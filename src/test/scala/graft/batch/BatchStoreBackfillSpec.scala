@@ -281,11 +281,27 @@ class BatchStoreBackfillSpec extends AnyFunSuite {
     store.backfill(spark,
       Seq(("a", 1L, 1L), ("b", 1L, 1L), ("c", 1L, 9L)).toDS(), BatchID(1))
     assert(store.readLast(spark).get._2.collect().toMap == Map("c" -> 9L))
-    // the fold migrates the old record to (kd, ub) — semantics unchanged
+    // the fold migrates the old record to (kd, ub = max committed batch
+    // at migration, here 1) — existing history stays guarded exactly
     assert(store.compactRevoked(spark, maxDirs = 1))
     store.backfill(spark,
       Seq(("a", 1L, 1L), ("b", 1L, 1L), ("c", 1L, 9L)).toDS(), BatchID(1))
     assert(store.readLast(spark).get._2.collect().toMap == Map("c" -> 9L))
+    // ...but the key's FUTURE is freed (the MaxValue shim guarded it):
+    // a re-admitted legacy key's post-migration deltas survive a dirty
+    // backfill of the new era
+    store.merge(spark, Seq(("a", 2L, 4L)).toDS(), BatchID(2)).count()
+    store.backfill(spark, Seq(("a", 2L, 4L), ("c", 2L, 1L)).toDS(), BatchID(2))
+    assert(store.readLast(spark).get._2.collect().toMap ==
+      Map("a" -> 4L, "c" -> 10L),
+      "migrated legacy bound still guards the key's future")
+    // ...and a re-revocation can now LAND (MaxValue covered every future
+    // cutoff, so the bound could never be re-recorded)
+    val revsBefore = BatchState.read(dir).revokedIds.size
+    store.deleteKeys(spark, Seq("a"))
+    assert(BatchState.read(dir).revokedIds.size == revsBefore + 1,
+      "re-revocation of a migrated legacy key was swallowed as covered")
+    assert(store.readLast(spark).get._2.collect().toMap == Map("c" -> 10L))
     BatchState.deleteDir(dir)
   }
 

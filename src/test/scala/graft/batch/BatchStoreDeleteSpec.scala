@@ -218,6 +218,32 @@ class BatchStoreDeleteSpec extends AnyFunSuite {
     BatchState.deleteDir(dir)
   }
 
+  test("cumulativeSnapshots store: the no-op guard probes ONLY the newest " +
+      "version — takedowns still rewrite all history, never-present keys " +
+      "still no-op the log's gens") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_store_delcum").toString
+    val store = new BatchStore[String, Long](dir, cumulativeSnapshots = true)
+    // merge-maintained: every older version's key set ⊆ the newest's
+    store.merge(spark, Seq(("a", 1L, 1L), ("b", 1L, 2L)).toDS(), BatchID(1)).count()
+    store.merge(spark, Seq(("c", 2L, 3L)).toDS(), BatchID(2)).count()
+    // present key: the newest-only probe hits, the rewrite covers ALL
+    // retained versions (history must not serve the key either)
+    store.deleteKeys(spark, Seq("a"))
+    assert(BatchState.read(dir).gens == Map(1L -> 1L, 2L -> 1L))
+    assert(store.readLast(spark, BatchID(1)).get._2.collect().toMap ==
+      Map("b" -> 2L))
+    assert(store.readLast(spark).get._2.collect().toMap ==
+      Map("b" -> 2L, "c" -> 3L))
+    // re-delivered + never-present: one newest probe, no generation bump
+    // (the revocation record for "zz" still lands — intent outlives data)
+    val gensBefore = BatchState.read(dir).gens
+    store.deleteKeys(spark, Seq("a", "zz"))
+    assert(BatchState.read(dir).gens == gensBefore,
+      "no-op takedown rewrote snapshots on a cumulative store")
+    BatchState.deleteDir(dir)
+  }
+
   test("deleteKeys refuses an empty key set and an empty store") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft_store_delke").toString
