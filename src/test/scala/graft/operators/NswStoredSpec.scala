@@ -219,10 +219,18 @@ class NswStoredSpec extends AnyFunSuite {
       val got = topIds(Similarity.nswSearchBuilt(idx, "embedding", "vec_id",
         query, k = 10, nParts = 2))
       assert(got.take(2).toSet == Set(7L, 500L), got)
-      // compaction folds deltas physically: one segment, same row count
+      // a takedown of a DELTA-appended id gates it (the victim probe
+      // reads through the LWW fold)
+      Similarity.nswDeleteFromStored(spark, dir, Seq(500L).toDF("vec_id"))
+      val afterDel = topIds(Similarity.nswSearchBuilt(
+        Similarity.readNswIndex(spark, dir), "embedding", "vec_id",
+        query, k = 10, nParts = 2))
+      assert(!afterDel.contains(500L) && afterDel.head == 7L, afterDel)
+      // compaction folds deltas + the mark physically: one segment,
+      // row count minus the revoked appendee
       Similarity.nswCompactStored(spark, dir, "embedding", "vec_id", nParts = 2)
       assert(SegmentedStore.committedSegs(dir).size == 1)
-      assert(Similarity.readNswIndex(spark, dir).count() == vecs.size + 2)
+      assert(Similarity.readNswIndex(spark, dir).count() == vecs.size + 1)
     } finally BatchState.deleteDir(dir)
   }
 

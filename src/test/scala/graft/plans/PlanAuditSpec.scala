@@ -204,6 +204,36 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally graft.batch.BatchState.deleteDir(tmp)
   }
 
+  test("stored graph-ANN delta fold: the index-sized base folds via a " +
+      "BROADCAST anti-join (never shuffled); the LWW window runs over " +
+      "deltas only") {
+    val s = spark; import s.implicits._
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nswd_").toString
+    try {
+      Similarity.nswWriteIndex(
+        Similarity.nswBuild(emb, "embedding", "vec_id", nParts = 2), tmp)
+      Similarity.nswAppendToStored(spark, tmp,
+        Seq((900L, Seq.tabulate(64)(i => math.sin(i + 2.0))))
+          .toDF("vec_id", "embedding")
+          .select(col("vec_id"), col("embedding")
+            .cast(emb.schema("embedding").dataType)),
+        "embedding", "vec_id", nParts = 2)
+      val p = plan(Similarity.readNswIndex(spark, tmp))
+      val joins = p.linesIterator.filter(_.contains("Join")).toSeq
+      assert(joins.nonEmpty, s"no delta fold join in plan:\n${p.take(800)}")
+      assert(joins.forall(_.contains("Broadcast")),
+        s"delta fold shuffled the base:\n${joins.mkString("\n")}")
+      // the only Window is the per-id LWW over the tiny delta union —
+      // it must not consume the base payload (no window directly above
+      // the full-graph scan: the base reaches the output through the
+      // anti-join branch only)
+      assert(p.contains("Window"), s"LWW window missing:\n${p.take(800)}")
+    } finally graft.batch.BatchState.deleteDir(tmp)
+  }
+
   test("backfill's revocation guard plans as a BROADCAST anti-join on the " +
       "key digest (the delta stream never shuffles for the guard)") {
     val s = spark; import s.implicits._
