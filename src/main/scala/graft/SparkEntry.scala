@@ -2035,29 +2035,53 @@ object SparkEntry {
       // and the corpus is scanned once (the assignment pass); every
       // invariant below is computed against THESE centroids, so the gate
       // is unchanged by where they were refined.
-      val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id", k, 2,
-        hierAssign = true, trainSample = 16384)
-      val hierKept = Dedup.semanticDedup(e, "embedding", "vec_id",
-        nClusters = k, threshold = 0.9, hierAssign = true,
-        centroids = Some(cents))
-        .select("vec_id").localCheckpoint(true)
-      val exactKept = Dedup.embeddingNearDupExact(e, "embedding", "vec_id",
-        threshold = 0.9).select("vec_id")
+      val cents = PhaseTimer.time("q_semdedup_hier", "train") {
+        Similarity.kmeansCentroids(e, "embedding", "vec_id", k, 2,
+          hierAssign = true, trainSample = 16384)
+      }
+      val hierKept = PhaseTimer.time("q_semdedup_hier", "dedup") {
+        Dedup.semanticDedup(e, "embedding", "vec_id",
+          nClusters = k, threshold = 0.9, hierAssign = true,
+          centroids = Some(cents))
+          .select("vec_id").localCheckpoint(true)
+      }
       def simToAssigned(cid: org.apache.spark.sql.Column) = {
         val sims = array(cents.toIndexedSeq.map(c => graft.functions.VectorFunctions
           .cosine(col("embedding"), array(c.toIndexedSeq.map(lit(_)): _*))): _*)
         element_at(sims, cid + 1)
       }
-      val q = Similarity.withNearestCentroidTwoLevel(
-          e, col("embedding"), cents, "__hier")
-        .withColumn("__brute", Similarity.nearestCentroid(col("embedding"), cents))
-        .agg(avg(when(col("__hier") === col("__brute"), 1.0).otherwise(0.0)),
-          avg(simToAssigned(col("__brute")) - simToAssigned(col("__hier"))))
-        .head()
+      val q = PhaseTimer.time("q_semdedup_hier", "fidelity") {
+        Similarity.withNearestCentroidTwoLevel(
+            e, col("embedding"), cents, "__hier")
+          .withColumn("__brute", Similarity.nearestCentroid(col("embedding"), cents))
+          .agg(avg(when(col("__hier") === col("__brute"), 1.0).otherwise(0.0)),
+            avg(simToAssigned(col("__brute")) - simToAssigned(col("__hier"))))
+          .head()
+      }
       val (agree, gap) = (q.getDouble(0), q.getDouble(1))
       val nVecs = e.count()
       val within = hierKept.join(e.select("vec_id"), Seq("vec_id"), "left_anti").count() == 0
-      val exactSubset = exactKept.except(hierKept).count() == 0
+      // exact-subset invariant in WITNESS form (round 16):
+      // exactKept ⊆ hierKept ⇔ every hier-DROPPED doc has a smaller-id
+      // exact near-dup (the witness the exhaustive pass would drop it
+      // for) — complement inclusion, the identical boolean, at
+      // |dropped| × n cost instead of the n² all-pairs (which previously
+      // dominated this row 332 s of 369 s at organic 100x; the all-pairs
+      // OPERATOR keeps its own oracle row, q_dedup_embedding). The
+      // corpus scans once with the small dropped set broadcast.
+      val exactSubset = PhaseTimer.time("q_semdedup_hier", "exact_oracle") {
+        val norm = e.select(col("vec_id"), graft.functions.VectorFunctions
+          .l2Normalize(col("embedding")).as("__nv"))
+        val dropped = norm.join(hierKept, Seq("vec_id"), "left_anti")
+          .localCheckpoint(true)
+        val witnessed = norm.as("w")
+          .join(broadcast(dropped.as("d")),
+            col("w.vec_id") < col("d.vec_id") &&
+              graft.functions.VectorFunctions
+                .dot(col("w.__nv"), col("d.__nv")) >= 0.9)
+          .select(col("d.vec_id")).distinct()
+        dropped.count() == witnessed.count()
+      }
       Seq((nVecs, within, exactSubset, agree >= 0.9, gap <= 0.02))
         .toDF("n_vecs", "survivors_within_corpus", "exact_kept_subset",
           "agreement_ok", "gap_ok")
