@@ -60,6 +60,13 @@ object MaintenanceExample {
     import spark.implicits._
     implicit val sg: Semigroup[Long] = Semigroup.longSemigroup
 
+    // 0. (round 16) the CAS wiring recipe: with the real filesystem-backed
+    //    backend installed, every commit-log flip below upgrades to
+    //    compare-and-swap against the content the writer read — two
+    //    same-instant flips resolve exactly (one wins, one aborts loudly)
+    //    on any FS with exact create-if-absent (HDFS/local; S3A >= 3.4.1)
+    graft.batch.StoreFs.installCasBackend(new graft.batch.HadoopCasBackend())
+
     // ------------------------------------------------------------------
     // KV serving store: merge, takedown, backfill
     // ------------------------------------------------------------------
@@ -164,16 +171,22 @@ object MaintenanceExample {
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     require(ids.head == 100L && !ids.contains(5L),
       s"graph takedown/append broke serving: $ids")
+    // 11. (round 16) the self-scheduling fold — the hook a driver
+    //     maintenance cadence (BatchDriver.Maintenance `hooks`) calls
+    //     nightly: no-op until delta/mark segments pass the threshold
+    require(!Similarity.nswCompactIfFragmented(spark, annDir, "embedding",
+      "vec_id", nParts = 2, maxSegments = 8), "unexpected early fold")
     Similarity.nswCompactStored(spark, annDir, "embedding", "vec_id", nParts = 2)
     require(Similarity.readNswIndex(spark, annDir).count() == 60L,
       "compaction did not fold the tombstone")
-    println("graph index: takedown (one mark segment) → append (marks " +
-      "carried) → compaction (folded) ✓")
+    println("graph index: takedown (one mark segment) → append (one " +
+      "O(batch) delta segment) → compaction (folded) ✓")
 
     graft.batch.BatchState.deleteDir(storeDir)
     graft.batch.BatchState.deleteDir(bigDir)
     graft.batch.BatchState.deleteDir(idxDir)
     graft.batch.BatchState.deleteDir(annDir)
+    graft.batch.StoreFs.clearCasBackend()
     spark.stop()
   }
 }

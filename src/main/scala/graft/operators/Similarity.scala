@@ -1602,6 +1602,29 @@ object Similarity {
     * [[nswAppendToStored]]. Raw-vector indexes only (a rebuild needs the
     * vectors).
     */
+  /** Self-scheduling fold for the stored graph tier — the
+    * [[graft.operators.Retrieval.compactIfFragmented]] /
+    * [[int8CompactIfFragmented]] cadence shape: compact only when more
+    * than `maxSegments` segments (payload + deltas + marks) are live.
+    * With delta appends (round 16) a daily-ingest store accumulates one
+    * tiny segment per batch; this is the hook a driver maintenance
+    * cadence calls ([[graft.batch.BatchDriver.Maintenance]] `hooks`) to
+    * bound read-side fold work without paying the O(index) rebuild every
+    * night. Returns whether a compaction ran.
+    */
+  def nswCompactIfFragmented(spark: SparkSession, path: String, vecCol: String,
+      idCol: String = "vec_id", nParts: Int = 4, m: Int = 8,
+      efConstruction: Int = 64, maxSegments: Int = 8,
+      sweepGraceMs: Long = 0L): Boolean = {
+    require(maxSegments >= 1, s"maxSegments must be >= 1, got $maxSegments")
+    val fragmented =
+      graft.batch.SegmentedStore.committedSegs(path).length > maxSegments
+    if (fragmented)
+      nswCompactStored(spark, path, vecCol, idCol, nParts, m,
+        efConstruction, sweepGraceMs)
+    fragmented
+  }
+
   def nswCompactStored(spark: SparkSession, path: String, vecCol: String,
       idCol: String = "vec_id", nParts: Int = 4, m: Int = 8,
       efConstruction: Int = 64, sweepGraceMs: Long = 0L): Unit =

@@ -267,6 +267,30 @@ class NswStoredSpec extends AnyFunSuite {
     } finally BatchState.deleteDir(dir)
   }
 
+  test("nswCompactIfFragmented: no-op below the threshold, folds past it " +
+      "(the delta-append maintenance cadence)") {
+    val s = spark; import s.implicits._
+    val df = vecs.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_nsw_frag").toString
+    try {
+      Similarity.nswWriteIndex(
+        Similarity.nswBuild(df, "embedding", "vec_id", nParts = 2), dir)
+      (0 until 3).foreach { i =>
+        Similarity.nswAppendToStored(spark, dir,
+          Seq((600L + i, vecs(i)._2.toSeq)).toDF("vec_id", "embedding"),
+          "embedding", "vec_id", nParts = 2)
+      }
+      assert(SegmentedStore.committedSegs(dir).size == 4)
+      assert(!Similarity.nswCompactIfFragmented(spark, dir, "embedding",
+        "vec_id", nParts = 2, maxSegments = 8), "folded below threshold")
+      assert(SegmentedStore.committedSegs(dir).size == 4)
+      assert(Similarity.nswCompactIfFragmented(spark, dir, "embedding",
+        "vec_id", nParts = 2, maxSegments = 2))
+      assert(SegmentedStore.committedSegs(dir).size == 1)
+      assert(Similarity.readNswIndex(spark, dir).count() == vecs.size + 3)
+    } finally BatchState.deleteDir(dir)
+  }
+
   test("codes-only stored index: takedown marks apply through " +
       "nswSearchCoded; append/compact refuse loudly (no vectors to relink)") {
     val s = spark; import s.implicits._
