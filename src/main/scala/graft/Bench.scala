@@ -131,8 +131,14 @@ object Bench {
                 }
               }
             }
-          if (cands.isEmpty) Map.empty
-          else {
+          if (cands.isEmpty) {
+            // loud, like the explicit-override mismatch: silence here
+            // would ship a stalled run as a clean number with nothing in
+            // the log saying the detector was off
+            System.err.println(s"[bench] no committed bench artifact " +
+              s"records sf '$sfDir' — stall flagging disabled for this run")
+            Map.empty
+          } else {
             val best = cands.maxBy { case (canon, r, name, _) => (canon, r, name) }
             System.err.println(s"[bench] stall reference auto-picked for " +
               s"'$sfDir': ${best._3} (round ${best._2})")

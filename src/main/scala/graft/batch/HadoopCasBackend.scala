@@ -46,7 +46,7 @@ package graft.batch
   * single `_graft_state.json`, so the lock is `_graft_state.json.__cas_lock`
   * and invisible to snapshot/segment resolution.
   */
-final class HadoopCasBackend(
+class HadoopCasBackend(
     lockTimeoutMs: Long = 30000L,
     acquireWaitMs: Long = 10000L) extends StoreFs.CasBackend {
   require(lockTimeoutMs > 0, s"lockTimeoutMs must be > 0, got $lockTimeoutMs")
@@ -56,9 +56,14 @@ final class HadoopCasBackend(
 
   private def lockFor(path: String) = s"$path.__cas_lock"
 
-  private def readLock(lock: String): Option[String] =
-    if (!StoreFs.exists(lock)) None
-    else scala.util.Try(new String(StoreFs.readBytes(lock), "UTF-8")).toOption
+  // lock reads shared with WriterLease — one protocol, one read shape
+  private def readLock(lock: String): Option[String] = WriterLease.readLock(lock)
+
+  /** Test seam: runs after the mutex is acquired and the comparison made,
+    * immediately before the ownership re-verify + write — the stall
+    * window the zombie-writer law simulates. No-op in production.
+    */
+  protected def beforeWrite(): Unit = ()
 
   /** Acquire the per-path CAS mutex: spin on exclusive create with
     * backoff, breaking a stale (dead-holder) lock via the atomic-rename
@@ -106,7 +111,22 @@ final class HadoopCasBackend(
         case (Some(a), Some(b)) => java.util.Arrays.equals(a, b)
         case _                  => false
       }
-      if (ok) StoreFs.writeAtomic(path, bytes)
+      if (ok) {
+        beforeWrite()
+        // ownership re-verify immediately before the write (the
+        // WriterLease.verifyHeldForCommit discipline): a holder stalled
+        // past lockTimeoutMs whose lock a racer broke and re-acquired
+        // must abort LOUDLY here, not silently clobber the racer's
+        // committed object with a comparison made before the stall. The
+        // residual shrinks to the verify-to-write instant, same as the
+        // lease's verify-to-rename — exact-or-loud, never silent.
+        if (!readLock(lock).contains(token))
+          throw new IllegalStateException(
+            s"HadoopCasBackend: lock $lock lost before the write — this " +
+            "holder stalled past the lock timeout and a racer broke and " +
+            "re-acquired it. Aborting; the racer's object stays intact")
+        StoreFs.writeAtomic(path, bytes)
+      }
       ok
     } finally {
       // owner-checked release: never delete a lock a breaker re-issued

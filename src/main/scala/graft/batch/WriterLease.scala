@@ -64,7 +64,11 @@ object WriterLease {
 
   private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private def readLock(lock: String): Option[String] =
+  /** Current content of a lock file, None when absent/unreadable — shared
+    * with [[HadoopCasBackend]] so both lock protocols read locks the same
+    * way (one hardening fix covers both).
+    */
+  private[batch] def readLock(lock: String): Option[String] =
     if (!StoreFs.exists(lock)) None
     else scala.util.Try(new String(StoreFs.readBytes(lock), "UTF-8")).toOption
 

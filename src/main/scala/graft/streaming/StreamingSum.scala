@@ -109,14 +109,29 @@ object StreamingSum {
         case ((k, batch), rows, state: GroupState[(V, Long)]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            // event-time order for non-commutative V; the materialized seq
-            // also feeds the newest-event computation below
-            val sorted = rows.toSeq.sortBy(_._1.getTime)
-            sg.sumOption(sorted.iterator.map(_._3)) match {
+            // commutative V: one streaming pass, tracking the newest event
+            // time alongside the fold (sumOption drains the iterator, so
+            // the tracker is complete when it returns); non-commutative V
+            // pays the event-time sort, exactly like sumByKey
+            val (summed, newestEvt) =
+              if (sg.isCommutative) {
+                var nw = Long.MinValue
+                val s = sg.sumOption(rows.map { r =>
+                  val t = r._1.getTime
+                  if (t > nw) nw = t
+                  r._3
+                })
+                (s, nw)
+              } else {
+                val sorted = rows.toSeq.sortBy(_._1.getTime)
+                (sg.sumOption(sorted.iterator.map(_._3)),
+                  if (sorted.isEmpty) Long.MinValue else sorted.last._1.getTime)
+              }
+            summed match {
               case None => Iterator.empty
               case Some(delta) =>
                 val prior = state.getOption
-                val newest = math.max(sorted.iterator.map(_._1.getTime).max,
+                val newest = math.max(newestEvt,
                   prior.fold(Long.MinValue)(_._2))
                 state.update((prior.fold(delta)(p => sg.plus(p._1, delta)), newest))
                 // reclaim when the watermark (event time − horizon already

@@ -208,6 +208,33 @@ class StoreFsSpec extends AnyFunSuite {
     StoreFs.deleteRecursive(dir)
   }
 
+  test("HadoopCasBackend: a holder stalled past the lock timeout whose " +
+      "lock a racer broke ABORTS LOUDLY at its write — never a silent " +
+      "clobber of the racer's committed object") {
+    val dir = tmpDir()
+    val obj = s"$dir/state"
+    StoreFs.writeAtomic(obj, "v1".getBytes("UTF-8"))
+    val racer = new HadoopCasBackend(lockTimeoutMs = 200L)
+    // the stalling holder: mid-CAS (after its compare, before its write)
+    // it sleeps past its own lock timeout while the racer breaks the lock
+    // and lands a competing flip
+    val zombie = new HadoopCasBackend(lockTimeoutMs = 200L) {
+      override protected def beforeWrite(): Unit = {
+        Thread.sleep(400L)
+        assert(racer.compareAndSwap(obj, Some("v1".getBytes("UTF-8")),
+          "racer".getBytes("UTF-8")), "racer's CAS should win")
+      }
+    }
+    val e = intercept[IllegalStateException] {
+      zombie.compareAndSwap(obj, Some("v1".getBytes("UTF-8")),
+        "zombie".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("lost before the write"))
+    // the racer's committed object is intact
+    assert(new String(StoreFs.readBytes(obj), "UTF-8") == "racer")
+    StoreFs.deleteRecursive(dir)
+  }
+
   test("HadoopCasBackend: a dead holder's lock is broken after the " +
       "timeout and the CAS proceeds; a live lock is waited out") {
     val dir = tmpDir()
