@@ -2461,10 +2461,14 @@ object SparkEntry {
         require(deltaRows <= 21L * 9L, // |batch|·(m+1), m = 8
           s"q_nsw_append_stored: delta not O(|batch|·m): $deltaRows rows")
         val idx = Similarity.readNswIndex(s, tmp).localCheckpoint(true)
-        val rebuilt = Similarity.nswBuild(e0.unionByName(day2),
-          "embedding", "vec_id").localCheckpoint(true)
-        val eq = idx.except(rebuilt).count() == 0 &&
-          rebuilt.except(idx).count() == 0
+        // the append ≡ rebuild equality ORACLE costs a second full build —
+        // audit cost, attributed separately from the operator phases
+        val eq = PhaseTimer.time("q_nsw_append_stored", "rebuild_oracle") {
+          val rebuilt = Similarity.nswBuild(e0.unionByName(day2),
+            "embedding", "vec_id").localCheckpoint(true)
+          idx.except(rebuilt).count() == 0 &&
+            rebuilt.except(idx).count() == 0
+        }
         Similarity.nswSearchBuilt(idx, "embedding", "vec_id", q, k = 10)
           .agg(count(lit(1)).as("k"), countDistinct(col("vec_id")).as("n_ids"),
             max(col("vec_id") === base && col("nsw_sim") === 1.0).as("needle_found"))
