@@ -2424,6 +2424,60 @@ object SparkEntry {
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
+    "q_hnsw_lifecycle_stored" -> ((s, dir) => {
+      // round 16: the stored HIERARCHICAL tier's full lifecycle —
+      // bootstrap (hnswWriteIndex of an hnswBuild frame) → takedown (one
+      // mark segment; the original needle revoked) → append (one
+      // O(|batch|·m) graphdelta via the hierarchical insert-replay) →
+      // compaction (hnswCompactStored: hierarchy rebuilt over retained,
+      // segments to one) → serve through hnswSearchBuilt (tombstones
+      // gate results, route as waypoints at every layer). Same
+      // invariants as q_nsw_lifecycle_stored on the multi-layer frame.
+      import s.implicits._
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val needle = Seq((-1L, q.toSeq)).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast(e0.schema("embedding").dataType))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hnsw_lc_").toString
+      try {
+        val n0 = e0.count()
+        PhaseTimer.time("q_hnsw_lifecycle_stored", "build") {
+          Similarity.hnswWriteIndex(
+            Similarity.hnswBuild(e0.union(needle), "embedding", "vec_id"), tmp)
+        }
+        PhaseTimer.time("q_hnsw_lifecycle_stored", "takedown") {
+          Similarity.hnswDeleteFromStored(s, tmp, Seq(-1L).toDF("vec_id"))
+        }
+        PhaseTimer.time("q_hnsw_lifecycle_stored", "append") {
+          Similarity.hnswAppendToStored(s, tmp,
+            needle.select(lit(-2L).as("vec_id"), col("embedding")),
+            "embedding", "vec_id")
+        }
+        // the append committed a delta-only segment, never a rewrite
+        val preCompact = graft.batch.SegmentedStore.committedSegs(tmp)
+        require(preCompact.size == 3 && !graft.batch.StoreFs.exists(
+          s"${graft.batch.SegmentedStore.segDir(tmp, preCompact.max)}/graph"),
+          s"q_hnsw_lifecycle_stored: append was not delta-only ($preCompact)")
+        PhaseTimer.time("q_hnsw_lifecycle_stored", "compact") {
+          Similarity.hnswCompactStored(s, tmp, "embedding", "vec_id")
+        }
+        val segs = graft.batch.SegmentedStore.committedSegs(tmp)
+        require(segs.size == 1,
+          s"q_hnsw_lifecycle_stored: compaction left ${segs.size} segments")
+        val idx = Similarity.readHnswIndex(s, tmp).localCheckpoint(true)
+        require(!idx.columns.contains("nsw_deleted") ||
+          idx.where(col("nsw_deleted")).limit(1).count() == 0,
+          "q_hnsw_lifecycle_stored: compaction left live marks")
+        val nRows = idx.count()
+        require(nRows == n0 + 1,
+          s"q_hnsw_lifecycle_stored: expected ${n0 + 1} rows, got $nRows")
+        Similarity.hnswSearchBuilt(idx, "embedding", "vec_id", q, k = 10)
+          .agg(count(lit(1)).as("k"),
+            max(col("vec_id") === -2L && col("hnsw_sim") === 1.0).as("appended_first"),
+            max(col("vec_id") === -1L).as("served_deleted"))
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
     "q_nsw_append_stored" -> ((s, dir) => {
       // round 16: O(batch) stored append — nswWriteIndex over day 1,
       // then nswAppendToStored of a day-2 batch (needle + noise, ids
@@ -4843,6 +4897,14 @@ object SparkEntry {
     "q_nsw_append_stored" ->
       """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_ids,
         |  TRUE AS needle_found, TRUE AS append_eq_rebuild""".stripMargin,
+
+    // stored HIERARCHICAL tier lifecycle: bootstrap → takedown (one mark
+    // segment) → append (one delta segment, asserted in-row) → compaction
+    // (hierarchy rebuilt, one segment) → serve; the appended copy ranks
+    // first, the revoked original never surfaces
+    "q_hnsw_lifecycle_stored" ->
+      """SELECT CAST(10 AS BIGINT) AS k, TRUE AS appended_first,
+        |  FALSE AS served_deleted""".stripMargin,
 
     // hierarchical form: the needle surfaces through the persisted
     // multi-layer index (greedy upper-layer descent + layer-0 beam)

@@ -1560,14 +1560,31 @@ object Similarity {
   def nswAppendToStored(spark: SparkSession, path: String,
       newRows: DataFrame, vecCol: String, idCol: String, nParts: Int = 4,
       m: Int = 8, efConstruction: Int = 64): Unit =
+    appendToStoredGraph(spark, path, newRows, vecCol, idCol,
+      nbrCol = "nbr_ids", label = "nswAppendToStored",
+      insertDelta = (cur, fresh) =>
+        nswInsertDelta(cur, fresh, vecCol, idCol, nParts, m, efConstruction))
+
+  /** The one delta-append body, shared by the flat ([[nswAppendToStored]])
+    * and hierarchical ([[hnswAppendToStored]]) stored tiers — they differ
+    * only in the adjacency column and the insert-replay that computes the
+    * touched rows.
+    */
+  private def appendToStoredGraph(spark: SparkSession, path: String,
+      newRows: DataFrame, vecCol: String, idCol: String, nbrCol: String,
+      label: String,
+      insertDelta: (DataFrame, DataFrame) => DataFrame): Unit =
     graft.batch.SegmentedStore.withWriterLock(path) {
       val segs = graft.batch.SegmentedStore.committedSegs(path)
       require(segs.nonEmpty,
-        s"nswAppendToStored: no committed index at $path — bootstrap with nswWriteIndex")
+        s"$label: no committed index at $path — bootstrap with the write form")
       val cur = readNswIndex(spark, path, idCol)
       require(cur.columns.contains(vecCol),
-        s"nswAppendToStored: stored index at $path has no '$vecCol' column — " +
+        s"$label: stored index at $path has no '$vecCol' column — " +
         "codes-only indexes cannot be inserted into (rebuild from the float corpus)")
+      require(cur.columns.contains(nbrCol),
+        s"$label: stored index at $path has no '$nbrCol' column — it holds " +
+        "the other graph tier's layout (flat nbr_ids vs hierarchical layer_nbrs)")
       // in-column tombstones not yet covered by a mark segment (both
       // provenances fold into cur's nsw_deleted; subtract what the mark
       // segments already carry) — mirrored below so read-side LWW can
@@ -1582,9 +1599,8 @@ object Similarity {
           }).localCheckpoint(true)
           if (m0.isEmpty) None else Some(m0)
         }
-      val delta = nswInsertDelta(
-        cur.select(col(idCol), col(vecCol), col("nbr_ids")), newRows,
-        vecCol, idCol, nParts, m, efConstruction)
+      val delta = insertDelta(
+        cur.select(col(idCol), col(vecCol), col(nbrCol)), newRows)
       val id = graft.batch.SegmentedStore.nextId(path)
       val segDir = graft.batch.SegmentedStore.segDir(path, id)
       // pre-clear: a crashed append's orphan payload must never ride a
@@ -1641,6 +1657,88 @@ object Similarity {
       writeGraphSegment(rebuilt, path, id, marks = None)
       graft.batch.SegmentedStore.commitReplaceAll(path, id, sweepGraceMs)
     }
+
+  // ---- stored HIERARCHICAL graph tier (round 16): the hnswBuild
+  // (id, vec, layer_nbrs) frame under the SAME segment machinery — the
+  // commit-log layout, mark fold, and delta LWW are schema-generic, so
+  // write/read/takedown are thin delegates; append and compaction replay
+  // the hierarchical insert/build instead of the flat one. Search with
+  // [[hnswSearchBuilt]]/[[hnswSearchCoded]], which gate `nsw_deleted`
+  // like the flat searches (tombstones never returned, still routing —
+  // including as upper-layer waypoints). ------------------------------
+
+  /** Bootstrap / replace a stored hierarchical index with a [[hnswBuild]]
+    * (or [[hnswEncodeIndex]]) frame — one atomic flip, everything prior
+    * superseded (≡ [[nswWriteIndex]]: the segment layout is
+    * schema-generic).
+    */
+  def hnswWriteIndex(index: DataFrame, path: String): Unit =
+    nswWriteIndex(index, path)
+
+  /** Load a stored hierarchical index with deltas LWW-folded and every
+    * committed takedown applied (≡ [[readNswIndex]] — schema-generic).
+    */
+  def readHnswIndex(spark: SparkSession, path: String,
+      idCol: String = "vec_id"): DataFrame = readNswIndex(spark, path, idCol)
+
+  /** Takedown on a stored hierarchical index: one tiny mark segment +
+    * one atomic flip (≡ [[nswDeleteFromStored]] — the mark machinery is
+    * id-keyed, not layout-aware).
+    */
+  def hnswDeleteFromStored(spark: SparkSession, path: String,
+      ids: DataFrame, idCol: String = "vec_id"): Unit =
+    nswDeleteFromStored(spark, path, ids, idCol)
+
+  /** Insert NEW vectors into a stored hierarchical index: ONE
+    * O(|batch|·m) `graphdelta` segment of the touched rows (new +
+    * relinked, via [[hnswInsertDelta]]), commitAppend — the
+    * [[nswAppendToStored]] contract on the multi-layer frame, in-column
+    * tombstone mirroring included.
+    */
+  def hnswAppendToStored(spark: SparkSession, path: String,
+      newRows: DataFrame, vecCol: String, idCol: String, nParts: Int = 4,
+      m: Int = 8, efConstruction: Int = 64): Unit =
+    appendToStoredGraph(spark, path, newRows, vecCol, idCol,
+      nbrCol = "layer_nbrs", label = "hnswAppendToStored",
+      insertDelta = (cur, fresh) =>
+        hnswInsertDelta(cur, fresh, vecCol, idCol, nParts, m, efConstruction))
+
+  /** Fold takedowns + deltas physically: REBUILD the hierarchy over the
+    * retained rows, sweep delta/mark segments, one atomic flip.
+    * Raw-vector indexes only.
+    */
+  def hnswCompactStored(spark: SparkSession, path: String, vecCol: String,
+      idCol: String = "vec_id", nParts: Int = 4, m: Int = 8,
+      efConstruction: Int = 64, sweepGraceMs: Long = 0L): Unit =
+    graft.batch.SegmentedStore.withWriterLock(path) {
+      val cur = readNswIndex(spark, path, idCol)
+      require(cur.columns.contains(vecCol),
+        s"hnswCompactStored: stored index at $path has no '$vecCol' column — " +
+        "codes-only indexes rebuild from the float corpus instead")
+      val retained = (if (cur.columns.contains("nsw_deleted"))
+        cur.where(!col("nsw_deleted")) else cur)
+        .select(col(idCol), col(vecCol))
+      val rebuilt = hnswBuild(retained, vecCol, idCol, nParts, m, efConstruction)
+      val id = graft.batch.SegmentedStore.nextId(path)
+      writeGraphSegment(rebuilt, path, id, marks = None)
+      graft.batch.SegmentedStore.commitReplaceAll(path, id, sweepGraceMs)
+    }
+
+  /** Self-scheduling fold for the stored hierarchical tier (≡
+    * [[nswCompactIfFragmented]]).
+    */
+  def hnswCompactIfFragmented(spark: SparkSession, path: String, vecCol: String,
+      idCol: String = "vec_id", nParts: Int = 4, m: Int = 8,
+      efConstruction: Int = 64, maxSegments: Int = 8,
+      sweepGraceMs: Long = 0L): Boolean = {
+    require(maxSegments >= 1, s"maxSegments must be >= 1, got $maxSegments")
+    val fragmented =
+      graft.batch.SegmentedStore.committedSegs(path).length > maxSegments
+    if (fragmented)
+      hnswCompactStored(spark, path, vecCol, idCol, nParts, m,
+        efConstruction, sweepGraceMs)
+    fragmented
+  }
 
   /** Incremental index maintenance — insert a batch of NEW vectors into a
     * persisted [[nswBuild]] index without rebuilding the shard graphs: the
@@ -1837,9 +1935,11 @@ object Similarity {
     */
   private def hnswSearchLocal(vecs: Array[Array[Double]], norms: Array[Double],
       layers: Array[Array[scala.collection.mutable.ArrayBuffer[Int]]],
-      levels: Array[Int], entry: Int, q: Array[Double], ef: Int): Array[(Int, Double)] = {
+      levels: Array[Int], entry: Int, q: Array[Double], ef: Int,
+      emit: Int => Boolean = _ => true): Array[(Int, Double)] = {
     val qNorm = math.sqrt(q.map(x => x * x).sum)
-    hnswSearchLocalBy(i => simTo(vecs, norms, i, q, qNorm), layers, levels, entry, ef)
+    hnswSearchLocalBy(i => simTo(vecs, norms, i, q, qNorm), layers, levels,
+      entry, ef, emit)
   }
 
   /** [[hnswSearchLocal]] generalized over the node-scoring function —
@@ -1848,16 +1948,20 @@ object Similarity {
     */
   private def hnswSearchLocalBy(score: Int => Double,
       layers: Array[Array[scala.collection.mutable.ArrayBuffer[Int]]],
-      levels: Array[Int], entry: Int, ef: Int): Array[(Int, Double)] = {
+      levels: Array[Int], entry: Int, ef: Int,
+      emit: Int => Boolean = _ => true): Array[(Int, Double)] = {
     val n = layers(0).length
     var cur = entry
     var lc = levels(entry)
     while (lc > 0) {
+      // upper-layer descent routes through EVERY node — tombstoned nodes
+      // keep their waypoint role (the nswSearchBuilt contract); the emit
+      // gate applies only to what the layer-0 beam RETURNS
       val best = nswSearchLocalBy(score, layers(lc), Array(cur), 1, n)
       cur = best.head._1
       lc -= 1
     }
-    nswSearchLocalBy(score, layers(0), Array(cur), ef, n)
+    nswSearchLocalBy(score, layers(0), Array(cur), ef, n, emit)
   }
 
   /** Partitioned hierarchical NSW (full HNSW per hash shard) — the
@@ -1944,9 +2048,13 @@ object Similarity {
     import session.implicits._
     val q = query
     val kk = k
+    // tombstones gate RESULTS, never routing — the nswSearchBuilt contract,
+    // extended to the hierarchical tier (round 16's stored HNSW)
+    val delCol = (if (index.columns.contains("nsw_deleted")) col("nsw_deleted")
+      else lit(false)).cast("boolean").as("__del")
     index.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"),
-        col("layer_nbrs").cast("array<array<long>>"))
-      .as[(Long, Seq[Double], Seq[Seq[Long]])]
+        col("layer_nbrs").cast("array<array<long>>"), delCol)
+      .as[(Long, Seq[Double], Seq[Seq[Long]], Boolean)]
       .repartition(nParts, col(idCol))
       .mapPartitions { it =>
         val rows = it.toArray.sortBy(_._1)
@@ -1962,7 +2070,9 @@ object Similarity {
             else scala.collection.mutable.ArrayBuffer.empty[Int]
           }
           val entry = levels.indexOf(maxLevel) // smallest id at the top level
-          hnswSearchLocal(vecs, norms, layers, levels, entry, q, math.max(efSearch, kk))
+          val alive = rows.map(r => !r._4)
+          hnswSearchLocal(vecs, norms, layers, levels, entry, q,
+              math.max(efSearch, kk), i => alive(i))
             .take(kk).iterator.map { case (i, s) => (rows(i)._1, s) }
         }
       }
@@ -1984,7 +2094,26 @@ object Similarity {
     */
   def hnswInsertAgainst(index: DataFrame, newRows: DataFrame, vecCol: String,
       idCol: String, nParts: Int = 4, m: Int = 8,
-      efConstruction: Int = 64): DataFrame = {
+      efConstruction: Int = 64): DataFrame =
+    hnswInsertFlagged(index, newRows, vecCol, idCol, nParts, m, efConstruction)
+      .drop("nsw_changed")
+
+  /** [[hnswInsertAgainst]] restricted to the rows the insert TOUCHED —
+    * the hierarchical counterpart of [[nswInsertDelta]], persisted by
+    * [[hnswAppendToStored]] as an O(|batch|) delta segment. Each new
+    * node links ≤ m nodes per layer over its (geometrically distributed,
+    * ≤ 13) levels, and pruning only mutates the linked node's own list,
+    * so the delta is O(|batch|·m) rows in expectation regardless of
+    * index size.
+    */
+  def hnswInsertDelta(index: DataFrame, newRows: DataFrame, vecCol: String,
+      idCol: String, nParts: Int = 4, m: Int = 8,
+      efConstruction: Int = 64): DataFrame =
+    hnswInsertFlagged(index, newRows, vecCol, idCol, nParts, m, efConstruction)
+      .where(col("nsw_changed")).drop("nsw_changed")
+
+  private def hnswInsertFlagged(index: DataFrame, newRows: DataFrame, vecCol: String,
+      idCol: String, nParts: Int, m: Int, efConstruction: Int): DataFrame = {
     val session = index.sparkSession
     import session.implicits._
     val old = index.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"),
@@ -2044,11 +2173,21 @@ object Similarity {
           rows.indices.iterator.map { j =>
             val perLayer: Seq[Seq[Long]] = (0 to levels(j)).map(l =>
               layers(l)(j).toSeq.map(x => rows(x)._1))
-            (rows(j)._1, rows(j)._2, perLayer)
+            // changed ⇔ new node or ANY layer's final list differs from the
+            // carried one (order-free per layer, layout-proof — same rule
+            // as nswInsertFlagged)
+            val changed = j >= existing.length || {
+              val orig = existing(j)._3
+              perLayer.length != orig.length ||
+                perLayer.indices.exists(l =>
+                  !java.util.Arrays.equals(perLayer(l).toArray.sorted,
+                    orig(l).toArray.sorted))
+            }
+            (rows(j)._1, rows(j)._2, perLayer, changed)
           }
         }
       }
-      .toDF(idCol, vecCol, "layer_nbrs")
+      .toDF(idCol, vecCol, "layer_nbrs", "nsw_changed")
   }
 
   /** Codes-only serving index from a [[hnswBuild]] result — the
@@ -2081,9 +2220,11 @@ object Similarity {
     }
     val nrmTab = books.map(_.map(cent => cent.map(x => x * x).sum))
     val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val delCol = (if (coded.columns.contains("nsw_deleted")) col("nsw_deleted")
+      else lit(false)).cast("boolean").as("__del")
     coded.select(col(idCol).cast("long"), col("pq_code").cast("array<int>"),
-        col("layer_nbrs").cast("array<array<long>>"))
-      .as[(Long, Seq[Int], Seq[Seq[Long]])]
+        col("layer_nbrs").cast("array<array<long>>"), delCol)
+      .as[(Long, Seq[Int], Seq[Seq[Long]], Boolean)]
       .repartition(nParts, col(idCol))
       .mapPartitions { it =>
         val rows = it.toArray.sortBy(_._1)
@@ -2098,6 +2239,7 @@ object Similarity {
             else scala.collection.mutable.ArrayBuffer.empty[Int]
           }
           val entry = levels.indexOf(maxLevel)
+          val alive = rows.map(r => !r._4)
           def adcScore(i: Int): Double = {
             val code = codes(i)
             var d = 0.0; var n2 = 0.0
@@ -2109,7 +2251,8 @@ object Similarity {
             val denom = qNorm * math.sqrt(n2)
             if (denom > 1e-12) d / denom else 0.0
           }
-          hnswSearchLocalBy(adcScore, layers, levels, entry, math.max(efSearch, kk))
+          hnswSearchLocalBy(adcScore, layers, levels, entry,
+              math.max(efSearch, kk), i => alive(i))
             .take(kk).iterator.map { case (i, s) => (rows(i)._1, s) }
         }
       }
