@@ -2417,9 +2417,13 @@ object SparkEntry {
         val nRows = idx.count()
         require(nRows == n0 + 1,
           s"q_nsw_lifecycle_stored: expected ${n0 + 1} rows, got $nRows")
+        // appended_first asserts RANK (round-16 review): the top-scored
+        // row must BE the appended copy at cosine 1.0 — membership alone
+        // would pass with the copy served at rank 5
         Similarity.nswSearchBuilt(idx, "embedding", "vec_id", q, k = 10)
           .agg(count(lit(1)).as("k"),
-            max(col("vec_id") === -2L && col("nsw_sim") === 1.0).as("appended_first"),
+            (max_by(col("vec_id"), col("nsw_sim")) === -2L &&
+              max(col("nsw_sim")) === 1.0).as("appended_first"),
             max(col("vec_id") === -1L).as("served_deleted"))
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
@@ -2471,9 +2475,13 @@ object SparkEntry {
         val nRows = idx.count()
         require(nRows == n0 + 1,
           s"q_hnsw_lifecycle_stored: expected ${n0 + 1} rows, got $nRows")
+        // appended_first asserts RANK, not membership: the top-scored row
+        // must BE the appended copy at cosine 1.0 (max_by picks the served
+        // rank-1 id; the exact copy is the unique 1.0, so no tie)
         Similarity.hnswSearchBuilt(idx, "embedding", "vec_id", q, k = 10)
           .agg(count(lit(1)).as("k"),
-            max(col("vec_id") === -2L && col("hnsw_sim") === 1.0).as("appended_first"),
+            (max_by(col("vec_id"), col("hnsw_sim")) === -2L &&
+              max(col("hnsw_sim")) === 1.0).as("appended_first"),
             max(col("vec_id") === -1L).as("served_deleted"))
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),

@@ -1644,15 +1644,34 @@ object Similarity {
   def nswCompactStored(spark: SparkSession, path: String, vecCol: String,
       idCol: String = "vec_id", nParts: Int = 4, m: Int = 8,
       efConstruction: Int = 64, sweepGraceMs: Long = 0L): Unit =
+    compactStoredGraph(spark, path, vecCol, idCol,
+      nbrCol = "nbr_ids", label = "nswCompactStored", sweepGraceMs,
+      build = retained => nswBuild(retained, vecCol, idCol, nParts, m,
+        efConstruction))
+
+  /** The one compaction body, shared by the flat and hierarchical stored
+    * tiers (the [[appendToStoredGraph]] discipline): the nbrCol guard is
+    * load-bearing — compaction REPLACES the whole layout, so running the
+    * wrong tier's rebuild over a store would destroy its adjacency
+    * irrecoverably (the append path already fails loudly on the same
+    * mistake; the more destructive verb must too).
+    */
+  private def compactStoredGraph(spark: SparkSession, path: String,
+      vecCol: String, idCol: String, nbrCol: String, label: String,
+      sweepGraceMs: Long, build: DataFrame => DataFrame): Unit =
     graft.batch.SegmentedStore.withWriterLock(path) {
       val cur = readNswIndex(spark, path, idCol)
       require(cur.columns.contains(vecCol),
-        s"nswCompactStored: stored index at $path has no '$vecCol' column — " +
+        s"$label: stored index at $path has no '$vecCol' column — " +
         "codes-only indexes rebuild from the float corpus instead")
+      require(cur.columns.contains(nbrCol),
+        s"$label: stored index at $path has no '$nbrCol' column — it holds " +
+        "the other graph tier's layout (flat nbr_ids vs hierarchical " +
+        "layer_nbrs); compacting it with this tier's rebuild would destroy it")
       val retained = (if (cur.columns.contains("nsw_deleted"))
         cur.where(!col("nsw_deleted")) else cur)
         .select(col(idCol), col(vecCol))
-      val rebuilt = nswBuild(retained, vecCol, idCol, nParts, m, efConstruction)
+      val rebuilt = build(retained)
       val id = graft.batch.SegmentedStore.nextId(path)
       writeGraphSegment(rebuilt, path, id, marks = None)
       graft.batch.SegmentedStore.commitReplaceAll(path, id, sweepGraceMs)
@@ -1710,19 +1729,10 @@ object Similarity {
   def hnswCompactStored(spark: SparkSession, path: String, vecCol: String,
       idCol: String = "vec_id", nParts: Int = 4, m: Int = 8,
       efConstruction: Int = 64, sweepGraceMs: Long = 0L): Unit =
-    graft.batch.SegmentedStore.withWriterLock(path) {
-      val cur = readNswIndex(spark, path, idCol)
-      require(cur.columns.contains(vecCol),
-        s"hnswCompactStored: stored index at $path has no '$vecCol' column — " +
-        "codes-only indexes rebuild from the float corpus instead")
-      val retained = (if (cur.columns.contains("nsw_deleted"))
-        cur.where(!col("nsw_deleted")) else cur)
-        .select(col(idCol), col(vecCol))
-      val rebuilt = hnswBuild(retained, vecCol, idCol, nParts, m, efConstruction)
-      val id = graft.batch.SegmentedStore.nextId(path)
-      writeGraphSegment(rebuilt, path, id, marks = None)
-      graft.batch.SegmentedStore.commitReplaceAll(path, id, sweepGraceMs)
-    }
+    compactStoredGraph(spark, path, vecCol, idCol,
+      nbrCol = "layer_nbrs", label = "hnswCompactStored", sweepGraceMs,
+      build = retained => hnswBuild(retained, vecCol, idCol, nParts, m,
+        efConstruction))
 
   /** Self-scheduling fold for the stored hierarchical tier (≡
     * [[nswCompactIfFragmented]]).
