@@ -25,8 +25,25 @@ import org.apache.spark.sql.SparkSession
   * query with NO successful rep reports null in "queries_min" (a
   * fast-fail timing is not a stall-resistant signal) and is excluded
   * from "total_min".
+  *
+  * Round 17 artifact additions: "run_contended"/"fleet_median_ratio"
+  * flag a FLEET-WIDE contention window the per-query 3x threshold can't
+  * see (median min/reference ratio > 1.2 over >= 20 shared rows — the
+  * r16 driver gate inflated 1.2-1.5x uniformly with zero rows flagged);
+  * "queries_min_operator"/"total_min_operator" subtract in-row
+  * build/oracle phases (PhaseTimer names build, exact_oracle,
+  * rebuild_oracle) from the lifecycle rows so audit cost stops billing
+  * the maintenance verbs.
   */
 object Bench {
+  /** Locale-pinned decimal rendering for JSON fields: the f"" interpolator
+    * honors the default locale, so under e.g. de_DE a "%.3f" emits "1,234"
+    * and the artifact stops being JSON. Every formatted number that lands
+    * in an artifact goes through here.
+    */
+  private def jfmt(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -39,6 +56,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // commit-log flips in store-mutating gate rows go through the real
+    // CAS backend by default (round 17; opt-out -Dgraft.cas.default=off)
+    batch.StoreFs.ensureDefaultCasBackend()
     // warm up JIT/codegen/parquet/shuffle/HOF codepaths so the first timed
     // query isn't billed for one-time JVM costs
     try {
@@ -232,9 +252,9 @@ object Bench {
       val perQ = perQCand.toSeq.sortBy(_._1).map { case (q, c) =>
         val sc = perQScored.getOrElse(q, 0L)
         val r = if (c > 0) sc.toDouble / c else 1.0
-        f""""$q":{"scored":$sc,"candidates":$c,"ratio":$r%.4f}"""
+        s""""$q":{"scored":$sc,"candidates":$c,"ratio":${jfmt(r, 4)}}"""
       }.mkString("{", ",", "}")
-      f"""{"scored_groups":$scored,"candidate_groups":$candidates,"ratio":$ratio%.4f,"per_query":$perQ}"""
+      s"""{"scored_groups":$scored,"candidate_groups":$candidates,"ratio":${jfmt(ratio, 4)},"per_query":$perQ}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] wand diag skipped: $e"); "null"
     }
@@ -242,6 +262,54 @@ object Bench {
     val qs = results.map { case (k, (v, _, _, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qsMin = results.map { case (k, (_, v, _, _)) => "\"" + k + "\":" + jnum(v) }
+      .mkString("{", ",", "}")
+    // Run-level contention flag (round 17 — the per-query 3x threshold
+    // misses the bandwidth-correlated co-tenant class at sub-3x severity:
+    // the r16 driver gate inflated 1.2-1.5x FLEET-WIDE with zero rows
+    // flagged while the same tree ran faster organically). Median of
+    // per-query min/reference ratios over the shared rows; references
+    // under 0.1 s are excluded (sub-100 ms rows jitter 2x on a healthy
+    // host and would swamp the median with noise). Median > 1.2 across
+    // >= 20 shared rows marks the RUN contended — the number is still the
+    // best this host gave, but it is not comparable round-over-round.
+    val fleetRatios = results.toSeq.flatMap { case (k, (_, minOk, _, _)) =>
+      for { m <- minOk; r <- refMins.get(k) if r >= 0.1 } yield m / r
+    }.sorted
+    val fleetMedian: Option[Double] =
+      if (fleetRatios.size >= 20)
+        Some(
+          if (fleetRatios.size % 2 == 1) fleetRatios(fleetRatios.size / 2)
+          else (fleetRatios(fleetRatios.size / 2 - 1) +
+                fleetRatios(fleetRatios.size / 2)) / 2.0)
+      else None
+    val runContended = fleetMedian.exists(_ > 1.2)
+    if (runContended) System.err.println(
+      s"[bench] RUN CONTENDED: fleet median per-query ratio " +
+      s"${jfmt(fleetMedian.get, 3)} vs reference over ${fleetRatios.size} " +
+      s"shared rows exceeds 1.2 — treat this run's totals as a contended " +
+      s"host reading, not a tree regression")
+    val contentionJson =
+      s""""run_contended":$runContended,"fleet_median_ratio":${
+        fleetMedian.fold("null")(m => jfmt(m, 3))},"fleet_ratio_n":${fleetRatios.size}"""
+    // Operator-only wall (round 17): lifecycle gate rows carry in-row
+    // index builds and rebuild/exact oracles that are audit cost, not the
+    // operator under test. queries_min_operator = the published minimum
+    // minus that rep's build/oracle phases, for the rows where they exist
+    // (all other rows are identical to queries_min and are omitted).
+    // bestPhases tracks the FASTEST successful rep that emitted phases, so
+    // the subtraction is self-consistent with the published minimum.
+    val nonOperatorPhases = Set("build", "exact_oracle", "rebuild_oracle")
+    val operatorMins: Seq[(String, Double)] = results.toSeq.flatMap {
+      case (k, (_, minOk, _, _)) =>
+        for {
+          m <- minOk
+          ps <- phaseSplits.get(k)
+          audit = ps.filter { case (p, _) => nonOperatorPhases(p) }
+          if audit.nonEmpty
+        } yield k -> math.max(0.0, m - audit.values.sum)
+    }
+    val qsMinOperator = operatorMins.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + jfmt(v, 3) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, (_, _, false, _)) => "\"" + k + "\"" }
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
@@ -267,9 +335,15 @@ object Bench {
     // maintenance operator
     val phasesJson = phaseSplits.toSeq.sortBy(_._1).map { case (q, ps) =>
       "\"" + q + "\":" + ps.toSeq.sortBy(_._1)
-        .map { case (p, t) => f""""$p":$t%.3f""" }.mkString("{", ",", "}")
+        .map { case (p, t) => s""""$p":${jfmt(t, 3)}""" }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"n_queries":${results.size},"contract":"$contractJs","wand":$wandJson,"queries":$qs,"queries_min":$qsMin,"phases":$phasesJson,"failed":$failedArr,"suspect_stall":$suspectArr,"sf":"$sfDir"}"""
+    // total with audit phases removed fleet-wide: the headline number a
+    // scale regression should be read against
+    val auditCost = operatorMins.map { case (k, op) =>
+      results(k)._2.getOrElse(op) - op
+    }.sum
+    val totalMinOperator = totalMin - auditCost
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"total_min_operator":${jfmt(totalMinOperator, 3)},"n_queries":${results.size},"contract":"$contractJs",$contentionJson,"wand":$wandJson,"queries":$qs,"queries_min":$qsMin,"queries_min_operator":$qsMinOperator,"phases":$phasesJson,"failed":$failedArr,"suspect_stall":$suspectArr,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
@@ -290,7 +364,7 @@ object Bench {
       .take(12)
       .map { case (k, (first, min, _, _)) => "\"" + k + "\":" + jnum(min.orElse(Some(first))) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"n_queries":${results.size},"contract":"$contractJs","wand":$wandJson,"failed":$failedArr,"suspect_stall":$suspectArr,"slowest_min":$slowest,"full":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"total_min_operator":${jfmt(totalMinOperator, 3)},"n_queries":${results.size},"contract":"$contractJs",$contentionJson,"wand":$wandJson,"failed":$failedArr,"suspect_stall":$suspectArr,"slowest_min":$slowest,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

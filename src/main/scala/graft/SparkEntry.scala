@@ -1811,7 +1811,11 @@ object SparkEntry {
       // batches), then the maintenance-cadence COMPACTION folds the
       // segments into one (atomic commit-log flip), and scoring runs off
       // the compacted index. Every stage is exact, so this row still
-      // shares q_bm25's oracle verbatim
+      // shares q_bm25's oracle verbatim.
+      // State story: NO Spark state-store state (fanout is stateless) —
+      // the index IS the durable state, all-time by the operator's
+      // contract; replay safety is the segment replay guard (batchId),
+      // not a TTL/horizon (see StreamingIO.fanout)
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val docs = docsDs(s, dir).collect()
@@ -2061,26 +2065,19 @@ object SparkEntry {
       val (agree, gap) = (q.getDouble(0), q.getDouble(1))
       val nVecs = e.count()
       val within = hierKept.join(e.select("vec_id"), Seq("vec_id"), "left_anti").count() == 0
-      // exact-subset invariant in WITNESS form (round 16):
-      // exactKept ⊆ hierKept ⇔ every hier-DROPPED doc has a smaller-id
-      // exact near-dup (the witness the exhaustive pass would drop it
-      // for) — complement inclusion, the identical boolean, at
-      // |dropped| × n cost instead of the n² all-pairs (which previously
-      // dominated this row 332 s of 369 s at organic 100x; the all-pairs
-      // OPERATOR keeps its own oracle row, q_dedup_embedding). The
-      // corpus scans once with the small dropped set broadcast.
+      // exact-subset invariant in WITNESS form (round 16), banded
+      // (round 17): exactKept ⊆ hierKept ⇔ every hier-DROPPED doc has a
+      // smaller-id exact near-dup — complement inclusion, the identical
+      // boolean. Round 16's broadcast witness scan was |dropped| × n
+      // (51.1 s of this row's 77.4 s at organic 100x); the banded form
+      // prefilters witness pairs with the SAME hyperplane-bucket family
+      // q_dedup_embedding_lsh uses and re-checks only the LSH-missed
+      // remainder exhaustively — one banded broadcast join + a small
+      // exact pass, boolean unchanged (Dedup.nearDupWitnessCheck; the
+      // all-pairs OPERATOR keeps its own oracle row, q_dedup_embedding).
       val exactSubset = PhaseTimer.time("q_semdedup_hier", "exact_oracle") {
-        val norm = e.select(col("vec_id"), graft.functions.VectorFunctions
-          .l2Normalize(col("embedding")).as("__nv"))
-        val dropped = norm.join(hierKept, Seq("vec_id"), "left_anti")
-          .localCheckpoint(true)
-        val witnessed = norm.as("w")
-          .join(broadcast(dropped.as("d")),
-            col("w.vec_id") < col("d.vec_id") &&
-              graft.functions.VectorFunctions
-                .dot(col("w.__nv"), col("d.__nv")) >= 0.9)
-          .select(col("d.vec_id")).distinct()
-        dropped.count() == witnessed.count()
+        Dedup.nearDupWitnessCheck(e, hierKept, "embedding", "vec_id",
+          dim = 64, threshold = 0.9)
       }
       Seq((nVecs, within, exactSubset, agree >= 0.9, gap <= 0.02))
         .toDF("n_vecs", "survivors_within_corpus", "exact_kept_subset",
@@ -2186,7 +2183,10 @@ object SparkEntry {
       // foreachBatch (int8AppendToStored; the index stays serveable
       // between batches), compaction folds the segments, and the served
       // top-k must EXACTLY equal the one-shot in-memory int8TopK —
-      // pinned alongside q_ann_int8's recall/k invariants
+      // pinned alongside q_ann_int8's recall/k invariants.
+      // State story: no state-store state; the codes index is the
+      // all-time durable state, replay-guarded by batchId (see
+      // StreamingIO.fanout)
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val e = t(s, dir, "embeddings")
@@ -3017,6 +3017,9 @@ object SparkEntry {
       // counts are sums, the Summer contract). The final state equals
       // the batch aggregation exactly, so this row shares
       // q_corpus_stats' oracle verbatim.
+      // State story: no state-store state; the stats table is bounded by
+      // the (lang, source) key space, not by time — all-time by the
+      // report's contract (see StreamingIO.fanout)
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       def statsOf(df: DataFrame): DataFrame =
@@ -3207,6 +3210,11 @@ object SparkEntry {
       // the model is re-finalizable and serveable after every batch).
       // Integer counts sum exactly, so the final state ≡ full retraining
       // and this row shares q_nb_classifier's oracle verbatim.
+      // State story: no state-store state; the count model is the
+      // all-time durable state (a classifier's counts are its sufficient
+      // statistic — nothing to horizon). This harness versions by `ver`;
+      // a production ingest commits counts through a BatchStore so a
+      // replayed batch is guarded like any merge (see StreamingIO.fanout)
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val base = t(s, dir, "documents").select("doc_id", "text")

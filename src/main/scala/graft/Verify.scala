@@ -16,6 +16,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // commit-log flips in store-mutating gate rows go through the real
+    // CAS backend by default (round 17; opt-out -Dgraft.cas.default=off)
+    batch.StoreFs.ensureDefaultCasBackend()
     // schema contract FIRST: if the driver's tables changed representation
     // underneath us, the headline diagnostic is ONE loud message naming the
     // observed type — not N opaque per-query errors (the round-10 failure

@@ -75,6 +75,10 @@ object BatchDriver {
       maintenance: Maintenance = Maintenance.off)(
       deltas: org.apache.spark.sql.DataFrame => Dataset[(K, Long, V)])(
       implicit sg: Semigroup[V], kEnc: Encoder[K], vEnc: Encoder[V]): Result = {
+    // default-on conditional commit (round 17): the flip below goes
+    // through CAS unless the deployment explicitly opted out or wired
+    // its own backend — see StoreFs.ensureDefaultCasBackend
+    StoreFs.ensureDefaultCasBackend()
     val firstNeeded = store.state.lastCommitted(upTo)
       .map(_.next).getOrElse(
         TimePathedSource.availableBatches(spark, sourcePath).headOption

@@ -28,10 +28,13 @@ package graft.batch
   * flips serialize instead of spuriously aborting; only a lock that can
   * be neither acquired nor broken within the wait throws.
   *
-  * Wiring recipe (driver startup, before any store mutation):
-  * {{{
-  * StoreFs.installCasBackend(new HadoopCasBackend())
-  * }}}
+  * Wiring (round 17): DEFAULT-ON. [[StoreFs.ensureDefaultCasBackend]]
+  * installs this backend automatically at every driver entry point
+  * ([[BatchDriver.runIncremental]], `graft.Verify`, `graft.Bench`) unless
+  * a backend is already installed or `-Dgraft.cas.default=off` /
+  * `SPARK_GRAFT_CAS_DEFAULT=off` opts out. Custom backends (e.g. a pure
+  * etag-conditional adapter) still install explicitly via
+  * `StoreFs.installCasBackend(...)` and are never overridden.
   * With the backend installed every `BatchState.write` flip upgrades to
   * compare-and-swap against the log content the writer read (see
   * `BatchState.write`), closing the last same-instant-flip residual the

@@ -195,6 +195,27 @@ object SegmentedStore {
   def withWriterLock[A](path: String, leaseTimeoutMs: Long = 600000L)(body: => A): A =
     WriterLease.withLock(path, leaseTimeoutMs)(body)
 
+  /** Shared self-scheduling compaction guard (round 17): the one body
+    * behind every tier's `*CompactIfFragmented`. Cheap unlocked pre-check
+    * first — below the threshold the cadence call costs one commit-log
+    * read and takes no lock — then the threshold is RE-CHECKED inside the
+    * writer lock before `compactLocked` runs, so two maintenance drivers
+    * whose cadences overlap serialize on the lock and the second sees the
+    * first's fold instead of paying a redundant O(index) rebuild.
+    * `compactLocked` must NOT take the lock itself ([[WriterLease]] is
+    * non-reentrant by design). Returns whether a compaction ran.
+    */
+  def compactIfFragmentedLocked(path: String, maxSegments: Int)(
+      compactLocked: => Unit): Boolean = {
+    require(maxSegments >= 1, s"maxSegments must be >= 1, got $maxSegments")
+    if (committedSegs(path).length <= maxSegments) false
+    else withWriterLock(path) {
+      val stillFragmented = committedSegs(path).length > maxSegments
+      if (stillFragmented) compactLocked
+      stillFragmented
+    }
+  }
+
   /** Whether `dir` holds at least one parquet file — a segment written
     * from an empty batch has none (only a write marker) and readers must
     * skip it or schema inference fails.

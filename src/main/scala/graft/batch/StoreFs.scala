@@ -78,6 +78,35 @@ object StoreFs {
   def clearCasBackend(): Unit = { casBackend = None }
   def currentCasBackend: Option[CasBackend] = casBackend
 
+  /** Default-on CAS (round 17): every driver entry point
+    * ([[BatchDriver.runIncremental]], `graft.Verify`, `graft.Bench`)
+    * calls this before the first store mutation, so the conditional
+    * commit-log flip is the DEFAULT discipline — forgetting the wiring
+    * recipe no longer silently downgrades to the rename path with lease
+    * backstops (the reference's analogous commit, HDFSState's versioned
+    * dir, is always-on: summingbird-batch-hadoop/.../HDFSState.scala:
+    * 80-150). Never overrides an explicitly installed backend (the law
+    * suites install mocks), and is an idempotent no-op once installed.
+    * Opt out (back to rename + lease) with `-Dgraft.cas.default=off` or
+    * env `SPARK_GRAFT_CAS_DEFAULT=off` — for filesystems whose exclusive
+    * create is known inexact AND whose rename is atomic, where the lease
+    * alone is the better residual.
+    */
+  def ensureDefaultCasBackend(): Unit = synchronized {
+    val optOut = sys.props.get("graft.cas.default")
+      .orElse(sys.env.get("SPARK_GRAFT_CAS_DEFAULT"))
+      .exists(v => v.equalsIgnoreCase("off") || v.equalsIgnoreCase("false"))
+    if (optOut) {
+      System.err.println("[graft] default CAS backend opted out " +
+        "(graft.cas.default=off) — commit-log flips use rename + lease")
+    } else if (casBackend.isEmpty) {
+      casBackend = Some(new HadoopCasBackend())
+      System.err.println("[graft] HadoopCasBackend installed (default-on): " +
+        "commit-log flips are compare-and-swap; opt out with " +
+        "-Dgraft.cas.default=off")
+    }
+  }
+
   /** Hadoop conf of the active Spark session (carries `spark.hadoop.*`
     * overrides), or a plain default when no session is active.
     */

@@ -60,12 +60,15 @@ object MaintenanceExample {
     import spark.implicits._
     implicit val sg: Semigroup[Long] = Semigroup.longSemigroup
 
-    // 0. (round 16) the CAS wiring recipe: with the real filesystem-backed
-    //    backend installed, every commit-log flip below upgrades to
-    //    compare-and-swap against the content the writer read — two
-    //    same-instant flips resolve exactly (one wins, one aborts loudly)
-    //    on any FS with exact create-if-absent (HDFS/local; S3A >= 3.4.1)
-    graft.batch.StoreFs.installCasBackend(new graft.batch.HadoopCasBackend())
+    // 0. (round 17) CAS is DEFAULT-ON: every driver entry point installs
+    //    the filesystem-backed backend via ensureDefaultCasBackend, so
+    //    every commit-log flip below is compare-and-swap against the
+    //    content the writer read — two same-instant flips resolve exactly
+    //    (one wins, one aborts loudly) on any FS with exact
+    //    create-if-absent (HDFS/local; S3A >= 3.4.1). Explicit install
+    //    remains for custom backends (e.g. an etag-conditional adapter);
+    //    opt out entirely with -Dgraft.cas.default=off.
+    graft.batch.StoreFs.ensureDefaultCasBackend()
 
     // ------------------------------------------------------------------
     // KV serving store: merge, takedown, backfill

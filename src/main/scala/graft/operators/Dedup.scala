@@ -960,6 +960,66 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Witness-form audit for any near-dup dedup (round 17): does EVERY doc
+    * the dedup DROPPED have a smaller-id exact near-dup at >= `threshold`
+    * (the witness the exhaustive pass would drop it for)? Equivalent to
+    * `exactKept ⊆ kept` by complement inclusion — the subset boolean a
+    * gate row wants, without the n² all-pairs scan.
+    *
+    * Two stages, identical boolean to the exhaustive |dropped| × n scan:
+    *
+    *  1. '''banded prefilter''' — `bands` independent random-hyperplane
+    *     sketches of `nBits` each (seeds 42, 43, …; the
+    *     [[embeddingNearDup]] bucket family). Corpus × dropped candidates
+    *     meet on (band, bucket) equality via one BroadcastHashJoin (the
+    *     dropped side is small and explicit-broadcast), so the corpus
+    *     scans ONCE computing bands·nBits plane dots per row and full
+    *     dots only on bucket collisions (~1/2^nBits of pairs) — instead
+    *     of |dropped| dots per row.
+    *  2. '''exact remainder''' — dropped docs the banding found no
+    *     witness for (LSH misses: at cos 0.9, P[bucket agree] ≈ 0.29 per
+    *     8-bit band, so 8 bands leave ~6% unwitnessed) re-check against
+    *     the FULL corpus with the original broadcast scan. Exhaustive
+    *     over the remainder, so a banding miss can never flip the
+    *     boolean — only move cost between stages.
+    *
+    * `keptIds` must be a subset of `df`'s ids (survivors of a dedup over
+    * `df`); the witness may itself be a dropped doc (the exact pass drops
+    * against ANY smaller id, kept or not).
+    */
+  def nearDupWitnessCheck(df: DataFrame, keptIds: DataFrame, vecCol: String,
+      idCol: String, dim: Int, threshold: Double,
+      bands: Int = 8, nBits: Int = 8): Boolean = {
+    require(bands >= 1 && nBits >= 1, s"bands=$bands nBits=$nBits must be >= 1")
+    val norm = df.select(col(idCol),
+      VectorFunctions.l2Normalize(col(vecCol)).as("__nv"))
+    val dropped = norm.join(keptIds.select(idCol), Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val droppedN = dropped.count()
+    if (droppedN == 0L) return true
+    // band explosion: (band index, bucket) per row — flat columns so the
+    // equi-join compiles to a BroadcastHashJoin on (__bi, __bkt)
+    def banded(d: DataFrame) = d.select(col(idCol), col("__nv"),
+      posexplode(array((0 until bands).map(bi =>
+        VectorFunctions.lshBucket(col("__nv"), dim, nBits, seed = 42L + bi)): _*))
+        .as(Seq("__bi", "__bkt")))
+    val lshWitnessed = banded(norm).as("w")
+      .join(broadcast(banded(dropped)).as("d"),
+        col("w.__bi") === col("d.__bi") && col("w.__bkt") === col("d.__bkt") &&
+          col(s"w.$idCol") < col(s"d.$idCol"))
+      .where(VectorFunctions.dot(col("w.__nv"), col("d.__nv")) >= threshold)
+      .select(col(s"d.$idCol")).distinct()
+      .localCheckpoint(true)
+    val remainder = dropped.join(lshWitnessed, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val exactWitnessed = norm.as("w")
+      .join(broadcast(remainder.as("d")),
+        col(s"w.$idCol") < col(s"d.$idCol") &&
+          VectorFunctions.dot(col("w.__nv"), col("d.__nv")) >= threshold)
+      .select(col(s"d.$idCol")).distinct()
+    droppedN == lshWitnessed.count() + exactWitnessed.count()
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     * cluster-scoped cosine — spherical k-means the embeddings
     * ([[Similarity.kmeansCentroids]]: deterministic hash-picked seeds +

@@ -265,33 +265,41 @@ object Retrieval {
   def compactStored(spark: org.apache.spark.sql.SparkSession, path: String,
       tokenBuckets: Int, sweepGraceMs: Long = 0L): Unit =
     graft.batch.SegmentedStore.withWriterLock(path) {
-      val idx = readIndex(spark, path, idCol = "doc_id")
-      val id = graft.batch.SegmentedStore.nextId(path)
-      // pre-clear the (new, uncommitted) target id — a crashed writer's
-      // orphan subdirs must not ride this commit (see writeSegment)
-      graft.batch.StoreFs.deleteRecursive(segDir(path, id))
-      withBucket(idx.postings, tokenBuckets)
-        .repartition(col("tb")).sortWithinPartitions("token")
-        .write.partitionBy("tb").mode("overwrite")
-        .parquet(s"${segDir(path, id)}/postings")
-      idx.stats.coalesce(1).write.mode("overwrite")
-        .parquet(s"${segDir(path, id)}/stats")
-      graft.batch.SegmentedStore.commitReplaceAll(path, id, sweepGraceMs)
+      compactLocked(spark, path, tokenBuckets, sweepGraceMs)
     }
+
+  // lock-free compact body, shared by the direct verb (above) and the
+  // cadence guard (below, which re-checks the threshold INSIDE the lock)
+  private def compactLocked(spark: org.apache.spark.sql.SparkSession,
+      path: String, tokenBuckets: Int, sweepGraceMs: Long): Unit = {
+    val idx = readIndex(spark, path, idCol = "doc_id")
+    val id = graft.batch.SegmentedStore.nextId(path)
+    // pre-clear the (new, uncommitted) target id — a crashed writer's
+    // orphan subdirs must not ride this commit (see writeSegment)
+    graft.batch.StoreFs.deleteRecursive(segDir(path, id))
+    withBucket(idx.postings, tokenBuckets)
+      .repartition(col("tb")).sortWithinPartitions("token")
+      .write.partitionBy("tb").mode("overwrite")
+      .parquet(s"${segDir(path, id)}/postings")
+    idx.stats.coalesce(1).write.mode("overwrite")
+      .parquet(s"${segDir(path, id)}/stats")
+    graft.batch.SegmentedStore.commitReplaceAll(path, id, sweepGraceMs)
+  }
 
   /** Compact only when fragmentation crosses `maxSegments` — the
     * self-scheduling form of [[compactStored]] a streaming ingest can
     * call after every micro-batch: below the threshold it costs one
-    * commit-log read and does nothing. Returns whether a compaction ran.
+    * commit-log read, takes no lock, and does nothing (the threshold is
+    * re-checked inside the writer lock before the fold — see
+    * SegmentedStore.compactIfFragmentedLocked). Returns whether a
+    * compaction ran.
     */
   def compactIfFragmented(spark: org.apache.spark.sql.SparkSession,
       path: String, tokenBuckets: Int, maxSegments: Int = 8,
-      sweepGraceMs: Long = 0L): Boolean = {
-    require(maxSegments >= 1, s"maxSegments must be >= 1, got $maxSegments")
-    val fragmented = committedSegs(path).length > maxSegments
-    if (fragmented) compactStored(spark, path, tokenBuckets, sweepGraceMs)
-    fragmented
-  }
+      sweepGraceMs: Long = 0L): Boolean =
+    graft.batch.SegmentedStore.compactIfFragmentedLocked(path, maxSegments) {
+      compactLocked(spark, path, tokenBuckets, sweepGraceMs)
+    }
 
   /** Full (unpruned) read of a stored index: postings unioned across the
     * committed segments, stats deltas summed into the one-row total.

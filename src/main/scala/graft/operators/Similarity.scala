@@ -162,24 +162,30 @@ object Similarity {
   def int8CompactStored(spark: SparkSession, path: String,
       sweepGraceMs: Long = 0L): Unit =
     graft.batch.SegmentedStore.withWriterLock(path) {
-      val all = readInt8Index(spark, path)
-      val id = graft.batch.SegmentedStore.nextId(path)
-      writeCodesSegment(all, path, id)
-      graft.batch.SegmentedStore.commitReplaceAll(path, id, sweepGraceMs)
+      int8CompactLocked(spark, path, sweepGraceMs)
     }
+
+  // lock-free compact body, shared by the direct verb (above) and the
+  // cadence guard (below, which re-checks the threshold INSIDE the lock)
+  private def int8CompactLocked(spark: SparkSession, path: String,
+      sweepGraceMs: Long): Unit = {
+    val all = readInt8Index(spark, path)
+    val id = graft.batch.SegmentedStore.nextId(path)
+    writeCodesSegment(all, path, id)
+    graft.batch.SegmentedStore.commitReplaceAll(path, id, sweepGraceMs)
+  }
 
   /** Compact only when fragmentation crosses `maxSegments` — the
     * self-scheduling form of [[int8CompactStored]] (same contract as
-    * Retrieval.compactIfFragmented). Returns whether a compaction ran.
+    * Retrieval.compactIfFragmented; threshold re-checked inside the
+    * writer lock — see SegmentedStore.compactIfFragmentedLocked).
+    * Returns whether a compaction ran.
     */
   def int8CompactIfFragmented(spark: SparkSession, path: String,
-      maxSegments: Int = 8, sweepGraceMs: Long = 0L): Boolean = {
-    require(maxSegments >= 1, s"maxSegments must be >= 1, got $maxSegments")
-    val fragmented =
-      graft.batch.SegmentedStore.committedSegs(path).length > maxSegments
-    if (fragmented) int8CompactStored(spark, path, sweepGraceMs)
-    fragmented
-  }
+      maxSegments: Int = 8, sweepGraceMs: Long = 0L): Boolean =
+    graft.batch.SegmentedStore.compactIfFragmentedLocked(path, maxSegments) {
+      int8CompactLocked(spark, path, sweepGraceMs)
+    }
 
   /** Union of the committed segments' codes (each root read separately,
     * empty bootstrap segments skipped). A bootstrapped-but-empty index —
@@ -529,6 +535,12 @@ object Similarity {
     * row), and the shuffle carries only nCentroids × dim cells,
     * independent of row count. Cosine argmax is scale-invariant, so the
     * unnormalized mean is the correct centroid direction.
+    *
+    * `trainSample > 0` supersedes `hierAssign` during training: Lloyd
+    * runs driver-local on the bounded sample with exact argmax
+    * assignment (the two-level shortcut exists to bound corpus-scan
+    * cost, which the sample already bounds); `hierAssign` still governs
+    * whatever corpus-wide assignment pass the caller runs afterwards.
     */
   def kmeansCentroids(df: DataFrame, vecCol: String, idCol: String,
       nCentroids: Int, lloydIters: Int,
@@ -536,6 +548,16 @@ object Similarity {
       trainSample: Int = 0): Array[Array[Double]] = {
     require(lloydIters >= 0, s"lloydIters must be >= 0, got $lloydIters")
     if (trainSample > 0) {
+      // trainSample supersedes hierAssign DURING TRAINING: the
+      // driver-local Lloyd below always assigns by exact argmax (the
+      // sample is bounded, so the two-level shortcut buys nothing), and
+      // the caller's hierAssign choice still governs the corpus-wide
+      // assignment pass it runs afterwards. Say so, loudly, so the
+      // refinement trajectory difference is never a silent surprise.
+      if (hierAssign) System.err.println(
+        "[graft] kmeansCentroids: trainSample > 0 trains driver-local with " +
+        "exact argmax assignment; hierAssign applies only to the caller's " +
+        "subsequent corpus assignment pass")
       // bounded-sample training (round 16 — the pqCodebooks discipline):
       // ONE TakeOrdered job collects the `trainSample` vectors with the
       // smallest hashed id, Lloyd runs driver-LOCAL on the sample, and the
@@ -1631,15 +1653,13 @@ object Similarity {
   def nswCompactIfFragmented(spark: SparkSession, path: String, vecCol: String,
       idCol: String = "vec_id", nParts: Int = 4, m: Int = 8,
       efConstruction: Int = 64, maxSegments: Int = 8,
-      sweepGraceMs: Long = 0L): Boolean = {
-    require(maxSegments >= 1, s"maxSegments must be >= 1, got $maxSegments")
-    val fragmented =
-      graft.batch.SegmentedStore.committedSegs(path).length > maxSegments
-    if (fragmented)
-      nswCompactStored(spark, path, vecCol, idCol, nParts, m,
-        efConstruction, sweepGraceMs)
-    fragmented
-  }
+      sweepGraceMs: Long = 0L): Boolean =
+    graft.batch.SegmentedStore.compactIfFragmentedLocked(path, maxSegments) {
+      compactStoredGraphLocked(spark, path, vecCol, idCol,
+        nbrCol = "nbr_ids", label = "nswCompactStored", sweepGraceMs,
+        build = retained => nswBuild(retained, vecCol, idCol, nParts, m,
+          efConstruction))
+    }
 
   def nswCompactStored(spark: SparkSession, path: String, vecCol: String,
       idCol: String = "vec_id", nParts: Int = 4, m: Int = 8,
@@ -1660,6 +1680,16 @@ object Similarity {
       vecCol: String, idCol: String, nbrCol: String, label: String,
       sweepGraceMs: Long, build: DataFrame => DataFrame): Unit =
     graft.batch.SegmentedStore.withWriterLock(path) {
+      compactStoredGraphLocked(spark, path, vecCol, idCol, nbrCol, label,
+        sweepGraceMs, build)
+    }
+
+  // lock-free form of the shared compaction body: the cadence guards
+  // (nsw/hnswCompactIfFragmented) call it under the lock they already
+  // hold after re-checking the segment threshold inside it
+  private def compactStoredGraphLocked(spark: SparkSession, path: String,
+      vecCol: String, idCol: String, nbrCol: String, label: String,
+      sweepGraceMs: Long, build: DataFrame => DataFrame): Unit = {
       val cur = readNswIndex(spark, path, idCol)
       require(cur.columns.contains(vecCol),
         s"$label: stored index at $path has no '$vecCol' column — " +
@@ -1735,20 +1765,19 @@ object Similarity {
         efConstruction))
 
   /** Self-scheduling fold for the stored hierarchical tier (≡
-    * [[nswCompactIfFragmented]]).
+    * [[nswCompactIfFragmented]] — the same shared guard body,
+    * parameterized by this tier's rebuild).
     */
   def hnswCompactIfFragmented(spark: SparkSession, path: String, vecCol: String,
       idCol: String = "vec_id", nParts: Int = 4, m: Int = 8,
       efConstruction: Int = 64, maxSegments: Int = 8,
-      sweepGraceMs: Long = 0L): Boolean = {
-    require(maxSegments >= 1, s"maxSegments must be >= 1, got $maxSegments")
-    val fragmented =
-      graft.batch.SegmentedStore.committedSegs(path).length > maxSegments
-    if (fragmented)
-      hnswCompactStored(spark, path, vecCol, idCol, nParts, m,
-        efConstruction, sweepGraceMs)
-    fragmented
-  }
+      sweepGraceMs: Long = 0L): Boolean =
+    graft.batch.SegmentedStore.compactIfFragmentedLocked(path, maxSegments) {
+      compactStoredGraphLocked(spark, path, vecCol, idCol,
+        nbrCol = "layer_nbrs", label = "hnswCompactStored", sweepGraceMs,
+        build = retained => hnswBuild(retained, vecCol, idCol, nParts, m,
+          efConstruction))
+    }
 
   /** Incremental index maintenance — insert a batch of NEW vectors into a
     * persisted [[nswBuild]] index without rebuilding the shard graphs: the

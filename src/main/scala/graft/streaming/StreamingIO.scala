@@ -29,6 +29,29 @@ object StreamingIO {
 
   /** foreachBatch fan-out: every writer sees the same persisted micro-batch.
     * Returns the writer; caller sets options/trigger and calls `.start()`.
+    *
+    * State story (round 17, the replay-blindness audit the horizon Summer
+    * prompted): fanout itself is STATELESS — queries built on it (the
+    * stored-index/model maintenance machines: BM25 `appendToStored`, ANN
+    * `int8AppendToStored`, NB count merges, corpus-stat roll-forwards)
+    * hold ZERO Spark state-store state, so neither wall-clock TTL nor an
+    * event-time horizon applies to them. Their durable state is the
+    * stored index/model itself, which is the operator's OUTPUT and
+    * inherently all-time: an index over the corpus must hold the corpus'
+    * postings/codes, a classifier's counts are its sufficient statistic —
+    * there is no per-key delta to reclaim, and the stores grow with
+    * CORPUS size, not with replay depth (the decades probes measure
+    * per-key streaming state; stored-index growth is measured by the
+    * stored_read_amp probe arm instead). What replay/backfill threatens
+    * here is DOUBLE-APPLY, not state growth — which the segment layer
+    * answers with its replay guard (`SegmentedStore.batchApplied` /
+    * `batchId`-keyed commits: a re-delivered micro-batch is a no-op), not
+    * with a horizon. The machines that DO hold per-key state each carry
+    * their own lever: sumByKey (wall TTL) beside sumByKeyWithinHorizon
+    * (event-time horizon), minhash + its horizon form, sessionize
+    * (watermark eviction), stream-stream join (watermark), exact dedup
+    * (unbounded BY DESIGN — one row per distinct digest is the operator's
+    * contract, with the watermarked form beside it).
     */
   def fanout[T](ds: Dataset[T])(
       writers: Seq[(Dataset[T], Long) => Unit]): DataStreamWriter[T] =

@@ -874,6 +874,58 @@ object ScaleProbe {
         f"ratio=${tIns / tReb}%.2f")
     }
 
+    // round-17 (r16 verdict #7): stored-index READ amplification over many
+    // append generations — the one unmeasured scale axis. A daily-ingest
+    // store accumulates one graphdelta segment per batch; reads pay the
+    // LWW fold over every live segment until a compaction folds them.
+    // This arm stacks `gens` delta appends on a stored NSW index over the
+    // factor-x embeddings and reports serve wall at segment-count
+    // checkpoints, then the compaction cost and the post-compaction serve
+    // — the read-amplification-vs-write-cost trade as a measured curve,
+    // with the compactIfFragmented default (maxSegments=8) sitting on it.
+    if (opsArg.forall(_.contains("stored_read_amp"))) {
+      import graft.operators.Similarity
+      import graft.batch.SegmentedStore
+      val e = spark.read.parquet(embN)
+      // 95% base corpus; the other 5% becomes `gens` append batches with
+      // fresh ids ABOVE the base (the append-only ingest shape)
+      val base = e.where(col("vec_id") % 20 =!= 0)
+      val gens = 32
+      val pool = e.where(col("vec_id") % 20 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(2000000000L))
+        .withColumn("__g", pmod(xxhash64(col("vec_id")), lit(gens)))
+        .localCheckpoint(true)
+      val dir = s"$scratch/read_amp_idx"
+      Similarity.nswWriteIndex(
+        Similarity.nswBuild(base, "embedding", "vec_id"), dir)
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      def readWall(): Double = time(
+        Similarity.nswSearchBuilt(Similarity.readNswIndex(spark, dir),
+            "embedding", "vec_id", q, k = 10)
+          .agg(sum(col("vec_id"))).collect().head.getLong(0))
+      println(f"PROBE stored_read_amp gens=0  segs=1 read=${readWall()}%.2fs")
+      val marks = Set(1, 2, 4, 8, 16, 32)
+      var appendWall = 0.0
+      for (g <- 0 until gens) {
+        val batch = pool.where(col("__g") === g).select("vec_id", "embedding")
+        val t0 = System.nanoTime()
+        Similarity.nswAppendToStored(spark, dir, batch, "embedding", "vec_id")
+        appendWall += (System.nanoTime() - t0) / 1e9
+        if (marks(g + 1)) {
+          val segs = SegmentedStore.committedSegs(dir).size
+          println(f"PROBE stored_read_amp gens=${g + 1}%-2d segs=$segs " +
+            f"read=${readWall()}%.2fs appendWallCum=${appendWall}%.2fs")
+        }
+      }
+      val tc0 = System.nanoTime()
+      Similarity.nswCompactStored(spark, dir, "embedding", "vec_id")
+      val tCompact = (System.nanoTime() - tc0) / 1e9
+      println(f"PROBE stored_read_amp compacted segs=" +
+        f"${SegmentedStore.committedSegs(dir).size} read=${readWall()}%.2fs " +
+        f"compact=${tCompact}%.2fs appendWallTotal=${appendWall}%.2fs " +
+        "(compactIfFragmented default maxSegments=8)")
+    }
+
     spark.stop()
     // the scratch copies are factor-x the sf inputs — don't leak them
     // into /tmp across probe invocations

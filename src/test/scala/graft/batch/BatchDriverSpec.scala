@@ -141,4 +141,51 @@ class BatchDriverSpec extends AnyFunSuite {
     BatchState.deleteDir(idxDir)
     BatchState.deleteDir(src)
   }
+
+  test("default-on CAS: a fresh driver run flips the commit log through " +
+       "the real backend with no explicit wiring; opt-out respected") {
+    val src = Files.createTempDirectory("graft_driver_cas_src_").toString
+    val storeDir = Files.createTempDirectory("graft_driver_cas_store_").toString
+    val prev = StoreFs.currentCasBackend
+    StoreFs.clearCasBackend()
+    try {
+      // opt-out law first (backend still empty): the sysprop keeps the
+      // rename path, loudly
+      System.setProperty("graft.cas.default", "off")
+      try {
+        StoreFs.ensureDefaultCasBackend()
+        assert(StoreFs.currentCasBackend.isEmpty,
+          "opt-out must leave the rename path in place")
+      } finally System.clearProperty("graft.cas.default")
+
+      // default-on law: runIncremental with NO wiring installs the real
+      // backend and the commit lands through it
+      val s = spark; import s.implicits._
+      writeBatch(src, 0L)
+      val store = new BatchStore[String, Long](storeDir)
+      assert(BatchDriver.runIncremental(spark, src, store, BatchID(0))(pipeline)
+        == BatchDriver.Ran(BatchID(0), BatchID(0)))
+      assert(StoreFs.currentCasBackend.exists(_.isInstanceOf[HadoopCasBackend]),
+        "fresh driver run did not install the default CAS backend")
+      assert(store.state.lastCommitted(BatchID(99)).contains(BatchID(0)),
+        "commit did not land through the CAS flip")
+
+      // never-override law: an explicitly installed backend survives
+      val mock = new StoreFs.CasBackend {
+        def compareAndSwap(p: String, e: Option[Array[Byte]],
+            b: Array[Byte]): Boolean = true
+      }
+      StoreFs.installCasBackend(mock)
+      StoreFs.ensureDefaultCasBackend()
+      assert(StoreFs.currentCasBackend.contains(mock),
+        "ensureDefaultCasBackend overrode an explicit backend")
+    } finally {
+      prev match {
+        case Some(b) => StoreFs.installCasBackend(b)
+        case None => StoreFs.clearCasBackend()
+      }
+      BatchState.deleteDir(storeDir)
+      BatchState.deleteDir(src)
+    }
+  }
 }

@@ -456,6 +456,33 @@ class ApproxOpsSpec extends AnyFunSuite {
     assert(lshKept == exactKept)
   }
 
+  test("banded witness check == exhaustive subset boolean (true, false, " +
+       "empty-dropped; remainder path forced)") {
+    val s = spark; import s.implicits._
+    val df = vecs.toDF("vec_id", "embedding")
+    val exactKept = Dedup.embeddingNearDupExact(df, "embedding", "vec_id",
+      threshold = 0.95).select("vec_id")
+    // TRUE: every doc the exact dedup dropped has its smaller-id witness
+    assert(Dedup.nearDupWitnessCheck(df, exactKept, "embedding", "vec_id",
+      dim, 0.95))
+    // empty dropped set: kept == corpus is trivially witnessed
+    assert(Dedup.nearDupWitnessCheck(df, df.select("vec_id"), "embedding",
+      "vec_id", dim, 0.95))
+    // FALSE: additionally drop a doc the exact pass KEPT — by the exact
+    // pass's own verdict it has no smaller-id near-dup, so no witness
+    // exists and the check must fail
+    val badKept = exactKept.where(col("vec_id") =!= 50L)
+    assert(!Dedup.nearDupWitnessCheck(df, badKept, "embedding", "vec_id",
+      dim, 0.95))
+    // remainder path: bands=1, nBits=16 starves the banded prefilter so
+    // witnesses fall through to the exact remainder pass — the boolean
+    // must be identical either way (a banding miss only moves cost)
+    assert(Dedup.nearDupWitnessCheck(df, exactKept, "embedding", "vec_id",
+      dim, 0.95, bands = 1, nBits = 16))
+    assert(!Dedup.nearDupWitnessCheck(df, badKept, "embedding", "vec_id",
+      dim, 0.95, bands = 1, nBits = 16))
+  }
+
   test("semanticDedup: 1-cluster == exact; clustering only ADDS survivors; planted dups still drop (this data)") {
     val s = spark; import s.implicits._
     val df = vecs.toDF("vec_id", "embedding")

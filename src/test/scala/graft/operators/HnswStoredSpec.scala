@@ -187,4 +187,26 @@ class HnswStoredSpec extends AnyFunSuite {
           nParts = 2))
     } finally BatchState.deleteDir(dir)
   }
+
+  test("read racing compaction resolves the old or the new segment set, " +
+      "never a mix (atomic flip under concurrent serve)") {
+    val s = spark; import s.implicits._
+    val df = withNeedle.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_hnsw_race").toString
+    try {
+      Similarity.hnswWriteIndex(
+        Similarity.hnswBuild(df, "embedding", "vec_id", nParts = 2), dir)
+      val rnd = new scala.util.Random(99)
+      Similarity.hnswAppendToStored(spark, dir,
+        Seq((600L, Array.fill(dim)(rnd.nextGaussian())),
+            (601L, Array.fill(dim)(rnd.nextGaussian())))
+          .toDF("vec_id", "embedding"),
+        "embedding", "vec_id", nParts = 2)
+      Similarity.hnswDeleteFromStored(spark, dir, Seq(5L).toDF("vec_id"))
+      GraphFlipRaceLaw.run(
+        read = () => Similarity.readHnswIndex(spark, dir),
+        compact = () => Similarity.hnswCompactStored(spark, dir,
+          "embedding", "vec_id", nParts = 2, sweepGraceMs = 3600000L))
+    } finally BatchState.deleteDir(dir)
+  }
 }

@@ -317,4 +317,28 @@ class NswStoredSpec extends AnyFunSuite {
           nParts = 2))
     } finally BatchState.deleteDir(dir)
   }
+
+  test("read racing compaction resolves the old or the new segment set, " +
+      "never a mix (atomic flip under concurrent serve)") {
+    val s = spark; import s.implicits._
+    val df = withNeedle.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_nsw_race").toString
+    try {
+      Similarity.nswWriteIndex(
+        Similarity.nswBuild(df, "embedding", "vec_id", nParts = 2), dir)
+      // fragment the store so the fold has real work: a delta append +
+      // a takedown mark on top of the payload
+      val rnd = new scala.util.Random(99)
+      Similarity.nswAppendToStored(spark, dir,
+        Seq((600L, Array.fill(dim)(rnd.nextGaussian())),
+            (601L, Array.fill(dim)(rnd.nextGaussian())))
+          .toDF("vec_id", "embedding"),
+        "embedding", "vec_id", nParts = 2)
+      Similarity.nswDeleteFromStored(spark, dir, Seq(5L).toDF("vec_id"))
+      GraphFlipRaceLaw.run(
+        read = () => Similarity.readNswIndex(spark, dir),
+        compact = () => Similarity.nswCompactStored(spark, dir,
+          "embedding", "vec_id", nParts = 2, sweepGraceMs = 3600000L))
+    } finally BatchState.deleteDir(dir)
+  }
 }
