@@ -2176,6 +2176,61 @@ object SparkEntry {
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
+    "q_ann_ivf_stored" -> ((s, dir) => {
+      // round 17: the stored IVF tier's full lifecycle — the one serving
+      // form whose per-query scan cost is ∝ probed cells, not corpus
+      // (int8 codes partitioned by frozen coarse-centroid cell; parquet
+      // partition pruning does the rest). Bootstrap over the corpus,
+      // append a fresh-id slice (assigned against the FROZEN centroids),
+      // take down the %7==3 slice, compact (fold + carry centroids),
+      // then serve. Invariants: full-probe serve ≡ the in-memory int8TopK
+      // over the LIVE corpus exactly (the candidate space is the whole
+      // store — the oracle-checked configuration, like full-probe IVF);
+      // the probe-pruned read provably touches ONLY probed `cid=`
+      // partitions (inputFiles audit in-row); the pruned serve keeps the
+      // k contract. n_vecs is the SQL-checkable live count.
+      val e = t(s, dir, "embeddings")
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val appended = e.where(col("vec_id") % 11 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(1000000000L))
+      val live = e.where(col("vec_id") % 7 =!= 3).unionByName(appended)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ann_ivf_").toString
+      try {
+        PhaseTimer.time("q_ann_ivf_stored", "build") {
+          Similarity.ivfWriteIndex(e, "embedding", "vec_id", tmp,
+            nCentroids = 16)
+        }
+        PhaseTimer.time("q_ann_ivf_stored", "append") {
+          Similarity.ivfAppendToStored(s, tmp, appended, "embedding", "vec_id")
+        }
+        PhaseTimer.time("q_ann_ivf_stored", "takedown") {
+          Similarity.ivfDeleteFromStored(s, tmp,
+            e.where(col("vec_id") % 7 === 3).select("vec_id"))
+        }
+        PhaseTimer.time("q_ann_ivf_stored", "compact") {
+          Similarity.ivfCompactStored(s, tmp)
+        }
+        val stored = Similarity.ivfTopKStored(s, tmp, live, "embedding",
+          "vec_id", q, 10, nProbe = 16).localCheckpoint(true)
+        val cents = Similarity.readIvfCentroids(s, tmp)
+        val probes = Similarity.ivfProbeCids(q, cents, nProbe = 4)
+        // input_file_name() observes the post-pruning scan (inputFiles
+        // reports the pre-pruning file index); the store is freshly
+        // compacted, so every read file is a codes partition
+        val prunedFiles = Similarity.readIvfIndex(s, tmp,
+            probeCids = Some(probes))
+          .select(input_file_name().as("f")).distinct()
+          .collect().map(_.getString(0)).filter(_.contains("/ivf/"))
+        val pruneFilesOk = prunedFiles.nonEmpty &&
+          prunedFiles.forall(f => probes.exists(p => f.contains(s"/cid=$p/")))
+        val prunedK = Similarity.ivfTopKStored(s, tmp, live, "embedding",
+          "vec_id", q, 10, nProbe = 4).count()
+        int8InvariantRow(live, q, stored)
+          .withColumn("prune_files_ok", lit(pruneFilesOk))
+          .withColumn("pruned_k_ok", lit(prunedK >= 1 && prunedK <= 10))
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
     "q_streaming_ann" -> ((s, dir) => {
       // streaming ANN index maintenance — the embedding-side counterpart
       // of q_streaming_bm25's lifecycle: vectors arrive in 3 vec_id-sliced
@@ -4856,6 +4911,17 @@ object SparkEntry {
       """SELECT count(*) AS n_vecs, TRUE AS recall_ok, TRUE AS k_ok,
         |  TRUE AS same_as_mem
         |FROM embeddings""".stripMargin,
+
+    // stored IVF lifecycle: n_vecs is the live corpus after the %7==3
+    // takedown and the %11==0 fresh-id append; full-probe serve equals
+    // the in-memory int8 path exactly, partition pruning and the pruned
+    // k contract are hard TRUE pins audited in-row
+    "q_ann_ivf_stored" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 7 <> 3)
+        |  + (SELECT count(*) FROM embeddings WHERE vec_id % 11 = 0) AS BIGINT)
+        |  AS n_vecs,
+        |  TRUE AS recall_ok, TRUE AS k_ok, TRUE AS same_as_mem,
+        |  TRUE AS prune_files_ok, TRUE AS pruned_k_ok""".stripMargin,
 
     // streaming ingest + compaction are exact (per-vector rows are
     // independent), so the lifecycle row pins the same four invariants

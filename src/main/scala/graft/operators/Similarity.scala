@@ -218,7 +218,7 @@ object Similarity {
           s"${graft.batch.SegmentedStore.segDir(path, id)}/codes")
           .withColumn("__seg", lit(id)))
         .reduce(_ unionByName _)
-      readInt8Deletes(spark, path, segs, idCol) match {
+      readCodesDeletes(spark, path, segs, idCol) match {
         case None => codes.drop("__seg")
         case Some(d) =>
           codes.alias("__p").join(d.alias("__d"),
@@ -236,7 +236,7 @@ object Similarity {
     * coverage semantics documented at
     * [[graft.batch.SegmentedStore.writeDeleteCovers]]).
     */
-  private def readInt8Deletes(spark: SparkSession, path: String,
+  private def readCodesDeletes(spark: SparkSession, path: String,
       segs: List[Long], idCol: String): Option[DataFrame] = {
     val live = segs.filter(id => graft.batch.SegmentedStore.hasParquetFiles(
       s"${graft.batch.SegmentedStore.segDir(path, id)}/deletes"))
@@ -265,10 +265,21 @@ object Similarity {
     */
   def int8DeleteFromStored(spark: SparkSession, path: String,
       ids: DataFrame, idCol: String = "vec_id"): Unit =
+    deleteFromCodesStore(spark, path, ids, idCol, "int8DeleteFromStored",
+      readInt8Index(spark, path, idCol))
+
+  /** The one codes-store takedown body, shared by the flat-int8 and IVF
+    * tiers (the delete-set layout and coverage semantics are identical;
+    * only which live-index read scopes the victim set differs).
+    * `readLive` is by-name: it must resolve AFTER the lock is held.
+    */
+  private def deleteFromCodesStore(spark: SparkSession, path: String,
+      ids: DataFrame, idCol: String, label: String,
+      readLive: => DataFrame): Unit =
     graft.batch.SegmentedStore.withWriterLock(path) {
       val segs = graft.batch.SegmentedStore.committedSegs(path)
-      require(segs.nonEmpty, s"int8DeleteFromStored: no committed index at $path")
-      val victims = readInt8Index(spark, path, idCol)
+      require(segs.nonEmpty, s"$label: no committed index at $path")
+      val victims = readLive
         .join(ids.toDF(idCol).distinct(), Seq(idCol), "left_semi")
         .select(col(idCol)).distinct()
         .persist()
@@ -353,6 +364,243 @@ object Similarity {
     val qCol = array(query.toIndexedSeq.map(lit(_)): _*)
     val qn = VectorFunctions.l2Normalize(qCol)
     val cands = readInt8Index(spark, path, idCol)
+      .withColumn("__approx", VectorFunctions.int8Dot(col("codes"), col("scale"),
+        VectorFunctions.int8Quantize(qn), VectorFunctions.int8Scale(qn)))
+      .orderBy(col("__approx").desc, col(idCol))
+      .limit(oversample * k)
+      .select(col(idCol))
+    floats.join(broadcast(cands), Seq(idCol))
+      .select(col(idCol),
+        round(VectorFunctions.cosine(col(vecCol), qCol), 6).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  // ---- stored IVF tier (round 17): the int8 codes store PARTITIONED BY
+  // coarse-centroid cell, under the same segment machinery — the one
+  // serving form where a query's scan cost is ∝ probed cells, not corpus
+  // (the int8 tier scans every code; BM25 prunes to token buckets; this
+  // prunes to `nProbe` cid partitions via ordinary parquet partition
+  // pruning). Centroids are FROZEN at build time and appends assign
+  // against them — the FAISS production discipline (retraining = rebuild
+  // from the float corpus via ivfWriteIndex); takedown/replace/compact
+  // reuse the codes-store delete-set machinery verbatim. ---------------
+
+  /** Bootstrap / replace a stored IVF index: train `nCentroids` coarse
+    * centroids on a bounded hashed-id sample (or take `centroids` —
+    * the pretrained-bootstrap shape a streaming ingest needs, since an
+    * empty corpus cannot train), assign every vector, and write ONE
+    * payload segment of int8 codes partitioned by `cid` plus the
+    * centroid table, behind one atomic flip.
+    */
+  def ivfWriteIndex(df: DataFrame, vecCol: String, idCol: String,
+      path: String, nCentroids: Int = 16, lloydIters: Int = 2,
+      trainSample: Int = 16384,
+      centroids: Option[Array[Array[Double]]] = None): Unit = {
+    val cents = centroids.getOrElse(kmeansCentroids(df, vecCol, idCol,
+      nCentroids, lloydIters, trainSample = trainSample))
+    require(cents.nonEmpty, "ivfWriteIndex: no centroids (empty corpus " +
+      "bootstraps must pass pretrained centroids)")
+    graft.batch.SegmentedStore.withWriterLock(path) {
+      val id = graft.batch.SegmentedStore.nextId(path)
+      writeIvfSegment(ivfCodes(df, vecCol, idCol, cents), path, id,
+        Some(cents))
+      graft.batch.SegmentedStore.commitReplaceAll(path, id)
+    }
+  }
+
+  /** int8 codes of the L2-normalized vectors + the frozen-centroid cell
+    * assignment (cosine argmax is scale-invariant, so assignment on the
+    * raw vector equals assignment on the normalized one).
+    */
+  private def ivfCodes(df: DataFrame, vecCol: String, idCol: String,
+      cents: Array[Array[Double]]): DataFrame =
+    df.select(col(idCol),
+        VectorFunctions.l2Normalize(col(vecCol)).as("__nv"),
+        nearestCentroid(col(vecCol), cents).as("cid"))
+      .select(col(idCol),
+        VectorFunctions.int8Quantize(col("__nv")).as("codes"),
+        VectorFunctions.int8Scale(col("__nv")).as("scale"),
+        col("cid"))
+
+  /** Codes partitioned by cell; the centroid table rides payload
+    * segments only (bootstrap/compaction — delta appends inherit the
+    * frozen centroids). Same pre-clear discipline as writeCodesSegment.
+    */
+  private def writeIvfSegment(codes: DataFrame, path: String, id: Long,
+      cents: Option[Array[Array[Double]]]): Unit = {
+    val seg = graft.batch.SegmentedStore.segDir(path, id)
+    graft.batch.StoreFs.deleteRecursive(seg)
+    codes.write.partitionBy("cid").mode("overwrite").parquet(s"$seg/ivf")
+    cents.foreach { cs =>
+      val spark = codes.sparkSession
+      import spark.implicits._
+      cs.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cid", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/centroids")
+    }
+  }
+
+  /** The index's frozen coarse centroids: the NEWEST committed segment
+    * carrying a centroid table (payload segments write one; compaction
+    * re-writes the same centroids, so the newest is always current).
+    */
+  def readIvfCentroids(spark: SparkSession, path: String): Array[Array[Double]] = {
+    val segs = graft.batch.SegmentedStore.committedSegs(path)
+    require(segs.nonEmpty, s"readIvfCentroids: no committed index at $path")
+    val withCents = segs.filter(id => graft.batch.SegmentedStore.hasParquetFiles(
+      s"${graft.batch.SegmentedStore.segDir(path, id)}/centroids"))
+    require(withCents.nonEmpty,
+      s"readIvfCentroids: no centroid table committed at $path")
+    spark.read.parquet(
+        s"${graft.batch.SegmentedStore.segDir(path, withCents.max)}/centroids")
+      .orderBy("cid").collect()
+      .map(_.getSeq[Double](1).toArray)
+  }
+
+  /** Union of the committed segments' codes with deletes anti-joined —
+    * the [[readInt8Index]] shape plus the `cid` partition column.
+    * `probeCids` prunes the scan to those cells (parquet partition
+    * pruning — the serve path's lever); None reads everything (equality
+    * laws, compaction).
+    */
+  def readIvfIndex(spark: SparkSession, path: String,
+      idCol: String = "vec_id",
+      probeCids: Option[Seq[Int]] = None): DataFrame = {
+    val segs = graft.batch.SegmentedStore.committedSegs(path)
+    require(segs.nonEmpty, s"readIvfIndex: no committed index at $path")
+    val live = segs.filter(id => graft.batch.SegmentedStore.hasParquetFiles(
+      s"${graft.batch.SegmentedStore.segDir(path, id)}/ivf"))
+    if (live.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField(idCol, LongType),
+          StructField("codes", ArrayType(ByteType)),
+          StructField("scale", DoubleType),
+          StructField("cid", IntegerType))))
+    } else {
+      val codes = live.map { id =>
+        val seg = spark.read.parquet(
+          s"${graft.batch.SegmentedStore.segDir(path, id)}/ivf")
+        probeCids.fold(seg)(cids => seg.where(col("cid").isin(cids.map(Int.box): _*)))
+          .withColumn("__seg", lit(id))
+      }.reduce(_ unionByName _)
+      readCodesDeletes(spark, path, segs, idCol) match {
+        case None => codes.drop("__seg")
+        case Some(d) =>
+          codes.alias("__p").join(d.alias("__d"),
+            col(s"__p.$idCol") === col(s"__d.$idCol") &&
+              array_contains(col("__d.__covers"), col("__p.__seg")),
+            "left_anti")
+            .drop("__seg")
+      }
+    }
+  }
+
+  /** Ingest a (disjoint-id) vector batch as ONE new segment, assigned
+    * against the FROZEN stored centroids — same replay-guard contract
+    * as [[int8AppendToStored]]. Cell skew drifts as the data does (the
+    * documented IVF trade); repair by rebuilding with fresh centroids.
+    */
+  def ivfAppendToStored(spark: SparkSession, path: String,
+      newVecs: DataFrame, vecCol: String, idCol: String,
+      batchId: Option[Long] = None): Unit = {
+    val committed = graft.batch.SegmentedStore.committedSegs(path)
+    require(committed.nonEmpty,
+      s"ivfAppendToStored: no committed index at $path — bootstrap with ivfWriteIndex")
+    graft.batch.SegmentedStore.withWriterLock(path) {
+      batchId match {
+        case Some(b) if graft.batch.SegmentedStore.batchApplied(path, b) => ()
+        case _ =>
+          // centroids resolve INSIDE the lock: a concurrent rebuild
+          // (ivfWriteIndex with fresh centroids) must not leave this
+          // append assigned against superseded cells
+          val cents = readIvfCentroids(spark, path)
+          val id = batchId.map(graft.batch.SegmentedStore.batchSegId)
+            .getOrElse(graft.batch.SegmentedStore.nextId(path))
+          writeIvfSegment(ivfCodes(newVecs, vecCol, idCol, cents), path, id,
+            cents = None)
+          batchId match {
+            case Some(b) => graft.batch.SegmentedStore.commitStreamingAppend(path, b)
+            case None    => graft.batch.SegmentedStore.commitAppend(path, id)
+          }
+      }
+    }
+  }
+
+  /** Takedown on a stored IVF index — the shared codes-store delete-set
+    * discipline (coverage semantics, re-append re-serves immediately).
+    */
+  def ivfDeleteFromStored(spark: SparkSession, path: String,
+      ids: DataFrame, idCol: String = "vec_id"): Unit =
+    deleteFromCodesStore(spark, path, ids, idCol, "ivfDeleteFromStored",
+      readIvfIndex(spark, path, idCol))
+
+  /** Fold segments + deletes physically into one payload segment, the
+    * centroids carried over UNCHANGED (frozen — a codes-only store
+    * cannot retrain; rebuild from the float corpus to repair drift).
+    */
+  def ivfCompactStored(spark: SparkSession, path: String,
+      sweepGraceMs: Long = 0L): Unit =
+    graft.batch.SegmentedStore.withWriterLock(path) {
+      ivfCompactLocked(spark, path, sweepGraceMs)
+    }
+
+  private def ivfCompactLocked(spark: SparkSession, path: String,
+      sweepGraceMs: Long): Unit = {
+    val cents = readIvfCentroids(spark, path)
+    val all = readIvfIndex(spark, path)
+    val id = graft.batch.SegmentedStore.nextId(path)
+    writeIvfSegment(all, path, id, Some(cents))
+    graft.batch.SegmentedStore.commitReplaceAll(path, id, sweepGraceMs)
+  }
+
+  /** Self-scheduling fold — the shared cadence guard (threshold
+    * re-checked inside the writer lock).
+    */
+  def ivfCompactIfFragmented(spark: SparkSession, path: String,
+      maxSegments: Int = 8, sweepGraceMs: Long = 0L): Boolean =
+    graft.batch.SegmentedStore.compactIfFragmentedLocked(path, maxSegments) {
+      ivfCompactLocked(spark, path, sweepGraceMs)
+    }
+
+  /** The query's probe list: top `nProbe` cells by cosine to the frozen
+    * centroids, driver-side (the query is a literal; ties break on the
+    * smaller cid). Exposed so plan-audit laws can compute the expected
+    * pruned partition set.
+    */
+  def ivfProbeCids(query: Array[Double], cents: Array[Array[Double]],
+      nProbe: Int): Seq[Int] = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    cents.zipWithIndex.map { case (c, i) => (cos(query, c), i) }
+      .sortBy { case (s, i) => (-s, i) }
+      .take(nProbe).map(_._2).toSeq
+  }
+
+  /** QUERY step: resolve the probe cells driver-side, scan ONLY those
+    * `cid=` partitions of the codes store (parquet partition pruning —
+    * per-query work is ∝ probed cells), rank by the quantized dot, exact
+    * cosine re-rank of the top oversample·k against the float corpus —
+    * the [[int8TopKStored]] tail. With `nProbe = nCentroids` the
+    * candidate space equals the full codes store, so the result is
+    * IDENTICAL to [[int8TopK]]/[[int8TopKStored]] over the same live
+    * corpus (the oracle-checked configuration, like full-probe
+    * [[ivfTopK]]).
+    */
+  def ivfTopKStored(spark: SparkSession, path: String, floats: DataFrame,
+      vecCol: String, idCol: String, query: Array[Double], k: Int,
+      nProbe: Int = 4, oversample: Int = 5): DataFrame = {
+    require(k > 0 && nProbe > 0 && oversample >= 1,
+      s"need k > 0, nProbe > 0, oversample >= 1")
+    val cents = readIvfCentroids(spark, path)
+    val probes = ivfProbeCids(query, cents, nProbe)
+    val qCol = array(query.toIndexedSeq.map(lit(_)): _*)
+    val qn = VectorFunctions.l2Normalize(qCol)
+    val cands = readIvfIndex(spark, path, idCol, probeCids = Some(probes))
       .withColumn("__approx", VectorFunctions.int8Dot(col("codes"), col("scale"),
         VectorFunctions.int8Quantize(qn), VectorFunctions.int8Scale(qn)))
       .orderBy(col("__approx").desc, col(idCol))

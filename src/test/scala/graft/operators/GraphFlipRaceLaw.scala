@@ -17,8 +17,15 @@ object GraphFlipRaceLaw {
   def run(read: () => DataFrame, compact: () => Unit): Unit = {
     // a snapshot fingerprints one full resolution: commit-log read +
     // segment fold, rendered row-by-row (column set included, so a
-    // pre-compaction tombstone column distinguishes states)
-    def snap(): Set[String] = read().toJSON.collect().toSet
+    // pre-compaction tombstone column distinguishes states) PLUS the
+    // resolved segment files (inputFiles — pre-pruning is exactly right
+    // here: it names which segment generation the plan resolved, which
+    // distinguishes the two legal states even when the fold is
+    // content-invariant, e.g. the IVF tier's pure layout compaction)
+    def snap(): Set[String] = {
+      val df = read()
+      df.toJSON.collect().toSet ++ df.inputFiles.map("file:" + _)
+    }
     val before = snap()
     val observed = new java.util.concurrent.ConcurrentLinkedQueue[Set[String]]()
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
