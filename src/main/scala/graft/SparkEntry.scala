@@ -2231,6 +2231,77 @@ object SparkEntry {
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
+    "q_ann_ivfpq_stored" -> ((s, dir) => {
+      // round 17: the stored IVF-PQ tier (FAISS's IVFADC layout on disk) —
+      // PQ-coded residuals partitioned by frozen coarse cell; a probe
+      // scan reads (cid, m small ints) per row from the probed partitions
+      // only, and the float corpus is touched only by the exact re-rank
+      // of the oversample·k ADC candidates. Lifecycle: bootstrap
+      // (train + encode), append a fresh-id slice ENCODED against the
+      // frozen model (plus a planted exact match of the query), take
+      // down the %7==3 slice, compact (fold + carry model), serve.
+      // Invariants: full-probe stored serve ≡ the in-memory same-model
+      // path exactly (identical codes → identical ADC ranks → identical
+      // exact re-rank); the planted needle surfaces at rank 1 with
+      // cosine 1.0 under PRUNED probing (its cell is the query's argmax
+      // cell — probe #1 by construction — and its residual
+      // reconstruction dominates natural neighbors, the q_ann_ivfpq
+      // argument); the pruned read touches ONLY probed `cid=` partitions;
+      // the pruned serve keeps the k contract. n_vecs is the
+      // SQL-checkable live count (corpus − takedown + append + needle).
+      import s.implicits._
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val needle = Seq((2000000000L, q.toSeq)).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast(e.schema("embedding").dataType))
+      val appended = e.where(col("vec_id") % 11 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(1000000000L))
+        .unionByName(needle)
+      val live = e.where(col("vec_id") % 7 =!= 3).unionByName(appended)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ann_ivfpq_").toString
+      try {
+        PhaseTimer.time("q_ann_ivfpq_stored", "build") {
+          Similarity.ivfPqWriteIndex(e, "embedding", "vec_id", tmp,
+            dim = 64, nCentroids = 16)
+        }
+        PhaseTimer.time("q_ann_ivfpq_stored", "append") {
+          Similarity.ivfPqAppendToStored(s, tmp, appended, "embedding", "vec_id")
+        }
+        PhaseTimer.time("q_ann_ivfpq_stored", "takedown") {
+          Similarity.ivfPqDeleteFromStored(s, tmp,
+            e.where(col("vec_id") % 7 === 3).select("vec_id"))
+        }
+        PhaseTimer.time("q_ann_ivfpq_stored", "compact") {
+          Similarity.ivfPqCompactStored(s, tmp)
+        }
+        val (cents, books) = Similarity.readIvfPqModel(s, tmp)
+        val stored = Similarity.ivfPqTopKStored(s, tmp, live, "embedding",
+          "vec_id", q, 10, nProbe = 16).localCheckpoint(true)
+        val mem = Similarity.ivfPqTopKWithModel(live, "embedding", "vec_id",
+          q, 10, cents, books, nProbe = 16)
+        val nDiff = stored.exceptAll(mem).unionByName(mem.exceptAll(stored)).count()
+        val pruned = Similarity.ivfPqTopKStored(s, tmp, live, "embedding",
+          "vec_id", q, 10, nProbe = 4).collect()
+        val needleOk = pruned.nonEmpty &&
+          pruned.head.getLong(0) == 2000000000L && pruned.head.getDouble(1) == 1.0
+        // input_file_name() observes the post-pruning scan (inputFiles
+        // reports the pre-pruning file index); freshly compacted, so
+        // every read file is a codes partition
+        val probes = Similarity.ivfProbeCids(q, cents, nProbe = 4)
+        val prunedFiles = Similarity.readIvfPqIndex(s, tmp,
+            probeCids = Some(probes))
+          .select(input_file_name().as("f")).distinct()
+          .collect().map(_.getString(0)).filter(_.contains("/ivfpq/"))
+        val pruneFilesOk = prunedFiles.nonEmpty &&
+          prunedFiles.forall(f => probes.exists(p => f.contains(s"/cid=$p/")))
+        live.agg(count(lit(1)).as("n_vecs"))
+          .withColumn("same_as_mem", lit(nDiff == 0L))
+          .withColumn("needle_ok", lit(needleOk))
+          .withColumn("prune_files_ok", lit(pruneFilesOk))
+          .withColumn("pruned_k_ok", lit(pruned.length >= 1 && pruned.length <= 10))
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
     "q_streaming_ann" -> ((s, dir) => {
       // streaming ANN index maintenance — the embedding-side counterpart
       // of q_streaming_bm25's lifecycle: vectors arrive in 3 vec_id-sliced
@@ -4921,6 +4992,17 @@ object SparkEntry {
         |  + (SELECT count(*) FROM embeddings WHERE vec_id % 11 = 0) AS BIGINT)
         |  AS n_vecs,
         |  TRUE AS recall_ok, TRUE AS k_ok, TRUE AS same_as_mem,
+        |  TRUE AS prune_files_ok, TRUE AS pruned_k_ok""".stripMargin,
+
+    // stored IVF-PQ lifecycle: n_vecs is the live corpus after the %7==3
+    // takedown, the %11==0 fresh-id append, and the planted needle;
+    // model-equality, needle, pruning, and the k contract are hard TRUE
+    // pins audited in-row
+    "q_ann_ivfpq_stored" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 7 <> 3)
+        |  + (SELECT count(*) FROM embeddings WHERE vec_id % 11 = 0)
+        |  + 1 AS BIGINT) AS n_vecs,
+        |  TRUE AS same_as_mem, TRUE AS needle_ok,
         |  TRUE AS prune_files_ok, TRUE AS pruned_k_ok""".stripMargin,
 
     // streaming ingest + compaction are exact (per-vector rows are

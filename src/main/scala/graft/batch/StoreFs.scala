@@ -115,7 +115,32 @@ object StoreFs {
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
-  private def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+  private def fsOf(p: Path): FileSystem = {
+    val fs = p.getFileSystem(hadoopConf)
+    // raw local FS for anything that RESOLVES to the `file` scheme:
+    // StoreFs artifacts are tiny single-object metadata (commit logs,
+    // locks, markers) whose flip discipline checksum sidecars would tear
+    // — a data/crc PAIR cannot rename atomically, so a stale sidecar
+    // next to an atomically-flipped log would fail every subsequent
+    // checksummed read. The raw FS has no sidecars and its rename is
+    // rename(2). Parquet payloads never go through here. Scheme-based,
+    // not class-based: an active Spark session rebinds fs.file.impl to
+    // Hive's ProxyLocalFileSystem (still scheme `file`, still the local
+    // disk), while a law suite's deliberately non-exclusive mock FS
+    // keeps its own scheme — and with it, its own semantics.
+    if ("file" == fs.getUri.getScheme)
+      FileSystem.getLocal(hadoopConf).getRawFileSystem
+    else fs
+  }
+
+  /** The genuinely-local raw FS (exact class — a subclassing mock keeps
+    * its own create/rename semantics): where [[writeAtomic]] and
+    * [[createExclusive]] use NIO's rename(2)/O_EXCL instead of the
+    * Hadoop local paths (delete-then-rename overwrite; check-then-act
+    * create plus a forked path-re-resolving chmod).
+    */
+  private def isPlainRawLocal(fs: FileSystem): Boolean =
+    fs.getClass == classOf[org.apache.hadoop.fs.RawLocalFileSystem]
 
   def exists(path: String): Boolean = {
     val p = new Path(path)
@@ -142,20 +167,39 @@ object StoreFs {
     val fs = fsOf(p)
     val in = fs.open(p)
     try {
-      val len = fs.getFileStatus(p).getLen
-      require(len <= Int.MaxValue, s"$path is too large for a state file ($len bytes)")
-      val buf = new Array[Byte](len.toInt)
-      in.readFully(0, buf)
-      buf
+      // read to EOF from the ONE open stream — never a second path
+      // resolution for the length: under a concurrent atomic overwrite,
+      // open() and getFileStatus() can land on DIFFERENT versions of the
+      // file, turning an old-or-new flip into an EOF error or a torn
+      // prefix read (caught by the racing-reader hammer law)
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        bos.write(buf, 0, n)
+        require(bos.size <= (64 << 20), s"$path is too large for a state file")
+        n = in.read(buf)
+      }
+      bos.toByteArray
     } finally in.close()
   }
 
   /** Atomic overwrite: write a temp file in the target's directory, then
-    * `FileContext.rename(OVERWRITE)` — a single-object atomic flip on
-    * HDFS and the local FS. On S3A the rename is copy+delete (not atomic
-    * but still all-or-nothing per object: readers see the old or the new
+    * flip it over the destination — rename(2) via NIO `ATOMIC_MOVE` on
+    * the local FS, `FileContext.rename(OVERWRITE)` elsewhere (HDFS's
+    * AbstractFileSystem overrides the overwrite rename with the atomic
+    * rename2 RPC). On S3A the rename is copy+delete (not atomic but
+    * still all-or-nothing per object: readers see the old or the new
     * commit log, never a torn write, because the copy materializes only
     * on completion).
+    *
+    * The local scheme MUST NOT go through FileContext: Hadoop's default
+    * `AbstractFileSystem.renameInternal(src, dst, overwrite = true)` —
+    * which the local FS inherits — DELETES the destination and then
+    * renames, so a reader racing the flip observes the commit log
+    * MISSING and resolves an existing store as empty (caught by the
+    * stored-tier flip race law; law-pinned in StoreFsSpec's
+    * old-or-new-never-missing hammer).
     */
   def writeAtomic(path: String, bytes: Array[Byte]): Unit = {
     val dst = new Path(path)
@@ -164,8 +208,14 @@ object StoreFs {
     val tmp = new Path(dst.getParent, s".${dst.getName}.${System.nanoTime}.tmp")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
-    FileContext.getFileContext(dst.toUri, hadoopConf)
-      .rename(tmp, dst, Options.Rename.OVERWRITE)
+    if (isPlainRawLocal(fs))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    else
+      FileContext.getFileContext(dst.toUri, hadoopConf)
+        .rename(tmp, dst, Options.Rename.OVERWRITE)
   }
 
   /** Atomically move `src` to `dst` (dst must not exist). Returns false
@@ -198,8 +248,24 @@ object StoreFs {
   def createExclusive(path: String, bytes: Array[Byte]): Unit = {
     val p = new Path(path)
     val fs = fsOf(p)
-    val out = fs.create(p, false)
-    try out.write(bytes) finally out.close()
+    if (isPlainRawLocal(fs)) {
+      // O_CREAT|O_EXCL in ONE syscall — genuinely exact create-if-absent
+      // (Hadoop's local create() is a check-then-act exists probe, and
+      // worse, it forks a post-create `chmod` that re-resolves the PATH:
+      // a concurrent stale-break rename yanking the nascent lock away
+      // mid-create kills the legitimate winner with an ExitCodeException
+      // — observed in the N-breaker race law)
+      val nioP = java.nio.file.Paths.get(p.toUri.getPath)
+      Option(nioP.getParent)
+        .foreach(d => { java.nio.file.Files.createDirectories(d); () })
+      java.nio.file.Files.write(nioP, bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      ()
+    } else {
+      val out = fs.create(p, false)
+      try out.write(bytes) finally out.close()
+    }
   }
 
   def deleteRecursive(path: String): Unit = {

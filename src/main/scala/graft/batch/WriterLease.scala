@@ -91,6 +91,21 @@ object WriterLease {
     * class, caught by the read-back + commit re-verify layers as before.
     */
   private[batch] def breakStale(path: String, lock: String, observedMs: Long): Unit = {
+    // narrow the steal window BEFORE touching the file: a lock whose
+    // mtime no longer matches the staleness observation is a racer's
+    // FRESH lease (typically the break winner's own re-acquisition) —
+    // fail loudly without renaming it. The rename path below still
+    // handles the residual TOCTOU (steal-and-restore, exact-or-loud),
+    // but going through it for a lease that is ALREADY visibly fresh
+    // costs the racer its acquisition for nothing; on a fast local FS
+    // that systematically starved every acquirer in the N-breaker race
+    // law. An absent lock (mtime 0) falls through to the rename, whose
+    // source-gone failure is the correct loud verdict for that case.
+    val preMs = StoreFs.modificationTime(lock)
+    if (preMs != 0L && preMs != observedMs)
+      throw new IllegalStateException(
+        s"WriterLease($path): the lease at $lock was re-acquired between this " +
+        "writer's staleness observation and its break — another writer holds it now")
     val grave = s"$lock.broken.${System.nanoTime()}-${seq.incrementAndGet()}"
     if (!StoreFs.renameExclusive(lock, grave))
       throw new IllegalStateException(
@@ -128,11 +143,24 @@ object WriterLease {
         s""""token":"${System.nanoTime()}-${seq.incrementAndGet()}"}"""
     StoreFs.createExclusive(lock, token.getBytes("UTF-8"))
     // acquisition read-back (layer 2): on an FS whose create-if-absent is
-    // not exclusive, a same-instant acquirer may have overwritten us
-    if (!readLock(lock).contains(token))
-      throw new IllegalStateException(
-        s"WriterLease($path): lost the acquisition race for $lock — another " +
-        "writer's lease landed over this one (non-exclusive-create filesystem)")
+    // not exclusive, a same-instant acquirer may have overwritten us.
+    // A LATE stale-breaker can also transiently steal-and-restore this
+    // fresh lease (rename to its grave, see the mtime mismatch, rename
+    // back — breakStale's residual TOCTOU, exact-or-loud but not
+    // instantaneous), so a missing/foreign read gets a brief re-read
+    // window before the acquisition is declared lost: a steal restores
+    // OUR token (the rename moved our file), a genuine overwrite never
+    // does.
+    if (!readLock(lock).contains(token)) {
+      var tries = 0
+      while (!readLock(lock).contains(token) && tries < 50) {
+        Thread.sleep(2); tries += 1
+      }
+      if (!readLock(lock).contains(token))
+        throw new IllegalStateException(
+          s"WriterLease($path): lost the acquisition race for $lock — another " +
+          "writer's lease landed over this one (non-exclusive-create filesystem)")
+    }
     held.set(held.get + (path -> token))
     try body
     finally {

@@ -22,7 +22,9 @@ import graft.functions.VectorFunctions
   *    deterministically, vectors assigned to nearest centroid (the inverted
   *    file), queries probe the `nProbe` nearest centroids only.
   *  - [[pqTopK]] / [[ivfPqTopK]]: product quantization — codes-only ADC
-  *    rescoring, the billion-scale storage layout.
+  *    rescoring, the billion-scale storage layout. [[ivfPqWriteIndex]] /
+  *    [[ivfPqTopKStored]] persist it: PQ codes partitioned by frozen
+  *    coarse cell, probe scans pruned to probed `cid=` partitions.
   *  - [[nswTopK]] / [[nswBuild]] + [[nswSearchBuilt]]: partitioned
   *    navigable-small-world graphs — the high-recall/low-latency serving
   *    regime; each hash shard builds HNSW's layer-0 independently and
@@ -613,6 +615,250 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- stored IVF-PQ tier: PQ-coded residuals partitioned by coarse
+  // cell under the same segment machinery — FAISS's IVFADC layout
+  // (Jégou et al. TPAMI'11 §V) on disk. The most IO-frugal serving form:
+  // a probe scan reads (cid, m small ints) per row from the probed
+  // `cid=` partitions only (parquet partition pruning), and the float
+  // corpus is touched only by the exact re-rank of the oversample·k ADC
+  // candidates. The MODEL — coarse centroids + residual codebooks — is
+  // FROZEN at build time and appends encode against it (the FAISS
+  // discipline; retraining = rebuild via ivfPqWriteIndex); takedown /
+  // compaction reuse the codes-store delete-set machinery verbatim. ----
+
+  /** Bootstrap / replace a stored IVF-PQ index: train the model on a
+    * bounded hashed-id sample (or take a pretrained `model` — the shape
+    * an empty-corpus bootstrap needs, since an empty corpus cannot
+    * train), encode every vector, and write ONE payload segment of PQ
+    * codes partitioned by `cid` plus the model tables, behind one
+    * atomic flip.
+    */
+  def ivfPqWriteIndex(df: DataFrame, vecCol: String, idCol: String,
+      path: String, dim: Int, nCentroids: Int = 16, m: Int = 8, c: Int = 16,
+      lloydIters: Int = 2, trainSample: Int = 16384,
+      model: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None): Unit = {
+    val (cents, books) = model.getOrElse(ivfPqTrain(df, vecCol, idCol, dim,
+      nCentroids, m, c, lloydIters, trainSample))
+    require(cents.nonEmpty && books.nonEmpty,
+      "ivfPqWriteIndex: empty model (empty-corpus bootstraps must pass a pretrained model)")
+    require(cents.head.length == dim && books.length * books.head.head.length == dim,
+      s"ivfPqWriteIndex: model dims disagree with dim=$dim")
+    graft.batch.SegmentedStore.withWriterLock(path) {
+      val id = graft.batch.SegmentedStore.nextId(path)
+      writeIvfPqSegment(ivfPqEncode(df, vecCol, idCol, cents, books), path, id,
+        Some((cents, books)))
+      graft.batch.SegmentedStore.commitReplaceAll(path, id)
+    }
+  }
+
+  /** Codes partitioned by cell; the model tables (centroids + per-subspace
+    * codebooks) ride payload segments only — delta appends inherit the
+    * frozen model. Same pre-clear discipline as writeCodesSegment.
+    */
+  private def writeIvfPqSegment(encoded: DataFrame, path: String, id: Long,
+      model: Option[(Array[Array[Double]], Array[Array[Array[Double]]])]): Unit = {
+    val seg = graft.batch.SegmentedStore.segDir(path, id)
+    graft.batch.StoreFs.deleteRecursive(seg)
+    encoded.write.partitionBy("cid").mode("overwrite").parquet(s"$seg/ivfpq")
+    model.foreach { case (cents, books) =>
+      val spark = encoded.sparkSession
+      import spark.implicits._
+      cents.zipWithIndex.toSeq.map { case (cvec, i) => (i, cvec.toSeq) }
+        .toDF("cid", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/centroids")
+      books.zipWithIndex.toSeq.flatMap { case (cb, sub) =>
+        cb.zipWithIndex.toSeq.map { case (cvec, code) => (sub, code, cvec.toSeq) }
+      }.toDF("sub", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/codebooks")
+    }
+  }
+
+  /** The index's frozen model: the NEWEST committed segment carrying
+    * model tables (payload segments write them; compaction re-writes the
+    * same model, so the newest is always current).
+    */
+  def readIvfPqModel(spark: SparkSession, path: String):
+      (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val segs = graft.batch.SegmentedStore.committedSegs(path)
+    require(segs.nonEmpty, s"readIvfPqModel: no committed index at $path")
+    val withModel = segs.filter(id => graft.batch.SegmentedStore.hasParquetFiles(
+      s"${graft.batch.SegmentedStore.segDir(path, id)}/codebooks"))
+    require(withModel.nonEmpty,
+      s"readIvfPqModel: no model tables committed at $path")
+    val seg = graft.batch.SegmentedStore.segDir(path, withModel.max)
+    val cents = spark.read.parquet(s"$seg/centroids")
+      .select("cid", "centroid").orderBy("cid").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val books = spark.read.parquet(s"$seg/codebooks")
+      .select("sub", "code", "centroid").orderBy("sub", "code").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+      .toArray
+    (cents, books)
+  }
+
+  /** Union of the committed segments' codes with deletes anti-joined —
+    * the [[readIvfIndex]] shape with PQ codes. `probeCids` prunes the
+    * scan to those cells (parquet partition pruning — the serve path's
+    * lever); None reads everything (equality laws, compaction).
+    */
+  def readIvfPqIndex(spark: SparkSession, path: String,
+      idCol: String = "vec_id",
+      probeCids: Option[Seq[Int]] = None): DataFrame = {
+    val segs = graft.batch.SegmentedStore.committedSegs(path)
+    require(segs.nonEmpty, s"readIvfPqIndex: no committed index at $path")
+    val live = segs.filter(id => graft.batch.SegmentedStore.hasParquetFiles(
+      s"${graft.batch.SegmentedStore.segDir(path, id)}/ivfpq"))
+    if (live.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField(idCol, LongType),
+          StructField("codes", ArrayType(IntegerType)),
+          StructField("cid", IntegerType))))
+    } else {
+      val codes = live.map { id =>
+        val seg = spark.read.parquet(
+          s"${graft.batch.SegmentedStore.segDir(path, id)}/ivfpq")
+        probeCids.fold(seg)(cids => seg.where(col("cid").isin(cids.map(Int.box): _*)))
+          .withColumn("__seg", lit(id))
+      }.reduce(_ unionByName _)
+      readCodesDeletes(spark, path, segs, idCol) match {
+        case None => codes.drop("__seg")
+        case Some(d) =>
+          codes.alias("__p").join(d.alias("__d"),
+            col(s"__p.$idCol") === col(s"__d.$idCol") &&
+              array_contains(col("__d.__covers"), col("__p.__seg")),
+            "left_anti")
+            .drop("__seg")
+      }
+    }
+  }
+
+  /** Ingest a (disjoint-id) vector batch as ONE new segment, encoded
+    * against the FROZEN stored model — same replay-guard contract as
+    * [[ivfAppendToStored]]. Cell skew and quantization error drift as
+    * the data does (the documented IVFADC trade); repair by rebuilding
+    * with a fresh model.
+    */
+  def ivfPqAppendToStored(spark: SparkSession, path: String,
+      newVecs: DataFrame, vecCol: String, idCol: String,
+      batchId: Option[Long] = None): Unit = {
+    val committed = graft.batch.SegmentedStore.committedSegs(path)
+    require(committed.nonEmpty,
+      s"ivfPqAppendToStored: no committed index at $path — bootstrap with ivfPqWriteIndex")
+    graft.batch.SegmentedStore.withWriterLock(path) {
+      batchId match {
+        case Some(b) if graft.batch.SegmentedStore.batchApplied(path, b) => ()
+        case _ =>
+          // model resolves INSIDE the lock: a concurrent rebuild
+          // (ivfPqWriteIndex with a fresh model) must not leave this
+          // append encoded against superseded centroids/codebooks
+          val (cents, books) = readIvfPqModel(spark, path)
+          val id = batchId.map(graft.batch.SegmentedStore.batchSegId)
+            .getOrElse(graft.batch.SegmentedStore.nextId(path))
+          writeIvfPqSegment(ivfPqEncode(newVecs, vecCol, idCol, cents, books),
+            path, id, model = None)
+          batchId match {
+            case Some(b) => graft.batch.SegmentedStore.commitStreamingAppend(path, b)
+            case None    => graft.batch.SegmentedStore.commitAppend(path, id)
+          }
+      }
+    }
+  }
+
+  /** Takedown on a stored IVF-PQ index — the shared codes-store
+    * delete-set discipline (coverage semantics, re-append re-serves
+    * immediately).
+    */
+  def ivfPqDeleteFromStored(spark: SparkSession, path: String,
+      ids: DataFrame, idCol: String = "vec_id"): Unit =
+    deleteFromCodesStore(spark, path, ids, idCol, "ivfPqDeleteFromStored",
+      readIvfPqIndex(spark, path, idCol))
+
+  /** Fold segments + deletes physically into one payload segment, the
+    * model carried over UNCHANGED (frozen — a codes-only store cannot
+    * retrain; rebuild from the float corpus to repair drift).
+    */
+  def ivfPqCompactStored(spark: SparkSession, path: String,
+      sweepGraceMs: Long = 0L): Unit =
+    graft.batch.SegmentedStore.withWriterLock(path) {
+      ivfPqCompactLocked(spark, path, sweepGraceMs)
+    }
+
+  private def ivfPqCompactLocked(spark: SparkSession, path: String,
+      sweepGraceMs: Long): Unit = {
+    val model = readIvfPqModel(spark, path)
+    val all = readIvfPqIndex(spark, path)
+    val id = graft.batch.SegmentedStore.nextId(path)
+    writeIvfPqSegment(all, path, id, Some(model))
+    graft.batch.SegmentedStore.commitReplaceAll(path, id, sweepGraceMs)
+  }
+
+  /** Self-scheduling fold — the shared cadence guard (threshold
+    * re-checked inside the writer lock).
+    */
+  def ivfPqCompactIfFragmented(spark: SparkSession, path: String,
+      maxSegments: Int = 8, sweepGraceMs: Long = 0L): Boolean =
+    graft.batch.SegmentedStore.compactIfFragmentedLocked(path, maxSegments) {
+      ivfPqCompactLocked(spark, path, sweepGraceMs)
+    }
+
+  /** QUERY step: resolve the probe cells driver-side ([[ivfProbeCids]]
+    * against the frozen centroids), scan ONLY those `cid=` partitions of
+    * the codes store, ADC-rank, exact cosine re-rank of the top
+    * oversample·k against the float corpus — the [[ivfTopKStored]] tail
+    * over PQ codes. The full-probe result is IDENTICAL to
+    * [[ivfPqTopKWithModel]] over the same live corpus and model (the
+    * law-pinned configuration).
+    */
+  def ivfPqTopKStored(spark: SparkSession, path: String, floats: DataFrame,
+      vecCol: String, idCol: String, query: Array[Double], k: Int,
+      nProbe: Int = 4, oversample: Int = 5): DataFrame = {
+    require(k > 0 && nProbe > 0 && oversample >= 1,
+      s"need k > 0, nProbe > 0, oversample >= 1")
+    val (cents, books) = readIvfPqModel(spark, path)
+    val probes = ivfProbeCids(query, cents, nProbe)
+    ivfPqServe(readIvfPqIndex(spark, path, idCol, probeCids = Some(probes)),
+      floats, vecCol, idCol, query, k, oversample, cents, books)
+  }
+
+  /** The in-memory serving form over a FROZEN pretrained model: encode
+    * `df` against it, probe, ADC-rank, exact re-rank — what a stored
+    * serve computes, minus the store ([[ivfPqTopKStored]]'s equality
+    * target; [[ivfPqTopK]] is the train-and-serve convenience over it).
+    */
+  def ivfPqTopKWithModel(df: DataFrame, vecCol: String, idCol: String,
+      query: Array[Double], k: Int,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      nProbe: Int = 4, oversample: Int = 5): DataFrame = {
+    require(k > 0 && nProbe > 0 && oversample >= 1,
+      s"need k > 0, nProbe > 0, oversample >= 1")
+    val probes = ivfProbeCids(query, cents, nProbe)
+    ivfPqServe(ivfPqEncode(df, vecCol, idCol, cents, books)
+        .where(col("cid").isin(probes.map(Int.box): _*)),
+      df, vecCol, idCol, query, k, oversample, cents, books)
+  }
+
+  /** Shared serve tail: ADC-rank the (probed) encoded frame, exact
+    * cosine re-rank of the top oversample·k candidate ids against the
+    * float corpus.
+    */
+  private def ivfPqServe(encodedProbed: DataFrame, floats: DataFrame,
+      vecCol: String, idCol: String, query: Array[Double], k: Int,
+      oversample: Int, cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val cands = ivfPqAdcScores(encodedProbed, idCol, cents, books, query)
+      .orderBy(col("ivfpq_score").desc, col(idCol))
+      .limit(oversample * k)
+      .select(col(idCol))
+    val qCol = array(query.toIndexedSeq.map(lit(_)): _*)
+    floats.join(broadcast(cands), Seq(idCol))
+      .select(col(idCol),
+        round(VectorFunctions.cosine(col(vecCol), qCol), 6).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact per-query top-k for a query table (broadcast). */
   def bruteForceTopKJoin(df: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, qVecCol: String, qIdCol: String, k: Int): DataFrame = {
@@ -1088,12 +1334,42 @@ object Similarity {
       nProbe: Int = 4, m: Int = 8, c: Int = 16, lloydIters: Int = 2,
       trainSample: Int = 16384): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
-    // ONE training job: coarse spherical k-means AND residual PQ codebooks
-    // both come from the same bounded hashed-id sample, driver-side
+    val (cents, books) = ivfPqTrain(df, vecCol, idCol, dim, nCentroids, m, c,
+      lloydIters, trainSample)
+    val encoded = ivfPqEncode(df, vecCol, idCol, cents, books)
+    // query-side: probe cells by cosine; ADC over residual codes plus the
+    // exact query-centroid dot per cell
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val cellSims = cents.map { cent =>
+      val d = cent.zip(query).map { case (a, b) => a * b }.sum
+      d / (qNorm * math.sqrt(cent.map(x => x * x).sum).max(1e-300))
+    }
+    val probed = cellSims.zipWithIndex.sortBy { case (s, i) => (-s, i) }
+      .take(nProbe).map(_._2).toSet
+    ivfPqAdcScores(encoded.where(col("cid").isInCollection(probed)),
+        idCol, cents, books, query)
+      .orderBy(col("ivfpq_score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Train an IVF-PQ model — coarse spherical centroids AND residual PQ
+    * codebooks, both from ONE bounded hashed-id sample, driver-side
+    * ([[ivfPqTopK]]'s training job, exposed so the stored tier and
+    * pretrained bootstraps share it): Lloyd-refine `nCentroids` spherical
+    * centroids on the sample, assign each sample vector to its
+    * cosine-argmax cell, and train per-subspace codebooks on the
+    * RESIDUAL vector − centroid.
+    */
+  def ivfPqTrain(df: DataFrame, vecCol: String, idCol: String, dim: Int,
+      nCentroids: Int = 16, m: Int = 8, c: Int = 16, lloydIters: Int = 2,
+      trainSample: Int = 16384): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sample = df
       .select(col(vecCol).cast("array<double>").as("__v"), col(idCol).as("__sid"))
       .orderBy(xxhash64(col("__sid")), col("__sid"))
       .limit(trainSample).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty,
+      "ivfPqTrain: empty corpus — bootstrap with a pretrained model")
     val cents = localKmeans(sample, nCentroids, lloydIters, spherical = true)
     def cellOf(v: Array[Double]): Int = {
       var best = 0; var bestScore = Double.NegativeInfinity
@@ -1113,15 +1389,22 @@ object Similarity {
       val cent = cents(cellOf(v))
       Array.tabulate(v.length)(i => v(i) - cent(i))
     }
-    val books = pqCodebooksLocal(residualSample, dim, m, c, lloydIters)
-    // ONE data scan: cell assign → residual → encode as a typed
-    // per-partition kernel. A columnar formulation would inline the
-    // residual expression into every one of the m×c code dot products
-    // (Catalyst substitutes, it doesn't let-bind), blowing the generated
-    // method past codegen limits — plain JVM loops over the captured
-    // codebook arrays are both smaller and faster here; the (id, cell,
-    // codes) frame they produce is columnar for the scoring scan.
-    val subDim0 = dim / m
+    (cents, pqCodebooksLocal(residualSample, dim, m, c, lloydIters))
+  }
+
+  /** Encode `(id, cid, codes)` against a FROZEN IVF-PQ model —
+    * cosine-argmax coarse cell, residual PQ codes — in ONE data scan as a
+    * typed per-partition kernel. A columnar formulation would inline the
+    * residual expression into every one of the m×c code dot products
+    * (Catalyst substitutes, it doesn't let-bind), blowing the generated
+    * method past codegen limits — plain JVM loops over the captured
+    * codebook arrays are both smaller and faster here; the (id, cid,
+    * codes) frame they produce is columnar for the scoring scan.
+    */
+  private[operators] def ivfPqEncode(df: DataFrame, vecCol: String,
+      idCol: String, cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val subDim0 = books.head.head.length
     val session = df.sparkSession
     import session.implicits._
     val centsB = cents
@@ -1130,8 +1413,7 @@ object Similarity {
     // never recomputed (or re-allocated) inside the per-row loops
     val centNorms = cents.map(cent => math.sqrt(cent.map(x => x * x).sum))
     val halfCbNorms = books.map(_.map(cb => cb.map(x => x * x).sum / 2.0))
-    val encoded = df
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Seq[Double])]
       .mapPartitions { it =>
         it.map { case (id, vSeq) =>
@@ -1171,17 +1453,22 @@ object Similarity {
           }
           (id, cell, codes)
         }
-      }.toDF(idCol, "__cell", "__code")
-    // query-side: probe cells by cosine; ADC over residual codes plus the
-    // exact query-centroid dot per cell
+      }.toDF(idCol, "cid", "codes")
+  }
+
+  /** ADC scores of an encoded `(id, cid, codes)` frame against `query`:
+    * score = dot(q, centroid + recon(residual)) / |q| — the standard
+    * IVFADC inner-product surrogate (vector norms quantize away; ranking
+    * quality is the recall law's concern, not absolute cosine). Both
+    * lookups are literal per-subspace tables; the scan reads (cid,
+    * m small ints) per row, never the embedding column.
+    */
+  private[operators] def ivfPqAdcScores(encoded: DataFrame, idCol: String,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      query: Array[Double]): DataFrame = {
+    val m = books.length
+    val subDim = books.head.head.length
     val qNorm = math.sqrt(query.map(x => x * x).sum)
-    val cellSims = cents.map { cent =>
-      val d = cent.zip(query).map { case (a, b) => a * b }.sum
-      d / (qNorm * math.sqrt(cent.map(x => x * x).sum).max(1e-300))
-    }
-    val probed = cellSims.zipWithIndex.sortBy { case (s, i) => (-s, i) }
-      .take(nProbe).map(_._2).toSet
-    val subDim = dim / m
     val dotTab = books.zipWithIndex.map { case (cb, sub) =>
       cb.map(cent => (0 until subDim).map(i => query(sub * subDim + i) * cent(i)).sum)
     }
@@ -1190,17 +1477,10 @@ object Similarity {
     val qcLit = litArr(qCentDot)
     def lookupSum(tab: Column): Column =
       aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, i) =>
-        acc + element_at(element_at(tab, i + 1), element_at(col("__code"), i + 1) + 1))
-    // score = dot(q, centroid + recon(residual)) / |q| — the standard
-    // IVFADC inner-product surrogate (vector norms quantize away; ranking
-    // quality is the recall law's concern, not absolute cosine)
-    encoded
-      .where(col("__cell").isInCollection(probed))
-      .select(col(idCol),
-        round((element_at(qcLit, col("__cell") + 1) + lookupSum(dotLit)) / lit(qNorm), 6)
-          .as("ivfpq_score"))
-      .orderBy(col("ivfpq_score").desc, col(idCol))
-      .limit(k)
+        acc + element_at(element_at(tab, i + 1), element_at(col("codes"), i + 1) + 1))
+    encoded.select(col(idCol),
+      round((element_at(qcLit, col("cid") + 1) + lookupSum(dotLit)) / lit(qNorm), 6)
+        .as("ivfpq_score"))
   }
 
   // ---- graph ANN: partitioned NSW (Malkov et al.'s navigable-small-world

@@ -25,6 +25,40 @@ class StoreFsSpec extends AnyFunSuite {
     StoreFs.deleteRecursive(dir)
   }
 
+  test("writeAtomic under a racing reader: the file reads OLD or NEW, " +
+      "never missing, never torn (the local-FS flip is rename(2), not " +
+      "Hadoop's delete-then-rename overwrite)") {
+    // regression hammer for the flip race law's catch: FileContext
+    // .rename(OVERWRITE) on the local FS deletes the destination before
+    // renaming, so a racing BatchState.read resolved an existing store
+    // as EMPTY mid-flip. 400 flips with a full-speed reader reliably
+    // hit a delete-then-rename window; the NIO ATOMIC_MOVE flip never
+    // exposes one.
+    val dir = tmpDir()
+    val f = s"$dir/_state.json"
+    val legal = (0 until 400).map(i => s"content-$i").toSet
+    StoreFs.writeAtomic(f, "content-0".getBytes("UTF-8"))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val reader = new Thread(() => {
+      while (!stop.get() && bad.get() == null) {
+        if (!StoreFs.exists(f)) bad.set("MISSING")
+        else {
+          val s = try new String(StoreFs.readBytes(f), "UTF-8")
+                  catch { case e: Throwable => s"READ FAILED: $e" }
+          if (!legal.contains(s)) bad.set(s)
+        }
+      }
+    })
+    reader.start()
+    try (1 until 400).foreach(i =>
+      StoreFs.writeAtomic(f, s"content-$i".getBytes("UTF-8")))
+    finally { stop.set(true); reader.join() }
+    assert(bad.get() == null,
+      s"racing reader observed an illegal state: ${bad.get()}")
+    StoreFs.deleteRecursive(dir)
+  }
+
   test("listStatus on a missing path is empty, not an exception") {
     assert(StoreFs.listStatus(s"${tmpDir()}/never-created").isEmpty)
   }
