@@ -2214,6 +2214,13 @@ object SparkEntry {
           "vec_id", q, 10, nProbe = 16).localCheckpoint(true)
         val cents = Similarity.readIvfCentroids(s, tmp)
         val probes = Similarity.ivfProbeCids(q, cents, nProbe = 4)
+        // the equality audit (in-memory int8 serve + brute-force recall
+        // scan over the live corpus) is the row's oracle, not the
+        // operator — attribute it so the 100x reading bills serving,
+        // not auditing
+        val invariants = PhaseTimer.time("q_ann_ivf_stored", "exact_oracle") {
+          int8InvariantRow(live, q, stored)
+        }
         // input_file_name() observes the post-pruning scan (inputFiles
         // reports the pre-pruning file index); the store is freshly
         // compacted, so every read file is a codes partition
@@ -2225,7 +2232,7 @@ object SparkEntry {
           prunedFiles.forall(f => probes.exists(p => f.contains(s"/cid=$p/")))
         val prunedK = Similarity.ivfTopKStored(s, tmp, live, "embedding",
           "vec_id", q, 10, nProbe = 4).count()
-        int8InvariantRow(live, q, stored)
+        invariants
           .withColumn("prune_files_ok", lit(pruneFilesOk))
           .withColumn("pruned_k_ok", lit(prunedK >= 1 && prunedK <= 10))
       } finally graft.batch.BatchState.deleteDir(tmp)
@@ -2277,9 +2284,14 @@ object SparkEntry {
         val (cents, books) = Similarity.readIvfPqModel(s, tmp)
         val stored = Similarity.ivfPqTopKStored(s, tmp, live, "embedding",
           "vec_id", q, 10, nProbe = 16).localCheckpoint(true)
-        val mem = Similarity.ivfPqTopKWithModel(live, "embedding", "vec_id",
-          q, 10, cents, books, nProbe = 16)
-        val nDiff = stored.exceptAll(mem).unionByName(mem.exceptAll(stored)).count()
+        // the same-model equality audit re-encodes the live corpus in
+        // memory — the row's oracle, not the operator (see
+        // q_ann_ivf_stored's attribution note)
+        val nDiff = PhaseTimer.time("q_ann_ivfpq_stored", "exact_oracle") {
+          val mem = Similarity.ivfPqTopKWithModel(live, "embedding", "vec_id",
+            q, 10, cents, books, nProbe = 16)
+          stored.exceptAll(mem).unionByName(mem.exceptAll(stored)).count()
+        }
         val pruned = Similarity.ivfPqTopKStored(s, tmp, live, "embedding",
           "vec_id", q, 10, nProbe = 4).collect()
         val needleOk = pruned.nonEmpty &&
