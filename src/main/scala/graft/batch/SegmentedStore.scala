@@ -199,9 +199,13 @@ object SegmentedStore {
     * behind every tier's `*CompactIfFragmented`. Cheap unlocked pre-check
     * first — below the threshold the cadence call costs one commit-log
     * read and takes no lock — then the threshold is RE-CHECKED inside the
-    * writer lock before `compactLocked` runs, so two maintenance drivers
-    * whose cadences overlap serialize on the lock and the second sees the
-    * first's fold instead of paying a redundant O(index) rebuild.
+    * writer lock before `compactLocked` runs, so a second maintenance
+    * driver arriving AFTER the first's fold committed (the sequential
+    * overlapping-cadence case) reads the folded segment count and skips
+    * the redundant O(index) rebuild. A driver arriving while the first
+    * still HOLDS the lease fails loudly there ([[WriterLease.withLock]]
+    * throws on a live lock — the single-writer contract; same-instant
+    * maintenance is a scheduling bug, not a benign serialization).
     * `compactLocked` must NOT take the lock itself ([[WriterLease]] is
     * non-reentrant by design). Returns whether a compaction ran.
     */

@@ -92,13 +92,20 @@ object StoreFs {
     * create is known inexact AND whose rename is atomic, where the lease
     * alone is the better residual.
     */
+  private var defaultCasOptOutWarned = false
   def ensureDefaultCasBackend(): Unit = synchronized {
     val optOut = sys.props.get("graft.cas.default")
       .orElse(sys.env.get("SPARK_GRAFT_CAS_DEFAULT"))
       .exists(v => v.equalsIgnoreCase("off") || v.equalsIgnoreCase("false"))
     if (optOut) {
-      System.err.println("[graft] default CAS backend opted out " +
-        "(graft.cas.default=off) — commit-log flips use rename + lease")
+      // warn ONCE, and only when the opt-out actually leaves the rename
+      // path in effect — an explicitly installed backend still handles
+      // every flip, and a streaming driver calls this once per batch
+      if (casBackend.isEmpty && !defaultCasOptOutWarned) {
+        defaultCasOptOutWarned = true
+        System.err.println("[graft] default CAS backend opted out " +
+          "(graft.cas.default=off) — commit-log flips use rename + lease")
+      }
     } else if (casBackend.isEmpty) {
       casBackend = Some(new HadoopCasBackend())
       System.err.println("[graft] HadoopCasBackend installed (default-on): " +

@@ -1010,6 +1010,10 @@ object Dedup {
       .where(VectorFunctions.dot(col("w.__nv"), col("d.__nv")) >= threshold)
       .select(col(s"d.$idCol")).distinct()
       .localCheckpoint(true)
+    val lshWitnessedN = lshWitnessed.count()
+    // banded stage witnessed everything: the exact remainder pass would
+    // broadcast an EMPTY frame against a full corpus scan — skip it
+    if (lshWitnessedN == droppedN) return true
     val remainder = dropped.join(lshWitnessed, Seq(idCol), "left_anti")
       .localCheckpoint(true)
     val exactWitnessed = norm.as("w")
@@ -1017,7 +1021,7 @@ object Dedup {
         col(s"w.$idCol") < col(s"d.$idCol") &&
           VectorFunctions.dot(col("w.__nv"), col("d.__nv")) >= threshold)
       .select(col(s"d.$idCol")).distinct()
-    droppedN == lshWitnessed.count() + exactWitnessed.count()
+    droppedN == lshWitnessedN + exactWitnessed.count()
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by

@@ -420,6 +420,15 @@ object Similarity {
     df.select(col(idCol),
         VectorFunctions.l2Normalize(col(vecCol)).as("__nv"),
         nearestCentroid(col(vecCol), cents).as("cid"))
+      // loud dim guard: a vector whose length disagrees with the frozen
+      // centroids yields a NULL cid (the dot is null on a length
+      // mismatch) — without this it would land in the null partition and
+      // silently vanish from every probed serve
+      .withColumn("cid", when(col("cid").isNotNull, col("cid"))
+        .otherwise(raise_error(format_string(
+          "ivfCodes: embedding dimension %s does not match the frozen " +
+            s"centroid dimension ${cents.head.length}",
+          size(col("__nv")).cast("string")))))
       .select(col(idCol),
         VectorFunctions.int8Quantize(col("__nv")).as("codes"),
         VectorFunctions.int8Scale(col("__nv")).as("scale"),
@@ -456,7 +465,7 @@ object Similarity {
       s"readIvfCentroids: no centroid table committed at $path")
     spark.read.parquet(
         s"${graft.batch.SegmentedStore.segDir(path, withCents.max)}/centroids")
-      .orderBy("cid").collect()
+      .select("cid", "centroid").orderBy("cid").collect()
       .map(_.getSeq[Double](1).toArray)
   }
 
@@ -1337,15 +1346,11 @@ object Similarity {
     val (cents, books) = ivfPqTrain(df, vecCol, idCol, dim, nCentroids, m, c,
       lloydIters, trainSample)
     val encoded = ivfPqEncode(df, vecCol, idCol, cents, books)
-    // query-side: probe cells by cosine; ADC over residual codes plus the
-    // exact query-centroid dot per cell
-    val qNorm = math.sqrt(query.map(x => x * x).sum)
-    val cellSims = cents.map { cent =>
-      val d = cent.zip(query).map { case (a, b) => a * b }.sum
-      d / (qNorm * math.sqrt(cent.map(x => x * x).sum).max(1e-300))
-    }
-    val probed = cellSims.zipWithIndex.sortBy { case (s, i) => (-s, i) }
-      .take(nProbe).map(_._2).toSet
+    // query-side: probe cells via the shared [[ivfProbeCids]] (one probe
+    // rule across ivfPqTopK / ivfPqTopKWithModel / the stored tier —
+    // including its zero-norm guard), then ADC over residual codes plus
+    // the exact query-centroid dot per cell
+    val probed = ivfProbeCids(query, cents, nProbe)
     ivfPqAdcScores(encoded.where(col("cid").isInCollection(probed)),
         idCol, cents, books, query)
       .orderBy(col("ivfpq_score").desc, col(idCol))

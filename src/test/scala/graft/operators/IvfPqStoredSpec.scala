@@ -207,6 +207,27 @@ class IvfPqStoredSpec extends AnyFunSuite {
     } finally BatchState.deleteDir(dir)
   }
 
+  test("IVF tier: a batch whose embedding dim disagrees with the frozen " +
+      "centroids fails LOUDLY at encode (never a silent null-cid " +
+      "partition invisible to every probed serve)") {
+    val s = spark; import s.implicits._
+    val df = vecs.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_ivf_dimchk").toString
+    try {
+      Similarity.ivfWriteIndex(df, "embedding", "vec_id", dir, nCentroids = 4)
+      val wrongDim = Seq((900L, Array.fill(dim + 3)(0.5)))
+        .toDF("vec_id", "embedding")
+      val e = intercept[Exception](
+        Similarity.ivfAppendToStored(spark, dir, wrongDim, "embedding", "vec_id"))
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("does not match the frozen")),
+        s"expected the dim-guard error, got: $e")
+      // the failed append committed nothing — the store still serves
+      assert(Similarity.readIvfIndex(spark, dir).count() == vecs.size)
+    } finally BatchState.deleteDir(dir)
+  }
+
   test("pretrained-model bootstrap over an empty corpus: canonical empty " +
       "read, first append serves; training on empty throws") {
     val s = spark; import s.implicits._
