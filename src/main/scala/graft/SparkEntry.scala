@@ -2259,7 +2259,12 @@ object SparkEntry {
       import s.implicits._
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val q = Array.tabulate(64)(i => math.sin(i + 1.0))
-      val needle = Seq((2000000000L, q.toSeq)).toDF("vec_id", "embedding")
+      // the needle takes the SMALLEST id in the corpus: ivfPqServe breaks
+      // ADC-score ties ascending by id before the oversample·k candidate
+      // cut, and vectors encoding to the needle's exact (cid, codes) tie
+      // with it — a largest-id needle could lose enough ties at 100x to
+      // drop out of the candidate cut and flip needle_ok (advisor r17)
+      val needle = Seq((-1L, q.toSeq)).toDF("vec_id", "embedding")
         .select(col("vec_id"), col("embedding").cast(e.schema("embedding").dataType))
       val appended = e.where(col("vec_id") % 11 === 0)
         .withColumn("vec_id", col("vec_id") + lit(1000000000L))
@@ -2295,7 +2300,7 @@ object SparkEntry {
         val pruned = Similarity.ivfPqTopKStored(s, tmp, live, "embedding",
           "vec_id", q, 10, nProbe = 4).collect()
         val needleOk = pruned.nonEmpty &&
-          pruned.head.getLong(0) == 2000000000L && pruned.head.getDouble(1) == 1.0
+          pruned.head.getLong(0) == -1L && pruned.head.getDouble(1) == 1.0
         // input_file_name() observes the post-pruning scan (inputFiles
         // reports the pre-pruning file index); freshly compacted, so
         // every read file is a codes partition

@@ -52,6 +52,19 @@ import org.apache.spark.sql.SparkSession
   */
 object StoreFs {
 
+  /** Upper bound on a single state file read by [[readBytes]] — commit
+    * logs, locks, markers are a few hundred bytes to a few KB; even a
+    * long-lived store's revoked-id digest log stays far below this. The
+    * bound exists to turn a mis-pointed read (a parquet payload, a
+    * runaway log) into a loud error instead of an OOM buffering the
+    * whole file driver-side. Raise with `-Dgraft.state.maxBytes=<n>` if
+    * a legitimate state file ever approaches it.
+    */
+  val DefaultMaxStateFileBytes: Long = 64L << 20
+  def maxStateFileBytes: Long =
+    sys.props.get("graft.state.maxBytes").map(_.toLong)
+      .getOrElse(DefaultMaxStateFileBytes)
+
   /** Conditional single-object overwrite — the compare-and-swap shape
     * object stores expose as a conditional PUT (S3 `If-Match` on the read
     * ETag / `If-None-Match: *`; available through S3A on Hadoop ≥ 3.4.1).
@@ -149,6 +162,21 @@ object StoreFs {
   private def isPlainRawLocal(fs: FileSystem): Boolean =
     fs.getClass == classOf[org.apache.hadoop.fs.RawLocalFileSystem]
 
+  /** Best-effort removal of a `.name.crc` checksum sidecar next to a file
+    * the raw-local paths just (re)wrote. A store written by an OLDER
+    * checksummed-LocalFileSystem build carries sidecars; the raw-FS flip
+    * updates the data file but not the sidecar, so a reader going back
+    * through a checksummed local FS (older build, external tooling) would
+    * fail verification on the stale pair. Deleting the sidecar restores
+    * the no-checksum state both readers handle.
+    */
+  private def dropCrcSidecar(dst: Path): Unit = {
+    val dir = dst.toUri.getPath
+    val crc = java.nio.file.Paths.get(dir).resolveSibling(s".${dst.getName}.crc")
+    scala.util.Try(java.nio.file.Files.deleteIfExists(crc))
+    ()
+  }
+
   def exists(path: String): Boolean = {
     val p = new Path(path)
     fsOf(p).exists(p)
@@ -184,7 +212,10 @@ object StoreFs {
       var n = in.read(buf)
       while (n >= 0) {
         bos.write(buf, 0, n)
-        require(bos.size <= (64 << 20), s"$path is too large for a state file")
+        require(bos.size <= maxStateFileBytes,
+          s"$path exceeds the ${maxStateFileBytes}-byte state-file bound " +
+            "(StoreFs.maxStateFileBytes) — state files are small metadata; " +
+            "a legitimate file this large can raise -Dgraft.state.maxBytes")
         n = in.read(buf)
       }
       bos.toByteArray
@@ -215,12 +246,13 @@ object StoreFs {
     val tmp = new Path(dst.getParent, s".${dst.getName}.${System.nanoTime}.tmp")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
-    if (isPlainRawLocal(fs))
+    if (isPlainRawLocal(fs)) {
       java.nio.file.Files.move(
         java.nio.file.Paths.get(tmp.toUri.getPath),
         java.nio.file.Paths.get(dst.toUri.getPath),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    else
+      dropCrcSidecar(dst)
+    } else
       FileContext.getFileContext(dst.toUri, hadoopConf)
         .rename(tmp, dst, Options.Rename.OVERWRITE)
   }
@@ -268,7 +300,7 @@ object StoreFs {
       java.nio.file.Files.write(nioP, bytes,
         java.nio.file.StandardOpenOption.CREATE_NEW,
         java.nio.file.StandardOpenOption.WRITE)
-      ()
+      dropCrcSidecar(p)
     } else {
       val out = fs.create(p, false)
       try out.write(bytes) finally out.close()

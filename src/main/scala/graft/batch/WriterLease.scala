@@ -156,10 +156,19 @@ object WriterLease {
       while (!readLock(lock).contains(token) && tries < 50) {
         Thread.sleep(2); tries += 1
       }
-      if (!readLock(lock).contains(token))
+      if (!readLock(lock).contains(token)) {
+        // final owner-checked cleanup before declaring the acquisition
+        // lost: a late stale-breaker's restore can land our token back
+        // AFTER the retry window, which would orphan a fresh-looking
+        // lease that blocks every writer until leaseTimeoutMs. One more
+        // read-then-delete-iff-ours shrinks that window to the instant
+        // between this check and the breaker's restore (the residual is
+        // bounded by the lease timeout, as before).
+        if (readLock(lock).contains(token)) StoreFs.deleteRecursive(lock)
         throw new IllegalStateException(
           s"WriterLease($path): lost the acquisition race for $lock — another " +
           "writer's lease landed over this one (non-exclusive-create filesystem)")
+      }
     }
     held.set(held.get + (path -> token))
     try body

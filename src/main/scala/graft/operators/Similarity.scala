@@ -96,26 +96,26 @@ object Similarity {
     */
   def int8WriteIndex(df: DataFrame, vecCol: String, idCol: String,
       path: String): Unit =
-    graft.batch.SegmentedStore.withWriterLock(path) {
-      val id = graft.batch.SegmentedStore.nextId(path)
-      writeCodesSegment(int8Codes(df, vecCol, idCol), path, id)
-      graft.batch.SegmentedStore.commitReplaceAll(path, id)
-    }
+    int8Tier.writeIndexReplaceAll(int8Codes(df, vecCol, idCol), path, None)
 
-  /** The one codes-segment write shape: CLEAR the whole segment dir
-    * first — `nextId`/`batchSegId` reuse a crashed writer's uncommitted
-    * id, and parquet overwrite only clears the `codes/` subdir, so
-    * without the pre-clear an orphan `deletes/` left by a crashed
-    * takedown would ride this segment's commit into the log and
-    * silently suppress live vectors (mirrors Retrieval.writeSegment).
-    */
-  private def writeCodesSegment(codes: DataFrame, path: String,
-      id: Long): Unit = {
-    graft.batch.StoreFs.deleteRecursive(
-      graft.batch.SegmentedStore.segDir(path, id))
-    codes.write.mode("overwrite")
-      .parquet(s"${graft.batch.SegmentedStore.segDir(path, id)}/codes")
-  }
+  /* The three stored-codes tiers (flat int8 / IVF / IVF-PQ) share ONE
+   * segmented-lifecycle body — [[CodesTier]] (round 18, r17 verdict #5):
+   * atomic bootstrap, replay-guarded append, coverage-marked takedown,
+   * model-carrying compaction, the cadence guard, the drift stats. What
+   * each instance declares is exactly what differs: payload layout,
+   * empty-frame schema, and how the frozen model tables persist.
+   */
+  private val int8Tier = new CodesTier[Unit](
+    label = "int8", payload = "codes", cellPartitioned = false,
+    emptySchema = idCol => {
+      import org.apache.spark.sql.types._
+      StructType(Seq(StructField(idCol, LongType),
+        StructField("codes", ArrayType(ByteType)),
+        StructField("scale", DoubleType)))
+    },
+    modelMarker = None,
+    writeModel = (_, _, _) => (),
+    loadModel = (_, _) => ())
 
   private def int8Codes(df: DataFrame, vecCol: String, idCol: String): DataFrame =
     df.select(col(idCol), VectorFunctions.l2Normalize(col(vecCol)).as("__nv"))
@@ -130,28 +130,11 @@ object Similarity {
     */
   def int8AppendToStored(spark: SparkSession, path: String,
       newVecs: DataFrame, vecCol: String, idCol: String,
-      batchId: Option[Long] = None): Unit = {
-    val committed = graft.batch.SegmentedStore.committedSegs(path)
-    require(committed.nonEmpty,
-      s"int8AppendToStored: no committed index at $path — bootstrap with int8WriteIndex")
-    // batchId makes the append idempotent under at-least-once replay —
-    // same contract as Retrieval.appendToStored
-    graft.batch.SegmentedStore.withWriterLock(path) {
-      batchId match {
-        case Some(b) if graft.batch.SegmentedStore.batchApplied(path, b) => ()
-        case _ =>
-          val id = batchId.map(graft.batch.SegmentedStore.batchSegId)
-            .getOrElse(graft.batch.SegmentedStore.nextId(path))
-          writeCodesSegment(int8Codes(newVecs, vecCol, idCol), path, id)
-          batchId match {
-            // streaming: raise the applied-batch high-water mark in the
-            // same atomic flip, so the replay guard survives compaction
-            case Some(b) => graft.batch.SegmentedStore.commitStreamingAppend(path, b)
-            case None    => graft.batch.SegmentedStore.commitAppend(path, id)
-          }
-      }
+      batchId: Option[Long] = None): Unit =
+    int8Tier.appendToStored(spark, path, batchId,
+      "int8AppendToStored", "int8WriteIndex") { _ =>
+      int8Codes(newVecs, vecCol, idCol)
     }
-  }
 
   /** Fold all committed segments into one (point-read latency degrades
     * with file count), atomically re-point the commit log, sweep.
@@ -163,19 +146,7 @@ object Similarity {
     */
   def int8CompactStored(spark: SparkSession, path: String,
       sweepGraceMs: Long = 0L): Unit =
-    graft.batch.SegmentedStore.withWriterLock(path) {
-      int8CompactLocked(spark, path, sweepGraceMs)
-    }
-
-  // lock-free compact body, shared by the direct verb (above) and the
-  // cadence guard (below, which re-checks the threshold INSIDE the lock)
-  private def int8CompactLocked(spark: SparkSession, path: String,
-      sweepGraceMs: Long): Unit = {
-    val all = readInt8Index(spark, path)
-    val id = graft.batch.SegmentedStore.nextId(path)
-    writeCodesSegment(all, path, id)
-    graft.batch.SegmentedStore.commitReplaceAll(path, id, sweepGraceMs)
-  }
+    int8Tier.compactStored(spark, path, sweepGraceMs)
 
   /** Compact only when fragmentation crosses `maxSegments` — the
     * self-scheduling form of [[int8CompactStored]] (same contract as
@@ -185,9 +156,7 @@ object Similarity {
     */
   def int8CompactIfFragmented(spark: SparkSession, path: String,
       maxSegments: Int = 8, sweepGraceMs: Long = 0L): Boolean =
-    graft.batch.SegmentedStore.compactIfFragmentedLocked(path, maxSegments) {
-      int8CompactLocked(spark, path, sweepGraceMs)
-    }
+    int8Tier.compactIfFragmented(spark, path, maxSegments, sweepGraceMs)
 
   /** Union of the committed segments' codes (each root read separately,
     * empty bootstrap segments skipped). A bootstrapped-but-empty index —
@@ -202,55 +171,8 @@ object Similarity {
     *   parameterization as Retrieval.emptyPostings).
     */
   def readInt8Index(spark: SparkSession, path: String,
-      idCol: String = "vec_id"): DataFrame = {
-    val segs = graft.batch.SegmentedStore.committedSegs(path)
-    require(segs.nonEmpty, s"readInt8Index: no committed index at $path")
-    val live = segs.filter(id => graft.batch.SegmentedStore.hasParquetFiles(
-      s"${graft.batch.SegmentedStore.segDir(path, id)}/codes"))
-    if (live.isEmpty) {
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField(idCol, LongType),
-          StructField("codes", ArrayType(ByteType)),
-          StructField("scale", DoubleType))))
-    } else {
-      // __seg provenance: the delete anti-join applies each delete set
-      // only to the segments it covers (dropped before returning)
-      val codes = live.map(id => spark.read.parquet(
-          s"${graft.batch.SegmentedStore.segDir(path, id)}/codes")
-          .withColumn("__seg", lit(id)))
-        .reduce(_ unionByName _)
-      readCodesDeletes(spark, path, segs, idCol) match {
-        case None => codes.drop("__seg")
-        case Some(d) =>
-          codes.alias("__p").join(d.alias("__d"),
-            col(s"__p.$idCol") === col(s"__d.$idCol") &&
-              array_contains(col("__d.__covers"), col("__p.__seg")),
-            "left_anti")
-            .drop("__seg")
-      }
-    }
-  }
-
-  /** Union of the committed segments' delete sets, each row carrying its
-    * delete's covered-segment array (`__covers`); None when no segment
-    * carries deletions (same read shape as the BM25 side — commit-order
-    * coverage semantics documented at
-    * [[graft.batch.SegmentedStore.writeDeleteCovers]]).
-    */
-  private def readCodesDeletes(spark: SparkSession, path: String,
-      segs: List[Long], idCol: String): Option[DataFrame] = {
-    val live = segs.filter(id => graft.batch.SegmentedStore.hasParquetFiles(
-      s"${graft.batch.SegmentedStore.segDir(path, id)}/deletes"))
-    if (live.isEmpty) None
-    else Some(live.map { id =>
-      val covers = graft.batch.SegmentedStore.readDeleteCovers(path, id)
-        .getOrElse(segs.filter(_ != id))
-      spark.read.parquet(
-          s"${graft.batch.SegmentedStore.segDir(path, id)}/deletes")
-        .toDF(idCol).distinct().withColumn("__covers", typedLit(covers))
-    }.reduce(_ unionByName _))
-  }
+      idCol: String = "vec_id"): DataFrame =
+    int8Tier.readIndex(spark, path, idCol)
 
   /** Remove vectors from a STORED codes index — the takedown maintenance
     * path, mirroring [[graft.operators.Retrieval.deleteFromStored]]:
@@ -267,44 +189,7 @@ object Similarity {
     */
   def int8DeleteFromStored(spark: SparkSession, path: String,
       ids: DataFrame, idCol: String = "vec_id"): Unit =
-    deleteFromCodesStore(spark, path, ids, idCol, "int8DeleteFromStored",
-      readInt8Index(spark, path, idCol))
-
-  /** The one codes-store takedown body, shared by the flat-int8 and IVF
-    * tiers (the delete-set layout and coverage semantics are identical;
-    * only which live-index read scopes the victim set differs).
-    * `readLive` is by-name: it must resolve AFTER the lock is held.
-    */
-  private def deleteFromCodesStore(spark: SparkSession, path: String,
-      ids: DataFrame, idCol: String, label: String,
-      readLive: => DataFrame): Unit =
-    graft.batch.SegmentedStore.withWriterLock(path) {
-      val segs = graft.batch.SegmentedStore.committedSegs(path)
-      require(segs.nonEmpty, s"$label: no committed index at $path")
-      val victims = readLive
-        .join(ids.toDF(idCol).distinct(), Seq(idCol), "left_semi")
-        .select(col(idCol)).distinct()
-        .persist()
-      try {
-        // nothing live matched: leave the commit log untouched
-        if (victims.limit(1).count() > 0) {
-          val id = graft.batch.SegmentedStore.nextId(path)
-          // pre-clear: an orphan codes/ dir from a crashed append at
-          // this reused id must not ride the takedown's commit
-          graft.batch.StoreFs.deleteRecursive(
-            graft.batch.SegmentedStore.segDir(path, id))
-          victims.write.mode("overwrite")
-            .parquet(s"${graft.batch.SegmentedStore.segDir(path, id)}/deletes")
-          // covers marker AFTER the parquet overwrite; commits with the
-          // segment on the log flip
-          graft.batch.SegmentedStore.writeDeleteCovers(path, id, segs)
-          graft.batch.SegmentedStore.commitAppend(path, id)
-        }
-      } finally {
-        victims.unpersist()
-        ()
-      }
-    }
+    int8Tier.deleteFromStored(spark, path, ids, idCol, "int8DeleteFromStored")
 
   /** ATOMIC upsert of a vector batch into a STORED codes index — the
     * correction path for a poisoned ingest, mirroring
@@ -335,7 +220,7 @@ object Similarity {
       try {
         val id = graft.batch.SegmentedStore.nextId(path)
         // pre-clear the reused id, write both parts, publish on one flip
-        writeCodesSegment(int8Codes(newVecs, vecCol, idCol), path, id)
+        int8Tier.writeSegment(int8Codes(newVecs, vecCol, idCol), path, id, None)
         if (victims.limit(1).count() > 0) {
           victims.write.mode("overwrite")
             .parquet(s"${graft.batch.SegmentedStore.segDir(path, id)}/deletes")
@@ -363,14 +248,35 @@ object Similarity {
       vecCol: String, idCol: String, query: Array[Double], k: Int,
       oversample: Int = 5): DataFrame = {
     require(k > 0 && oversample >= 1, s"need k > 0, oversample >= 1")
-    val qCol = array(query.toIndexedSeq.map(lit(_)): _*)
-    val qn = VectorFunctions.l2Normalize(qCol)
-    val cands = readInt8Index(spark, path, idCol)
+    exactRerank(floats,
+      int8ApproxCands(readInt8Index(spark, path, idCol), idCol, query,
+        oversample * k),
+      vecCol, idCol, query, k)
+  }
+
+  /** Candidate cut of an int8-codes frame against one query: rank by the
+    * quantized dot (the query quantizes through the SAME codegen
+    * expressions as the corpus — identical semantics by construction),
+    * keep the top `nCands` ids. Shared by the flat and IVF stored serves.
+    */
+  private def int8ApproxCands(index: DataFrame, idCol: String,
+      query: Array[Double], nCands: Int): DataFrame = {
+    val qn = VectorFunctions.l2Normalize(array(query.toIndexedSeq.map(lit(_)): _*))
+    index
       .withColumn("__approx", VectorFunctions.int8Dot(col("codes"), col("scale"),
         VectorFunctions.int8Quantize(qn), VectorFunctions.int8Scale(qn)))
       .orderBy(col("__approx").desc, col(idCol))
-      .limit(oversample * k)
+      .limit(nCands)
       .select(col(idCol))
+  }
+
+  /** Exact cosine re-rank of a driver-bounded candidate-id frame against
+    * the float corpus — the one tail every stored codes serve ends with
+    * (broadcast join; only the candidates pay the float read).
+    */
+  private def exactRerank(floats: DataFrame, cands: DataFrame,
+      vecCol: String, idCol: String, query: Array[Double], k: Int): DataFrame = {
+    val qCol = array(query.toIndexedSeq.map(lit(_)): _*)
     floats.join(broadcast(cands), Seq(idCol))
       .select(col(idCol),
         round(VectorFunctions.cosine(col(vecCol), qCol), 6).as("cosine_sim"))
@@ -403,13 +309,30 @@ object Similarity {
       nCentroids, lloydIters, trainSample = trainSample))
     require(cents.nonEmpty, "ivfWriteIndex: no centroids (empty corpus " +
       "bootstraps must pass pretrained centroids)")
-    graft.batch.SegmentedStore.withWriterLock(path) {
-      val id = graft.batch.SegmentedStore.nextId(path)
-      writeIvfSegment(ivfCodes(df, vecCol, idCol, cents), path, id,
-        Some(cents))
-      graft.batch.SegmentedStore.commitReplaceAll(path, id)
-    }
+    ivfTier.writeIndexReplaceAll(ivfCodes(df, vecCol, idCol, cents), path,
+      Some(cents))
   }
+
+  private val ivfTier = new CodesTier[Array[Array[Double]]](
+    label = "ivf", payload = "ivf", cellPartitioned = true,
+    emptySchema = idCol => {
+      import org.apache.spark.sql.types._
+      StructType(Seq(StructField(idCol, LongType),
+        StructField("codes", ArrayType(ByteType)),
+        StructField("scale", DoubleType),
+        StructField("cid", IntegerType)))
+    },
+    modelMarker = Some("centroids"),
+    writeModel = (spark, seg, cents) => {
+      import spark.implicits._
+      cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cid", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$seg/centroids")
+    },
+    loadModel = (spark, seg) =>
+      spark.read.parquet(s"$seg/centroids")
+        .select("cid", "centroid").orderBy("cid").collect()
+        .map(_.getSeq[Double](1).toArray))
 
   /** int8 codes of the L2-normalized vectors + the frozen-centroid cell
     * assignment (cosine argmax is scale-invariant, so assignment on the
@@ -434,40 +357,12 @@ object Similarity {
         VectorFunctions.int8Scale(col("__nv")).as("scale"),
         col("cid"))
 
-  /** Codes partitioned by cell; the centroid table rides payload
-    * segments only (bootstrap/compaction — delta appends inherit the
-    * frozen centroids). Same pre-clear discipline as writeCodesSegment.
-    */
-  private def writeIvfSegment(codes: DataFrame, path: String, id: Long,
-      cents: Option[Array[Array[Double]]]): Unit = {
-    val seg = graft.batch.SegmentedStore.segDir(path, id)
-    graft.batch.StoreFs.deleteRecursive(seg)
-    codes.write.partitionBy("cid").mode("overwrite").parquet(s"$seg/ivf")
-    cents.foreach { cs =>
-      val spark = codes.sparkSession
-      import spark.implicits._
-      cs.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
-        .toDF("cid", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$seg/centroids")
-    }
-  }
-
   /** The index's frozen coarse centroids: the NEWEST committed segment
     * carrying a centroid table (payload segments write one; compaction
     * re-writes the same centroids, so the newest is always current).
     */
-  def readIvfCentroids(spark: SparkSession, path: String): Array[Array[Double]] = {
-    val segs = graft.batch.SegmentedStore.committedSegs(path)
-    require(segs.nonEmpty, s"readIvfCentroids: no committed index at $path")
-    val withCents = segs.filter(id => graft.batch.SegmentedStore.hasParquetFiles(
-      s"${graft.batch.SegmentedStore.segDir(path, id)}/centroids"))
-    require(withCents.nonEmpty,
-      s"readIvfCentroids: no centroid table committed at $path")
-    spark.read.parquet(
-        s"${graft.batch.SegmentedStore.segDir(path, withCents.max)}/centroids")
-      .select("cid", "centroid").orderBy("cid").collect()
-      .map(_.getSeq[Double](1).toArray)
-  }
+  def readIvfCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
+    ivfTier.readModel(spark, path)
 
   /** Union of the committed segments' codes with deletes anti-joined —
     * the [[readInt8Index]] shape plus the `cid` partition column.
@@ -477,75 +372,31 @@ object Similarity {
     */
   def readIvfIndex(spark: SparkSession, path: String,
       idCol: String = "vec_id",
-      probeCids: Option[Seq[Int]] = None): DataFrame = {
-    val segs = graft.batch.SegmentedStore.committedSegs(path)
-    require(segs.nonEmpty, s"readIvfIndex: no committed index at $path")
-    val live = segs.filter(id => graft.batch.SegmentedStore.hasParquetFiles(
-      s"${graft.batch.SegmentedStore.segDir(path, id)}/ivf"))
-    if (live.isEmpty) {
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField(idCol, LongType),
-          StructField("codes", ArrayType(ByteType)),
-          StructField("scale", DoubleType),
-          StructField("cid", IntegerType))))
-    } else {
-      val codes = live.map { id =>
-        val seg = spark.read.parquet(
-          s"${graft.batch.SegmentedStore.segDir(path, id)}/ivf")
-        probeCids.fold(seg)(cids => seg.where(col("cid").isin(cids.map(Int.box): _*)))
-          .withColumn("__seg", lit(id))
-      }.reduce(_ unionByName _)
-      readCodesDeletes(spark, path, segs, idCol) match {
-        case None => codes.drop("__seg")
-        case Some(d) =>
-          codes.alias("__p").join(d.alias("__d"),
-            col(s"__p.$idCol") === col(s"__d.$idCol") &&
-              array_contains(col("__d.__covers"), col("__p.__seg")),
-            "left_anti")
-            .drop("__seg")
-      }
-    }
-  }
+      probeCids: Option[Seq[Int]] = None): DataFrame =
+    ivfTier.readIndex(spark, path, idCol, probeCids)
 
   /** Ingest a (disjoint-id) vector batch as ONE new segment, assigned
-    * against the FROZEN stored centroids — same replay-guard contract
-    * as [[int8AppendToStored]]. Cell skew drifts as the data does (the
-    * documented IVF trade); repair by rebuilding with fresh centroids.
+    * against the FROZEN stored centroids (resolved INSIDE the writer
+    * lock: a concurrent rebuild must not leave this append assigned
+    * against superseded cells) — same replay-guard contract as
+    * [[int8AppendToStored]]. Cell skew drifts as the data does (the
+    * documented IVF trade — [[ivfDriftStats]] measures it); repair by
+    * rebuilding with fresh centroids.
     */
   def ivfAppendToStored(spark: SparkSession, path: String,
       newVecs: DataFrame, vecCol: String, idCol: String,
-      batchId: Option[Long] = None): Unit = {
-    val committed = graft.batch.SegmentedStore.committedSegs(path)
-    require(committed.nonEmpty,
-      s"ivfAppendToStored: no committed index at $path — bootstrap with ivfWriteIndex")
-    graft.batch.SegmentedStore.withWriterLock(path) {
-      batchId match {
-        case Some(b) if graft.batch.SegmentedStore.batchApplied(path, b) => ()
-        case _ =>
-          // centroids resolve INSIDE the lock: a concurrent rebuild
-          // (ivfWriteIndex with fresh centroids) must not leave this
-          // append assigned against superseded cells
-          val cents = readIvfCentroids(spark, path)
-          val id = batchId.map(graft.batch.SegmentedStore.batchSegId)
-            .getOrElse(graft.batch.SegmentedStore.nextId(path))
-          writeIvfSegment(ivfCodes(newVecs, vecCol, idCol, cents), path, id,
-            cents = None)
-          batchId match {
-            case Some(b) => graft.batch.SegmentedStore.commitStreamingAppend(path, b)
-            case None    => graft.batch.SegmentedStore.commitAppend(path, id)
-          }
-      }
+      batchId: Option[Long] = None): Unit =
+    ivfTier.appendToStored(spark, path, batchId,
+      "ivfAppendToStored", "ivfWriteIndex") { cents =>
+      ivfCodes(newVecs, vecCol, idCol, cents)
     }
-  }
 
   /** Takedown on a stored IVF index — the shared codes-store delete-set
     * discipline (coverage semantics, re-append re-serves immediately).
     */
   def ivfDeleteFromStored(spark: SparkSession, path: String,
       ids: DataFrame, idCol: String = "vec_id"): Unit =
-    deleteFromCodesStore(spark, path, ids, idCol, "ivfDeleteFromStored",
-      readIvfIndex(spark, path, idCol))
+    ivfTier.deleteFromStored(spark, path, ids, idCol, "ivfDeleteFromStored")
 
   /** Fold segments + deletes physically into one payload segment, the
     * centroids carried over UNCHANGED (frozen — a codes-only store
@@ -553,27 +404,28 @@ object Similarity {
     */
   def ivfCompactStored(spark: SparkSession, path: String,
       sweepGraceMs: Long = 0L): Unit =
-    graft.batch.SegmentedStore.withWriterLock(path) {
-      ivfCompactLocked(spark, path, sweepGraceMs)
-    }
-
-  private def ivfCompactLocked(spark: SparkSession, path: String,
-      sweepGraceMs: Long): Unit = {
-    val cents = readIvfCentroids(spark, path)
-    val all = readIvfIndex(spark, path)
-    val id = graft.batch.SegmentedStore.nextId(path)
-    writeIvfSegment(all, path, id, Some(cents))
-    graft.batch.SegmentedStore.commitReplaceAll(path, id, sweepGraceMs)
-  }
+    ivfTier.compactStored(spark, path, sweepGraceMs)
 
   /** Self-scheduling fold — the shared cadence guard (threshold
-    * re-checked inside the writer lock).
+    * re-checked inside the writer lock), plus the cadence drift check
+    * ([[ivfDriftStats]] — warns loudly past the thresholds).
     */
   def ivfCompactIfFragmented(spark: SparkSession, path: String,
       maxSegments: Int = 8, sweepGraceMs: Long = 0L): Boolean =
-    graft.batch.SegmentedStore.compactIfFragmentedLocked(path, maxSegments) {
-      ivfCompactLocked(spark, path, sweepGraceMs)
-    }
+    ivfTier.compactIfFragmented(spark, path, maxSegments, sweepGraceMs,
+      driftCells = Some(() => readIvfCentroids(spark, path).length))
+
+  /** ONE drift-observability row for the frozen-centroid store (round 18,
+    * r17 verdict #3): cell-occupancy imbalance and appended-mass fraction
+    * — the measured WHEN for "retraining = rebuild". Cheap by
+    * construction: per-segment `cellstats` tables written with each
+    * mutation (O(change)), never a store scan; see
+    * [[CodesTier.driftStatsRow]].
+    */
+  def ivfDriftStats(spark: SparkSession, path: String,
+      imbalanceWarn: Double = 4.0, appendedWarn: Double = 0.5): DataFrame =
+    ivfTier.driftStatsRow(spark, path,
+      readIvfCentroids(spark, path).length, imbalanceWarn, appendedWarn)
 
   /** The query's probe list: top `nProbe` cells by cosine to the frozen
     * centroids, driver-side (the query is a literal; ties break on the
@@ -609,19 +461,107 @@ object Similarity {
       s"need k > 0, nProbe > 0, oversample >= 1")
     val cents = readIvfCentroids(spark, path)
     val probes = ivfProbeCids(query, cents, nProbe)
-    val qCol = array(query.toIndexedSeq.map(lit(_)): _*)
-    val qn = VectorFunctions.l2Normalize(qCol)
-    val cands = readIvfIndex(spark, path, idCol, probeCids = Some(probes))
+    exactRerank(floats,
+      int8ApproxCands(readIvfIndex(spark, path, idCol, probeCids = Some(probes)),
+        idCol, query, oversample * k),
+      vecCol, idCol, query, k)
+  }
+
+  /** [[ivfTopKStored]] for a TABLE of query vectors (round 18, r17
+    * verdict #2 — the batch decontamination / curation-search shape; the
+    * storehaus multiGet discipline, reference FlatMapOperation.scala:
+    * 113-137): resolve the commit log ONCE, scan the UNION of all
+    * queries' probe cells in ONE partition-pruned pass, score each row
+    * against the (broadcast) queries probing its cell, rank per query,
+    * and finish with one bounded exact re-rank — instead of one
+    * commit-log resolve + one pruned scan PER query. The queries collect
+    * to the driver (maxQueries-guarded — the same small-Q contract as
+    * [[nswTopKJoin]]); per-query results are EXACTLY
+    * `ivfTopKStored(query)` over the same live store (same probe rule,
+    * same quantized scores, same id tie-breaks — law-pinned).
+    * Output (qIdCol, idCol, cosine_sim).
+    */
+  def ivfTopKStoredJoin(spark: SparkSession, path: String, floats: DataFrame,
+      vecCol: String, idCol: String,
+      queries: DataFrame, qVecCol: String, qIdCol: String, k: Int,
+      nProbe: Int = 4, oversample: Int = 5, maxQueries: Int = 4096): DataFrame = {
+    require(k > 0 && nProbe > 0 && oversample >= 1,
+      s"need k > 0, nProbe > 0, oversample >= 1")
+    val cents = readIvfCentroids(spark, path)
+    val qs = collectQueries(queries, qVecCol, qIdCol, maxQueries,
+      "ivfTopKStoredJoin")
+    if (qs.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit(0L).as(qIdCol), lit(0L).as(idCol),
+          lit(0.0).as("cosine_sim")).limit(0)
+    // per-query probe lists driver-side (the single-query rule, shared),
+    // then ONE pruned scan over the UNION of probed cells
+    val probePairs = qs.flatMap { case (qid, v) =>
+      ivfProbeCids(v, cents, nProbe).map(cid => (qid, cid))
+    }
+    val unionCids = probePairs.map(_._2).distinct.toSeq
+    import spark.implicits._
+    // the query table quantizes through the SAME codegen expressions as
+    // the corpus (identical semantics by construction), joined to its
+    // probe cells — ≤ Q·nProbe rows, broadcast
+    val qTable = qs.toSeq.map { case (qid, v) => (qid, v.toSeq) }
+      .toDF(qIdCol, "__qv")
+      .withColumn("__qn", VectorFunctions.l2Normalize(col("__qv")))
+      .select(col(qIdCol),
+        VectorFunctions.int8Quantize(col("__qn")).as("__qc"),
+        VectorFunctions.int8Scale(col("__qn")).as("__qs"))
+      .join(probePairs.toSeq.toDF(qIdCol, "cid"), Seq(qIdCol))
+    val scan = readIvfIndex(spark, path, idCol, probeCids = Some(unionCids))
+    val scored = scan.join(broadcast(qTable), Seq("cid"))
       .withColumn("__approx", VectorFunctions.int8Dot(col("codes"), col("scale"),
-        VectorFunctions.int8Quantize(qn), VectorFunctions.int8Scale(qn)))
+        col("__qc"), col("__qs")))
+    // per-query candidate cut — the window rank's (score desc, id) order
+    // matches the single-query orderBy/limit tie-breaks exactly
+    val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("__approx").desc, col(idCol))
-      .limit(oversample * k)
-      .select(col(idCol))
-    floats.join(broadcast(cands), Seq(idCol))
-      .select(col(idCol),
-        round(VectorFunctions.cosine(col(vecCol), qCol), 6).as("cosine_sim"))
+    val cands = scored.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= oversample * k)
+      .select(col(qIdCol), col(idCol))
+    exactRerankJoin(floats, cands, vecCol, idCol, qs, qIdCol, k)
+  }
+
+  /** Bounded query-table collect shared by the stored join serves —
+    * the [[nswTopKJoin]] small-Q contract.
+    */
+  private def collectQueries(queries: DataFrame, qVecCol: String,
+      qIdCol: String, maxQueries: Int, label: String): Array[(Long, Array[Double])] = {
+    val session = queries.sparkSession
+    import session.implicits._
+    val qs = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .limit(maxQueries + 1).collect().map { case (i, v) => (i, v.toArray) }
+    require(qs.length <= maxQueries,
+      s"$label query table exceeds maxQueries=$maxQueries — " +
+        "batch the queries or raise the bound consciously")
+    qs
+  }
+
+  /** Per-query exact cosine re-rank of a bounded (qid, id) candidate
+    * frame against the float corpus — [[exactRerank]] for a query TABLE
+    * (the query vectors ride a broadcast literal table).
+    */
+  private def exactRerankJoin(floats: DataFrame, cands: DataFrame,
+      vecCol: String, idCol: String, qs: Array[(Long, Array[Double])],
+      qIdCol: String, k: Int): DataFrame = {
+    val session = floats.sparkSession
+    import session.implicits._
+    val qVecs = qs.toSeq.map { case (qid, v) => (qid, v.toSeq) }
+      .toDF(qIdCol, "__qv")
+    val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("cosine_sim").desc, col(idCol))
-      .limit(k)
+    floats.join(broadcast(cands), Seq(idCol))
+      .join(broadcast(qVecs), Seq(qIdCol))
+      .select(col(qIdCol), col(idCol),
+        round(VectorFunctions.cosine(col(vecCol), col("__qv")), 6).as("cosine_sim"))
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .select(col(qIdCol), col(idCol), col("cosine_sim"))
   }
 
   // ---- stored IVF-PQ tier: PQ-coded residuals partitioned by coarse
@@ -652,59 +592,51 @@ object Similarity {
       "ivfPqWriteIndex: empty model (empty-corpus bootstraps must pass a pretrained model)")
     require(cents.head.length == dim && books.length * books.head.head.length == dim,
       s"ivfPqWriteIndex: model dims disagree with dim=$dim")
-    graft.batch.SegmentedStore.withWriterLock(path) {
-      val id = graft.batch.SegmentedStore.nextId(path)
-      writeIvfPqSegment(ivfPqEncode(df, vecCol, idCol, cents, books), path, id,
-        Some((cents, books)))
-      graft.batch.SegmentedStore.commitReplaceAll(path, id)
-    }
+    ivfPqTier.writeIndexReplaceAll(ivfPqEncode(df, vecCol, idCol, cents, books),
+      path, Some((cents, books)))
   }
 
-  /** Codes partitioned by cell; the model tables (centroids + per-subspace
-    * codebooks) ride payload segments only — delta appends inherit the
-    * frozen model. Same pre-clear discipline as writeCodesSegment.
-    */
-  private def writeIvfPqSegment(encoded: DataFrame, path: String, id: Long,
-      model: Option[(Array[Array[Double]], Array[Array[Array[Double]]])]): Unit = {
-    val seg = graft.batch.SegmentedStore.segDir(path, id)
-    graft.batch.StoreFs.deleteRecursive(seg)
-    encoded.write.partitionBy("cid").mode("overwrite").parquet(s"$seg/ivfpq")
-    model.foreach { case (cents, books) =>
-      val spark = encoded.sparkSession
-      import spark.implicits._
-      cents.zipWithIndex.toSeq.map { case (cvec, i) => (i, cvec.toSeq) }
-        .toDF("cid", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$seg/centroids")
-      books.zipWithIndex.toSeq.flatMap { case (cb, sub) =>
-        cb.zipWithIndex.toSeq.map { case (cvec, code) => (sub, code, cvec.toSeq) }
-      }.toDF("sub", "code", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$seg/codebooks")
-    }
-  }
+  private val ivfPqTier =
+    new CodesTier[(Array[Array[Double]], Array[Array[Array[Double]]])](
+      label = "ivfpq", payload = "ivfpq", cellPartitioned = true,
+      emptySchema = idCol => {
+        import org.apache.spark.sql.types._
+        StructType(Seq(StructField(idCol, LongType),
+          StructField("codes", ArrayType(IntegerType)),
+          StructField("cid", IntegerType)))
+      },
+      // codebooks mark a model segment (centroids ride beside them)
+      modelMarker = Some("codebooks"),
+      writeModel = (spark, seg, model) => {
+        import spark.implicits._
+        val (cents, books) = model
+        cents.zipWithIndex.toSeq.map { case (cvec, i) => (i, cvec.toSeq) }
+          .toDF("cid", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$seg/centroids")
+        books.zipWithIndex.toSeq.flatMap { case (cb, sub) =>
+          cb.zipWithIndex.toSeq.map { case (cvec, code) => (sub, code, cvec.toSeq) }
+        }.toDF("sub", "code", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$seg/codebooks")
+      },
+      loadModel = (spark, seg) => {
+        val cents = spark.read.parquet(s"$seg/centroids")
+          .select("cid", "centroid").orderBy("cid").collect()
+          .map(_.getSeq[Double](1).toArray)
+        val books = spark.read.parquet(s"$seg/codebooks")
+          .select("sub", "code", "centroid").orderBy("sub", "code").collect()
+          .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+          .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+          .toArray
+        (cents, books)
+      })
 
   /** The index's frozen model: the NEWEST committed segment carrying
     * model tables (payload segments write them; compaction re-writes the
     * same model, so the newest is always current).
     */
   def readIvfPqModel(spark: SparkSession, path: String):
-      (Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    val segs = graft.batch.SegmentedStore.committedSegs(path)
-    require(segs.nonEmpty, s"readIvfPqModel: no committed index at $path")
-    val withModel = segs.filter(id => graft.batch.SegmentedStore.hasParquetFiles(
-      s"${graft.batch.SegmentedStore.segDir(path, id)}/codebooks"))
-    require(withModel.nonEmpty,
-      s"readIvfPqModel: no model tables committed at $path")
-    val seg = graft.batch.SegmentedStore.segDir(path, withModel.max)
-    val cents = spark.read.parquet(s"$seg/centroids")
-      .select("cid", "centroid").orderBy("cid").collect()
-      .map(_.getSeq[Double](1).toArray)
-    val books = spark.read.parquet(s"$seg/codebooks")
-      .select("sub", "code", "centroid").orderBy("sub", "code").collect()
-      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
-      .toArray
-    (cents, books)
-  }
+      (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    ivfPqTier.readModel(spark, path)
 
   /** Union of the committed segments' codes with deletes anti-joined —
     * the [[readIvfIndex]] shape with PQ codes. `probeCids` prunes the
@@ -713,67 +645,24 @@ object Similarity {
     */
   def readIvfPqIndex(spark: SparkSession, path: String,
       idCol: String = "vec_id",
-      probeCids: Option[Seq[Int]] = None): DataFrame = {
-    val segs = graft.batch.SegmentedStore.committedSegs(path)
-    require(segs.nonEmpty, s"readIvfPqIndex: no committed index at $path")
-    val live = segs.filter(id => graft.batch.SegmentedStore.hasParquetFiles(
-      s"${graft.batch.SegmentedStore.segDir(path, id)}/ivfpq"))
-    if (live.isEmpty) {
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField(idCol, LongType),
-          StructField("codes", ArrayType(IntegerType)),
-          StructField("cid", IntegerType))))
-    } else {
-      val codes = live.map { id =>
-        val seg = spark.read.parquet(
-          s"${graft.batch.SegmentedStore.segDir(path, id)}/ivfpq")
-        probeCids.fold(seg)(cids => seg.where(col("cid").isin(cids.map(Int.box): _*)))
-          .withColumn("__seg", lit(id))
-      }.reduce(_ unionByName _)
-      readCodesDeletes(spark, path, segs, idCol) match {
-        case None => codes.drop("__seg")
-        case Some(d) =>
-          codes.alias("__p").join(d.alias("__d"),
-            col(s"__p.$idCol") === col(s"__d.$idCol") &&
-              array_contains(col("__d.__covers"), col("__p.__seg")),
-            "left_anti")
-            .drop("__seg")
-      }
-    }
-  }
+      probeCids: Option[Seq[Int]] = None): DataFrame =
+    ivfPqTier.readIndex(spark, path, idCol, probeCids)
 
   /** Ingest a (disjoint-id) vector batch as ONE new segment, encoded
-    * against the FROZEN stored model — same replay-guard contract as
+    * against the FROZEN stored model (resolved INSIDE the writer lock: a
+    * concurrent rebuild must not leave this append encoded against
+    * superseded centroids/codebooks) — same replay-guard contract as
     * [[ivfAppendToStored]]. Cell skew and quantization error drift as
-    * the data does (the documented IVFADC trade); repair by rebuilding
-    * with a fresh model.
+    * the data does (the documented IVFADC trade — [[ivfPqDriftStats]]
+    * measures it); repair by rebuilding with a fresh model.
     */
   def ivfPqAppendToStored(spark: SparkSession, path: String,
       newVecs: DataFrame, vecCol: String, idCol: String,
-      batchId: Option[Long] = None): Unit = {
-    val committed = graft.batch.SegmentedStore.committedSegs(path)
-    require(committed.nonEmpty,
-      s"ivfPqAppendToStored: no committed index at $path — bootstrap with ivfPqWriteIndex")
-    graft.batch.SegmentedStore.withWriterLock(path) {
-      batchId match {
-        case Some(b) if graft.batch.SegmentedStore.batchApplied(path, b) => ()
-        case _ =>
-          // model resolves INSIDE the lock: a concurrent rebuild
-          // (ivfPqWriteIndex with a fresh model) must not leave this
-          // append encoded against superseded centroids/codebooks
-          val (cents, books) = readIvfPqModel(spark, path)
-          val id = batchId.map(graft.batch.SegmentedStore.batchSegId)
-            .getOrElse(graft.batch.SegmentedStore.nextId(path))
-          writeIvfPqSegment(ivfPqEncode(newVecs, vecCol, idCol, cents, books),
-            path, id, model = None)
-          batchId match {
-            case Some(b) => graft.batch.SegmentedStore.commitStreamingAppend(path, b)
-            case None    => graft.batch.SegmentedStore.commitAppend(path, id)
-          }
-      }
+      batchId: Option[Long] = None): Unit =
+    ivfPqTier.appendToStored(spark, path, batchId,
+      "ivfPqAppendToStored", "ivfPqWriteIndex") { case (cents, books) =>
+      ivfPqEncode(newVecs, vecCol, idCol, cents, books)
     }
-  }
 
   /** Takedown on a stored IVF-PQ index — the shared codes-store
     * delete-set discipline (coverage semantics, re-append re-serves
@@ -781,8 +670,7 @@ object Similarity {
     */
   def ivfPqDeleteFromStored(spark: SparkSession, path: String,
       ids: DataFrame, idCol: String = "vec_id"): Unit =
-    deleteFromCodesStore(spark, path, ids, idCol, "ivfPqDeleteFromStored",
-      readIvfPqIndex(spark, path, idCol))
+    ivfPqTier.deleteFromStored(spark, path, ids, idCol, "ivfPqDeleteFromStored")
 
   /** Fold segments + deletes physically into one payload segment, the
     * model carried over UNCHANGED (frozen — a codes-only store cannot
@@ -790,27 +678,24 @@ object Similarity {
     */
   def ivfPqCompactStored(spark: SparkSession, path: String,
       sweepGraceMs: Long = 0L): Unit =
-    graft.batch.SegmentedStore.withWriterLock(path) {
-      ivfPqCompactLocked(spark, path, sweepGraceMs)
-    }
-
-  private def ivfPqCompactLocked(spark: SparkSession, path: String,
-      sweepGraceMs: Long): Unit = {
-    val model = readIvfPqModel(spark, path)
-    val all = readIvfPqIndex(spark, path)
-    val id = graft.batch.SegmentedStore.nextId(path)
-    writeIvfPqSegment(all, path, id, Some(model))
-    graft.batch.SegmentedStore.commitReplaceAll(path, id, sweepGraceMs)
-  }
+    ivfPqTier.compactStored(spark, path, sweepGraceMs)
 
   /** Self-scheduling fold — the shared cadence guard (threshold
-    * re-checked inside the writer lock).
+    * re-checked inside the writer lock), plus the cadence drift check
+    * ([[ivfPqDriftStats]] — warns loudly past the thresholds).
     */
   def ivfPqCompactIfFragmented(spark: SparkSession, path: String,
       maxSegments: Int = 8, sweepGraceMs: Long = 0L): Boolean =
-    graft.batch.SegmentedStore.compactIfFragmentedLocked(path, maxSegments) {
-      ivfPqCompactLocked(spark, path, sweepGraceMs)
-    }
+    ivfPqTier.compactIfFragmented(spark, path, maxSegments, sweepGraceMs,
+      driftCells = Some(() => readIvfPqModel(spark, path)._1.length))
+
+  /** [[ivfDriftStats]] for the IVF-PQ store — same cheap cellstats
+    * aggregation, same thresholds, same loud warning.
+    */
+  def ivfPqDriftStats(spark: SparkSession, path: String,
+      imbalanceWarn: Double = 4.0, appendedWarn: Double = 0.5): DataFrame =
+    ivfPqTier.driftStatsRow(spark, path,
+      readIvfPqModel(spark, path)._1.length, imbalanceWarn, appendedWarn)
 
   /** QUERY step: resolve the probe cells driver-side ([[ivfProbeCids]]
     * against the frozen centroids), scan ONLY those `cid=` partitions of
@@ -860,12 +745,66 @@ object Similarity {
       .orderBy(col("ivfpq_score").desc, col(idCol))
       .limit(oversample * k)
       .select(col(idCol))
-    val qCol = array(query.toIndexedSeq.map(lit(_)): _*)
-    floats.join(broadcast(cands), Seq(idCol))
-      .select(col(idCol),
-        round(VectorFunctions.cosine(col(vecCol), qCol), 6).as("cosine_sim"))
-      .orderBy(col("cosine_sim").desc, col(idCol))
-      .limit(k)
+    exactRerank(floats, cands, vecCol, idCol, query, k)
+  }
+
+  /** [[ivfPqTopKStored]] for a TABLE of query vectors — the
+    * [[ivfTopKStoredJoin]] shape over PQ codes: one commit-log resolve,
+    * ONE pruned scan of the union of all queries' probe cells, per-query
+    * ADC scoring against broadcast per-query lookup tables (each query's
+    * m×c dot table + per-cell query·centroid dots — a few KB per query),
+    * per-query candidate cut, one bounded exact re-rank. Per-query
+    * results are EXACTLY `ivfPqTopKStored(query)` over the same live
+    * store and model (law-pinned). Output (qIdCol, idCol, cosine_sim).
+    */
+  def ivfPqTopKStoredJoin(spark: SparkSession, path: String, floats: DataFrame,
+      vecCol: String, idCol: String,
+      queries: DataFrame, qVecCol: String, qIdCol: String, k: Int,
+      nProbe: Int = 4, oversample: Int = 5, maxQueries: Int = 4096): DataFrame = {
+    require(k > 0 && nProbe > 0 && oversample >= 1,
+      s"need k > 0, nProbe > 0, oversample >= 1")
+    val (cents, books) = readIvfPqModel(spark, path)
+    val qs = collectQueries(queries, qVecCol, qIdCol, maxQueries,
+      "ivfPqTopKStoredJoin")
+    if (qs.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit(0L).as(qIdCol), lit(0L).as(idCol),
+          lit(0.0).as("cosine_sim")).limit(0)
+    val m = books.length
+    val subDim = books.head.head.length
+    val probePairs = qs.flatMap { case (qid, v) =>
+      ivfProbeCids(v, cents, nProbe).map(cid => (qid, cid))
+    }
+    val unionCids = probePairs.map(_._2).distinct.toSeq
+    import spark.implicits._
+    // per-query ADC tables as broadcast DATA, not literals — one scan
+    // serves every query (ivfPqAdcScores inlines one query's tables into
+    // the plan; Q queries would mean Q plans and Q scans)
+    val probesByQ = probePairs.groupBy(_._1)
+    val qTable = qs.toSeq.map { case (qid, q) =>
+      val qNorm = math.sqrt(q.map(x => x * x).sum)
+      val dotTab = books.zipWithIndex.map { case (cb, sub) =>
+        cb.map(cent =>
+          (0 until subDim).map(i => q(sub * subDim + i) * cent(i)).sum).toSeq
+      }.toSeq
+      val qCentDot = cents.map(_.zip(q).map { case (a, b) => a * b }.sum).toSeq
+      (qid, probesByQ(qid).map(_._2).toSeq, dotTab, qCentDot, qNorm)
+    }.toDF(qIdCol, "__cids", "__dt", "__qc", "__qn")
+      .withColumn("cid", explode(col("__cids"))).drop("__cids")
+    val scan = readIvfPqIndex(spark, path, idCol, probeCids = Some(unionCids))
+    def lookupSum(tab: Column): Column =
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, i) =>
+        acc + element_at(element_at(tab, i + 1), element_at(col("codes"), i + 1) + 1))
+    val scored = scan.join(broadcast(qTable), Seq("cid"))
+      .withColumn("__approx",
+        round((element_at(col("__qc"), col("cid") + 1) + lookupSum(col("__dt"))) /
+          col("__qn"), 6))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("__approx").desc, col(idCol))
+    val cands = scored.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= oversample * k)
+      .select(col(qIdCol), col(idCol))
+    exactRerankJoin(floats, cands, vecCol, idCol, qs, qIdCol, k)
   }
 
   /** Exact per-query top-k for a query table (broadcast). */
