@@ -32,8 +32,15 @@ import org.apache.spark.sql.SparkSession
   * r16 driver gate inflated 1.2-1.5x uniformly with zero rows flagged);
   * "queries_min_operator"/"total_min_operator" subtract in-row
   * build/oracle phases (PhaseTimer names build, exact_oracle,
-  * rebuild_oracle) from the lifecycle rows so audit cost stops billing
-  * the maintenance verbs.
+  * rebuild_oracle, serve_full, prune_audit) from the lifecycle rows so
+  * audit cost stops billing the maintenance verbs.
+  *
+  * Round 18: the fleet ratio is like-for-like in reps — when the
+  * reference artifact recorded FEWER reps than this run, each query's
+  * contention ratio uses the min over only the first refReps base reps
+  * (min-of-2 beats rep-of-1 on a clean host by pure sampling, which let
+  * a contended REPS=2 run hide under the 1.2 threshold);
+  * "fleet_ref_reps"/"fleet_reps_used" record the comparison basis.
   */
 object Bench {
   /** Locale-pinned decimal rendering for JSON fields: the f"" interpolator
@@ -95,40 +102,48 @@ object Bench {
     // regression and a co-tenant stall window read differently WITHOUT
     // a judge re-run. New queries have no reference and are never
     // flagged.
-    val refMins: Map[String, Double] = {
+    val (refMins: Map[String, Double], refReps: Option[Int]) = {
       // normalized path compare: a trailing slash or ./ segment must
       // not silently disable stall flagging for a same-scale run
       def norm(p: String): String =
         try java.nio.file.Paths.get(p).normalize().toString
         catch { case _: Throwable => p.stripSuffix("/") }
-      // (recorded sf, per-query minimums) of one artifact, or None
-      def readRef(path: String): Option[(String, Map[String, Double])] =
+      // (recorded sf, recorded reps, per-query minimums) of one artifact,
+      // or None. reps travels with the pick (round 18, r17 verdict #4):
+      // the fleet ratio compares this run's min-of-REPS against the
+      // reference's min-of-ITS-reps — min-of-2 beats rep-of-1 on a clean
+      // host purely by sampling, so a contended run could hide under the
+      // threshold unless the comparison is like-for-like.
+      def readRef(path: String): Option[(String, Option[Int], Map[String, Double])] =
         try {
           val s = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(path)), "UTF-8")
           val refSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(s)
             .map(_.group(1)).getOrElse("")
+          val refReps = "\"reps\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+            .map(_.group(1).toInt)
           "\"queries_min\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(s)
-            .map(m => refSf -> "\"([^\"]+)\"\\s*:\\s*([0-9.Ee+-]+)".r
+            .map(m => (refSf, refReps, "\"([^\"]+)\"\\s*:\\s*([0-9.Ee+-]+)".r
               .findAllMatchIn(m.group(1))
-              .map(g => g.group(1) -> g.group(2).toDouble).toMap)
+              .map(g => g.group(1) -> g.group(2).toDouble).toMap))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] stall reference unreadable ($path): $e")
           None
         }
       sys.env.get("SPARK_GRAFT_BENCH_REF") match {
-        case Some("") => Map.empty // explicit disable
+        case Some("") => (Map.empty[String, Double], None) // explicit disable
         case Some(refPath) =>
           // explicit override: honored only at ITS OWN data scale — a run
           // over a different directory would read every scale effect as a
           // stall, so mismatch disables loudly instead
           readRef(refPath) match {
-            case Some((refSf, mins)) if norm(refSf) == norm(sfDir) => mins
-            case Some((refSf, _)) =>
+            case Some((refSf, rr, mins)) if norm(refSf) == norm(sfDir) =>
+              (mins, rr)
+            case Some((refSf, _, _)) =>
               System.err.println(s"[bench] stall reference $refPath is for " +
                 s"'$refSf', this run is '$sfDir' — stall flagging disabled")
-              Map.empty
-            case None => Map.empty
+              (Map.empty[String, Double], None)
+            case None => (Map.empty[String, Double], None)
           }
         case None =>
           // auto-pick PER SF (round 16 — the organic 10x/100x gates are
@@ -145,9 +160,9 @@ object Bench {
             .flatMap { f =>
               round.findFirstMatchIn(f.getName).flatMap { m =>
                 readRef(f.getPath).collect {
-                  case (refSf, mins) if norm(refSf) == norm(sfDir) && mins.nonEmpty =>
+                  case (refSf, rr, mins) if norm(refSf) == norm(sfDir) && mins.nonEmpty =>
                     (canonical.pattern.matcher(f.getName).matches(),
-                      m.group(1).toInt, f.getName, mins)
+                      m.group(1).toInt, f.getName, mins, rr)
                 }
               }
             }
@@ -157,12 +172,12 @@ object Bench {
             // the log saying the detector was off
             System.err.println(s"[bench] no committed bench artifact " +
               s"records sf '$sfDir' — stall flagging disabled for this run")
-            Map.empty
+            (Map.empty[String, Double], None)
           } else {
-            val best = cands.maxBy { case (canon, r, name, _) => (canon, r, name) }
+            val best = cands.maxBy { case (canon, r, name, _, _) => (canon, r, name) }
             System.err.println(s"[bench] stall reference auto-picked for " +
-              s"'$sfDir': ${best._3} (round ${best._2})")
-            best._4
+              s"'$sfDir': ${best._3} (round ${best._2}, reps ${best._5.getOrElse(-1)})")
+            (best._4, best._5)
           }
       }
     }
@@ -223,7 +238,19 @@ object Bench {
         f"[bench] $name SUSPECT STALL: min ${minOk.get}%.2f s vs organic-1x " +
         f"reference ${refMins(name)}%.2f s (survived a healing rep)")
       bestPhases.foreach { case (_, p) => phaseSplits(name) = p }
-      name -> (times.head._1, minOk, times.forall(_._2), suspectStall)
+      // like-for-like fleet number (r17 verdict #4): when the reference
+      // artifact ran FEWER reps than this run, min-of-more-reps beats it
+      // on a clean host by pure sampling (the r17 dress rehearsal read
+      // 0.571 against a single-rep reference) — so the CONTENTION ratio
+      // uses the min over only the first refReps base reps. The published
+      // minimum stays min-of-all-reps (stall resistance is per-query and
+      // wants every sample).
+      val fleetMin = refReps match {
+        case Some(rr) if rr < reps =>
+          baseTimes.take(rr.max(1)).collect { case (t, true) => t }.minOption
+        case _ => minOk
+      }
+      name -> (times.head._1, minOk, times.forall(_._2), suspectStall, fleetMin)
     }
     // WAND pruning evidence travels with every round's bench artifact
     // (r12 advice): surviving candidate (query, doc) groups under the
@@ -259,9 +286,9 @@ object Bench {
       System.err.println(s"[bench] wand diag skipped: $e"); "null"
     }
     def jnum(v: Option[Double]): String = v.fold("null")(_.toString)
-    val qs = results.map { case (k, (v, _, _, _)) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _, _, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, v, _, _)) => "\"" + k + "\":" + jnum(v) }
+    val qsMin = results.map { case (k, (_, v, _, _, _)) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     // Run-level contention flag (round 17 — the per-query 3x threshold
     // misses the bandwidth-correlated co-tenant class at sub-3x severity:
@@ -272,8 +299,8 @@ object Bench {
     // host and would swamp the median with noise). Median > 1.2 across
     // >= 20 shared rows marks the RUN contended — the number is still the
     // best this host gave, but it is not comparable round-over-round.
-    val fleetRatios = results.toSeq.flatMap { case (k, (_, minOk, _, _)) =>
-      for { m <- minOk; r <- refMins.get(k) if r >= 0.1 } yield m / r
+    val fleetRatios = results.toSeq.flatMap { case (k, (_, _, _, _, fleetMin)) =>
+      for { m <- fleetMin; r <- refMins.get(k) if r >= 0.1 } yield m / r
     }.sorted
     val fleetMedian: Option[Double] =
       if (fleetRatios.size >= 20)
@@ -290,7 +317,9 @@ object Bench {
       s"host reading, not a tree regression")
     val contentionJson =
       s""""run_contended":$runContended,"fleet_median_ratio":${
-        fleetMedian.fold("null")(m => jfmt(m, 3))},"fleet_ratio_n":${fleetRatios.size}"""
+        fleetMedian.fold("null")(m => jfmt(m, 3))},"fleet_ratio_n":${fleetRatios.size
+        },"fleet_ref_reps":${refReps.fold("null")(_.toString)
+        },"fleet_reps_used":${refReps.filter(_ < reps).getOrElse(reps)}"""
     // Operator-only wall (round 17): lifecycle gate rows carry in-row
     // index builds and rebuild/exact oracles that are audit cost, not the
     // operator under test. queries_min_operator = the published minimum
@@ -298,9 +327,14 @@ object Bench {
     // (all other rows are identical to queries_min and are omitted).
     // bestPhases tracks the FASTEST successful rep that emitted phases, so
     // the subtraction is self-consistent with the published minimum.
-    val nonOperatorPhases = Set("build", "exact_oracle", "rebuild_oracle")
+    // serve_full is the audit-shaped equality serve (scans every cell to
+    // feed the oracle); prune_audit is the in-row partition-pruning
+    // check — both are verification cost, not the operator (r17 verdict
+    // #6: the pruned serve's scale curve must read from the artifact)
+    val nonOperatorPhases =
+      Set("build", "exact_oracle", "rebuild_oracle", "serve_full", "prune_audit")
     val operatorMins: Seq[(String, Double)] = results.toSeq.flatMap {
-      case (k, (_, minOk, _, _)) =>
+      case (k, (_, minOk, _, _, _)) =>
         for {
           m <- minOk
           ps <- phaseSplits.get(k)
@@ -311,14 +345,14 @@ object Bench {
     val qsMinOperator = operatorMins.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + jfmt(v, 3) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, (_, _, false, _)) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, (_, _, false, _, _)) => "\"" + k + "\"" }
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val totalMin = results.values.flatMap(_._2).sum
     val failedArr = failed.mkString("[", ",", "]")
     // stall diagnosis travels IN the artifact: rows whose minimum exceeds
     // 3x their organic-1x reference after a healing rep. Empty = clean.
     val suspectArr = results
-      .collect { case (k, (_, _, _, true)) => "\"" + k + "\"" }
+      .collect { case (k, (_, _, _, true, _)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // full evidence: every query's first-run seconds + successful-rep
     // minimum, to a file (and stderr) — survives the bounded stdout capture
@@ -360,9 +394,9 @@ object Bench {
     // defined map under the same key would silently mislead an old-schema
     // parser — the rename makes one fail loudly instead.
     val slowest = results.toSeq
-      .sortBy { case (_, (first, min, _, _)) => -min.getOrElse(first) }
+      .sortBy { case (_, (first, min, _, _, _)) => -min.getOrElse(first) }
       .take(12)
-      .map { case (k, (first, min, _, _)) => "\"" + k + "\":" + jnum(min.orElse(Some(first))) }
+      .map { case (k, (first, min, _, _, _)) => "\"" + k + "\":" + jnum(min.orElse(Some(first))) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"total_min_operator":${jfmt(totalMinOperator, 3)},"n_queries":${results.size},"contract":"$contractJs",$contentionJson,"wand":$wandJson,"failed":$failedArr,"suspect_stall":$suspectArr,"slowest_min":$slowest,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()

@@ -2210,8 +2210,16 @@ object SparkEntry {
         PhaseTimer.time("q_ann_ivf_stored", "compact") {
           Similarity.ivfCompactStored(s, tmp)
         }
-        val stored = Similarity.ivfTopKStored(s, tmp, live, "embedding",
-          "vec_id", q, 10, nProbe = 16).localCheckpoint(true)
+        // serve_full vs serve_pruned split (round 18, r17 verdict #6):
+        // the full-probe serve exists to feed the equality oracle (it
+        // scans every cell — audit-shaped); the PRUNED serve is the
+        // production path whose scale curve matters at 100 TB, so each
+        // gets its own phase and Bench bills only the pruned one as
+        // operator cost
+        val stored = PhaseTimer.time("q_ann_ivf_stored", "serve_full") {
+          Similarity.ivfTopKStored(s, tmp, live, "embedding",
+            "vec_id", q, 10, nProbe = 16).localCheckpoint(true)
+        }
         val cents = Similarity.readIvfCentroids(s, tmp)
         val probes = Similarity.ivfProbeCids(q, cents, nProbe = 4)
         // the equality audit (in-memory int8 serve + brute-force recall
@@ -2224,14 +2232,17 @@ object SparkEntry {
         // input_file_name() observes the post-pruning scan (inputFiles
         // reports the pre-pruning file index); the store is freshly
         // compacted, so every read file is a codes partition
-        val prunedFiles = Similarity.readIvfIndex(s, tmp,
-            probeCids = Some(probes))
-          .select(input_file_name().as("f")).distinct()
-          .collect().map(_.getString(0)).filter(_.contains("/ivf/"))
+        val prunedFiles = PhaseTimer.time("q_ann_ivf_stored", "prune_audit") {
+          Similarity.readIvfIndex(s, tmp, probeCids = Some(probes))
+            .select(input_file_name().as("f")).distinct()
+            .collect().map(_.getString(0)).filter(_.contains("/ivf/"))
+        }
         val pruneFilesOk = prunedFiles.nonEmpty &&
           prunedFiles.forall(f => probes.exists(p => f.contains(s"/cid=$p/")))
-        val prunedK = Similarity.ivfTopKStored(s, tmp, live, "embedding",
-          "vec_id", q, 10, nProbe = 4).count()
+        val prunedK = PhaseTimer.time("q_ann_ivf_stored", "serve_pruned") {
+          Similarity.ivfTopKStored(s, tmp, live, "embedding",
+            "vec_id", q, 10, nProbe = 4).count()
+        }
         invariants
           .withColumn("prune_files_ok", lit(pruneFilesOk))
           .withColumn("pruned_k_ok", lit(prunedK >= 1 && prunedK <= 10))
@@ -2287,8 +2298,12 @@ object SparkEntry {
           Similarity.ivfPqCompactStored(s, tmp)
         }
         val (cents, books) = Similarity.readIvfPqModel(s, tmp)
-        val stored = Similarity.ivfPqTopKStored(s, tmp, live, "embedding",
-          "vec_id", q, 10, nProbe = 16).localCheckpoint(true)
+        // serve_full (audit-shaped: feeds the equality oracle, scans every
+        // cell) vs serve_pruned (the production path) — r17 verdict #6
+        val stored = PhaseTimer.time("q_ann_ivfpq_stored", "serve_full") {
+          Similarity.ivfPqTopKStored(s, tmp, live, "embedding",
+            "vec_id", q, 10, nProbe = 16).localCheckpoint(true)
+        }
         // the same-model equality audit re-encodes the live corpus in
         // memory — the row's oracle, not the operator (see
         // q_ann_ivf_stored's attribution note)
@@ -2297,18 +2312,21 @@ object SparkEntry {
             q, 10, cents, books, nProbe = 16)
           stored.exceptAll(mem).unionByName(mem.exceptAll(stored)).count()
         }
-        val pruned = Similarity.ivfPqTopKStored(s, tmp, live, "embedding",
-          "vec_id", q, 10, nProbe = 4).collect()
+        val pruned = PhaseTimer.time("q_ann_ivfpq_stored", "serve_pruned") {
+          Similarity.ivfPqTopKStored(s, tmp, live, "embedding",
+            "vec_id", q, 10, nProbe = 4).collect()
+        }
         val needleOk = pruned.nonEmpty &&
           pruned.head.getLong(0) == -1L && pruned.head.getDouble(1) == 1.0
         // input_file_name() observes the post-pruning scan (inputFiles
         // reports the pre-pruning file index); freshly compacted, so
         // every read file is a codes partition
         val probes = Similarity.ivfProbeCids(q, cents, nProbe = 4)
-        val prunedFiles = Similarity.readIvfPqIndex(s, tmp,
-            probeCids = Some(probes))
-          .select(input_file_name().as("f")).distinct()
-          .collect().map(_.getString(0)).filter(_.contains("/ivfpq/"))
+        val prunedFiles = PhaseTimer.time("q_ann_ivfpq_stored", "prune_audit") {
+          Similarity.readIvfPqIndex(s, tmp, probeCids = Some(probes))
+            .select(input_file_name().as("f")).distinct()
+            .collect().map(_.getString(0)).filter(_.contains("/ivfpq/"))
+        }
         val pruneFilesOk = prunedFiles.nonEmpty &&
           prunedFiles.forall(f => probes.exists(p => f.contains(s"/cid=$p/")))
         live.agg(count(lit(1)).as("n_vecs"))
@@ -2316,6 +2334,236 @@ object SparkEntry {
           .withColumn("needle_ok", lit(needleOk))
           .withColumn("prune_files_ok", lit(pruneFilesOk))
           .withColumn("pruned_k_ok", lit(pruned.length >= 1 && pruned.length <= 10))
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
+    "q_ann_ivf_join" -> ((s, dir) => {
+      // round 18 (r17 verdict #2): query-TABLE serving over the stored
+      // IVF tier — the batch decontamination / curation-search shape (the
+      // storehaus multiGet discipline, reference FlatMapOperation.scala:
+      // 113-137, the same bounded-key-set contract the KV store's
+      // clustered point reads honor). ONE commit-log resolve + ONE
+      // partition-pruned scan over the UNION of all queries' probe cells
+      // serves every query, instead of one resolve + one scan PER query.
+      // Invariants: each query is a corpus row, so its own cell is probe
+      // #1 and the self-hit must rank first at cosine 1.0 (self_found);
+      // the per-query k contract holds (k_ok); per-query results EXACTLY
+      // equal the single-query ivfTopKStored loop over the same store
+      // (same_as_loop — the law that makes the one-scan plan a pure
+      // serving optimization); the joined read provably touches ONLY the
+      // union of probed `cid=` partitions (prune_files_ok, audited with
+      // input_file_name since DataFrame.inputFiles reports the
+      // pre-pruning index).
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_join_").toString
+      try {
+        PhaseTimer.time("q_ann_ivf_join", "build") {
+          Similarity.ivfWriteIndex(e, "embedding", "vec_id", tmp,
+            nCentroids = 16)
+        }
+        val queries = e.where(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val joined = PhaseTimer.time("q_ann_ivf_join", "serve_join") {
+          Similarity.ivfTopKStoredJoin(s, tmp, e, "embedding", "vec_id",
+            queries, "q_vec", "q_id", k = 10, nProbe = 4)
+            .localCheckpoint(true)
+        }
+        // equality-to-loop law: the joined serve is EXACTLY the per-query
+        // loop — the row's oracle, not the operator
+        val qs = queries.collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+        val sameAsLoop = PhaseTimer.time("q_ann_ivf_join", "exact_oracle") {
+          qs.forall { case (qid, qv) =>
+            val loop = Similarity.ivfTopKStored(s, tmp, e, "embedding",
+              "vec_id", qv, 10, nProbe = 4)
+            val got = joined.where(col("q_id") === qid)
+              .select(col("vec_id"), col("cosine_sim"))
+            got.exceptAll(loop).unionByName(loop.exceptAll(got)).count() == 0L
+          }
+        }
+        val cents = Similarity.readIvfCentroids(s, tmp)
+        val union = qs.flatMap(q => Similarity.ivfProbeCids(q._2, cents, 4))
+          .distinct.toSeq
+        val prunedFiles = PhaseTimer.time("q_ann_ivf_join", "prune_audit") {
+          Similarity.readIvfIndex(s, tmp, probeCids = Some(union))
+            .select(input_file_name().as("f")).distinct()
+            .collect().map(_.getString(0)).filter(_.contains("/ivf/"))
+        }
+        val pruneFilesOk = prunedFiles.nonEmpty &&
+          prunedFiles.forall(f => union.exists(p => f.contains(s"/cid=$p/")))
+        joined.groupBy(col("q_id"))
+          .agg(max(col("vec_id") === col("q_id") && col("cosine_sim") === 1.0)
+              .as("self_found"),
+            count(lit(1)).between(1, 10).as("k_ok"))
+          .withColumn("same_as_loop", lit(sameAsLoop))
+          .withColumn("prune_files_ok", lit(pruneFilesOk))
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
+    "q_ann_ivfpq_join" -> ((s, dir) => {
+      // round 18 (r17 verdict #2): the q_ann_ivf_join shape over the
+      // stored IVF-PQ tier — one pruned scan of (cid, m small ints) rows
+      // serves the whole query table, per-query ADC scoring against
+      // broadcast per-query lookup tables. Self-hit holds for the same
+      // reason q_ann_pq's needle does: a corpus row queried against
+      // itself ADC-scores cos(q, recon(q)) far above any natural
+      // neighbor, survives the oversample·k cut, and exact-reranks to
+      // cosine 1.0 rank 1. same_as_loop pins exact equality to the
+      // single-query ivfPqTopKStored loop; prune_files_ok audits the
+      // union-of-probes partition pruning in-row.
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_join_").toString
+      try {
+        PhaseTimer.time("q_ann_ivfpq_join", "build") {
+          Similarity.ivfPqWriteIndex(e, "embedding", "vec_id", tmp,
+            dim = 64, nCentroids = 16)
+        }
+        val queries = e.where(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val joined = PhaseTimer.time("q_ann_ivfpq_join", "serve_join") {
+          Similarity.ivfPqTopKStoredJoin(s, tmp, e, "embedding", "vec_id",
+            queries, "q_vec", "q_id", k = 10, nProbe = 4)
+            .localCheckpoint(true)
+        }
+        val qs = queries.collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+        val sameAsLoop = PhaseTimer.time("q_ann_ivfpq_join", "exact_oracle") {
+          qs.forall { case (qid, qv) =>
+            val loop = Similarity.ivfPqTopKStored(s, tmp, e, "embedding",
+              "vec_id", qv, 10, nProbe = 4)
+            val got = joined.where(col("q_id") === qid)
+              .select(col("vec_id"), col("cosine_sim"))
+            got.exceptAll(loop).unionByName(loop.exceptAll(got)).count() == 0L
+          }
+        }
+        val (cents, _) = Similarity.readIvfPqModel(s, tmp)
+        val union = qs.flatMap(q => Similarity.ivfProbeCids(q._2, cents, 4))
+          .distinct.toSeq
+        val prunedFiles = PhaseTimer.time("q_ann_ivfpq_join", "prune_audit") {
+          Similarity.readIvfPqIndex(s, tmp, probeCids = Some(union))
+            .select(input_file_name().as("f")).distinct()
+            .collect().map(_.getString(0)).filter(_.contains("/ivfpq/"))
+        }
+        val pruneFilesOk = prunedFiles.nonEmpty &&
+          prunedFiles.forall(f => union.exists(p => f.contains(s"/cid=$p/")))
+        joined.groupBy(col("q_id"))
+          .agg(max(col("vec_id") === col("q_id") && col("cosine_sim") === 1.0)
+              .as("self_found"),
+            count(lit(1)).between(1, 10).as("k_ok"))
+          .withColumn("same_as_loop", lit(sameAsLoop))
+          .withColumn("prune_files_ok", lit(pruneFilesOk))
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
+    "q_ivf_drift" -> ((s, dir) => {
+      // round 18 (r17 verdict #3): frozen-model drift is MEASURED, not
+      // discovered as recall loss. The IVF centroids are frozen by design
+      // (FAISS discipline: appends assign against the stored model,
+      // retraining = rebuild), so the store maintains two cheap retrain-
+      // WHEN signals from per-segment cellstats tables (O(change) at
+      // write time, never a store scan): cell-occupancy imbalance
+      // (max/mean over the model's cells) and appended-mass fraction
+      // (rows the frozen model never saw / total). This row exercises
+      // both on the real corpus: a fresh bootstrap reads appended 0; a
+      // SKEWED append (half the corpus re-pointed at ONE direction —
+      // every vector lands in one cell) raises the imbalance and trips
+      // the warning at a threshold the appended mass (1/3) also crosses;
+      // compaction must carry the trained-corpus marker so the fold
+      // cannot launder the drift (frac_survives_compact).
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_drift_").toString
+      try {
+        PhaseTimer.time("q_ivf_drift", "build") {
+          Similarity.ivfWriteIndex(e, "embedding", "vec_id", tmp,
+            nCentroids = 16)
+        }
+        def snap(appendedWarn: Double): (Long, Double, Double, Boolean) = {
+          val r = Similarity.ivfDriftStats(s, tmp, imbalanceWarn = 4.0,
+            appendedWarn = appendedWarn).collect().head
+          (r.getAs[Long]("occupied_rows"), r.getAs[Double]("occ_imbalance"),
+            r.getAs[Double]("appended_mass_fraction"),
+            r.getAs[Boolean]("drift_warn"))
+        }
+        val (rows0, imb0, frac0, _) = snap(0.5)
+        // the skewed append: half the corpus under fresh ids, every
+        // embedding replaced by ONE fixed direction — frozen-centroid
+        // assignment lands them all in the same cell
+        val skewVec = typedLit(Array.tabulate(64)(i => math.cos(i / 3.0)).toSeq)
+        val skew = e.where(col("vec_id") % 2 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(2000000000L))
+          .withColumn("embedding", skewVec)
+        PhaseTimer.time("q_ivf_drift", "append") {
+          Similarity.ivfAppendToStored(s, tmp, skew, "embedding", "vec_id")
+        }
+        // warn threshold 0.25 < appended 1/3: trips on appended mass even
+        // if the corpus' trained occupancy were skewed enough to mask the
+        // imbalance delta — deterministic at every scale
+        val (rows1, imb1, frac1, warn1) = snap(0.25)
+        val expectedFrac = (rows1 - rows0).toDouble / rows1
+        PhaseTimer.time("q_ivf_drift", "compact") {
+          Similarity.ivfCompactStored(s, tmp)
+        }
+        val (_, _, frac2, _) = snap(0.25)
+        import s.implicits._
+        Seq((16, rows1, frac0 == 0.0, imb1 > imb0, warn1,
+            math.abs(frac1 - expectedFrac) < 0.001, frac2 == frac1))
+          .toDF("n_cells", "occupied_rows", "clean_frac_zero", "imb_rose",
+            "warn_skewed", "frac_ok", "frac_survives_compact")
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
+    "q_streaming_ivf" -> ((s, dir) => {
+      // round 18 (r17 verdict #7): streaming ingest for the stored IVF
+      // tier — q_streaming_ann's lifecycle with frozen-centroid
+      // assignment INSIDE the writer lock. Production shape: train the
+      // coarse centroids offline (bounded hashed-id sample), bootstrap an
+      // EMPTY cell-partitioned store carrying them, then ingest vectors
+      // in micro-batches (foreachBatch → ivfAppendToStored, replay-
+      // guarded by batchId — the guard survives compaction via the
+      // applied-batch high-water mark in the commit log). After the
+      // cadence fold, the full-probe serve must EXACTLY equal the
+      // one-shot in-memory int8TopK (full probe = the flat int8 path) —
+      // the same four invariants as q_streaming_ann.
+      // State story: no state-store state; the codes index is the
+      // all-time durable state, replay-guarded by batchId.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val e = t(s, dir, "embeddings")
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val rows = e.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_stream_").toString
+      try {
+        val cents = Similarity.kmeansCentroids(
+          e.select(col("vec_id"), col("embedding")), "embedding", "vec_id",
+          nCentroids = 16, lloydIters = 2, trainSample = 16384)
+        // trainedRows records the OFFLINE training corpus size, so the
+        // streamed rows (drawn from the same corpus) don't read as
+        // appended-mass drift on the cadence check
+        Similarity.ivfWriteIndex(
+          e.select(col("vec_id"), col("embedding")).limit(0),
+          "embedding", "vec_id", tmp, centroids = Some(cents),
+          trainedRows = Some(rows.length.toLong))
+        val writer = graft.streaming.StreamingIO.fanout(
+          ms.toDS().toDF("vec_id", "embedding"))(Seq(
+          (b, bid) => Similarity.ivfAppendToStored(s, tmp, b, "embedding",
+            "vec_id", batchId = Some(bid))))
+        withStreamingGateConf(s, 4) {
+          val sq = writer.start()
+          try {
+            (0 until 3).foreach { i =>
+              ms.addData(rows.iterator.filter(_._1 % 3 == i).toSeq)
+              sq.processAllAvailable()
+            }
+          } finally sq.stop()
+        }
+        // cadence fold (3 segments > 1) — runs the drift check too
+        Similarity.ivfCompactIfFragmented(s, tmp, maxSegments = 1)
+        val stored = Similarity.ivfTopKStored(s, tmp, e, "embedding",
+          "vec_id", q, 10, nProbe = 16).localCheckpoint(true)
+        int8InvariantRow(e, q, stored)
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
@@ -5021,6 +5269,43 @@ object SparkEntry {
         |  + 1 AS BIGINT) AS n_vecs,
         |  TRUE AS same_as_mem, TRUE AS needle_ok,
         |  TRUE AS prune_files_ok, TRUE AS pruned_k_ok""".stripMargin,
+
+    // query-TABLE serving over the stored IVF tier: every query is a
+    // corpus row (self-hit at rank 1, cosine 1.0), the per-query k
+    // contract holds, per-query equality to the single-query loop and
+    // the union-of-probes pruning are hard TRUE pins audited in-row
+    "q_ann_ivf_join" ->
+      """SELECT CAST(vec_id AS BIGINT) AS q_id, TRUE AS self_found,
+        |  TRUE AS k_ok, TRUE AS same_as_loop, TRUE AS prune_files_ok
+        |FROM embeddings WHERE vec_id < 3""".stripMargin,
+
+    // the same shape over the stored IVF-PQ tier (ADC scoring against
+    // broadcast per-query lookup tables; self-hit survives the
+    // oversample cut for the q_ann_pq needle reason)
+    "q_ann_ivfpq_join" ->
+      """SELECT CAST(vec_id AS BIGINT) AS q_id, TRUE AS self_found,
+        |  TRUE AS k_ok, TRUE AS same_as_loop, TRUE AS prune_files_ok
+        |FROM embeddings WHERE vec_id < 3""".stripMargin,
+
+    // frozen-model drift observability: occupied_rows is the corpus plus
+    // the skewed fresh-id append (half the corpus re-pointed at one
+    // direction); the clean/skewed warning flips and the compaction-
+    // carried appended-mass fraction are hard pins computed in-row
+    "q_ivf_drift" ->
+      """SELECT CAST(16 AS INT) AS n_cells,
+        |  CAST((SELECT count(*) FROM embeddings)
+        |    + (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0)
+        |    AS BIGINT) AS occupied_rows,
+        |  TRUE AS clean_frac_zero, TRUE AS imb_rose, TRUE AS warn_skewed,
+        |  TRUE AS frac_ok, TRUE AS frac_survives_compact""".stripMargin,
+
+    // streaming IVF ingest: micro-batch appends assign against the
+    // offline-trained frozen centroids; after the cadence fold the
+    // full-probe serve equals the one-shot in-memory int8 path exactly
+    "q_streaming_ivf" ->
+      """SELECT count(*) AS n_vecs, TRUE AS recall_ok, TRUE AS k_ok,
+        |  TRUE AS same_as_mem
+        |FROM embeddings""".stripMargin,
 
     // streaming ingest + compaction are exact (per-vector rows are
     // independent), so the lifecycle row pins the same four invariants

@@ -304,13 +304,18 @@ object Similarity {
   def ivfWriteIndex(df: DataFrame, vecCol: String, idCol: String,
       path: String, nCentroids: Int = 16, lloydIters: Int = 2,
       trainSample: Int = 16384,
-      centroids: Option[Array[Array[Double]]] = None): Unit = {
+      centroids: Option[Array[Array[Double]]] = None,
+      trainedRows: Option[Long] = None): Unit = {
     val cents = centroids.getOrElse(kmeansCentroids(df, vecCol, idCol,
       nCentroids, lloydIters, trainSample = trainSample))
     require(cents.nonEmpty, "ivfWriteIndex: no centroids (empty corpus " +
       "bootstraps must pass pretrained centroids)")
+    // trainedRows: the corpus size the PRETRAINED centroids were trained
+    // against — the denominator of ivfDriftStats' appended-mass signal.
+    // Without it an offline-trained empty bootstrap records 0 and every
+    // streamed row reads as drift the model never saw
     ivfTier.writeIndexReplaceAll(ivfCodes(df, vecCol, idCol, cents), path,
-      Some(cents))
+      Some(cents), trainedRows)
   }
 
   private val ivfTier = new CodesTier[Array[Array[Double]]](
@@ -426,6 +431,14 @@ object Similarity {
       imbalanceWarn: Double = 4.0, appendedWarn: Double = 0.5): DataFrame =
     ivfTier.driftStatsRow(spark, path,
       readIvfCentroids(spark, path).length, imbalanceWarn, appendedWarn)
+
+  /** Per-cell live-occupancy estimate from the per-segment cellstats
+    * tables (O(segments) tiny reads — see [[CodesTier.cellOccupancy]]);
+    * the raw table behind [[ivfDriftStats]], exposed for probes that
+    * want per-cell arithmetic (e.g. a query's scored-row mass).
+    */
+  def ivfCellOccupancy(spark: SparkSession, path: String): DataFrame =
+    ivfTier.cellOccupancy(spark, path)
 
   /** The query's probe list: top `nProbe` cells by cosine to the frozen
     * centroids, driver-side (the query is a literal; ties break on the
@@ -585,15 +598,18 @@ object Similarity {
   def ivfPqWriteIndex(df: DataFrame, vecCol: String, idCol: String,
       path: String, dim: Int, nCentroids: Int = 16, m: Int = 8, c: Int = 16,
       lloydIters: Int = 2, trainSample: Int = 16384,
-      model: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None): Unit = {
+      model: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None,
+      trainedRows: Option[Long] = None): Unit = {
     val (cents, books) = model.getOrElse(ivfPqTrain(df, vecCol, idCol, dim,
       nCentroids, m, c, lloydIters, trainSample))
     require(cents.nonEmpty && books.nonEmpty,
       "ivfPqWriteIndex: empty model (empty-corpus bootstraps must pass a pretrained model)")
     require(cents.head.length == dim && books.length * books.head.head.length == dim,
       s"ivfPqWriteIndex: model dims disagree with dim=$dim")
+    // trainedRows: see ivfWriteIndex — the pretrained-model bootstrap's
+    // true trained-corpus size for the appended-mass drift signal
     ivfPqTier.writeIndexReplaceAll(ivfPqEncode(df, vecCol, idCol, cents, books),
-      path, Some((cents, books)))
+      path, Some((cents, books)), trainedRows)
   }
 
   private val ivfPqTier =

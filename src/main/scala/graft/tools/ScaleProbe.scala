@@ -926,6 +926,114 @@ object ScaleProbe {
         "(compactIfFragmented default maxSegments=8)")
     }
 
+    // round-18 (r17 verdict #3): pruned-probe recall and scan cost vs
+    // APPENDED MASS under a frozen coarse quantizer — the measured WHEN
+    // behind "retraining = rebuild". Two stores over the same base
+    // corpus, three frozen-centroid append generations each:
+    //   indist — appends drawn from the same organic distribution family
+    //     (Organic.embeddings): the benign case, the frozen centroids
+    //     still cover the data;
+    //   skewed — the same append volume concentrated around ONE novel
+    //     direction the training never saw: every vector assigns to the
+    //     same frozen cell (the q_ivf_drift gate row's shape, at probe
+    //     scale with organic growth).
+    // Each step reports the cheap cellstats signals (occupancy imbalance,
+    // appended-mass fraction, warn flag) BESIDE the expensive symptoms
+    // they are supposed to predict: recall@10 of the pruned query-table
+    // serve vs brute force over the live corpus, the mean per-query
+    // scored-row fraction (the real per-query scan cost of the one-scan
+    // join — for hot-region queries under skew, the probed cell holds a
+    // growing share of the store, so the pruning lever decays toward a
+    // full scan), and the serve wall. The claim under test: the warning
+    // fires before/with the symptom curve, so it is an actionable retrain
+    // trigger rather than decoration.
+    if (opsArg.forall(_.contains("ivf_drift"))) {
+      import graft.operators.Similarity
+      val e0 = spark.read.parquet(emb1)
+      val n0 = e0.count()
+      // organic pool: 3 append slices of n0 rows each + 16 held-out queries
+      val all = Organic.embeddings(spark, embsRaw, 5)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      def slice(g: Int): DataFrame =
+        all.where(col("vec_id") >= n0 * (g + 1) && col("vec_id") < n0 * (g + 2))
+      val heldOut = all.where(col("vec_id") >= n0 * 4).limit(16)
+        .localCheckpoint(true)
+      // pull toward one novel direction: unit-norm input v becomes
+      // ~normalize(dir + 0.05 v) — within a few degrees of dir, so the
+      // frozen argmax sends every row to dir's cell
+      val dim = e0.selectExpr("size(embedding) AS d").head().getInt(0)
+      val dirVec = {
+        val raw = Array.tabulate(dim)(i => math.cos(i / 3.0))
+        val n = math.sqrt(raw.map(x => x * x).sum)
+        raw.map(_ / n)
+      }
+      def skew(df: DataFrame): DataFrame = df
+        .withColumn("vec_id", col("vec_id") + lit(10000000000L))
+        .withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            (element_at(typedLit(dirVec.toSeq), i + 1) + x * 0.05).cast("float")))
+      def qTable(df: DataFrame): DataFrame =
+        df.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+
+      def topIds(df: DataFrame): Map[Long, Set[Long]] =
+        df.select(col("q_id"), col("vec_id")).collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) =>
+            q -> rs.map(_.getLong(1)).toSet }
+
+      def report(arm: String, step: Int, dir: String, live: DataFrame,
+          queries: DataFrame): Unit = {
+        val st = Similarity.ivfDriftStats(spark, dir).collect().head
+        val frac = st.getAs[Double]("appended_mass_fraction")
+        val imb = st.getAs[Double]("occ_imbalance")
+        val warn = st.getAs[Boolean]("drift_warn")
+        val total = st.getAs[Long]("occupied_rows")
+        val cents = Similarity.readIvfCentroids(spark, dir)
+        // occupancy mass inside each query's OWN probe cells / total —
+        // the rows the one-scan join scores for that query (cellstats
+        // arithmetic, no scan)
+        val occ = Similarity.ivfCellOccupancy(spark, dir).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val qProbes = queries.collect()
+          .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+          .map(Similarity.ivfProbeCids(_, cents, 4))
+        val meanScanFrac = qProbes.map(ps =>
+          ps.map(occ.getOrElse(_, 0L)).sum.toDouble / total.max(1L))
+          .sum / qProbes.length.max(1)
+        val t0 = System.nanoTime()
+        val got = topIds(Similarity.ivfTopKStoredJoin(spark, dir, live,
+          "embedding", "vec_id", queries, "q_vec", "q_id", k = 10, nProbe = 4))
+        val wall = (System.nanoTime() - t0) / 1e9
+        val truth = topIds(Similarity.bruteForceTopKJoin(live, "embedding",
+          "vec_id", queries, "q_vec", "q_id", k = 10))
+        val recall = truth.map { case (q, ids) =>
+          got.getOrElse(q, Set.empty).intersect(ids).size / 10.0
+        }.sum / truth.size.max(1)
+        println(f"PROBE ivf_drift arm=$arm%-6s step=$step rows=$total " +
+          f"appendedFrac=${frac}%.3f imb=${imb}%.2f warn=$warn%-5s " +
+          f"recall10=${recall}%.3f meanQueryScanFrac=${meanScanFrac}%.3f " +
+          f"serveJoin16=${wall}%.2fs")
+      }
+
+      for ((arm, prep) <- Seq[(String, DataFrame => DataFrame)](
+          "indist" -> (df => df),
+          "skewed" -> (df => skew(df)))) {
+        val dir = s"$scratch/ivf_drift_$arm"
+        Similarity.ivfWriteIndex(e0.select(col("vec_id"), col("embedding")),
+          "embedding", "vec_id", dir, nCentroids = 16)
+        // queries probe the region the arm's appends land in
+        val queries = qTable(prep(heldOut)).localCheckpoint(true)
+        var live = e0.select(col("vec_id"), col("embedding"))
+          .localCheckpoint(true)
+        report(arm, 0, dir, live, queries)
+        for (g <- 0 until 3) {
+          val batch = prep(slice(g)).localCheckpoint(true)
+          Similarity.ivfAppendToStored(spark, dir, batch, "embedding", "vec_id")
+          live = live.unionByName(batch).localCheckpoint(true)
+          report(arm, g + 1, dir, live, queries)
+        }
+      }
+    }
+
     spark.stop()
     // the scratch copies are factor-x the sf inputs — don't leak them
     // into /tmp across probe invocations
