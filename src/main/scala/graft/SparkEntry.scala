@@ -2550,20 +2550,29 @@ object SparkEntry {
           ms.toDS().toDF("vec_id", "embedding"))(Seq(
           (b, bid) => Similarity.ivfAppendToStored(s, tmp, b, "embedding",
             "vec_id", batchId = Some(bid))))
-        withStreamingGateConf(s, 4) {
-          val sq = writer.start()
-          try {
-            (0 until 3).foreach { i =>
-              ms.addData(rows.iterator.filter(_._1 % 3 == i).toSeq)
-              sq.processAllAvailable()
-            }
-          } finally sq.stop()
+        PhaseTimer.time("q_streaming_ivf", "ingest") {
+          withStreamingGateConf(s, 4) {
+            val sq = writer.start()
+            try {
+              (0 until 3).foreach { i =>
+                ms.addData(rows.iterator.filter(_._1 % 3 == i).toSeq)
+                sq.processAllAvailable()
+              }
+            } finally sq.stop()
+          }
         }
         // cadence fold (3 segments > 1) — runs the drift check too
-        Similarity.ivfCompactIfFragmented(s, tmp, maxSegments = 1)
-        val stored = Similarity.ivfTopKStored(s, tmp, e, "embedding",
-          "vec_id", q, 10, nProbe = 16).localCheckpoint(true)
-        int8InvariantRow(e, q, stored)
+        PhaseTimer.time("q_streaming_ivf", "compact") {
+          Similarity.ivfCompactIfFragmented(s, tmp, maxSegments = 1)
+        }
+        // the full-probe serve + invariant row is the equality oracle
+        // (int8InvariantRow re-ranks the whole corpus in memory) — audit
+        // cost, attributed so the 100x reading bills ingest, not audit
+        PhaseTimer.time("q_streaming_ivf", "exact_oracle") {
+          val stored = Similarity.ivfTopKStored(s, tmp, e, "embedding",
+            "vec_id", q, 10, nProbe = 16).localCheckpoint(true)
+          int8InvariantRow(e, q, stored)
+        }
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 

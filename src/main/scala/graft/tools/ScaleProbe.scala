@@ -57,16 +57,23 @@ object ScaleProbe {
     val docs1 = prep("docs1", docs)
     val ev1 = prep("ev1", evCols(eventsRaw))
     val emb1 = prep("emb1", embs)
-    val (docsN, evN, embN) = mode match {
-      case "organic" => (
-        prep(s"docs$factor", Organic.docs(spark, docsRaw, factor).select("doc_id", "text")),
-        prep(s"ev$factor", evCols(Organic.events(spark, eventsRaw, factor))),
+    // LAZY (round 18): arms that probe the base tables only (ivf_drift,
+    // ivf_cells — typically pointed at an already-scaled directory) must
+    // not pay a factor-x scratch materialization they never read
+    lazy val docsN = mode match {
+      case "organic" =>
+        prep(s"docs$factor", Organic.docs(spark, docsRaw, factor).select("doc_id", "text"))
+      case _ => prep(s"docs$factor", selfUnion(docs, "doc_id", factor))
+    }
+    lazy val evN = mode match {
+      case "organic" => prep(s"ev$factor", evCols(Organic.events(spark, eventsRaw, factor)))
+      case _         => prep(s"ev$factor", selfUnion(evCols(eventsRaw), "user_id", factor))
+    }
+    lazy val embN = mode match {
+      case "organic" =>
         prep(s"emb$factor", Organic.embeddings(spark, embsRaw, factor)
-          .select("vec_id", "embedding")))
-      case _ => (
-        prep(s"docs$factor", selfUnion(docs, "doc_id", factor)),
-        prep(s"ev$factor", selfUnion(evCols(eventsRaw), "user_id", factor)),
-        prep(s"emb$factor", selfUnion(embs, "vec_id", factor)))
+          .select("vec_id", "embedding"))
+      case _ => prep(s"emb$factor", selfUnion(embs, "vec_id", factor))
     }
     println(s"PROBE mode=$mode factor=$factor sf=$sfDir")
 
@@ -1031,6 +1038,80 @@ object ScaleProbe {
           live = live.unionByName(batch).localCheckpoint(true)
           report(arm, g + 1, dir, live, queries)
         }
+      }
+    }
+
+    // round-18: the IVF geometry lever, measured. A pruned serve scans the
+    // MASS of the probed cells, so at FIXED nCentroids it is linear in
+    // corpus size (the r18 100x batch tail reads q_ann_ivf_stored's
+    // serve_pruned at 11x its 1x for exactly this reason, while the
+    // m-ints-per-row IVF-PQ row stays flat). The production configuration
+    // scales nCentroids with the corpus (FAISS practice ~sqrt(N) cells,
+    // constant probe fraction of a constant-size cell); this arm builds
+    // the SAME corpus at increasing cell counts and reports probed-mass
+    // fraction, measured recall@10 (vs brute force, 16 held-out queries),
+    // build wall (the cost that grows with nCentroids — driver-side Lloyd
+    // on a bounded sample + one heavier assignment projection), and the
+    // pruned query-table serve wall. Run it against an already-scaled
+    // directory (e.g. MakeScale organic 100x) — it reads the BASE tables.
+    if (opsArg.forall(_.contains("ivf_cells"))) {
+      import graft.operators.Similarity
+      val e0 = spark.read.parquet(emb1)
+      val n0 = e0.count()
+      val all = Organic.embeddings(spark, embsRaw, 2)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val queries = all.where(col("vec_id") >= n0).limit(16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        .localCheckpoint(true)
+      def topIds(df: DataFrame): Map[Long, Set[Long]] =
+        df.select(col("q_id"), col("vec_id")).collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) =>
+            q -> rs.map(_.getLong(1)).toSet }
+      val truth = topIds(Similarity.bruteForceTopKJoin(e0, "embedding",
+        "vec_id", queries, "q_vec", "q_id", k = 10))
+      for ((nc, np) <- Seq((16, 4), (64, 8), (256, 16))) {
+        val dir = s"$scratch/ivf_cells_$nc"
+        val tb0 = System.nanoTime()
+        Similarity.ivfWriteIndex(e0, "embedding", "vec_id", dir, nCentroids = nc)
+        val buildWall = (System.nanoTime() - tb0) / 1e9
+        val cents = Similarity.readIvfCentroids(spark, dir)
+        val occ = Similarity.ivfCellOccupancy(spark, dir).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val qVecs = queries.collect()
+          .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+        val qProbes = qVecs.map(Similarity.ivfProbeCids(_, cents, np))
+        // per-query scored mass — the rows ONE query pays to rank; the
+        // 100 TB cost unit of both the point serve and the join's scoring
+        val meanScanFrac = qProbes.map(ps =>
+          ps.map(occ.getOrElse(_, 0L)).sum.toDouble / n0.max(1L))
+          .sum / qProbes.length.max(1)
+        // shared union-scan mass — what the 16-query JOIN reads once; a
+        // diverse query table's probe union covers more of a finer store,
+        // so the join's win is in SCORED rows, not the shared read
+        val unionFrac = qProbes.flatten.distinct
+          .map(occ.getOrElse(_, 0L)).sum.toDouble / n0.max(1L)
+        def serveOnce(): Map[Long, Set[Long]] =
+          topIds(Similarity.ivfTopKStoredJoin(spark, dir, e0, "embedding",
+            "vec_id", queries, "q_vec", "q_id", k = 10, nProbe = np))
+        serveOnce() // warm
+        val ts0 = System.nanoTime()
+        val got = serveOnce()
+        val serveWall = (System.nanoTime() - ts0) / 1e9
+        // the point-serve path (one probe, one pruned scan) at the same
+        // geometry — the shape q_ann_ivf_stored's serve_pruned measures
+        Similarity.ivfTopKStored(spark, dir, e0, "embedding", "vec_id",
+          qVecs.head, k = 10, nProbe = np).count() // warm
+        val tp0 = System.nanoTime()
+        Similarity.ivfTopKStored(spark, dir, e0, "embedding", "vec_id",
+          qVecs.head, k = 10, nProbe = np).count()
+        val pointWall = (System.nanoTime() - tp0) / 1e9
+        val recall = truth.map { case (q, ids) =>
+          got.getOrElse(q, Set.empty).intersect(ids).size / 10.0
+        }.sum / truth.size.max(1)
+        println(f"PROBE ivf_cells nCells=$nc%-3d nProbe=$np%-2d rows=$n0 " +
+          f"build=${buildWall}%.2fs meanQueryScanFrac=${meanScanFrac}%.3f " +
+          f"unionScanFrac=${unionFrac}%.3f recall10=${recall}%.3f " +
+          f"serveJoin16=${serveWall}%.2fs servePoint=${pointWall}%.2fs")
       }
     }
 
