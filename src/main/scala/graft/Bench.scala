@@ -247,7 +247,13 @@ object Bench {
       // wants every sample).
       val fleetMin = refReps match {
         case Some(rr) if rr < reps =>
+          // a transient failure in the like-for-like window must not
+          // silently drop the query from the contention sample (with
+          // exactly 20 shared rows that would disable the run flag):
+          // fall back to the FIRST successful base rep — still one
+          // sample, the closest thing to the reference's protocol
           baseTimes.take(rr.max(1)).collect { case (t, true) => t }.minOption
+            .orElse(baseTimes.collectFirst { case (t, true) => t })
         case _ => minOk
       }
       name -> (times.head._1, minOk, times.forall(_._2), suspectStall, fleetMin)
@@ -315,6 +321,10 @@ object Bench {
       s"${jfmt(fleetMedian.get, 3)} vs reference over ${fleetRatios.size} " +
       s"shared rows exceeds 1.2 — treat this run's totals as a contended " +
       s"host reading, not a tree regression")
+    // fleet_reps_used counts the BASE-rep window of the comparison; when
+    // it equals this run's reps, both sides also carried the protocol's
+    // conditional extended/healing reps symmetrically (the asymmetric
+    // case — reference at fewer reps — is the restricted window above)
     val contentionJson =
       s""""run_contended":$runContended,"fleet_median_ratio":${
         fleetMedian.fold("null")(m => jfmt(m, 3))},"fleet_ratio_n":${fleetRatios.size

@@ -2477,14 +2477,14 @@ object SparkEntry {
           Similarity.ivfWriteIndex(e, "embedding", "vec_id", tmp,
             nCentroids = 16)
         }
-        def snap(appendedWarn: Double): (Long, Double, Double, Boolean) = {
+        def snap(appendedWarn: Double): (Long, Long, Double, Boolean) = {
           val r = Similarity.ivfDriftStats(s, tmp, imbalanceWarn = 4.0,
             appendedWarn = appendedWarn).collect().head
-          (r.getAs[Long]("occupied_rows"), r.getAs[Double]("occ_imbalance"),
+          (r.getAs[Long]("occupied_rows"), r.getAs[Long]("max_cell_rows"),
             r.getAs[Double]("appended_mass_fraction"),
             r.getAs[Boolean]("drift_warn"))
         }
-        val (rows0, imb0, frac0, _) = snap(0.5)
+        val (rows0, _, frac0, _) = snap(0.5)
         // the skewed append: half the corpus under fresh ids, every
         // embedding replaced by ONE fixed direction — frozen-centroid
         // assignment lands them all in the same cell
@@ -2497,17 +2497,23 @@ object SparkEntry {
         }
         // warn threshold 0.25 < appended 1/3: trips on appended mass even
         // if the corpus' trained occupancy were skewed enough to mask the
-        // imbalance delta — deterministic at every scale
-        val (rows1, imb1, frac1, warn1) = snap(0.25)
-        val expectedFrac = (rows1 - rows0).toDouble / rows1
+        // imbalance delta — deterministic at every scale. The occupancy
+        // pin is likewise masking-proof: the skew batch lands entirely in
+        // ONE frozen cell, so max_cell_rows must at least reach the skew
+        // count regardless of how the trained occupancy was shaped
+        // (imbalance-delta pins are data-dependent when a trained cell
+        // already holds > 1/3 of the corpus)
+        val (rows1, maxCell1, frac1, warn1) = snap(0.25)
+        val skewCount = rows1 - rows0
+        val expectedFrac = skewCount.toDouble / rows1
         PhaseTimer.time("q_ivf_drift", "compact") {
           Similarity.ivfCompactStored(s, tmp)
         }
         val (_, _, frac2, _) = snap(0.25)
         import s.implicits._
-        Seq((16, rows1, frac0 == 0.0, imb1 > imb0, warn1,
+        Seq((16, rows1, frac0 == 0.0, maxCell1 >= skewCount, warn1,
             math.abs(frac1 - expectedFrac) < 0.001, frac2 == frac1))
-          .toDF("n_cells", "occupied_rows", "clean_frac_zero", "imb_rose",
+          .toDF("n_cells", "occupied_rows", "clean_frac_zero", "skew_cell_ok",
             "warn_skewed", "frac_ok", "frac_survives_compact")
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
@@ -5305,7 +5311,7 @@ object SparkEntry {
         |  CAST((SELECT count(*) FROM embeddings)
         |    + (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0)
         |    AS BIGINT) AS occupied_rows,
-        |  TRUE AS clean_frac_zero, TRUE AS imb_rose, TRUE AS warn_skewed,
+        |  TRUE AS clean_frac_zero, TRUE AS skew_cell_ok, TRUE AS warn_skewed,
         |  TRUE AS frac_ok, TRUE AS frac_survives_compact""".stripMargin,
 
     // streaming IVF ingest: micro-batch appends assign against the

@@ -71,7 +71,8 @@ private[operators] final class CodesTier[M](
     * tiny per-segment tables instead of scanning the store.
     */
   def writeSegment(encoded: DataFrame, path: String, id: Long,
-      model: Option[M], trainedRows: Option[Long] = None): Unit = {
+      model: Option[M], trainedRows: Option[Long] = None,
+      stampTrainedFallback: Boolean = true): Unit = {
     val seg = segDir(path, id)
     StoreFs.deleteRecursive(seg)
     val w = encoded.write.mode("overwrite")
@@ -93,10 +94,15 @@ private[operators] final class CodesTier[M](
       // clears the dir); commits atomically with the segment on the flip.
       // A model-carrying BOOTSTRAP passes None and records the payload
       // size just written (the cellstats sum — free); a COMPACTION
-      // carries the original train-time value through
+      // carries the original train-time value through and DISABLES the
+      // fallback: stamping a meta-less pre-r18 store with its folded
+      // total would read as appended_mass_fraction 0.0 and permanently
+      // launder whatever drift it had already accumulated — the store
+      // stays honestly "trained size unknown" until a rebuild
       modelMarker.foreach { mk =>
         val n = trainedRows.orElse {
-          if (!hasRows) Some(0L)
+          if (!stampTrainedFallback) None
+          else if (!hasRows) Some(0L)
           else Some(encoded.sparkSession.read.parquet(s"$seg/cellstats")
             .agg(coalesce(sum(col("n")), lit(0L))).collect().head.getLong(0))
         }
@@ -296,7 +302,9 @@ private[operators] final class CodesTier[M](
     val trained = if (modelMarker.isDefined) readTrainedRows(spark, path) else None
     val all = readIndex(spark, path)
     val id = SegmentedStore.nextId(path)
-    writeSegment(all, path, id, m, trained)
+    // carry-only: a compaction must never INVENT a trained size (see
+    // writeSegment — the fallback is for bootstraps)
+    writeSegment(all, path, id, m, trained, stampTrainedFallback = false)
     SegmentedStore.commitReplaceAll(path, id, sweepGraceMs)
   }
 
@@ -319,8 +327,11 @@ private[operators] final class CodesTier[M](
     // store whose whole mass sits in one cell still reads imbalance
     // n_cells, not 1.0
     driftCells.foreach { nc =>
+      // NonFatal only: a driver OOM / interrupt raised inside this
+      // best-effort observability read must propagate, not become a
+      // stderr line with the JVM left in a corrupted state
       try { driftStatsRow(spark, path, nc()).collect(); () }
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft] $label drift check skipped at $path: $e")
       }
     }
@@ -379,6 +390,11 @@ private[operators] final class CodesTier[M](
       case Some(t) if total > 0 => math.max(0L, total - t).toDouble / total
       case _                    => 0.0
     }
+    // trained_known distinguishes "no appended mass" from "trained size
+    // unknown" (a pre-meta store; compaction deliberately never invents
+    // one) — an unknown store's appended signal is blind, and the row
+    // must say so rather than read as a clean 0.0
+    val trainedKnown = trained.isDefined
     val warn = imbalance > imbalanceWarn || appendedFrac > appendedWarn
     if (warn) System.err.println(
       f"[graft] $label index at $path: FROZEN-MODEL DRIFT — occupancy " +
@@ -390,8 +406,8 @@ private[operators] final class CodesTier[M](
         BigDecimal(imbalance).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
         emptyCells,
         BigDecimal(appendedFrac).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        warn))
+        trainedKnown, warn))
       .toDF("n_cells", "occupied_rows", "max_cell_rows", "occ_imbalance",
-        "empty_cells", "appended_mass_fraction", "drift_warn")
+        "empty_cells", "appended_mass_fraction", "trained_known", "drift_warn")
   }
 }

@@ -552,6 +552,13 @@ object Similarity {
     require(qs.length <= maxQueries,
       s"$label query table exceeds maxQueries=$maxQueries — " +
         "batch the queries or raise the bound consciously")
+    // duplicate ids would silently multiply scored rows through the cid
+    // join and the double re-rank broadcast (each (qid, id) up to 4x,
+    // then rank<=k returns ~k/4 distinct neighbors) — same loud-failure
+    // discipline as the maxQueries bound
+    require(qs.map(_._1).distinct.length == qs.length,
+      s"$label query table carries duplicate $qIdCol values — " +
+        "dedupe the query ids (results are per-id)")
     qs
   }
 

@@ -154,4 +154,38 @@ class IvfDriftSpec extends AnyFunSuite {
     (r.getAs[Long]("occupied_rows"), r.getAs[Double]("occ_imbalance"),
       r.getAs[Double]("appended_mass_fraction"), r.getAs[Boolean]("drift_warn"))
   }
+
+  test("compaction never INVENTS a trained size: a pre-meta (legacy) " +
+      "store reads trained_known=false before AND after the fold — " +
+      "stamping the folded total would read appended 0.0 and permanently " +
+      "launder accumulated drift") {
+    val dir = Files.createTempDirectory("graft_ivf_legacy").toString
+    try {
+      Similarity.ivfWriteIndex(toDf(axisVecs(160, id => (id % nCells).toInt)),
+        "embedding", "vec_id", dir, centroids = Some(cents))
+      // simulate a store written before the trained-rows meta existed
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(_.getFileName.toString == "_graft_trained.json")
+        .toList.foreach(java.nio.file.Files.delete)
+      def trainedKnown(): Boolean = Similarity.ivfDriftStats(spark, dir)
+        .collect().head.getAs[Boolean]("trained_known")
+      assert(!trainedKnown(), "meta deleted, trained size must read unknown")
+      // accumulate real drift, then fold — the fold must carry 'unknown',
+      // never stamp the folded total as the trained size
+      Similarity.ivfAppendToStored(spark, dir,
+        toDf(axisVecs(160, _ => 0, idFrom = 1000L)), "embedding", "vec_id")
+      Similarity.ivfCompactStored(spark, dir)
+      val r = Similarity.ivfDriftStats(spark, dir).collect().head
+      assert(!r.getAs[Boolean]("trained_known"))
+      assert(r.getAs[Double]("appended_mass_fraction") == 0.0)
+      // the occupancy signal still works blind: the skew warning fires
+      assert(r.getAs[Double]("occ_imbalance") == 8.5 &&
+        r.getAs[Boolean]("drift_warn"))
+      // a fresh bootstrap (rebuild) restores the known trained size
+      Similarity.ivfWriteIndex(toDf(axisVecs(160, id => (id % nCells).toInt)),
+        "embedding", "vec_id", dir, centroids = Some(cents))
+      assert(trainedKnown())
+    } finally BatchState.deleteDir(dir)
+  }
 }
