@@ -2400,6 +2400,45 @@ object SparkEntry {
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
+    "q_ann_int8_join" -> ((s, dir) => {
+      // round 18: the flat int8 tier's query-TABLE serve — the last
+      // serving family without a bounded query-table form. No cells to
+      // prune (the flat tier's per-query work is the full codes scan by
+      // nature), so the join's win is ONE commit-log resolve + ONE codes
+      // scan amortized across the table. Invariants: self-hit rank 1 at
+      // cosine 1.0, per-query k contract, exact equality to the
+      // single-query int8TopKStored loop.
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_int8_join_").toString
+      try {
+        PhaseTimer.time("q_ann_int8_join", "build") {
+          Similarity.int8WriteIndex(e, "embedding", "vec_id", tmp)
+        }
+        val queries = e.where(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val joined = PhaseTimer.time("q_ann_int8_join", "serve_join") {
+          Similarity.int8TopKStoredJoin(s, tmp, e, "embedding", "vec_id",
+            queries, "q_vec", "q_id", k = 10).localCheckpoint(true)
+        }
+        val qs = queries.collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+        val sameAsLoop = PhaseTimer.time("q_ann_int8_join", "exact_oracle") {
+          qs.forall { case (qid, qv) =>
+            val loop = Similarity.int8TopKStored(s, tmp, e, "embedding",
+              "vec_id", qv, 10)
+            val got = joined.where(col("q_id") === qid)
+              .select(col("vec_id"), col("cosine_sim"))
+            got.exceptAll(loop).unionByName(loop.exceptAll(got)).count() == 0L
+          }
+        }
+        joined.groupBy(col("q_id"))
+          .agg(max(col("vec_id") === col("q_id") && col("cosine_sim") === 1.0)
+              .as("self_found"),
+            count(lit(1)).between(1, 10).as("k_ok"))
+          .withColumn("same_as_loop", lit(sameAsLoop))
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
     "q_ann_ivfpq_join" -> ((s, dir) => {
       // round 18 (r17 verdict #2): the q_ann_ivf_join shape over the
       // stored IVF-PQ tier — one pruned scan of (cid, m small ints) rows
@@ -2578,6 +2617,71 @@ object SparkEntry {
           val stored = Similarity.ivfTopKStored(s, tmp, e, "embedding",
             "vec_id", q, 10, nProbe = 16).localCheckpoint(true)
           int8InvariantRow(e, q, stored)
+        }
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
+    "q_streaming_ivfpq" -> ((s, dir) => {
+      // round 18: streaming ingest for the stored IVF-PQ tier —
+      // q_streaming_ivf's shape on the IVFADC layout: the model (coarse
+      // centroids + residual codebooks) trains OFFLINE on a bounded
+      // sample, an EMPTY cell-partitioned store bootstraps carrying it
+      // (trained_rows = the true training corpus), micro-batch appends
+      // encode residuals against the FROZEN model inside the writer lock
+      // (replay-guarded by batchId), the cadence folds, and the
+      // full-probe serve must EXACTLY equal the in-memory same-model
+      // path over the corpus (identical codes → identical ADC ranks →
+      // identical exact re-rank — the q_ann_ivfpq_stored equality on the
+      // streaming ingest path). k contract pinned beside it.
+      // State story: no state-store state; the codes index is the
+      // all-time durable state, replay-guarded by batchId.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val e = t(s, dir, "embeddings")
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val rows = e.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_stream_").toString
+      try {
+        val model = Similarity.ivfPqTrain(
+          e.select(col("vec_id"), col("embedding")), "embedding", "vec_id",
+          dim = 64, nCentroids = 16)
+        Similarity.ivfPqWriteIndex(
+          e.select(col("vec_id"), col("embedding")).limit(0),
+          "embedding", "vec_id", tmp, dim = 64, nCentroids = 16,
+          model = Some(model), trainedRows = Some(rows.length.toLong))
+        val writer = graft.streaming.StreamingIO.fanout(
+          ms.toDS().toDF("vec_id", "embedding"))(Seq(
+          (b, bid) => Similarity.ivfPqAppendToStored(s, tmp, b, "embedding",
+            "vec_id", batchId = Some(bid))))
+        PhaseTimer.time("q_streaming_ivfpq", "ingest") {
+          withStreamingGateConf(s, 4) {
+            val sq = writer.start()
+            try {
+              (0 until 3).foreach { i =>
+                ms.addData(rows.iterator.filter(_._1 % 3 == i).toSeq)
+                sq.processAllAvailable()
+              }
+            } finally sq.stop()
+          }
+        }
+        PhaseTimer.time("q_streaming_ivfpq", "compact") {
+          Similarity.ivfPqCompactIfFragmented(s, tmp, maxSegments = 1)
+        }
+        PhaseTimer.time("q_streaming_ivfpq", "exact_oracle") {
+          val stored = Similarity.ivfPqTopKStored(s, tmp, e, "embedding",
+            "vec_id", q, 10, nProbe = 16).localCheckpoint(true)
+          val (cents, books) = Similarity.readIvfPqModel(s, tmp)
+          val mem = Similarity.ivfPqTopKWithModel(
+            e.select(col("vec_id"), col("embedding")), "embedding", "vec_id",
+            q, 10, cents, books, nProbe = 16)
+          val nDiff = stored.exceptAll(mem).unionByName(mem.exceptAll(stored))
+            .count()
+          e.agg(count(lit(1)).as("n_vecs"))
+            .withColumn("same_as_mem", lit(nDiff == 0L))
+            .withColumn("k_ok", lit(stored.count() == 10L))
         }
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
@@ -5284,6 +5388,23 @@ object SparkEntry {
         |  + 1 AS BIGINT) AS n_vecs,
         |  TRUE AS same_as_mem, TRUE AS needle_ok,
         |  TRUE AS prune_files_ok, TRUE AS pruned_k_ok""".stripMargin,
+
+    // the flat int8 tier's query-TABLE serve: one resolve + one codes
+    // scan amortized across the table; self-hit, k contract, and exact
+    // equality to the single-query loop are hard pins audited in-row
+    "q_ann_int8_join" ->
+      """SELECT CAST(vec_id AS BIGINT) AS q_id, TRUE AS self_found,
+        |  TRUE AS k_ok, TRUE AS same_as_loop
+        |FROM embeddings WHERE vec_id < 3""".stripMargin,
+
+    // streaming IVF-PQ ingest: residuals encoded against the frozen
+    // offline-trained model inside the writer lock; after the cadence
+    // fold the full-probe serve equals the in-memory same-model path
+    // exactly (identical codes -> identical ADC ranks -> identical
+    // re-rank)
+    "q_streaming_ivfpq" ->
+      """SELECT count(*) AS n_vecs, TRUE AS same_as_mem, TRUE AS k_ok
+        |FROM embeddings""".stripMargin,
 
     // query-TABLE serving over the stored IVF tier: every query is a
     // corpus row (self-hit at rank 1, cosine 1.0), the per-query k

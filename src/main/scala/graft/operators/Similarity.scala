@@ -254,6 +254,50 @@ object Similarity {
       vecCol, idCol, query, k)
   }
 
+  /** [[int8TopKStored]] for a TABLE of query vectors (round 18 — the
+    * last serving family without a bounded query-table form): ONE
+    * commit-log resolve and ONE codes scan serve every query, each row
+    * scored against the (broadcast) quantized query table — the flat
+    * tier has no cells to prune, so per-query work is the full codes
+    * scan by nature (FAISS IndexFlat batch search), and the join
+    * amortizes the scan and the segment/delete resolution across the
+    * table. Per-query results are EXACTLY `int8TopKStored(query)` over
+    * the same live store (same quantized scores, same id tie-breaks —
+    * law-pinned). maxQueries-guarded; duplicate query ids fail loudly.
+    * Output (qIdCol, idCol, cosine_sim).
+    */
+  def int8TopKStoredJoin(spark: SparkSession, path: String, floats: DataFrame,
+      vecCol: String, idCol: String,
+      queries: DataFrame, qVecCol: String, qIdCol: String, k: Int,
+      oversample: Int = 5, maxQueries: Int = 4096): DataFrame = {
+    require(k > 0 && oversample >= 1, s"need k > 0, oversample >= 1")
+    val qs = collectQueries(queries, qVecCol, qIdCol, maxQueries,
+      "int8TopKStoredJoin")
+    if (qs.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit(0L).as(qIdCol), lit(0L).as(idCol),
+          lit(0.0).as("cosine_sim")).limit(0)
+    import spark.implicits._
+    // the query table quantizes through the SAME codegen expressions as
+    // the corpus (identical semantics by construction) — Q rows, broadcast
+    val qTable = qs.toSeq.map { case (qid, v) => (qid, v.toSeq) }
+      .toDF(qIdCol, "__qv")
+      .withColumn("__qn", VectorFunctions.l2Normalize(col("__qv")))
+      .select(col(qIdCol),
+        VectorFunctions.int8Quantize(col("__qn")).as("__qc"),
+        VectorFunctions.int8Scale(col("__qn")).as("__qs"))
+    val scored = readInt8Index(spark, path, idCol)
+      .crossJoin(broadcast(qTable))
+      .withColumn("__approx", VectorFunctions.int8Dot(col("codes"), col("scale"),
+        col("__qc"), col("__qs")))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("__approx").desc, col(idCol))
+    val cands = scored.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= oversample * k)
+      .select(col(qIdCol), col(idCol))
+    exactRerankJoin(floats, cands, vecCol, idCol, qs, qIdCol, k)
+  }
+
   /** Candidate cut of an int8-codes frame against one query: rank by the
     * quantized dot (the query quantizes through the SAME codegen
     * expressions as the corpus — identical semantics by construction),

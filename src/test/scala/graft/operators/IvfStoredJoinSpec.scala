@@ -124,6 +124,35 @@ class IvfStoredJoinSpec extends AnyFunSuite {
     } finally BatchState.deleteDir(dir)
   }
 
+  test("int8TopKStoredJoin per-query results equal the int8TopKStored " +
+      "loop exactly over a lifecycled store (the flat tier's one-scan " +
+      "batch form)") {
+    val dir = Files.createTempDirectory("graft_int8_join").toString
+    try {
+      val (live, queries) = liveAndQueries(
+        (b, d) => Similarity.int8WriteIndex(b, "embedding", "vec_id", d),
+        (a, d) => Similarity.int8AppendToStored(spark, d, a, "embedding", "vec_id"),
+        (ids, d) => Similarity.int8DeleteFromStored(spark, d, ids), dir)
+      val qs = queries.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val joined = perQuery(Similarity.int8TopKStoredJoin(spark, dir, live,
+        "embedding", "vec_id", queries, "q_vec", "q_id", k = 10))
+      assert(joined.keySet == qs.map(_._1).toSet)
+      qs.foreach { case (qid, q) =>
+        val loop = single(Similarity.int8TopKStored(spark, dir, live,
+          "embedding", "vec_id", q, k = 10))
+        assert(joined(qid) == loop, s"q=$qid join=${joined(qid)} loop=$loop")
+      }
+      // duplicate query ids fail loudly, never silently multiply rows
+      val dup = queries.unionByName(queries.limit(1))
+      val e = intercept[IllegalArgumentException] {
+        Similarity.int8TopKStoredJoin(spark, dir, live, "embedding",
+          "vec_id", dup, "q_vec", "q_id", k = 10)
+      }
+      assert(e.getMessage.contains("duplicate"))
+    } finally BatchState.deleteDir(dir)
+  }
+
   test("the joined serve's pruned read touches ONLY the union of the " +
       "queries' probe cells") {
     val dir = Files.createTempDirectory("graft_ivf_join_prune").toString
