@@ -1038,6 +1038,18 @@ object ScaleProbe {
           live = live.unionByName(batch).localCheckpoint(true)
           report(arm, g + 1, dir, live, queries)
         }
+        // the documented repair, measured: the warning's prescription is
+        // "retraining = rebuild from the float corpus" — rebuild over the
+        // LIVE corpus (fresh centroids see the drifted mass) and report
+        // the same row, so the signal → action → repaired loop closes in
+        // one artifact (recall restored, occupancy re-balanced, appended
+        // fraction reset)
+        val trb = System.nanoTime()
+        Similarity.ivfWriteIndex(live, "embedding", "vec_id", dir,
+          nCentroids = 16)
+        println(f"PROBE ivf_drift arm=$arm%-6s rebuild=" +
+          f"${(System.nanoTime() - trb) / 1e9}%.2fs")
+        report(arm, 4, dir, live, queries)
       }
     }
 
