@@ -273,29 +273,53 @@ object Similarity {
     require(k > 0 && oversample >= 1, s"need k > 0, oversample >= 1")
     val qs = collectQueries(queries, qVecCol, qIdCol, maxQueries,
       "int8TopKStoredJoin")
-    if (qs.isEmpty)
-      return spark.emptyDataFrame
-        .select(lit(0L).as(qIdCol), lit(0L).as(idCol),
-          lit(0.0).as("cosine_sim")).limit(0)
+    if (qs.isEmpty) return emptyJoinResult(spark, qIdCol, idCol)
+    val scored = readInt8Index(spark, path, idCol)
+      .crossJoin(broadcast(quantizedQueryTable(spark, qs, qIdCol)))
+      .withColumn("__approx", VectorFunctions.int8Dot(col("codes"), col("scale"),
+        col("__qc"), col("__qs")))
+    val cands = joinCandidateCut(scored, qIdCol, idCol, oversample * k)
+    exactRerankJoin(floats, cands, vecCol, idCol, qs, qIdCol, k)
+  }
+
+  /** The canonical empty (qIdCol, idCol, cosine_sim) frame every stored
+    * join serve returns for an empty query table.
+    */
+  private def emptyJoinResult(spark: SparkSession, qIdCol: String,
+      idCol: String): DataFrame =
+    spark.emptyDataFrame
+      .select(lit(0L).as(qIdCol), lit(0L).as(idCol),
+        lit(0.0).as("cosine_sim")).limit(0)
+
+  /** Broadcast query table quantized through the SAME codegen
+    * expressions as the corpus (identical semantics by construction) —
+    * Q rows of (qIdCol, __qc, __qs). One body for every stored join
+    * serve that ranks by the quantized dot: the join/loop equality laws
+    * pin these expressions, so the quantization must never fork per
+    * tier.
+    */
+  private def quantizedQueryTable(spark: SparkSession,
+      qs: Array[(Long, Array[Double])], qIdCol: String): DataFrame = {
     import spark.implicits._
-    // the query table quantizes through the SAME codegen expressions as
-    // the corpus (identical semantics by construction) — Q rows, broadcast
-    val qTable = qs.toSeq.map { case (qid, v) => (qid, v.toSeq) }
+    qs.toSeq.map { case (qid, v) => (qid, v.toSeq) }
       .toDF(qIdCol, "__qv")
       .withColumn("__qn", VectorFunctions.l2Normalize(col("__qv")))
       .select(col(qIdCol),
         VectorFunctions.int8Quantize(col("__qn")).as("__qc"),
         VectorFunctions.int8Scale(col("__qn")).as("__qs"))
-    val scored = readInt8Index(spark, path, idCol)
-      .crossJoin(broadcast(qTable))
-      .withColumn("__approx", VectorFunctions.int8Dot(col("codes"), col("scale"),
-        col("__qc"), col("__qs")))
+  }
+
+  /** Per-query candidate cut of a scored join frame: the window rank's
+    * (`__approx` desc, id) order matches the single-query orderBy/limit
+    * tie-breaks exactly — the other half of the join/loop equality.
+    */
+  private def joinCandidateCut(scored: DataFrame, qIdCol: String,
+      idCol: String, nCands: Int): DataFrame = {
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("__approx").desc, col(idCol))
-    val cands = scored.withColumn("__rank", row_number().over(w))
-      .where(col("__rank") <= oversample * k)
+    scored.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= nCands)
       .select(col(qIdCol), col(idCol))
-    exactRerankJoin(floats, cands, vecCol, idCol, qs, qIdCol, k)
   }
 
   /** Candidate cut of an int8-codes frame against one query: rank by the
@@ -547,10 +571,7 @@ object Similarity {
     val cents = readIvfCentroids(spark, path)
     val qs = collectQueries(queries, qVecCol, qIdCol, maxQueries,
       "ivfTopKStoredJoin")
-    if (qs.isEmpty)
-      return spark.emptyDataFrame
-        .select(lit(0L).as(qIdCol), lit(0L).as(idCol),
-          lit(0.0).as("cosine_sim")).limit(0)
+    if (qs.isEmpty) return emptyJoinResult(spark, qIdCol, idCol)
     // per-query probe lists driver-side (the single-query rule, shared),
     // then ONE pruned scan over the UNION of probed cells
     val probePairs = qs.flatMap { case (qid, v) =>
@@ -558,27 +579,15 @@ object Similarity {
     }
     val unionCids = probePairs.map(_._2).distinct.toSeq
     import spark.implicits._
-    // the query table quantizes through the SAME codegen expressions as
-    // the corpus (identical semantics by construction), joined to its
-    // probe cells — ≤ Q·nProbe rows, broadcast
-    val qTable = qs.toSeq.map { case (qid, v) => (qid, v.toSeq) }
-      .toDF(qIdCol, "__qv")
-      .withColumn("__qn", VectorFunctions.l2Normalize(col("__qv")))
-      .select(col(qIdCol),
-        VectorFunctions.int8Quantize(col("__qn")).as("__qc"),
-        VectorFunctions.int8Scale(col("__qn")).as("__qs"))
+    // the quantized query table joined to its probe cells —
+    // ≤ Q·nProbe rows, broadcast
+    val qTable = quantizedQueryTable(spark, qs, qIdCol)
       .join(probePairs.toSeq.toDF(qIdCol, "cid"), Seq(qIdCol))
     val scan = readIvfIndex(spark, path, idCol, probeCids = Some(unionCids))
     val scored = scan.join(broadcast(qTable), Seq("cid"))
       .withColumn("__approx", VectorFunctions.int8Dot(col("codes"), col("scale"),
         col("__qc"), col("__qs")))
-    // per-query candidate cut — the window rank's (score desc, id) order
-    // matches the single-query orderBy/limit tie-breaks exactly
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("__approx").desc, col(idCol))
-    val cands = scored.withColumn("__rank", row_number().over(w))
-      .where(col("__rank") <= oversample * k)
-      .select(col(qIdCol), col(idCol))
+    val cands = joinCandidateCut(scored, qIdCol, idCol, oversample * k)
     exactRerankJoin(floats, cands, vecCol, idCol, qs, qIdCol, k)
   }
 
@@ -833,10 +842,7 @@ object Similarity {
     val (cents, books) = readIvfPqModel(spark, path)
     val qs = collectQueries(queries, qVecCol, qIdCol, maxQueries,
       "ivfPqTopKStoredJoin")
-    if (qs.isEmpty)
-      return spark.emptyDataFrame
-        .select(lit(0L).as(qIdCol), lit(0L).as(idCol),
-          lit(0.0).as("cosine_sim")).limit(0)
+    if (qs.isEmpty) return emptyJoinResult(spark, qIdCol, idCol)
     val m = books.length
     val subDim = books.head.head.length
     val probePairs = qs.flatMap { case (qid, v) =>
@@ -866,11 +872,7 @@ object Similarity {
       .withColumn("__approx",
         round((element_at(col("__qc"), col("cid") + 1) + lookupSum(col("__dt"))) /
           col("__qn"), 6))
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("__approx").desc, col(idCol))
-    val cands = scored.withColumn("__rank", row_number().over(w))
-      .where(col("__rank") <= oversample * k)
-      .select(col(qIdCol), col(idCol))
+    val cands = joinCandidateCut(scored, qIdCol, idCol, oversample * k)
     exactRerankJoin(floats, cands, vecCol, idCol, qs, qIdCol, k)
   }
 
