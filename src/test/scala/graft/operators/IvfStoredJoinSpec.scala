@@ -174,6 +174,19 @@ class IvfStoredJoinSpec extends AnyFunSuite {
     } finally BatchState.deleteDir(dir)
   }
 
+  test("suggestedIvfCells follows the ~4*sqrt(N) FAISS discipline: " +
+      "power-of-two, clamped, monotone in corpus size") {
+    assert(Similarity.suggestedIvfCells(0) == 16)
+    assert(Similarity.suggestedIvfCells(100) == 32)      // 4*10 = 40 -> 32
+    assert(Similarity.suggestedIvfCells(10000) == 512)   // 4*100 = 400 -> 512
+    assert(Similarity.suggestedIvfCells(1000000) == 4096)
+    assert(Similarity.suggestedIvfCells(Long.MaxValue) == 65536)
+    val sizes = Seq(0L, 10L, 1000L, 100000L, 10000000L, 1000000000L)
+    val cells = sizes.map(Similarity.suggestedIvfCells)
+    assert(cells == cells.sorted, s"must be monotone: $cells")
+    cells.foreach(c => assert((c & (c - 1)) == 0 && c >= 16 && c <= 65536))
+  }
+
   test("empty query table serves the canonical empty frame; maxQueries " +
       "fails loudly instead of truncating") {
     val s = spark; import s.implicits._
