@@ -2400,6 +2400,53 @@ object SparkEntry {
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
+    "q_ann_mmr" -> ((s, dir) => {
+      // round 18: MMR diversity re-rank (Carbonell & Goldstein SIGIR'98)
+      // over a bounded candidate set — the serving tail for crowded
+      // near-duplicate regions (the failure mode the drift probe
+      // measures: thousands of copies fill a plain top-k). Plant the
+      // query copy twice (-2 and -1; the cosine-1.0 tie breaks to the
+      // smaller id). Invariants are THEOREMS, not data properties:
+      // lambda=1 equals the plain cosine top-k over the same candidates
+      // exactly (same rounded scores, same id tie-breaks); at
+      // lambda=0.3 the first pick is the pure-relevance argmax (-2, at
+      // cosine 1.0) and its exact duplicate can NEVER be second (the
+      // duplicate scores 2λ−1 = −0.4 while any distinct candidate with
+      // relevance c scores (2λ−1)·c = −0.4c > −0.4 for every c in
+      // (−1, 1)); selections are distinct; the k contract holds.
+      import s.implicits._
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = Seq((-1L, q.toSeq), (-2L, q.toSeq))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          col("embedding").cast(e0.schema("embedding").dataType))
+      val corpus = e0.unionByName(planted)
+      // the bounded candidate set: an oversampled exact serve (50) —
+      // MMR re-ranks a serve's output, never a corpus
+      val cands = Similarity.bruteForceTopK(corpus, "embedding", "vec_id",
+          q, 50)
+        .select("vec_id")
+        .join(corpus, Seq("vec_id")).select("vec_id", "embedding")
+        .localCheckpoint(true)
+      val mmr = Similarity.mmrRerank(cands, "embedding", "vec_id", q,
+        k = 10, lambda = 0.3).orderBy("mmr_rank").collect()
+      val mmr1 = Similarity.mmrRerank(cands, "embedding", "vec_id", q,
+        k = 10, lambda = 1.0).orderBy("mmr_rank").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val plain = Similarity.bruteForceTopK(cands, "embedding", "vec_id",
+          q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val ids = mmr.map(_.getLong(0)).toSeq
+      Seq((mmr.length.toLong,
+          ids.head == -2L && mmr.head.getDouble(1) == 1.0,
+          ids(1) != -1L,
+          mmr1 == plain,
+          ids.distinct.length == ids.length))
+        .toDF("k_rows", "first_is_copy", "dup_not_second",
+          "lambda1_equals_topk", "distinct_ok")
+    }),
+
     "q_ann_int8_join" -> ((s, dir) => {
       // round 18: the flat int8 tier's query-TABLE serve — the last
       // serving family without a bounded query-table form. No cells to
@@ -5388,6 +5435,14 @@ object SparkEntry {
         |  + 1 AS BIGINT) AS n_vecs,
         |  TRUE AS same_as_mem, TRUE AS needle_ok,
         |  TRUE AS prune_files_ok, TRUE AS pruned_k_ok""".stripMargin,
+
+    // MMR diversity re-rank: lambda-1-equals-top-k, first-pick, and
+    // duplicate-never-second are theorems computed in-row over the
+    // planted-copy candidate set
+    "q_ann_mmr" ->
+      """SELECT CAST(10 AS BIGINT) AS k_rows, TRUE AS first_is_copy,
+        |  TRUE AS dup_not_second, TRUE AS lambda1_equals_topk,
+        |  TRUE AS distinct_ok""".stripMargin,
 
     // the flat int8 tier's query-TABLE serve: one resolve + one codes
     // scan amortized across the table; self-hit, k contract, and exact

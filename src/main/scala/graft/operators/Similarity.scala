@@ -899,6 +899,92 @@ object Similarity {
     exactRerankJoin(floats, cands, vecCol, idCol, qs, qIdCol, k)
   }
 
+  /** Maximal-marginal-relevance re-rank of a BOUNDED candidate frame
+    * (Carbonell & Goldstein, SIGIR'98): greedily select
+    * argmax over remaining candidates of
+    * `lambda·cos(d, q) − (1−lambda)·max_{s ∈ selected} cos(d, s)` —
+    * the standard diversity-aware serving tail for curation/retrieval,
+    * where a crowded near-duplicate region (exactly what the drift
+    * probe exposes) would otherwise fill the whole top-k with copies.
+    * `lambda = 1` reduces to plain cosine top-k (law-pinned equality);
+    * lower lambda trades relevance for diversity. Driver-side greedy
+    * over the COLLECTED candidates (maxCandidates-guarded, loud) — MMR
+    * re-ranks an already-bounded set (the oversample·k discipline:
+    * feed it an ANN serve's output, never a corpus), and the greedy's
+    * running max-similarity state is inherently sequential, so a
+    * bounded local loop is the honest plan at any scale. Fully
+    * deterministic: ties break (score desc, id asc); the first pick's
+    * diversity penalty is 0 (empty selected set). Output
+    * (idCol, cosine_sim, mmr_rank) — cosine_sim is relevance to the
+    * query (rounded 6, the serving-family convention), mmr_rank the
+    * selection order 1..k.
+    */
+  def mmrRerank(cands: DataFrame, vecCol: String, idCol: String,
+      query: Array[Double], k: Int, lambda: Double,
+      maxCandidates: Int = 4096): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0, 1], got $lambda")
+    val session = cands.sparkSession
+    import session.implicits._
+    val rows = cands
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .limit(maxCandidates + 1).collect()
+      .map { case (i, v) => (i, v.toArray) }
+      .sortBy(_._1)
+    require(rows.length <= maxCandidates,
+      s"mmrRerank candidate frame exceeds maxCandidates=$maxCandidates — " +
+        "MMR re-ranks a bounded set (an ANN serve's oversample·k output), " +
+        "never a corpus; cut candidates first or raise the bound consciously")
+    require(rows.map(_._1).distinct.length == rows.length,
+      s"mmrRerank candidate frame carries duplicate $idCol values")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val n = rows.length
+    // relevance rounds to 6 like every serving tail, and the ROUNDED
+    // value drives selection too — otherwise lambda=1 could diverge
+    // from the plain top-k's (rounded score desc, id) order on a
+    // sub-rounding tie
+    val simQ = rows.map(r =>
+      BigDecimal(cos(r._2, query)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    val maxSimSel = Array.fill(n)(0.0)
+    val taken = Array.fill(n)(false)
+    val picked = Seq.newBuilder[(Long, Double, Int)]
+    var rank = 1
+    while (rank <= math.min(k, n)) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val s = lambda * simQ(i) - (1.0 - lambda) * maxSimSel(i)
+          // ties: score desc, then id asc (rows are id-sorted, so the
+          // first strict improvement wins and equal scores keep the
+          // smaller id)
+          if (s > bestScore) { bestScore = s; best = i }
+        }
+        i += 1
+      }
+      taken(best) = true
+      picked += ((rows(best)._1, simQ(best), rank))
+      var j = 0
+      while (j < n) {
+        if (!taken(j)) {
+          val c = cos(rows(j)._2, rows(best)._2)
+          if (c > maxSimSel(j)) maxSimSel(j) = c
+        }
+        j += 1
+      }
+      rank += 1
+    }
+    picked.result().toDF(idCol, "cosine_sim", "mmr_rank")
+  }
+
   /** Exact per-query top-k for a query table (broadcast). */
   def bruteForceTopKJoin(df: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, qVecCol: String, qIdCol: String, k: Int): DataFrame = {
