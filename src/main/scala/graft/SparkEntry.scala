@@ -2490,14 +2490,22 @@ object SparkEntry {
       // round 18 (r17 verdict #2): the q_ann_ivf_join shape over the
       // stored IVF-PQ tier — one pruned scan of (cid, m small ints) rows
       // serves the whole query table, per-query ADC scoring against
-      // broadcast per-query lookup tables. Self-hit holds for the same
-      // reason q_ann_pq's needle does: a corpus row queried against
-      // itself ADC-scores cos(q, recon(q)) far above any natural
-      // neighbor, survives the oversample·k cut, and exact-reranks to
-      // cosine 1.0 rank 1. same_as_loop pins exact equality to the
-      // single-query ivfPqTopKStored loop; prune_files_ok audits the
+      // broadcast per-query lookup tables. The self-hit pin is the
+      // PLANTED needle (vec_id = -1, the q_ann_pq discipline, r18
+      // advice): a natural corpus row's ADC self-score surviving the
+      // oversample·k cut is a data property that a crowded near-duplicate
+      // region can flip at scale, while the needle's isolated direction
+      // ADC-scores cos(q, recon(q)) far above any natural neighbor by
+      // construction — a theorem. same_as_loop stays the hard equality
+      // law (every query, needle and natural, exactly equals the
+      // single-query ivfPqTopKStored loop); prune_files_ok audits the
       // union-of-probes partition pruning in-row.
-      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      import s.implicits._
+      val qNeedle = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val e = e0.unionByName(Seq((-1L, qNeedle.toSeq)).toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          col("embedding").cast(e0.schema("embedding").dataType)))
       val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_join_").toString
       try {
         PhaseTimer.time("q_ann_ivfpq_join", "build") {
@@ -2532,10 +2540,16 @@ object SparkEntry {
         }
         val pruneFilesOk = prunedFiles.nonEmpty &&
           prunedFiles.forall(f => union.exists(p => f.contains(s"/cid=$p/")))
+        // the theorem pin: the planted needle query must surface ITSELF
+        // at exact-reranked cosine 1.0 (natural corpus rows carry no
+        // self pin — their self-survival through the ADC preselect is
+        // data, not a law; same_as_loop covers them exactly)
+        val needleSelfFound = joined
+          .where(col("q_id") === -1L && col("vec_id") === -1L &&
+            col("cosine_sim") === 1.0).count() == 1L
         joined.groupBy(col("q_id"))
-          .agg(max(col("vec_id") === col("q_id") && col("cosine_sim") === 1.0)
-              .as("self_found"),
-            count(lit(1)).between(1, 10).as("k_ok"))
+          .agg(count(lit(1)).between(1, 10).as("k_ok"))
+          .withColumn("needle_self_found", lit(needleSelfFound))
           .withColumn("same_as_loop", lit(sameAsLoop))
           .withColumn("prune_files_ok", lit(pruneFilesOk))
       } finally graft.batch.BatchState.deleteDir(tmp)
@@ -5471,12 +5485,17 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 3""".stripMargin,
 
     // the same shape over the stored IVF-PQ tier (ADC scoring against
-    // broadcast per-query lookup tables; self-hit survives the
-    // oversample cut for the q_ann_pq needle reason)
+    // broadcast per-query lookup tables); the self-hit pin rides the
+    // PLANTED needle query (vec_id = -1, in the store and the query
+    // table) — a theorem by the q_ann_pq margin, where a natural row's
+    // self-survival through the ADC cut is data (r18 advice)
     "q_ann_ivfpq_join" ->
-      """SELECT CAST(vec_id AS BIGINT) AS q_id, TRUE AS self_found,
-        |  TRUE AS k_ok, TRUE AS same_as_loop, TRUE AS prune_files_ok
-        |FROM embeddings WHERE vec_id < 3""".stripMargin,
+      """SELECT CAST(vec_id AS BIGINT) AS q_id, TRUE AS k_ok,
+        |  TRUE AS needle_self_found, TRUE AS same_as_loop,
+        |  TRUE AS prune_files_ok
+        |FROM embeddings WHERE vec_id < 3
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), TRUE, TRUE, TRUE, TRUE""".stripMargin,
 
     // frozen-model drift observability: occupied_rows is the corpus plus
     // the skewed fresh-id append (half the corpus re-pointed at one

@@ -541,7 +541,10 @@ object Similarity {
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+      // sqrt(na)*sqrt(nb), NOT sqrt(na*nb): matches VectorFunctions.cosine
+      // (norm(a)*norm(b)) bit-for-bit so a driver-side score can be
+      // equality-compared against a Spark-side one (r18 advice)
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
     }
     cents.zipWithIndex.map { case (c, i) => (cos(query, c), i) }
       .sortBy { case (s, i) => (-s, i) }
@@ -942,7 +945,11 @@ object Similarity {
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+      // sqrt(na)*sqrt(nb) matches VectorFunctions.cosine bit-for-bit —
+      // the lambda=1 ≡ plain-top-k law compares these values for exact
+      // equality against the Spark-side scores (r18 advice: sqrt(na*nb)
+      // can differ by ~1 ulp and flip a 6th-decimal rounding boundary)
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
     }
     val n = rows.length
     // relevance rounds to 6 like every serving tail, and the ROUNDED
@@ -970,6 +977,15 @@ object Similarity {
         }
         i += 1
       }
+      // loud-failure discipline (r18 advice): a NaN element in any
+      // candidate embedding makes its cosine NaN, and NaN > -Infinity is
+      // false — if EVERY remaining score is NaN, best stays -1 and the
+      // greedy would crash opaquely on taken(-1). Name the cause instead.
+      require(best >= 0,
+        s"mmrRerank: no selectable candidate at rank $rank — every " +
+          "remaining MMR score is NaN (a NaN element in a candidate " +
+          "embedding makes its cosine NaN); validate the candidate " +
+          "vectors before re-ranking")
       taken(best) = true
       picked += ((rows(best)._1, simQ(best), rank))
       var j = 0
