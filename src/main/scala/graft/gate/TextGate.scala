@@ -1,0 +1,1151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.algebra.{Moments, QHist, Semigroup, TopK}
+import graft.api.{ExternalService, GraftSink, GraftStream, KeyedGraftStream}
+import graft.batch.BatchStore
+import graft.client.ClientStore
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{AsofJoin, BatchServices, Dedup, LoopJoin, Packing, PretrainPipeline, Retrieval, RowIndex, Sampling, Scoring, Sharding, Similarity}
+import graft.time.{BatchID, Batcher, Timestamp}
+
+import GateHelpers._
+
+/** Gate registry — text analysis, retrieval (BM25/hybrid), scoring, packing/sharding/
+  * sampling, tokenizer/multimodal, corpus ops.
+  * Split from SparkEntry (round 19, mechanical move): SparkEntry
+  * concatenates the per-family registries; entries are verbatim.
+  */
+private[graft] object TextGate {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+
+    // -- text analysis ---------------------------------------------------
+    "q_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        TF.subwordCount(col("text")).as("n_subwords"))),
+
+
+    "q_mixture_tokens" -> ((s, dir) =>
+      // the pretraining mixture table (GPT-3/Pile/LLaMA recipe): each
+      // source gets a token share of the budget; src1 truncates at its
+      // 3000-token target, src2/src3 are scarcer and wrap into repeat
+      // epochs under the cap. One membership inequality covers all
+      // regimes (Sampling.mixtureByTokens); the oracle replays the
+      // identical prefix-sum + epoch arithmetic
+      Sampling.mixtureByTokens(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          TF.tokenCount(col("text")).as("n_tokens")),
+        col("source"), col("doc_id"), col("n_tokens"),
+        Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.25),
+        tokenBudget = 6000, maxRepeat = 3)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("epoch"))),
+
+
+    "q_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TF.charCount(col("text")).as("n_chars"),
+        round(TF.meanWordLength(col("text")), 6).as("mean_word_len"),
+        round(TF.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(TF.alphaRatio(col("text")), 6).as("alpha_ratio"))),
+
+
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TF.fingerprintMd5(col("text")).as("fp"))),
+
+
+    "q_corpus_diff" -> ((s, dir) => {
+      // snapshot diff between two corpus versions: old = ids not %7,
+      // new = ids not %5 with %11 texts mutated — added/removed/changed/
+      // same per id, digests (not text) through the one full-outer shuffle
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val oldV = base.where(col("doc_id") % 7 =!= 0)
+      val newV = base.where(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      operators.CorpusDiff.diff(oldV, newV, "doc_id", "text")
+    }),
+
+
+    "q_bpe" -> ((s, dir) => {
+      // corpus-fitted BPE tokenizer: ONE wordFreq aggregation over the
+      // corpus, merges trained driver-side from the frequency dictionary
+      // (the Sennrich split of labor — the only corpus-sized job is the
+      // word count), then distributed encode. The token stream itself is
+      // engine-specific, so the row oracles what SQL can see (n_words)
+      // plus Spark-computed invariants pinned TRUE: the word-level
+      // roundtrip (tokens concatenate back to the lowercased words) and
+      // the n_words <= n_bpe <= n_nonspace_chars bounds.
+      import graft.functions.Bpe
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val merges = Bpe.trainMerges(Bpe.wordFreq(docs, "text"), numMerges = 200)
+      val enc = Bpe.encodeUdf(merges)
+      val toks = enc(col("text"))
+      val words = TF.tokens(lower(col("text")))
+      val decoded = trim(regexp_replace(array_join(toks, ""), Bpe.EndOfWord, " "))
+      docs.select(col("doc_id"),
+        size(words).as("n_words"),
+        (decoded === array_join(words, " ")).as("roundtrip_ok"),
+        (size(toks) >= size(words) && size(toks).cast("long") <=
+          length(regexp_replace(lower(col("text")), "\\s+", ""))).as("bounds_ok"))
+    }),
+
+
+    "q_quality_gate" -> ((s, dir) =>
+      // per-language rank cut: keep the top 30% by text length per lang —
+      // the deterministic rank-based quality gate (integer-exact cut, no
+      // percentile-interpolation boundary ambiguity)
+      Scoring.topFractionByScore(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+        col("lang"), length(col("text")), col("doc_id"), 0.3)
+        .select("doc_id", "lang", "rank")),
+
+
+    "q_quality_gate_salted" -> ((s, dir) =>
+      // the hot-group form: per-salt candidate election + exact ranking
+      // over the candidate union (declarative shortfall rescue). Result —
+      // ranks included — is IDENTICAL to the plain cut by construction,
+      // so this row shares q_quality_gate's oracle verbatim
+      Scoring.topFractionByScoreSalted(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+        col("lang"), length(col("text")), col("doc_id"), 0.3, salts = 8)
+        .select("doc_id", "lang", "rank")),
+
+
+    // no SQL oracle (engine-specific shingle hashes) — rows-only check;
+    // the winnowing guarantees are law-checked in ApproxOpsSpec
+    "q_winnow" -> ((s, dir) => {
+      // winnowing as a CORRECTNESS row (q_cms pattern): the fingerprint
+      // SET is engine-specific, but the 3-gram count is SQL-exact and the
+      // fingerprint count obeys the deterministic guarantee
+      // 0 < n_fp <= max(1, g - w + 1) for g > 0 (0 for empty docs) by
+      // construction — the density EXPECTATION 2/(w+1) stays law-only.
+      val seq = Dedup.shingleSeqCol(col("text"), 3)
+      val g = size(seq)
+      val nFp = size(TF.winnow(seq, 4))
+      t(s, dir, "documents").select(col("doc_id"),
+        g.as("n_grams"),
+        ((g === 0 && nFp === 0) ||
+          (g > 0 && nFp >= 1 && nFp <= greatest(g - 3, lit(1)))).as("fp_ok"))
+    }),
+
+
+    "q_langid" -> ((s, dir) => {
+      // planted-extreme invariant oracle (q_hll pattern): script plants
+      // (hiragana/hangul/CJK/cyrillic) are deterministic by
+      // codepoint-range detection, Latin plants by trigram-profile
+      // dominance, 'und' by construction — each planted guess is pinned;
+      // the whole corpus still flows through the native codegen'd LangId
+      // expression, collapsing to one always-true containment row (every
+      // guess lands in the closed label set).
+      import s.implicits._
+      import graft.functions.NativeExpressions
+      val planted = Seq(
+        (-1L, "the thing and the best of the year and the rest of the morning", "en"),
+        (-2L, "der die und ich nicht sich ein eine schon unglaublich", "de"),
+        (-3L, "le de la et que les dans une entente quelque", "fr"),
+        (-4L, "el de la ciudad que los en una canción corazón adelantado", "es"),
+        (-5L, "di che la per una della nelle quale mente bellissima atto", "it"),
+        (-6L, "こんにちは せかい", "ja"),
+        (-7L, "안녕하세요 세계", "ko"),
+        (-8L, "你好世界", "zh"),
+        (-9L, "привет мир как дела", "ru"),
+        (-10L, "12345 67890 !!!", "und")
+      ).toDF("doc_id", "text", "expected")
+      val plantedOut = planted.select(col("doc_id"), col("expected").as("lang"),
+        (NativeExpressions.langId(col("text")) === col("expected")).as("lang_ok"))
+      val corpus = t(s, dir, "documents")
+        .select(NativeExpressions.langId(col("text")).as("__g"))
+        .agg(min(col("__g").isin("en", "de", "fr", "es", "it",
+          "ja", "ko", "zh", "ru", "und")).as("lang_ok"))
+        .select(lit(0L).as("doc_id"), lit("__corpus").as("lang"), col("lang_ok"))
+      plantedOut.union(corpus)
+    }),
+
+
+    "q_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: docs sharing >= 5 distinct word 3-grams
+      // with the held-out "benchmark" slice (doc_id % 20 == 0). The
+      // benchmark n-gram set broadcasts; only (id, hash64) Longs move.
+      val docs = t(s, dir, "documents").where(col("doc_id") % 20 =!= 0)
+      val bench = t(s, dir, "documents").where(col("doc_id") % 20 === 0)
+      Dedup.decontaminate(docs, bench, "text", "doc_id", n = 3, minOverlap = 5)
+    }),
+
+
+    "q_repetition" -> ((s, dir) =>
+      // Gopher repetition quality rules: duplicate-line fraction (0 on this
+      // single-line corpus — still verified), duplicate- and top-2-gram
+      // occurrence fractions. One narrow codegen'd projection.
+      t(s, dir, "documents").select(col("doc_id"),
+        round(TF.duplicateLineFraction(col("text")), 6).as("dup_line_frac"),
+        round(TF.duplicateNgramFraction(col("text"), 2), 6).as("dup_bigram_frac"),
+        round(TF.topNgramFraction(col("text"), 2), 6).as("top_bigram_frac"))),
+
+
+    "q_redact" -> ((s, dir) => {
+      // PII scrub. The synthetic corpus is clean, so plant id-derived PII
+      // identically here and in the oracle: the redacted string and the
+      // per-category counts must match byte-for-byte across engines.
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 ssn 123-45-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        expr("repeat(' ip 8.8.8.8', CAST(doc_id % 3 AS INT))"))
+      val counts = TF.piiCounts(planted)
+      t(s, dir, "documents").select(col("doc_id"),
+        TF.redactPii(planted).as("clean"),
+        counts.getField("emails").as("n_email"),
+        counts.getField("ips").as("n_ip"),
+        counts.getField("ssns").as("n_ssn"),
+        counts.getField("phones").as("n_phone"))
+    }),
+
+
+    "q_sample_stratified" -> ((s, dir) =>
+      // deterministic stratified sampling: per-event_type keep rates from
+      // the md5-uniform of event_id — membership is a pure function of the
+      // data (re-runs/re-shards/other engines agree row-for-row)
+      Sampling.stratified(eventsDF(s, dir), col("event_type"), col("event_id"),
+          Map("purchase" -> 0.5, "click" -> 0.05, "view" -> 0.2), default = 0.01)
+        .select(col("event_id"), col("event_type"))),
+
+
+    "q_sample_mixture" -> ((s, dir) =>
+      // data-mixing table: per-language keep rates derived from target
+      // shares of a 300-row output; rate-starved strata (everything but
+      // 'en' here) cap at 1 and are kept whole
+      Sampling.mixture(t(s, dir, "documents"), col("lang"), col("doc_id"),
+          Map("en" -> 0.5, "fr" -> 0.2, "de" -> 0.2, "es" -> 0.1),
+          totalRows = 300)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+
+    "q_sample_quota" -> ((s, dir) =>
+      // exact quota: the 150 smallest key-uniforms per event_type —
+      // count + oversampled narrow filter + small-window trim, never a
+      // whole-stratum window
+      Sampling.quota(eventsDF(s, dir).select("event_id", "event_type"),
+          col("event_type"), col("event_id"), k = 150)
+        .select(col("event_id"), col("event_type"))),
+
+
+    "q_split" -> ((s, dir) =>
+      // deterministic train/val/test assignment: every event gets exactly
+      // one label from the same portable md5-uniform
+      eventsDF(s, dir).select(col("event_id"),
+        Sampling.splitCol(col("event_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))),
+
+
+    "q_vocab_coverage" -> ((s, dir) =>
+      // tokenizer sizing: the smallest frequency-ranked vocabulary
+      // covering 80% of the corpus token mass — cumulative mass via the
+      // distributed prefix sum, never a vocabulary-wide window
+      graft.functions.Bpe.vocabCoverage(
+        graft.functions.Bpe.wordFreq(t(s, dir, "documents"), "text"), 0.8)),
+
+
+    "q_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: reciprocal-rank fusion (k0=60) of two
+      // heterogeneous rankers over the same query set — BM25 top-10 and
+      // distinct-token-overlap top-10 — keeping each query's fused
+      // top-5. Both input rankings and the fusion arithmetic replay
+      // exactly in the oracle.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val idx = Retrieval.buildIndex(docs, "text", "doc_id")
+      val lex = Retrieval.bm25TopK(idx, bm25Queries(s), "qtext", "query_id",
+          k = 10).select("query_id", "doc_id", "rank")
+      val qTok = bm25Queries(s).select(col("query_id"),
+        explode(array_distinct(TF.tokens(lower(col("qtext"))))).as("tok"))
+      val dTok = docs.select(col("doc_id"),
+        explode(array_distinct(TF.tokens(lower(col("text"))))).as("tok"))
+      val ovW = Window.partitionBy(col("query_id"))
+        .orderBy(col("ov").desc, col("doc_id").asc)
+      val ov = dTok.join(broadcast(qTok), "tok")
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("ov"))
+        .withColumn("rank", row_number().over(ovW))
+        .where(col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+      Retrieval.rrfFuse(Seq(lex, ov), "query_id", "doc_id", topK = 5)
+        .select(col("query_id"), col("doc_id"),
+          round(col("rrf"), 6).as("rrf"), col("fused_rank"))
+    }),
+
+
+    "q_hybrid_stored" -> ((s, dir) => {
+      // the SERVING-path composition of q_hybrid_rrf: both rankers are
+      // answered from the STORED token-bucketed index (one pruned
+      // candidate-postings read feeds BM25 scoring AND the overlap
+      // counts), then fused with the same RRF arithmetic — closing the
+      // retrieval-serving lifecycle, and sharing q_hybrid_rrf's oracle
+      // verbatim because the stored path is exact.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hybrid_idx_").toString
+      try {
+        Retrieval.writeIndex(Retrieval.buildIndex(docs, "text", "doc_id"),
+          tmp, tokenBuckets = 16)
+        // ONE pruned candidate-postings read feeds BOTH rankers:
+        // materialize it (candidate-sized), rebuild a Bm25Index around it
+        // for BM25 scoring, and count token overlaps from the same rows
+        val post = Retrieval.storedQueryPostings(s, tmp, 16,
+          bm25Queries(s), "qtext").localCheckpoint(true)
+        val stats = Retrieval.readIndex(s, tmp, "doc_id").stats
+        val scored = Retrieval.bm25FromIndex(
+          Retrieval.Bm25Index(post, stats, "doc_id"),
+          bm25Queries(s), "qtext", "query_id")
+        val lexW = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        val lex = scored.withColumn("rank", row_number().over(lexW))
+          .where(col("rank") <= 10).select("query_id", "doc_id", "rank")
+        val qTok = bm25Queries(s).select(col("query_id"),
+          explode(array_distinct(TF.tokens(lower(col("qtext"))))).as("token"))
+        val ovW = Window.partitionBy(col("query_id"))
+          .orderBy(col("ov").desc, col("doc_id").asc)
+        val ov = post.join(broadcast(qTok), "token")
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(count(lit(1)).as("ov"))
+          .withColumn("rank", row_number().over(ovW))
+          .where(col("rank") <= 10)
+          .select("query_id", "doc_id", "rank")
+        Retrieval.rrfFuse(Seq(lex, ov), "query_id", "doc_id", topK = 5)
+          .select(col("query_id"), col("doc_id"),
+            round(col("rrf"), 6).as("rrf"), col("fused_rank"))
+          .localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
+
+    "q_fold_assign" -> ((s, dir) =>
+      // deterministic 5-fold assignment from the portable key-uniform
+      t(s, dir, "documents").select(col("doc_id"),
+        Sampling.foldCol(col("doc_id"), 5).as("fold"))),
+
+
+    "q_sample_weighted" -> ((s, dir) =>
+      // Efraimidis-Spirakis weighted draw without replacement: 200 docs
+      // preferring longer text, exactly reproducible (the oracle replays
+      // the identical u^(1/w) keys)
+      Sampling.weightedSample(
+        t(s, dir, "documents").select(col("doc_id"),
+          length(col("text")).cast("long").as("w")),
+        col("doc_id"), col("w"), k = 200)
+        .select(col("doc_id"), col("w"))),
+
+
+    "q_epoch_shuffle" -> ((s, dir) =>
+      // deterministic epoch permutation: every doc's 0-based position in
+      // the seed-7 md5 order, assigned by the distributed prefix-sum (a
+      // balanced range shuffle, never one unpartitioned row_number window)
+      Sharding.epochShuffle(t(s, dir, "documents").select("doc_id"),
+          col("doc_id"), seed = 7L)
+        .select(col("doc_id"), col("pos"))),
+
+
+    "q_shard_assign" -> ((s, dir) =>
+      // data-parallel trainer sharding: round-robin stripe the seed-3
+      // epoch permutation across 8 ranks — shard sizes differ by <= 1 and
+      // each rank's in-shard order is a uniform sample of the global one
+      Sharding.shardAssign(t(s, dir, "documents").select("doc_id"),
+          col("doc_id"), worldSize = 8, seed = 3L)
+        .select(col("doc_id"), col("shard"), col("ord"))),
+
+
+    "q_nb_classifier" -> ((s, dir) => {
+      // fastText-style learned quality gate: closed-form multinomial
+      // Naive-Bayes (one token-count aggregation = the whole training
+      // run) fit on the even-id half labeled by length > 300, scoring
+      // the odd-id half; model probes are broadcast, like q_lm_score
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val model = Scoring.naiveBayesTrain(base.where(col("doc_id") % 2 === 0),
+        "text", length(col("text")) > 300)
+      Scoring.naiveBayesScore(base.where(col("doc_id") % 2 === 1),
+          model, "text", "doc_id")
+        .select(col("doc_id"), round(col("score"), 6).as("score"), col("pred"))
+    }),
+
+
+    "q_nb_incr" -> ((s, dir) => {
+      // incremental retrain ≡ full retrain, EXACTLY: NB state is integer
+      // count tables (a sumByKey value), so merging the 0-mod-4 and
+      // 2-mod-4 quarters' counts is bit-identical to training on the even
+      // half — this row scores through the merged model and shares
+      // q_nb_classifier's oracle verbatim
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val y = length(col("text")) > 300
+      val a = base.where(col("doc_id") % 4 === 0)
+      val b = base.where(col("doc_id") % 4 === 2)
+      val counts = Scoring.mergeNaiveBayesCounts(
+        Scoring.naiveBayesCounts(a, "text", y),
+        Scoring.naiveBayesCounts(b, "text", y))
+      val docCounts = a.unionByName(b).agg(
+        sum(when(y, 1L).otherwise(0L)).as("d_pos"),
+        sum(when(!y, 1L).otherwise(0L)).as("d_neg"))
+      val model = Scoring.naiveBayesFromCounts(counts, docCounts)
+      Scoring.naiveBayesScore(base.where(col("doc_id") % 2 === 1),
+          model, "text", "doc_id")
+        .select(col("doc_id"), round(col("score"), 6).as("score"), col("pred"))
+    }),
+
+
+    "q_corpus_stats" -> ((s, dir) =>
+      // the monitoring surface every pipeline reports: per-(lang, source)
+      // doc/char/token volumes — one hash aggregation, fully SQL-oracled
+      t(s, dir, "documents").groupBy("lang", "source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))),
+
+
+    "q_streaming_corpus_stats" -> ((s, dir) => {
+      // live ingest monitoring: the per-(lang, source) volume report
+      // rolls forward as the corpus streams in 3 micro-batches
+      // (foreachBatch merges each batch's aggregate into stored state —
+      // counts are sums, the Summer contract). The final state equals
+      // the batch aggregation exactly, so this row shares
+      // q_corpus_stats' oracle verbatim.
+      // State story: no state-store state; the stats table is bounded by
+      // the (lang, source) key space, not by time — all-time by the
+      // report's contract (see StreamingIO.fanout)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      def statsOf(df: DataFrame): DataFrame =
+        df.groupBy("lang", "source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      def mergeStats(a: DataFrame, b: DataFrame): DataFrame =
+        a.unionByName(b).groupBy("lang", "source").agg(
+          sum(col("n_docs")).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+          sum(col("n_tokens")).as("n_tokens"))
+      val base = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      val rows = base.as[(Long, String, String, String)].collect()
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String, String)]
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cstats_").toString
+      try {
+        statsOf(base.limit(0)).write.parquet(s"$tmp/v0")
+        @volatile var ver = 0
+        val writer = graft.streaming.StreamingIO.fanout(
+          ms.toDS().toDF("doc_id", "text", "lang", "source"))(Seq(
+          (b, _) => {
+            mergeStats(s.read.parquet(s"$tmp/v$ver"), statsOf(b))
+              .write.parquet(s"$tmp/v${ver + 1}")
+            ver += 1
+          }))
+        withStreamingGateConf(s, 4) {
+          val q = writer.start()
+          try {
+            (0 until 3).foreach { i =>
+              ms.addData(rows.filter(_._1 % 3 == i).toSeq)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
+        s.read.parquet(s"$tmp/v$ver")
+          .select("lang", "source", "n_docs", "n_chars", "n_tokens")
+          .localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
+
+    "q_export_pipeline" -> ((s, dir) => {
+      // the END-TO-END tokenized export: corpus-fitted BPE encode →
+      // doc-boundary packing into 512-token sequences → 8-rank striping
+      // of the sequences. Every stage is oracled on its own elsewhere
+      // (q_bpe, q_pack_docwise, q_shard_assign); this row oracles the
+      // COMPOSITION: n_docs is SQL-exact, and the export invariants —
+      // every doc packed exactly once, multi-doc sequences within
+      // budget, rank loads within 1, per-rank orders contiguous — are
+      // Spark-computed booleans pinned TRUE (the q_semdedup_hier
+      // invariant-row pattern).
+      import graft.functions.Bpe
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val merges = Bpe.trainMerges(Bpe.wordFreq(docs, "text"), numMerges = 200)
+      val enc = Bpe.encodeUdf(merges)
+      val withToks = docs.select(col("doc_id"),
+        size(enc(col("text"))).cast("long").as("n_bpe"))
+      val packed = Packing.packDocwise(withToks, "doc_id", col("n_bpe"),
+        512L, Seq(col("doc_id")), groupBudget = 4096L).localCheckpoint(true)
+      val seqs = packed.groupBy("seq_id").agg(
+        sum(col("n_bpe")).as("seq_tokens"), count(lit(1)).as("docs_in_seq"))
+      val sharded = Sharding.shardAssign(seqs, col("seq_id"),
+        worldSize = 8, seed = 11L).localCheckpoint(true)
+      val perRank = sharded.groupBy("shard").agg(
+        count(lit(1)).as("n_seqs"),
+        (max(col("ord")) === count(lit(1)) - 1).as("contig"))
+      val rankStats = perRank.agg(
+        (max(col("n_seqs")) - min(col("n_seqs")) <= 1).as("ranks_balanced"),
+        min(col("contig")).as("ords_contiguous"))
+      val packStats = sharded.agg(
+        sum(col("docs_in_seq")).as("docs_packed"),
+        max(when(col("docs_in_seq") >= 2, col("seq_tokens"))
+          .otherwise(lit(0L))).as("max_multi_seq"))
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(packStats)).crossJoin(broadcast(rankStats))
+        .select(col("n_docs"),
+          (col("docs_packed") === col("n_docs")).as("packed_all"),
+          (col("max_multi_seq") <= 512L).as("budget_ok"),
+          col("ranks_balanced"), col("ords_contiguous"))
+    }),
+
+
+    "q_embed_quant" -> ((s, dir) =>
+      // int8 embedding storage (rung one below PQ): exact per-vector
+      // symmetric scale, 4x smaller serving footprint, error <= scale/254
+      // per element; codes integer-exact across engines. The driver's
+      // checker cannot sort array-typed cells, so the compared surface is
+      // a canonical digest of the codes (comma-joined decimal int8s ->
+      // md5), built with the byte-identical expression in the oracle.
+      t(s, dir, "embeddings").select(col("vec_id"),
+        md5(concat_ws(",",
+          transform(VF.int8Quantize(col("embedding")),
+            c => c.cast("string")))).as("codes_digest"),
+        round(VF.int8Scale(col("embedding")), 6).as("scale"))),
+
+
+    "q_shard_export" -> ((s, dir) => {
+      // the persisted form of q_shard_assign: one ord-sorted directory
+      // per trainer rank (the layout a dataloader consumes with no
+      // further shuffle), read back and re-asserted against the SAME
+      // oracle as the in-memory assignment
+      val tmp = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+      try {
+        Sharding.writeShards(t(s, dir, "documents").select("doc_id"),
+          col("doc_id"), worldSize = 8, seed = 3L, tmp)
+        s.read.parquet(tmp).select(col("doc_id"), col("shard"), col("ord"))
+          .localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
+
+    "q_lm_score_backoff" -> ((s, dir) => {
+      // stupid-backoff trigram LM (Brants et al. 2007): one n-gram order
+      // beyond q_lm_score_bigram, with the standard 0.4 backoff cascade
+      // trigram -> bigram -> unigram -> unk; same train/score split
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      Scoring.backoffSurprisal(base.where(col("doc_id") % 2 === 1),
+          base.where(col("doc_id") % 2 === 0), "text", "doc_id")
+        .select(col("doc_id"), round(col("surprisal"), 6).as("surprisal"))
+    }),
+
+
+    "q_chunk" -> ((s, dir) =>
+      // RAG-ingestion chunking: 32-token windows, 8-token overlap —
+      // columnar slice/explode at scan speed, fully SQL-oracled (the
+      // oracle replays the identical window math and joins)
+      graft.operators.Chunking.chunk(t(s, dir, "documents"),
+        "text", "doc_id", chunkSize = 32, overlap = 8)),
+
+
+    "q_nb_stored" -> ((s, dir) => {
+      // the model SERVING story: train once, persist the model (two
+      // parquet tables), score from the stored form in a plan that never
+      // sees the training corpus. Doubles round-trip parquet bit-exactly,
+      // so this row shares q_nb_classifier's oracle verbatim — the same
+      // stored ≡ memory contract as q_bm25_stored.
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val model = Scoring.naiveBayesTrain(base.where(col("doc_id") % 2 === 0),
+        "text", length(col("text")) > 300)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_nb_store_").toString
+      try {
+        Scoring.saveNaiveBayes(model, tmp)
+        Scoring.naiveBayesScore(base.where(col("doc_id") % 2 === 1),
+            Scoring.loadNaiveBayes(s, tmp), "text", "doc_id")
+          .select(col("doc_id"), round(col("score"), 6).as("score"), col("pred"))
+          .localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
+
+    "q_langid_trained" -> ((s, dir) => {
+      // TRAINED language ID (the learned counterpart of q_langid's n-gram
+      // heuristic): multi-class Naive-Bayes fit on the even-id half's lang
+      // labels, argmax prediction for the odd half — training is one
+      // (token, class) aggregation, the model broadcasts, and the oracle
+      // replays the identical ln arithmetic and tie-break
+      val base = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val model = Scoring.naiveBayesMultiTrain(
+        base.where(col("doc_id") % 2 === 0), "text", col("lang"))
+      Scoring.naiveBayesMultiPredict(base.where(col("doc_id") % 2 === 1),
+          model, "text", "doc_id")
+        .select(col("doc_id"), col("cls").as("pred_lang"),
+          round(col("score"), 6).as("score"))
+    }),
+
+
+    "q_csv_roundtrip" -> ((s, dir) => {
+      // delimited-text interchange: corpus → headerless gzip CSV parts →
+      // schema-supplied FAILFAST read-back ≡ the original parquet corpus
+      val base = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      try {
+        sources.CsvLines.write(base, tmp, codec = Some("gzip"))
+        sources.CsvLines.read(s, tmp, base.schema).localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
+
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      // crawl-format interchange: corpus → JSON-lines gzip parts →
+      // schema-supplied FAILFAST read-back (inference is a banned extra
+      // full pass at scale — sources/JsonLines.scala); the result must
+      // equal the original parquet corpus, which is exactly the oracle
+      val base = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+      try {
+        sources.JsonLines.write(base, tmp, codec = Some("gzip"))
+        sources.JsonLines.read(s, tmp, base.schema).localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
+
+    "q_streaming_nb" -> ((s, dir) => {
+      // online classifier maintenance: the labeled (even-id) half arrives
+      // in 3 micro-batches; foreachBatch merges each batch's token counts
+      // into the stored model state (mergeNaiveBayesCounts roll-forward —
+      // the model is re-finalizable and serveable after every batch).
+      // Integer counts sum exactly, so the final state ≡ full retraining
+      // and this row shares q_nb_classifier's oracle verbatim.
+      // State story: no state-store state; the count model is the
+      // all-time durable state (a classifier's counts are its sufficient
+      // statistic — nothing to horizon). This harness versions by `ver`;
+      // a production ingest commits counts through a BatchStore so a
+      // replayed batch is guarded like any merge (see StreamingIO.fanout)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val y = length(col("text")) > 300
+      val train = docsDs(s, dir).collect().filter(_.doc_id % 2 == 0)
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val tmp = java.nio.file.Files.createTempDirectory("graft_nb_stream_").toString
+      try {
+        Scoring.naiveBayesCounts(base.limit(0), "text", y)
+          .write.parquet(s"$tmp/counts_v0")
+        Seq((0L, 0L)).toDF("d_pos", "d_neg").write.parquet(s"$tmp/dc_v0")
+        @volatile var ver = 0
+        val writer = graft.streaming.StreamingIO.fanout(
+          ms.toDS().toDF("doc_id", "text"))(Seq(
+          (b, _) => {
+            val bc = Scoring.naiveBayesCounts(b, "text", y)
+            Scoring.mergeNaiveBayesCounts(
+                s.read.parquet(s"$tmp/counts_v$ver"), bc)
+              .write.parquet(s"$tmp/counts_v${ver + 1}")
+            s.read.parquet(s"$tmp/dc_v$ver").unionByName(
+                b.agg(sum(when(y, 1L).otherwise(0L)).as("d_pos"),
+                  sum(when(!y, 1L).otherwise(0L)).as("d_neg")))
+              .agg(sum(col("d_pos")).as("d_pos"), sum(col("d_neg")).as("d_neg"))
+              .write.parquet(s"$tmp/dc_v${ver + 1}")
+            ver += 1
+          }))
+        withStreamingGateConf(s, 4) {
+          val q = writer.start()
+          try {
+            (0 until 3).foreach { i =>
+              ms.addData(train.iterator.filter(_.doc_id % 3 == i)
+                .map(d => (d.doc_id, d.text)).toSeq)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
+        val model = Scoring.naiveBayesFromCounts(
+          s.read.parquet(s"$tmp/counts_v$ver"),
+          s.read.parquet(s"$tmp/dc_v$ver"))
+        Scoring.naiveBayesScore(base.where(col("doc_id") % 2 === 1),
+            model, "text", "doc_id")
+          .select(col("doc_id"), round(col("score"), 6).as("score"), col("pred"))
+          .localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
+
+    "q_multimodal" -> ((s, dir) => {
+      // opaque-binary media pipeline: documents' utf-8 bytes play the media
+      // content; features flow through the real mapPartitions batch
+      // plumbing (oracle checks the byte-level features; the stub-decoded
+      // statistics are covered by MultimodalSpec)
+      import s.implicits._
+      import graft.functions.Multimodal
+      val media = docsDs(s, dir).map(d => Multimodal.MediaRow(d.doc_id,
+        Multimodal.MediaMeta("image", 0, 0, 0, 0), d.text.getBytes("UTF-8")))
+      Multimodal.featurize(media)
+        .select(col("id").as("doc_id"), col("nBytes").as("n_bytes"),
+          col("nFrames").as("n_frames"), col("contentMd5").as("content_md5"))
+    }),
+
+
+    "q_multimodal_decode" -> ((s, dir) => {
+      // REAL image decode (JDK javax.imageio — public API, no new deps):
+      // plant one deterministic grayscale PNG per 10th doc, whose
+      // width/height/constant pixel value are pure functions of doc_id —
+      // so the DECODED geometry and mean are fully SQL-oracled. The PNG
+      // bytes flow through the same opaque-binary MediaRow plumbing and
+      // mapPartitions batch decode any 100 TB media column would use;
+      // round-trip pixel-exactness lives in MultimodalSpec.
+      import s.implicits._
+      import graft.functions.Multimodal
+      val planted = docsDs(s, dir).filter(_.doc_id % 10 == 0).map { d =>
+        val w = 8 + (d.doc_id % 16).toInt
+        val h = 4 + (d.doc_id % 8).toInt
+        val v = (d.doc_id % 251).toInt
+        Multimodal.MediaRow(d.doc_id,
+          Multimodal.MediaMeta("image/png", w, h, 1, 0),
+          Multimodal.encodeGrayPng(w, h, v))
+      }
+      Multimodal.featurizeImages(planted)
+        .select(col("id").as("doc_id"), col("decoded"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("bands").cast("long").as("bands"),
+          round(col("meanValue"), 5).as("mean_value"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+
+    // winnowing invariant: n_grams is recomputed exactly at the string
+    // level; the fingerprint-count bound must hold for every doc
+    "q_winnow" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3 THEN len(toks) - 2
+        |       WHEN len(toks) > 0 THEN 1 ELSE 0 END AS n_grams,
+        |  TRUE AS fp_ok
+        |FROM (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents)""".stripMargin,
+
+
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |ng AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_transform(range(1, len(t) - 1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+        |    WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+        |    ELSE [] END) AS s FROM toks),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM ng WHERE doc_id % 20 = 0),
+        |docng AS (SELECT doc_id, unnest(s) AS g FROM ng WHERE doc_id % 20 != 0)
+        |SELECT d.doc_id, count(*) AS n_overlap
+        |FROM docng d JOIN bench b ON d.g = b.g
+        |GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+
+
+    "q_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |ng AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 2 THEN
+        |      list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1]))
+        |    WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+        |    ELSE [] END AS s FROM toks),
+        |ln AS (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS ls
+        |  FROM documents)
+        |SELECT ng.doc_id,
+        |  round(CASE WHEN len(ls) > 0 THEN
+        |    (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS dup_line_frac,
+        |  round(CASE WHEN len(s) > 0 THEN
+        |    (len(s) - len(list_distinct(s))) / CAST(len(s) AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS dup_bigram_frac,
+        |  round(CASE WHEN len(s) > 0 THEN
+        |    list_max(list_transform(list_distinct(s),
+        |      g -> len(list_filter(s, x -> x = g)))) / CAST(len(s) AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS top_bigram_frac
+        |FROM ng JOIN ln ON ng.doc_id = ln.doc_id""".stripMargin,
+
+
+    "q_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'
+        |    || CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || repeat(' ip 8.8.8.8', CAST(doc_id % 3 AS INT)) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '(\+\d{1,3}[-. ]?(\(\d{3}\)|\d{3})|\b\d{1,3}[-. ]?(\(\d{3}\)|\d{3})|\(\d{3}\)|\b\d{3})[-. ]?\d{3}[-. ]?\d{4}\b', '<PHONE>', 'g') AS clean,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+        |  len(regexp_extract_all(t,
+        |    '(\+\d{1,3}[-. ]?(\(\d{3}\)|\d{3})|\b\d{1,3}[-. ]?(\(\d{3}\)|\d{3})|\(\d{3}\)|\b\d{3})[-. ]?\d{3}[-. ]?\d{4}\b')) AS n_phone
+        |FROM p""".stripMargin,
+
+
+    "q_sample_stratified" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |    / 4294967296.0
+        |  < CASE event_type WHEN 'purchase' THEN 0.5 WHEN 'click' THEN 0.05
+        |    WHEN 'view' THEN 0.2 ELSE 0.01 END""".stripMargin,
+
+
+    "q_sample_mixture" ->
+      """WITH c AS (SELECT lang AS s, count(*) AS n FROM documents GROUP BY 1),
+        |r AS (SELECT s, least(1.0, CAST(300 AS DOUBLE) * w / n) AS rate FROM (
+        |    SELECT s, n, CASE s WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+        |      WHEN 'fr' THEN CAST(0.2 AS DOUBLE) WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+        |      WHEN 'es' THEN CAST(0.1 AS DOUBLE) ELSE 0 END AS w FROM c)
+        |  WHERE w > 0)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN r ON d.lang = r.s
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |    / 4294967296.0 < r.rate""".stripMargin,
+
+
+    "q_sample_quota" ->
+      """SELECT event_id, event_type FROM (
+        |  SELECT event_id, event_type,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY
+        |      CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |        / 4294967296.0,
+        |      CAST(event_id AS VARCHAR)) AS rn
+        |  FROM events) WHERE rn <= 150""".stripMargin,
+
+
+    "q_split" ->
+      """SELECT event_id,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT event_id,
+        |  CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |    / 4294967296.0 AS u
+        |FROM events)""".stripMargin,
+
+
+    "q_vocab_coverage" ->
+      """WITH f AS (SELECT word, count(*) AS n FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS word
+        |    FROM documents) GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM f),
+        |c AS (SELECT word, n, coalesce(sum(n) OVER (ORDER BY n DESC, word ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM f)
+        |SELECT word, n FROM c, t
+        |WHERE CAST(bef AS DOUBLE) < 0.8 * CAST(total AS DOUBLE)""".stripMargin,
+
+
+    "q_hybrid_rrf" -> hybridRrfOracle,
+
+
+    // the stored serving composition is exact, so it shares q_hybrid_rrf's
+    // oracle verbatim (same rankers, same fusion arithmetic)
+    "q_hybrid_stored" -> hybridRrfOracle,
+
+
+    "q_fold_assign" ->
+      """SELECT doc_id, CAST(floor(
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |    / 4294967296.0 * 5) AS INT) AS fold
+        |FROM documents""".stripMargin,
+
+
+    "q_sample_weighted" ->
+      """SELECT doc_id, w FROM (
+        |  SELECT doc_id, w, row_number() OVER (ORDER BY
+        |      pow(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |        / 4294967296.0, 1.0 / CAST(w AS DOUBLE)) DESC,
+        |      doc_id ASC) AS rn
+        |  FROM (SELECT doc_id, length(text) AS w FROM documents WHERE length(text) > 0))
+        |WHERE rn <= 200""".stripMargin,
+
+
+    "q_epoch_shuffle" ->
+      """SELECT doc_id, row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id) - 1 AS pos
+        |FROM documents""".stripMargin,
+
+
+    "q_shard_assign" ->
+      """WITH p AS (SELECT doc_id, row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':3'), doc_id) - 1 AS pos
+        |  FROM documents)
+        |SELECT doc_id, CAST(pos % 8 AS INT) AS shard, pos // 8 AS ord
+        |FROM p""".stripMargin,
+
+
+    "q_nb_classifier" -> nbClassifierOracle,
+
+
+    // merged-counts model ≡ full-retrain model bit-for-bit (integer count
+    // semigroup), so the incremental row shares the oracle verbatim
+    "q_nb_incr" -> nbClassifierOracle,
+
+
+    // 3-micro-batch streamed counts sum to the same integers, same model
+    "q_streaming_nb" -> nbClassifierOracle,
+
+
+    // parquet round-trips the model doubles bit-exactly: stored ≡ memory
+    "q_nb_stored" -> nbClassifierOracle,
+
+
+    "q_lm_score_backoff" ->
+      """WITH ct AS (SELECT list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tg AS (SELECT g.p2 AS p2, g.p1 AS p1, g.w AS w, count(*) AS c3 FROM (
+        |    SELECT unnest(list_transform(range(1, len(t) - 1),
+        |      i -> {'p2': t[i], 'p1': t[i+1], 'w': t[i+2]})) AS g
+        |    FROM ct WHERE len(t) >= 3) GROUP BY 1, 2, 3),
+        |bg AS (SELECT bgp.prev AS prev, bgp.token AS token, count(*) AS c2 FROM (
+        |    SELECT unnest(list_transform(range(1, len(t)),
+        |      i -> {'prev': t[i], 'token': t[i+1]})) AS bgp
+        |    FROM ct WHERE len(t) >= 2) GROUP BY 1, 2),
+        |c1t AS (SELECT token, count(*) AS c1 FROM (
+        |    SELECT unnest(t) AS token FROM ct) GROUP BY 1),
+        |tot AS (SELECT sum(c1) AS N FROM c1t),
+        |dpos AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> {'p2': t[i], 'p1': t[i+1], 'w': t[i+2]})) AS g
+        |  FROM (SELECT doc_id, list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |    FROM documents WHERE doc_id % 2 = 1) WHERE len(t) >= 3),
+        |sp AS (SELECT d.doc_id,
+        |    CASE WHEN tg.c3 IS NOT NULL THEN -log2(tg.c3 / CAST(bctx.c2 AS DOUBLE))
+        |      WHEN b2.c2 IS NOT NULL THEN -log2(0.4 * (b2.c2 / CAST(cc.c1 AS DOUBLE)))
+        |      WHEN cw.c1 IS NOT NULL THEN -log2(0.16 * (cw.c1 / CAST(tot.N AS DOUBLE)))
+        |      ELSE 24.0 END AS surp
+        |  FROM dpos d
+        |  LEFT JOIN tg ON d.g.p2 = tg.p2 AND d.g.p1 = tg.p1 AND d.g.w = tg.w
+        |  LEFT JOIN bg bctx ON d.g.p2 = bctx.prev AND d.g.p1 = bctx.token
+        |  LEFT JOIN bg b2 ON d.g.p1 = b2.prev AND d.g.w = b2.token
+        |  LEFT JOIN c1t cc ON d.g.p1 = cc.token
+        |  LEFT JOIN c1t cw ON d.g.w = cw.token
+        |  CROSS JOIN tot)
+        |SELECT doc.doc_id, round(coalesce(s.m, 24.0), 6) AS surprisal
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) doc
+        |LEFT JOIN (SELECT doc_id, avg(surp) AS m FROM sp GROUP BY 1) s
+        |  ON doc.doc_id = s.doc_id""".stripMargin,
+
+
+    "q_chunk" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, t, len(t) AS n,
+        |    CASE WHEN len(t) = 0 THEN 0 WHEN len(t) <= 32 THEN 1
+        |      ELSE (len(t) - 32 + 24 - 1) // 24 + 1 END AS nc
+        |  FROM d)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |  CAST(len(list_slice(t, i * 24 + 1, least(i * 24 + 32, n))) AS INT)
+        |    AS n_tokens,
+        |  array_to_string(list_slice(t, i * 24 + 1, least(i * 24 + 32, n)), ' ')
+        |    AS chunk_text
+        |FROM c, unnest(range(nc)) AS u(i)""".stripMargin,
+
+
+    "q_corpus_stats" -> corpusStatsOracle,
+
+
+    // per-batch aggregates merge by key-wise integer sums, so the
+    // streamed state equals the batch aggregation exactly
+    "q_streaming_corpus_stats" -> corpusStatsOracle,
+
+
+    // composition row: corpus size is the SQL-exact check; the packing/
+    // sharding invariants are Spark-computed TRUE booleans (established
+    // q_semdedup_hier pattern — each stage is fully oracled on its own)
+    "q_export_pipeline" ->
+      """SELECT count(*) AS n_docs, TRUE AS packed_all, TRUE AS budget_ok,
+        |  TRUE AS ranks_balanced, TRUE AS ords_contiguous
+        |FROM documents""".stripMargin,
+
+
+    "q_embed_quant" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |    CAST(list_aggregate(list_transform(embedding,
+        |      y -> abs(CAST(y AS DOUBLE))), 'max') AS DOUBLE) AS m
+        |  FROM embeddings),
+        |c AS (SELECT vec_id, m,
+        |  CASE WHEN m > 0 THEN list_transform(embedding,
+        |      y -> CAST(round(CAST(y AS DOUBLE) * 127.0 / m) AS TINYINT))
+        |    ELSE list_transform(embedding, y -> CAST(0 AS TINYINT)) END AS codes
+        |  FROM m)
+        |SELECT vec_id,
+        |  md5(array_to_string(list_transform(codes,
+        |    x -> CAST(x AS VARCHAR)), ',')) AS codes_digest,
+        |  round(m, 6) AS scale
+        |FROM c""".stripMargin,
+
+
+    // the on-disk shard layout reads back to exactly the seed-3/W=8
+    // assignment, so the export row shares q_shard_assign's oracle
+    "q_shard_export" ->
+      """WITH p AS (SELECT doc_id, row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':3'), doc_id) - 1 AS pos
+        |  FROM documents)
+        |SELECT doc_id, CAST(pos % 8 AS INT) AS shard, pos // 8 AS ord
+        |FROM p""".stripMargin,
+
+
+    "q_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source FROM documents",
+
+
+    "q_csv_roundtrip" ->
+      "SELECT doc_id, text, lang, source FROM documents",
+
+
+    // mirrors Scoring.naiveBayesMulti* literally: same Laplace lns, same
+    // coalesce(sum) empty-doc handling, same (score desc, cls asc) argmax
+    "q_langid_trained" ->
+      """WITH lab AS (SELECT lang AS cls, lower(text) AS t
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tok AS (SELECT cls, unnest(
+        |    list_filter(string_split_regex(t, '\s+'), x -> len(x) > 0)) AS token
+        |  FROM lab),
+        |ptc AS (SELECT token, cls, count(*) AS c FROM tok GROUP BY 1, 2),
+        |nc AS (SELECT cls, sum(c) AS n FROM ptc GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS v FROM ptc),
+        |dcl AS (SELECT cls, count(*) AS d FROM lab GROUP BY 1),
+        |dt AS (SELECT count(*) AS dt FROM lab),
+        |cls AS (SELECT nc.cls,
+        |    ln(CAST(dcl.d AS DOUBLE)) - ln(CAST(dt.dt AS DOUBLE)) AS prior,
+        |    ln(1.0 / CAST(nc.n + v.v AS DOUBLE)) AS unk
+        |  FROM nc JOIN dcl ON nc.cls = dcl.cls, v, dt),
+        |lp AS (SELECT ptc.token, ptc.cls,
+        |    ln(CAST(ptc.c + 1 AS DOUBLE) / CAST(nc.n + v.v AS DOUBLE)) AS logp
+        |  FROM ptc JOIN nc ON ptc.cls = nc.cls, v),
+        |docs2 AS (SELECT doc_id, lower(text) AS t
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |dtok AS (SELECT doc_id, unnest(
+        |    list_filter(string_split_regex(t, '\s+'), x -> len(x) > 0)) AS token
+        |  FROM docs2),
+        |base AS (SELECT d.doc_id, t.token FROM docs2 d
+        |  LEFT JOIN dtok t ON d.doc_id = t.doc_id),
+        |scored AS (SELECT b.doc_id, c.cls,
+        |    min(c.prior) + coalesce(sum(CASE WHEN b.token IS NOT NULL
+        |      THEN coalesce(lp.logp, c.unk) ELSE 0 END), 0) AS score
+        |  FROM base b CROSS JOIN cls c
+        |  LEFT JOIN lp ON lp.token = b.token AND lp.cls = c.cls
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, cls AS pred_lang, round(score, 6) AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, cls) AS rn FROM scored)
+        |WHERE rn = 1""".stripMargin,
+
+
+    // planted script/profile extremes have pinned guesses; the corpus row
+    // asserts closed-label-set containment over every real document
+    "q_langid" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, TRUE AS lang_ok
+        |FROM (VALUES (-1, 'en'), (-2, 'de'), (-3, 'fr'), (-4, 'es'),
+        |  (-5, 'it'), (-6, 'ja'), (-7, 'ko'), (-8, 'zh'), (-9, 'ru'),
+        |  (-10, 'und'), (0, '__corpus')) AS t(doc_id, lang)""".stripMargin,
+
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subwords
+        |FROM documents""".stripMargin,
+
+
+    // replays mixtureByTokens literally: same portable uniform, same
+    // (u, doc_id-as-string) order, same exclusive per-domain prefix sum,
+    // same epoch inequality e*T_d + excum < budget*w/Σw (Σw = 1.0 exact)
+    "q_mixture_tokens" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |      / 4294967296.0 AS u
+        |  FROM documents WHERE source IN ('src1', 'src2', 'src3')),
+        |w(source, wt) AS (VALUES ('src1', 0.5), ('src2', 0.25), ('src3', 0.25)),
+        |c AS (SELECT d.doc_id, d.source, d.n_tokens,
+        |    CAST(6000 AS DOUBLE) * wt / 1.0 AS target,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY d.source
+        |      ORDER BY u, CAST(doc_id AS VARCHAR)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excum,
+        |    sum(n_tokens) OVER (PARTITION BY d.source) AS dtot
+        |  FROM d JOIN w ON d.source = w.source)
+        |SELECT doc_id, source, n_tokens, CAST(e.e AS INT) AS epoch
+        |FROM c CROSS JOIN (SELECT unnest(range(3)) AS e) e
+        |WHERE CAST(e AS DOUBLE) * CAST(dtot AS DOUBLE)
+        |  + CAST(excum AS DOUBLE) < target""".stripMargin,
+
+
+    "q_quality" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  round(CASE WHEN len(toks) > 0 THEN
+        |    CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+        |    ELSE 0.0 END, 6) AS mean_word_len,
+        |  round(CASE WHEN len(toks_l) > 0 THEN
+        |    CAST(len(list_filter(toks_l, x -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','are','was','for','on',
+        |       'with','as','at','by','it','be','this','that'], x))) AS DOUBLE) / len(toks_l)
+        |    ELSE 0.0 END, 6) AS stopword_ratio,
+        |  round(CASE WHEN length(text) > 0 THEN
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)
+        |    ELSE 0.0 END, 6) AS alpha_ratio
+        |FROM (SELECT doc_id, text,
+        |  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks_l
+        |  FROM documents)""".stripMargin,
+
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+
+    "q_corpus_diff" ->
+      """WITH oldv AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |newv AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN md5(o.text) IS DISTINCT FROM md5(n.text) THEN 'changed'
+        |       ELSE 'same' END AS status
+        |FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id""".stripMargin,
+
+
+    "q_bpe" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n_words,
+        |  TRUE AS roundtrip_ok, TRUE AS bounds_ok
+        |FROM documents""".stripMargin,
+
+
+    "q_quality_gate" -> qualityGateOracle,
+
+    // the salted/rescued form must equal the plain cut exactly
+    "q_quality_gate_salted" -> qualityGateOracle,
+
+
+    "q_multimodal" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  CAST(ceil(octet_length(encode(text)) / 1024.0) AS BIGINT) AS n_frames,
+        |  md5(text) AS content_md5
+        |FROM documents""".stripMargin,
+
+
+    // planted gray PNGs: geometry and constant pixel value are pure
+    // functions of doc_id, so the REAL ImageIO decode is fully oracled
+    // (round-5dp margin analysis: every v/255 sits >= 9.8e-8 from a
+    // rounding boundary vs <= 3e-8 float representation error)
+    "q_multimodal_decode" ->
+      """SELECT doc_id, TRUE AS decoded,
+        |  8 + doc_id % 16 AS width, 4 + doc_id % 8 AS height,
+        |  CAST(1 AS BIGINT) AS bands,
+        |  round(CAST(doc_id % 251 AS DOUBLE) / 255, 5) AS mean_value
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+  )
+}
