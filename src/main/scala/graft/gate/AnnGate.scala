@@ -394,6 +394,92 @@ private[graft] object AnnGate {
           "lambda1_equals_topk", "distinct_ok")
     }),
 
+    "q_ann_mmr_join" -> ((s, dir) => {
+      // round 19 (r18 verdict #2): MMR composed with the query-TABLE
+      // serve matrix — mmrRerankJoin re-ranks every query's candidate
+      // set from ivfTopKStoredJoin output in ONE call (one bounded
+      // broadcast join attaches vectors; the per-query greedy stays
+      // driver-side, maxQueries·maxCandidates-guarded, loud). Three
+      // synthetic query directions, each with TWO planted exact copies
+      // in the corpus (ids -(10j+1), -(10j+2)); the copies land in the
+      // query's own probe cell (they ARE the query vector), so the
+      // oversampled serve surfaces both deterministically. Theorems per
+      // query: rank 1 is the smaller-id copy at cosine 1.0; its exact
+      // duplicate can NEVER be second at lambda=0.3 (scores 2λ−1 = −0.4
+      // vs −0.4·c for any distinct candidate, c < 1); per-query output
+      // EXACTLY equals the single-query mmrRerank loop over the same
+      // candidates (structural — one greedy body — and re-verified
+      // in-row); lambda=1 equals the plain top-k over the candidates.
+      import s.implicits._
+      val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      def qv(j: Int): Array[Double] = Array.tabulate(64)(i => math.sin(i + 1.0 + j))
+      val planted = (0 until 3).flatMap { j =>
+        Seq((-(10L * j + 1), qv(j).toSeq), (-(10L * j + 2), qv(j).toSeq))
+      }.toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          col("embedding").cast(e0.schema("embedding").dataType))
+      val corpus = e0.unionByName(planted).localCheckpoint(true)
+      val queries = (0 until 3).map(j => (j.toLong, qv(j).toSeq))
+        .toDF("q_id", "q_vec")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mmr_join_").toString
+      try {
+        PhaseTimer.time("q_ann_mmr_join", "build") {
+          Similarity.ivfWriteIndex(corpus, "embedding", "vec_id", tmp,
+            nCentroids = 16)
+        }
+        val cands = PhaseTimer.time("q_ann_mmr_join", "serve_join") {
+          Similarity.ivfTopKStoredJoin(s, tmp, corpus, "embedding", "vec_id",
+            queries, "q_vec", "q_id", k = 50, nProbe = 4)
+            .localCheckpoint(true)
+        }
+        val mmr = Similarity.mmrRerankJoin(cands, "q_id", "vec_id",
+          corpus, "embedding", "vec_id", queries, "q_vec", "q_id",
+          k = 10, lambda = 0.3)
+          .localCheckpoint(true)
+        // law 1: per-query equality to the single-query mmrRerank loop
+        val sameAsLoop = PhaseTimer.time("q_ann_mmr_join", "exact_oracle") {
+          (0 until 3).forall { j =>
+            val sub = cands.where(col("q_id") === j).select("vec_id")
+              .join(corpus, "vec_id").select("vec_id", "embedding")
+            val loop = Similarity.mmrRerank(sub, "embedding", "vec_id",
+              qv(j), k = 10, lambda = 0.3)
+            val got = mmr.where(col("q_id") === j)
+              .select(col("vec_id"), col("cosine_sim"), col("mmr_rank"))
+            got.exceptAll(loop).unionByName(loop.exceptAll(got)).count() == 0L
+          }
+        }
+        // law 2: lambda=1 reduces to the plain top-k over the candidates
+        val lambda1Ok = PhaseTimer.time("q_ann_mmr_join", "exact_oracle") {
+          val l1 = Similarity.mmrRerankJoin(cands, "q_id", "vec_id",
+            corpus, "embedding", "vec_id", queries, "q_vec", "q_id",
+            k = 10, lambda = 1.0).select(col("q_id"), col("vec_id"), col("cosine_sim"))
+          (0 until 3).forall { j =>
+            val sub = cands.where(col("q_id") === j).select("vec_id")
+              .join(corpus, "vec_id").select("vec_id", "embedding")
+            val plain = Similarity.bruteForceTopK(sub, "embedding", "vec_id",
+              qv(j), 10).select(col("vec_id"), col("cosine_sim"))
+            val got = l1.where(col("q_id") === j).drop("q_id")
+            got.exceptAll(plain).unionByName(plain.exceptAll(got)).count() == 0L
+          }
+        }
+        val picked = mmr.orderBy(col("q_id"), col("mmr_rank")).collect()
+          .groupBy(_.getLong(0))
+        val perQ = (0 until 3).map { j =>
+          val rows = picked(j.toLong)
+          val ids = rows.map(_.getLong(1))
+          (j.toLong, rows.length.toLong,
+            ids.head == -(10L * j + 2) && rows.head.getDouble(2) == 1.0,
+            ids(1) != -(10L * j + 1),
+            ids.distinct.length == ids.length)
+        }
+        perQ.toDF("q_id", "k_rows", "first_is_copy", "dup_not_second",
+            "distinct_ok")
+          .withColumn("same_as_loop", lit(sameAsLoop))
+          .withColumn("lambda1_equals_topk", lit(lambda1Ok))
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
+
     "q_ann_int8_join" -> ((s, dir) => {
       // round 18: the flat int8 tier's query-TABLE serve — the last
       // serving family without a bounded query-table form. No cells to
@@ -1293,6 +1379,18 @@ private[graft] object AnnGate {
       """SELECT CAST(10 AS BIGINT) AS k_rows, TRUE AS first_is_copy,
         |  TRUE AS dup_not_second, TRUE AS lambda1_equals_topk,
         |  TRUE AS distinct_ok""".stripMargin,
+
+    // MMR composed with the query-table serve matrix (round 19): one row
+    // per query; every boolean is a theorem computed in-row (loop
+    // equality, lambda-1 reduction, planted-copy first pick,
+    // duplicate-never-second)
+    "q_ann_mmr_join" ->
+      """SELECT CAST(range AS BIGINT) AS q_id, CAST(10 AS BIGINT) AS k_rows,
+        |  TRUE AS first_is_copy, TRUE AS dup_not_second,
+        |  TRUE AS distinct_ok, TRUE AS same_as_loop,
+        |  TRUE AS lambda1_equals_topk
+        |FROM range(3)""".stripMargin,
+
 
     // the flat int8 tier's query-TABLE serve: one resolve + one codes
     // scan amortized across the table; self-hit, k contract, and exact

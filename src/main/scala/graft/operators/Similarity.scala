@@ -942,6 +942,16 @@ object Similarity {
         "never a corpus; cut candidates first or raise the bound consciously")
     require(rows.map(_._1).distinct.length == rows.length,
       s"mmrRerank candidate frame carries duplicate $idCol values")
+    mmrGreedy(rows, query, k, lambda).toDF(idCol, "cosine_sim", "mmr_rank")
+  }
+
+  /** The MMR greedy itself, shared by [[mmrRerank]] and [[mmrRerankJoin]]
+    * so their per-query equality is structural, not re-proven: one body,
+    * two collect disciplines. Expects `rows` id-sorted and duplicate-free
+    * (both callers enforce this loudly).
+    */
+  private def mmrGreedy(rows: Array[(Long, Array[Double])],
+      query: Array[Double], k: Int, lambda: Double): Seq[(Long, Double, Int)] = {
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -998,7 +1008,94 @@ object Similarity {
       }
       rank += 1
     }
-    picked.result().toDF(idCol, "cosine_sim", "mmr_rank")
+    picked.result()
+  }
+
+  /** MMR diversity re-rank for a QUERY TABLE — composes the diversity
+    * tail with the query-table serve matrix (r18 verdict #2): re-rank
+    * each query's candidate set from `ivfTopKStoredJoin` /
+    * `int8TopKStoredJoin` / `bruteForceTopKJoin` output in ONE call,
+    * instead of looping the single-query [[mmrRerank]] per query. The
+    * same storehaus-multiGet discipline the serves honor (reference
+    * FlatMapOperation.scala:113-137): the bounded key set is declared up
+    * front, vectors are attached with ONE broadcast join against the
+    * corpus scan (candidate ids broadcast into the scan — the corpus is
+    * never collected or shuffled), and the per-query greedy runs
+    * driver-side over at most maxQueries·maxCandidates rows, every bound
+    * loud. Per-query output EXACTLY equals the single-query
+    * [[mmrRerank]] loop over the same candidates — structural (both run
+    * [[mmrGreedy]] on the same id-sorted rows), law-pinned in
+    * MmrJoinSpec and gate row q_ann_mmr_join.
+    *
+    * `candidates` carries (qIdCol, idCol) pairs — extra columns (e.g. the
+    * serve's cosine_sim) are ignored; relevance is recomputed from the
+    * corpus vectors so the law against mmrRerank is exact. Every
+    * candidate's query id must appear in the query table, and every
+    * candidate id must resolve in the corpus — silently dropping either
+    * would serve a thinner diversity set than the caller asked for.
+    * Output: (qIdCol, idCol, cosine_sim, mmr_rank).
+    */
+  def mmrRerankJoin(candidates: DataFrame, qIdCol: String, idCol: String,
+      corpus: DataFrame, vecCol: String, corpusIdCol: String,
+      queries: DataFrame, qVecCol: String, queryIdCol: String,
+      k: Int, lambda: Double, maxQueries: Int = 1024,
+      maxCandidates: Int = 4096): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0, 1], got $lambda")
+    val session = candidates.sparkSession
+    import session.implicits._
+    val qRows = queries
+      .select(col(queryIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"mmrRerankJoin query table exceeds maxQueries=$maxQueries — the " +
+        "query-table form amortizes a bounded batch (the serve " +
+        "discipline); split the table or raise the bound consciously")
+    require(qRows.map(_._1).distinct.length == qRows.length,
+      s"mmrRerankJoin query table carries duplicate $queryIdCol values")
+    val candPairs = candidates
+      .select(col(qIdCol).cast("long").as("__q"),
+        col(idCol).cast("long").as("__id"))
+    val nCandGroups = candPairs.count()
+    // ONE broadcast join attaches vectors: candidate ids broadcast INTO
+    // the corpus scan — no shuffle, no corpus collect
+    val withVecs = corpus
+      .select(col(corpusIdCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__vec"))
+      .join(broadcast(candPairs), "__id")
+      .select(col("__q"), col("__id"), col("__vec"))
+      .as[(Long, Long, Seq[Double])]
+      .limit(qRows.length * maxCandidates + 1).collect()
+    require(withVecs.length <= qRows.length.toLong * maxCandidates,
+      s"mmrRerankJoin candidate frame exceeds maxQueries*maxCandidates=" +
+        s"${qRows.length.toLong * maxCandidates} resolved rows — MMR " +
+        "re-ranks bounded serve output, never a corpus")
+    require(withVecs.length == nCandGroups,
+      s"mmrRerankJoin: ${nCandGroups - withVecs.length} candidate rows " +
+        s"have no $corpusIdCol match in the corpus (or duplicate corpus " +
+        "ids fanned the join out) — a silent drop would serve a thinner " +
+        "diversity set than asked; resolve against the serving corpus")
+    val qIds = qRows.map(_._1).toSet
+    val strayQ = withVecs.iterator.map(_._1).filterNot(qIds).take(3).toSeq
+    require(strayQ.isEmpty,
+      s"mmrRerankJoin: candidate rows name query ids absent from the " +
+        s"query table (e.g. ${strayQ.mkString(", ")}) — pass the same " +
+        "query table the serve ran")
+    val byQ = withVecs.groupBy(_._1)
+    val out = qRows.sortBy(_._1).toSeq.flatMap { case (qid, qv) =>
+      val rows = byQ.getOrElse(qid, Array.empty[(Long, Long, Seq[Double])])
+        .map { case (_, id, v) => (id, v.toArray) }.sortBy(_._1)
+      require(rows.length <= maxCandidates,
+        s"mmrRerankJoin: query $qid carries ${rows.length} candidates, " +
+          s"over maxCandidates=$maxCandidates")
+      require(rows.map(_._1).distinct.length == rows.length,
+        s"mmrRerankJoin: query $qid carries duplicate $idCol values")
+      mmrGreedy(rows, qv.toArray, k, lambda)
+        .map { case (id, sim, rank) => (qid, id, sim, rank) }
+    }
+    out.toDF(qIdCol, idCol, "cosine_sim", "mmr_rank")
   }
 
   /** Exact per-query top-k for a query table (broadcast). */
