@@ -370,12 +370,16 @@ object Similarity {
     * centroid table, behind one atomic flip.
     */
   def ivfWriteIndex(df: DataFrame, vecCol: String, idCol: String,
-      path: String, nCentroids: Int = 16, lloydIters: Int = 2,
+      path: String, nCentroids: Int = IvfCellsAuto, lloydIters: Int = 2,
       trainSample: Int = 16384,
       centroids: Option[Array[Array[Double]]] = None,
       trainedRows: Option[Long] = None): Unit = {
+    // IvfCellsAuto (the default) derives ~4·√N from the corpus; a
+    // pretrained bootstrap's geometry is its centroid table, so the
+    // resolver runs only on the training path
     val cents = centroids.getOrElse(kmeansCentroids(df, vecCol, idCol,
-      nCentroids, lloydIters, trainSample = trainSample))
+      resolveIvfCells(df, nCentroids, "ivfWriteIndex"), lloydIters,
+      trainSample = trainSample))
     require(cents.nonEmpty, "ivfWriteIndex: no centroids (empty corpus " +
       "bootstraps must pass pretrained centroids)")
     // trainedRows: the corpus size the PRETRAINED centroids were trained
@@ -508,23 +512,39 @@ object Similarity {
   def ivfCellOccupancy(spark: SparkSession, path: String): DataFrame =
     ivfTier.cellOccupancy(spark, path)
 
-  /** FAISS-practice cell count for an IVF index over `n` vectors:
-    * ~4·√N, clamped to [16, 65536] and rounded to a power of two (so
-    * doubling the corpus steps the geometry predictably). A pruned
-    * serve scans the MASS of its probed cells, so at FIXED nCentroids
-    * serving cost is linear in corpus size; scaling cells ~√N keeps
-    * per-cell mass (and thus probe cost) ~√N-bounded while the
-    * driver-side centroid table stays tiny (65536 × dim doubles ≈
-    * 32 MB at dim 64 — the clamp's ceiling). Measured: ScaleProbe
-    * ivf_cells (16 → 256 cells cuts per-query scored mass 0.288 →
-    * 0.075 at matched recall). The build verbs take the count
-    * explicitly — geometry is a deliberate, recorded choice, never a
-    * data-dependent silent default — and this helper is the
-    * recommended way to pick it.
+  /** Measured cell count for an IVF index over `n` vectors:
+    * `min(4·√N, N/768)`, clamped to [16, 65536] and rounded to a power
+    * of two (so doubling the corpus steps the geometry predictably).
+    * Two regimes, both measured by the ScaleProbe ivf arms:
+    *
+    *  - **√N term** (FAISS practice): a pruned serve scans the MASS of
+    *    its probed cells, so at FIXED nCentroids serving cost is linear
+    *    in corpus size; scaling cells ~√N keeps per-cell mass ~√N-
+    *    bounded while the driver-side centroid table stays tiny
+    *    (65536 × dim doubles ≈ 32 MB at dim 64 — the clamp's ceiling).
+    *    Measured: ivf_cells (16 → 256 cells at 200k rows cuts per-query
+    *    scored mass 0.288 → 0.075 at matched recall).
+    *  - **N/768 rows-per-cell floor**: each cell is a parquet `cid=`
+    *    partition, and a cell that can't amortize its per-file overhead
+    *    makes the pruned serve SLOWER despite scanning fewer rows —
+    *    measured: at 200k rows, 2048 cells (~100 rows each) served a
+    *    point query in 8.0 s where 256 cells (~780 rows each) served it
+    *    in 1.2 s at recall 0.96 (ivf_auto probe, round 19). 768 pins
+    *    the measured sweet spot; the floor rules below ~9.4M rows
+    *    (where 4·√N = N/768) and the √N term above — at 100 TB scale a
+    *    cell holds thousands of rows and the floor never binds.
+    *
+    * Since round 19 this rule IS the build verbs' default
+    * ([[IvfCellsAuto]]): a caller who names no geometry gets the
+    * measured rule instead of a fixed count that ages linearly with the
+    * corpus (the r18 100x artifact read the fixed-16 pruned serve at
+    * 8.6× its 1x — exactly the physics the √N term avoids). The choice
+    * stays recorded: the resolver logs it and the store's centroid
+    * table carries it. Passing an explicit count still wins.
     */
   def suggestedIvfCells(n: Long): Int = {
     require(n >= 0, s"corpus size must be >= 0, got $n")
-    val target = 4.0 * math.sqrt(n.toDouble)
+    val target = math.min(4.0 * math.sqrt(n.toDouble), n.toDouble / 768.0)
     val clamped = math.min(65536.0, math.max(16.0, target))
     // round to the nearest power of two, ties up
     val exp = math.round(math.log(clamped) / math.log(2.0)).toInt
@@ -536,6 +556,27 @@ object Similarity {
     * smaller cid). Exposed so plan-audit laws can compute the expected
     * pruned partition set.
     */
+  /** Sentinel cell count: derive the geometry from the corpus via
+    * [[suggestedIvfCells]] at build time (the round-19 default of the
+    * IVF build verbs; an explicit count always wins).
+    */
+  val IvfCellsAuto: Int = 0
+
+  /** Resolve [[IvfCellsAuto]] against the training corpus — ONE count(),
+    * paid only when the caller named no geometry; logged so the choice
+    * is recorded with the build.
+    */
+  private def resolveIvfCells(df: DataFrame, nCentroids: Int,
+      caller: String): Int =
+    if (nCentroids != IvfCellsAuto) nCentroids
+    else {
+      val n = df.count()
+      val nc = suggestedIvfCells(n)
+      System.err.println(s"[graft] $caller: auto IVF geometry — $nc cells " +
+        s"for $n training rows (min(4*sqrt(N), N/768), suggestedIvfCells)")
+      nc
+    }
+
   def ivfProbeCids(query: Array[Double], cents: Array[Array[Double]],
       nProbe: Int): Seq[Int] = {
     def cos(a: Array[Double], b: Array[Double]): Double = {
@@ -682,10 +723,12 @@ object Similarity {
     * atomic flip.
     */
   def ivfPqWriteIndex(df: DataFrame, vecCol: String, idCol: String,
-      path: String, dim: Int, nCentroids: Int = 16, m: Int = 8, c: Int = 16,
-      lloydIters: Int = 2, trainSample: Int = 16384,
+      path: String, dim: Int, nCentroids: Int = IvfCellsAuto, m: Int = 8,
+      c: Int = 16, lloydIters: Int = 2, trainSample: Int = 16384,
       model: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None,
       trainedRows: Option[Long] = None): Unit = {
+    // IvfCellsAuto resolves on the training path only (ivfPqTrain runs
+    // the same resolver); a pretrained model carries its own geometry
     val (cents, books) = model.getOrElse(ivfPqTrain(df, vecCol, idCol, dim,
       nCentroids, m, c, lloydIters, trainSample))
     require(cents.nonEmpty && books.nonEmpty,
@@ -1596,16 +1639,21 @@ object Similarity {
     * RESIDUAL vector − centroid.
     */
   def ivfPqTrain(df: DataFrame, vecCol: String, idCol: String, dim: Int,
-      nCentroids: Int = 16, m: Int = 8, c: Int = 16, lloydIters: Int = 2,
+      nCentroids: Int = IvfCellsAuto, m: Int = 8, c: Int = 16,
+      lloydIters: Int = 2,
       trainSample: Int = 16384): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    // the offline-training path a streaming bootstrap takes: the same
+    // auto-geometry rule applies here, so a pretrained empty-corpus
+    // bootstrap built from this model inherits the measured ~√N cells
+    val nCells = resolveIvfCells(df, nCentroids, "ivfPqTrain")
     val sample = df
       .select(col(vecCol).cast("array<double>").as("__v"), col(idCol).as("__sid"))
       .orderBy(xxhash64(col("__sid")), col("__sid"))
       .limit(trainSample).collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty,
       "ivfPqTrain: empty corpus — bootstrap with a pretrained model")
-    val cents = localKmeans(sample, nCentroids, lloydIters, spherical = true)
+    val cents = localKmeans(sample, nCells, lloydIters, spherical = true)
     def cellOf(v: Array[Double]): Int = {
       var best = 0; var bestScore = Double.NegativeInfinity
       var j = 0

@@ -1127,6 +1127,67 @@ object ScaleProbe {
       }
     }
 
+    // ivf_auto (round 19, r18 verdict #3): the ivf_cells ladder measured
+    // the geometry rule; this arm measures the DEFAULT — ivfWriteIndex
+    // with no nCentroids resolves suggestedIvfCells(N) — at whatever
+    // corpus the directory holds. Point it at a 1x dir and a MakeScale
+    // 100x dir: the pair is the evidence that the auto-built pruned
+    // serve's scale curve stays flat-ish (the fixed-16 default read 8.6x
+    // at 100x in the r18 artifact; the rule exists to kill exactly
+    // that). nProbe scales as sqrt(nCells), the ivf_cells ladder's
+    // matched-recall line (4@16, 8@64, 16@256).
+    if (opsArg.exists(_.contains("ivf_auto"))) {
+      import graft.operators.Similarity
+      val e0 = spark.read.parquet(emb1)
+      val n0 = e0.count()
+      val all = Organic.embeddings(spark, embsRaw, 2)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val queries = all.where(col("vec_id") >= n0).limit(16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        .localCheckpoint(true)
+      def topIds(df: DataFrame): Map[Long, Set[Long]] =
+        df.select(col("q_id"), col("vec_id")).collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) =>
+            q -> rs.map(_.getLong(1)).toSet }
+      val truth = topIds(Similarity.bruteForceTopKJoin(e0, "embedding",
+        "vec_id", queries, "q_vec", "q_id", k = 10))
+      val dir = s"$scratch/ivf_auto"
+      val tb0 = System.nanoTime()
+      Similarity.ivfWriteIndex(e0, "embedding", "vec_id", dir) // AUTO
+      val buildWall = (System.nanoTime() - tb0) / 1e9
+      val cents = Similarity.readIvfCentroids(spark, dir)
+      val nc = cents.length
+      val np = math.max(4, math.round(math.sqrt(nc.toDouble)).toInt)
+      val occ = Similarity.ivfCellOccupancy(spark, dir).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val qVecs = queries.collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      val qProbes = qVecs.map(Similarity.ivfProbeCids(_, cents, np))
+      val meanScanFrac = qProbes.map(ps =>
+        ps.map(occ.getOrElse(_, 0L)).sum.toDouble / n0.max(1L))
+        .sum / qProbes.length.max(1)
+      def serveOnce(): Map[Long, Set[Long]] =
+        topIds(Similarity.ivfTopKStoredJoin(spark, dir, e0, "embedding",
+          "vec_id", queries, "q_vec", "q_id", k = 10, nProbe = np))
+      serveOnce() // warm
+      val ts0 = System.nanoTime()
+      val got = serveOnce()
+      val serveWall = (System.nanoTime() - ts0) / 1e9
+      Similarity.ivfTopKStored(spark, dir, e0, "embedding", "vec_id",
+        qVecs.head, k = 10, nProbe = np).count() // warm
+      val tp0 = System.nanoTime()
+      Similarity.ivfTopKStored(spark, dir, e0, "embedding", "vec_id",
+        qVecs.head, k = 10, nProbe = np).count()
+      val pointWall = (System.nanoTime() - tp0) / 1e9
+      val recall = truth.map { case (q, ids) =>
+        got.getOrElse(q, Set.empty).intersect(ids).size / 10.0
+      }.sum / truth.size.max(1)
+      println(f"PROBE ivf_auto nCells=$nc%-4d nProbe=$np%-2d rows=$n0 " +
+        f"build=${buildWall}%.2fs meanQueryScanFrac=${meanScanFrac}%.4f " +
+        f"recall10=${recall}%.3f serveJoin16=${serveWall}%.2fs " +
+        f"servePoint=${pointWall}%.2fs")
+    }
+
     spark.stop()
     // the scratch copies are factor-x the sf inputs — don't leak them
     // into /tmp across probe invocations
