@@ -1045,6 +1045,73 @@ private[graft] object AnnGate {
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
+    "q_nsw_health" -> ((s, dir) => {
+      // round 19 (r18 verdict #4): the graph tiers' health row, mirroring
+      // q_ivf_drift's discipline — tombstone-mass fraction (dead rows
+      // still route: they pay beam-search work and return nothing) and
+      // shard imbalance, folded O(segments) from per-segment graphstats
+      // the write verbs maintain O(change). Lifecycle exercised on the
+      // real corpus with PROPORTIONAL plants so the row stays meaningful
+      // at every bench scale: a clean build reads fraction 0; a planted
+      // takedown of 30% of the corpus (vec_id % 10 < 3 — id shifts at
+      // 10x/100x are multiples of 10, so the share holds) raises the
+      // fraction past the 0.2 threshold and trips the warning; a 10%
+      // delta append dilutes but cannot launder it (mirrored marks count
+      // once); compaction clears it exactly. The cadence guard
+      // (nswCompactIfFragmented) runs the same row on the maintenance
+      // path an operator already watches.
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_nsw_health_").toString
+      try {
+        val n = e.count()
+        val nTake = e.where(col("vec_id") % 10 < 3).count()
+        val nApp = e.where(col("vec_id") % 10 === 0).count()
+        PhaseTimer.time("q_nsw_health", "build") {
+          Similarity.nswWriteIndex(
+            Similarity.nswBuild(e, "embedding", "vec_id"), tmp)
+        }
+        def snap(): (Long, Long, Double, Long, Boolean, Boolean) = {
+          val r = Similarity.graphHealthStats(s, tmp).collect().head
+          (r.getAs[Long]("live_rows"), r.getAs[Long]("tombstone_rows"),
+            r.getAs[Double]("tombstone_fraction"),
+            r.getAs[Long]("appended_rows"),
+            r.getAs[Boolean]("stats_exact"), r.getAs[Boolean]("health_warn"))
+        }
+        val (live0, tomb0, frac0, _, exact0, warn0) = snap()
+        PhaseTimer.time("q_nsw_health", "takedown") {
+          Similarity.nswDeleteFromStored(s, tmp,
+            e.where(col("vec_id") % 10 < 3).select("vec_id"))
+        }
+        val (live1, tomb1, frac1, _, _, warn1) = snap()
+        PhaseTimer.time("q_nsw_health", "append") {
+          Similarity.nswAppendToStored(s, tmp,
+            e.where(col("vec_id") % 10 === 0)
+              .withColumn("vec_id", col("vec_id") + lit(3000000000L)),
+            "embedding", "vec_id")
+        }
+        val (live2, tomb2, frac2, app2, _, warn2) = snap()
+        // the cadence path: under the segment threshold no fold runs,
+        // but the health row fires (the warning lands on stderr here)
+        val cadenceFolded = Similarity.nswCompactIfFragmented(s, tmp,
+          "embedding", "vec_id", maxSegments = 8)
+        PhaseTimer.time("q_nsw_health", "compact") {
+          Similarity.nswCompactStored(s, tmp, "embedding", "vec_id")
+        }
+        val (live3, tomb3, frac3, app3, exact3, warn3) = snap()
+        import s.implicits._
+        Seq((live3,
+            live0 == n && tomb0 == 0L && frac0 == 0.0 && exact0 && !warn0,
+            live1 == n - nTake && tomb1 == nTake && frac1 > 0.2 && warn1,
+            live2 == n - nTake + nApp && tomb2 == nTake && app2 == nApp &&
+              frac2 < frac1 && warn2,
+            !cadenceFolded,
+            live3 == n - nTake + nApp && tomb3 == 0L && frac3 == 0.0 &&
+              app3 == 0L && exact3 && !warn3))
+          .toDF("n_live_final", "clean_ok", "takedown_warns", "append_ok",
+            "cadence_no_fold", "compact_clears")
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
 
     "q_hnsw_lifecycle_stored" -> ((s, dir) => {
       // round 16: the stored HIERARCHICAL tier's full lifecycle —
@@ -1506,6 +1573,17 @@ private[graft] object AnnGate {
       """SELECT CAST(10 AS BIGINT) AS k, TRUE AS appended_first,
         |  FALSE AS served_deleted""".stripMargin,
 
+
+    // graph-tier health row: proportional planted takedown (30%) trips
+    // the tombstone-fraction warning, a 10% append dilutes but cannot
+    // launder it, compaction clears it exactly — every boolean a hard
+    // pin computed in-row from the O(segments) stats fold
+    "q_nsw_health" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 10 >= 3)
+        |    + (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0)
+        |    AS BIGINT) AS n_live_final,
+        |  TRUE AS clean_ok, TRUE AS takedown_warns, TRUE AS append_ok,
+        |  TRUE AS cadence_no_fold, TRUE AS compact_clears""".stripMargin,
 
     // O(batch) stored append: one graphdelta-only segment ≤ |batch|·(m+1)
     // rows (asserted in-row), LWW reassembly ≡ full rebuild over both days

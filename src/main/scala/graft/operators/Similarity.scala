@@ -2268,6 +2268,45 @@ object Similarity {
     graft.batch.StoreFs.deleteRecursive(segDir)
     index.write.mode("overwrite").parquet(s"$segDir/graph")
     marks.foreach(_.write.mode("overwrite").parquet(s"$segDir/marks"))
+    // graph health stats (round 19, r18 verdict #4 — the cellstats
+    // discipline, CodesTier.writeSegment): per-shard live/tombstone
+    // counts from the WRITTEN payload (read-back, never a re-run of the
+    // build; the payload files ARE the build shards — one file per
+    // nswBuild/hnswBuild partition task). The health cadence folds these
+    // tiny per-segment tables instead of scanning the store.
+    writeGraphStats(index.sparkSession, segDir, payloadStatsOf(index.sparkSession, segDir))
+  }
+
+  /** Per-shard (kind, shard, n) stats of a just-written graph payload:
+    * `live` and `tomb` (in-column `nsw_deleted`) per payload file.
+    * Bounded collect — one row per written file (= build shard).
+    */
+  private def payloadStatsOf(spark: SparkSession,
+      segDir: String): Seq[(String, Int, Long)] = {
+    val read = spark.read.parquet(s"$segDir/graph")
+    val withDel =
+      if (read.columns.contains("nsw_deleted"))
+        read.select(input_file_name().as("__f"), col("nsw_deleted"))
+      else read.select(input_file_name().as("__f"),
+        lit(false).as("nsw_deleted"))
+    withDel.groupBy(col("__f"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("nsw_deleted"), 1L).otherwise(0L)).as("n_tomb"))
+      .collect().sortBy(_.getString(0)).zipWithIndex
+      .flatMap { case (r, i) =>
+        Seq(("live", i, r.getLong(1) - r.getLong(2)),
+          ("tomb", i, r.getLong(2)))
+      }.toSeq
+  }
+
+  /** The one graphstats write shape (schema (kind, shard, n); shard −1 =
+    * not shard-attributed — delta/mark segments).
+    */
+  private def writeGraphStats(spark: SparkSession, segDir: String,
+      rows: Seq[(String, Int, Long)]): Unit = {
+    import spark.implicits._
+    rows.toDF("kind", "shard", "n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$segDir/graphstats")
   }
 
   /** Load a stored graph index with every committed takedown applied:
@@ -2355,12 +2394,16 @@ object Similarity {
           Seq(idCol), "left_semi")
         .distinct().persist()
       try {
-        if (victims.limit(1).count() > 0) {
+        val nVictims = victims.count()
+        if (nVictims > 0) {
           val id = graft.batch.SegmentedStore.nextId(path)
-          graft.batch.StoreFs.deleteRecursive(
-            graft.batch.SegmentedStore.segDir(path, id))
-          victims.write.mode("overwrite").parquet(
-            s"${graft.batch.SegmentedStore.segDir(path, id)}/marks")
+          val segDir = graft.batch.SegmentedStore.segDir(path, id)
+          graft.batch.StoreFs.deleteRecursive(segDir)
+          victims.write.mode("overwrite").parquet(s"$segDir/marks")
+          // health stats: victims are guaranteed live-and-unmarked (the
+          // left-semi above), so genuine mark mass is additive across
+          // segments — the graphHealthStats fold sums it, O(segments)
+          writeGraphStats(spark, segDir, Seq(("mark", -1, nVictims)))
           graft.batch.SegmentedStore.commitAppend(path, id)
         }
       } finally {
@@ -2441,6 +2484,14 @@ object Similarity {
       graft.batch.StoreFs.deleteRecursive(segDir)
       delta.write.mode("overwrite").parquet(s"$segDir/graphdelta")
       unmirrored.foreach(_.write.mode("overwrite").parquet(s"$segDir/marks"))
+      // health stats: `new` counts only the NEW nodes (the insert refuses
+      // ids already in the graph, so |newRows| is exact; relinked rows
+      // replace base rows and change no count); a MIRRORED mark is
+      // already counted as in-column `tomb` by its payload's stats, so
+      // it records as `mirror` — reconciliation only, never summed
+      writeGraphStats(spark, segDir,
+        Seq(("new", -1, newRows.count())) ++
+          unmirrored.map(m => ("mirror", -1, m.count())))
       graft.batch.SegmentedStore.commitAppend(path, id)
     }
 
@@ -2464,13 +2515,122 @@ object Similarity {
   def nswCompactIfFragmented(spark: SparkSession, path: String, vecCol: String,
       idCol: String = "vec_id", nParts: Int = 4, m: Int = 8,
       efConstruction: Int = 64, maxSegments: Int = 8,
-      sweepGraceMs: Long = 0L): Boolean =
-    graft.batch.SegmentedStore.compactIfFragmentedLocked(path, maxSegments) {
+      sweepGraceMs: Long = 0L): Boolean = {
+    val ran = graft.batch.SegmentedStore.compactIfFragmentedLocked(path, maxSegments) {
       compactStoredGraphLocked(spark, path, vecCol, idCol,
         nbrCol = "nbr_ids", label = "nswCompactStored", sweepGraceMs,
         build = retained => nswBuild(retained, vecCol, idCol, nParts, m,
           efConstruction))
     }
+    graphHealthCadenceCheck(spark, path, idCol, "nswCompactIfFragmented")
+    ran
+  }
+
+  /** Health check on the maintenance cadence (round 19, r18 verdict #4 —
+    * the CodesTier.compactIfFragmented drift-check shape): best-effort
+    * and unlocked (it only reads stats tables); NonFatal-only so a
+    * driver OOM/interrupt propagates instead of becoming a stderr line
+    * over a corrupted JVM.
+    */
+  private def graphHealthCadenceCheck(spark: SparkSession, path: String,
+      idCol: String, label: String): Unit =
+    try { graphHealthStats(spark, path, idCol).collect(); () }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] $label health check skipped at $path: $e")
+    }
+
+  /** ONE health-observability row for a stored graph tier (NSW/HNSW —
+    * round 19, r18 verdict #4, mirroring [[ivfDriftStats]]'s discipline
+    * on the codes tiers): a graph serves WORSE as tombstone mass grows
+    * (dead rows still route — they pay beam-search work and return
+    * nothing) and as shard sizes skew (the widest shard bounds serve
+    * latency), and neither was measured before this row. Folded entirely
+    * from the per-segment `graphstats` tables the write verbs maintain
+    * O(change) (payload: per-shard live/tomb at build; append: new-node
+    * count; takedown: victim count) — O(segments) tiny reads, never a
+    * store scan.
+    *
+    *  - `tombstone_fraction`: (in-column tombstones + genuine takedown
+    *    marks) / all routing rows. Mirrored marks (an append re-recording
+    *    an in-column tombstone) are excluded from the sum — counted once
+    *    at their payload. The repair is compaction, which rebuilds over
+    *    the retained rows and resets the stats.
+    *  - `shard_imbalance`: max/mean over the payload shards' LIVE counts.
+    *    Between compactions takedowns and appends shift it by at most
+    *    their (unattributed) mass; it re-exacts at every compaction —
+    *    the same estimate contract as CodesTier.cellOccupancy.
+    *  - `appended_fraction`: delta-appended nodes / all routing rows —
+    *    the growth-since-rebuild signal (append replays the insert loop,
+    *    so unlike the frozen-model codes tiers this is wear, not drift:
+    *    high appended mass means many LWW segments and an aging shard
+    *    split, both of which compaction folds).
+    *
+    * `health_warn` fires past either threshold on the maintenance
+    * cadence ([[nswCompactIfFragmented]] / [[hnswCompactIfFragmented]]
+    * run this row best-effort after their fold decision).
+    */
+  def graphHealthStats(spark: SparkSession, path: String,
+      idCol: String = "vec_id", tombstoneWarn: Double = 0.2,
+      imbalanceWarn: Double = 4.0): DataFrame = {
+    val segs = graft.batch.SegmentedStore.committedSegs(path)
+    require(segs.nonEmpty, s"graphHealthStats: no committed index at $path")
+    val graphSegs = segs.filter(id => graft.batch.SegmentedStore.hasParquetFiles(
+      s"${graft.batch.SegmentedStore.segDir(path, id)}/graph"))
+    require(graphSegs.nonEmpty,
+      s"graphHealthStats: no graph payload committed at $path")
+    def statsOf(id: Long): Seq[(String, Int, Long)] = {
+      val seg = graft.batch.SegmentedStore.segDir(path, id)
+      if (graft.batch.SegmentedStore.hasParquetFiles(s"$seg/graphstats"))
+        spark.read.parquet(s"$seg/graphstats")
+          .select("kind", "shard", "n").collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+      else Seq.empty // pre-r19 segment: contributes nothing (see below)
+    }
+    val statsExact = segs.forall(id =>
+      graft.batch.SegmentedStore.hasParquetFiles(
+        s"${graft.batch.SegmentedStore.segDir(path, id)}/graphstats") ||
+        // mark-only and delta-only segments always carry stats since r19;
+        // a payload segment without stats is a pre-r19 store
+        !graft.batch.SegmentedStore.hasParquetFiles(
+          s"${graft.batch.SegmentedStore.segDir(path, id)}/graph"))
+    // seg selection mirrors readNswIndex: payload stats from the payload
+    // segs, delta stats from segments newer than the live payload,
+    // mark stats from every committed segment
+    val payloadStats = graphSegs.flatMap(statsOf)
+    val newerStats = segs.filter(_ > graphSegs.max).flatMap(statsOf)
+    val allStats = segs.flatMap(statsOf)
+    val shardLive = payloadStats.collect { case ("live", s, n) => (s, n) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    val tombInCol = payloadStats.collect { case ("tomb", _, n) => n }.sum
+    val appended = newerStats.collect { case ("new", _, n) => n }.sum
+    val marks = allStats.collect { case ("mark", _, n) => n }.sum
+    val live = math.max(0L, shardLive.values.sum + appended - marks)
+    val tombstones = tombInCol + marks
+    val total = live + tombstones
+    val frac = if (total > 0) tombstones.toDouble / total else 0.0
+    val appendedFrac = if (total > 0) appended.toDouble / total else 0.0
+    val nShards = shardLive.size
+    val mean = if (nShards > 0) shardLive.values.sum.toDouble / nShards else 0.0
+    val imbalance =
+      if (mean > 0) shardLive.values.max / mean else 0.0
+    val warn = frac > tombstoneWarn || imbalance > imbalanceWarn
+    if (warn) System.err.println(
+      f"[graft] graph index at $path: UNHEALTHY — tombstone-mass fraction " +
+      f"$frac%.3f (warn > $tombstoneWarn%.2f), shard imbalance " +
+      f"$imbalance%.2f (warn > $imbalanceWarn%.1f). Dead rows still route " +
+      "and the widest shard bounds serve latency; repair by compacting " +
+      "(nsw/hnswCompactStored folds takedowns and rebuilds the shards)")
+    import spark.implicits._
+    Seq((nShards, live, tombstones,
+        BigDecimal(frac).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(imbalance).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        appended,
+        BigDecimal(appendedFrac).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        statsExact, warn))
+      .toDF("n_shards", "live_rows", "tombstone_rows", "tombstone_fraction",
+        "shard_imbalance", "appended_rows", "appended_fraction",
+        "stats_exact", "health_warn")
+  }
 
   def nswCompactStored(spark: SparkSession, path: String, vecCol: String,
       idCol: String = "vec_id", nParts: Int = 4, m: Int = 8,
@@ -2582,13 +2742,16 @@ object Similarity {
   def hnswCompactIfFragmented(spark: SparkSession, path: String, vecCol: String,
       idCol: String = "vec_id", nParts: Int = 4, m: Int = 8,
       efConstruction: Int = 64, maxSegments: Int = 8,
-      sweepGraceMs: Long = 0L): Boolean =
-    graft.batch.SegmentedStore.compactIfFragmentedLocked(path, maxSegments) {
+      sweepGraceMs: Long = 0L): Boolean = {
+    val ran = graft.batch.SegmentedStore.compactIfFragmentedLocked(path, maxSegments) {
       compactStoredGraphLocked(spark, path, vecCol, idCol,
         nbrCol = "layer_nbrs", label = "hnswCompactStored", sweepGraceMs,
         build = retained => hnswBuild(retained, vecCol, idCol, nParts, m,
           efConstruction))
     }
+    graphHealthCadenceCheck(spark, path, idCol, "hnswCompactIfFragmented")
+    ran
+  }
 
   /** Incremental index maintenance — insert a batch of NEW vectors into a
     * persisted [[nswBuild]] index without rebuilding the shard graphs: the
