@@ -653,6 +653,69 @@ private[graft] object AnnGate {
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
+    "q_ivf_drift_repair" -> ((s, dir) => {
+      // round 19 (r18 verdict #5): the measured repair made actionable,
+      // and DEFAULT-OFF pinned. Same plant as q_ivf_drift (skewed fresh-
+      // id append: half the corpus at ONE direction — appended mass 1/3
+      // and one overflowing frozen cell trip BOTH signals at thresholds
+      // 4.0/0.25). The cadence without rebuildOnDrift must warn and
+      // leave the store byte-identical in its signals (default off); the
+      // cadence WITH the float corpus must re-train under the writer
+      // lease (appended fraction returns to 0, trained_rows re-stamped,
+      // the rebuilt store serves the full live corpus); a SECOND flagged
+      // cadence must not rebuild again — appended reset to 0 fails the
+      // AND, which is what keeps a genuinely crowded corpus (imbalance
+      // stays high forever) from thrashing rebuilds on every cadence.
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_repair_").toString
+      try {
+        PhaseTimer.time("q_ivf_drift_repair", "build") {
+          Similarity.ivfWriteIndex(e, "embedding", "vec_id", tmp,
+            nCentroids = 16)
+        }
+        def snap(): (Double, Double, Boolean, Boolean) = {
+          val r = Similarity.ivfDriftStats(s, tmp, imbalanceWarn = 4.0,
+            appendedWarn = 0.25).collect().head
+          (r.getAs[Double]("occ_imbalance"),
+            r.getAs[Double]("appended_mass_fraction"),
+            r.getAs[Boolean]("trained_known"), r.getAs[Boolean]("drift_warn"))
+        }
+        val skewVec = typedLit(Array.tabulate(64)(i => math.cos(i / 3.0)).toSeq)
+        val skew = e.where(col("vec_id") % 2 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(2000000000L))
+          .withColumn("embedding", skewVec)
+          .localCheckpoint(true)
+        PhaseTimer.time("q_ivf_drift_repair", "append") {
+          Similarity.ivfAppendToStored(s, tmp, skew, "embedding", "vec_id")
+        }
+        val (_, frac1, _, warn1) = snap()
+        // default OFF: warns, mutates nothing
+        val offRan = Similarity.ivfCompactIfFragmented(s, tmp,
+          appendedWarn = 0.25)
+        val (_, fracOff, _, _) = snap()
+        val live = e.unionByName(skew).localCheckpoint(true)
+        val repaired = PhaseTimer.time("q_ivf_drift_repair", "rebuild") {
+          Similarity.ivfCompactIfFragmented(s, tmp,
+            rebuildOnDrift = Some(live), appendedWarn = 0.25)
+        }
+        val (_, frac2, known2, _) = snap()
+        val nLive = PhaseTimer.time("q_ivf_drift_repair", "exact_oracle") {
+          Similarity.readIvfIndex(s, tmp).count()
+        }
+        // idempotence: the AND fails on the repaired store
+        val again = Similarity.ivfCompactIfFragmented(s, tmp,
+          rebuildOnDrift = Some(live), appendedWarn = 0.25)
+        import s.implicits._
+        Seq((nLive,
+            frac1 > 0.25 && warn1,
+            !offRan && fracOff == frac1,
+            repaired && frac2 == 0.0 && known2,
+            !again))
+          .toDF("n_live", "planted_drift_warns", "default_off_untouched",
+            "flagged_rebuild_repairs", "repair_idempotent")
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
 
     "q_streaming_ivf" -> ((s, dir) => {
       // round 18 (r17 verdict #7): streaming ingest for the stored IVF
@@ -1513,6 +1576,17 @@ private[graft] object AnnGate {
         |    AS BIGINT) AS occupied_rows,
         |  TRUE AS clean_frac_zero, TRUE AS skew_cell_ok, TRUE AS warn_skewed,
         |  TRUE AS frac_ok, TRUE AS frac_survives_compact""".stripMargin,
+
+    // opt-in drift repair on the cadence: default-off pinned (the
+    // unflagged cadence warns and mutates nothing), the flagged cadence
+    // re-trains from the float corpus and resets the drift signals, and
+    // the BOTH-signals AND makes the repair idempotent
+    "q_ivf_drift_repair" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings)
+        |    + (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0)
+        |    AS BIGINT) AS n_live,
+        |  TRUE AS planted_drift_warns, TRUE AS default_off_untouched,
+        |  TRUE AS flagged_rebuild_repairs, TRUE AS repair_idempotent""".stripMargin,
 
 
     // streaming IVF ingest: micro-batch appends assign against the

@@ -488,9 +488,50 @@ object Similarity {
     * ([[ivfDriftStats]] — warns loudly past the thresholds).
     */
   def ivfCompactIfFragmented(spark: SparkSession, path: String,
-      maxSegments: Int = 8, sweepGraceMs: Long = 0L): Boolean =
-    ivfTier.compactIfFragmented(spark, path, maxSegments, sweepGraceMs,
+      maxSegments: Int = 8, sweepGraceMs: Long = 0L,
+      rebuildOnDrift: Option[DataFrame] = None,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      imbalanceWarn: Double = 4.0, appendedWarn: Double = 0.5): Boolean = {
+    val ran = ivfTier.compactIfFragmented(spark, path, maxSegments, sweepGraceMs,
       driftCells = Some(() => readIvfCentroids(spark, path).length))
+    val rebuilt = rebuildOnDrift.exists { corpus =>
+      rebuildIfDrifted(spark, path, "ivf", imbalanceWarn, appendedWarn,
+        ivfDriftStats(spark, path, imbalanceWarn, appendedWarn)) {
+        ivfWriteIndex(corpus, vecCol, idCol, path) // auto geometry
+      }
+    }
+    ran || rebuilt
+  }
+
+  /** Opt-in drift repair on the maintenance cadence (round 19, r18
+    * verdict #5): the drift probe measured the repair (rebuild restores
+    * recall 1.000, re-balances occupancy, resets appended mass) — this
+    * makes the signal actionable. When the cadence guard is handed the
+    * FLOAT corpus (`rebuildOnDrift`; the codes store cannot retrain
+    * itself), it re-trains and replaces the index — under the writer
+    * lease the write verb already takes — iff BOTH drift signals exceed
+    * threshold. AND, not the warning's OR: a rebuild is expensive and
+    * destructive of the trained model, and the appended-mass signal
+    * resetting to 0 on rebuild is precisely what keeps a genuinely
+    * crowded corpus (high imbalance forever) from thrashing rebuilds on
+    * every cadence. Default OFF — rebuild cost is the operator's call;
+    * a store with unknown trained size reads appended 0.0 (blind, never
+    * auto-rebuilt — the row says so via trained_known).
+    */
+  private def rebuildIfDrifted(spark: SparkSession, path: String,
+      label: String, imbalanceWarn: Double, appendedWarn: Double,
+      statsRow: => DataFrame)(rebuild: => Unit): Boolean = {
+    val r = statsRow.collect().head
+    val both = r.getAs[Double]("occ_imbalance") > imbalanceWarn &&
+      r.getAs[Double]("appended_mass_fraction") > appendedWarn
+    if (both) {
+      System.err.println(s"[graft] $label index at $path: drift past BOTH " +
+        s"thresholds with rebuildOnDrift set — re-training from the float " +
+        s"corpus and replacing the index")
+      rebuild
+    }
+    both
+  }
 
   /** ONE drift-observability row for the frozen-centroid store (round 18,
     * r17 verdict #3): cell-occupancy imbalance and appended-mass fraction
@@ -830,9 +871,26 @@ object Similarity {
     * ([[ivfPqDriftStats]] — warns loudly past the thresholds).
     */
   def ivfPqCompactIfFragmented(spark: SparkSession, path: String,
-      maxSegments: Int = 8, sweepGraceMs: Long = 0L): Boolean =
-    ivfPqTier.compactIfFragmented(spark, path, maxSegments, sweepGraceMs,
+      maxSegments: Int = 8, sweepGraceMs: Long = 0L,
+      rebuildOnDrift: Option[DataFrame] = None,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      imbalanceWarn: Double = 4.0, appendedWarn: Double = 0.5): Boolean = {
+    val ran = ivfPqTier.compactIfFragmented(spark, path, maxSegments, sweepGraceMs,
       driftCells = Some(() => readIvfPqModel(spark, path)._1.length))
+    val rebuilt = rebuildOnDrift.exists { corpus =>
+      // the retrain keeps the current model's (dim, m, c) shape — the
+      // codebook geometry is the caller's layout choice; only the
+      // centroids/codebooks (and the auto cell count) re-derive
+      val (cents, books) = readIvfPqModel(spark, path)
+      val dim = cents.head.length
+      rebuildIfDrifted(spark, path, "ivfpq", imbalanceWarn, appendedWarn,
+        ivfPqDriftStats(spark, path, imbalanceWarn, appendedWarn)) {
+        ivfPqWriteIndex(corpus, vecCol, idCol, path, dim = dim,
+          m = books.length, c = books.head.length) // auto geometry
+      }
+    }
+    ran || rebuilt
+  }
 
   /** [[ivfDriftStats]] for the IVF-PQ store — same cheap cellstats
     * aggregation, same thresholds, same loud warning.
