@@ -710,12 +710,53 @@ object Retrieval {
       .agg(max(col("__c")).as("__ub"),
         when(count(lit(1)) === k, min(col("__c"))).as("__kth"))
     val perQT = perQTBase.join(broadcast(tokBounds), Seq("token"))
-    // θ per query, minus the 6dp-rounding guard (scores rank by their
-    // ROUNDED value downstream; the margin keeps a pruned doc from
-    // rounding up into a tie with the k-th)
+    // ---- the running top-k floor, set-based (round 19, r18 verdict #6):
+    // cursor-based WAND raises θ as docs score; the set-based equivalent
+    // is a SEED pass — the union of each scoring token's top-k postings'
+    // docs (≤ k·|query tokens| docs per query), scored EXACTLY with the
+    // same expression and rounding as the final ranking. The k-th best
+    // seed score is a sound floor (it is the score of a real doc, so the
+    // true k-th is ≥ it) and far tighter than any single-posting bound:
+    // a seed doc's total sums ALL its query tokens, which is exactly
+    // what the old per-token θ (one token's k-th posting) structurally
+    // undercounts on multi-token queries.
+    val topPost = cand
+      .join(broadcast(perQTBase.select(col("token"), col("__idf")).distinct()),
+        Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__c", col("__idf") * tfPart(col("tf"), col("dl")))
+      .withColumn("__rn", row_number().over(wTok))
+      .where(col("__rn") <= k)
+      .select(col("token"), col(idCol))
+    val seedDocs = broadcast(qTok).join(topPost, Seq("token"))
+      .select(col(qIdCol), col(idCol)).distinct()
+    val seedScores = broadcast(perQTBase.select(col(qIdCol), col("token"), col("__idf")))
+      .join(cand, Seq("token"))
+      .join(broadcast(seedDocs), Seq(qIdCol, idCol), "left_semi")
+      .crossJoin(broadcast(stats))
+      .withColumn("__part", col("__idf") *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(round(sum(col("__part")), 6).as("__sscore"))
+    val wSeed = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("__sscore").desc)
+    val seedTheta = seedScores
+      .withColumn("__srn", row_number().over(wSeed))
+      .where(col("__srn") === k)
+      .select(col(qIdCol), col("__sscore").as("__stheta"))
+    // θ per query: the BEST available sound floor — the seed pass's k-th
+    // score when ≥ k seed docs exist, else the per-token k-th posting
+    // bound — minus the 6dp-rounding guard (scores rank by their ROUNDED
+    // value downstream; the margin keeps a pruned doc from rounding up
+    // into a tie with the k-th). greatest() skips nulls, so either floor
+    // alone still prunes.
     val theta = perQT
       .groupBy(col(qIdCol))
-      .agg((max(col("__kth")) - lit(1e-6)).as("__theta"))
+      .agg(max(col("__kth")).as("__ktok"))
+      .join(broadcast(seedTheta), Seq(qIdCol), "left")
+      .select(col(qIdCol),
+        (greatest(col("__ktok"), col("__stheta")) - lit(1e-6)).as("__theta"))
     val cumW = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qIdCol)).orderBy(col("__ub").asc, col("token").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -728,6 +769,57 @@ object Retrieval {
     val candDocs = broadcast(essential)
       .join(cand.select(col("token"), col(idCol)), Seq("token"))
       .select(col(qIdCol), col(idCol)).distinct()
+    // ---- block-max refinement (round 19, r18 verdict #6; Ding & Suel,
+    // SIGIR'11 block-max WAND, set-based) ---------------------------------
+    // The token-level prune above is weak on multi-token queries by
+    // construction: θ is ONE token's k-th posting contribution, while the
+    // non-essential test compares it against a PREFIX SUM of other
+    // tokens' maxima — for a 4-5 token query θ rarely clears even one
+    // other token's ub, so everything stays essential (the r18 bench read
+    // 0.95 scored/candidates on 5 of 6 queries). Block maxima fix the
+    // granularity: each posting is assigned a QUANTIZED-IMPACT block
+    // derived from its own (tf, dl) — tf exact up to a cap, dl in a
+    // power-of-two band — so idf · tfPart(block max tf, block min dl) is
+    // a TIGHT upper bound on every member's contribution (tfPart is
+    // monotone ↑tf, ↓dl; within a band the fictional max-tf/min-dl
+    // pairing that inflates TOKEN-level bounds is capped by the band
+    // width). A doc's score is then bounded by the SUM of its own
+    // postings' block maxima — per-doc, not per-token — and a doc whose
+    // Σ-bound lands under θ is pruned before exact scoring. Exactness:
+    // score(d) = Σ c(d,t) ≤ Σ bmax(t, blk(d,t)) < θ ≤ true k-th score,
+    // with θ's 1e-6 guard absorbing the 6dp rounding, so d can neither
+    // enter nor tie into the top k. The extremes aggregate is map-side
+    // combinable to ≤ (query tokens × 64 blocks) broadcast rows, computed
+    // from the SAME pruned posting read the scorer uses — on this layout
+    // (parquet token-buckets, tf/dl carried per posting) the maxima are
+    // derivable for free at query time, so storing them with the index
+    // would buy no IO: a token bucket is read whole either way, and the
+    // skip this enables is the (q, doc) EXACT-SCORING aggregation — the
+    // volume-dominant tail — not the bucket scan.
+    // tf exact to 8, dl in quarter-octave bands (≤ 256 blocks/token —
+    // the extremes table stays a broadcast regardless of corpus size)
+    val blkExpr = (least(col("tf"), lit(8)).cast("int") * 32 +
+      least(floor(log2(col("dl").cast("double") + 1.0) * 2.0), lit(31.0)).cast("int"))
+    val blockBounds = cand
+      .join(broadcast(perQTBase.select(col("token"), col("__idf")).distinct()),
+        Seq("token"))
+      .withColumn("__blk", blkExpr)
+      .groupBy(col("token"), col("__blk"))
+      .agg(max(col("tf")).as("__btf"), min(col("dl")).as("__bdl"),
+        first(col("__idf")).as("__bidf"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__bmax", col("__bidf") * tfPart(col("__btf"), col("__bdl")))
+      .select(col("token"), col("__blk"), col("__bmax"))
+    val docBound = broadcast(perQT.select(col(qIdCol), col("token")))
+      .join(cand.withColumn("__blk", blkExpr)
+        .select(col("token"), col(idCol), col("__blk")), Seq("token"))
+      .join(candDocs, Seq(qIdCol, idCol), "left_semi")
+      .join(broadcast(blockBounds), Seq("token", "__blk"))
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(sum(col("__bmax")).as("__bound"))
+    val refinedDocs = docBound.join(broadcast(theta), Seq(qIdCol))
+      .where(col("__theta").isNull || col("__bound") >= col("__theta"))
+      .select(col(qIdCol), col(idCol))
     // perQT carries the surviving (maxDfFraction-filtered) tokens and
     // their idf — scoring joins against it so pruned and unpruned agree
     // on exactly which tokens score. The per-posting expression below is
@@ -736,7 +828,7 @@ object Retrieval {
     // therefore the 6dp rounding and rank tie-breaks) match bit-for-bit.
     val scored = broadcast(perQT.select(col(qIdCol), col("token"), col("__idf")))
       .join(cand, Seq("token"))
-      .join(candDocs, Seq(qIdCol, idCol), "left_semi")
+      .join(refinedDocs, Seq(qIdCol, idCol), "left_semi")
       .crossJoin(broadcast(stats))
       .withColumn("__part", col("__idf") *
         (col("tf") * lit(k1 + 1.0)) /
@@ -746,7 +838,7 @@ object Retrieval {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qIdCol)).orderBy(col("score").desc, col(idCol).asc)
     (scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k), candDocs)
+      .where(col("rank") <= k), refinedDocs)
   }
 
   /** Top-k straight off a STORED index — the end-to-end serving path for

@@ -252,6 +252,43 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("block-max refinement prunes materially on multi-token queries; " +
+      "every served row is a survivor") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = ("the" +: "of" +: (1 to 40).map(i => s"w$i")).toArray
+    val corpus = (1L to 400L).map { i =>
+      val dl = 1 + rnd.nextInt(40)
+      val words = Array.fill(dl)(vocab(math.min(vocab.length - 1,
+        (math.pow(rnd.nextDouble(), 3) * vocab.length).toInt)))
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val idx = Retrieval.buildIndex(corpus, "text", "doc_id")
+    // the r18 weak spot: a multi-token query where θ never clears any
+    // other token's ub, so the TOKEN-level prune keeps everything —
+    // the per-DOC Σ-block-bound must still cut the scoring set hard
+    val queries = q(0 -> "the of w1 w2 w3")
+    val (top, survivors) = Retrieval.bm25TopKPrunedDiag(
+      idx, queries, "qtext", "query_id", k = 3)
+    val matchGroups = Retrieval.bm25FromIndex(idx, queries, "qtext", "query_id")
+      .select("query_id", "doc_id").distinct().count()
+    val nSurv = survivors.count()
+    assert(nSurv.toDouble / matchGroups < 0.5,
+      s"block-max should prune a crowded multi-token query materially: " +
+        s"$nSurv / $matchGroups")
+    // soundness the cheap way: every served row must have reached exact
+    // scoring through the survivor set
+    val served = top.select("query_id", "doc_id")
+    assert(served.exceptAll(survivors.toDF("query_id", "doc_id")).count() === 0)
+    // and the served rows equal the unpruned operator (the hard law,
+    // re-checked on this corpus shape)
+    val plain = Retrieval.bm25TopK(idx, queries, "qtext", "query_id", 3)
+      .select("query_id", "doc_id", "score", "rank")
+    val prunedSel = top.select("query_id", "doc_id", "score", "rank")
+    assert(prunedSel.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(prunedSel).count() === 0)
+  }
+
   test("stored bucketed index: pruned read scores EXACTLY like the in-memory index") {
     val idx = Retrieval.buildIndex(docs, "text", "doc_id")
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
