@@ -174,12 +174,16 @@ class IvfStoredJoinSpec extends AnyFunSuite {
     } finally BatchState.deleteDir(dir)
   }
 
-  test("suggestedIvfCells follows the ~4*sqrt(N) FAISS discipline: " +
+  test("suggestedIvfCells follows min(4*sqrt(N), N/768): " +
       "power-of-two, clamped, monotone in corpus size") {
+    // round 19: the rule gained a measured rows-per-cell floor (N/768 —
+    // a cid= partition must amortize its per-file overhead; see
+    // IvfAutoGeometrySpec for the floor's own laws)
     assert(Similarity.suggestedIvfCells(0) == 16)
-    assert(Similarity.suggestedIvfCells(100) == 32)      // 4*10 = 40 -> 32
-    assert(Similarity.suggestedIvfCells(10000) == 512)   // 4*100 = 400 -> 512
-    assert(Similarity.suggestedIvfCells(1000000) == 4096)
+    assert(Similarity.suggestedIvfCells(100) == 16)      // floor rules
+    assert(Similarity.suggestedIvfCells(10000) == 16)    // 10000/768 = 13 -> clamp
+    assert(Similarity.suggestedIvfCells(1000000) == 1024) // 1e6/768 = 1302 -> 1024
+    assert(Similarity.suggestedIvfCells(100000000L) == 32768) // sqrt term: 4e4 -> 2^15
     assert(Similarity.suggestedIvfCells(Long.MaxValue) == 65536)
     val sizes = Seq(0L, 10L, 1000L, 100000L, 10000000L, 1000000000L)
     val cells = sizes.map(Similarity.suggestedIvfCells)
