@@ -668,9 +668,24 @@ object Retrieval {
       .select(col(qIdCol), explode(array_distinct(lowTokens(col(qTextCol)))).as("token"))
     val cand = index.postings.join(
       broadcast(qTok.select(col("token")).distinct()), Seq("token"), "left_semi")
-    // vocabulary-sized summary of the candidate postings: exact df (for
-    // idf and the maxDfFraction gate)
-    val summ = cand.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // vocabulary + block summary in ONE pass over the candidate postings
+    // (round 19): grouping by (token, quantized-impact block) yields both
+    // the exact df (sum of block counts -> idf, maxDfFraction gate) and
+    // the block extremes the per-doc bounds need -- map-side combinable
+    // to <= 288 rows per token, broadcast regardless of corpus size. tf
+    // is exact to 8, dl in quarter-octave bands, so idf * tfPart(block
+    // max tf, block min dl) bounds every member tightly (tfPart is
+    // monotone up in tf, down in dl; the fictional max-tf/min-dl pairing
+    // that inflates TOKEN-level bounds is capped by the band width).
+    val blkExpr = (least(col("tf"), lit(8)).cast("int") * 32 +
+      least(floor(log2(col("dl").cast("double") + 1.0) * 2.0), lit(31.0)).cast("int"))
+    val blkAgg = cand
+      .withColumn("__blk", blkExpr)
+      .groupBy(col("token"), col("__blk"))
+      .agg(count(lit(1)).as("__bn"), max(col("tf")).as("__btf"),
+        min(col("dl")).as("__bdl"))
+      .localCheckpoint(true) // bounded: <= query tokens x 288 rows
+    val summ = blkAgg.groupBy(col("token")).agg(sum(col("__bn")).as("df"))
     val stats = index.stats.select(col("n_docs"),
       (col("total_dl").cast("double") /
         when(col("n_docs") > 0, col("n_docs")).otherwise(lit(1L))).as("avgdl"))
@@ -683,52 +698,45 @@ object Retrieval {
       .where(col("df") <= lit(maxDfFraction) * col("n_docs"))
       .withColumn("__idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-    // Both pruning bounds off ONE rank-k window over each scoring token's
-    // actual posting contributions (rank-k → WindowGroupLimit: map-side
-    // partial top-k, so each input partition ships at most k rows per
-    // token to the exchange, never a stopword's list): `__ub` is the
-    // rank-1 value (the tightest sound single-posting bound — a doc's
-    // contribution from a token IS one of its postings) and `__kth` the
-    // rank-k value when the token has ≥ k postings (k distinct docs each
-    // total at least their own posting, so the k-th score is ≥ it).
-    // Only perQTBase's (maxDfFraction-surviving) tokens contribute — a
+    // ONE rank-k window over each scoring token's actual posting
+    // contributions (rank-k -> WindowGroupLimit: map-side partial top-k,
+    // so each input partition ships at most k rows per token to the
+    // exchange, never a stopword's list). Its rank-k value is the
+    // per-token floor ingredient (k distinct docs each total at least
+    // their own posting, so the true k-th score is >= it) and its
+    // (token, doc) pairs are the SEED docs of the floor pass below.
+    // Materialized once (<= k rows per scoring token) and reused. Only
+    // perQTBase's (maxDfFraction-surviving) tokens contribute -- a
     // non-scoring token's postings prove nothing about scores that
     // exclude it. The per-posting expression is the same (idf * num) /
     // denom association the scorer uses, and a doc's summed double total
     // can never land below its own largest nonnegative term, so the
-    // 1e-6 rounding-guard margin on θ is the only slack needed.
+    // 1e-6 rounding-guard margin on theta is the only slack needed.
     val wTok = org.apache.spark.sql.expressions.Window
       .partitionBy(col("token")).orderBy(col("__c").desc)
-    val tokBounds = cand
+    val rankedTopK = cand
       .join(broadcast(perQTBase.select(col("token"), col("__idf")).distinct()),
         Seq("token"))
       .crossJoin(broadcast(stats))
       .withColumn("__c", col("__idf") * tfPart(col("tf"), col("dl")))
       .withColumn("__rn", row_number().over(wTok))
       .where(col("__rn") <= k)
-      .groupBy(col("token"))
-      .agg(max(col("__c")).as("__ub"),
-        when(count(lit(1)) === k, min(col("__c"))).as("__kth"))
-    val perQT = perQTBase.join(broadcast(tokBounds), Seq("token"))
+      .select(col("token"), col(idCol), col("__c"))
+      .localCheckpoint(true)
+    val tokBounds = rankedTopK.groupBy(col("token"))
+      .agg(when(count(lit(1)) === k, min(col("__c"))).as("__kth"))
     // ---- the running top-k floor, set-based (round 19, r18 verdict #6):
-    // cursor-based WAND raises θ as docs score; the set-based equivalent
-    // is a SEED pass — the union of each scoring token's top-k postings'
-    // docs (≤ k·|query tokens| docs per query), scored EXACTLY with the
-    // same expression and rounding as the final ranking. The k-th best
-    // seed score is a sound floor (it is the score of a real doc, so the
-    // true k-th is ≥ it) and far tighter than any single-posting bound:
-    // a seed doc's total sums ALL its query tokens, which is exactly
-    // what the old per-token θ (one token's k-th posting) structurally
-    // undercounts on multi-token queries.
-    val topPost = cand
-      .join(broadcast(perQTBase.select(col("token"), col("__idf")).distinct()),
-        Seq("token"))
-      .crossJoin(broadcast(stats))
-      .withColumn("__c", col("__idf") * tfPart(col("tf"), col("dl")))
-      .withColumn("__rn", row_number().over(wTok))
-      .where(col("__rn") <= k)
-      .select(col("token"), col(idCol))
-    val seedDocs = broadcast(qTok).join(topPost, Seq("token"))
+    // cursor-based WAND raises theta as docs score; the set-based
+    // equivalent is a SEED pass -- the union of each scoring token's
+    // top-k postings' docs (<= k * |query tokens| docs per query), scored
+    // EXACTLY with the same expression and rounding as the final ranking.
+    // The k-th best seed score is a sound floor (it is the score of a
+    // real doc, so the true k-th is >= it) and far tighter than any
+    // single-posting bound: a seed doc's total sums ALL its query tokens,
+    // which is exactly what the per-token floor (one token's k-th
+    // posting) structurally undercounts on multi-token queries.
+    val seedDocs = broadcast(qTok)
+      .join(rankedTopK.select(col("token"), col(idCol)), Seq("token"))
       .select(col(qIdCol), col(idCol)).distinct()
     val seedScores = broadcast(perQTBase.select(col(qIdCol), col("token"), col("__idf")))
       .join(cand, Seq("token"))
@@ -745,88 +753,58 @@ object Retrieval {
       .withColumn("__srn", row_number().over(wSeed))
       .where(col("__srn") === k)
       .select(col(qIdCol), col("__sscore").as("__stheta"))
-    // θ per query: the BEST available sound floor — the seed pass's k-th
-    // score when ≥ k seed docs exist, else the per-token k-th posting
-    // bound — minus the 6dp-rounding guard (scores rank by their ROUNDED
-    // value downstream; the margin keeps a pruned doc from rounding up
-    // into a tie with the k-th). greatest() skips nulls, so either floor
-    // alone still prunes.
-    val theta = perQT
+    // theta per query: the BEST available sound floor -- the seed pass's
+    // k-th score when >= k seed docs exist, else the per-token k-th
+    // posting bound -- minus the 6dp-rounding guard (scores rank by
+    // their ROUNDED value downstream; the margin keeps a pruned doc from
+    // rounding up into a tie with the k-th). greatest() skips nulls, so
+    // either floor alone still prunes; both null => no pruning (fewer
+    // than k matches may exist).
+    val theta = perQTBase.join(broadcast(tokBounds), Seq("token"))
       .groupBy(col(qIdCol))
       .agg(max(col("__kth")).as("__ktok"))
       .join(broadcast(seedTheta), Seq(qIdCol), "left")
       .select(col(qIdCol),
         (greatest(col("__ktok"), col("__stheta")) - lit(1e-6)).as("__theta"))
-    val cumW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(qIdCol)).orderBy(col("__ub").asc, col("token").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val essential = perQT.join(broadcast(theta), Seq(qIdCol))
-      .withColumn("__cum", sum(col("__ub")).over(cumW))
-      .where(col("__theta").isNull || col("__cum") >= col("__theta"))
-      .select(col(qIdCol), col("token"))
-    // candidate docs: at least one essential posting; then score ALL their
-    // postings so totals are exact
-    val candDocs = broadcast(essential)
-      .join(cand.select(col("token"), col(idCol)), Seq("token"))
-      .select(col(qIdCol), col(idCol)).distinct()
-    // ---- block-max refinement (round 19, r18 verdict #6; Ding & Suel,
-    // SIGIR'11 block-max WAND, set-based) ---------------------------------
-    // The token-level prune above is weak on multi-token queries by
-    // construction: θ is ONE token's k-th posting contribution, while the
-    // non-essential test compares it against a PREFIX SUM of other
-    // tokens' maxima — for a 4-5 token query θ rarely clears even one
-    // other token's ub, so everything stays essential (the r18 bench read
-    // 0.95 scored/candidates on 5 of 6 queries). Block maxima fix the
-    // granularity: each posting is assigned a QUANTIZED-IMPACT block
-    // derived from its own (tf, dl) — tf exact up to a cap, dl in a
-    // power-of-two band — so idf · tfPart(block max tf, block min dl) is
-    // a TIGHT upper bound on every member's contribution (tfPart is
-    // monotone ↑tf, ↓dl; within a band the fictional max-tf/min-dl
-    // pairing that inflates TOKEN-level bounds is capped by the band
-    // width). A doc's score is then bounded by the SUM of its own
-    // postings' block maxima — per-doc, not per-token — and a doc whose
-    // Σ-bound lands under θ is pruned before exact scoring. Exactness:
-    // score(d) = Σ c(d,t) ≤ Σ bmax(t, blk(d,t)) < θ ≤ true k-th score,
-    // with θ's 1e-6 guard absorbing the 6dp rounding, so d can neither
-    // enter nor tie into the top k. The extremes aggregate is map-side
-    // combinable to ≤ (query tokens × 64 blocks) broadcast rows, computed
-    // from the SAME pruned posting read the scorer uses — on this layout
-    // (parquet token-buckets, tf/dl carried per posting) the maxima are
-    // derivable for free at query time, so storing them with the index
-    // would buy no IO: a token bucket is read whole either way, and the
-    // skip this enables is the (q, doc) EXACT-SCORING aggregation — the
-    // volume-dominant tail — not the bucket scan.
-    // tf exact to 8, dl in quarter-octave bands (≤ 256 blocks/token —
-    // the extremes table stays a broadcast regardless of corpus size)
-    val blkExpr = (least(col("tf"), lit(8)).cast("int") * 32 +
-      least(floor(log2(col("dl").cast("double") + 1.0) * 2.0), lit(31.0)).cast("int"))
-    val blockBounds = cand
+    // ---- per-doc block bounds (Ding & Suel, SIGIR'11 block-max WAND,
+    // set-based): a doc's score is bounded by the SUM of its own
+    // postings' block maxima -- per-doc, not per-token (the old
+    // token-level essential test compared theta against a PREFIX SUM of
+    // other tokens' maxima and pruned nothing on 4-5 token queries; the
+    // per-doc bound subsumes it, so the essential stage is gone). A doc
+    // whose bound lands under theta is pruned before exact scoring.
+    // Exactness: score(d) = sum c(d,t) <= sum bmax(t, blk(d,t)) < theta
+    // <= true k-th score, with theta's 1e-6 guard absorbing the 6dp
+    // rounding, so d can neither enter nor tie into the top k. On this
+    // layout (parquet token buckets with tf/dl carried per posting) the
+    // block extremes are derivable for free from the same pruned read
+    // the scorer uses, so storing them with the index would buy no IO:
+    // a token bucket is read whole either way, and the skip this enables
+    // is the (q, doc) EXACT-SCORING aggregation -- the volume-dominant
+    // tail -- not the bucket scan.
+    val blockBounds = blkAgg
       .join(broadcast(perQTBase.select(col("token"), col("__idf")).distinct()),
         Seq("token"))
-      .withColumn("__blk", blkExpr)
-      .groupBy(col("token"), col("__blk"))
-      .agg(max(col("tf")).as("__btf"), min(col("dl")).as("__bdl"),
-        first(col("__idf")).as("__bidf"))
       .crossJoin(broadcast(stats))
-      .withColumn("__bmax", col("__bidf") * tfPart(col("__btf"), col("__bdl")))
+      .withColumn("__bmax", col("__idf") * tfPart(col("__btf"), col("__bdl")))
       .select(col("token"), col("__blk"), col("__bmax"))
-    val docBound = broadcast(perQT.select(col(qIdCol), col("token")))
+    val docBound = broadcast(perQTBase.select(col(qIdCol), col("token")))
       .join(cand.withColumn("__blk", blkExpr)
         .select(col("token"), col(idCol), col("__blk")), Seq("token"))
-      .join(candDocs, Seq(qIdCol, idCol), "left_semi")
       .join(broadcast(blockBounds), Seq("token", "__blk"))
       .groupBy(col(qIdCol), col(idCol))
       .agg(sum(col("__bmax")).as("__bound"))
     val refinedDocs = docBound.join(broadcast(theta), Seq(qIdCol))
       .where(col("__theta").isNull || col("__bound") >= col("__theta"))
       .select(col(qIdCol), col(idCol))
-    // perQT carries the surviving (maxDfFraction-filtered) tokens and
-    // their idf — scoring joins against it so pruned and unpruned agree
-    // on exactly which tokens score. The per-posting expression below is
-    // the BYTE-IDENTICAL association bm25FromIndex uses — (idf * num) /
-    // denom, never idf * (num / denom) — so the summed doubles (and
-    // therefore the 6dp rounding and rank tie-breaks) match bit-for-bit.
-    val scored = broadcast(perQT.select(col(qIdCol), col("token"), col("__idf")))
+    // perQTBase carries the surviving (maxDfFraction-filtered) tokens
+    // and their idf — scoring joins against it so pruned and unpruned
+    // agree on exactly which tokens score. The per-posting expression
+    // below is the BYTE-IDENTICAL association bm25FromIndex uses —
+    // (idf * num) / denom, never idf * (num / denom) — so the summed
+    // doubles (and therefore the 6dp rounding and rank tie-breaks)
+    // match bit-for-bit.
+    val scored = broadcast(perQTBase.select(col(qIdCol), col("token"), col("__idf")))
       .join(cand, Seq("token"))
       .join(refinedDocs, Seq(qIdCol, idCol), "left_semi")
       .crossJoin(broadcast(stats))
