@@ -1154,6 +1154,13 @@ object Similarity {
       s"mmrRerankJoin query table exceeds maxQueries=$maxQueries — the " +
         "query-table form amortizes a bounded batch (the serve " +
         "discipline); split the table or raise the bound consciously")
+    // empty query table serves the canonical empty frame (the serves'
+    // emptyJoinResult contract) — without this, the Q·maxCandidates cap
+    // degenerates to 0 and a nonempty candidate frame would trip it with
+    // a misleading over-bound message
+    if (qRows.isEmpty)
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF(qIdCol, idCol, "cosine_sim", "mmr_rank")
     require(qRows.map(_._1).distinct.length == qRows.length,
       s"mmrRerankJoin query table carries duplicate $queryIdCol values")
     val candPairs = candidates

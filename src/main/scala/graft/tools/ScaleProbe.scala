@@ -1188,6 +1188,70 @@ object ScaleProbe {
         f"servePoint=${pointWall}%.2fs")
     }
 
+    // graph_health (round 19, r18 verdict #4's measured WHEN): the graph
+    // tiers' analogue of the ivf_drift probe — the health row's
+    // tombstone-fraction warning must fire BEFORE the degradation it
+    // predicts is catastrophic, and the prescribed repair (compaction)
+    // must measurably restore the serve. Steps: cumulative takedowns at
+    // 10% / 30% / 50% of the corpus; at each step the health row (frac,
+    // warn), the 16-query serve wall over the stored graph (tombstoned
+    // nodes still route — the serve pays full-graph beam cost for
+    // live-only results), and recall@10 vs brute force over the LIVE
+    // rows. Then compaction: health must read clean and the serve must
+    // speed up (the graph is now half the size).
+    if (opsArg.exists(_.contains("graph_health"))) {
+      import graft.operators.Similarity
+      val e0 = spark.read.parquet(emb1)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val n0 = e0.count()
+      val dir = s"$scratch/graph_health"
+      val tb0 = System.nanoTime()
+      Similarity.nswWriteIndex(
+        Similarity.nswBuild(e0, "embedding", "vec_id"), dir)
+      val buildWall = (System.nanoTime() - tb0) / 1e9
+      val queries = Organic.embeddings(spark, embsRaw, 2)
+        .where(col("vec_id") >= n0).limit(16)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      def report(step: String, livePred: org.apache.spark.sql.Column): Unit = {
+        val h = Similarity.graphHealthStats(spark, dir).collect().head
+        val idx = Similarity.readNswIndex(spark, dir).localCheckpoint(true)
+        val live = e0.where(livePred).localCheckpoint(true)
+        def serveOnce(): Double = {
+          val t0 = System.nanoTime()
+          queries.foreach(q =>
+            Similarity.nswSearchBuilt(idx, "embedding", "vec_id", q, 10).count())
+          (System.nanoTime() - t0) / 1e9
+        }
+        serveOnce() // warm
+        val serveWall = serveOnce()
+        val recall = queries.map { q =>
+          val truth = Similarity.bruteForceTopK(live, "embedding", "vec_id",
+            q, 10).select("vec_id").collect().map(_.getLong(0)).toSet
+          val got = Similarity.nswSearchBuilt(idx, "embedding", "vec_id",
+            q, 10).select("vec_id").collect().map(_.getLong(0)).toSet
+          truth.intersect(got).size / math.max(1, truth.size).toDouble
+        }.sum / queries.length
+        println(f"PROBE graph_health step=$step%-12s rows=$n0 " +
+          f"live=${h.getAs[Long]("live_rows")} " +
+          f"frac=${h.getAs[Double]("tombstone_fraction")}%.3f " +
+          f"warn=${h.getAs[Boolean]("health_warn")} " +
+          f"serve16=${serveWall}%.2fs recall10=${recall}%.3f")
+      }
+      report("clean", lit(true))
+      for (pct <- Seq(1, 3, 5)) {
+        // cumulative: vec_id % 10 < pct — each step extends the victim set
+        Similarity.nswDeleteFromStored(spark, dir,
+          e0.where(col("vec_id") % 10 < pct).select("vec_id"))
+        report(s"takedown_${pct}0pct", col("vec_id") % 10 >= pct)
+      }
+      val tc0 = System.nanoTime()
+      Similarity.nswCompactStored(spark, dir, "embedding", "vec_id")
+      val compactWall = (System.nanoTime() - tc0) / 1e9
+      println(f"PROBE graph_health compact=${compactWall}%.2fs build=${buildWall}%.2fs")
+      report("compacted", col("vec_id") % 10 >= 5)
+    }
+
     spark.stop()
     // the scratch copies are factor-x the sf inputs — don't leak them
     // into /tmp across probe invocations

@@ -113,6 +113,14 @@ class MmrJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("empty query table serves the canonical empty frame") {
+    val out = Similarity.mmrRerankJoin(candidates(), "q_id", "vec_id",
+      corpus, "embedding", "vec_id", queries.where(col("q_id") < 0),
+      "q_vec", "q_id", k = 5, lambda = 0.3)
+    assert(out.count() === 0)
+    assert(out.columns.toSeq === Seq("q_id", "vec_id", "cosine_sim", "mmr_rank"))
+  }
+
   test("loud resolution: unresolvable candidate ids and stray query ids") {
     val s = spark; import s.implicits._
     val cands = candidates()
