@@ -378,7 +378,7 @@ object Similarity {
     // pretrained bootstrap's geometry is its centroid table, so the
     // resolver runs only on the training path
     val cents = centroids.getOrElse(kmeansCentroids(df, vecCol, idCol,
-      resolveIvfCells(df, nCentroids, "ivfWriteIndex"), lloydIters,
+      resolveIvfCells(df, nCentroids, trainSample, "ivfWriteIndex"), lloydIters,
       trainSample = trainSample))
     require(cents.nonEmpty, "ivfWriteIndex: no centroids (empty corpus " +
       "bootstraps must pass pretrained centroids)")
@@ -605,16 +605,30 @@ object Similarity {
 
   /** Resolve [[IvfCellsAuto]] against the training corpus — ONE count(),
     * paid only when the caller named no geometry; logged so the choice
-    * is recorded with the build.
+    * is recorded with the build. The resolved count is additionally
+    * capped at the largest power of two ≤ `trainSample`: k-means cannot
+    * train more centroids than it has sample points (the explicit-count
+    * path fails loudly on that require; an AUTO default must not crash
+    * the maintenance cadence at exactly the corpus size the rule
+    * targets — above ~34M rows suggestedIvfCells exceeds the default
+    * 16384 sample). When the cap binds it is logged with the escape:
+    * raise trainSample alongside, which also restores the
+    * points-per-centroid training quality the bigger geometry wants.
     */
   private def resolveIvfCells(df: DataFrame, nCentroids: Int,
-      caller: String): Int =
+      trainSample: Int, caller: String): Int =
     if (nCentroids != IvfCellsAuto) nCentroids
     else {
       val n = df.count()
-      val nc = suggestedIvfCells(n)
-      System.err.println(s"[graft] $caller: auto IVF geometry — $nc cells " +
-        s"for $n training rows (min(4*sqrt(N), N/768), suggestedIvfCells)")
+      val suggested = suggestedIvfCells(n)
+      val cap = Integer.highestOneBit(math.max(16, trainSample))
+      val nc = math.min(suggested, cap)
+      if (nc < suggested) System.err.println(
+        s"[graft] $caller: auto IVF geometry CAPPED at $nc cells by " +
+          s"trainSample=$trainSample (rule wants $suggested for $n rows) " +
+          "— raise trainSample to unlock the full geometry")
+      else System.err.println(s"[graft] $caller: auto IVF geometry — $nc " +
+        s"cells for $n training rows (min(4*sqrt(N), N/768), suggestedIvfCells)")
       nc
     }
 
@@ -1711,7 +1725,7 @@ object Similarity {
     // the offline-training path a streaming bootstrap takes: the same
     // auto-geometry rule applies here, so a pretrained empty-corpus
     // bootstrap built from this model inherits the measured ~√N cells
-    val nCells = resolveIvfCells(df, nCentroids, "ivfPqTrain")
+    val nCells = resolveIvfCells(df, nCentroids, trainSample, "ivfPqTrain")
     val sample = df
       .select(col(vecCol).cast("array<double>").as("__v"), col(idCol).as("__sid"))
       .orderBy(xxhash64(col("__sid")), col("__sid"))
@@ -2651,13 +2665,17 @@ object Similarity {
           .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
       else Seq.empty // pre-r19 segment: contributes nothing (see below)
     }
-    val statsExact = segs.forall(id =>
-      graft.batch.SegmentedStore.hasParquetFiles(
-        s"${graft.batch.SegmentedStore.segDir(path, id)}/graphstats") ||
-        // mark-only and delta-only segments always carry stats since r19;
-        // a payload segment without stats is a pre-r19 store
-        !graft.batch.SegmentedStore.hasParquetFiles(
-          s"${graft.batch.SegmentedStore.segDir(path, id)}/graph"))
+    // a segment is stats-exempt only if it carries NO counted content at
+    // all — a payload, delta, or mark segment without graphstats is a
+    // pre-r19 write whose mass this fold cannot see, and the row must
+    // say so instead of reading as a clean exact count
+    val statsExact = segs.forall { id =>
+      val seg = graft.batch.SegmentedStore.segDir(path, id)
+      graft.batch.SegmentedStore.hasParquetFiles(s"$seg/graphstats") ||
+        (!graft.batch.SegmentedStore.hasParquetFiles(s"$seg/graph") &&
+          !graft.batch.SegmentedStore.hasParquetFiles(s"$seg/graphdelta") &&
+          !graft.batch.SegmentedStore.hasParquetFiles(s"$seg/marks"))
+    }
     // seg selection mirrors readNswIndex: payload stats from the payload
     // segs, delta stats from segments newer than the live payload,
     // mark stats from every committed segment
