@@ -186,6 +186,28 @@ object Bench {
     def stallThreshold(name: String): Option[Double] =
       refMins.get(name).map(r => math.max(3.0 * r, r + 1.0))
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    // Declared-audit bench budget (round 20, r19 verdict #7): the two
+    // intentionally-quadratic AUDIT forms (q_ngram_jaccard all-pairs
+    // n-gram Jaccard, q_dedup_embedding all-pairs exact cosine) are
+    // comparison tools with sub-quadratic production paths green beside
+    // them (q_dedup_minhash, q_dedup_embedding_lsh) — at organic 10x they
+    // read 44x/29x and dominate the artifact's tail, and a 100x full run
+    // would be THEIR run, not the engine's. SPARK_GRAFT_AUDIT_SF_DIR
+    // caps their bench scale: when set, ONLY these rows run against it
+    // (the 1x directory inside a scaled gate), the caps are printed
+    // loudly here and recorded in-artifact under "audit_scale", and the
+    // capped rows are excluded from the fleet-contention sample (their
+    // minimums are not comparable to the scaled reference).
+    val auditRows = Set("q_ngram_jaccard", "q_dedup_embedding")
+    val auditScaleDir = sys.env.get("SPARK_GRAFT_AUDIT_SF_DIR")
+    auditScaleDir.foreach { d =>
+      System.err.println(s"[bench] AUDIT SCALE CAP: declared-audit rows " +
+        s"${auditRows.toSeq.sorted.mkString(", ")} run against '$d' (not " +
+        s"'$sfDir') — their numbers measure the audit tool at its capped " +
+        "scale, not this run's corpus")
+    }
+    def dirFor(name: String): String =
+      if (auditRows(name)) auditScaleDir.getOrElse(sfDir) else sfDir
     // per-query build/maintain phase splits (PhaseTimer; lifecycle rows
     // opt in) — the split of each query's FASTEST successful rep, so the
     // published attribution matches the published minimum
@@ -196,7 +218,7 @@ object Bench {
         PhaseTimer.drain(name) // never blend a previous rep's phases
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try { fn(spark, dirFor(name)).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e"); false
           }
@@ -306,7 +328,10 @@ object Bench {
     // >= 20 shared rows marks the RUN contended — the number is still the
     // best this host gave, but it is not comparable round-over-round.
     val fleetRatios = results.toSeq.flatMap { case (k, (_, _, _, _, fleetMin)) =>
-      for { m <- fleetMin; r <- refMins.get(k) if r >= 0.1 } yield m / r
+      // scale-capped audit rows ran against a different directory than
+      // the reference artifact — their ratios are meaningless, skip them
+      if (auditScaleDir.isDefined && auditRows(k)) None
+      else for { m <- fleetMin; r <- refMins.get(k) if r >= 0.1 } yield m / r
     }.sorted
     val fleetMedian: Option[Double] =
       if (fleetRatios.size >= 20)
@@ -337,8 +362,18 @@ object Bench {
     // the reference's, both sides also carried the protocol's conditional
     // extended/healing reps symmetrically. fleet_ref_reps_exceed marks the
     // window where the reference out-repped this run (flag suppressed).
+    // r19 advice: when the reference out-repped this run AND the ratio
+    // exceeds the threshold, run_contended:false is not "verified clean" —
+    // the suppression gets its own flag so an artifact reader can't
+    // mistake suppressed for clean (previously only a stderr line)
+    val contendedUnverifiable = refRepsExceed && fleetMedian.exists(_ > 1.2)
+    // audit_scale records the cap (null = every row ran at this run's sf)
+    val auditScaleJson = auditScaleDir.fold("null") { d =>
+      s"""{"dir":"$d","rows":${auditRows.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    }
     val contentionJson =
-      s""""run_contended":$runContended,"fleet_median_ratio":${
+      s""""run_contended":$runContended,"run_contended_unverifiable":$contendedUnverifiable,"audit_scale":$auditScaleJson,"fleet_median_ratio":${
         fleetMedian.fold("null")(m => jfmt(m, 3))},"fleet_ratio_n":${fleetRatios.size
         },"fleet_ref_reps":${refReps.fold("null")(_.toString)
         },"fleet_reps_used":${refReps.fold(reps)(math.min(_, reps))

@@ -480,6 +480,76 @@ private[graft] object AnnGate {
     }),
 
 
+    "q_ann_mmr_dist" -> ((s, dir) => {
+      // round 20 (r19 verdict #2): the EXECUTOR-SIDE query-table MMR —
+      // mmrRerankJoinDistributed runs the per-query greedy in
+      // groupByKey.flatMapGroups (no driver loop, no maxQueries cap,
+      // driver memory flat in the query count), structurally equal to
+      // the driver-side mmrRerankJoin: same rows, same (query, rank)
+      // order, pinned in-row over TWELVE query directions (past what a
+      // chunk-free driver loop at maxQueries=8 would accept — also
+      // pinned: the driver form refuses this table at that cap, the
+      // distributed form serves it). Each query has two planted exact
+      // copies (ids -(10j+1), -(10j+2)); rank 1 is the smaller-id copy
+      // at cosine 1.0 and its exact duplicate is never second at
+      // lambda=0.3 (the q_ann_mmr_join theorems, per query).
+      import s.implicits._
+      val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      def qv(j: Int): Array[Double] = Array.tabulate(64)(i => math.sin(i + 1.0 + j))
+      val nQ = 12
+      val planted = (0 until nQ).flatMap { j =>
+        Seq((-(10L * j + 1), qv(j).toSeq), (-(10L * j + 2), qv(j).toSeq))
+      }.toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          col("embedding").cast(e0.schema("embedding").dataType))
+      val corpus = e0.unionByName(planted).localCheckpoint(true)
+      val queries = (0 until nQ).map(j => (j.toLong, qv(j).toSeq))
+        .toDF("q_id", "q_vec")
+      val cands = PhaseTimer.time("q_ann_mmr_dist", "serve_join") {
+        Similarity.bruteForceTopKJoin(corpus, "embedding", "vec_id",
+          queries, "q_vec", "q_id", k = 30).localCheckpoint(true)
+      }
+      val dist = Similarity.mmrRerankJoinDistributed(cands, "q_id", "vec_id",
+        corpus, "embedding", "vec_id", queries, "q_vec", "q_id",
+        k = 10, lambda = 0.3).localCheckpoint(true)
+      // law 1: row-and-order structural equality to the driver form
+      val sameAsDriver = PhaseTimer.time("q_ann_mmr_dist", "exact_oracle") {
+        val drv = Similarity.mmrRerankJoin(cands, "q_id", "vec_id",
+          corpus, "embedding", "vec_id", queries, "q_vec", "q_id",
+          k = 10, lambda = 0.3)
+        val a = dist.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+        val b = drv.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+        a == b
+      }
+      // law 2: the driver form refuses this table at maxQueries=8; the
+      // distributed form has no such cap by construction
+      val capAbsent = PhaseTimer.time("q_ann_mmr_dist", "exact_oracle") {
+        try {
+          Similarity.mmrRerankJoin(cands, "q_id", "vec_id",
+            corpus, "embedding", "vec_id", queries, "q_vec", "q_id",
+            k = 10, lambda = 0.3, maxQueries = 8)
+          false
+        } catch { case _: IllegalArgumentException => true }
+      }
+      val picked = dist.orderBy(col("q_id"), col("mmr_rank")).collect()
+        .groupBy(_.getLong(0))
+      val perQ = (0 until nQ).map { j =>
+        val rows = picked(j.toLong)
+        val ids = rows.map(_.getLong(1))
+        (j.toLong, rows.length.toLong,
+          ids.head == -(10L * j + 2) && rows.head.getDouble(2) == 1.0,
+          ids(1) != -(10L * j + 1),
+          ids.distinct.length == ids.length)
+      }
+      perQ.toDF("q_id", "k_rows", "first_is_copy", "dup_not_second",
+          "distinct_ok")
+        .withColumn("same_as_driver", lit(sameAsDriver))
+        .withColumn("driver_cap_absent", lit(capAbsent))
+    }),
+
+
     "q_ann_int8_join" -> ((s, dir) => {
       // round 18: the flat int8 tier's query-TABLE serve — the last
       // serving family without a bounded query-table form. No cells to
@@ -779,6 +849,108 @@ private[graft] object AnnGate {
           int8InvariantRow(e, q, stored)
         }
       } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
+
+    "q_streaming_nsw" -> ((s, dir) => {
+      // round 20 (r19 verdict #6): streaming ingest for the stored GRAPH
+      // tier — the last hole in the streaming-maintenance matrix
+      // (IVF/IVF-PQ/BM25/NB all had foreachBatch rows; nswAppendToStored
+      // was batch-only). Production shape: bootstrap the day-0 graph
+      // (nswWriteIndex of an nswBuild frame), then ingest micro-batches
+      // via foreachBatch → nswAppendToStored(batchId) — each append ONE
+      // O(|batch|·m) graphdelta segment committed inside the writer
+      // lock, replay-guarded by batchId (guard survives compaction via
+      // the applied-batch high-water mark), the index serveable between
+      // micro-batches. Ids ascend across batches, so the streamed result
+      // inherits the append≡rebuild identity (q_ann_nsw_incr's law):
+      // pinned in-row against BOTH the ordinal batch-append store and a
+      // full nswBuild over everything. The day-2 needle (an exact copy
+      // of the query, last batch) is served MID-STREAM, before stop().
+      // State story: no state-store state; the graph index is the
+      // all-time durable state, replay-guarded by batchId.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val e = t(s, dir, "embeddings")
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val rows = e.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val third = (rows.length + 2) / 3
+      val day0 = rows.take(third)
+      val needle = (rows.last._1 + 1000000L, q.map(_.toFloat))
+      val batches: Seq[Seq[(Long, Array[Float])]] = Seq(
+        rows.slice(third, 2 * third).toSeq,
+        rows.drop(2 * third).toSeq,
+        Seq(needle))
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val tmpS = java.nio.file.Files.createTempDirectory("graft_nsw_stream_").toString
+      val tmpB = java.nio.file.Files.createTempDirectory("graft_nsw_sbatch_").toString
+      try {
+        def df(b: Seq[(Long, Array[Float])]) = b.toDF("vec_id", "embedding")
+          .select(col("vec_id"),
+            col("embedding").cast(e.schema("embedding").dataType))
+        PhaseTimer.time("q_streaming_nsw", "build") {
+          val built = Similarity.nswBuild(df(day0.toSeq), "embedding",
+            "vec_id").localCheckpoint(true)
+          Similarity.nswWriteIndex(built, tmpS)
+          Similarity.nswWriteIndex(built, tmpB)
+        }
+        val writer = graft.streaming.StreamingIO.fanout(
+          ms.toDS().toDF("vec_id", "embedding"))(Seq(
+          (b, bid) => Similarity.nswAppendToStored(s, tmpS,
+            b.select(col("vec_id"),
+              col("embedding").cast(e.schema("embedding").dataType)),
+            "embedding", "vec_id", batchId = Some(bid))))
+        var needleMidStream = false
+        PhaseTimer.time("q_streaming_nsw", "ingest") {
+          withStreamingGateConf(s, 4) {
+            val sq = writer.start()
+            try {
+              batches.foreach { b => ms.addData(b); sq.processAllAvailable() }
+              // day-2 needle served MID-STREAM (the stream is live): the
+              // appended exact copy of the query ranks first at 1.0
+              val served = Similarity.nswSearchBuilt(
+                Similarity.readNswIndex(s, tmpS), "embedding", "vec_id",
+                q, k = 10).localCheckpoint(true)
+              needleMidStream = served
+                .agg(max_by(col("vec_id"), col("nsw_sim")).as("top"),
+                  max(col("nsw_sim")).as("sim")).collect().headOption
+                .exists(r => r.getLong(0) == needle._1 && r.getDouble(1) == 1.0)
+            } finally sq.stop()
+          }
+        }
+        // replay guard: re-delivering an applied batch id is a no-op —
+        // the commit log must be byte-identical around it
+        val segsBefore = graft.batch.SegmentedStore.committedSegs(tmpS)
+        Similarity.nswAppendToStored(s, tmpS, df(Seq(needle)), "embedding",
+          "vec_id", batchId = Some(2L))
+        val replayNoop =
+          graft.batch.SegmentedStore.committedSegs(tmpS) == segsBefore
+        // equality oracles: streamed ≡ ordinal batch appends ≡ full
+        // rebuild (ascending ids — the append-only identity), both
+        // audit-attributed
+        val idxS = Similarity.readNswIndex(s, tmpS).localCheckpoint(true)
+        val eqBatch = PhaseTimer.time("q_streaming_nsw", "exact_oracle") {
+          batches.foreach(b => Similarity.nswAppendToStored(s, tmpB, df(b),
+            "embedding", "vec_id"))
+          val idxB = Similarity.readNswIndex(s, tmpB).localCheckpoint(true)
+          idxS.except(idxB).count() == 0 && idxB.except(idxS).count() == 0
+        }
+        val eqRebuild = PhaseTimer.time("q_streaming_nsw", "rebuild_oracle") {
+          val rebuilt = Similarity.nswBuild(df(rows.toSeq :+ needle),
+            "embedding", "vec_id").localCheckpoint(true)
+          idxS.except(rebuilt).count() == 0 && rebuilt.except(idxS).count() == 0
+        }
+        idxS.agg(count(lit(1)).as("n_vecs"))
+          .withColumn("needle_mid_stream", lit(needleMidStream))
+          .withColumn("stream_eq_batch", lit(eqBatch))
+          .withColumn("eq_rebuild", lit(eqRebuild))
+          .withColumn("replay_noop", lit(replayNoop))
+      } finally {
+        graft.batch.BatchState.deleteDir(tmpS)
+        graft.batch.BatchState.deleteDir(tmpB)
+      }
     }),
 
 
@@ -1176,6 +1348,67 @@ private[graft] object AnnGate {
     }),
 
 
+    "q_nsw_wear_repair" -> ((s, dir) => {
+      // round 20 (r19 verdict #1): the graph tiers' wear REPAIR on the
+      // maintenance cadence — compactOnWear wires graphHealthStats'
+      // measured signal (the r19 probe's 1.48x dead-row serve tax at
+      // 50% tombstones) to the existing locked compaction, mirroring
+      // the codes tiers' rebuildOnDrift discipline. Proportional plant
+      // (30% takedown, the q_nsw_health share — scale-stable). Pins:
+      // the default-off cadence warns but mutates nothing (the r19 gap:
+      // a single-payload store at 0.3 tombstone mass warned forever);
+      // the flagged cadence folds under the writer lease, sweeps the
+      // marks, resets the stats exactly; the reset fraction cannot
+      // re-trip (anti-thrash: tombstone_fraction is the ONLY trigger
+      // and compaction zeroes it — imbalance deliberately never
+      // triggers, a skew rebuild would thrash nightly O(index) work).
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_nsw_wear_").toString
+      try {
+        val n = e.count()
+        val nTake = e.where(col("vec_id") % 10 < 3).count()
+        PhaseTimer.time("q_nsw_wear_repair", "build") {
+          Similarity.nswWriteIndex(
+            Similarity.nswBuild(e, "embedding", "vec_id"), tmp)
+        }
+        PhaseTimer.time("q_nsw_wear_repair", "takedown") {
+          Similarity.nswDeleteFromStored(s, tmp,
+            e.where(col("vec_id") % 10 < 3).select("vec_id"))
+        }
+        def snap(): (Long, Long, Double, Boolean) = {
+          val r = Similarity.graphHealthStats(s, tmp).collect().head
+          (r.getAs[Long]("live_rows"), r.getAs[Long]("tombstone_rows"),
+            r.getAs[Double]("tombstone_fraction"),
+            r.getAs[Boolean]("health_warn"))
+        }
+        val (live1, tomb1, frac1, warn1) = snap()
+        val planted = live1 == n - nTake && tomb1 == nTake &&
+          frac1 > 0.2 && warn1
+        // default OFF: the cadence only warns (the r19 gap, now pinned)
+        val offRan = Similarity.nswCompactIfFragmented(s, tmp,
+          "embedding", "vec_id", maxSegments = 8)
+        val (_, tomb2, _, _) = snap()
+        val offUntouched = !offRan && tomb2 == nTake
+        // flag ON: the wear guard folds under the writer lease
+        val onRan = PhaseTimer.time("q_nsw_wear_repair", "compact") {
+          Similarity.nswCompactIfFragmented(s, tmp, "embedding", "vec_id",
+            maxSegments = 8, compactOnWear = true)
+        }
+        val (live3, tomb3, frac3, warn3) = snap()
+        val repaired = onRan && live3 == n - nTake && tomb3 == 0L &&
+          frac3 == 0.0 && !warn3 &&
+          graft.batch.SegmentedStore.committedSegs(tmp).length == 1
+        // anti-thrash: the reset fraction cannot re-trip the fold
+        val again = Similarity.nswCompactIfFragmented(s, tmp,
+          "embedding", "vec_id", maxSegments = 8, compactOnWear = true)
+        import s.implicits._
+        Seq((live3, planted, offUntouched, repaired, !again))
+          .toDF("n_live", "planted_wear_warns", "default_off_untouched",
+            "flagged_fold_repairs", "repair_idempotent")
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
+
     "q_hnsw_lifecycle_stored" -> ((s, dir) => {
       // round 16: the stored HIERARCHICAL tier's full lifecycle —
       // bootstrap (hnswWriteIndex of an hnswBuild frame) → takedown (one
@@ -1521,6 +1754,17 @@ private[graft] object AnnGate {
         |  TRUE AS lambda1_equals_topk
         |FROM range(3)""".stripMargin,
 
+    // executor-side query-table MMR (round 20): one row per query over a
+    // table past the driver form's chunk-free cap; row-and-order equality
+    // to the driver form, the cap's absence, and the planted-copy
+    // theorems are all computed in-row
+    "q_ann_mmr_dist" ->
+      """SELECT CAST(range AS BIGINT) AS q_id, CAST(10 AS BIGINT) AS k_rows,
+        |  TRUE AS first_is_copy, TRUE AS dup_not_second,
+        |  TRUE AS distinct_ok, TRUE AS same_as_driver,
+        |  TRUE AS driver_cap_absent
+        |FROM range(12)""".stripMargin,
+
 
     // the flat int8 tier's query-TABLE serve: one resolve + one codes
     // scan amortized across the table; self-hit, k contract, and exact
@@ -1597,6 +1841,16 @@ private[graft] object AnnGate {
         |  TRUE AS same_as_mem
         |FROM embeddings""".stripMargin,
 
+    // streaming GRAPH-tier ingest (round 20): micro-batch delta appends
+    // inside the writer lock, replay-guarded by batchId; streamed ≡
+    // ordinal batch appends ≡ full rebuild (append-only-id identity),
+    // the day-2 needle served before stop() — all pinned in-row
+    "q_streaming_nsw" ->
+      """SELECT CAST(count(*) + 1 AS BIGINT) AS n_vecs,
+        |  TRUE AS needle_mid_stream, TRUE AS stream_eq_batch,
+        |  TRUE AS eq_rebuild, TRUE AS replay_noop
+        |FROM embeddings""".stripMargin,
+
 
     // streaming ingest + compaction are exact (per-vector rows are
     // independent), so the lifecycle row pins the same four invariants
@@ -1658,6 +1912,16 @@ private[graft] object AnnGate {
         |    AS BIGINT) AS n_live_final,
         |  TRUE AS clean_ok, TRUE AS takedown_warns, TRUE AS append_ok,
         |  TRUE AS cadence_no_fold, TRUE AS compact_clears""".stripMargin,
+
+    // graph-tier wear repair (round 20): the 30% planted takedown trips
+    // the tombstone warning; default-off cadence mutates nothing; the
+    // compactOnWear cadence folds, sweeps the marks and resets the stats;
+    // the reset fraction cannot re-trip — every boolean a hard pin
+    "q_nsw_wear_repair" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 10 >= 3)
+        |    AS BIGINT) AS n_live,
+        |  TRUE AS planted_wear_warns, TRUE AS default_off_untouched,
+        |  TRUE AS flagged_fold_repairs, TRUE AS repair_idempotent""".stripMargin,
 
     // O(batch) stored append: one graphdelta-only segment ≤ |batch|·(m+1)
     // rows (asserted in-row), LWW reassembly ≡ full rebuild over both days

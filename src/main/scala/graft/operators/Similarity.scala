@@ -1194,11 +1194,35 @@ object Similarity {
       s"mmrRerankJoin candidate frame exceeds maxQueries*maxCandidates=" +
         s"${qRows.length.toLong * maxCandidates} resolved rows — MMR " +
         "re-ranks bounded serve output, never a corpus")
-    require(withVecs.length == nCandGroups,
-      s"mmrRerankJoin: ${nCandGroups - withVecs.length} candidate rows " +
-        s"have no $corpusIdCol match in the corpus (or duplicate corpus " +
-        "ids fanned the join out) — a silent drop would serve a thinner " +
-        "diversity set than asked; resolve against the serving corpus")
+    // the two resolution failure modes checked SEPARATELY (r19 advice: a
+    // duplicate corpus id fanning the join out can exactly cancel an
+    // unresolvable candidate id, so count equality alone can pass while
+    // serving a wrong vector set). 1) distinct (q, id) pairs — a
+    // duplicate here means either the candidate frame repeats the pair
+    // or a duplicate corpus id fanned the join out; 2) with pairs
+    // distinct, any count shortfall is EXACTLY the unresolvable ids,
+    // named via an anti-join on the failure path only.
+    val dupPair = {
+      val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+      withVecs.iterator.map(r => (r._1, r._2)).find(!seen.add(_))
+    }
+    require(dupPair.isEmpty,
+      s"mmrRerankJoin: duplicate resolved (query, candidate) pair " +
+        s"${dupPair.get} — the candidate frame repeats the pair or a " +
+        s"duplicate $corpusIdCol in the corpus fanned the join out; " +
+        "either would serve a wrong vector set")
+    if (withVecs.length != nCandGroups) {
+      val missing = candPairs.join(
+          corpus.select(col(corpusIdCol).cast("long").as("__id")),
+          Seq("__id"), "left_anti")
+        .select(col("__id")).limit(3).collect().map(_.getLong(0))
+      throw new IllegalArgumentException(
+        s"mmrRerankJoin: ${nCandGroups - withVecs.length} candidate rows " +
+          s"have no $corpusIdCol match in the corpus (e.g. " +
+          s"${missing.mkString(", ")}) — a silent drop would serve a " +
+          "thinner diversity set than asked; resolve against the serving " +
+          "corpus")
+    }
     val qIds = qRows.map(_._1).toSet
     val strayQ = withVecs.iterator.map(_._1).filterNot(qIds).take(3).toSeq
     require(strayQ.isEmpty,
@@ -1218,6 +1242,111 @@ object Similarity {
         .map { case (id, sim, rank) => (qid, id, sim, rank) }
     }
     out.toDF(qIdCol, idCol, "cosine_sim", "mmr_rank")
+  }
+
+  /** Executor-side MMR for a query TABLE (round 20, r19 verdict #2):
+    * per-query output EXACTLY equals [[mmrRerankJoin]] — same rows, same
+    * (query asc, rank asc) order — but the per-query greedy runs in
+    * `groupByKey(query).flatMapGroups` on the EXECUTORS, so a large
+    * batch-curation query table (the 10⁵-query decontamination shape)
+    * needs no driver loop, no chunking, and no `maxQueries` cap: the
+    * greedy is per-query independent (embarrassingly parallel), and the
+    * one thing that is NOT parallel — the running max-similarity state —
+    * stays inside each bounded group. Driver memory is flat in the query
+    * count (nothing is collected); keep the driver form for small tables
+    * where a shuffle isn't worth scheduling.
+    *
+    * Plan shape: the same ONE broadcast join attaches candidate vectors
+    * (candidate ids broadcast INTO the corpus scan — the corpus is never
+    * collected or shuffled), then ONE shuffle keyed by query id groups
+    * (query vector + expected-count sentinel + resolved candidates),
+    * each group at most `maxCandidates` + 2 rows. Every bound and
+    * resolution check of the driver form is re-stated PER GROUP, loud at
+    * evaluation time: a group over `maxCandidates`, duplicate candidate
+    * ids, duplicate query ids, candidates naming a query id absent from
+    * the query table (no query row reaches the group), and unresolvable
+    * candidate ids (the expected-count sentinel travels with the group,
+    * so even a query whose candidates are ALL unresolvable fails loudly
+    * instead of vanishing thin). Law: structural equality to
+    * [[mmrRerankJoin]] over random tables (MmrDistributedSpec), gate row
+    * q_ann_mmr_dist sharing q_ann_mmr_join's oracle shape.
+    */
+  def mmrRerankJoinDistributed(candidates: DataFrame, qIdCol: String,
+      idCol: String, corpus: DataFrame, vecCol: String, corpusIdCol: String,
+      queries: DataFrame, qVecCol: String, queryIdCol: String,
+      k: Int, lambda: Double, maxCandidates: Int = 4096): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0, 1], got $lambda")
+    val session = candidates.sparkSession
+    import session.implicits._
+    // empty query table: the canonical empty frame (the driver form's
+    // documented contract — checked first so the law holds on the edge)
+    if (queries.limit(1).isEmpty)
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF(qIdCol, idCol, "cosine_sim", "mmr_rank")
+    val candPairs = candidates
+      .select(col(qIdCol).cast("long").as("__q"),
+        col(idCol).cast("long").as("__id"))
+    // ONE broadcast join attaches vectors — ids INTO the corpus scan
+    val resolved = corpus
+      .select(col(corpusIdCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__vec"))
+      .join(broadcast(candPairs), "__id")
+      .select(col("__q"), lit(2).as("__kind"), col("__id"), col("__vec"),
+        lit(0L).as("__n"))
+    // per-query EXPECTED candidate count — travels to the group as a
+    // sentinel row, so the resolution check runs even when the join
+    // resolved nothing for a query
+    val expected = candPairs.groupBy(col("__q"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("__q"), lit(1).as("__kind"), lit(Long.MinValue).as("__id"),
+        lit(null).cast("array<double>").as("__vec"), col("__n"))
+    val qRows = queries
+      .select(col(queryIdCol).cast("long").as("__q"), lit(0).as("__kind"),
+        lit(Long.MinValue).as("__id"),
+        col(qVecCol).cast("array<double>").as("__vec"), lit(0L).as("__n"))
+    val maxC = maxCandidates
+    val kk = k; val lam = lambda
+    val out = qRows.unionByName(expected).unionByName(resolved)
+      .as[(Long, Int, Long, Seq[Double], Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Int, Long, Seq[Double], Long)]) =>
+        // bounded load: a group is ≤ maxCandidates cands + 1 query row +
+        // 1 sentinel; read one past the cap and fail loudly, never OOM
+        val rows = it.take(maxC + 3).toArray
+        val qVecs = rows.filter(_._2 == 0)
+        val sent = rows.filter(_._2 == 1)
+        val cands = rows.filter(_._2 == 2)
+        require(qVecs.nonEmpty,
+          s"mmrRerankJoinDistributed: candidate rows name query id $qid, " +
+            "absent from the query table — pass the same query table the " +
+            "serve ran")
+        require(qVecs.length == 1,
+          s"mmrRerankJoinDistributed: query table carries duplicate query " +
+            s"id $qid")
+        require(cands.length <= maxC,
+          s"mmrRerankJoinDistributed: query $qid carries ${cands.length} " +
+            s"candidates, over maxCandidates=$maxC")
+        if (sent.isEmpty) Iterator.empty // query with no candidate rows
+        else {
+          require(cands.length == sent.head._5,
+            s"mmrRerankJoinDistributed: query $qid resolved ${cands.length}" +
+              s" of ${sent.head._5} candidate rows — unresolvable " +
+              "candidate ids (or a duplicate corpus id fanned the join " +
+              "out); resolve against the serving corpus")
+          val sorted = cands.map(r => (r._3, r._4.toArray)).sortBy(_._1)
+          require(sorted.map(_._1).distinct.length == sorted.length,
+            s"mmrRerankJoinDistributed: query $qid carries duplicate " +
+              "candidate ids")
+          mmrGreedy(sorted, qVecs.head._4.toArray, kk, lam).iterator
+            .map { case (id, sim, rank) => (qid, id, sim, rank) }
+        }
+      }
+    // output-sized sort (k rows per query) pins the driver form's
+    // (query asc, rank asc) order, so equality is row-and-order exact
+    out.toDF(qIdCol, idCol, "cosine_sim", "mmr_rank")
+      .orderBy(col(qIdCol), col("mmr_rank"))
   }
 
   /** Exact per-query top-k for a query table (broadcast). */
@@ -2512,11 +2641,19 @@ object Similarity {
     * through appends; re-adding a deleted id still requires a compaction
     * first (the insert refuses ids present in the graph).
     */
+  /** @param batchId pass the foreachBatch micro-batch id to make the
+    *   append IDEMPOTENT under at-least-once replay (the
+    *   [[graft.operators.Retrieval.appendToStored]] contract): the
+    *   segment id becomes a pure function of the batch id and a
+    *   re-delivered batch whose commit already landed is skipped. None =
+    *   ordinal (non-replayed) append.
+    */
   def nswAppendToStored(spark: SparkSession, path: String,
       newRows: DataFrame, vecCol: String, idCol: String, nParts: Int = 4,
-      m: Int = 8, efConstruction: Int = 64): Unit =
+      m: Int = 8, efConstruction: Int = 64,
+      batchId: Option[Long] = None): Unit =
     appendToStoredGraph(spark, path, newRows, vecCol, idCol,
-      nbrCol = "nbr_ids", label = "nswAppendToStored",
+      nbrCol = "nbr_ids", label = "nswAppendToStored", batchId,
       insertDelta = (cur, fresh) =>
         nswInsertDelta(cur, fresh, vecCol, idCol, nParts, m, efConstruction))
 
@@ -2527,12 +2664,37 @@ object Similarity {
     */
   private def appendToStoredGraph(spark: SparkSession, path: String,
       newRows: DataFrame, vecCol: String, idCol: String, nbrCol: String,
-      label: String,
+      label: String, batchId: Option[Long] = None,
       insertDelta: (DataFrame, DataFrame) => DataFrame): Unit =
     graft.batch.SegmentedStore.withWriterLock(path) {
+      // replayed micro-batch: its segment is already committed — skip
+      if (!batchId.exists(graft.batch.SegmentedStore.batchApplied(path, _)))
+        appendToStoredGraphLocked(spark, path, newRows, vecCol, idCol,
+          nbrCol, label, batchId, insertDelta)
+    }
+
+  private def appendToStoredGraphLocked(spark: SparkSession, path: String,
+      newRows: DataFrame, vecCol: String, idCol: String, nbrCol: String,
+      label: String, batchId: Option[Long],
+      insertDelta: (DataFrame, DataFrame) => DataFrame): Unit = {
       val segs = graft.batch.SegmentedStore.committedSegs(path)
       require(segs.nonEmpty,
         s"$label: no committed index at $path — bootstrap with the write form")
+      // the graph tier's read-side LWW keys on SEGMENT ID ORDER (deltas
+      // apply only when newer than the live payload — readNswIndex), so
+      // a streamed delta whose pinned even id a compaction has already
+      // outrun would be silently ignored; fail loudly with the escape
+      // instead (the codes/postings tiers union segments order-free and
+      // don't carry this constraint)
+      batchId.foreach { b =>
+        val pinned = graft.batch.SegmentedStore.batchSegId(b)
+        require(pinned > segs.max,
+          s"$label: streamed batch $b pins segment id $pinned, not newer " +
+            s"than the live payload (max committed ${segs.max}) — a " +
+            "compaction outran this stream's batch ids; stop the stream, " +
+            "re-point a NEW checkpoint (resetStreamHighWater) or use " +
+            "ordinal appends")
+      }
       val cur = readNswIndex(spark, path, idCol)
       require(cur.columns.contains(vecCol),
         s"$label: stored index at $path has no '$vecCol' column — " +
@@ -2556,7 +2718,8 @@ object Similarity {
         }
       val delta = insertDelta(
         cur.select(col(idCol), col(vecCol), col(nbrCol)), newRows)
-      val id = graft.batch.SegmentedStore.nextId(path)
+      val id = batchId.map(graft.batch.SegmentedStore.batchSegId)
+        .getOrElse(graft.batch.SegmentedStore.nextId(path))
       val segDir = graft.batch.SegmentedStore.segDir(path, id)
       // pre-clear: a crashed append's orphan payload must never ride a
       // later writer's commit of the same reused segment id
@@ -2571,7 +2734,12 @@ object Similarity {
       writeGraphStats(spark, segDir,
         Seq(("new", -1, newRows.count())) ++
           unmirrored.map(m => ("mirror", -1, m.count())))
-      graft.batch.SegmentedStore.commitAppend(path, id)
+      batchId match {
+        // streaming: raise the applied-batch high-water mark in the same
+        // atomic flip, so the replay guard survives compaction
+        case Some(b) => graft.batch.SegmentedStore.commitStreamingAppend(path, b)
+        case None    => graft.batch.SegmentedStore.commitAppend(path, id)
+      }
     }
 
   /** Fold takedowns physically: REBUILD the graph over the retained rows
@@ -2594,15 +2762,68 @@ object Similarity {
   def nswCompactIfFragmented(spark: SparkSession, path: String, vecCol: String,
       idCol: String = "vec_id", nParts: Int = 4, m: Int = 8,
       efConstruction: Int = 64, maxSegments: Int = 8,
-      sweepGraceMs: Long = 0L): Boolean = {
-    val ran = graft.batch.SegmentedStore.compactIfFragmentedLocked(path, maxSegments) {
+      sweepGraceMs: Long = 0L, compactOnWear: Boolean = false,
+      tombstoneWarn: Double = 0.2): Boolean = {
+    def fold(): Unit =
       compactStoredGraphLocked(spark, path, vecCol, idCol,
         nbrCol = "nbr_ids", label = "nswCompactStored", sweepGraceMs,
         build = retained => nswBuild(retained, vecCol, idCol, nParts, m,
           efConstruction))
+    val ran = graft.batch.SegmentedStore.compactIfFragmentedLocked(path, maxSegments) {
+      fold()
     }
+    val worn = !ran && compactOnWear &&
+      compactIfWorn(spark, path, idCol, tombstoneWarn,
+        "nswCompactIfFragmented")(fold())
     graphHealthCadenceCheck(spark, path, idCol, "nswCompactIfFragmented")
-    ran
+    ran || worn
+  }
+
+  /** Opt-in wear repair on the graph maintenance cadence (round 20, r19
+    * verdict #1 — the graph tiers' symmetric answer to the codes tiers'
+    * `rebuildOnDrift`): when the segment-count guard found nothing to
+    * fold but tombstone mass exceeds `tombstoneWarn`, run the SAME
+    * locked compaction the count guard would have run. This closes the
+    * measured gap the r19 graph-health probe exposed: a low-segment
+    * store at 50% tombstone mass pays a ~1.48× dead-row serve tax (dead
+    * rows still route — beam-search work that returns nothing) and the
+    * count guard never folds it, so the warning fired forever while the
+    * repair existed one verb away.
+    *
+    * The gate is `tombstone_fraction` ALONE, and deliberately so:
+    *  - tombstone_fraction resets to exactly 0 at compaction (the
+    *    rebuild runs over the retained rows and sweeps the marks), so
+    *    the trigger is self-limiting — the anti-thrash property the
+    *    codes tiers get from their AND gate falls out of one signal
+    *    here. (appended_fraction also resets, but append mass arrives
+    *    one segment per batch, which is the COUNT guard's domain.)
+    *  - shard_imbalance is excluded: the rebuild re-shards by the same
+    *    id hash, so a genuinely skewed id population would re-read
+    *    imbalanced immediately after the fold and thrash the cadence
+    *    into an O(index) rebuild every night. Imbalance stays a
+    *    warning ([[graphHealthStats]]), never a trigger.
+    *
+    * Default OFF — an O(index) rebuild is the operator's call. Same
+    * unlocked-pre-check / re-check-inside-the-lease discipline as
+    * [[graft.batch.SegmentedStore.compactIfFragmentedLocked]]: below
+    * the threshold the check costs O(segments) tiny stats reads and
+    * takes no lock.
+    */
+  private def compactIfWorn(spark: SparkSession, path: String, idCol: String,
+      tombstoneWarn: Double, label: String)(fold: => Unit): Boolean = {
+    def tripped(): Boolean =
+      graphHealthStats(spark, path, idCol, tombstoneWarn).collect().head
+        .getAs[Double]("tombstone_fraction") > tombstoneWarn
+    tripped() && graft.batch.SegmentedStore.withWriterLock(path) {
+      val still = tripped()
+      if (still) {
+        System.err.println(s"[graft] $label: tombstone mass past " +
+          f"$tombstoneWarn%.2f with compactOnWear set — folding takedowns " +
+          "and rebuilding the shards under the writer lease")
+        fold
+      }
+      still
+    }
   }
 
   /** Health check on the maintenance cadence (round 19, r18 verdict #4 —
@@ -2642,7 +2863,13 @@ object Similarity {
     *    the growth-since-rebuild signal (append replays the insert loop,
     *    so unlike the frozen-model codes tiers this is wear, not drift:
     *    high appended mass means many LWW segments and an aging shard
-    *    split, both of which compaction folds).
+    *    split, both of which compaction folds). Estimate contract
+    *    (the cellOccupancy discipline, like shard_imbalance above): a
+    *    takedown's marks decrement `live` but are not attributed to
+    *    delta vs payload ids, so a delta-appended node later tombstoned
+    *    keeps counting as appended until the next compaction re-exacts
+    *    both (appended resets to 0) — between compactions the wear
+    *    signal can overstate by at most the marks' mass.
     *
     * `health_warn` fires past either threshold on the maintenance
     * cadence ([[nswCompactIfFragmented]] / [[hnswCompactIfFragmented]]
@@ -2800,9 +3027,10 @@ object Similarity {
     */
   def hnswAppendToStored(spark: SparkSession, path: String,
       newRows: DataFrame, vecCol: String, idCol: String, nParts: Int = 4,
-      m: Int = 8, efConstruction: Int = 64): Unit =
+      m: Int = 8, efConstruction: Int = 64,
+      batchId: Option[Long] = None): Unit =
     appendToStoredGraph(spark, path, newRows, vecCol, idCol,
-      nbrCol = "layer_nbrs", label = "hnswAppendToStored",
+      nbrCol = "layer_nbrs", label = "hnswAppendToStored", batchId,
       insertDelta = (cur, fresh) =>
         hnswInsertDelta(cur, fresh, vecCol, idCol, nParts, m, efConstruction))
 
@@ -2825,15 +3053,21 @@ object Similarity {
   def hnswCompactIfFragmented(spark: SparkSession, path: String, vecCol: String,
       idCol: String = "vec_id", nParts: Int = 4, m: Int = 8,
       efConstruction: Int = 64, maxSegments: Int = 8,
-      sweepGraceMs: Long = 0L): Boolean = {
-    val ran = graft.batch.SegmentedStore.compactIfFragmentedLocked(path, maxSegments) {
+      sweepGraceMs: Long = 0L, compactOnWear: Boolean = false,
+      tombstoneWarn: Double = 0.2): Boolean = {
+    def fold(): Unit =
       compactStoredGraphLocked(spark, path, vecCol, idCol,
         nbrCol = "layer_nbrs", label = "hnswCompactStored", sweepGraceMs,
         build = retained => hnswBuild(retained, vecCol, idCol, nParts, m,
           efConstruction))
+    val ran = graft.batch.SegmentedStore.compactIfFragmentedLocked(path, maxSegments) {
+      fold()
     }
+    val worn = !ran && compactOnWear &&
+      compactIfWorn(spark, path, idCol, tombstoneWarn,
+        "hnswCompactIfFragmented")(fold())
     graphHealthCadenceCheck(spark, path, idCol, "hnswCompactIfFragmented")
-    ran
+    ran || worn
   }
 
   /** Incremental index maintenance — insert a batch of NEW vectors into a
