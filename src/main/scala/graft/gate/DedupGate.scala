@@ -14,10 +14,16 @@ import graft.time.{BatchID, Batcher, Timestamp}
 
 import GateHelpers._
 
-/** Gate registry — the deduplication family (exact / MinHash / SimHash / embedding /
-  * spans / incremental).
-  * Split from SparkEntry (round 19, mechanical move): SparkEntry
-  * concatenates the per-family registries; entries are verbatim.
+/** Gate registry — the deduplication family (exact / MinHash / SimHash /
+  * embedding / spans / incremental) PLUS, positionally, the rows that
+  * shared its SparkEntry neighborhood: lexical retrieval (q_bm25*,
+  * q_streaming_bm25), LM scoring (q_lm_score, q_lm_score_bigram),
+  * packing (q_pack*), pipelines (q_pipeline*), and q_row_index. The
+  * split is the round-19 verbatim SparkEntry slice, NOT a semantic
+  * re-grouping (r19 advice: say so, so a maintainer looks here — not
+  * TextGate — for a BM25 row; TextGate holds the backoff LM and the
+  * hybrid-fusion rows for the same reason). RegistrySplitSpec pins the
+  * union's disjointness; SparkEntry concatenates the registries.
   */
 private[graft] object DedupGate {
 
@@ -167,6 +173,61 @@ private[graft] object DedupGate {
         Retrieval.bm25TopKFromStored(s, tmp, tokenBuckets = 16,
           bm25Queries(s), "qtext", "query_id", "doc_id", k = 3)
           .localCheckpoint(true)
+      } finally graft.batch.BatchState.deleteDir(tmp)
+    }),
+
+
+    "q_bm25_stored_ioprune" -> ((s, dir) => {
+      // round 20 (r19 verdict #3): the IO side of block-max pruning.
+      // Segments persist the quantized-impact block id per posting
+      // ((token, __blk)-sorted row groups) plus a tiny blockstats table;
+      // the serve then derives dfs/idf and block bounds WITHOUT any
+      // posting scan, reads only the pushed block-floor postings for its
+      // θ/bounds machinery (row groups of low-impact stopword postings
+      // skipped via parquet min/max stats — 128 KiB row groups here so
+      // the skip is demonstrable at gate scale), and exact-scores the
+      // survivors in ONE full pruned-bucket scan — vs the classic
+      // pipeline's five. Pins: result identity with the in-memory
+      // scorer AND the classic stored path (the top-k rows themselves
+      // are this row's oracle data), and an in-row filesystem
+      // bytes-read audit showing the IO path reads fewer bytes.
+      val docsDf = t(s, dir, "documents").select("doc_id", "text")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_iop_").toString
+      try {
+        PhaseTimer.time("q_bm25_stored_ioprune", "build") {
+          Retrieval.writeIndex(Retrieval.buildIndex(docsDf, "text", "doc_id"),
+            tmp, tokenBuckets = 16, rowGroupBytes = Some(128L * 1024))
+        }
+        def serve(io: Boolean): (org.apache.spark.sql.DataFrame, Long) = {
+          val b0 = fsBytesRead()
+          val out = Retrieval.bm25TopKFromStored(s, tmp, tokenBuckets = 16,
+            bm25Queries(s), "qtext", "query_id", "doc_id", k = 3,
+            ioPrune = io).localCheckpoint(true)
+          (out, fsBytesRead() - b0)
+        }
+        val (ioDf, ioBytes) = serve(io = true)
+        val (classicDf, classicBytes) =
+          PhaseTimer.time("q_bm25_stored_ioprune", "prune_audit") {
+            serve(io = false)
+          }
+        val sameAsUnpruned = PhaseTimer.time("q_bm25_stored_ioprune",
+            "prune_audit") {
+          ioDf.exceptAll(classicDf).count() == 0 &&
+            classicDf.exceptAll(ioDf).count() == 0
+        }
+        val sameAsMem = PhaseTimer.time("q_bm25_stored_ioprune",
+            "exact_oracle") {
+          val mem = Retrieval.bm25TopK(
+            Retrieval.buildIndex(docsDf, "text", "doc_id"),
+            bm25Queries(s), "qtext", "query_id", k = 3)
+          ioDf.exceptAll(mem).count() == 0 && mem.exceptAll(ioDf).count() == 0
+        }
+        System.err.println(f"[graft] q_bm25_stored_ioprune bytes: io " +
+          f"$ioBytes vs classic $classicBytes (${
+            ioBytes.toDouble / math.max(1L, classicBytes)}%.3f)")
+        ioDf.withColumn("same_as_mem", lit(sameAsMem))
+          .withColumn("same_as_unpruned", lit(sameAsUnpruned))
+          .withColumn("pruned_fewer_bytes", lit(ioBytes < classicBytes))
       } finally graft.batch.BatchState.deleteDir(tmp)
     }),
 
@@ -787,6 +848,18 @@ private[graft] object DedupGate {
     // stored serving (pruned read + WAND pruning) is exact, so the row
     // shares the top-k oracle verbatim
     "q_bm25_topk_stored" -> bm25TopKOracle,
+
+
+    // the IO-pruned stored serve is exact too (every floor sound, every
+    // bound an over-estimate, survivors scored from the full pruned
+    // read), so its top-k rows share the oracle; the identity and
+    // bytes-audit booleans are hard pins computed in-row
+    "q_bm25_stored_ioprune" ->
+      s"""SELECT o.*, TRUE AS same_as_mem, TRUE AS same_as_unpruned,
+        |  TRUE AS pruned_fewer_bytes
+        |FROM (
+        |$bm25TopKOracle
+        |) o""".stripMargin,
 
 
     // blank docs (empty shingle sets) follow the STAR contract: one

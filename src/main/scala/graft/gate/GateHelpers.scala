@@ -35,6 +35,22 @@ private[graft] object GateHelpers {
     try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
+  /** Bytes actually read from the local filesystem since JVM start —
+    * Hadoop's global `file:` scheme storage statistics, which count at
+    * read() time and therefore SEE parquet row-group skips (a skipped
+    * row group is never read; the static FileSourceScan `filesSize`
+    * metric would not). local[*] runs every executor in-process, so the
+    * global counter captures the whole query. Audit rows take a delta
+    * around each serve (sequential-only, like the conf scopes above).
+    */
+  private[graft] def fsBytesRead(): Long = {
+    val s = org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics.get("file")
+    if (s == null) 0L else {
+      val v = s.getLong("bytesRead")
+      if (v == null) 0L else v.longValue()
+    }
+  }
+
   private[graft] val StateStoreProviderKey = "spark.sql.streaming.stateStore.providerClass"
   private[graft] val RocksDBProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"

@@ -14,10 +14,14 @@ import graft.time.{BatchID, Batcher, Timestamp}
 
 import GateHelpers._
 
-/** Gate registry — text analysis, retrieval (BM25/hybrid), scoring, packing/sharding/
-  * sampling, tokenizer/multimodal, corpus ops.
-  * Split from SparkEntry (round 19, mechanical move): SparkEntry
-  * concatenates the per-family registries; entries are verbatim.
+/** Gate registry — text analysis (langid / quality / redaction /
+  * fingerprints), NB classification, hybrid RRF fusion + the backoff LM
+  * (the OTHER retrieval/LM rows — q_bm25*, q_lm_score{,_bigram} — sit
+  * in DedupGate's positional slice; r19 advice: the split is the
+  * round-19 verbatim SparkEntry slice, not a semantic re-grouping),
+  * sampling/sharding/splits, tokenizer/chunking/multimodal, corpus ops
+  * and IO round-trips. RegistrySplitSpec pins the union's disjointness;
+  * SparkEntry concatenates the registries.
   */
 private[graft] object TextGate {
 

@@ -135,6 +135,18 @@ object Retrieval {
     postings.withColumn("tb",
       pmod(xxhash64(col("token")), lit(tokenBuckets)).cast("int"))
 
+  /** The quantized-impact block id of a posting (round 19's in-memory
+    * block-max grouping; PERSISTED per posting since round 20): tf exact
+    * to 8, dl in quarter-octave bands — ≤ 288 blocks per token, and
+    * `idf · tfPart(block max tf, block min dl)` bounds every member
+    * tightly (tfPart is monotone up in tf, down in dl). One definition
+    * shared by the in-memory scorer, the segment writers, and the
+    * persisted-summary law (RetrievalIoPruneSpec).
+    */
+  private[operators] def blkOf(tf: Column, dl: Column): Column =
+    (least(tf, lit(8)).cast("int") * 32 +
+      least(floor(log2(dl.cast("double") + 1.0) * 2.0), lit(31.0)).cast("int"))
+
   /* Stored layout — log-structured segments under the shared commit log
    * ([[graft.batch.SegmentedStore]]: crash-consistency, writer
    * exclusivity, and sweep semantics documented there):
@@ -178,21 +190,58 @@ object Retrieval {
       hasParquetFiles(s"${segDir(path, id)}/postings"))
     if (live.isEmpty) None
     else Some(live.map(id => spark.read.parquet(s"${segDir(path, id)}/postings")
+        // the persisted impact-block column (round 20) is the IO-pruned
+        // serve's private machinery ([[ioPrunedTopK]] reads it via its
+        // own reader); every other reader sees the round-19 schema —
+        // also what keeps pre-r20 and r20 segments unionByName-compatible
+        .drop("__blk")
         .withColumn("__seg", lit(id)))
       .reduce(_ unionByName _))
   }
 
+  /** The one postings-write body (round 20, r19 verdict #3 — the IO side
+    * of block-max pruning): postings land with their PERSISTED
+    * quantized-impact block id (`__blk`, [[blkOf]]), one file per `tb=`
+    * bucket sorted by (token, __blk) — so parquet row-group min/max
+    * stats line up with the pushed `(token = t AND __blk IN ...)`
+    * block-floor predicate the IO-pruned serve builds, and whole row
+    * groups of a stopword's low-impact postings are skipped at READ
+    * time, not just at scoring time. Beside them, ONE tiny `blockstats`
+    * table per segment — (tb, token, __blk, n, max_tf, min_dl), ≤ 288
+    * rows per token, token-bucketed like the postings — gives the serve
+    * its exact per-token dfs and block bounds WITHOUT any posting scan.
+    * `rowGroupBytes` shrinks parquet row groups (default: parquet's) so
+    * laws and probes can demonstrate the skip at test scale; at corpus
+    * scale a stopword bucket spans many default-size row groups and the
+    * default is right.
+    */
+  private def writePostingsPart(postings: DataFrame, segRoot: String,
+      tokenBuckets: Int, rowGroupBytes: Option[Long]): Unit = {
+    val bucketed = withBucket(postings, tokenBuckets)
+      .withColumn("__blk", blkOf(col("tf"), col("dl")))
+    val w = bucketed
+      .repartition(col("tb")).sortWithinPartitions("token", "__blk")
+      .write.partitionBy("tb").mode("overwrite")
+    rowGroupBytes.fold(w)(n => w.option("parquet.block.size", n.toString))
+      .parquet(s"$segRoot/postings")
+    bucketed.groupBy(col("tb"), col("token"), col("__blk"))
+      .agg(count(lit(1)).as("n"), max(col("tf")).as("max_tf"),
+        min(col("dl")).as("min_dl"))
+      .repartition(col("tb")).sortWithinPartitions("token")
+      .write.partitionBy("tb").mode("overwrite")
+      .parquet(s"$segRoot/blockstats")
+  }
+
   private def writeSegment(index: Bm25Index, path: String, id: Long,
-      tokenBuckets: Int): Unit = {
+      tokenBuckets: Int, rowGroupBytes: Option[Long] = None): Unit = {
     // CLEAR the whole segment dir first: `nextId` reuses a crashed
     // writer's uncommitted id, and parquet overwrite only clears the
     // subdirs THIS mutation writes — without the pre-clear, an orphan
     // `deletes/` left by a crashed takedown would ride this segment's
     // commit into the log and silently suppress live documents
     graft.batch.StoreFs.deleteRecursive(segDir(path, id))
-    withBucket(index.postings, tokenBuckets)
-      .write.partitionBy("tb").mode("overwrite")
-      .parquet(s"${segDir(path, id)}/postings")
+    writePostingsPart(index.postings, segDir(path, id), tokenBuckets,
+      rowGroupBytes)
     index.stats.coalesce(1).write.mode("overwrite")
       .parquet(s"${segDir(path, id)}/stats")
   }
@@ -200,11 +249,16 @@ object Retrieval {
   /** Bootstrap (or fully replace) a stored index: one segment holding the
     * whole index, committed as the ONLY live segment; prior segments swept.
     */
-  def writeIndex(index: Bm25Index, path: String, tokenBuckets: Int): Unit = {
+  /** @param rowGroupBytes parquet row-group size for the postings files
+    *   (None = parquet default) — laws/probes shrink it to demonstrate
+    *   block-floor row-group skipping at test scale.
+    */
+  def writeIndex(index: Bm25Index, path: String, tokenBuckets: Int,
+      rowGroupBytes: Option[Long] = None): Unit = {
     require(tokenBuckets >= 1, s"tokenBuckets must be >= 1, got $tokenBuckets")
     graft.batch.SegmentedStore.withWriterLock(path) {
       val id = graft.batch.SegmentedStore.nextId(path)
-      writeSegment(index, path, id, tokenBuckets)
+      writeSegment(index, path, id, tokenBuckets, rowGroupBytes)
       graft.batch.SegmentedStore.commitReplaceAll(path, id)
     }
   }
@@ -263,24 +317,24 @@ object Retrieval {
     *   ([[graft.batch.SegmentedStore.sweepUncommitted]]).
     */
   def compactStored(spark: org.apache.spark.sql.SparkSession, path: String,
-      tokenBuckets: Int, sweepGraceMs: Long = 0L): Unit =
+      tokenBuckets: Int, sweepGraceMs: Long = 0L,
+      rowGroupBytes: Option[Long] = None): Unit =
     graft.batch.SegmentedStore.withWriterLock(path) {
-      compactLocked(spark, path, tokenBuckets, sweepGraceMs)
+      compactLocked(spark, path, tokenBuckets, sweepGraceMs, rowGroupBytes)
     }
 
   // lock-free compact body, shared by the direct verb (above) and the
   // cadence guard (below, which re-checks the threshold INSIDE the lock)
   private def compactLocked(spark: org.apache.spark.sql.SparkSession,
-      path: String, tokenBuckets: Int, sweepGraceMs: Long): Unit = {
+      path: String, tokenBuckets: Int, sweepGraceMs: Long,
+      rowGroupBytes: Option[Long] = None): Unit = {
     val idx = readIndex(spark, path, idCol = "doc_id")
     val id = graft.batch.SegmentedStore.nextId(path)
     // pre-clear the (new, uncommitted) target id — a crashed writer's
     // orphan subdirs must not ride this commit (see writeSegment)
     graft.batch.StoreFs.deleteRecursive(segDir(path, id))
-    withBucket(idx.postings, tokenBuckets)
-      .repartition(col("tb")).sortWithinPartitions("token")
-      .write.partitionBy("tb").mode("overwrite")
-      .parquet(s"${segDir(path, id)}/postings")
+    writePostingsPart(idx.postings, segDir(path, id), tokenBuckets,
+      rowGroupBytes)
     idx.stats.coalesce(1).write.mode("overwrite")
       .parquet(s"${segDir(path, id)}/stats")
     graft.batch.SegmentedStore.commitReplaceAll(path, id, sweepGraceMs)
@@ -483,9 +537,8 @@ object Retrieval {
         // pre-clear the reused id (see writeSegment), then write every
         // part of the segment; the commit-log flip publishes them together
         graft.batch.StoreFs.deleteRecursive(segDir(path, id))
-        withBucket(newIdx.postings, tokenBuckets)
-          .write.partitionBy("tb").mode("overwrite")
-          .parquet(s"${segDir(path, id)}/postings")
+        writePostingsPart(newIdx.postings, segDir(path, id), tokenBuckets,
+          rowGroupBytes = None)
         if (victims.limit(1).count() > 0) {
           victims.select(col(idCol)).write.mode("overwrite")
             .parquet(s"${segDir(path, id)}/deletes")
@@ -535,9 +588,11 @@ object Retrieval {
       queries, qTextCol, maxQueryTokens, idCol)
   }
 
-  private def storedQueryPostingsSegs(spark: org.apache.spark.sql.SparkSession,
-      path: String, segs: List[Long], tokenBuckets: Int, queries: DataFrame,
-      qTextCol: String, maxQueryTokens: Int, idCol: String): DataFrame = {
+  /** The query set's distinct tokens, driver-resolved and loudly capped —
+    * the bounded-query contract every stored serving path starts from.
+    */
+  private def distinctQueryTokens(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, qTextCol: String, maxQueryTokens: Int): Array[String] = {
     val toks = queries
       .select(explode(array_distinct(lowTokens(col(qTextCol)))).as("token"))
       .distinct().as(spark.implicits.newStringEncoder)
@@ -546,18 +601,36 @@ object Retrieval {
       s"query set exceeds $maxQueryTokens distinct tokens — a query TABLE this " +
         "large should score against the in-memory index (bm25FromIndex), not " +
         "point-prune a stored one")
-    val buckets = toks.map(t => {
-      // same hash the writer used: xxhash64 over the UTF-8 token bytes
+    toks
+  }
+
+  /** The tokens' `tb=` partition values — same hash the writer used:
+    * xxhash64 over the UTF-8 token bytes.
+    */
+  private def bucketsOf(toks: Seq[String], tokenBuckets: Int): Seq[Int] =
+    toks.map(t => {
       val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
         org.apache.spark.unsafe.types.UTF8String.fromString(t),
         org.apache.spark.sql.types.StringType, 42L)
       val m = h % tokenBuckets
       (if (m < 0) m + tokenBuckets else m).toInt
     }).distinct
-    // prune each segment's read independently (static tb partition filter +
-    // pushed token IN), then union the candidate-sized remainders; deleted
-    // docs anti-join out of the candidate-sized frame (exact dfs either way
-    // — every LIVE posting of each query token survives)
+
+  private def storedQueryPostingsSegs(spark: org.apache.spark.sql.SparkSession,
+      path: String, segs: List[Long], tokenBuckets: Int, queries: DataFrame,
+      qTextCol: String, maxQueryTokens: Int, idCol: String): DataFrame = {
+    val toks = distinctQueryTokens(spark, queries, qTextCol, maxQueryTokens)
+    storedTokenPostingsSegs(spark, path, segs, tokenBuckets, toks, idCol)
+  }
+
+  // prune each segment's read independently (static tb partition filter +
+  // pushed token IN), then union the candidate-sized remainders; deleted
+  // docs anti-join out of the candidate-sized frame (exact dfs either way
+  // — every LIVE posting of each query token survives)
+  private def storedTokenPostingsSegs(spark: org.apache.spark.sql.SparkSession,
+      path: String, segs: List[Long], tokenBuckets: Int,
+      toks: Seq[String], idCol: String): DataFrame = {
+    val buckets = bucketsOf(toks, tokenBuckets)
     readPostings(spark, path, segs)
       .map(_.where(col("tb").isin(buckets.map(Integer.valueOf).toSeq: _*))
         .where(col("token").isin(toks.toSeq: _*))
@@ -677,8 +750,7 @@ object Retrieval {
     // max tf, block min dl) bounds every member tightly (tfPart is
     // monotone up in tf, down in dl; the fictional max-tf/min-dl pairing
     // that inflates TOKEN-level bounds is capped by the band width).
-    val blkExpr = (least(col("tf"), lit(8)).cast("int") * 32 +
-      least(floor(log2(col("dl").cast("double") + 1.0) * 2.0), lit(31.0)).cast("int"))
+    val blkExpr = blkOf(col("tf"), col("dl"))
     val blkAgg = cand
       .withColumn("__blk", blkExpr)
       .groupBy(col("token"), col("__blk"))
@@ -830,20 +902,277 @@ object Retrieval {
     * including after [[deleteFromStored]] (the anti-join applies before
     * the summaries). Shares q_bm25_topk's oracle.
     */
+  /** @param ioPrune (round 20, r19 verdict #3) use the persisted
+    *   `blockstats` tables and the `__blk` posting column to SKIP IO,
+    *   not just CPU: per-token dfs and block bounds come off the tiny
+    *   blockstats read (no posting scan — a `maxDfFraction`-gated
+    *   stopword's postings are never read AT ALL), the θ floor and
+    *   per-doc bounds come off ONE block-floor-pushed read (row groups
+    *   of low-impact postings skipped via the (token, __blk) sort +
+    *   min/max stats), and exact scoring of the surviving docs is ONE
+    *   full pruned-bucket scan — versus the five full scans the
+    *   candidate-derived pipeline pays. Falls back (loudly, stderr) to
+    *   that pipeline whenever the IO path cannot be exact or helpful:
+    *   live delete segments (blockstats would overcount dfs — transient
+    *   until the next compaction regenerates them), pre-r20 segments
+    *   without blockstats, a query set past `maxPruneTokens`, or no
+    *   scoring tokens. Results are identical either way (law:
+    *   RetrievalIoPruneSpec; shares q_bm25_topk's oracle).
+    */
   def bm25TopKFromStored(spark: org.apache.spark.sql.SparkSession,
       path: String, tokenBuckets: Int, queries: DataFrame, qTextCol: String,
       qIdCol: String, idCol: String, k: Int, k1: Double = 1.2,
       b: Double = 0.75, maxDfFraction: Double = 1.0,
-      maxQueryTokens: Int = 10000): DataFrame = {
+      maxQueryTokens: Int = 10000, ioPrune: Boolean = true,
+      maxPruneTokens: Int = 256): DataFrame = {
     // one commit-log resolution shared by stats and postings (the same
     // torn-read note as bm25FromStored)
     val segs = committedSegs(path)
     require(segs.nonEmpty, s"bm25TopKFromStored: no committed index at $path")
-    val full = readIndexSegs(spark, path, segs, idCol)
-    val postings = storedQueryPostingsSegs(spark, path, segs, tokenBuckets,
-      queries, qTextCol, maxQueryTokens, idCol)
-    bm25TopKPruned(Bm25Index(postings, full.stats, idCol), queries,
-      qTextCol, qIdCol, k, k1, b, maxDfFraction)
+    def classic(): DataFrame = {
+      val full = readIndexSegs(spark, path, segs, idCol)
+      val postings = storedQueryPostingsSegs(spark, path, segs, tokenBuckets,
+        queries, qTextCol, maxQueryTokens, idCol)
+      bm25TopKPruned(Bm25Index(postings, full.stats, idCol), queries,
+        qTextCol, qIdCol, k, k1, b, maxDfFraction)
+    }
+    if (!ioPrune) classic()
+    else {
+      val postingSegs = segs.filter(id =>
+        hasParquetFiles(s"${segDir(path, id)}/postings"))
+      val reason =
+        if (postingSegs.isEmpty) Some("no posting-bearing segment")
+        else if (segs.exists(id => hasParquetFiles(s"${segDir(path, id)}/deletes")))
+          Some("live delete segments (dfs must come from the postings " +
+            "until the next compaction folds them)")
+        else if (!postingSegs.forall(id =>
+          hasParquetFiles(s"${segDir(path, id)}/blockstats")))
+          Some("pre-r20 segment without blockstats (compact to regenerate)")
+        else None
+      reason match {
+        case Some(r) =>
+          System.err.println(s"[graft] bm25TopKFromStored at $path: IO " +
+            s"prune unavailable — $r; serving via the candidate-derived " +
+            "pipeline (results identical)")
+          classic()
+        case None =>
+          val toks = distinctQueryTokens(spark, queries, qTextCol, maxQueryTokens)
+          if (toks.length > maxPruneTokens) {
+            System.err.println(s"[graft] bm25TopKFromStored at $path: " +
+              s"${toks.length} distinct query tokens exceed " +
+              s"maxPruneTokens=$maxPruneTokens — serving via the " +
+              "candidate-derived pipeline (results identical)")
+            classic()
+          } else ioPrunedTopK(spark, path, postingSegs, tokenBuckets, toks,
+            queries, qTextCol, qIdCol, idCol, k, k1, b, maxDfFraction)
+            .getOrElse(classic()) // no scoring token: the canonical tail
+      }
+    }
+  }
+
+  /** The IO-pruned stored serving core — exactness argument, stage by
+    * stage (every floor SOUND, every bound an over-estimate, so the
+    * top-k set and scores equal [[bm25TopK]] bit-for-bit):
+    *
+    *  1. dfs are EXACT: no live deletes (caller gates), so each token's
+    *     df is the sum of its blockstats counts. idf / the maxDfFraction
+    *     gate / avgdl are computed from (df, N, total_dl) with the SAME
+    *     Catalyst expressions as the unpruned scorer — bit-identical.
+    *  2. Per token, blocks are ranked by their EXACT query-time bound
+    *     `idf · tfPart(max_tf, min_dl)` (desc, block id asc on ties) and
+    *     the minimal prefix holding ≥ k postings is SELECTED (`S_t`);
+    *     `s_t` = the best UNSELECTED block's bound (0 if none). The
+    *     super-floor read fetches only `(token, __blk ∈ S_t)` postings —
+    *     the pushed disjunction parquet row-group stats can skip.
+    *  3. θ per query = the best of two SOUND floors, − the 6dp-rounding
+    *     guard: (a) the k-th best PARTIAL score over the super-floor
+    *     postings (a partial sum of nonnegative contributions
+    *     lower-bounds the doc's true score, and ≥ k distinct docs hold
+    *     them); (b) each token's k-th best super-floor contribution (k
+    *     distinct docs each total at least their own posting). Both are
+    *     weaker than the full-read floors — never wrong, just possibly
+    *     less pruning.
+    *  4. A doc NEVER seen in the super-floor read scores, per query
+    *     token, either 0 (no posting) or ≤ s_t (its posting sits below
+    *     the floor) — total ≤ Σ_t s_t. When Σ_t s_t < θ the whole
+    *     unseen class is pruned WITHOUT being read; otherwise the query
+    *     falls back to scoring all its candidate docs (`__fb`).
+    *  5. A seen doc's bound = Σ_{seen (t, blk)} bmax(t, blk) +
+    *     Σ_{unseen t} s_t (computed as sumS + Σ(bmax − s_t) over its
+    *     super-floor postings); below θ ⇒ pruned.
+    *  6. Survivors are scored EXACTLY from ONE full scan of the scoring
+    *     tokens' buckets — the same posting set, expression association,
+    *     6dp rounding, and (score desc, id asc) window as [[bm25TopK]].
+    *
+    * None ⇔ no scoring token survives the df gate (caller serves the
+    * canonical empty tail via the classic path).
+    */
+  private def ioPrunedTopK(spark: org.apache.spark.sql.SparkSession,
+      path: String, postingSegs: List[Long], tokenBuckets: Int,
+      toks: Array[String], queries: DataFrame, qTextCol: String,
+      qIdCol: String, idCol: String, k: Int, k1: Double, b: Double,
+      maxDfFraction: Double): Option[DataFrame] = {
+    require(k > 0, s"need k > 0, got $k")
+    import spark.implicits._
+    // exact corpus constants — ONE tiny stats fold (the commit-log
+    // resolution happened in the caller; postingSegs ⊆ that snapshot)
+    val segsAll = committedSegs(path)
+    val statsRow = segsAll.map(id => spark.read.parquet(s"${segDir(path, id)}/stats"))
+      .reduce(_ unionByName _)
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("total_dl")), lit(0L)).as("total_dl"))
+      .collect().head
+    val nDocs = statsRow.getLong(0)
+    val totalDl = statsRow.getLong(1)
+    val avgdl = totalDl.toDouble / (if (nDocs > 0) nDocs else 1L)
+    // blockstats for the query tokens: a tb-pruned, token-pushed read of
+    // the tiny side tables — NO posting bytes; merged across segments
+    // (n sums; max_tf/min_dl extremes still bound every member)
+    val allBuckets = bucketsOf(toks.toSeq, tokenBuckets)
+    val merged = postingSegs.map(id =>
+        spark.read.parquet(s"${segDir(path, id)}/blockstats"))
+      .reduce(_ unionByName _)
+      .where(col("tb").isin(allBuckets.map(Integer.valueOf): _*))
+      .where(col("token").isin(toks.toSeq: _*))
+      .groupBy(col("token"), col("__blk"))
+      .agg(sum(col("n")).as("n"), max(col("max_tf")).as("max_tf"),
+        min(col("min_dl")).as("min_dl"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    val dfT: Map[String, Long] =
+      merged.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._3).sum }
+    // the df gate, driver-side with the scorer's exact comparison: a
+    // gated stopword's postings are never read below this line
+    val scoring = toks.filter(t =>
+      dfT.get(t).exists(df => df <= maxDfFraction * nDocs))
+    if (scoring.isEmpty) return None
+    def tfPartD(tf: Long, dl: Long): Double =
+      (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+    def idfD(df: Long): Double =
+      math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+    // per-token block-floor selection (stage 2 above)
+    final case class TokPlan(sel: Set[Int], sT: Double,
+      bmax: Map[Int, Double])
+    val plan: Map[String, TokPlan] = scoring.map { t =>
+      val idf = idfD(dfT(t))
+      val blocks = merged.filter(_._1 == t)
+        .map { case (_, blk, n, mtf, mdl) => (blk, n, idf * tfPartD(mtf, mdl)) }
+        .sortBy { case (blk, _, bm) => (-bm, blk) }
+      var cum = 0L
+      var i = 0
+      while (i < blocks.length && cum < k) { cum += blocks(i)._2; i += 1 }
+      val sT =
+        if (i >= blocks.length) 0.0 else blocks.drop(i).map(_._3).max
+      t -> TokPlan(blocks.take(i).map(_._1).toSet, sT,
+        blocks.map { case (blk, _, bm) => blk -> bm }.toMap)
+    }.toMap
+    val scoringBuckets = bucketsOf(scoring.toSeq, tokenBuckets)
+    def rawScoringRead(): DataFrame = postingSegs.map(id =>
+        spark.read.parquet(s"${segDir(path, id)}/postings"))
+      .reduce(_ unionByName _)
+      .where(col("tb").isin(scoringBuckets.map(Integer.valueOf): _*))
+      .where(col("token").isin(scoring.toSeq: _*))
+    // the super-floor read: the block-floor disjunction, pushed so the
+    // (token, __blk)-sorted row groups of sub-floor postings are skipped
+    val floorPred = scoring.map(t =>
+      col("token") === lit(t) &&
+        col("__blk").isin(plan(t).sel.toSeq.map(Integer.valueOf): _*))
+      .reduce(_ || _)
+    // materialized ONCE (localCheckpoint): three consumers (θ partials,
+    // per-token floors, doc bounds) read it without re-scanning parquet.
+    // Its size is the selected blocks' mass — per token, the minimal
+    // high-impact prefix holding ≥ k postings — the same candidate-
+    // machinery class as the frames the in-memory pipeline checkpoints
+    val superFloor = rawScoringRead().where(floorPred)
+      .select(col("token"), col(idCol), col("tf"), col("dl"), col("__blk"))
+      .localCheckpoint(true)
+    // exact-idf frame: df injected as data, idf/avgdl/gate computed with
+    // the scorer's own expressions (bit-identical doubles)
+    val statsDf = broadcast(Seq((nDocs, avgdl)).toDF("n_docs", "avgdl"))
+    val summDf = broadcast(scoring.map(t => (t, dfT(t))).toSeq.toDF("token", "df"))
+    val qTok = queries
+      .select(col(qIdCol), explode(array_distinct(lowTokens(col(qTextCol)))).as("token"))
+      .where(col("token").isin(scoring.toSeq: _*))
+    val perQT = broadcast(qTok).join(summDf, Seq("token"))
+      .crossJoin(statsDf)
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .select(col(qIdCol), col("token"), col("__idf"))
+    def partExpr: Column = col("__idf") *
+      (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    // θ floor (a): k-th best partial score over the super-floor postings
+    val partial = broadcast(perQT).join(superFloor, Seq("token"))
+      .crossJoin(statsDf)
+      .withColumn("__part", partExpr)
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(round(sum(col("__part")), 6).as("__pscore"))
+    val wSeed = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("__pscore").desc)
+    val seedTheta = partial.withColumn("__srn", row_number().over(wSeed))
+      .where(col("__srn") === k)
+      .select(col(qIdCol), col("__pscore").as("__stheta"))
+    // θ floor (b): each token's k-th best super-floor contribution
+    val wTok = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("__c").desc)
+    val tokBounds = superFloor
+      .join(broadcast(perQT.select(col("token"), col("__idf")).distinct()),
+        Seq("token"))
+      .crossJoin(statsDf)
+      .withColumn("__c", col("__idf") *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("__rn", row_number().over(wTok))
+      .where(col("__rn") <= k)
+      .groupBy(col("token"))
+      .agg(when(count(lit(1)) === k, min(col("__c"))).as("__kth"))
+    val theta = broadcast(qTok).join(broadcast(tokBounds), Seq("token"))
+      .groupBy(col(qIdCol)).agg(max(col("__kth")).as("__ktok"))
+      .join(broadcast(seedTheta), Seq(qIdCol), "left")
+      .select(col(qIdCol),
+        (greatest(col("__ktok"), col("__stheta")) - lit(1e-6)).as("__theta"))
+    // stage 4: the unseen-doc class bound and the per-query fallback flag
+    val sTDf = broadcast(scoring.map(t => (t, plan(t).sT)).toSeq
+      .toDF("token", "__s"))
+    val sumS = broadcast(qTok).join(sTDf, Seq("token"))
+      .groupBy(col(qIdCol)).agg(sum(col("__s")).as("__sums"))
+    val qFlags = sumS.join(theta, Seq(qIdCol), "left")
+      .select(col(qIdCol), col("__theta"),
+        (col("__theta").isNull || col("__sums") >= col("__theta")).as("__fb"),
+        col("__sums"))
+      .localCheckpoint(true) // one row per query
+    // stage 5: per-(query, doc) bound from the super-floor memberships
+    val bmaxDf = broadcast(scoring.flatMap(t =>
+        plan(t).bmax.map { case (blk, v) => (t, blk, v) }).toSeq
+      .toDF("token", "__blk", "__bmax"))
+    val keep = broadcast(qTok)
+      .join(superFloor.select(col("token"), col(idCol), col("__blk")),
+        Seq("token"))
+      .join(bmaxDf, Seq("token", "__blk"))
+      .join(sTDf, Seq("token"))
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(sum(col("__bmax") - col("__s")).as("__gain"))
+      .join(broadcast(qFlags), Seq(qIdCol))
+      .where(col("__theta").isNull ||
+        (col("__sums") + col("__gain")) >= col("__theta"))
+      .select(col(qIdCol), col(idCol), lit(true).as("__keep"))
+    // stage 6: exact scoring of the survivors — ONE full pruned-bucket
+    // scan, the scorer's own expression/rounding/window
+    val scoredParts = broadcast(perQT).join(rawScoringRead()
+        .select(col("token"), col(idCol), col("tf"), col("dl")), Seq("token"))
+      .crossJoin(statsDf)
+      .withColumn("__part", partExpr)
+    val filtered = scoredParts
+      .join(broadcast(qFlags.select(col(qIdCol), col("__fb"))), Seq(qIdCol))
+      .join(keep, Seq(qIdCol, idCol), "left_outer")
+      .where(col("__fb") || col("__keep"))
+    val scored = filtered.groupBy(col(qIdCol), col(idCol))
+      .agg(round(sum(col("__part")), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("score").desc, col(idCol).asc)
+    Some(scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k))
   }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) — the

@@ -84,6 +84,74 @@ object ScaleProbe {
     // every action folds the OUTPUT columns into a checksum, so column
     // pruning can't skip the work a bare count() would let Catalyst drop
     val ops: Map[String, String => Long] = Map(
+      // round 20 (r19 verdict #2's done-criterion): executor-side MMR —
+      // queries GROW with the corpus (n/40 per path, so the factor-x arm
+      // re-ranks factor-x as many queries) while the driver collects
+      // nothing; the printed heap delta (before/after, post-GC) is the
+      // flat-driver-memory evidence, and the wall ratio the linear-work
+      // evidence. Candidates are 32 deterministic corpus rows per query
+      // via a dense row_number index — the probe measures the MMR
+      // machinery, not a serve.
+      "mmr_dist" -> { p =>
+        import org.apache.spark.sql.expressions.Window
+        val e = spark.read.parquet(p).select(col("vec_id"), col("embedding"))
+        val n = e.count()
+        val idx = e.select(col("vec_id"))
+          .withColumn("__r", row_number().over(Window.orderBy(col("vec_id"))) - 1)
+          .localCheckpoint(true)
+        val stride = math.max(1L, n / math.max(1L, n / 40))
+        val qn = n / stride
+        val queries = idx.where(col("__r") % stride === 0)
+          .join(e, "vec_id")
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val cand = idx.where(col("__r") % stride === 0)
+          .select(col("vec_id").as("q_id"), col("__r").as("__qr"))
+          .withColumn("__j", explode(sequence(lit(0), lit(31))))
+          .withColumn("__r", pmod(col("__qr") * 131 + col("__j") * 977, lit(n)))
+          .join(idx, "__r")
+          .select(col("q_id"), col("vec_id")).distinct()
+        def heap(): Long = {
+          System.gc(); Thread.sleep(100)
+          val rt = Runtime.getRuntime; rt.totalMemory() - rt.freeMemory()
+        }
+        val h0 = heap()
+        val out = graft.operators.Similarity.mmrRerankJoinDistributed(
+          cand, "q_id", "vec_id", e, "embedding", "vec_id",
+          queries, "q_vec", "q_id", k = 8, lambda = 0.5)
+          .agg(count(lit(1)).as("c"), sum(col("mmr_rank")).as("s"))
+          .collect().head
+        val h1 = heap()
+        println(s"MMRDIST n=$n queries=$qn out_rows=${out.getLong(0)} " +
+          s"driver_heap_before=$h0 driver_heap_after=$h1 delta=${h1 - h0}")
+        out.getLong(1)
+      },
+      // round 20 (r19 verdict #3's done-criterion): the stored BM25
+      // serve's filesystem bytes, IO-pruned vs classic, on a store
+      // written with 1 MiB row groups — the factor-x arm is the
+      // materially-fewer-bytes evidence at scale.
+      "bm25_io" -> { p =>
+        val docs = spark.read.parquet(p).select("doc_id", "text")
+        val dir = s"$scratch/bm25io_${math.abs(p.hashCode)}"
+        if (!graft.batch.StoreFs.exists(s"$dir/_graft_state.json"))
+          graft.operators.Retrieval.writeIndex(
+            graft.operators.Retrieval.buildIndex(docs, "text", "doc_id"),
+            dir, tokenBuckets = 16, rowGroupBytes = Some(1L << 20))
+        val qs = graft.SparkEntry.bm25Queries(spark)
+        def serve(io: Boolean): (Long, Long) = {
+          val b0 = graft.GateHelpers.fsBytesRead()
+          val c = graft.operators.Retrieval.bm25TopKFromStored(spark, dir,
+            tokenBuckets = 16, qs, "qtext", "query_id", "doc_id", k = 3,
+            ioPrune = io).count()
+          (c, graft.GateHelpers.fsBytesRead() - b0)
+        }
+        val (cIo, bIo) = serve(io = true)
+        val (cCl, bCl) = serve(io = false)
+        println(f"BM25IO path=$p rows_io=$cIo rows_classic=$cCl " +
+          f"bytes_io=$bIo bytes_classic=$bCl ratio=${
+            bIo.toDouble / math.max(1L, bCl)}%.3f")
+        require(cIo == cCl, s"io/classic row counts diverge: $cIo vs $cCl")
+        cIo + bIo
+      },
       "exact_substr" -> (p =>
         Dedup.removeDuplicatedSpans(spark.read.parquet(p), "text", "doc_id", k = 8)
           .agg(sum(length(col("text_clean"))), sum(col("n_removed")))
@@ -530,7 +598,7 @@ object ScaleProbe {
            | "store_backfill" | "store_delete_mass" => (ev1, evN)
         case "ann_pq" | "ann_ivfpq" | "semdedup" | "semdedup_scaledk"
            | "semdedup_hier" | "embed_quant" | "ann_int8"
-           | "ann_int8_stored" => (emb1, embN)
+           | "ann_int8_stored" | "mmr_dist" => (emb1, embN)
         case _ => (docs1, docsN)
       })
       val t1 = time(f(d1))
