@@ -210,17 +210,22 @@ private[graft] object DedupGate {
           PhaseTimer.time("q_bm25_stored_ioprune", "prune_audit") {
             serve(io = false)
           }
+        // multiset equality via |A| = |B| ∧ A∖B = ∅ — both frames are
+        // checkpointed, so the counts are free and the second exceptAll
+        // direction is redundant (equal sizes + empty difference one way
+        // imply equality); the in-memory oracle is checkpointed ONCE so
+        // its full pipeline isn't recomputed per comparison job
         val sameAsUnpruned = PhaseTimer.time("q_bm25_stored_ioprune",
             "prune_audit") {
-          ioDf.exceptAll(classicDf).count() == 0 &&
-            classicDf.exceptAll(ioDf).count() == 0
+          ioDf.count() == classicDf.count() &&
+            ioDf.exceptAll(classicDf).count() == 0
         }
         val sameAsMem = PhaseTimer.time("q_bm25_stored_ioprune",
             "exact_oracle") {
           val mem = Retrieval.bm25TopK(
             Retrieval.buildIndex(docsDf, "text", "doc_id"),
-            bm25Queries(s), "qtext", "query_id", k = 3)
-          ioDf.exceptAll(mem).count() == 0 && mem.exceptAll(ioDf).count() == 0
+            bm25Queries(s), "qtext", "query_id", k = 3).localCheckpoint(true)
+          ioDf.count() == mem.count() && ioDf.exceptAll(mem).count() == 0
         }
         System.err.println(f"[graft] q_bm25_stored_ioprune bytes: io " +
           f"$ioBytes vs classic $classicBytes (${

@@ -137,7 +137,10 @@ private[graft] object GateHelpers {
     */
   private[graft] def int8InvariantRow(e: DataFrame, q: Array[Double],
       stored: DataFrame): DataFrame = {
+    // checkpointed (k rows): the symmetric-difference job below reads the
+    // in-memory ranking twice — without this the full int8 scan runs twice
     val mem = Similarity.int8TopK(e, "embedding", "vec_id", q, 10)
+      .localCheckpoint(true)
     val nDiff = stored.exceptAll(mem).unionByName(mem.exceptAll(stored))
       .agg(count(lit(1)).as("nd"))
     val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10)

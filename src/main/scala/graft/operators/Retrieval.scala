@@ -102,9 +102,13 @@ object Retrieval {
     val qTok = queries
       .select(col(qIdCol), explode(array_distinct(lowTokens(col(qTextCol)))).as("token"))
     // corpus-sized side reduced FIRST: broadcast the query tokens into the
-    // postings scan; everything downstream is candidate-sized
+    // postings scan; everything downstream is candidate-sized.
+    // Materialized ONCE (round 20 opt): both the df aggregation and the
+    // scoring join evaluate this frame — without the checkpoint an
+    // in-memory index re-runs its whole build per consumer
     val cand = index.postings.join(
       broadcast(qTok.select(col("token")).distinct()), Seq("token"), "left_semi")
+      .localCheckpoint(true)
     // exact df per query token from the candidates themselves
     val dfT = cand.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val stats = index.stats.select(col("n_docs"),
@@ -224,12 +228,23 @@ object Retrieval {
       .write.partitionBy("tb").mode("overwrite")
     rowGroupBytes.fold(w)(n => w.option("parquet.block.size", n.toString))
       .parquet(s"$segRoot/postings")
-    bucketed.groupBy(col("tb"), col("token"), col("__blk"))
-      .agg(count(lit(1)).as("n"), max(col("tf")).as("max_tf"),
-        min(col("dl")).as("min_dl"))
-      .repartition(col("tb")).sortWithinPartitions("token")
-      .write.partitionBy("tb").mode("overwrite")
-      .parquet(s"$segRoot/blockstats")
+    // blockstats from the WRITTEN parquet, never by re-running the whole
+    // index plan (round 20 opt: the `bucketed` lineage is the full
+    // tokenize+explode+aggregate build — recomputing it doubled every
+    // writeIndex/compact; the read-back touches four narrow columns of
+    // files this process just wrote). Same rows either way, so the stats
+    // are identical. An empty index writes no postings files and needs no
+    // blockstats (the IO-pruned serve only consults posting-bearing
+    // segments).
+    if (hasParquetFiles(s"$segRoot/postings")) {
+      postings.sparkSession.read.parquet(s"$segRoot/postings")
+        .groupBy(col("tb"), col("token"), col("__blk"))
+        .agg(count(lit(1)).as("n"), max(col("tf")).as("max_tf"),
+          min(col("dl")).as("min_dl"))
+        .repartition(col("tb")).sortWithinPartitions("token")
+        .write.partitionBy("tb").mode("overwrite")
+        .parquet(s"$segRoot/blockstats")
+    }
   }
 
   private def writeSegment(index: Bm25Index, path: String, id: Long,
@@ -727,6 +742,17 @@ object Retrieval {
     bm25TopKPrunedDiag(index, queries, qTextCol, qIdCol, k, k1, b,
       maxDfFraction)._1
 
+  // the stored fallback's pruned-parquet candidate read is cheap to
+  // re-derive (columnar, bucket-pruned, OS-cached) — materializing it
+  // would trade that for candidate-sized executor storage (guide:
+  // persist only when recompute is the more expensive side), and the
+  // IO-pruned serve is the production stored path anyway
+  private[operators] def bm25TopKPrunedStoredFallback(index: Bm25Index,
+      queries: DataFrame, qTextCol: String, qIdCol: String, k: Int,
+      k1: Double, b: Double, maxDfFraction: Double): DataFrame =
+    bm25TopKPrunedDiag(index, queries, qTextCol, qIdCol, k, k1, b,
+      maxDfFraction, materializeCand = false)._1
+
   /** [[bm25TopKPruned]] plus its surviving-candidate frame
     * (`qIdCol`, idCol) — the docs that actually reach score aggregation —
     * so scale probes can report the pruning ratio against the unpruned
@@ -734,13 +760,21 @@ object Retrieval {
     */
   private[graft] def bm25TopKPrunedDiag(index: Bm25Index, queries: DataFrame,
       qTextCol: String, qIdCol: String, k: Int, k1: Double = 1.2,
-      b: Double = 0.75, maxDfFraction: Double = 1.0): (DataFrame, DataFrame) = {
+      b: Double = 0.75, maxDfFraction: Double = 1.0,
+      materializeCand: Boolean = true): (DataFrame, DataFrame) = {
     require(k > 0, s"need k > 0, got $k")
     val idCol = index.idCol
     val qTok = queries
       .select(col(qIdCol), explode(array_distinct(lowTokens(col(qTextCol)))).as("token"))
-    val cand = index.postings.join(
+    // materialized ONCE by default (round 20 opt): five downstream
+    // consumers (block summary, rank-k window, seed scores, doc bounds,
+    // exact scoring) each re-evaluate this frame — for an in-memory index
+    // that is five re-runs of the whole tokenize+explode+aggregate build.
+    // The stored fallback opts out (its re-derivation is a cheap pruned
+    // columnar read; see bm25TopKPrunedStoredFallback)
+    val cand0 = index.postings.join(
       broadcast(qTok.select(col("token")).distinct()), Seq("token"), "left_semi")
+    val cand = if (materializeCand) cand0.localCheckpoint(true) else cand0
     // vocabulary + block summary in ONE pass over the candidate postings
     // (round 19): grouping by (token, quantized-impact block) yields both
     // the exact df (sum of block counts -> idf, maxDfFraction gate) and
@@ -933,8 +967,8 @@ object Retrieval {
       val full = readIndexSegs(spark, path, segs, idCol)
       val postings = storedQueryPostingsSegs(spark, path, segs, tokenBuckets,
         queries, qTextCol, maxQueryTokens, idCol)
-      bm25TopKPruned(Bm25Index(postings, full.stats, idCol), queries,
-        qTextCol, qIdCol, k, k1, b, maxDfFraction)
+      bm25TopKPrunedStoredFallback(Bm25Index(postings, full.stats, idCol),
+        queries, qTextCol, qIdCol, k, k1, b, maxDfFraction)
     }
     if (!ioPrune) classic()
     else {
