@@ -253,8 +253,10 @@ private[graft] object AnnGate {
         // memory — the row's oracle, not the operator (see
         // q_ann_ivf_stored's attribution note)
         val nDiff = PhaseTimer.time("q_ann_ivfpq_stored", "exact_oracle") {
+          // checkpointed (k rows): the symmetric-difference job reads the
+          // in-memory re-encode twice — two full corpus passes without it
           val mem = Similarity.ivfPqTopKWithModel(live, "embedding", "vec_id",
-            q, 10, cents, books, nProbe = 16)
+            q, 10, cents, books, nProbe = 16).localCheckpoint(true)
           stored.exceptAll(mem).unionByName(mem.exceptAll(stored)).count()
         }
         val pruned = PhaseTimer.time("q_ann_ivfpq_stored", "serve_pruned") {
@@ -320,8 +322,11 @@ private[graft] object AnnGate {
           .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
         val sameAsLoop = PhaseTimer.time("q_ann_ivf_join", "exact_oracle") {
           qs.forall { case (qid, qv) =>
+            // checkpointed (k rows): the symmetric-difference job reads
+            // the loop serve twice — uncheckpointed that is two full
+            // pruned scans per audited query
             val loop = Similarity.ivfTopKStored(s, tmp, e, "embedding",
-              "vec_id", qv, 10, nProbe = 4)
+              "vec_id", qv, 10, nProbe = 4).localCheckpoint(true)
             val got = joined.where(col("q_id") === qid)
               .select(col("vec_id"), col("cosine_sim"))
             got.exceptAll(loop).unionByName(loop.exceptAll(got)).count() == 0L
@@ -442,7 +447,7 @@ private[graft] object AnnGate {
             val sub = cands.where(col("q_id") === j).select("vec_id")
               .join(corpus, "vec_id").select("vec_id", "embedding")
             val loop = Similarity.mmrRerank(sub, "embedding", "vec_id",
-              qv(j), k = 10, lambda = 0.3)
+              qv(j), k = 10, lambda = 0.3).localCheckpoint(true)
             val got = mmr.where(col("q_id") === j)
               .select(col("vec_id"), col("cosine_sim"), col("mmr_rank"))
             got.exceptAll(loop).unionByName(loop.exceptAll(got)).count() == 0L
@@ -458,6 +463,7 @@ private[graft] object AnnGate {
               .join(corpus, "vec_id").select("vec_id", "embedding")
             val plain = Similarity.bruteForceTopK(sub, "embedding", "vec_id",
               qv(j), 10).select(col("vec_id"), col("cosine_sim"))
+              .localCheckpoint(true)
             val got = l1.where(col("q_id") === j).drop("q_id")
             got.exceptAll(plain).unionByName(plain.exceptAll(got)).count() == 0L
           }
@@ -575,7 +581,7 @@ private[graft] object AnnGate {
         val sameAsLoop = PhaseTimer.time("q_ann_int8_join", "exact_oracle") {
           qs.forall { case (qid, qv) =>
             val loop = Similarity.int8TopKStored(s, tmp, e, "embedding",
-              "vec_id", qv, 10)
+              "vec_id", qv, 10).localCheckpoint(true)
             val got = joined.where(col("q_id") === qid)
               .select(col("vec_id"), col("cosine_sim"))
             got.exceptAll(loop).unionByName(loop.exceptAll(got)).count() == 0L
@@ -628,7 +634,7 @@ private[graft] object AnnGate {
         val sameAsLoop = PhaseTimer.time("q_ann_ivfpq_join", "exact_oracle") {
           qs.forall { case (qid, qv) =>
             val loop = Similarity.ivfPqTopKStored(s, tmp, e, "embedding",
-              "vec_id", qv, 10, nProbe = 4)
+              "vec_id", qv, 10, nProbe = 4).localCheckpoint(true)
             val got = joined.where(col("q_id") === qid)
               .select(col("vec_id"), col("cosine_sim"))
             got.exceptAll(loop).unionByName(loop.exceptAll(got)).count() == 0L
@@ -1009,7 +1015,7 @@ private[graft] object AnnGate {
           val (cents, books) = Similarity.readIvfPqModel(s, tmp)
           val mem = Similarity.ivfPqTopKWithModel(
             e.select(col("vec_id"), col("embedding")), "embedding", "vec_id",
-            q, 10, cents, books, nProbe = 16)
+            q, 10, cents, books, nProbe = 16).localCheckpoint(true)
           val nDiff = stored.exceptAll(mem).unionByName(mem.exceptAll(stored))
             .count()
           e.agg(count(lit(1)).as("n_vecs"))
