@@ -338,14 +338,45 @@ object Similarity {
       .select(col(idCol))
   }
 
+  /** Push a driver-known bounded candidate-id set INTO a float-corpus
+    * scan as a data filter (round 20 opt, guide §6 — predicate pushdown
+    * must reach the parquet scan): the re-rank tails previously probed
+    * the FULL corpus scan against a broadcast hash of the candidates, so
+    * a re-rank of 50 ids still READ every float row; an `In` filter on
+    * the id column lets parquet row-group min/max stats (ids are written
+    * ascending) skip everything but the candidates' row groups. Above
+    * `maxPushdownIds` the literal list would bloat the plan — fall back
+    * to the broadcast-probe-only shape (the join stays either way, so
+    * results are identical by construction).
+    */
+  private val MaxPushdownIds = 8192
+  private def pushIdFilter(df: DataFrame, idCol: String,
+      ids: Array[Long]): DataFrame =
+    if (ids.isEmpty) df.where(lit(false))
+    else if (ids.length <= MaxPushdownIds)
+      df.where(col(idCol).isInCollection(ids.toSeq))
+    else df
+
   /** Exact cosine re-rank of a driver-bounded candidate-id frame against
-    * the float corpus — the one tail every stored codes serve ends with
-    * (broadcast join; only the candidates pay the float read).
+    * the float corpus — the one tail every stored codes serve ends with.
+    * The candidate ids (≤ oversample·k, driver-bounded by contract) are
+    * collected once and pushed into the float scan as an `In` filter
+    * ([[pushIdFilter]]) — at corpus scale the re-rank becomes a
+    * row-group-pruned point read instead of a full float scan; the
+    * broadcast join against the same collected set keeps the original
+    * multiset semantics bit-for-bit.
     */
   private def exactRerank(floats: DataFrame, cands: DataFrame,
       vecCol: String, idCol: String, query: Array[Double], k: Int): DataFrame = {
+    val session = floats.sparkSession
+    import session.implicits._
     val qCol = array(query.toIndexedSeq.map(lit(_)): _*)
-    floats.join(broadcast(cands), Seq(idCol))
+    // one evaluation of the candidate subtree (it was evaluated once for
+    // the broadcast anyway); the local frame re-broadcasts for free
+    val ids = cands.select(col(idCol).cast("long")).as[Long].collect()
+    val local = ids.toSeq.toDF(idCol)
+    pushIdFilter(floats, idCol, ids)
+      .join(broadcast(local), Seq(idCol))
       .select(col(idCol),
         round(VectorFunctions.cosine(col(vecCol), qCol), 6).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol))
@@ -748,9 +779,19 @@ object Similarity {
     import session.implicits._
     val qVecs = qs.toSeq.map { case (qid, v) => (qid, v.toSeq) }
       .toDF(qIdCol, "__qv")
+    // materialize the bounded candidate cut once (≤ queries · oversample
+    // · k rows): the broadcast AND the pushed id filter both read it —
+    // and collect its distinct ids to prune the float scan to the
+    // candidates' row groups ([[pushIdFilter]]; ids past the pushdown
+    // bound leave the scan unfiltered, results identical either way)
+    val candsM = cands.localCheckpoint(true)
+    val ids = candsM.select(col(idCol).cast("long")).distinct()
+      .limit(MaxPushdownIds + 1).as[Long].collect()
+    val floatsPruned =
+      if (ids.length > MaxPushdownIds) floats else pushIdFilter(floats, idCol, ids)
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("cosine_sim").desc, col(idCol))
-    floats.join(broadcast(cands), Seq(idCol))
+    floatsPruned.join(broadcast(candsM), Seq(idCol))
       .join(broadcast(qVecs), Seq(qIdCol))
       .select(col(qIdCol), col(idCol),
         round(VectorFunctions.cosine(col(vecCol), col("__qv")), 6).as("cosine_sim"))
