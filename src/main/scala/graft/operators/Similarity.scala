@@ -438,8 +438,12 @@ object Similarity {
         .coalesce(1).write.mode("overwrite").parquet(s"$seg/centroids")
     },
     loadModel = (spark, seg) =>
+      // driver-side sort of the collected (≤ cells) rows: an orderBy here
+      // paid a shuffle+sort job per model read — serves read the model on
+      // EVERY call, so the exchange multiplied across the whole family
       spark.read.parquet(s"$seg/centroids")
-        .select("cid", "centroid").orderBy("cid").collect()
+        .select("cid", "centroid").collect()
+        .sortBy(_.getInt(0))
         .map(_.getSeq[Double](1).toArray))
 
   /** int8 codes of the L2-normalized vectors + the frozen-centroid cell
@@ -860,11 +864,14 @@ object Similarity {
           .coalesce(1).write.mode("overwrite").parquet(s"$seg/codebooks")
       },
       loadModel = (spark, seg) => {
+        // driver-side sorts (≤ cells / m·c rows): see the ivf tier note —
+        // per-read orderBy exchanges multiplied across every serve call
         val cents = spark.read.parquet(s"$seg/centroids")
-          .select("cid", "centroid").orderBy("cid").collect()
+          .select("cid", "centroid").collect()
+          .sortBy(_.getInt(0))
           .map(_.getSeq[Double](1).toArray)
         val books = spark.read.parquet(s"$seg/codebooks")
-          .select("sub", "code", "centroid").orderBy("sub", "code").collect()
+          .select("sub", "code", "centroid").collect()
           .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
           .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
           .toArray
@@ -1221,10 +1228,21 @@ object Similarity {
     val candPairs = candidates
       .select(col(qIdCol).cast("long").as("__q"),
         col(idCol).cast("long").as("__id"))
+      .localCheckpoint(true) // bounded by the Q·maxCandidates contract;
+                             // three consumers (count, id filter, join)
     val nCandGroups = candPairs.count()
+    // distinct candidate ids pushed INTO the corpus scan as a data
+    // filter (round 20 opt — the same row-group-pruning lever as the
+    // exact re-rank tails; past the pushdown bound the scan stays
+    // unfiltered and the broadcast probe alone decides, identically)
+    val candIds = candPairs.select(col("__id")).distinct()
+      .limit(MaxPushdownIds + 1).as[Long].collect()
+    val corpusPruned =
+      if (candIds.length > MaxPushdownIds) corpus
+      else pushIdFilter(corpus, corpusIdCol, candIds)
     // ONE broadcast join attaches vectors: candidate ids broadcast INTO
     // the corpus scan — no shuffle, no corpus collect
-    val withVecs = corpus
+    val withVecs = corpusPruned
       .select(col(corpusIdCol).cast("long").as("__id"),
         col(vecCol).cast("array<double>").as("__vec"))
       .join(broadcast(candPairs), "__id")
@@ -1329,8 +1347,17 @@ object Similarity {
     val candPairs = candidates
       .select(col(qIdCol).cast("long").as("__q"),
         col(idCol).cast("long").as("__id"))
+    // distinct candidate ids pushed INTO the corpus scan when the set is
+    // small enough to literal-push (round 20 opt — same lever as the
+    // re-rank tails; the collect is bounded by the pushdown cap + 1, so
+    // driver memory stays flat in the query count either way)
+    val candIds = candPairs.select(col("__id")).distinct()
+      .limit(MaxPushdownIds + 1).as[Long].collect()
+    val corpusPruned =
+      if (candIds.length > MaxPushdownIds) corpus
+      else pushIdFilter(corpus, corpusIdCol, candIds)
     // ONE broadcast join attaches vectors — ids INTO the corpus scan
-    val resolved = corpus
+    val resolved = corpusPruned
       .select(col(corpusIdCol).cast("long").as("__id"),
         col(vecCol).cast("array<double>").as("__vec"))
       .join(broadcast(candPairs), "__id")
