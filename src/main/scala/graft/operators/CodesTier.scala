@@ -75,7 +75,17 @@ private[operators] final class CodesTier[M](
       stampTrainedFallback: Boolean = true): Unit = {
     val seg = segDir(path, id)
     StoreFs.deleteRecursive(seg)
-    val w = encoded.write.mode("overwrite")
+    // REBALANCE by cid before a cell-partitioned write (round 20 opt,
+    // guide §6): partitionBy alone writes one file per (input partition,
+    // cell) pair — N scan tasks × C cells small files per segment, the
+    // small-files catastrophe at corpus scale and extra open cost on
+    // every pruned read. The AQE rebalance clusters each cell's rows
+    // (≈ one file per cell) while still SPLITTING a skewed hot cell
+    // across tasks, so a hot cell stragglers neither the write nor a
+    // later read. Row content is unchanged — layout only.
+    val clustered =
+      if (cellPartitioned) encoded.hint("rebalance", col("cid")) else encoded
+    val w = clustered.write.mode("overwrite")
     (if (cellPartitioned) w.partitionBy("cid") else w).parquet(s"$seg/$payload")
     // an empty batch (bootstrap-to-first-micro-batch window) writes only
     // markers — nothing to read back, and schema inference would throw
