@@ -102,13 +102,16 @@ object Retrieval {
     val qTok = queries
       .select(col(qIdCol), explode(array_distinct(lowTokens(col(qTextCol)))).as("token"))
     // corpus-sized side reduced FIRST: broadcast the query tokens into the
-    // postings scan; everything downstream is candidate-sized.
-    // Materialized ONCE (round 20 opt): both the df aggregation and the
-    // scoring join evaluate this frame — without the checkpoint an
-    // in-memory index re-runs its whole build per consumer
+    // postings scan; everything downstream is candidate-sized. The frame
+    // feeds two consumers (df aggregation + scoring join) UNMATERIALIZED,
+    // deliberately: an in-memory index's build aggregation sits behind its
+    // own exchange (AQE reuses the shuffle stage across the consumers),
+    // and a checkpoint here would hide the pruned stored scan and the
+    // delete anti-join from the executed plan — the properties the
+    // plan-audit laws (and a plan reader) must see (round 20: a
+    // checkpoint attempt broke exactly those laws and was reverted)
     val cand = index.postings.join(
       broadcast(qTok.select(col("token")).distinct()), Seq("token"), "left_semi")
-      .localCheckpoint(true)
     // exact df per query token from the candidates themselves
     val dfT = cand.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val stats = index.stats.select(col("n_docs"),
