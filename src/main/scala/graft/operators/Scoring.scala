@@ -302,12 +302,10 @@ object Scoring {
           lit(" — a one-class training split is a constant, not a classifier"))))
         .as("d_pos"),
       col("d_neg"))
-    // materialized once (round 20 opt): the vocabulary totals AND the
-    // per-token llr table both evaluate the counts aggregation — for a
-    // freshly trained model that is the whole tokenize+aggregate pass
-    // run twice
-    val countsM = counts.localCheckpoint(true)
-    val totals = countsM.agg(sum(col("c_pos")).as("n_pos"),
+    // the totals and llr consumers share the counts aggregation's own
+    // shuffle stage within one action (AQE stage reuse) — a checkpoint
+    // here measured as pure extra-job overhead (round 20, tried+reverted)
+    val totals = counts.agg(sum(col("c_pos")).as("n_pos"),
       sum(col("c_neg")).as("n_neg"), count(lit(1)).as("v"))
     val consts = totals.crossJoin(guarded).select(
       (log(col("d_pos").cast("double")) - log(col("d_neg").cast("double")))
@@ -315,7 +313,7 @@ object Scoring {
       (log((col("n_neg") + col("v")).cast("double")) -
         log((col("n_pos") + col("v")).cast("double"))).as("unk_llr"),
       col("n_pos"), col("n_neg"), col("v"))
-    val tokenLlr = countsM
+    val tokenLlr = counts
       .crossJoin(broadcast(consts.select(col("n_pos"), col("n_neg"), col("v"))))
       .select(col("token"),
         (log((col("c_pos") + lit(1L)).cast("double") /
@@ -379,11 +377,7 @@ object Scoring {
       lower(col(textCol)).as("__t"))
     val tok = lab.select(col("cls"),
       explode(TextFunctions.tokens(col("__t"))).as("token"))
-    // materialized once (round 20 opt): class totals, vocabulary size and
-    // the logp table all evaluate this aggregation — three runs of the
-    // whole tokenize+count pass without the checkpoint
     val ptc = tok.groupBy(col("token"), col("cls")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
     val nc = ptc.groupBy(col("cls")).agg(sum(col("c")).as("n"))
     val v = ptc.agg(countDistinct(col("token")).as("v"))
     val dcl = lab.groupBy(col("cls")).agg(count(lit(1)).as("d"))
