@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// the bench/verify mains print machine-parsed JSON lines on stdout; sbt's
+// default LoggedOutput wraps every forked-process line in "[info] ", which
+// broke the driver's bench parse two rounds running (PERF r19/r20:
+// now_bench_ok=false, parsed=null). StdoutOutput passes the process's
+// stdout/stderr through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,4 +33,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-) ++ sys.env.get("SPARK_EXTRA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
+  // split on whitespace RUNS (no quoting support — an option value that
+  // itself contains a space cannot be passed through this env var)
+) ++ sys.env.get("SPARK_EXTRA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -435,16 +435,31 @@ object Bench {
       results(k)._2.getOrElse(op) - op
     }.sum
     val totalMinOperator = totalMin - auditCost
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"total_min_operator":${jfmt(totalMinOperator, 3)},"n_queries":${results.size},"contract":"$contractJs",$contentionJson,"wand":$wandJson,"queries":$qs,"queries_min":$qsMin,"queries_min_operator":$qsMinOperator,"phases":$phasesJson,"failed":$failedArr,"suspect_stall":$suspectArr,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":$cpus,"total_min":$totalMin,"total_min_operator":${jfmt(totalMinOperator, 3)},"n_queries":${results.size},"contract":"$contractJs",$contentionJson,"wand":$wandJson,"queries":$qs,"queries_min":$qsMin,"queries_min_operator":$qsMinOperator,"phases":$phasesJson,"failed":$failedArr,"suspect_stall":$suspectArr,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
-    try {
-      val p = java.nio.file.Paths.get(outPath)
-      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: $e")
+    // per-run sibling keyed on the core count (round 21, r20 verdict #2):
+    // the driver benches the same tree at two core counts back to back, and
+    // the second run previously overwrote target/bench_full.json — the full
+    // per-query evidence of the first run was lost. Both paths are written;
+    // the _c<cpus> one survives the pair.
+    val outPaths = Seq(outPath,
+      outPath.replaceAll("\\.json$", "") + s"_c$cpus.json").distinct
+    outPaths.foreach { op =>
+      try {
+        val p = java.nio.file.Paths.get(op)
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $op: $e")
+      }
     }
     System.err.println(fullJson)
+    // the full JSON also goes to STDOUT (round 21, r20 verdict #2: the
+    // driver's per-query round-over-round table was empty two rounds
+    // running because stdout carried only the compact line). It prints
+    // BEFORE the compact line, so a bounded tail capture that truncates
+    // this long line still ends with the complete compact line below.
+    println(fullJson)
     // compact line — the ONLY stdout output, sized to fit a ~2000-char
     // capture window: totals + failures + the slowest queries by minimum.
     // Keyed "slowest_min", NOT "queries": the full-artifact "queries" map
@@ -456,7 +471,7 @@ object Bench {
       .take(12)
       .map { case (k, (first, min, _, _, _)) => "\"" + k + "\":" + jnum(min.orElse(Some(first))) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"total_min_operator":${jfmt(totalMinOperator, 3)},"n_queries":${results.size},"contract":"$contractJs",$contentionJson,"wand":$wandJson,"failed":$failedArr,"suspect_stall":$suspectArr,"slowest_min":$slowest,"full":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":$cpus,"total_min":$totalMin,"total_min_operator":${jfmt(totalMinOperator, 3)},"n_queries":${results.size},"contract":"$contractJs",$contentionJson,"wand":$wandJson,"failed":$failedArr,"suspect_stall":$suspectArr,"slowest_min":$slowest,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

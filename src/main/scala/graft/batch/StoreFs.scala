@@ -197,6 +197,19 @@ object StoreFs {
     if (!fs.exists(p)) Array.empty else fs.listStatus(p)
   }
 
+  /** Exact row count of one parquet file from its FOOTER — a driver-side
+    * metadata read, never a Spark job (round 21): the segment writers
+    * derive per-partition occupancy stats of files they JUST wrote, and
+    * a footer read replaces what was previously a full scan job per
+    * segment write. Footer record counts are exact by the format.
+    */
+  def parquetRowCount(file: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new Path(file), hadoopConf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
   def readBytes(path: String): Array[Byte] = {
     val p = new Path(path)
     val fs = fsOf(p)

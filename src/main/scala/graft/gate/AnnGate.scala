@@ -941,12 +941,12 @@ private[graft] object AnnGate {
           batches.foreach(b => Similarity.nswAppendToStored(s, tmpB, df(b),
             "embedding", "vec_id"))
           val idxB = Similarity.readNswIndex(s, tmpB).localCheckpoint(true)
-          idxS.except(idxB).count() == 0 && idxB.except(idxS).count() == 0
+          setEqUnique(idxS, idxB)
         }
         val eqRebuild = PhaseTimer.time("q_streaming_nsw", "rebuild_oracle") {
           val rebuilt = Similarity.nswBuild(df(rows.toSeq :+ needle),
             "embedding", "vec_id").localCheckpoint(true)
-          idxS.except(rebuilt).count() == 0 && rebuilt.except(idxS).count() == 0
+          setEqUnique(idxS, rebuilt)
         }
         idxS.agg(count(lit(1)).as("n_vecs"))
           .withColumn("needle_mid_stream", lit(needleMidStream))
@@ -1516,8 +1516,7 @@ private[graft] object AnnGate {
         val eq = PhaseTimer.time("q_nsw_append_stored", "rebuild_oracle") {
           val rebuilt = Similarity.nswBuild(e0.unionByName(day2),
             "embedding", "vec_id").localCheckpoint(true)
-          idx.except(rebuilt).count() == 0 &&
-            rebuilt.except(idx).count() == 0
+          setEqUnique(idx, rebuilt)
         }
         Similarity.nswSearchBuilt(idx, "embedding", "vec_id", q, k = 10)
           .agg(count(lit(1)).as("k"), countDistinct(col("vec_id")).as("n_ids"),
@@ -1590,7 +1589,7 @@ private[graft] object AnnGate {
         .localCheckpoint(true)
       val rebuilt = Similarity.hnswBuild(e0.unionByName(day2), "embedding", "vec_id")
         .localCheckpoint(true)
-      val eq = incr.except(rebuilt).count() == 0 && rebuilt.except(incr).count() == 0
+      val eq = setEqUnique(incr, rebuilt)
       Similarity.hnswSearchBuilt(incr, "embedding", "vec_id", q, k = 10)
         .agg(count(lit(1)).as("k"), countDistinct(col("vec_id")).as("n_ids"),
           max(col("vec_id") === base && col("hnsw_sim") === 1.0).as("needle_found"))
@@ -1622,7 +1621,7 @@ private[graft] object AnnGate {
         .localCheckpoint(true)
       val rebuilt = Similarity.nswBuild(e0.unionByName(day2), "embedding", "vec_id")
         .localCheckpoint(true)
-      val eq = incr.except(rebuilt).count() == 0 && rebuilt.except(incr).count() == 0
+      val eq = setEqUnique(incr, rebuilt)
       Similarity.nswSearchBuilt(incr, "embedding", "vec_id", q, k = 10)
         .agg(count(lit(1)).as("k"), countDistinct(col("vec_id")).as("n_ids"),
           max(col("vec_id") === base && col("nsw_sim") === 1.0).as("needle_found"))

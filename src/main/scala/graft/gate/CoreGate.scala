@@ -436,7 +436,7 @@ private[graft] object CoreGate {
           col("cnt"))
         .localCheckpoint(true) // both except directions read it; compute once
       val eq = withPinnedShufflePartitions(s, 4) {
-        streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0
+        setEqUnique(streamed, batch)
       }
       streamed.agg(count(lit(1)).as("n_windows"))
         .withColumn("stream_eq_batch", lit(eq))
@@ -487,7 +487,7 @@ private[graft] object CoreGate {
         .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
         .localCheckpoint(true) // both except directions read it; compute once
       val eq = withPinnedShufflePartitions(s, 4) {
-        streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0
+        setEqUnique(streamed, batch)
       }
       streamed.agg(count(lit(1)).as("n_sessions"))
         .withColumn("stream_eq_batch", lit(eq))
@@ -578,8 +578,8 @@ private[graft] object CoreGate {
       val forced = base.name("ordered", commutative = false)
         .sumByKeyAllTime(Semigroup.longSemigroup, implicitly)
         .localCheckpoint(true)
-      val pathsEqual = default.except(forced).count() == 0 &&
-        forced.except(default).count() == 0
+      val pathsEqual = setEqUnique(default.toDF("user_id", "cnt"),
+        forced.toDF("user_id", "cnt"))
       val sharded = eventStream(s, dir).name("resharded", shards = 7)
         .flatMap(e => Iterator.single(e.event_id))
       val shardsOk = sharded.ds.rdd.getNumPartitions == 7

@@ -546,17 +546,24 @@ private[graft] object DedupGate {
           centroids = Some(cents))
           .select("vec_id").localCheckpoint(true)
       }
-      def simToAssigned(cid: org.apache.spark.sql.Column) = {
-        val sims = array(cents.toIndexedSeq.map(c => graft.functions.VectorFunctions
-          .cosine(col("embedding"), array(c.toIndexedSeq.map(lit(_)): _*))): _*)
-        element_at(sims, cid + 1)
-      }
       val q = PhaseTimer.time("q_semdedup_hier", "fidelity") {
+        // the k-cosine array lands in ONE named column (round 21, r20
+        // verdict #7): brute argmax and both gap terms previously each
+        // built their own k-literal-centroid cosine array — 3 evaluations
+        // (and 3x the codegen tree) for identical expressions. Same
+        // doubles: __brute is nearestCentroid's own argmax form over the
+        // same array, the gap terms are the same element_at lookups.
+        val sims = array(cents.toIndexedSeq.map(c =>
+          graft.functions.VectorFunctions.cosine(col("embedding"),
+            array(c.toIndexedSeq.map(lit(_)): _*))): _*)
         Similarity.withNearestCentroidTwoLevel(
             e, col("embedding"), cents, "__hier")
-          .withColumn("__brute", Similarity.nearestCentroid(col("embedding"), cents))
+          .withColumn("__sims", sims)
+          .withColumn("__brute",
+            (array_position(col("__sims"), array_max(col("__sims"))) - 1).cast("int"))
           .agg(avg(when(col("__hier") === col("__brute"), 1.0).otherwise(0.0)),
-            avg(simToAssigned(col("__brute")) - simToAssigned(col("__hier"))))
+            avg(element_at(col("__sims"), col("__brute") + 1) -
+              element_at(col("__sims"), col("__hier") + 1)))
           .head()
       }
       val (agree, gap) = (q.getDouble(0), q.getDouble(1))

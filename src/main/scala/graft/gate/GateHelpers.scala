@@ -130,6 +130,17 @@ private[graft] object GateHelpers {
     bm25QuerySet.toDF("query_id", "qtext")
   }
 
+  /** One-sided set equality for two MATERIALIZED, duplicate-free frames
+    * (round 21, r20 verdict #7): |A| = |B| ∧ A∖B = ∅ ⟺ A = B when each
+    * frame's rows are unique (every caller keys rows by a unique id or
+    * group key, so `except`'s set semantics see one row per key). Counts
+    * on checkpointed frames are near-free; this halves the except joins
+    * each equality oracle pays. Same boolean as the two-directional
+    * form — audit-only, results identical.
+    */
+  private[graft] def setEqUnique(a: DataFrame, b: DataFrame): Boolean =
+    a.count() == b.count() && a.except(b).count() == 0
+
   /** Shared verification tail of the int8 stored-serving rows
     * (q_ann_int8_stored, q_streaming_ann): both pin the SAME invariants —
     * exact equality with the one-shot in-memory int8TopK plus

@@ -353,7 +353,13 @@ object Similarity {
   private def pushIdFilter(df: DataFrame, idCol: String,
       ids: Array[Long]): DataFrame =
     if (ids.isEmpty) df.where(lit(false))
-    else if (ids.length <= MaxPushdownIds)
+    else if (ids.length <= MaxPushdownIds &&
+      df.schema(idCol).dataType == org.apache.spark.sql.types.LongType)
+      // the id column must be LongType for the Long-literal In to stay
+      // row-group-pushdown-eligible (r20 advice: a non-long column wraps
+      // in a cast and the filter silently degrades to post-scan) — the
+      // engine-wide id convention is long; anything else keeps the
+      // broadcast-probe-only shape, results identical
       df.where(col(idCol).isInCollection(ids.toSeq))
     else df
 
@@ -372,8 +378,12 @@ object Similarity {
     import session.implicits._
     val qCol = array(query.toIndexedSeq.map(lit(_)): _*)
     // one evaluation of the candidate subtree (it was evaluated once for
-    // the broadcast anyway); the local frame re-broadcasts for free
-    val ids = cands.select(col(idCol).cast("long")).as[Long].collect()
+    // the broadcast anyway); the local frame re-broadcasts for free.
+    // isNotNull: ids are non-null by the engine contract, and a
+    // degenerate null must drop here (as the join would drop it) rather
+    // than NPE the driver collect (r20 advice)
+    val ids = cands.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long")).as[Long].collect()
     val local = ids.toSeq.toDF(idCol)
     pushIdFilter(floats, idCol, ids)
       .join(broadcast(local), Seq(idCol))
@@ -787,9 +797,14 @@ object Similarity {
     // · k rows): the broadcast AND the pushed id filter both read it —
     // and collect its distinct ids to prune the float scan to the
     // candidates' row groups ([[pushIdFilter]]; ids past the pushdown
-    // bound leave the scan unfiltered, results identical either way)
+    // bound leave the scan unfiltered, results identical either way).
+    // localCheckpoint, not persist: a recoverable MEMORY_AND_DISK swap
+    // (r20 verdict #6) measured slower (columnar-cache build cost) and
+    // was reverted; the frame is k-row-bounded, so the non-replayability
+    // trade is a bounded re-run of one query.
     val candsM = cands.localCheckpoint(true)
-    val ids = candsM.select(col(idCol).cast("long")).distinct()
+    val ids = candsM.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long")).distinct()
       .limit(MaxPushdownIds + 1).as[Long].collect()
     val floatsPruned =
       if (ids.length > MaxPushdownIds) floats else pushIdFilter(floats, idCol, ids)
@@ -1228,14 +1243,18 @@ object Similarity {
     val candPairs = candidates
       .select(col(qIdCol).cast("long").as("__q"),
         col(idCol).cast("long").as("__id"))
-      .localCheckpoint(true) // bounded by the Q·maxCandidates contract;
-                             // three consumers (count, id filter, join)
+      // bounded by the Q·maxCandidates contract; three consumers (count,
+      // id filter, join). localCheckpoint, not persist: the r20-verdict-#6
+      // recoverable-persist swap measured slower here (columnar-cache
+      // build cost on a frame this small) and was reverted.
+      .localCheckpoint(true)
     val nCandGroups = candPairs.count()
     // distinct candidate ids pushed INTO the corpus scan as a data
     // filter (round 20 opt — the same row-group-pruning lever as the
     // exact re-rank tails; past the pushdown bound the scan stays
     // unfiltered and the broadcast probe alone decides, identically)
-    val candIds = candPairs.select(col("__id")).distinct()
+    val candIds = candPairs.where(col("__id").isNotNull)
+      .select(col("__id")).distinct()
       .limit(MaxPushdownIds + 1).as[Long].collect()
     val corpusPruned =
       if (candIds.length > MaxPushdownIds) corpus
@@ -1351,7 +1370,8 @@ object Similarity {
     // small enough to literal-push (round 20 opt — same lever as the
     // re-rank tails; the collect is bounded by the pushdown cap + 1, so
     // driver memory stays flat in the query count either way)
-    val candIds = candPairs.select(col("__id")).distinct()
+    val candIds = candPairs.where(col("__id").isNotNull)
+      .select(col("__id")).distinct()
       .limit(MaxPushdownIds + 1).as[Long].collect()
     val corpusPruned =
       if (candIds.length > MaxPushdownIds) corpus
@@ -2549,8 +2569,25 @@ object Similarity {
     // counts from the WRITTEN payload (read-back, never a re-run of the
     // build; the payload files ARE the build shards — one file per
     // nswBuild/hnswBuild partition task). The health cadence folds these
-    // tiny per-segment tables instead of scanning the store.
-    writeGraphStats(index.sparkSession, segDir, payloadStatsOf(index.sparkSession, segDir))
+    // tiny per-segment tables instead of scanning the store. A payload
+    // WITHOUT an nsw_deleted column (clean bootstrap / post-fold rebuild
+    // — the common case) derives the counts from the parquet FOOTERS
+    // driver-side (round 21): live = each file's exact footer row count,
+    // tomb = 0, identical to the scan's output — one Spark job per graph
+    // write removed. Tombstone-carrying payloads keep the scan (the tomb
+    // split needs the column's values).
+    val stats =
+      if (index.columns.contains("nsw_deleted"))
+        payloadStatsOf(index.sparkSession, segDir)
+      else graft.batch.StoreFs.listStatus(s"$segDir/graph")
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => (f.getPath.getName,
+          graft.batch.StoreFs.parquetRowCount(f.getPath.toString)))
+        .filter(_._2 > 0L) // empty-task files: the scan never saw them
+        .sortBy(_._1).zipWithIndex
+        .flatMap { case ((_, n), i) => Seq(("live", i, n), ("tomb", i, 0L)) }
+        .toSeq
+    writeGraphStats(index.sparkSession, segDir, stats)
   }
 
   /** Per-shard (kind, shard, n) stats of a just-written graph payload:
@@ -2773,9 +2810,34 @@ object Similarity {
       // in-column tombstones not yet covered by a mark segment (both
       // provenances fold into cur's nsw_deleted; subtract what the mark
       // segments already carry) — mirrored below so read-side LWW can
-      // never resurrect them
+      // never resurrect them. Stats short-circuit first (round 21, r20
+      // verdict #4): in-column tombstones can only live in PAYLOAD
+      // segments, and each payload's graphstats counts them exactly
+      // ("tomb" rows, written with the payload) — when every payload
+      // segment carries stats and their tomb sum is 0 (the common case:
+      // a mark-segment takedown put nsw_deleted in `cur` without any
+      // in-column tombstone existing), the whole unmirrored computation
+      // — an O(index) graph-payload scan per append — is skipped for
+      // O(segments) tiny stats reads. Stats-less pre-r19 payloads fall
+      // through to the scan.
+      def inColumnTombFreeByStats: Boolean = {
+        val statsDirs = segs.filter(id =>
+            graft.batch.SegmentedStore.hasParquetFiles(
+              s"${graft.batch.SegmentedStore.segDir(path, id)}/graph"))
+          .map(id => s"${graft.batch.SegmentedStore.segDir(path, id)}/graphstats")
+        statsDirs.nonEmpty &&
+          statsDirs.forall(graft.batch.SegmentedStore.hasParquetFiles) && {
+            // ONE job over every payload segment's tiny stats table (a
+            // per-segment loop would pay one Spark job per segment per
+            // micro-batch — the fixed cost this short-circuit removes)
+            spark.read.parquet(statsDirs: _*).where(col("kind") === "tomb")
+              .agg(coalesce(sum(col("n")), lit(0L)))
+              .collect().head.getLong(0) == 0L
+          }
+      }
       val unmirrored =
         if (!cur.columns.contains("nsw_deleted")) None
+        else if (inColumnTombFreeByStats) None
         else {
           val all = cur.where(col("nsw_deleted")).select(col(idCol))
           val m0 = (readNswMarks(spark, path, segs, idCol) match {

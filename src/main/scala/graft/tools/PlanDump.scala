@@ -47,7 +47,10 @@ object PlanDump {
       2 -> "batch stream data").toDF("query_id", "qtext")
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
-    val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+    // query dim derived from the data (r20 advice: a hardcoded 64 made
+    // plan capture fail on any other embedding dim)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val q = Array.tabulate(dim)(i => math.sin(i + 1.0))
 
     // ---- BM25: in-memory scoring + pruned top-k (candidate-frame reuse)
     val idx = Retrieval.buildIndex(docs, "text", "doc_id")
